@@ -1,0 +1,159 @@
+"""The Engine: lowers typed plans (spec.py) to lazy DataFrame lineage.
+
+Replaces the reference's eager interpreter loop
+(`/root/reference/Configurable_ETL_Python.py:456-522`, one materialized
+pandas frame per row, symbol table = globals()). Here every op adds lazy
+lineage; Catalyst sees the WHOLE analyte as one logical plan, so predicate
+pushdown / column pruning / join planning span operator boundaries the
+reference could never cross.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.expr import compile_filter
+from ..operators.core import OP_COMPILERS
+from ..registry import Registry
+from .spec import AnalytePlan, OpSpec, ScanSpec, SortSpec, StudyPlan
+
+
+class Engine:
+    """Compiles ScanSpec/OpSpec/AnalytePlan/StudyPlan to DataFrames.
+
+    Sort metadata (`SortSpec`) rides alongside each binding so that the
+    reference's order-dependent idiom (SORT DATASET → GROUPBY SLICE / `last`
+    / dedup) compiles to a window function instead of relying on physical
+    row order, which Spark shuffles do not preserve (SURVEY.md §2.6).
+    """
+
+    def __init__(self, spark: SparkSession, registry: Registry | None = None):
+        self.spark = spark
+        self.registry = registry or Registry(spark)
+        self._pending_sort: dict[str, SortSpec] = {}
+        self.lookup_tables: dict[str, list[dict[str, Any]]] = {}
+
+    # -- bindings -----------------------------------------------------------
+
+    def bind(self, name: str, df: DataFrame, sort: SortSpec | None = None) -> None:
+        self.registry.bind(name, df)
+        if sort is None:
+            self._pending_sort.pop(name, None)
+        else:
+            self._pending_sort[name] = sort
+
+    def peek(self, name: str) -> tuple[DataFrame, SortSpec | None]:
+        """Fetch a binding WITHOUT materializing its pending sort — op
+        compilers use this so the sort can fuse downstream."""
+        return self.registry.get(name), self._pending_sort.get(name)
+
+    def resolve(self, name: str) -> DataFrame:
+        """Fetch a binding for external consumption: a still-pending sort
+        materializes as a real orderBy so callers observe reference
+        semantics (a SORT DATASET as the final op yields sorted output)."""
+        df, sort = self.peek(name)
+        if sort is not None:
+            df = df.orderBy(*sort.spark_cols())
+        return df
+
+    # -- scans ---------------------------------------------------------------
+
+    def run_scan(self, scan: ScanSpec) -> DataFrame:
+        """GET_DATA semantics: load → filter → lenient project (+distinct)
+        (`Configurable_ETL_Python.py:434-454`; filter at :451 precedes
+        projection at :452 and may use columns the projection then drops).
+        Declarative order means Catalyst still pushes both into the scan."""
+        df = self._load(scan)
+        if scan.filter:
+            df = df.filter(compile_filter(scan.filter))
+        if scan.columns:
+            have = set(df.columns)
+            cols = [c for c in scan.columns if c in have]  # lenient (P1)
+            if cols:
+                df = df.select(*cols)
+            if scan.distinct:
+                df = df.dropDuplicates(cols or None)
+        elif scan.distinct:
+            df = df.dropDuplicates()
+        self.bind(scan.name, df)
+        return df
+
+    def _load(self, scan: ScanSpec) -> DataFrame:
+        src = scan.source.lower()
+        if src == "analyte":
+            # S2: resolve a previously derived relation from the registry
+            # (Configurable_ETL_Python.py:319-321,442-444)
+            return self.registry.get(scan.path or scan.name)
+        if src == "parquet":
+            return self.spark.read.options(**scan.options).parquet(scan.path)
+        if src == "csv":
+            opts = {"header": "true", **scan.options}
+            return self.spark.read.options(**opts).csv(scan.path)
+        if src == "json":
+            return self.spark.read.options(**scan.options).json(scan.path)
+        if src == "table":
+            return self.spark.table(scan.path)
+        if src == "bronze":
+            from ..sources.bronze import read_bronze
+
+            return read_bronze(self.spark, scan.path, **scan.keys)
+        raise ValueError(f"unknown scan source {scan.source!r}")
+
+    # -- ops ------------------------------------------------------------------
+
+    def run_op(self, spec: OpSpec) -> DataFrame:
+        try:
+            compiler = OP_COMPILERS[spec.op.upper()]
+        except KeyError:
+            # unknown ops raise, like the reference dispatch loop (:519)
+            raise ValueError(f"unknown operation {spec.op!r}") from None
+        df, sort = compiler(self, spec)
+        self.bind(spec.target, df, sort)
+        return df
+
+    # -- programs ---------------------------------------------------------------
+
+    def run_analyte(self, plan: AnalytePlan) -> DataFrame:
+        self.lookup_tables = plan.lookup_tables
+        for scan in plan.scans:
+            self.run_scan(scan)
+        for op in plan.ops:
+            self.run_op(op)
+        return self.resolve(plan.name)
+
+    def run_study(self, study: StudyPlan, cache_analytes: bool = True) -> DataFrame:
+        """Derive every analyte in dependency order and left-join each onto
+        the spine (first analyte) on `spine_key`
+        (process_study, Configurable_ETL_Python.py:589-604). Analytes are
+        tiny relative to fact tables → broadcast the join sides."""
+        ordered = study.toposort()
+        spine: DataFrame | None = None
+        multi_consumer = self._multi_consumer_analytes(study)
+        for plan in ordered:
+            df = self.run_analyte(plan)
+            self.bind(plan.name, df)
+            if cache_analytes and plan.name in multi_consumer:
+                self.registry.cache(plan.name)
+            if plan is ordered[0] or spine is None:
+                spine = df
+            else:
+                spine = spine.join(
+                    F.broadcast(df), on=study.spine_key, how="left"
+                )
+        result = spine
+        self.bind(f"{study.study_code}__standardized", result)
+        return result
+
+    @staticmethod
+    def _multi_consumer_analytes(study: StudyPlan) -> set[str]:
+        counts: dict[str, int] = {}
+        for plan in study.analytes:
+            for dep in plan.dependencies():
+                counts[dep] = counts.get(dep, 0) + 1
+        # spine consumption counts too
+        for plan in study.analytes[1:]:
+            counts[plan.name] = counts.get(plan.name, 0) + 1
+        return {k for k, v in counts.items() if v > 1}
