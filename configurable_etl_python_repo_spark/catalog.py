@@ -1,0 +1,826 @@
+"""Query catalog: one entry per implemented operator from SURVEY.md §2.
+
+Each query is registered together with its DuckDB oracle SQL; the driver
+runs both at sf=0.01 and compares row-count + schema + order-insensitive
+value-hash. Conventions that make the hashes deterministic across engines:
+
+  - every computed column is aliased identically on both sides;
+  - sums over doubles go through DECIMAL(18,2) (exact) and cast back to
+    double, so accumulation order can't flip low bits;
+  - order-dependent operators (slice / last / keep-first dedup) always have
+    a unique tiebreaker in the sort key;
+  - similarity scores are rounded to 6 decimals with id tiebreaks.
+
+The reference-surface queries run THROUGH the Engine (plan → DataFrame
+lowering), so the correctness gate exercises the actual product path, not
+hand-written DataFrame code.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .plans import AnalytePlan, Engine, OpSpec, ScanSpec, StudyPlan
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _pq(sf_dir: str, table: str) -> str:
+    return f"{sf_dir}/{table}.parquet"
+
+
+# ===========================================================================
+# Flagship: the subject_death-shaped analyte program (SURVEY §3.1, §7.2 M0)
+# — scan+filter+project, rename, full-outer join, row-wise least, remove,
+# sort-fused keep-first dedup, not-null removal, all in one Engine program.
+# ===========================================================================
+
+
+@register(
+    "flagship_earliest_event",
+    """
+    WITH a AS (SELECT o_custkey, o_orderdate AS date_a FROM orders
+               WHERE o_orderpriority = '1-URGENT'),
+         b AS (SELECT o_custkey, o_orderdate AS date_b FROM orders
+               WHERE o_orderstatus = 'F'),
+         j AS (SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
+                      least(date_a, date_b) AS first_event
+               FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey)
+    SELECT o_custkey, MIN(first_event) AS first_event
+    FROM j GROUP BY o_custkey HAVING MIN(first_event) IS NOT NULL
+    """,
+)
+def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirrors dg_test_subject_death (12-op program,
+    dg_test_subject_death_configuration.xlsx:DF_OPERATIONS:2-13): two
+    filtered scans of the same source, rename, OUTER JOIN, AGGREGATE COLUMN
+    min, REMOVE COLUMN, SORT + UNIQUE (keep-first fusion), REMOVE ROWS."""
+    eng = Engine(spark)
+    plan = AnalytePlan(
+        name="earliest_event",
+        scans=[
+            ScanSpec("urgent", "parquet", _pq(sf_dir, "orders"),
+                     filter="o_orderpriority = 1-URGENT",
+                     columns=["o_custkey", "o_orderdate"]),
+            ScanSpec("finished", "parquet", _pq(sf_dir, "orders"),
+                     filter="o_orderstatus = F",
+                     columns=["o_custkey", "o_orderdate"]),
+        ],
+        ops=[
+            OpSpec("RENAME COLUMN", "urgent", ["urgent"],
+                   {"renames": {"o_orderdate": "date_a"}}),
+            OpSpec("RENAME COLUMN", "finished", ["finished"],
+                   {"renames": {"o_orderdate": "date_b"}}),
+            OpSpec("OUTER JOIN", "j", ["urgent", "finished"], {"on": ["o_custkey"]}),
+            OpSpec("AGGREGATE COLUMN", "j", ["j"],
+                   {"new_column": "first_event", "op": "min",
+                    "columns": ["date_a", "date_b"]}),
+            OpSpec("REMOVE COLUMN", "j", ["j"], {"columns": ["date_a", "date_b"]}),
+            OpSpec("SORT DATASET", "j", ["j"], {"columns": ["first_event"]}),
+            OpSpec("UNIQUE COLUMN", "j", ["j"], {"columns": ["o_custkey"]}),
+            OpSpec("REMOVE ROWS", "earliest_event", ["j"], {"column": "first_event"}),
+        ],
+    )
+    return eng.run_analyte(plan)
+
+
+# ===========================================================================
+# Scans / sources (S1, P1)
+# ===========================================================================
+
+
+@register(
+    "s1_bronze_nest_explode",
+    """
+    SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber, l_quantity
+    FROM lineitem WHERE l_returnflag = 'A'
+    """,
+)
+def q_s1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/A5/S9: nest rows per key into ARRAY<STRUCT> (bronze layout), then
+    keyed read explodes back to tabular — the round-trip the reference does
+    through DynamoDB items (Configurable_ETL_Python.py:30-41,
+    Data_Ingestion_Python.py:101-109)."""
+    li = spark.read.parquet(_pq(sf_dir, "lineitem"))
+    nested = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.collect_list(F.struct("l_orderkey", "l_linenumber", "l_quantity"))
+             .alias("data"))
+    )
+    return (
+        nested.where(F.col("l_returnflag") == "A")
+        .select("l_returnflag", "l_linestatus", F.explode("data").alias("r"))
+        .select("l_returnflag", "l_linestatus", "r.*")
+    )
+
+
+@register(
+    "p1_lenient_scan_distinct",
+    "SELECT DISTINCT p_brand, p_type FROM part",
+)
+def q_p1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: scan-time projection + Distinct=Y; requesting a missing column is
+    silently ignored (Configurable_ETL_Python.py:45-52 KeyError→pass)."""
+    eng = Engine(spark)
+    eng.run_scan(ScanSpec("p", "parquet", _pq(sf_dir, "part"),
+                          columns=["p_brand", "p_type", "ghost_column"],
+                          distinct=True))
+    return eng.resolve("p")
+
+
+# ===========================================================================
+# Projections / filters (P2-P7)
+# ===========================================================================
+
+
+@register(
+    "p2_p4_project_remove",
+    "SELECT o_orderkey, o_orderstatus FROM orders",
+)
+def q_p2_p4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = Engine(spark)
+    eng.run_scan(ScanSpec("o", "parquet", _pq(sf_dir, "orders")))
+    eng.run_op(OpSpec("SELECT COLUMNS", "o", ["o"],
+                      {"columns": ["o_orderkey", "o_orderstatus", "o_totalprice"]}))
+    eng.run_op(OpSpec("REMOVE COLUMN", "o", ["o"], {"columns": ["o_totalprice"]}))
+    return eng.resolve("o")
+
+
+@register(
+    "p3_select_distinct",
+    "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+)
+def q_p3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = Engine(spark)
+    eng.run_scan(ScanSpec("o", "parquet", _pq(sf_dir, "orders")))
+    eng.run_op(OpSpec("SELECT DISTINCT", "o", ["o"],
+                      {"columns": ["o_orderstatus", "o_orderpriority"]}))
+    return eng.resolve("o")
+
+
+@register(
+    "p5_filter_grammar",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+    FROM lineitem
+    WHERE (l_quantity BETWEEN 20 AND 30 AND l_returnflag = 'A')
+       OR (l_discount >= 0.09 AND l_shipdate >= TIMESTAMP '2000-01-01 00:00:00')
+    """,
+)
+def q_p5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: the full filter mini-grammar in one predicate — BETWEEN, typed
+    NUMBER/DATE literals, bare-string equality, & over | precedence.
+    Filter references l_returnflag/l_shipdate which the projection then
+    drops (GET_DATA order: filter before project)."""
+    eng = Engine(spark)
+    eng.run_scan(ScanSpec(
+        "li", "parquet", _pq(sf_dir, "lineitem"),
+        filter=("l_quantity BETWEEN(NUMBER(20), NUMBER(30)) & l_returnflag = A"
+                " | l_discount >= NUMBER(0.09) & l_shipdate >= DATE(2000-01-01)"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_discount"],
+    ))
+    return eng.resolve("li")
+
+
+def _null_side_join(eng: Engine, sf_dir: str) -> None:
+    """Shared fixture: orders ⟕ (customer where c_nationkey<=11) — the
+    unmatched side supplies real NULLs for the null-handling operators."""
+    eng.run_scan(ScanSpec("o", "parquet", _pq(sf_dir, "orders")))
+    eng.run_scan(ScanSpec("c", "parquet", _pq(sf_dir, "customer"),
+                          filter="c_nationkey <= NUMBER(11)",
+                          columns=["c_custkey", "c_name", "c_mktsegment"]))
+    eng.run_op(OpSpec("RENAME COLUMN", "c", ["c"],
+                      {"renames": {"c_custkey": "o_custkey"}}))
+    eng.run_op(OpSpec("LEFT JOIN", "j", ["o", "c"],
+                      {"on": ["o_custkey"], "broadcast": True}))
+
+
+_NULL_SIDE_SQL = """
+    WITH j AS (
+      SELECT o.*, c.c_name, c.c_mktsegment
+      FROM orders o LEFT JOIN (SELECT c_custkey, c_name, c_mktsegment
+                               FROM customer WHERE c_nationkey <= 11) c
+      ON o.o_custkey = c.c_custkey)
+"""
+
+
+@register(
+    "p6_remove_rows_null",
+    _NULL_SIDE_SQL
+    + "SELECT o_orderkey, o_custkey, c_name FROM j WHERE c_name IS NOT NULL",
+)
+def q_p6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = Engine(spark)
+    _null_side_join(eng, sf_dir)
+    eng.run_op(OpSpec("REMOVE ROWS", "j", ["j"], {"column": "c_name"}))
+    eng.run_op(OpSpec("SELECT COLUMNS", "j", ["j"],
+                      {"columns": ["o_orderkey", "o_custkey", "c_name"]}))
+    return eng.resolve("j")
+
+
+@register(
+    "p7_filter_not_null",
+    _NULL_SIDE_SQL
+    + """SELECT o_orderkey, c_mktsegment FROM j
+         WHERE c_mktsegment IS NOT NULL AND o_totalprice >= 100000""",
+)
+def q_p7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: NOT NULL as a predicate inside the filter grammar (vs P6's
+    dedicated REMOVE ROWS op)."""
+    eng = Engine(spark)
+    _null_side_join(eng, sf_dir)
+    eng.run_op(OpSpec("FILTER", "j", ["j"],
+                      {"condition": "c_mktsegment = NOT NULL & o_totalprice >= NUMBER(100000)"}))
+    eng.run_op(OpSpec("SELECT COLUMNS", "j", ["j"],
+                      {"columns": ["o_orderkey", "c_mktsegment"]}))
+    return eng.resolve("j")
+
+
+# ===========================================================================
+# Column transforms (C1-C12)
+# ===========================================================================
+
+
+@register(
+    "c1_c2_rename_format",
+    """
+    SELECT l_orderkey, l_linenumber,
+           strptime(strftime(l_shipdate, '%d-%m-%Y %H:%M'), '%d-%m-%Y %H:%M') AS ship_ts,
+           CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) AS qty_num
+    FROM lineitem
+    """,
+)
+def q_c1_c2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1+C2: rename, then FORMAT COLUMN datetime#strftime-pattern parse and
+    type=number cast — string-typed inputs exactly like the reference's
+    all-string working model."""
+    eng = Engine(spark)
+    li = spark.read.parquet(_pq(sf_dir, "lineitem")).select(
+        "l_orderkey", "l_linenumber",
+        F.date_format("l_shipdate", "dd-MM-yyyy HH:mm").alias("ship_raw"),
+        F.col("l_quantity").cast("string").alias("qty_raw"),
+    )
+    eng.bind("li", li)
+    eng.run_op(OpSpec("RENAME COLUMN", "li", ["li"],
+                      {"renames": {"ship_raw": "ship_ts", "qty_raw": "qty_num"}}))
+    eng.run_op(OpSpec("FORMAT COLUMN", "li", ["li"],
+                      {"column": "ship_ts", "type": "datetime", "format": "%d-%m-%Y %H:%M"}))
+    eng.run_op(OpSpec("FORMAT COLUMN", "li", ["li"],
+                      {"column": "qty_num", "type": "number"}))
+    return eng.resolve("li")
+
+
+@register(
+    "c3_add_column",
+    """
+    SELECT n_nationkey, n_name, n_regionkey,
+           CAST(3 AS BIGINT) AS etl_version, 'spark' AS engine_tag
+    FROM nation
+    """,
+)
+def q_c3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = Engine(spark)
+    eng.run_scan(ScanSpec("n", "parquet", _pq(sf_dir, "nation")))
+    eng.run_op(OpSpec("ADD COLUMN", "n", ["n"],
+                      {"column": "etl_version", "value": "NUMBER(3)"}))
+    eng.run_op(OpSpec("ADD COLUMN", "n", ["n"],
+                      {"column": "engine_tag", "value": "spark"}))
+    # NUMBER(3) → python int → LongType, matching the BIGINT oracle cast
+    return eng.resolve("n")
+
+
+_PART_JOIN_SQL = """
+    WITH j AS (
+      SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice, p.p_retailprice
+      FROM lineitem l LEFT JOIN (SELECT p_partkey, p_retailprice FROM part
+                                 WHERE p_size >= 25) p
+      ON l.l_partkey = p.p_partkey)
+"""
+
+
+@register(
+    "c4_rowwise_min_max",
+    _PART_JOIN_SQL
+    + """
+    SELECT l_orderkey, l_linenumber,
+           least(l_extendedprice, p_retailprice) AS lo_price,
+           greatest(l_extendedprice, p_retailprice) AS hi_price
+    FROM j
+    """,
+)
+def q_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: horizontal min/max with NaN-skipping semantics — NULL only when
+    ALL inputs are NULL (pandas skipna == Spark least/greatest == DuckDB)."""
+    eng = Engine(spark)
+    eng.run_scan(ScanSpec("li", "parquet", _pq(sf_dir, "lineitem"),
+                          columns=["l_orderkey", "l_linenumber", "l_partkey",
+                                   "l_extendedprice"]))
+    eng.run_scan(ScanSpec("p", "parquet", _pq(sf_dir, "part"),
+                          filter="p_size >= NUMBER(25)",
+                          columns=["p_partkey", "p_retailprice"]))
+    eng.run_op(OpSpec("RENAME COLUMN", "p", ["p"],
+                      {"renames": {"p_partkey": "l_partkey"}}))
+    eng.run_op(OpSpec("LEFT JOIN", "j", ["li", "p"],
+                      {"on": ["l_partkey"], "broadcast": True}))
+    eng.run_op(OpSpec("AGGREGATE COLUMN", "j", ["j"],
+                      {"new_column": "lo_price", "op": "min",
+                       "columns": ["l_extendedprice", "p_retailprice"]}))
+    eng.run_op(OpSpec("AGGREGATE COLUMN", "j", ["j"],
+                      {"new_column": "hi_price", "op": "max",
+                       "columns": ["l_extendedprice", "p_retailprice"]}))
+    eng.run_op(OpSpec("SELECT COLUMNS", "j", ["j"],
+                      {"columns": ["l_orderkey", "l_linenumber", "lo_price", "hi_price"]}))
+    return eng.resolve("j")
+
+
+@register(
+    "c5_attach_notnull",
+    _PART_JOIN_SQL
+    + """
+    SELECT l_orderkey, l_linenumber, p_retailprice IS NOT NULL AS has_part
+    FROM j
+    """,
+)
+def q_c5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = Engine(spark)
+    eng.run_scan(ScanSpec("li", "parquet", _pq(sf_dir, "lineitem"),
+                          columns=["l_orderkey", "l_linenumber", "l_partkey",
+                                   "l_extendedprice"]))
+    eng.run_scan(ScanSpec("p", "parquet", _pq(sf_dir, "part"),
+                          filter="p_size >= NUMBER(25)",
+                          columns=["p_partkey", "p_retailprice"]))
+    eng.run_op(OpSpec("RENAME COLUMN", "p", ["p"],
+                      {"renames": {"p_partkey": "l_partkey"}}))
+    eng.run_op(OpSpec("LEFT JOIN", "j", ["li", "p"],
+                      {"on": ["l_partkey"], "broadcast": True}))
+    eng.run_op(OpSpec("ATTACH COLUMN", "j", ["j"],
+                      {"operation": "NOTNULL", "new_column": "has_part",
+                       "column": "p_retailprice"}))
+    eng.run_op(OpSpec("SELECT COLUMNS", "j", ["j"],
+                      {"columns": ["l_orderkey", "l_linenumber", "has_part"]}))
+    return eng.resolve("j")
+
+
+@register(
+    "c6_attach_sumeq",
+    """
+    SELECT l_orderkey, l_linenumber,
+           (SELECT SUM(l_linenumber) = SUM(l_suppkey) FROM lineitem) AS diff_eq,
+           (SELECT SUM(l_orderkey) = SUM(l_orderkey) FROM lineitem) AS self_eq
+    FROM lineitem
+    """,
+)
+def q_c6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 SUMEQ: whole-frame scalar aggregate compared once, broadcast to
+    every row (agg + broadcast cross join — never a single-partition
+    window)."""
+    eng = Engine(spark)
+    eng.run_scan(ScanSpec("li", "parquet", _pq(sf_dir, "lineitem")))
+    eng.run_op(OpSpec("ATTACH COLUMN", "li", ["li"],
+                      {"operation": "SUMEQ", "new_column": "diff_eq",
+                       "columns": ["l_linenumber", "l_suppkey"]}))
+    eng.run_op(OpSpec("ATTACH COLUMN", "li", ["li"],
+                      {"operation": "SUMEQ", "new_column": "self_eq",
+                       "columns": ["l_orderkey", "l_orderkey"]}))
+    eng.run_op(OpSpec("SELECT COLUMNS", "li", ["li"],
+                      {"columns": ["l_orderkey", "l_linenumber", "diff_eq", "self_eq"]}))
+    return eng.resolve("li")
+
+
+@register(
+    "c7_attach_null_coalesce",
+    _NULL_SIDE_SQL
+    + """
+    SELECT o_orderkey,
+           CASE WHEN c_name IS NULL THEN 'ANON' ELSE c_mktsegment END AS filled_segment
+    FROM j
+    """,
+)
+def q_c7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7: null-coalescing conditional whose else-branch is ANOTHER COLUMN,
+    not a literal (Configurable_ETL_Python.py:430-432)."""
+    eng = Engine(spark)
+    _null_side_join(eng, sf_dir)
+    eng.run_op(OpSpec("ATTACH COLUMN", "j", ["j"],
+                      {"operation": "NULL", "new_column": "filled_segment",
+                       "column": "c_name", "value": "ANON",
+                       "else_column": "c_mktsegment"}))
+    eng.run_op(OpSpec("SELECT COLUMNS", "j", ["j"],
+                      {"columns": ["o_orderkey", "filled_segment"]}))
+    return eng.resolve("j")
+
+
+@register(
+    "c8_decision_column",
+    """
+    SELECT li.l_orderkey, li.l_linenumber, li.l_returnflag, m.flag_code
+    FROM lineitem li LEFT JOIN (
+      SELECT * FROM (VALUES ('A', CAST(1 AS BIGINT)), ('N', CAST(2 AS BIGINT)))
+      t(k, flag_code)) m
+    ON li.l_returnflag = m.k
+    """,
+)
+def q_c8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8: decision-table lookup as a broadcast join; unmatched keys ('R')
+    → NULL (Configurable_ETL_Python.py:396-397 semantics)."""
+    eng = Engine(spark)
+    plan = AnalytePlan(
+        name="out",
+        scans=[ScanSpec("li", "parquet", _pq(sf_dir, "lineitem"))],
+        lookup_tables={"flag_map": [{"key": "A", "output": 1},
+                                    {"key": "N", "output": 2}]},
+        ops=[
+            OpSpec("DECISION COLUMN", "li", ["li"],
+                   {"lookup_column": "l_returnflag", "new_column": "flag_code",
+                    "table": "flag_map"}),
+            OpSpec("SELECT COLUMNS", "out", ["li"],
+                   {"columns": ["l_orderkey", "l_linenumber", "l_returnflag",
+                                "flag_code"]}),
+        ],
+    )
+    return eng.run_analyte(plan)
+
+
+@register(
+    "c9_c10_boundary_sentinel",
+    _NULL_SIDE_SQL
+    + """
+    SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey,
+           CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+           COALESCE(c_name, 'Null') AS c_name
+    FROM j
+    """,
+)
+def q_c9_c10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9+C10: the boundary adapter — all-string cast + 'Null' sentinel,
+    applied only at the sink edge (internal plan keeps real types/NULLs)."""
+    from .sinks.boundary import to_boundary_strings
+
+    eng = Engine(spark)
+    _null_side_join(eng, sf_dir)
+    eng.run_op(OpSpec("SELECT COLUMNS", "j", ["j"],
+                      {"columns": ["o_orderkey", "o_orderdate", "c_name"]}))
+    return to_boundary_strings(eng.resolve("j"))
+
+
+@register(
+    "c11_c12_gold_record",
+    """
+    WITH src AS (
+      SELECT COALESCE(CAST(c.c_custkey AS VARCHAR), 'Null') AS subject,
+             COALESCE(n.n_name, 'Null') AS country,
+             COALESCE(CAST(c.c_nationkey AS VARCHAR), 'Null') AS site,
+             COALESCE(CAST(c.c_acctbal AS VARCHAR), 'Null') AS acct,
+             COALESCE(c.c_mktsegment, 'Null') AS mkt
+      FROM customer c LEFT JOIN (SELECT n_nationkey, n_name FROM nation
+                                 WHERE n_regionkey <= 2) n
+      ON c.c_nationkey = n.n_nationkey)
+    SELECT 'TPCH001' AS study_code,
+           concat_ws('#', country, site, subject) AS subject_hierarchy,
+           country, site, subject,
+           to_json(struct_pack(acct := acct, mkt := mkt)) AS retention_json
+    FROM src
+    """,
+)
+def q_c11_c12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C11+C12: composite subject_hierarchy key + nested Retention record
+    (emitted as JSON so the oracle comparison is a plain string)."""
+    from .sinks.boundary import to_standardized_form
+
+    c = spark.read.parquet(_pq(sf_dir, "customer"))
+    n = spark.read.parquet(_pq(sf_dir, "nation")).where(F.col("n_regionkey") <= 2)
+    src = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .select(
+            F.col("c_custkey").cast("string").alias("subject"),
+            F.col("n_name").alias("country"),
+            F.col("c_nationkey").cast("string").alias("site"),
+            F.col("c_acctbal").cast("string").alias("acct"),
+            F.col("c_mktsegment").alias("mkt"),
+        )
+    )
+    gold = to_standardized_form(src, "TPCH001", ["acct", "mkt"])
+    return gold.withColumn(
+        "retention_json",
+        F.to_json(F.col("Retention"), {"ignoreNullFields": "false"}),
+    ).drop("Retention")
+
+
+# ===========================================================================
+# Joins (J1-J4)
+# ===========================================================================
+
+
+@register(
+    "j1_left_join_two_keys",
+    """
+    SELECT a.l_orderkey, a.l_linenumber, a.l_quantity, b.l_extendedprice
+    FROM lineitem a LEFT JOIN (SELECT l_orderkey, l_linenumber, l_extendedprice
+                               FROM lineitem WHERE l_quantity >= 30) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber
+    """,
+)
+def q_j1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: left equi-join on a comma list of SHARED column names — the
+    reference's only dispatched join form (any_join, :531-534)."""
+    eng = Engine(spark)
+    eng.run_scan(ScanSpec("a", "parquet", _pq(sf_dir, "lineitem"),
+                          columns=["l_orderkey", "l_linenumber", "l_quantity"]))
+    eng.run_scan(ScanSpec("b", "parquet", _pq(sf_dir, "lineitem"),
+                          filter="l_quantity >= NUMBER(30)",
+                          columns=["l_orderkey", "l_linenumber", "l_extendedprice"]))
+    eng.run_op(OpSpec("LEFT JOIN", "j", ["a", "b"],
+                      {"on": ["l_orderkey", "l_linenumber"]}))
+    return eng.resolve("j")
+
+
+@register(
+    "j2_outer_join_counts",
+    """
+    WITH a AS (SELECT o_custkey, COUNT(o_orderkey) AS n_urgent FROM orders
+               WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey),
+         b AS (SELECT o_custkey, COUNT(o_orderkey) AS n_finished FROM orders
+               WHERE o_orderstatus = 'F' GROUP BY o_custkey)
+    SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey, n_urgent, n_finished
+    FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+    """,
+)
+def q_j2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = Engine(spark)
+    eng.run_scan(ScanSpec("u", "parquet", _pq(sf_dir, "orders"),
+                          filter="o_orderpriority = 1-URGENT"))
+    eng.run_scan(ScanSpec("f", "parquet", _pq(sf_dir, "orders"),
+                          filter="o_orderstatus = F"))
+    eng.run_op(OpSpec("GROUPBY SUMMARISE", "u", ["u"],
+                      {"group_by": ["o_custkey"],
+                       "aggs": [("o_orderkey", "count", "n_urgent")]}))
+    eng.run_op(OpSpec("GROUPBY SUMMARISE", "f", ["f"],
+                      {"group_by": ["o_custkey"],
+                       "aggs": [("o_orderkey", "count", "n_finished")]}))
+    eng.run_op(OpSpec("OUTER JOIN", "j", ["u", "f"], {"on": ["o_custkey"]}))
+    return eng.resolve("j")
+
+
+@register(
+    "j3_spine_study",
+    """
+    SELECT c.c_custkey, c.c_name, oc.n_orders, fo.first_order_date
+    FROM customer c
+    LEFT JOIN (SELECT o_custkey AS c_custkey, COUNT(o_orderkey) AS n_orders
+               FROM orders GROUP BY o_custkey) oc ON c.c_custkey = oc.c_custkey
+    LEFT JOIN (SELECT o_custkey AS c_custkey, MIN(o_orderdate) AS first_order_date
+               FROM orders GROUP BY o_custkey) fo ON c.c_custkey = fo.c_custkey
+    """,
+)
+def q_j3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: full study orchestration — analyte DAG topo-sort, spine seeding,
+    iterative broadcast left joins (process_study,
+    Configurable_ETL_Python.py:589-604)."""
+    eng = Engine(spark)
+    study = StudyPlan(
+        study_code="TPCH001",
+        spine_key="c_custkey",
+        analytes=[
+            AnalytePlan(
+                name="cust_spine",
+                scans=[ScanSpec("cust_spine", "parquet", _pq(sf_dir, "customer"),
+                                columns=["c_custkey", "c_name"])],
+            ),
+            AnalytePlan(
+                name="order_count",
+                scans=[ScanSpec("o1", "parquet", _pq(sf_dir, "orders"))],
+                ops=[
+                    OpSpec("RENAME COLUMN", "o1", ["o1"],
+                           {"renames": {"o_custkey": "c_custkey"}}),
+                    OpSpec("GROUPBY SUMMARISE", "order_count", ["o1"],
+                           {"group_by": ["c_custkey"],
+                            "aggs": [("o_orderkey", "count", "n_orders")]}),
+                ],
+            ),
+            AnalytePlan(
+                name="first_order",
+                scans=[ScanSpec("o2", "parquet", _pq(sf_dir, "orders"))],
+                ops=[
+                    OpSpec("RENAME COLUMN", "o2", ["o2"],
+                           {"renames": {"o_custkey": "c_custkey"}}),
+                    OpSpec("GROUPBY SUMMARISE", "first_order", ["o2"],
+                           {"group_by": ["c_custkey"],
+                            "aggs": [("o_orderdate", "min", "first_order_date")]}),
+                ],
+            ),
+        ],
+    )
+    return eng.run_study(study)
+
+
+@register(
+    "j4_qualified_join",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, p.p_partkey, p.p_brand
+    FROM lineitem l LEFT JOIN (SELECT p_partkey, p_brand FROM part
+                               WHERE p_size >= 40) p
+    ON l.l_partkey = p.p_partkey
+    """,
+)
+def q_j4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: qualified-condition join 'df1.colA = df2.colB' — keeps BOTH key
+    columns like pd.merge(left_on, right_on)
+    (Configurable_ETL_Python.py:250-264, never dispatched there)."""
+    eng = Engine(spark)
+    eng.run_scan(ScanSpec("li", "parquet", _pq(sf_dir, "lineitem"),
+                          columns=["l_orderkey", "l_linenumber", "l_partkey"]))
+    eng.run_scan(ScanSpec("p", "parquet", _pq(sf_dir, "part"),
+                          filter="p_size >= NUMBER(40)",
+                          columns=["p_partkey", "p_brand"]))
+    eng.run_op(OpSpec("QUALIFIED JOIN", "j", ["li", "p"],
+                      {"condition": "li.l_partkey = p.p_partkey", "how": "left"}))
+    return eng.resolve("j")
+
+
+# ===========================================================================
+# Aggregation / distinct / window-like (A1, A4, A5, W2, W3)
+# ===========================================================================
+
+
+@register(
+    "a1_groupby_summarise",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship,
+           COUNT(l_orderkey) AS n_rows,
+           COUNT(DISTINCT l_suppkey) AS n_supp
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_a1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 (TPC-H Q1-shaped): grouped multi-aggregate. Double sums go through
+    DECIMAL(18,2) so accumulation order can't flip low-order bits vs the
+    oracle."""
+    eng = Engine(spark)
+    eng.run_scan(ScanSpec("li", "parquet", _pq(sf_dir, "lineitem")))
+    eng.run_op(OpSpec("FORMAT COLUMN", "li", ["li"],
+                      {"column": "l_quantity", "type": "decimal(18,2)"}))
+    eng.run_op(OpSpec("FORMAT COLUMN", "li", ["li"],
+                      {"column": "l_extendedprice", "type": "decimal(18,2)"}))
+    eng.run_op(OpSpec("GROUPBY SUMMARISE", "g", ["li"], {
+        "group_by": ["l_returnflag", "l_linestatus"],
+        "aggs": [
+            ("l_quantity", "sum", "sum_qty"),
+            ("l_extendedprice", "sum", "sum_price"),
+            ("l_shipdate", "min", "min_ship"),
+            ("l_shipdate", "max", "max_ship"),
+            ("l_orderkey", "count", "n_rows"),
+            ("l_suppkey", "nunique", "n_supp"),
+        ]}))
+    eng.run_op(OpSpec("FORMAT COLUMN", "g", ["g"],
+                      {"column": "sum_qty", "type": "double"}))
+    eng.run_op(OpSpec("FORMAT COLUMN", "g", ["g"],
+                      {"column": "sum_price", "type": "double"}))
+    return eng.resolve("g")
+
+
+@register(
+    "a4_unique_keep_first",
+    """
+    SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity FROM lineitem
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                               ORDER BY l_shipdate, l_linenumber, l_quantity) = 1
+    """,
+)
+def q_a4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: pandas drop_duplicates keeps the FIRST row in current order —
+    SORT + UNIQUE fuses to a window row_number instead of relying on
+    physical order (SURVEY §2.6)."""
+    eng = Engine(spark)
+    eng.run_scan(ScanSpec("li", "parquet", _pq(sf_dir, "lineitem"),
+                          columns=["l_orderkey", "l_linenumber", "l_shipdate",
+                                   "l_quantity"]))
+    # the fixture's l_linenumber is not unique per order, so the sort key
+    # includes every projected column — total order ⇒ deterministic pick
+    eng.run_op(OpSpec("SORT DATASET", "li", ["li"],
+                      {"columns": ["l_shipdate", "l_linenumber", "l_quantity"]}))
+    eng.run_op(OpSpec("UNIQUE COLUMN", "li", ["li"], {"columns": ["l_orderkey"]}))
+    return eng.resolve("li")
+
+
+@register(
+    "a5_nest_per_group",
+    """
+    WITH firsts AS (
+      SELECT l_orderkey, l_quantity AS first_qty FROM lineitem
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                 ORDER BY l_linenumber, l_quantity) = 1),
+    counts AS (SELECT l_orderkey, COUNT(*) AS n_items FROM lineitem
+               GROUP BY l_orderkey)
+    SELECT c.l_orderkey, c.n_items, f.first_qty
+    FROM counts c JOIN firsts f ON c.l_orderkey = f.l_orderkey
+    """,
+)
+def q_a5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: group-collect (the ingestion nest) with in-list ordering by key
+    columns (W4), then positional access — done with collect_list +
+    sort_array, not an O(n²) loop."""
+    li = spark.read.parquet(_pq(sf_dir, "lineitem"))
+    nested = li.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(F.struct("l_linenumber", "l_quantity"))
+        ).alias("data")
+    )
+    return nested.select(
+        "l_orderkey",
+        F.size("data").cast("long").alias("n_items"),
+        F.element_at("data", 1)["l_quantity"].alias("first_qty"),
+    )
+
+
+@register(
+    "w2_sort_slice_topn",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                               ORDER BY l_extendedprice DESC, l_linenumber DESC) <= 2
+    """,
+)
+def q_w2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1+W2: SORT DATASET DESC then GROUPBY SLICE n=2 — per-group top-N
+    w.r.t. the pending sort, fused to one window (no global sort at all)."""
+    eng = Engine(spark)
+    eng.run_scan(ScanSpec("li", "parquet", _pq(sf_dir, "lineitem"),
+                          columns=["l_orderkey", "l_linenumber", "l_extendedprice"]))
+    eng.run_op(OpSpec("SORT DATASET", "li", ["li"],
+                      {"columns": ["l_extendedprice", "l_linenumber"],
+                       "order": "DESC"}))
+    eng.run_op(OpSpec("GROUPBY SLICE", "li", ["li"],
+                      {"group_by": ["l_orderkey"], "n": 2}))
+    return eng.resolve("li")
+
+
+@register(
+    "w3_last_per_group",
+    """
+    WITH ranked AS (
+      SELECT l_orderkey, l_partkey,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_shipdate DESC, l_linenumber DESC,
+                                         l_partkey DESC) AS rn
+      FROM lineitem),
+    mins AS (SELECT l_orderkey, MIN(l_quantity) AS min_qty FROM lineitem
+             GROUP BY l_orderkey)
+    SELECT r.l_orderkey, r.l_partkey AS last_partkey, m.min_qty
+    FROM ranked r JOIN mins m ON r.l_orderkey = m.l_orderkey WHERE r.rn = 1
+    """,
+)
+def q_w3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: SORT then GROUPBY SUMMARISE `last` — argmax-by-sort-key, fused to
+    max_by over the sort-key struct (order-sensitive aggregate)."""
+    eng = Engine(spark)
+    eng.run_scan(ScanSpec("li", "parquet", _pq(sf_dir, "lineitem")))
+    eng.run_op(OpSpec("SORT DATASET", "li", ["li"],
+                      {"columns": ["l_shipdate", "l_linenumber", "l_partkey"]}))
+    eng.run_op(OpSpec("GROUPBY SUMMARISE", "li", ["li"], {
+        "group_by": ["l_orderkey"],
+        "aggs": [("l_partkey", "last", "last_partkey"),
+                 ("l_quantity", "min", "min_qty")]}))
+    return eng.resolve("li")
+
+
+@register(
+    "u1_bind_rows",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION ALL BY NAME
+    SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q_u1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: BIND ROWS — union-by-name of frames with mismatched columns,
+    NULL-filled (pd.concat(sort=False) semantics)."""
+    eng = Engine(spark)
+    eng.run_scan(ScanSpec("a", "parquet", _pq(sf_dir, "orders"),
+                          filter="o_orderpriority = 1-URGENT",
+                          columns=["o_orderkey", "o_totalprice"]))
+    eng.run_scan(ScanSpec("b", "parquet", _pq(sf_dir, "orders"),
+                          filter="o_orderstatus = F",
+                          columns=["o_orderkey", "o_orderdate"]))
+    eng.run_op(OpSpec("BIND ROWS", "u", ["a", "b"], {}))
+    return eng.resolve("u")
+
+
+# extension queries (streaming-shaped, llm data ops) register on import
+from . import catalog_llm  # noqa: E402,F401

@@ -1,0 +1,403 @@
+"""Extension query catalog: streaming-shaped event analytics + the
+LLM-training-data operators (dedup, similarity search, text analysis,
+multimodal) over the driver's `events`, `documents`, `embeddings` tables.
+
+Oracles for the hash-based operators (MinHash-LSH, SimHash) are GENERATED
+SQL that reproduces the md5-derived hash family exactly — the operators were
+designed portable-deterministic precisely so they'd be verifiable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import register, _pq
+from .llm import dedup as D
+from .llm import similarity as S
+from .llm import text as T
+
+
+# ===========================================================================
+# Event-time analytics (batch equivalents of the streaming ops; the
+# streaming/ module runs the same logic under readStream+watermark)
+# ===========================================================================
+
+
+@register(
+    "e1_hourly_event_rollup",
+    """
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           COUNT(event_id) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_e1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.files import read_events
+
+    ev = read_events(spark, _pq(sf_dir, "events"))
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+        ).agg(
+            F.count("event_id").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "e2_sessionize_gap30m",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessions AS (
+      SELECT user_id, ts, event_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(event_id) AS n_events, MIN(ts) AS session_start,
+           MAX(ts) AS session_end
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def q_e2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap — the batch shape of
+    a session window (streaming variant: F.session_window / flatMapGroups
+    WithState in streaming/)."""
+    from .sources.files import read_events
+
+    ev = read_events(spark, _pq(sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+             > 1_800_000_000)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", F.col("session_id").cast("long").alias("session_id")).agg(
+        F.count("event_id").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+# ===========================================================================
+# Deduplication
+# ===========================================================================
+
+# shared SQL fragments -------------------------------------------------------
+
+_WORDS_SQL = r"""
+  words AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                       x -> x != '') AS w
+    FROM documents)
+"""
+
+
+def _shingles_sql(n: int) -> str:
+    if n == 1:
+        return (
+            _WORDS_SQL
+            + ", sh AS (SELECT DISTINCT doc_id, unnest(w) AS sh FROM words)"
+        )
+    return (
+        _WORDS_SQL
+        + f""",
+  sh AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(
+             generate_series(1, greatest(len(w) - {n - 1}, 0)),
+             i -> concat_ws(' ', list_slice(w, i, i + {n - 1})))) AS sh
+    FROM words)"""
+    )
+
+
+def _jaccard_sql(n: int, p: int, q: int) -> str:
+    """CTE chain computing exact n-gram-Jaccard pairs >= p/q, integer math."""
+    return f"""
+    WITH {_shingles_sql(n)},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b, inter, sa.sz AS size_a, sb.sz AS size_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE {q} * inter >= {p} * (sa.sz + sb.sz - inter))
+    """
+
+
+_JACCARD_N = 3
+_JACCARD_P, _JACCARD_Q = 1, 5  # threshold 0.2
+
+
+@register(
+    "d1_dedup_exact",
+    r"""
+    SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS doc_fp,
+           MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def q_d1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(_pq(sf_dir, "documents"))
+    return D.dedup_exact(docs)
+
+
+@register(
+    "d2_ngram_jaccard_pairs",
+    _jaccard_sql(_JACCARD_N, _JACCARD_P, _JACCARD_Q)
+    + "SELECT id_a, id_b, inter, size_a, size_b FROM pairs",
+)
+def q_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs by 3-gram Jaccard >= 0.2, via the inverted-index
+    similarity join (no O(N²) cross product)."""
+    docs = spark.read.parquet(_pq(sf_dir, "documents"))
+    return D.ngram_jaccard_pairs(docs, n=_JACCARD_N,
+                                 threshold=_JACCARD_P / _JACCARD_Q)
+
+
+_LSH_BANDS, _LSH_ROWS = 8, 2
+_LSH_P, _LSH_Q = 1, 10  # verify threshold 0.1
+
+
+def _minhash_lsh_oracle() -> str:
+    H = _LSH_BANDS * _LSH_ROWS
+    mh_cols = ", ".join(
+        f"min(substr(md5(concat_ws('|', '{j}', sh)), 1, 8)) AS mh{j}"
+        for j in range(H)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws('#', "
+        + ", ".join(f"mh{b * _LSH_ROWS + r}" for r in range(_LSH_ROWS))
+        + ") AS key FROM sig"
+        for b in range(_LSH_BANDS)
+    )
+    return (
+        _jaccard_sql(_JACCARD_N, _LSH_P, _LSH_Q)
+        + f""",
+    sig AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
+    buckets AS ({band_selects}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+    SELECT c.id_a, c.id_b, p.inter, p.size_a, p.size_b
+    FROM cand c JOIN pairs p ON c.id_a = p.id_a AND c.id_b = p.id_b
+    """
+    )
+
+
+@register("d3_minhash_lsh_pairs", _minhash_lsh_oracle())
+def q_d3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) banded 8×2, candidates verified at Jaccard >= 0.1. The
+    md5-derived hash family makes the whole pipeline reproducible in SQL."""
+    docs = spark.read.parquet(_pq(sf_dir, "documents"))
+    return D.minhash_lsh_pairs(docs, n=_JACCARD_N, bands=_LSH_BANDS,
+                               rows_per_band=_LSH_ROWS,
+                               threshold=_LSH_P / _LSH_Q)
+
+
+def _simhash_oracle() -> str:
+    sums = ", ".join(
+        f"SUM(CAST(((v >> {i}) & 1) * 2 - 1 AS BIGINT)) AS s{i}" for i in range(32)
+    )
+    fp = " + ".join(
+        f"CAST(CASE WHEN s{i} > 0 THEN {2 ** i} ELSE 0 END AS BIGINT)"
+        for i in range(32)
+    )
+    return f"""
+    WITH {_shingles_sql(1)},
+    v AS (SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) AS v
+          FROM sh),
+    s AS (SELECT doc_id, {sums} FROM v GROUP BY doc_id)
+    SELECT doc_id AS id, ({fp}) AS simhash FROM s
+    """
+
+
+@register("d4_simhash32", _simhash_oracle())
+def q_d4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(_pq(sf_dir, "documents"))
+    return D.simhash32(docs)
+
+
+# ===========================================================================
+# Similarity search
+# ===========================================================================
+
+_ANN_K, _ANN_NQ = 5, 32
+
+_ANN_ORACLE = f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < {_ANN_NQ}),
+    sims AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+        round(
+          list_sum(list_transform(generate_series(1, len(c.embedding)),
+            i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(generate_series(1, len(q.qv)),
+               i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))
+           * sqrt(list_sum(list_transform(generate_series(1, len(c.embedding)),
+               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))),
+          6) AS sim
+      FROM embeddings c, q WHERE c.vec_id != q.query_id)
+    SELECT query_id, neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank,
+           sim
+    FROM sims
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) <= {_ANN_K}
+"""
+
+
+@register("n1_ann_cosine_topk", _ANN_ORACLE)
+def q_n1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set, stream the corpus.
+    Similarity rounded to 6dp with id tiebreak → deterministic ranking."""
+    emb = spark.read.parquet(_pq(sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") < _ANN_NQ)
+    return S.brute_force_topk(emb, queries, k=_ANN_K)
+
+
+@register("n2_ann_lsh_bucketed")  # no SQL oracle: SRP planes are engine-side
+def q_n2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via signed-random-projection buckets (the 100 TB
+    path: corpus pre-bucketed, query touches ~|corpus|/2^planes rows).
+    Driver records rows-only; recall vs brute force is asserted in tests."""
+    emb = spark.read.parquet(_pq(sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") < _ANN_NQ)
+    return S.lsh_bucketed_topk(emb, queries, dim=64, k=_ANN_K, planes=4)
+
+
+# ===========================================================================
+# Text analysis
+# ===========================================================================
+
+_STOP_SQL = "['" + "', '".join(T.ENGLISH_STOPWORDS) + "']"
+
+
+@register(
+    "t1_text_stats",
+    rf"""
+    WITH {_WORDS_SQL.strip()}
+    SELECT d.doc_id,
+           CAST(length(d.text) AS BIGINT) AS n_chars_measured,
+           CAST(len(w.w) AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(d.text, '[^\w\s]', 0)) AS DOUBLE)
+             / greatest(length(d.text), 1) AS punct_ratio,
+           CAST(len(list_filter(w.w, x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+             / greatest(len(w.w), 1) AS stopword_ratio,
+           CAST(list_sum(list_transform(w.w, x -> length(x))) AS DOUBLE)
+             / greatest(len(w.w), 1) AS mean_word_len
+    FROM documents d JOIN words w ON d.doc_id = w.doc_id
+    """,
+)
+def q_t1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(_pq(sf_dir, "documents"))
+    return T.text_stats(docs).select(
+        "doc_id", "n_chars_measured", "n_words", "punct_ratio",
+        "stopword_ratio", "mean_word_len",
+    )
+
+
+def _lang_oracle() -> str:
+    hits = ", ".join(
+        "CAST(len(list_filter(w.w, x -> list_contains(['"
+        + "', '".join(sw)
+        + f"'], x))) AS BIGINT) AS hits_{lang}"
+        for lang, sw in T.LANG_STOPWORDS.items()
+    )
+    langs = sorted(T.LANG_STOPWORDS)  # alphabetical tiebreak
+    best = "greatest(" + ", ".join(f"hits_{lg}" for lg in langs) + ")"
+    case = " ".join(
+        f"WHEN hits_{lg} = {best} THEN '{lg}'" for lg in langs
+    )
+    return f"""
+    WITH {_WORDS_SQL.strip()},
+    scored AS (SELECT d.doc_id, {hits}
+               FROM documents d JOIN words w ON d.doc_id = w.doc_id)
+    SELECT doc_id,
+           CASE WHEN {best} = 0 THEN 'und' {case} END AS lang_pred,
+           {best} AS lang_pred_hits
+    FROM scored
+    """
+
+
+@register("t2_language_id", _lang_oracle())
+def q_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(_pq(sf_dir, "documents"))
+    return T.language_id(docs).select("doc_id", "lang_pred", "lang_pred_hits")
+
+
+@register(
+    "t3_fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS doc_fp
+    FROM documents
+    """,
+)
+def q_t3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(_pq(sf_dir, "documents"))
+    return T.fingerprint(docs).select("doc_id", "doc_fp")
+
+
+@register(
+    "t4_token_count",
+    rf"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{T.BPE_ISH_PATTERN}', 0)) AS BIGINT)
+             AS n_tokens
+    FROM documents
+    """,
+)
+def q_t4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(_pq(sf_dir, "documents"))
+    return T.token_count_bpe_ish(docs).select("doc_id", "n_tokens")
+
+
+# ===========================================================================
+# Multimodal plumbing
+# ===========================================================================
+
+
+@register(
+    "m1_multimodal_features",
+    """
+    SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+)
+def q_m1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing: text bytes stand in for an opaque media
+    payload; the mapInPandas (Arrow-batched) feature extractor computes byte
+    metadata — the exact shape a real image/audio decode plugs into."""
+    from .llm.multimodal import extract_features
+
+    docs = spark.read.parquet(_pq(sf_dir, "documents")).select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return extract_features(docs, fake_decode=True).select(
+        "doc_id", "n_bytes", "payload_md5"
+    )

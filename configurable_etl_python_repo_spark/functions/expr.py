@@ -67,7 +67,7 @@ def compile_literal(text: str):
 _COMPARATORS = [">=", "<=", "!=", "=", ">", "<"]
 
 _BETWEEN = re.compile(
-    r"^\s*(?P<col>[^\s]+)\s+BETWEEN\s*\(\s*(?P<lo>[^,]+?)\s*,\s*(?P<hi>[^)]+?)\s*\)\s*$",
+    r"^\s*(?P<col>[^\s]+)\s+BETWEEN\s*\(\s*(?P<lo>[^,]+?)\s*,\s*(?P<hi>.+?)\s*\)\s*$",
     re.I,
 )
 _IN = re.compile(r"^\s*(?P<col>[^\s]+)\s+IN\s*\(\s*(?P<items>.*?)\s*\)\s*$", re.I)

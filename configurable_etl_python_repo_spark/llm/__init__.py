@@ -1,0 +1,25 @@
+"""Large-scale training-data pipeline operators.
+
+Beyond the reference's own surface (SURVEY.md §2), these are the operators a
+100 TB LLM-data pipeline needs: deduplication (exact, MinHash-LSH, SimHash,
+n-gram Jaccard, embedding cosine), similarity search, text analysis
+(language ID, quality scoring, token counting, fingerprinting), and
+multimodal column plumbing. All hot paths are built-in Column expressions;
+Python appears only in Arrow-batched pandas UDFs where Spark genuinely lacks
+the primitive.
+"""
+
+from .text import (  # noqa: F401
+    text_stats,
+    language_id,
+    fingerprint,
+    token_count_bpe_ish,
+)
+from .dedup import (  # noqa: F401
+    dedup_exact,
+    ngram_jaccard_pairs,
+    minhash_signatures,
+    minhash_lsh_pairs,
+    simhash32,
+)
+from .similarity import brute_force_topk, lsh_bucketed_topk  # noqa: F401

@@ -1,0 +1,214 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Design for 100 TB:
+  - exact dedup is one hash-partitioned groupBy on the fingerprint;
+  - n-gram Jaccard similarity join uses the inverted-index (shingle-explode
+    + equi-join) pattern so candidate generation is a shuffle on shingle,
+    never an all-pairs cross join;
+  - MinHash-LSH replaces the shingle join with a band-bucket join whose
+    fan-out is O(docs × bands), independent of document length;
+  - all hash functions are md5-derived and engine-portable, so results are
+    deterministic and the DuckDB oracle reproduces them bit-for-bit.
+
+Threshold comparisons use integer cross-multiplication (no float division)
+so Spark and any oracle agree exactly.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _shingles(text_col, n: int):
+    """Distinct word n-gram shingles of the lowercased text, joined by a
+    single space. n=1 → distinct words."""
+    words = F.filter(
+        F.split(F.lower(F.trim(text_col)), r"\s+"), lambda w: w != F.lit("")
+    )
+    if n == 1:
+        return F.array_distinct(words)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(-1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+    )
+
+
+def doc_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, shingle) exploded, distinct per doc."""
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(_shingles(F.col(text_col), n)).alias("sh")
+    )
+
+
+def dedup_exact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup on the normalized-text md5 fingerprint: one row per
+    distinct content, keeping the smallest id (deterministic), plus the
+    duplicate count. Single hash shuffle at any scale."""
+    from .text import fingerprint
+
+    fp = fingerprint(df, text_col)
+    return fp.groupBy("doc_fp").agg(
+        F.min(id_col).alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """EXACT near-duplicate pairs by n-gram Jaccard >= threshold.
+
+    Inverted-index similarity join: docs sharing >= 1 shingle are the exact
+    candidate set for jaccard > 0 (100% recall — no approximation), so this
+    equals all-pairs Jaccard without the O(N²) cross join. Output:
+    (id_a < id_b, inter, size_a, size_b) with integer-exact threshold test:
+        inter / (size_a + size_b - inter) >= p/q
+        ⇔  q*inter >= p*(size_a + size_b - inter)
+    """
+    frac = Fraction(threshold).limit_denominator(10**6)
+    p, q = frac.numerator, frac.denominator
+    sh = doc_shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "size_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "size_b"}), "id_b")
+        .where(
+            F.lit(q) * F.col("inter")
+            >= F.lit(p) * (F.col("size_a") + F.col("size_b") - F.col("inter"))
+        )
+        .select("id_a", "id_b", "inter", "size_a", "size_b")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _minhash_expr(seed: int):
+    """One MinHash function: min over the doc's shingles of the first 8 hex
+    chars of md5(seed || '|' || shingle). String-min over fixed-width hex ==
+    numeric min of the 32-bit value; md5 keeps it portable to the oracle."""
+    return F.min(F.substring(F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("sh"))), 1, 8))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Per-doc MinHash signature: columns mh0..mh{H-1}. One explode + one
+    groupBy (H min-aggregates ride the same shuffle)."""
+    sh = doc_shingles(df, id_col, text_col, n)
+    return sh.groupBy("id").agg(
+        *[_minhash_expr(j).alias(f"mh{j}") for j in range(num_hashes)]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+    verify: bool = True,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash banding, optionally
+    verified with exact n-gram Jaccard (integer math).
+
+    Two docs collide if any band's row minhashes all agree — probability
+    1-(1-j^r)^b for true jaccard j. With verify=True the output is exactly
+    {LSH candidates} ∩ {jaccard >= threshold} — deterministic given the
+    md5-derived hash family, so an oracle can reproduce it."""
+    H = bands * rows_per_band
+    sig = minhash_signatures(df, id_col, text_col, n, H)
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "#", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select("id", F.explode(band_arr).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    if not verify:
+        return cand
+    exact = ngram_jaccard_pairs(df, id_col, text_col, n, threshold)
+    return cand.join(exact, ["id_a", "id_b"]).select(
+        "id_a", "id_b", "inter", "size_a", "size_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash32(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """32-bit SimHash over distinct lowercased words.
+
+    Each word hashes to a 32-bit value (md5-derived, portable); bit i of the
+    fingerprint is 1 iff more word-hashes have bit i set than unset
+    (strictly more — ties → 0). Near-dup detection then compares hamming
+    distance on the fingerprints. One explode + one groupBy."""
+    words = doc_shingles(df, id_col, text_col, n=1)
+    v = F.conv(F.substring(F.md5(F.col("sh")), 1, 8), 16, 10).cast("long")
+    bit_sums = [
+        F.sum(
+            (F.shiftright(v, i).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+        ).alias(f"s{i}")
+        for i in range(32)
+    ]
+    agg = words.groupBy("id").agg(*bit_sums)
+    fp = None
+    for i in range(32):
+        bit = F.when(F.col(f"s{i}") > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0))
+        fp = bit if fp is None else (fp + bit)
+    return agg.select("id", fp.alias("simhash"))
+
+
+def hamming32(col_a, col_b):
+    """Hamming distance between two 32-bit simhash values."""
+    return F.bit_count(F.col(col_a).bitwiseXOR(F.col(col_b)))

@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+  - brute_force_topk: exact cosine top-k. The QUERY side broadcasts (queries
+    are the small side by construction); the corpus streams partition-local,
+    so at 100 TB this is a map-only pass over the corpus followed by one
+    per-query top-k shuffle. Dot products run JVM-side via zip_with +
+    aggregate — no Python.
+  - lsh_bucketed_topk: signed-random-projection LSH — corpus and queries
+    hash to sign-bit buckets; candidates are bucket-mates only. Recall is
+    tunable via (planes, tables); the plane vectors are deterministic
+    (md5-seeded) so runs are reproducible.
+
+Ranking determinism: similarity is rounded to 6 decimals and ties break on
+neighbor id, so results are stable across partitionings and engines (the
+DuckDB oracle reproduces the exact ranking).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query.
+
+    Output: (query_id, neighbor_id, rank, sim) — sim rounded for
+    determinism; self-matches excluded."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", F.round(cosine(F.col("qv"), F.col("cv")), round_digits))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def _srp_planes(dim: int, planes: int, seed: str = "srp") -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: each component is a
+    md5-derived uniform in [-1, 1). Driver-side constants — tiny."""
+    out = []
+    for p in range(planes):
+        vec = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}|{p}|{d}".encode()).digest()
+            (u,) = struct.unpack("<I", h[:4])
+            vec.append(u / 2**31 - 1.0)
+        out.append(vec)
+    return out
+
+
+def srp_bucket(vec_col, dim: int, planes: int = 8, seed: str = "srp"):
+    """Sign-bit bucket id of a vector under `planes` fixed hyperplanes."""
+    plane_vs = _srp_planes(dim, planes, seed)
+    bucket = F.lit(0).cast("long")
+    for i, pv in enumerate(plane_vs):
+        arr = F.array(*[F.lit(x) for x in pv])
+        bit = (_dot(vec_col, arr) > 0).cast("long")
+        bucket = bucket + bit * F.lit(2**i).cast("long")
+    return bucket
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    planes: int = 8,
+    tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate cosine top-k: candidates are rows sharing an SRP bucket
+    in ANY of `tables` independent hash tables (multi-probe recall boost —
+    single-table sign-hash recall is poor for high-dim cosine).
+
+    At scale the corpus is pre-bucketed once per table (a write-side
+    transform), so a query touches ~tables·|corpus|/2^planes candidates;
+    this is the IVF coarse-quantization pattern with hash buckets instead
+    of k-means centroids (the container has no vector libs — bucketing
+    stays pure Column math)."""
+    buckets = lambda v: F.array(  # noqa: E731
+        *[srp_bucket(v, dim, planes, seed=f"srp{t}") for t in range(tables)]
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.posexplode(buckets(F.col(vec_col))).alias("tbl", "bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.posexplode(buckets(F.col(vec_col))).alias("tbl", "bucket"),
+    )
+    sims = (
+        c.join(F.broadcast(q), ["tbl", "bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "qv", "cv")
+        .distinct()  # a pair may collide in several tables — score once
+        .withColumn("sim", F.round(cosine(F.col("qv"), F.col("cv")), round_digits))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )

@@ -327,8 +327,11 @@ def op_groupby_summarise(engine: "Engine", spec: OpSpec) -> Result:
     aggs = spec.args["aggs"]
     items = list(aggs.items()) if isinstance(aggs, dict) else [tuple(x) for x in aggs]
     exprs = []
-    for col, op in items:
-        alias = spec.args.get("aliases", {}).get(col, col)
+    for item in items:
+        col, op = item[0], item[1]
+        # (col, op) keeps the source column name like pandas .agg({col: op});
+        # (col, op, alias) names the output explicitly
+        alias = item[2] if len(item) > 2 else col
         if op.lower() in ORDER_SENSITIVE_AGGS:
             if sort is None:
                 raise ValueError(

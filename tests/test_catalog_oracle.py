@@ -1,0 +1,51 @@
+"""Catalog-vs-DuckDB oracle spot checks at sf0.001 (the full sweep at
+sf0.01 is scripts/check_oracle.py / the driver's t2 gate; this keeps a fast
+regression inside pytest)."""
+
+import duckdb
+import pytest
+
+from configurable_etl_python_repo_spark.catalog import ORACLES, QUERIES
+
+SPOT = [
+    "flagship_earliest_event",
+    "p5_filter_grammar",
+    "a1_groupby_summarise",
+    "w2_sort_slice_topn",
+    "w3_last_per_group",
+    "u1_bind_rows",
+    "d2_ngram_jaccard_pairs",
+    "n1_ann_cosine_topk",
+    "e2_sessionize_gap30m",
+]
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def oracle_con(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", SPOT)
+def test_query_matches_oracle(spark, sf_dir, oracle_con, name):
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from check_oracle import compare
+
+    sdf = QUERIES[name](spark, sf_dir).toPandas()
+    odf = oracle_con.execute(ORACLES[name]).fetchdf()
+    problems = compare(name, sdf, odf)
+    assert not problems, problems
+
+
+def test_every_query_has_oracle_or_reason():
+    missing = set(QUERIES) - set(ORACLES)
+    # only engine-side hash families are exempt from the SQL oracle
+    assert missing == {"n2_ann_lsh_bucketed"}

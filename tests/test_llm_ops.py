@@ -1,0 +1,130 @@
+"""LLM-data-pipeline operator tests: dedup family, similarity, text,
+multimodal plumbing."""
+
+import pytest
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from configurable_etl_python_repo_spark.llm import (
+    brute_force_topk,
+    dedup_exact,
+    lsh_bucketed_topk,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash32,
+)
+from configurable_etl_python_repo_spark.llm.dedup import hamming32
+from configurable_etl_python_repo_spark.llm.multimodal import extract_features
+from configurable_etl_python_repo_spark.llm.text import language_id, text_stats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=2, text="the quick brown fox jumps over the lazy cat"),
+        Row(doc_id=3, text="The  quick brown fox jumps over the lazy dog"),
+        Row(doc_id=4, text="completely different content about spark engines"),
+        Row(doc_id=5, text="the quick brown fox jumps over the lazy dog"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_dedup_exact_normalizes_whitespace_and_case(docs):
+    out = dedup_exact(docs).collect()
+    by_keeper = {r.keeper_id: r.n_copies for r in out}
+    # 1, 3 (case/space variants) and 5 (identical) collapse to keeper 1
+    assert by_keeper[1] == 3
+    assert by_keeper[2] == 1 and by_keeper[4] == 1
+
+
+def test_ngram_jaccard_finds_near_dups(docs):
+    pairs = {(r.id_a, r.id_b) for r in
+             ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()}
+    assert (1, 3) in pairs and (1, 5) in pairs and (3, 5) in pairs
+    assert (1, 2) in pairs  # one-word difference, jaccard 5/9 > 0.5
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_lsh_subset_of_exact(docs):
+    exact = {(r.id_a, r.id_b) for r in
+             ngram_jaccard_pairs(docs, n=3, threshold=0.3).collect()}
+    lsh = {(r.id_a, r.id_b) for r in
+           minhash_lsh_pairs(docs, n=3, bands=8, rows_per_band=2,
+                             threshold=0.3).collect()}
+    assert lsh <= exact
+    # identical docs always collide in every band
+    assert (1, 5) in lsh
+
+
+def test_simhash_identical_and_near(docs, spark):
+    fp = {r.id: r.simhash for r in simhash32(docs).collect()}
+    assert fp[1] == fp[3] == fp[5]  # same word set
+    pairs = spark.createDataFrame([Row(a=fp[1], b=fp[2]), Row(a=fp[1], b=fp[4])])
+    d12, d14 = [r.d for r in pairs.select(hamming32("a", "b").alias("d")).collect()]
+    assert d12 < d14  # near-dup is closer than unrelated
+
+
+def test_brute_force_topk_self_similarity(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    out = brute_force_topk(emb, queries, k=3)
+    rows = out.collect()
+    assert len(rows) == 15
+    for r in rows:
+        assert r.neighbor_id != r.query_id
+        assert -1.000001 <= r.sim <= 1.000001
+
+
+def test_lsh_topk_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in brute_force_topk(emb, queries, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in lsh_bucketed_topk(emb, queries, dim=64, k=5,
+                                         planes=4, tables=8).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5  # multi-table SRP: recall must be well off the floor
+
+
+def test_text_stats_edges(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=""), Row(doc_id=2, text="   "),
+         Row(doc_id=3, text="the cat!")]
+    )
+    out = {r.doc_id: r for r in text_stats(df).collect()}
+    assert out[1].n_words == 0 and out[2].n_words == 0
+    assert out[3].n_words == 2
+    assert out[3].stopword_ratio == 0.5
+    assert out[1].punct_ratio == 0.0
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="the cat and the dog of the house"),
+         Row(doc_id=2, text="der hund und die katze ist nicht da"),
+         Row(doc_id=3, text="zzz qqq xxx")]
+    )
+    out = {r.doc_id: r.lang_pred for r in language_id(df).collect()}
+    assert out == {1: "en", 2: "de", 3: "und"}
+
+
+def test_multimodal_feature_plumbing(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, payload=b"hello world"), Row(doc_id=2, payload=b"")]
+    )
+    out = {r.doc_id: r for r in extract_features(df, fake_decode=True).collect()}
+    assert out[1].n_bytes == 11
+    import hashlib
+
+    assert out[1].payload_md5 == hashlib.md5(b"hello world").hexdigest()
+    assert len(out[1].features) == 8
+    assert out[2].n_bytes == 0
+
+
+def test_multimodal_strict_decode_raises(spark):
+    df = spark.createDataFrame([Row(doc_id=1, payload=b"x")])
+    with pytest.raises(Exception):
+        extract_features(df, fake_decode=False).collect()
