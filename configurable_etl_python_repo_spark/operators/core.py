@@ -74,15 +74,33 @@ def op_rename_column(engine: "Engine", spec: OpSpec) -> Result:
 def op_format_column(engine: "Engine", spec: OpSpec) -> Result:
     """FORMAT COLUMN (Configurable_ETL_Python.py:230-248): parse a string
     column to timestamp with a strftime pattern, or cast to number.
-    args: column, type ('datetime'|'number'|any spark type), format?"""
+    args: column, type ('datetime'|'number'|any spark type), format?
+
+    pandas parity notes: pd.to_datetime passes already-datetime values
+    through untouched, and reference programs rely on it — all_ipdc_date
+    BIND ROWS a raw string date column with an already-parsed analyte
+    column, then FORMATs the union (whose timestamps Spark's union coercion
+    turned into ISO strings). Hence: timestamp column → no-op; string
+    column → try the config pattern first, then ISO fallback. Unparseable
+    values become NULL (the reference would raise; a 100 TB run shouldn't
+    die on row 40 billion)."""
     df, sort = engine.peek(spec.inputs[0])
     col = spec.args["column"]
     typ = spec.args["type"].lower()
+    cur = dict(df.dtypes).get(col, "")
     if typ == "datetime":
+        if cur.startswith("timestamp") or cur == "date":
+            return df, sort
         fmt = strftime_to_java(spec.args["format"])
-        out = df.withColumn(col, F.to_timestamp(F.col(col), fmt))
+        out = df.withColumn(
+            col,
+            F.coalesce(
+                F.try_to_timestamp(F.col(col), F.lit(fmt)),
+                F.expr(f"try_cast(`{col}` AS timestamp)"),
+            ),
+        )
     elif typ == "number":
-        out = df.withColumn(col, F.col(col).cast("double"))
+        out = df.withColumn(col, F.expr(f"try_cast(`{col}` AS double)"))
     else:
         out = df.withColumn(col, F.col(col).cast(typ))
     return out, sort
@@ -157,15 +175,26 @@ def op_decision_column(engine: "Engine", spec: OpSpec) -> Result:
         table = engine.lookup_tables[table]
     lookup_col = spec.args["lookup_column"]
     new = spec.args["new_column"]
-    rows = [(str(r["key"]) if r["key"] is not None else None, r["output"]) for r in table]
-    mapping = engine.spark.createDataFrame(rows, schema=f"`{_ROWNUM}k` string, `{new}` string")
-    # preserve output typing: ints stay ints (FIXTURES.md §2 tables are INT)
-    if all(isinstance(r["output"], bool) for r in table):
-        mapping = mapping.withColumn(new, F.col(new).cast("boolean"))
-    elif all(isinstance(r["output"], int) for r in table):
-        mapping = mapping.withColumn(new, F.col(new).cast("long"))
-    elif all(isinstance(r["output"], (int, float)) for r in table):
-        mapping = mapping.withColumn(new, F.col(new).cast("double"))
+    # preserve output typing (decision tables carry INT / BOOLEAN outputs,
+    # FIXTURES.md §2); lookup keys always compare as strings because the
+    # working model is string-first
+    outputs = [r["output"] for r in table]
+    if all(isinstance(o, bool) for o in outputs):
+        otype = "boolean"
+    elif all(isinstance(o, int) for o in outputs):
+        otype = "long"
+    elif all(isinstance(o, (int, float)) for o in outputs):
+        otype = "double"
+    else:
+        otype = "string"
+        outputs = [str(o) if o is not None else None for o in outputs]
+    rows = [
+        (str(r["key"]) if r["key"] is not None else None, o)
+        for r, o in zip(table, outputs)
+    ]
+    mapping = engine.spark.createDataFrame(
+        rows, schema=f"`{_ROWNUM}k` string, `{new}` {otype}"
+    )
     out = df.join(
         F.broadcast(mapping),
         F.col(lookup_col).cast("string").eqNullSafe(F.col(f"{_ROWNUM}k")),

@@ -35,6 +35,11 @@ class Engine:
         self.registry = registry or Registry(spark)
         self._pending_sort: dict[str, SortSpec] = {}
         self.lookup_tables: dict[str, list[dict[str, Any]]] = {}
+        # snapshot of each analyte's result at derivation time — later
+        # programs may REBIND the same name (dg_test_last_contact rebinds
+        # `subject_death` while transforming it); immutable lineage makes
+        # the snapshot free
+        self.analyte_results: dict[str, DataFrame] = {}
 
     # -- bindings -----------------------------------------------------------
 
@@ -84,9 +89,13 @@ class Engine:
     def _load(self, scan: ScanSpec) -> DataFrame:
         src = scan.source.lower()
         if src == "analyte":
-            # S2: resolve a previously derived relation from the registry
-            # (Configurable_ETL_Python.py:319-321,442-444)
-            return self.registry.get(scan.path or scan.name)
+            # S2: resolve a previously derived relation
+            # (Configurable_ETL_Python.py:319-321,442-444); prefer the
+            # derivation-time snapshot over the (rebindable) registry name
+            key = scan.path or scan.name
+            if key in self.analyte_results:
+                return self.analyte_results[key]
+            return self.registry.get(key)
         if src == "parquet":
             return self.spark.read.options(**scan.options).parquet(scan.path)
         if src == "csv":
@@ -122,7 +131,9 @@ class Engine:
             self.run_scan(scan)
         for op in plan.ops:
             self.run_op(op)
-        return self.resolve(plan.name)
+        result = self.resolve(plan.name)
+        self.analyte_results[plan.name] = result
+        return result
 
     def run_study(self, study: StudyPlan, cache_analytes: bool = True) -> DataFrame:
         """Derive every analyte in dependency order and left-join each onto
