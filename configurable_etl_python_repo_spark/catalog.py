@@ -822,5 +822,91 @@ def q_u1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.resolve("u")
 
 
+@register(
+    "x1_semi_join",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def q_x1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine extension: SEMI JOIN (EXISTS) — no reference equivalent, but a
+    complete pipeline vocabulary needs it (SURVEY §2.4 'not present')."""
+    eng = Engine(spark)
+    eng.run_scan(ScanSpec("c", "parquet", _pq(sf_dir, "customer"),
+                          columns=["c_custkey", "c_name"]))
+    eng.run_scan(ScanSpec("o", "parquet", _pq(sf_dir, "orders"),
+                          filter="o_orderpriority = 1-URGENT"))
+    eng.run_op(OpSpec("RENAME COLUMN", "o", ["o"],
+                      {"renames": {"o_custkey": "c_custkey"}}))
+    eng.run_op(OpSpec("SEMI JOIN", "j", ["c", "o"], {"on": ["c_custkey"]}))
+    return eng.resolve("j")
+
+
+@register(
+    "x2_anti_join",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def q_x2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANTI JOIN (NOT EXISTS) — customers with no urgent orders (the urgent
+    filter keeps the result non-empty at every scale factor)."""
+    eng = Engine(spark)
+    eng.run_scan(ScanSpec("c", "parquet", _pq(sf_dir, "customer"),
+                          columns=["c_custkey", "c_name"]))
+    eng.run_scan(ScanSpec("o", "parquet", _pq(sf_dir, "orders"),
+                          filter="o_orderpriority = 1-URGENT"))
+    eng.run_op(OpSpec("RENAME COLUMN", "o", ["o"],
+                      {"renames": {"o_custkey": "c_custkey"}}))
+    eng.run_op(OpSpec("ANTI JOIN", "j", ["c", "o"], {"on": ["c_custkey"]}))
+    return eng.resolve("j")
+
+
+@register(
+    "x3_rollup_hierarchy",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_x3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (subtotals + grand total) — the OLAP-serving
+    aggregate the reference's export layer leaves to Athena."""
+    li = spark.read.parquet(_pq(sf_dir, "lineitem"))
+    return (
+        li.rollup("l_returnflag", "l_linestatus").agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+             .alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "x4_global_topk",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+)
+def q_x4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: orderBy+limit compiles to TakeOrderedAndProject (a
+    per-partition heap + single merge — no global sort shuffle)."""
+    o = spark.read.parquet(_pq(sf_dir, "orders"))
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+    )
+
+
 # extension queries (streaming-shaped, llm data ops) register on import
 from . import catalog_llm  # noqa: E402,F401

@@ -66,6 +66,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.6,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT near-duplicate pairs by n-gram Jaccard >= threshold.
 
@@ -78,7 +79,7 @@ def ngram_jaccard_pairs(
     """
     frac = Fraction(threshold).limit_denominator(10**6)
     p, q = frac.numerator, frac.denominator
-    sh = doc_shingles(df, id_col, text_col, n).cache()
+    sh = shingles if shingles is not None else doc_shingles(df, id_col, text_col, n).cache()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -117,10 +118,11 @@ def minhash_signatures(
     text_col: str = "text",
     n: int = 3,
     num_hashes: int = 16,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature: columns mh0..mh{H-1}. One explode + one
     groupBy (H min-aggregates ride the same shuffle)."""
-    sh = doc_shingles(df, id_col, text_col, n)
+    sh = shingles if shingles is not None else doc_shingles(df, id_col, text_col, n)
     return sh.groupBy("id").agg(
         *[_minhash_expr(j).alias(f"mh{j}") for j in range(num_hashes)]
     )
@@ -144,7 +146,10 @@ def minhash_lsh_pairs(
     {LSH candidates} ∩ {jaccard >= threshold} — deterministic given the
     md5-derived hash family, so an oracle can reproduce it."""
     H = bands * rows_per_band
-    sig = minhash_signatures(df, id_col, text_col, n, H)
+    # shingle ONCE, share across signature + verification (one explode
+    # feeding both sides — at 100 TB the explode dominates, don't repeat it)
+    sh = doc_shingles(df, id_col, text_col, n).cache()
+    sig = minhash_signatures(df, id_col, text_col, n, H, shingles=sh)
     band_arr = F.array(
         *[
             F.struct(
@@ -173,7 +178,7 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cand
-    exact = ngram_jaccard_pairs(df, id_col, text_col, n, threshold)
+    exact = ngram_jaccard_pairs(df, id_col, text_col, n, threshold, shingles=sh)
     return cand.join(exact, ["id_a", "id_b"]).select(
         "id_a", "id_b", "inter", "size_a", "size_b"
     )
