@@ -1,0 +1,114 @@
+"""Command-line entry points — the operational equivalent of running the
+reference's scripts (`Configurable_ETL_Python.py:614-618` etc.), minus the
+hardwired AWS coupling.
+
+    python -m configurable_etl_python_repo_spark run-study \
+        --manifest study_configuration.xlsx --workbook-dir ./configs \
+        --data-dir ./silver --out ./gold [--bronze ./bronze]
+
+    python -m configurable_etl_python_repo_spark run-analyte \
+        --program analyte.json --out ./out.parquet
+
+    python -m configurable_etl_python_repo_spark export \
+        --bronze ./bronze --out ./serving
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from .session import get_spark
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--master", default=None)
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+
+
+def cmd_run_study(args) -> int:
+    from .config.excel import bronze_resolver, parse_study, view_dir_resolver
+    from .plans import Engine
+    from .sinks.boundary import write_gold
+
+    spark = get_spark("run_study", master=args.master,
+                      shuffle_partitions=args.shuffle_partitions)
+    resolver = (bronze_resolver(args.bronze) if args.bronze
+                else view_dir_resolver(args.data_dir))
+    study = parse_study(
+        args.manifest, resolver,
+        workbook_path=lambda cfg: os.path.join(args.workbook_dir, cfg),
+        spine_key=args.spine_key,
+    )
+    eng = Engine(spark)
+    result = eng.run_study(study)
+    if args.out:
+        result.write.mode("overwrite").parquet(args.out)
+        print(f"standardized output -> {args.out} ({result.count()} rows)")
+    else:
+        result.show(20, truncate=False)
+    return 0
+
+
+def cmd_run_analyte(args) -> int:
+    from .config.program import analyte_from_json
+    from .plans import Engine
+
+    spark = get_spark("run_analyte", master=args.master,
+                      shuffle_partitions=args.shuffle_partitions)
+    plan = analyte_from_json(args.program)
+    df = Engine(spark).run_analyte(plan)
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        print(f"{plan.name} -> {args.out} ({df.count()} rows)")
+    else:
+        df.show(20, truncate=False)
+    return 0
+
+
+def cmd_export(args) -> int:
+    """Serving-layer export: bronze → flat, schema-evolving parquet
+    (reference: Athena_DynamoDB_Normalized.py:93-103)."""
+    from .sinks.boundary import export_normalized
+
+    spark = get_spark("export", master=args.master,
+                      shuffle_partitions=args.shuffle_partitions)
+    export_normalized(args.bronze, args.out, spark=spark)
+    print(f"exported {args.bronze} -> {args.out}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="configurable_etl_python_repo_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p1 = sub.add_parser("run-study", help="derive every analyte + spine join")
+    p1.add_argument("--manifest", required=True)
+    p1.add_argument("--workbook-dir", required=True)
+    p1.add_argument("--data-dir", help="per-view parquet dir (silver)")
+    p1.add_argument("--bronze", help="bronze store path (keyed reads)")
+    p1.add_argument("--out")
+    p1.add_argument("--spine-key", default="subject")
+    _add_common(p1)
+    p1.set_defaults(fn=cmd_run_study)
+
+    p2 = sub.add_parser("run-analyte", help="run one JSON analyte program")
+    p2.add_argument("--program", required=True)
+    p2.add_argument("--out")
+    _add_common(p2)
+    p2.set_defaults(fn=cmd_run_analyte)
+
+    p3 = sub.add_parser("export", help="bronze -> flat serving parquet")
+    p3.add_argument("--bronze", required=True)
+    p3.add_argument("--out", required=True)
+    _add_common(p3)
+    p3.set_defaults(fn=cmd_export)
+
+    args = ap.parse_args(argv)
+    if args.cmd == "run-study" and not (args.data_dir or args.bronze):
+        ap.error("run-study requires --data-dir or --bronze")
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -65,13 +65,22 @@ def write_gold(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 
 def export_normalized(
-    bronze_df: DataFrame,
+    bronze,
     path: str,
     mode: str = "append",
+    spark=None,
 ) -> None:
     """Serving-layer export: bronze → flat all-string Parquet dataset with
     schema evolution (reference: Athena_DynamoDB_Normalized.py:30-81 —
-    full scan → explode → to_parquet(schema_evolution=True))."""
+    full scan → explode → to_parquet(schema_evolution=True)).
+
+    Accepts a bronze PATH (preferred: reads with mergeSchema so views whose
+    payload structs differ union into one flat schema, like json_normalize
+    unions row-dict keys) or an already-loaded bronze DataFrame."""
+    if isinstance(bronze, str):
+        bronze_df = spark.read.option("mergeSchema", "true").parquet(bronze)
+    else:
+        bronze_df = bronze
     flat = bronze_df.select(
         "study_code", "view", F.explode("data").alias("__r")
     ).select("study_code", "view", "__r.*")

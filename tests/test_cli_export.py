@@ -1,0 +1,47 @@
+"""CLI + export serving layer."""
+
+from pyspark.sql import Row
+
+from configurable_etl_python_repo_spark.sinks.boundary import export_normalized
+from configurable_etl_python_repo_spark.sources.bronze import write_bronze
+
+
+def test_export_normalized_schema_evolution(spark, tmp_path):
+    """Bronze views with DIFFERENT payload schemas export into one flat
+    dataset via mergeSchema (reference: Glue schema_evolution=True)."""
+    bronze = str(tmp_path / "bronze")
+    out = str(tmp_path / "serving")
+    write_bronze(spark.createDataFrame([Row(Subject="S1", val="1")]),
+                 bronze, study_code="ST", view="V1")
+    write_bronze(spark.createDataFrame([Row(Subject="S2", other="x")]),
+                 bronze, study_code="ST", view="V2")
+    export_normalized(bronze, out, spark=spark)
+    got = spark.read.option("mergeSchema", "true").parquet(out)
+    assert {"study_code", "view", "Subject", "val", "other"} <= set(got.columns)
+    rows = {(r.Subject, r.val, r.other) for r in got.collect()}
+    # boundary adapter applies the reference's all-string + 'Null' sentinel
+    assert rows == {("S1", "1", "Null"), ("S2", "Null", "x")}
+
+
+def test_cli_run_analyte_json(spark, sf_dir, tmp_path, capsys):
+    import json
+
+    from configurable_etl_python_repo_spark.cli import main
+
+    program = {
+        "analyte": "urgent",
+        "scans": [{"name": "o", "source": "parquet",
+                   "path": f"{sf_dir}/orders.parquet",
+                   "filter": "o_orderpriority = 1-URGENT",
+                   "columns": ["o_orderkey", "o_custkey"]}],
+        "ops": [{"op": "RENAME COLUMN", "target": "urgent", "inputs": ["o"],
+                 "args": {"renames": {"o_orderkey": "okey"}}}],
+    }
+    prog_path = tmp_path / "prog.json"
+    prog_path.write_text(json.dumps(program))
+    out = str(tmp_path / "out.parquet")
+    rc = main(["run-analyte", "--program", str(prog_path), "--out", out])
+    assert rc == 0
+    got = spark.read.parquet(out)
+    assert got.columns == ["okey", "o_custkey"]
+    assert got.count() > 0
