@@ -182,8 +182,10 @@ _LSH_P, _LSH_Q = 1, 10  # verify threshold 0.1
 
 def _minhash_lsh_oracle() -> str:
     H = _LSH_BANDS * _LSH_ROWS
+    # scheme mirror of llm.dedup._minhash_expr: seed j//4, hex window j%4
     mh_cols = ", ".join(
-        f"min(substr(md5(concat_ws('|', '{j}', sh)), 1, 8)) AS mh{j}"
+        f"min(substr(md5(concat_ws('|', '{j // 4}', sh)), {1 + 8 * (j % 4)}, 8))"
+        f" AS mh{j}"
         for j in range(H)
     )
     band_selects = "\n      UNION ALL ".join(

@@ -105,11 +105,20 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def _minhash_expr(seed: int):
-    """One MinHash function: min over the doc's shingles of the first 8 hex
-    chars of md5(seed || '|' || shingle). String-min over fixed-width hex ==
-    numeric min of the 32-bit value; md5 keeps it portable to the oracle."""
-    return F.min(F.substring(F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("sh"))), 1, 8))
+def _minhash_expr(j: int):
+    """MinHash function j: min over the doc's shingles of an 8-hex-char
+    window of md5(seed || '|' || shingle), where seed = j//4 and the window
+    is j%4 — one md5 call yields FOUR hash functions (md5 is the dominant
+    per-shingle cost; 16 functions cost 4 digests, not 16). String-min over
+    fixed-width hex == numeric min of the 32-bit value; md5 keeps the
+    scheme portable to the SQL oracle."""
+    seed, window = j // 4, j % 4
+    return F.min(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("sh"))),
+            1 + 8 * window, 8,
+        )
+    )
 
 
 def minhash_signatures(

@@ -138,6 +138,20 @@ def test_qualified_join_keeps_both_keys(spark):
     assert got == {(1, None, None), (2, 2, "hit")}
 
 
+def test_csv_scan_source(spark, tmp_path):
+    p = tmp_path / "src.csv"
+    p.write_text("a,b\n1,x\n2,y\n")
+    eng = Engine(spark)
+    df = eng.run_scan(ScanSpec("t", "csv", str(p), columns=["a"]))
+    assert df.columns == ["a"] and df.count() == 2
+
+
+def test_unknown_scan_source_raises(spark):
+    eng = Engine(spark)
+    with pytest.raises(ValueError, match="unknown scan source"):
+        eng.run_scan(ScanSpec("t", "carrier-pigeon", "/nope"))
+
+
 def test_groupby_last_skips_nulls(spark):
     """pandas GroupBy.last takes the last NON-NULL value in sort order."""
     df = spark.createDataFrame(
