@@ -891,6 +891,87 @@ def q_x3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "f1_scalar_functions",
+    """
+    SELECT doc_id,
+           regexp_extract(source, 'src([0-9]+)', 1) AS src_num,
+           concat_ws('#', lang, source) AS tag,
+           upper(lang) AS lang_up,
+           substr(text, 1, 10) AS head10,
+           reverse(lang) AS lang_rev,
+           CAST(length(text) AS INTEGER) AS text_len
+    FROM documents
+    """,
+)
+def q_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 scalar-function surface: regexp extract, concat_ws, case,
+    substring, reverse, length — all JVM-side Column functions."""
+    d = spark.read.parquet(_pq(sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        F.regexp_extract("source", r"src([0-9]+)", 1).alias("src_num"),
+        F.concat_ws("#", "lang", "source").alias("tag"),
+        F.upper("lang").alias("lang_up"),
+        F.substring("text", 1, 10).alias("head10"),
+        F.reverse("lang").alias("lang_rev"),
+        F.length("text").alias("text_len"),
+    )
+
+
+@register(
+    "f2_datetime_functions",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS y,
+           CAST(quarter(o_orderdate) AS INTEGER) AS q,
+           CAST(month(o_orderdate) AS INTEGER) AS m,
+           CAST(day(o_orderdate) AS INTEGER) AS d,
+           strftime(o_orderdate, '%Y-%m-%d %H') AS formatted,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus30,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end
+    FROM orders
+    """,
+)
+def q_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 datetime surface: extracts, formatting (strftime<->Java pattern
+    parity), arithmetic, truncation."""
+    o = spark.read.parquet(_pq(sf_dir, "orders"))
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.quarter("o_orderdate").alias("q"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH").alias("formatted"),
+        F.date_add("o_orderdate", 30).alias("plus30"),
+        F.trunc("o_orderdate", "month").alias("month_start"),
+        F.last_day("o_orderdate").alias("month_end"),
+    )
+
+
+@register(
+    "x5_percentiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.25) AS p25,
+           median(l_extendedprice) AS p50,
+           quantile_cont(l_extendedprice, 0.75) AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_x5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (both engines use linear
+    interpolation over the sorted values)."""
+    li = spark.read.parquet(_pq(sf_dir, "lineitem"))
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.25)).alias("p25"),
+        F.median("l_extendedprice").alias("p50"),
+        F.percentile("l_extendedprice", F.lit(0.75)).alias("p75"),
+    )
+
+
+@register(
     "x4_global_topk",
     """
     SELECT o_orderkey, o_totalprice FROM orders

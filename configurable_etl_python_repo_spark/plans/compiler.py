@@ -16,7 +16,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.expr import compile_filter
-from ..operators.core import OP_COMPILERS
 from ..registry import Registry
 from .spec import AnalytePlan, OpSpec, ScanSpec, SortSpec, StudyPlan
 
@@ -114,6 +113,10 @@ class Engine:
     # -- ops ------------------------------------------------------------------
 
     def run_op(self, spec: OpSpec) -> DataFrame:
+        # imported lazily: operators.core also imports plans.spec, and eager
+        # cross-imports would cycle when the operators package loads first
+        from ..operators.core import OP_COMPILERS
+
         try:
             compiler = OP_COMPILERS[spec.op.upper()]
         except KeyError:

@@ -1,0 +1,67 @@
+"""Scale machinery: salted joins, bucketed shuffle-free joins, SQL-view
+addressability of registry bindings."""
+
+from pyspark.sql import functions as F
+
+from configurable_etl_python_repo_spark.operators.skew import (
+    salted_left_join,
+    top_keys,
+)
+from configurable_etl_python_repo_spark.sinks.tables import (
+    bucketed_join_is_shuffle_free,
+    write_bucketed,
+)
+
+
+def test_salted_join_same_result_as_plain(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    right = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .selectExpr("o_orderkey as l_orderkey", "o_totalprice")
+    )
+    plain = li.join(right, on=["l_orderkey"], how="left")
+    salted = salted_left_join(li, right, on=["l_orderkey"], salt=8)
+    key = lambda t: [(v is None, v) for v in t]  # noqa: E731
+    a = sorted(map(tuple, plain.collect()), key=key)
+    b = sorted(map(tuple, salted.collect()), key=key)
+    assert a == b
+
+
+def test_top_keys_diagnostic(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    keys = top_keys(li, "l_returnflag", n=2)
+    assert len(keys) == 2 and keys[0][1] >= keys[1][1]
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
+    # warehouse dir is a static conf — managed tables land in the session
+    # default and are dropped (with files) in the finally block
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").selectExpr(
+        "o_orderkey as l_orderkey", "o_totalprice"
+    )
+    write_bucketed(li, "b_li", ["l_orderkey"], num_buckets=8)
+    write_bucketed(o, "b_o", ["l_orderkey"], num_buckets=8)
+    try:
+        assert bucketed_join_is_shuffle_free(spark, "b_li", "b_o", ["l_orderkey"])
+        # and the join is still correct
+        n = spark.table("b_li").join(spark.table("b_o"), "l_orderkey").count()
+        assert n == li.join(o, "l_orderkey").count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_li")
+        spark.sql("DROP TABLE IF EXISTS b_o")
+
+
+def test_registry_bindings_sql_addressable(spark, sf_dir):
+    from configurable_etl_python_repo_spark.plans import Engine, ScanSpec
+
+    eng = Engine(spark)
+    eng.run_scan(ScanSpec("li_view", "parquet", f"{sf_dir}/lineitem.parquet"))
+    got = spark.sql(
+        "SELECT l_returnflag, count(*) AS n FROM li_view GROUP BY 1"
+    ).count()
+    assert got == 3
