@@ -79,10 +79,22 @@ def read_bronze(
     `pd.json_normalize(record_path=['data'], meta=[...])`
     (`Configurable_ETL_Python.py:36-40`).
     """
-    df = spark.read.parquet(path)
-    if study_code is not None:
-        df = df.where(F.col("study_code") == study_code)
-    if view is not None:
-        df = df.where(F.col("view") == view)
+    if study_code is not None and view is not None:
+        # fully-keyed read: address the partition directory itself — exact
+        # per-view payload schema (views differ; a whole-store read would
+        # lock onto one file's struct) and pruning by construction
+        sub = f"{path}/study_code={study_code}/view={view}"
+        df = (
+            spark.read.parquet(sub)
+            .withColumn("study_code", F.lit(study_code))
+            .withColumn("view", F.lit(view))
+        )
+    else:
+        # partial/no keys: union payload schemas across views
+        df = spark.read.option("mergeSchema", "true").parquet(path)
+        if study_code is not None:
+            df = df.where(F.col("study_code") == study_code)
+        if view is not None:
+            df = df.where(F.col("view") == view)
     exploded = df.select(*META_COLS, F.explode("data").alias("__r"))
     return exploded.select(*META_COLS, "__r.*")

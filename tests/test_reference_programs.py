@@ -247,6 +247,36 @@ def test_last_contact_dates_and_types(study_run):
         assert typ in wtypes, (subj, typ, wtypes)
 
 
+def test_bronze_mode_matches_view_mode(spark, tmp_path_factory, study_run):
+    """The same reference program run against the BRONZE store (nested
+    (study_code, view) partitions, keyed reads → partition pruning) yields
+    exactly the view-dir result — the full reference storage path."""
+    from clinical_fixtures import generate
+
+    from configurable_etl_python_repo_spark.config.excel import (
+        bronze_resolver,
+        parse_workbook,
+    )
+    from configurable_etl_python_repo_spark.sources.bronze import write_bronze
+
+    eng_view, _, _ = study_run
+    data_dir = str(tmp_path_factory.mktemp("clin2"))
+    generate(data_dir)  # same seed → same data as study_run's fixtures
+    bronze = str(tmp_path_factory.mktemp("bronze2")) + "/store"
+    for v in ("DS", "DEATH"):
+        write_bronze(spark.read.parquet(f"{data_dir}/{v}.parquet"), bronze,
+                     study_code="DG001002003", view=v)
+    plan = parse_workbook(f"{REF}/dg_test_subject_death_configuration.xlsx",
+                          "subject_death", bronze_resolver(bronze))
+    from configurable_etl_python_repo_spark.plans import Engine
+
+    eng = Engine(spark)
+    got = sorted(map(tuple, eng.run_analyte(plan).collect()))
+    want = sorted(map(tuple,
+                      eng_view.analyte_results["subject_death"].collect()))
+    assert got == want
+
+
 def test_standardized_output_shape(study_run):
     _, standardized, _ = study_run
     cols = set(standardized.columns)

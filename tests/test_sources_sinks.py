@@ -28,9 +28,18 @@ def test_bronze_roundtrip_and_pruning(spark, sf_dir, tmp_path):
 
     back = read_bronze(spark, path, study_code="ST1", view="DS")
     assert {(r.subject, r.val) for r in back.collect()} == {("S1", "10"), ("S2", "20")}
-    # keyed read must hit partition pruning, not scan every view
-    plan = back._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan and "view" in plan
+    # fully-keyed read prunes by addressing the partition directory itself —
+    # the scan location must be the (study_code, view) subdir, and the EX
+    # view's columns must not leak into DS's schema
+    files = back.inputFiles()
+    assert files and all("study_code=ST1/view=DS" in f for f in files)
+    assert "val" in back.columns
+
+    # partial-key read: partition filter pruning + merged schema
+    part = read_bronze(spark, path, study_code="ST1")
+    plan2 = part._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(study_code" in plan2
+    assert part.count() == 4
 
 
 def test_bronze_nest_is_key_sorted(spark, tmp_path):
