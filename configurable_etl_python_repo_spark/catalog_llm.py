@@ -242,6 +242,33 @@ def q_d4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash32(docs)
 
 
+_COS_T = 0.42  # fixture embeddings are near-orthogonal; max pair sim ≈ 0.51
+
+
+@register(
+    "d5_embedding_cosine_pairs",
+    f"""
+    WITH p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        round(
+          list_sum(list_transform(generate_series(1, len(a.embedding)),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+           * sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
+               i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))),
+          6) AS sim
+      FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+    SELECT id_a, id_b, sim FROM p WHERE sim >= {_COS_T}
+    """,
+)
+def q_d5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact all-pairs at this scale; the
+    SRP-prefiltered variant is the planes>0 path of the same function)."""
+    emb = spark.read.parquet(_pq(sf_dir, "embeddings"))
+    return S.embedding_cosine_pairs(emb, threshold=_COS_T)
+
+
 # ===========================================================================
 # Similarity search
 # ===========================================================================

@@ -79,6 +79,50 @@ def brute_force_topk(
     )
 
 
+def embedding_cosine_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    dim: int | None = None,
+    planes: int = 0,
+    tables: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, sim) with
+    rounded cosine >= threshold.
+
+    planes=0 → exact all-pairs (self-join on 1=1 with id ordering — fine up
+    to ~10^5 rows). planes>0 → SRP-bucket prefilter first (needs dim): the
+    100 TB path, where candidates are bucket-mates in any of `tables`
+    hash tables and the exact cosine filter runs only on candidates."""
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if planes > 0:
+        if dim is None:
+            raise ValueError("SRP prefilter requires dim")
+        bks = lambda v: F.array(  # noqa: E731
+            *[srp_bucket(v, dim, planes, seed=f"srp{t}") for t in range(tables)]
+        )
+        a = a.select("id_a", "va", F.posexplode(bks(F.col("va"))).alias("tbl", "bk"))
+        b = b.select("id_b", "vb", F.posexplode(bks(F.col("vb"))).alias("tbl", "bk"))
+        cand = (
+            a.join(b, ["tbl", "bk"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "va", "id_b", "vb")
+            .distinct()
+        )
+    else:
+        cand = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    return (
+        cand.withColumn(
+            "sim", F.round(cosine(F.col("va"), F.col("vb")), round_digits)
+        )
+        .where(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
 def _srp_planes(dim: int, planes: int, seed: str = "srp") -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes: each component is a
     md5-derived uniform in [-1, 1). Driver-side constants — tiny."""
