@@ -414,6 +414,12 @@ def op_groupby_slice(engine: "Engine", spec: OpSpec) -> Result:
 # registry
 # ---------------------------------------------------------------------------
 
+def _llm_op_compilers():
+    from .llm_ops import LLM_OP_COMPILERS
+
+    return LLM_OP_COMPILERS
+
+
 OP_COMPILERS = {
     "RENAME COLUMN": op_rename_column,
     "FORMAT COLUMN": op_format_column,
@@ -434,3 +440,4 @@ OP_COMPILERS = {
     "QUALIFIED JOIN": op_qualified_join,
     **{name: _op_join(how) for name, how in _JOIN_HOW.items()},
 }
+OP_COMPILERS.update(_llm_op_compilers())

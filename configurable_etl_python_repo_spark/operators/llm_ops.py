@@ -1,0 +1,86 @@
+"""LLM-data-pipeline operators as config-pipeline op types.
+
+Registers the llm/ module's operators in the same OP_COMPILERS registry the
+reference vocabulary uses, so a YAML/JSON (or extended-Excel) program can
+pipeline them declaratively:
+
+    {"op": "DEDUP EXACT",       "args": {"id_column": ..., "text_column": ...}}
+    {"op": "NGRAM JACCARD",     "args": {"n": 3, "threshold": 0.6, ...}}
+    {"op": "MINHASH LSH",       "args": {"bands": 8, "rows_per_band": 2, ...}}
+    {"op": "SIMHASH",           "args": {...}}
+    {"op": "TEXT STATS" | "LANGUAGE ID" | "FINGERPRINT" | "TOKEN COUNT", ...}
+    {"op": "COSINE PAIRS",      "args": {"threshold": 0.9, "planes": 0, ...}}
+    {"op": "ANN TOPK",          "inputs": [corpus, queries], "args": {"k": 5}}
+
+This is the engine's own extension point mirroring the reference's
+data-driven extensibility (decision tables): new capability arrives as a
+registry entry, not an interpreter change (SURVEY §2.10).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from ..llm import dedup as D
+from ..llm import similarity as S
+from ..llm import text as T
+from ..plans.spec import OpSpec
+
+if TYPE_CHECKING:  # pragma: no cover
+    from ..plans.compiler import Engine
+
+
+def _unary(fn, **defaults):
+    def compile_op(engine: "Engine", spec: OpSpec):
+        df, _ = engine.peek(spec.inputs[0])
+        kwargs = {**defaults, **spec.args}
+        return fn(df, **kwargs), None
+
+    return compile_op
+
+
+def _ann_topk(engine: "Engine", spec: OpSpec):
+    corpus, _ = engine.peek(spec.inputs[0])
+    queries, _ = engine.peek(spec.inputs[1] if len(spec.inputs) > 1 else spec.inputs[0])
+    return S.brute_force_topk(corpus, queries, **spec.args), None
+
+
+def _ann_topk_lsh(engine: "Engine", spec: OpSpec):
+    corpus, _ = engine.peek(spec.inputs[0])
+    queries, _ = engine.peek(spec.inputs[1] if len(spec.inputs) > 1 else spec.inputs[0])
+    return S.lsh_bucketed_topk(corpus, queries, **spec.args), None
+
+
+def _rename_kw(fn, mapping):
+    """Adapt config-facing arg names (id_column/text_column) to the llm
+    functions' parameter names."""
+
+    def wrapped(df, **kwargs):
+        for cfg_name, py_name in mapping.items():
+            if cfg_name in kwargs:
+                kwargs[py_name] = kwargs.pop(cfg_name)
+        return fn(df, **kwargs)
+
+    return wrapped
+
+
+_ID_TEXT = {"id_column": "id_col", "text_column": "text_col"}
+
+LLM_OP_COMPILERS = {
+    "DEDUP EXACT": _unary(_rename_kw(D.dedup_exact, _ID_TEXT)),
+    "NGRAM JACCARD": _unary(_rename_kw(D.ngram_jaccard_pairs, _ID_TEXT)),
+    "MINHASH LSH": _unary(_rename_kw(D.minhash_lsh_pairs, _ID_TEXT)),
+    "SIMHASH": _unary(_rename_kw(D.simhash32, _ID_TEXT)),
+    "TEXT STATS": _unary(_rename_kw(T.text_stats, {"text_column": "text_col"})),
+    "LANGUAGE ID": _unary(_rename_kw(T.language_id, {"text_column": "text_col"})),
+    "FINGERPRINT": _unary(_rename_kw(T.fingerprint, {"text_column": "text_col"})),
+    "TOKEN COUNT": _unary(
+        _rename_kw(T.token_count_bpe_ish, {"text_column": "text_col"})
+    ),
+    "COSINE PAIRS": _unary(
+        _rename_kw(S.embedding_cosine_pairs,
+                   {"id_column": "id_col", "vector_column": "vec_col"})
+    ),
+    "ANN TOPK": _ann_topk,
+    "ANN TOPK LSH": _ann_topk_lsh,
+}

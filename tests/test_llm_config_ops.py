@@ -1,0 +1,71 @@
+"""LLM ops as config-pipeline op types + the batched KV sink."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from configurable_etl_python_repo_spark.plans import (
+    AnalytePlan,
+    Engine,
+    OpSpec,
+    ScanSpec,
+)
+from configurable_etl_python_repo_spark.sinks.kv import (
+    DirectoryJsonWriter,
+    write_kv_batched,
+)
+
+
+def test_llm_ops_in_config_pipeline(spark, sf_dir):
+    """A declarative program that fingerprints, dedups, and text-profiles
+    documents — extension ops compose with reference ops in one plan."""
+    plan = AnalytePlan(
+        name="doc_profile",
+        scans=[ScanSpec("docs", "parquet", f"{sf_dir}/documents.parquet")],
+        ops=[
+            OpSpec("TEXT STATS", "docs", ["docs"], {}),
+            OpSpec("LANGUAGE ID", "docs", ["docs"], {}),
+            OpSpec("FILTER", "docs", ["docs"], {"condition": "n_words >= NUMBER(5)"}),
+            OpSpec("SELECT COLUMNS", "doc_profile", ["docs"],
+                   {"columns": ["doc_id", "n_words", "stopword_ratio",
+                                "lang_pred"]}),
+        ],
+    )
+    out = Engine(spark).run_analyte(plan)
+    assert out.columns == ["doc_id", "n_words", "stopword_ratio", "lang_pred"]
+    assert out.count() > 0
+
+
+def test_dedup_op_in_pipeline(spark, sf_dir):
+    plan = AnalytePlan(
+        name="dups",
+        scans=[ScanSpec("docs", "parquet", f"{sf_dir}/documents.parquet")],
+        ops=[OpSpec("DEDUP EXACT", "dups", ["docs"],
+                    {"id_column": "doc_id", "text_column": "text"})],
+    )
+    out = Engine(spark).run_analyte(plan)
+    assert set(out.columns) == {"doc_fp", "keeper_id", "n_copies"}
+    assert out.count() == 500  # fixture texts are all distinct
+
+
+def test_ann_topk_two_input_op(spark, sf_dir):
+    eng = Engine(spark)
+    eng.run_scan(ScanSpec("corpus", "parquet", f"{sf_dir}/embeddings.parquet"))
+    eng.bind("queries", eng.peek("corpus")[0].where(F.col("vec_id") < 3))
+    out = eng.run_op(OpSpec("ANN TOPK", "nn", ["corpus", "queries"], {"k": 2}))
+    assert out.count() == 6
+
+
+def test_write_kv_batched(spark, tmp_path):
+    out_dir = str(tmp_path / "kv")
+    df = spark.range(103).selectExpr("id", "concat('u', id) AS name").repartition(4)
+    write_kv_batched(df, lambda: DirectoryJsonWriter(out_dir), batch_size=25)
+    items = []
+    import glob
+
+    for p in glob.glob(f"{out_dir}/*.jsonl"):
+        with open(p) as f:
+            items += [json.loads(line) for line in f]
+    assert len(items) == 103
+    assert {i["name"] for i in items} == {f"u{i}" for i in range(103)}
+    assert len(glob.glob(f"{out_dir}/*.jsonl")) <= 4  # one writer per partition
