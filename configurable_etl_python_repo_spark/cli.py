@@ -78,6 +78,34 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_convert(args) -> int:
+    """Excel workbook/manifest → native JSON program (no Spark needed)."""
+    import json
+
+    from .config.excel import parse_study, parse_workbook, view_dir_resolver
+    from .config.serialize import analyte_to_dict, study_to_dict
+
+    resolver = view_dir_resolver(args.data_dir or "{data_dir}")
+    if args.manifest:
+        study = parse_study(
+            args.manifest, resolver,
+            workbook_path=lambda cfg: os.path.join(args.workbook_dir, cfg),
+        )
+        payload = study_to_dict(study)
+    else:
+        payload = analyte_to_dict(
+            parse_workbook(args.workbook, args.analyte, resolver)
+        )
+    text = json.dumps(payload, indent=2, default=str)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(text + "\n")
+        print(f"wrote {args.out}")
+    else:
+        print(text)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="configurable_etl_python_repo_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -104,9 +132,20 @@ def main(argv: list[str] | None = None) -> int:
     _add_common(p3)
     p3.set_defaults(fn=cmd_export)
 
+    p4 = sub.add_parser("convert", help="Excel workbook/manifest -> JSON program")
+    p4.add_argument("--workbook", help="single analyte workbook")
+    p4.add_argument("--analyte", help="analyte name for --workbook")
+    p4.add_argument("--manifest", help="study manifest (converts every analyte)")
+    p4.add_argument("--workbook-dir", default=".")
+    p4.add_argument("--data-dir", help="silver dir baked into scan paths")
+    p4.add_argument("--out")
+    p4.set_defaults(fn=cmd_convert)
+
     args = ap.parse_args(argv)
     if args.cmd == "run-study" and not (args.data_dir or args.bronze):
         ap.error("run-study requires --data-dir or --bronze")
+    if args.cmd == "convert" and not (args.manifest or (args.workbook and args.analyte)):
+        ap.error("convert requires --manifest or (--workbook and --analyte)")
     return args.fn(args)
 
 

@@ -407,7 +407,10 @@ def op_groupby_slice(engine: "Engine", spec: OpSpec) -> Result:
         .filter(F.col(_ROWNUM) <= n)
         .drop(_ROWNUM)
     )
-    return out, sort
+    # sort is now realized in the VALUES; keep it as fusion metadata but
+    # never as a physical output sort (resolve() would range-shuffle the
+    # whole result for nothing)
+    return out, sort.fused()
 
 
 # ---------------------------------------------------------------------------

@@ -20,6 +20,12 @@ from ..registry import Registry
 from .spec import AnalytePlan, OpSpec, ScanSpec, SortSpec, StudyPlan
 
 
+class ProgramError(RuntimeError):
+    """A config program failed; the message pinpoints the analyte and the
+    op row (the reference re-raises bare errors with no location,
+    Configurable_ETL_Python.py:519)."""
+
+
 class Engine:
     """Compiles ScanSpec/OpSpec/AnalytePlan/StudyPlan to DataFrames.
 
@@ -55,11 +61,12 @@ class Engine:
         return self.registry.get(name), self._pending_sort.get(name)
 
     def resolve(self, name: str) -> DataFrame:
-        """Fetch a binding for external consumption: a still-pending sort
-        materializes as a real orderBy so callers observe reference
-        semantics (a SORT DATASET as the final op yields sorted output)."""
+        """Fetch a binding for external consumption: a still-pending
+        UNCONSUMED sort materializes as a real orderBy so callers observe
+        reference semantics (SORT DATASET as the final op yields sorted
+        output); a sort already fused into a window stays metadata-only."""
         df, sort = self.peek(name)
-        if sort is not None:
+        if sort is not None and sort.materialize:
             df = df.orderBy(*sort.spark_cols())
         return df
 
@@ -131,9 +138,22 @@ class Engine:
     def run_analyte(self, plan: AnalytePlan) -> DataFrame:
         self.lookup_tables = plan.lookup_tables
         for scan in plan.scans:
-            self.run_scan(scan)
-        for op in plan.ops:
-            self.run_op(op)
+            try:
+                self.run_scan(scan)
+            except Exception as e:
+                raise ProgramError(
+                    f"analyte {plan.name!r}, scan {scan.name!r}: "
+                    f"{type(e).__name__}: {e}"
+                ) from e
+        for i, op in enumerate(plan.ops, start=1):
+            try:
+                self.run_op(op)
+            except Exception as e:
+                # config programs are user data — errors must say WHICH row
+                raise ProgramError(
+                    f"analyte {plan.name!r}, op #{i} ({op.op} -> "
+                    f"{op.target!r}): {type(e).__name__}: {e}"
+                ) from e
         result = self.resolve(plan.name)
         self.analyte_results[plan.name] = result
         return result

@@ -16,10 +16,19 @@ from typing import Any
 @dataclass(frozen=True)
 class SortSpec:
     """A pending sort: recorded by SORT DATASET, consumed (fused into a
-    window) by the next order-sensitive operator. SURVEY.md §2.6."""
+    window) by the next order-sensitive operator. SURVEY.md §2.6.
+
+    `materialize` distinguishes the two roles the metadata plays:
+      True  — the user asked for this sort and no op consumed it yet; if
+              the relation is read out, resolve() must emit a real orderBy.
+      False — the sort was already FUSED into a window (slice/last/dedup);
+              keep the metadata for possible further fusion, but a physical
+              global sort of the output would be pure waste (measured: it
+              made per-group top-N superlinear at 16× scale)."""
 
     columns: tuple[str, ...]
     ascending: bool = True
+    materialize: bool = True
 
     def spark_cols(self):
         from pyspark.sql import functions as F
@@ -30,7 +39,10 @@ class SortSpec:
         ]
 
     def inverted(self) -> "SortSpec":
-        return SortSpec(self.columns, not self.ascending)
+        return SortSpec(self.columns, not self.ascending, self.materialize)
+
+    def fused(self) -> "SortSpec":
+        return SortSpec(self.columns, self.ascending, materialize=False)
 
 
 @dataclass
