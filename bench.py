@@ -17,6 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "flagship_earliest_event",   # multi-op analyte program
+    "tpch_q3_shaped",            # 3-table join + agg + fused top-10
     "a1_groupby_summarise",      # TPC-H Q1-shaped aggregate
     "w2_sort_slice_topn",        # fused window top-N
     "j3_spine_study",            # study DAG + broadcast spine joins

@@ -823,6 +823,66 @@ def q_u1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q3_shaped",
+    """
+    SELECT o.o_orderkey, o.o_orderdate,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01'
+      AND l.l_shipdate >= TIMESTAMP '1998-06-01'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o.o_orderkey DESC LIMIT 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping-priority query, entirely through engine
+    ops: filtered scans (pushed to parquet), broadcast dim join, fact-fact
+    join, COMPUTE COLUMN (decimal-exact revenue), grouped sum, and a
+    sort-fused global top-10 (TakeOrderedAndProject)."""
+    eng = Engine(spark)
+    plan = AnalytePlan(
+        name="q3",
+        scans=[
+            ScanSpec("cust", "parquet", _pq(sf_dir, "customer"),
+                     filter="c_mktsegment = BUILDING", columns=["c_custkey"]),
+            ScanSpec("ord", "parquet", _pq(sf_dir, "orders"),
+                     filter="o_orderdate < DATE(1998-06-01)",
+                     columns=["o_orderkey", "o_custkey", "o_orderdate"]),
+            ScanSpec("li", "parquet", _pq(sf_dir, "lineitem"),
+                     filter="l_shipdate >= DATE(1998-06-01)",
+                     columns=["l_orderkey", "l_extendedprice", "l_discount"]),
+        ],
+        ops=[
+            OpSpec("RENAME COLUMN", "cust", ["cust"],
+                   {"renames": {"c_custkey": "o_custkey"}}),
+            OpSpec("INNER JOIN", "j", ["ord", "cust"],
+                   {"on": ["o_custkey"], "broadcast": True}),
+            OpSpec("RENAME COLUMN", "li", ["li"],
+                   {"renames": {"l_orderkey": "o_orderkey"}}),
+            OpSpec("INNER JOIN", "j", ["j", "li"], {"on": ["o_orderkey"]}),
+            OpSpec("COMPUTE COLUMN", "j", ["j"],
+                   {"column": "rev_part",
+                    "expr": ("CAST(l_extendedprice AS DECIMAL(18,2)) * "
+                             "(1 - CAST(l_discount AS DECIMAL(18,2)))")}),
+            OpSpec("GROUPBY SUMMARISE", "j", ["j"],
+                   {"group_by": ["o_orderkey", "o_orderdate"],
+                    "aggs": [("rev_part", "sum", "revenue")]}),
+            OpSpec("FORMAT COLUMN", "j", ["j"],
+                   {"column": "revenue", "type": "double"}),
+            OpSpec("SORT DATASET", "j", ["j"],
+                   {"columns": ["revenue", "o_orderkey"], "order": "DESC"}),
+            OpSpec("LIMIT", "q3", ["j"], {"n": 10}),
+        ],
+    )
+    return eng.run_analyte(plan)
+
+
+@register(
     "x1_semi_join",
     """
     SELECT c_custkey, c_name FROM customer c
@@ -954,20 +1014,21 @@ def q_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x5_percentiles",
     """
     SELECT l_returnflag,
-           quantile_cont(l_extendedprice, 0.25) AS p25,
-           median(l_extendedprice) AS p50,
-           quantile_cont(l_extendedprice, 0.75) AS p75
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           round(median(l_extendedprice), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
     FROM lineitem GROUP BY l_returnflag
     """,
 )
 def q_x5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles (both engines use linear
-    interpolation over the sorted values)."""
+    """Exact interpolated percentiles. Both engines interpolate linearly
+    but may associate (1-g)*a+g*b differently — rounded to 4dp so a last-ulp
+    difference can't flip an exact value-hash."""
     li = spark.read.parquet(_pq(sf_dir, "lineitem"))
     return li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", F.lit(0.25)).alias("p25"),
-        F.median("l_extendedprice").alias("p50"),
-        F.percentile("l_extendedprice", F.lit(0.75)).alias("p75"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.median("l_extendedprice"), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
     )
 
 

@@ -163,6 +163,15 @@ def op_attach_column(engine: "Engine", spec: OpSpec) -> Result:
     raise ValueError(f"unknown ATTACH COLUMN operation {op!r}")
 
 
+def op_compute_column(engine: "Engine", spec: OpSpec) -> Result:
+    """COMPUTE COLUMN — engine extension: derive a column from a SQL
+    expression over existing columns (the reference's ADD COLUMN only takes
+    constants; every real pipeline needs `price * (1 - discount)`).
+    args: column, expr (Spark SQL expression string)."""
+    df, sort = engine.peek(spec.inputs[0])
+    return df.withColumn(spec.args["column"], F.expr(spec.args["expr"])), sort
+
+
 def op_decision_column(engine: "Engine", spec: OpSpec) -> Result:
     """DECISION COLUMN — lookup-table mapping as a broadcast left join
     (Configurable_ETL_Python.py:380-398; the reference does one full-column
@@ -413,6 +422,19 @@ def op_groupby_slice(engine: "Engine", spec: OpSpec) -> Result:
     return out, sort.fused()
 
 
+def op_limit(engine: "Engine", spec: OpSpec) -> Result:
+    """LIMIT — engine extension: global top-N w.r.t. the pending sort.
+    With a pending SORT DATASET this compiles to orderBy().limit(n) →
+    TakeOrderedAndProject (per-partition heap + single merge, no global
+    sort shuffle); without one it's an arbitrary-rows limit.
+    args: n."""
+    df, sort = engine.peek(spec.inputs[0])
+    n = int(spec.args["n"])
+    if sort is not None:
+        return df.orderBy(*sort.spark_cols()).limit(n), sort.fused()
+    return df.limit(n), None
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -427,6 +449,7 @@ OP_COMPILERS = {
     "RENAME COLUMN": op_rename_column,
     "FORMAT COLUMN": op_format_column,
     "ADD COLUMN": op_add_column,
+    "COMPUTE COLUMN": op_compute_column,
     "AGGREGATE COLUMN": op_aggregate_column,
     "ATTACH COLUMN": op_attach_column,
     "DECISION COLUMN": op_decision_column,
@@ -440,6 +463,7 @@ OP_COMPILERS = {
     "GROUPBY SUMMARISE": op_groupby_summarise,
     "GROUPBY SLICE": op_groupby_slice,
     "SORT DATASET": op_sort_dataset,
+    "LIMIT": op_limit,
     "QUALIFIED JOIN": op_qualified_join,
     **{name: _op_join(how) for name, how in _JOIN_HOW.items()},
 }
