@@ -951,6 +951,36 @@ def q_x3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "u2_intersect_except",
+    """
+    WITH a AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+         b AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+         i AS (SELECT o_custkey, 'both' AS tag FROM
+               (SELECT * FROM a INTERSECT SELECT * FROM b)),
+         e AS (SELECT o_custkey, 'urgent_only' AS tag FROM
+               (SELECT * FROM a EXCEPT SELECT * FROM b))
+    SELECT * FROM i UNION ALL SELECT * FROM e
+    """,
+)
+def q_u2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT set ops (engine extensions), tagged and unioned so
+    one query verifies both."""
+    eng = Engine(spark)
+    eng.run_scan(ScanSpec("a", "parquet", _pq(sf_dir, "orders"),
+                          filter="o_orderpriority = 1-URGENT",
+                          columns=["o_custkey"]))
+    eng.run_scan(ScanSpec("b", "parquet", _pq(sf_dir, "orders"),
+                          filter="o_orderstatus = F", columns=["o_custkey"]))
+    eng.run_op(OpSpec("INTERSECT", "i", ["a", "b"], {}))
+    eng.run_op(OpSpec("ADD COLUMN", "i", ["i"], {"column": "tag", "value": "both"}))
+    eng.run_op(OpSpec("EXCEPT", "e", ["a", "b"], {}))
+    eng.run_op(OpSpec("ADD COLUMN", "e", ["e"],
+                      {"column": "tag", "value": "urgent_only"}))
+    eng.run_op(OpSpec("BIND ROWS", "u", ["i", "e"], {}))
+    return eng.resolve("u")
+
+
+@register(
     "f1_scalar_functions",
     """
     SELECT doc_id,

@@ -352,6 +352,21 @@ def op_bind_rows(engine: "Engine", spec: OpSpec) -> Result:
     return out, None
 
 
+def op_intersect(engine: "Engine", spec: OpSpec) -> Result:
+    """INTERSECT (distinct) — engine extension; the reference has no set
+    ops beyond BIND ROWS (SURVEY §2.7 'not present')."""
+    a, _ = engine.peek(spec.inputs[0])
+    b, _ = engine.peek(spec.inputs[1])
+    return a.intersect(b), None
+
+
+def op_except(engine: "Engine", spec: OpSpec) -> Result:
+    """EXCEPT (distinct) — engine extension."""
+    a, _ = engine.peek(spec.inputs[0])
+    b, _ = engine.peek(spec.inputs[1])
+    return a.exceptAll(b) if spec.args.get("all") else a.subtract(b), None
+
+
 def op_groupby_summarise(engine: "Engine", spec: OpSpec) -> Result:
     """GROUPBY SUMMARISE (Configurable_ETL_Python.py:346-357).
     args: group_by: [...], aggs: [(col, op)] or {col: op}.
@@ -460,6 +475,8 @@ OP_COMPILERS = {
     "FILTER": op_filter,
     "REMOVE ROWS": op_remove_rows,
     "BIND ROWS": op_bind_rows,
+    "INTERSECT": op_intersect,
+    "EXCEPT": op_except,
     "GROUPBY SUMMARISE": op_groupby_summarise,
     "GROUPBY SLICE": op_groupby_slice,
     "SORT DATASET": op_sort_dataset,
