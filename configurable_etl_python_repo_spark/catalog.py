@@ -951,6 +951,26 @@ def q_x3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_op_over_bindings",
+    """
+    SELECT n_regionkey, COUNT(n_nationkey) AS n_nations,
+           MIN(n_name) AS first_name
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def q_sql_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL op: registry bindings are temp views, so a program row can be a
+    plain SQL statement over everything bound so far."""
+    eng = Engine(spark)
+    eng.run_scan(ScanSpec("nation", "parquet", _pq(sf_dir, "nation")))
+    eng.run_op(OpSpec("SQL", "agg", ["nation"], {"query": """
+        SELECT n_regionkey, COUNT(n_nationkey) AS n_nations,
+               MIN(n_name) AS first_name
+        FROM nation GROUP BY n_regionkey"""}))
+    return eng.resolve("agg")
+
+
+@register(
     "u2_intersect_except",
     """
     WITH a AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),

@@ -437,6 +437,14 @@ def op_groupby_slice(engine: "Engine", spec: OpSpec) -> Result:
     return out, sort.fused()
 
 
+def op_sql(engine: "Engine", spec: OpSpec) -> Result:
+    """SQL — engine extension: run a Spark SQL statement over the current
+    bindings (every registry binding is mirrored as a temp view). The
+    escape hatch when the op vocabulary can't express something; Catalyst
+    sees one plan either way. args: query."""
+    return engine.spark.sql(spec.args["query"]), None
+
+
 def op_limit(engine: "Engine", spec: OpSpec) -> Result:
     """LIMIT — engine extension: global top-N w.r.t. the pending sort.
     With a pending SORT DATASET this compiles to orderBy().limit(n) →
@@ -481,6 +489,7 @@ OP_COMPILERS = {
     "GROUPBY SLICE": op_groupby_slice,
     "SORT DATASET": op_sort_dataset,
     "LIMIT": op_limit,
+    "SQL": op_sql,
     "QUALIFIED JOIN": op_qualified_join,
     **{name: _op_join(how) for name, how in _JOIN_HOW.items()},
 }
