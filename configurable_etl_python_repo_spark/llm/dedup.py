@@ -67,37 +67,78 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.6,
     shingles: DataFrame | None = None,
+    prefix_filter: bool = True,
 ) -> DataFrame:
     """EXACT near-duplicate pairs by n-gram Jaccard >= threshold.
 
-    Inverted-index similarity join: docs sharing >= 1 shingle are the exact
-    candidate set for jaccard > 0 (100% recall — no approximation), so this
-    equals all-pairs Jaccard without the O(N²) cross join. Output:
-    (id_a < id_b, inter, size_a, size_b) with integer-exact threshold test:
-        inter / (size_a + size_b - inter) >= p/q
-        ⇔  q*inter >= p*(size_a + size_b - inter)
-    """
+    Candidate generation is an inverted-index join with PPJoin-style
+    PREFIX FILTERING (exact — output is identical to all-pairs Jaccard):
+    order each doc's shingles by global rarity (document frequency asc,
+    shingle asc); a pair with jaccard >= t = p/q MUST share a shingle
+    inside each doc's first ⌊sz - ceil(t*sz)⌋ + 1 shingles, so only those
+    prefixes join. Hot (frequent) shingles land at the END of the ordering
+    and rarely enter a prefix — this bounds the Σ df² blowup that a naive
+    shingle join suffers on low-entropy corpora. Verification then runs
+    only on candidates (jaccard_for_pairs).
+
+    Output: (id_a < id_b, inter, size_a, size_b) with integer-exact
+    threshold test: q*inter >= p*(size_a + size_b - inter).
+    prefix_filter=False keeps the naive join (reference behavior for
+    benchmarking; same results)."""
     frac = Fraction(threshold).limit_denominator(10**6)
     p, q = frac.numerator, frac.denominator
     sh = shingles if shingles is not None else doc_shingles(df, id_col, text_col, n).cache()
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    out = (
-        inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "size_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "size_b"}), "id_b")
-        .where(
-            F.lit(q) * F.col("inter")
-            >= F.lit(p) * (F.col("size_a") + F.col("size_b") - F.col("inter"))
+    if not prefix_filter:
+        sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
         )
-        .select("id_a", "id_b", "inter", "size_a", "size_b")
+        return (
+            inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "size_a"}), "id_a")
+            .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "size_b"}), "id_b")
+            .where(
+                F.lit(q) * F.col("inter")
+                >= F.lit(p) * (F.col("size_a") + F.col("size_b") - F.col("inter"))
+            )
+            .select("id_a", "id_b", "inter", "size_a", "size_b")
+        )
+    cand = _prefix_candidates(sh, p, q)
+    return jaccard_for_pairs(cand, sh, threshold)
+
+
+def _prefix_candidates(sh: DataFrame, p: int, q: int) -> DataFrame:
+    """PPJoin prefix candidates: for jaccard >= p/q, if two sets of sizes
+    sa, sb match, their intersection has >= ceil(t*max(sa,sb)) elements, so
+    each doc can 'skip' at most sz - ceil(t*sz) shingles: any matching pair
+    shares an element within each side's first (sz - ceil(t*sz) + 1)
+    rarest-first shingles."""
+    from pyspark.sql import Window
+
+    df_freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        sh.join(df_freq, "sh")
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("sh").asc())
+            ),
+        )
+        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("id")))
     )
-    return out
+    # prefix length = sz - ceil(p/q * sz) + 1, integer math
+    prefix_len = F.col("sz") - F.ceil(F.lit(p) * F.col("sz") / F.lit(q)) + 1
+    prefixes = ranked.where(F.col("rank") <= prefix_len).select("id", "sh")
+    a = prefixes.alias("a")
+    b = prefixes.alias("b")
+    return (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
 
 
 # ---------------------------------------------------------------------------
