@@ -100,7 +100,15 @@ def op_format_column(engine: "Engine", spec: OpSpec) -> Result:
             ),
         )
     elif typ == "number":
-        out = df.withColumn(col, F.expr(f"try_cast(`{col}` AS double)"))
+        # Divergence note (documented, like the no-raise note above):
+        # pd.to_numeric infers int64 when EVERY value is integral — a
+        # data-dependent schema Spark can't decide without an extra action.
+        # Default is double, so an all-integer string column renders as
+        # '101.0' at the all-string boundary where the reference emits
+        # '101'. Programs that know the column is integral opt in with
+        # `"integer": true` to get the reference's int64 shape.
+        target = "bigint" if spec.args.get("integer") else "double"
+        out = df.withColumn(col, F.expr(f"try_cast(`{col}` AS {target})"))
     else:
         out = df.withColumn(col, F.col(col).cast(typ))
     return out, sort
@@ -141,12 +149,17 @@ def op_attach_column(engine: "Engine", spec: OpSpec) -> Result:
     if op == "SUMEQ":
         a, b = spec.args["columns"]
         # one-row aggregate, broadcast cross join — constant per row without
-        # collapsing to a single partition (vs a global window)
-        agg = df.agg(
-            (
-                F.sum(F.col(a).cast("long")) == F.sum(F.col(b).cast("long"))
-            ).alias(new)
-        )
+        # collapsing to a single partition (vs a global window). Sums compare
+        # as exact decimal(38,6): long would truncate fractional values
+        # (pandas compares float sums; booleans still count as 0/1 via the
+        # int bridge cast).
+        def _sum_exact(c: str):
+            col = F.col(c)
+            if dict(df.dtypes).get(c) == "boolean":
+                col = col.cast("int")
+            return F.sum(col.cast("decimal(38,6)"))
+
+        agg = df.agg((_sum_exact(a) == _sum_exact(b)).alias(new))
         return df.crossJoin(F.broadcast(agg)), sort
     if op == "NULL":
         val = spec.args["value"]
@@ -197,16 +210,21 @@ def op_decision_column(engine: "Engine", spec: OpSpec) -> Result:
     else:
         otype = "string"
         outputs = [str(o) if o is not None else None for o in outputs]
-    rows = [
-        (str(r["key"]) if r["key"] is not None else None, o)
-        for r, o in zip(table, outputs)
-    ]
+    # last-write-wins per key: the reference's per-row .loc overwrite means a
+    # duplicate key in the decision table keeps the LAST row's output and
+    # never multiplies input rows — dedupe before joining so the left join
+    # preserves cardinality. Plain equality (not eqNullSafe): the
+    # reference's == never matches NaN, so NULL lookup values stay NULL.
+    dedup: dict[str | None, object] = {}
+    for r, o in zip(table, outputs):
+        dedup[str(r["key"]) if r["key"] is not None else None] = o
+    rows = [(k, o) for k, o in dedup.items() if k is not None]
     mapping = engine.spark.createDataFrame(
         rows, schema=f"`{_ROWNUM}k` string, `{new}` {otype}"
     )
     out = df.join(
         F.broadcast(mapping),
-        F.col(lookup_col).cast("string").eqNullSafe(F.col(f"{_ROWNUM}k")),
+        F.col(lookup_col).cast("string") == F.col(f"{_ROWNUM}k"),
         "left",
     ).drop(f"{_ROWNUM}k")
     return out, _propagates(sort, out.columns)

@@ -31,7 +31,15 @@ def salted_left_join(
 
     Deterministic output (same rows as a plain join); only the physical
     distribution changes. rand() is evaluated per-row at runtime — it never
-    affects which rows match, only which reducer handles them."""
+    affects which rows match, only which reducer handles them.
+
+    Only left/inner are supported: for right/full joins the salt-replicated
+    right side would emit `salt` null-extended copies of every unmatched
+    right key."""
+    if how not in ("left", "inner"):
+        raise ValueError(
+            f"salted_left_join supports how in {{'left','inner'}}, got {how!r}"
+        )
     lsalted = left.withColumn(_SALT, (F.rand(seed=42) * salt).cast("int"))
     rsalted = right.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))

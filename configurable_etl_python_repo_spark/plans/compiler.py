@@ -164,19 +164,24 @@ class Engine:
         (process_study, Configurable_ETL_Python.py:589-604). Analytes are
         tiny relative to fact tables → broadcast the join sides."""
         ordered = study.toposort()
-        spine: DataFrame | None = None
         multi_consumer = self._multi_consumer_analytes(study)
         for plan in ordered:
             df = self.run_analyte(plan)
             self.bind(plan.name, df)
             if cache_analytes and plan.name in multi_consumer:
                 self.registry.cache(plan.name)
-            if plan is ordered[0] or spine is None:
-                spine = df
-            else:
-                spine = spine.join(
-                    F.broadcast(df), on=study.spine_key, how="left"
-                )
+        # The DECLARED first analyte seeds the spine (process_study,
+        # Configurable_ETL_Python.py:589-604: the first manifest row is the
+        # spine), even when toposort ran one of its dependencies earlier.
+        # Joins then follow manifest order, matching the reference's
+        # accumulation order (and its output column order).
+        spine = self.analyte_results[study.analytes[0].name]
+        for plan in study.analytes[1:]:
+            spine = spine.join(
+                F.broadcast(self.analyte_results[plan.name]),
+                on=study.spine_key,
+                how="left",
+            )
         result = spine
         self.bind(f"{study.study_code}__standardized", result)
         return result

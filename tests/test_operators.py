@@ -152,6 +152,106 @@ def test_unknown_scan_source_raises(spark):
         eng.run_scan(ScanSpec("t", "carrier-pigeon", "/nope"))
 
 
+def test_decision_duplicate_key_last_wins(spark):
+    """A duplicate decision-table key keeps the LAST row's output and never
+    multiplies input rows (the reference's per-row .loc overwrite)."""
+    eng = Engine(spark)
+    eng.lookup_tables = {"m": [{"key": "A", "output": 1}, {"key": "A", "output": 9}]}
+    eng.bind("t", spark.createDataFrame([Row(k="A"), Row(k="B")]))
+    out = eng.run_op(OpSpec("DECISION COLUMN", "o", ["t"],
+                            {"lookup_column": "k", "new_column": "v", "table": "m"}))
+    got = sorted((r.k, r.v) for r in out.collect())
+    assert got == [("A", 9), ("B", None)]  # cardinality preserved, last wins
+
+
+def test_decision_null_key_never_matches(spark):
+    """NULL lookup values never match a NULL-keyed table row (reference ==
+    never matches NaN) — plain equality, not eqNullSafe."""
+    eng = Engine(spark)
+    eng.lookup_tables = {"m": [{"key": None, "output": 5}, {"key": "A", "output": 1}]}
+    eng.bind("t", spark.createDataFrame([Row(k=None), Row(k="A")]))
+    out = eng.run_op(OpSpec("DECISION COLUMN", "o", ["t"],
+                            {"lookup_column": "k", "new_column": "v", "table": "m"}))
+    got = {(r.k, r.v) for r in out.collect()}
+    assert got == {(None, None), ("A", 1)}
+
+
+def test_sumeq_fractional_sums_exact(spark):
+    """SUMEQ compares exact decimal sums: 0.5+0.5 == 1.0+0.0 (a long cast
+    would truncate to 0 vs 1)."""
+    eng = Engine(spark)
+    eng.bind("t", spark.createDataFrame([Row(a=0.5, b=1.0), Row(a=0.5, b=0.0)]))
+    out = eng.run_op(OpSpec("ATTACH COLUMN", "o", ["t"],
+                            {"operation": "SUMEQ", "new_column": "eq",
+                             "columns": ["a", "b"]}))
+    assert [r.eq for r in out.collect()] == [True, True]
+
+
+def test_sumeq_boolean_counts_as_01(spark):
+    eng = Engine(spark)
+    eng.bind("t", spark.createDataFrame(
+        [Row(a=True, b=1), Row(a=False, b=0), Row(a=True, b=1)]))
+    out = eng.run_op(OpSpec("ATTACH COLUMN", "o", ["t"],
+                            {"operation": "SUMEQ", "new_column": "eq",
+                             "columns": ["a", "b"]}))
+    assert all(r.eq for r in out.collect())
+
+
+def test_salted_join_rejects_outer_variants(spark):
+    from configurable_etl_python_repo_spark.operators.skew import salted_left_join
+
+    l = spark.createDataFrame([Row(k=1, x="a")])
+    r = spark.createDataFrame([Row(k=2, y="b")])
+    with pytest.raises(ValueError, match="left.*inner"):
+        salted_left_join(l, r, on=["k"], how="full")
+
+
+def test_format_number_integer_optin(spark):
+    """FORMAT COLUMN number: default double; `integer: true` yields the
+    reference's int64 shape ('101' not '101.0' at the string boundary)."""
+    eng = Engine(spark)
+    eng.bind("t", spark.createDataFrame([Row(v="101"), Row(v="7"), Row(v="x")]))
+    dbl = eng.run_op(OpSpec("FORMAT COLUMN", "d", ["t"],
+                            {"column": "v", "type": "number"}))
+    assert dict(dbl.dtypes)["v"] == "double"
+    eng.bind("t2", spark.createDataFrame([Row(v="101"), Row(v="x")]))
+    out = eng.run_op(OpSpec("FORMAT COLUMN", "i", ["t2"],
+                            {"column": "v", "type": "number", "integer": True}))
+    assert dict(out.dtypes)["v"] == "bigint"
+    assert [r.v for r in out.collect()] == [101, None]  # unparseable → NULL
+
+
+def test_study_spine_is_declared_first_analyte(spark):
+    """The DECLARED first analyte seeds the spine even when toposort runs
+    one of its dependencies earlier (reference: first manifest row)."""
+    eng = Engine(spark)
+    eng.bind("base", spark.createDataFrame(
+        [Row(subject="s1", v=1), Row(subject="s2", v=2)]))
+    # spine depends on helper → toposort order is [helper, spine, extra]
+    helper = AnalytePlan(name="helper",
+                         scans=[ScanSpec("helper", "analyte", "base")])
+    spine = AnalytePlan(
+        name="spine",
+        scans=[ScanSpec("spine", "analyte", "helper")],
+        ops=[OpSpec("SELECT COLUMNS", "spine", ["spine"],
+                    {"columns": ["subject"]})],
+    )
+    extra = AnalytePlan(
+        name="extra",
+        scans=[ScanSpec("extra", "analyte", "base")],
+        ops=[OpSpec("RENAME COLUMN", "extra", ["extra"],
+                    {"renames": {"v": "extra_v"}})],
+    )
+    study = StudyPlan(study_code="S", analytes=[spine, extra, helper],
+                      spine_key="subject")
+    out = eng.run_study(study)
+    # spine's single column leads; helper/extra joined on, not seeding
+    assert out.columns[0] == "subject"
+    got = {(r.subject, r.extra_v) for r in out.select("subject", "extra_v").collect()}
+    assert got == {("s1", 1), ("s2", 2)}
+    assert out.count() == 2
+
+
 def test_groupby_last_skips_nulls(spark):
     """pandas GroupBy.last takes the last NON-NULL value in sort order."""
     df = spark.createDataFrame(
