@@ -263,10 +263,90 @@ _COS_T = 0.42  # fixture embeddings are near-orthogonal; max pair sim ≈ 0.51
     """,
 )
 def q_d5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact all-pairs at this scale; the
-    SRP-prefiltered variant is the planes>0 path of the same function)."""
+    """Embedding-cosine near-dup pairs, EXACT all-pairs — planes=0 is an
+    explicit opt-in, valid only at small-corpus scale (the ground-truth
+    baseline the SRP path in d6 is judged against)."""
     emb = spark.read.parquet(_pq(sf_dir, "embeddings"))
-    return S.embedding_cosine_pairs(emb, threshold=_COS_T)
+    return S.embedding_cosine_pairs(emb, threshold=_COS_T, planes=0)
+
+
+# -- SRP-prefiltered cosine pairs: the 100 TB path, oracle-verified ---------
+#
+# The SRP hyperplanes are md5-derived driver-side constants
+# (llm/similarity._srp_planes), so the whole bucket function is expressible
+# in SQL by embedding the plane components as literals — the same
+# generated-oracle technique as _minhash_lsh_oracle above.
+
+_SRP_PLANES, _SRP_TABLES, _SRP_DIM = 8, 4, 64
+
+
+def _cos_sql(av: str, bv: str) -> str:
+    def sq(v: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, len({v})), "
+            f"i -> CAST({v}[i] AS DOUBLE) * CAST({v}[i] AS DOUBLE)))"
+        )
+
+    dot = (
+        f"list_sum(list_transform(generate_series(1, len({av})), "
+        f"i -> CAST({av}[i] AS DOUBLE) * CAST({bv}[i] AS DOUBLE)))"
+    )
+    return f"round({dot} / (sqrt({sq(av)}) * sqrt({sq(bv)})), 6)"
+
+
+def _srp_bucket_sql(vcol: str, dim: int, planes: int, seed: str) -> str:
+    """SQL mirror of llm.similarity.srp_bucket: sign bit per hyperplane,
+    packed little-endian into a BIGINT. Plane components are embedded as
+    exact repr() literals (round-trip to the same double)."""
+    terms = []
+    for i, pv in enumerate(S._srp_planes(dim, planes, seed)):
+        lst = "[" + ", ".join(repr(x) for x in pv) + "]"
+        dot = (
+            f"list_sum(list_transform(generate_series(1, {dim}), "
+            f"i -> CAST({vcol}[i] AS DOUBLE) * ({lst})[i]))"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN CAST({2**i} AS BIGINT) "
+                     f"ELSE CAST(0 AS BIGINT) END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _srp_buckets_cte(dim: int, planes: int, tables: int) -> str:
+    branches = "\n      UNION ALL ".join(
+        f"SELECT vec_id AS id, {t} AS tbl, "
+        + _srp_bucket_sql("embedding", dim, planes, f"srp{t}")
+        + " AS bk FROM embeddings"
+        for t in range(tables)
+    )
+    return f"b AS ({branches})"
+
+
+def _srp_pairs_oracle() -> str:
+    return f"""
+    WITH {_srp_buckets_cte(_SRP_DIM, _SRP_PLANES, _SRP_TABLES)},
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+      FROM b a JOIN b b2 ON a.tbl = b2.tbl AND a.bk = b2.bk AND a.id < b2.id),
+    p AS (
+      SELECT c.id_a, c.id_b,
+             {_cos_sql('ea.embedding', 'eb.embedding')} AS sim
+      FROM cand c
+      JOIN embeddings ea ON ea.vec_id = c.id_a
+      JOIN embeddings eb ON eb.vec_id = c.id_b)
+    SELECT id_a, id_b, sim FROM p WHERE sim >= {_COS_T}
+    """
+
+
+@register("d6_embedding_cosine_srp", _srp_pairs_oracle())
+def q_d6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-prefiltered cosine near-dup pairs — the scale path: candidates
+    are sign-hash bucket-mates in any of `tables` hash tables, so the exact
+    cosine filter runs on ~N·tables/2^planes candidate rows instead of
+    N²/2."""
+    emb = spark.read.parquet(_pq(sf_dir, "embeddings"))
+    return S.embedding_cosine_pairs(
+        emb, threshold=_COS_T, dim=_SRP_DIM,
+        planes=_SRP_PLANES, tables=_SRP_TABLES,
+    )
 
 
 # ===========================================================================
@@ -308,14 +388,44 @@ def q_n1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(emb, queries, k=_ANN_K)
 
 
-@register("n2_ann_lsh_bucketed")  # no SQL oracle: SRP planes are engine-side
+_N2_PLANES, _N2_TABLES = 4, 4
+
+
+def _lsh_topk_oracle() -> str:
+    return f"""
+    WITH {_srp_buckets_cte(_SRP_DIM, _N2_PLANES, _N2_TABLES)},
+    q AS (SELECT id, tbl, bk FROM b WHERE id < {_ANN_NQ}),
+    cand AS (
+      SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id
+      FROM b c JOIN q ON c.tbl = q.tbl AND c.bk = q.bk AND c.id != q.id),
+    sims AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             {_cos_sql('eq.embedding', 'ec.embedding')} AS sim
+      FROM cand
+      JOIN embeddings eq ON eq.vec_id = cand.query_id
+      JOIN embeddings ec ON ec.vec_id = cand.neighbor_id)
+    SELECT query_id, neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS INTEGER)
+             AS rank,
+           sim
+    FROM sims
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) <= {_ANN_K}
+    """
+
+
+@register("n2_ann_lsh_bucketed", _lsh_topk_oracle())
 def q_n2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via signed-random-projection buckets (the 100 TB
-    path: corpus pre-bucketed, query touches ~|corpus|/2^planes rows).
-    Driver records rows-only; recall vs brute force is asserted in tests."""
+    path: corpus pre-bucketed, query touches ~|corpus|·tables/2^planes
+    rows). The md5-derived plane constants make the whole pipeline
+    reproducible in SQL — hash-matched like the relational queries; recall
+    vs brute force is additionally asserted in tests."""
     emb = spark.read.parquet(_pq(sf_dir, "embeddings"))
     queries = emb.where(F.col("vec_id") < _ANN_NQ)
-    return S.lsh_bucketed_topk(emb, queries, dim=64, k=_ANN_K, planes=4)
+    return S.lsh_bucketed_topk(emb, queries, dim=_SRP_DIM, k=_ANN_K,
+                               planes=_N2_PLANES, tables=_N2_TABLES)
 
 
 # ===========================================================================

@@ -86,16 +86,25 @@ def embedding_cosine_pairs(
     vec_col: str = "embedding",
     round_digits: int = 6,
     dim: int | None = None,
-    planes: int = 0,
+    planes: int | None = None,
     tables: int = 4,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a < id_b, sim) with
     rounded cosine >= threshold.
 
-    planes=0 → exact all-pairs (self-join on 1=1 with id ordering — fine up
-    to ~10^5 rows). planes>0 → SRP-bucket prefilter first (needs dim): the
-    100 TB path, where candidates are bucket-mates in any of `tables`
-    hash tables and the exact cosine filter runs only on candidates."""
+    `planes` is REQUIRED — there is no silent default, because the two paths
+    differ by orders of magnitude at scale:
+      planes>0 → SRP-bucket prefilter (needs dim): the 100 TB path, where
+        candidates are bucket-mates in any of `tables` hash tables and the
+        exact cosine filter runs only on candidates.
+      planes=0 → exact all-pairs crossJoin — an explicit opt-in for small
+        corpora (~10^5 rows max); a cartesian detonation beyond that."""
+    if planes is None:
+        raise ValueError(
+            "embedding_cosine_pairs requires planes: planes>0 for the "
+            "SRP-prefiltered scale path (recommended), or planes=0 to "
+            "explicitly opt in to exact all-pairs on a small corpus"
+        )
     a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     if planes > 0:

@@ -89,6 +89,26 @@ def test_lsh_topk_recall(spark, sf_dir):
     assert recall >= 0.5  # multi-table SRP: recall must be well off the floor
 
 
+def test_cosine_pairs_planes_is_explicit(spark, sf_dir):
+    """planes has no silent default: all-pairs (planes=0) must be an
+    explicit opt-in, and the SRP path's output is a subset of exact."""
+    from configurable_etl_python_repo_spark.llm.similarity import (
+        embedding_cosine_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with pytest.raises(ValueError, match="planes"):
+        embedding_cosine_pairs(emb, threshold=0.4)
+    exact = {(r.id_a, r.id_b): r.sim
+             for r in embedding_cosine_pairs(emb, threshold=0.4, planes=0).collect()}
+    srp = {(r.id_a, r.id_b): r.sim
+           for r in embedding_cosine_pairs(emb, threshold=0.4, planes=8,
+                                           dim=64, tables=4).collect()}
+    assert set(srp) <= set(exact)
+    for k, v in srp.items():
+        assert v == exact[k]  # identical sims on the pairs it keeps
+
+
 def test_text_stats_edges(spark):
     df = spark.createDataFrame(
         [Row(doc_id=1, text=""), Row(doc_id=2, text="   "),
