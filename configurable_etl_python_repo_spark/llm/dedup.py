@@ -45,6 +45,27 @@ def doc_shingles(
     )
 
 
+# The exploded shingle relation is cached because it feeds both candidate
+# generation and verification. A long-lived session running many dedup jobs
+# must not accumulate executor storage, so the cache is SCOPED: each new
+# job evicts the previous job's cached shingles (unpersist is safe mid-plan
+# — Spark recomputes), and clear_shingle_cache() releases the last one.
+_CACHED_SHINGLES: list[DataFrame] = []
+
+
+def _cached_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    sh = doc_shingles(df, id_col, text_col, n)
+    clear_shingle_cache()
+    _CACHED_SHINGLES.append(sh)
+    return sh.cache()
+
+
+def clear_shingle_cache() -> None:
+    """Unpersist any shingle relation cached by a previous dedup call."""
+    while _CACHED_SHINGLES:
+        _CACHED_SHINGLES.pop().unpersist()
+
+
 def dedup_exact(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -87,7 +108,7 @@ def ngram_jaccard_pairs(
     benchmarking; same results)."""
     frac = Fraction(threshold).limit_denominator(10**6)
     p, q = frac.numerator, frac.denominator
-    sh = shingles if shingles is not None else doc_shingles(df, id_col, text_col, n).cache()
+    sh = shingles if shingles is not None else _cached_shingles(df, id_col, text_col, n)
     if not prefix_filter:
         sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
         a = sh.alias("a")
@@ -198,7 +219,7 @@ def minhash_lsh_pairs(
     H = bands * rows_per_band
     # shingle ONCE, share across signature + verification (one explode
     # feeding both sides — at 100 TB the explode dominates, don't repeat it)
-    sh = doc_shingles(df, id_col, text_col, n).cache()
+    sh = _cached_shingles(df, id_col, text_col, n)
     sig = minhash_signatures(df, id_col, text_col, n, H, shingles=sh)
     band_arr = F.array(
         *[

@@ -89,6 +89,26 @@ def test_lsh_topk_recall(spark, sf_dir):
     assert recall >= 0.5  # multi-table SRP: recall must be well off the floor
 
 
+def test_shingle_cache_bounded_across_jobs(spark, docs):
+    """Repeated dedup calls in one session must not accumulate cached
+    shingle relations: each job evicts the previous job's cache."""
+    from configurable_etl_python_repo_spark.llm.dedup import clear_shingle_cache
+
+    clear_shingle_cache()
+
+    def n_cached():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    base = n_cached()
+    for _ in range(3):
+        ngram_jaccard_pairs(docs, n=3, threshold=0.5).count()
+        minhash_lsh_pairs(docs, n=3, bands=8, rows_per_band=2,
+                          threshold=0.3).count()
+    assert n_cached() <= base + 1  # at most the LAST job's shingles
+    clear_shingle_cache()
+    assert n_cached() <= base
+
+
 def test_cosine_pairs_planes_is_explicit(spark, sf_dir):
     """planes has no silent default: all-pairs (planes=0) must be an
     explicit opt-in, and the SRP path's output is a subset of exact."""
