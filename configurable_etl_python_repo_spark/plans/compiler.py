@@ -20,6 +20,13 @@ from ..registry import Registry
 from .spec import AnalytePlan, OpSpec, ScanSpec, SortSpec, StudyPlan
 
 
+def _safe_table_name(name: str) -> str:
+    """Catalog-safe table identifier from a study/analyte name."""
+    import re
+
+    return re.sub(r"[^A-Za-z0-9_]", "_", name).lower()
+
+
 class ProgramError(RuntimeError):
     """A config program failed; the message pinpoints the analyte and the
     op row (the reference re-raises bare errors with no location,
@@ -158,11 +165,27 @@ class Engine:
         self.analyte_results[plan.name] = result
         return result
 
-    def run_study(self, study: StudyPlan, cache_analytes: bool = True) -> DataFrame:
+    def run_study(
+        self,
+        study: StudyPlan,
+        cache_analytes: bool = True,
+        spine_buckets: int | None = None,
+    ) -> DataFrame:
         """Derive every analyte in dependency order and left-join each onto
         the spine (first analyte) on `spine_key`
-        (process_study, Configurable_ETL_Python.py:589-604). Analytes are
-        tiny relative to fact tables → broadcast the join sides."""
+        (process_study, Configurable_ETL_Python.py:589-604).
+
+        Join strategy by scale:
+          - default (spine_buckets=None): analytes are tiny relative to
+            fact tables → broadcast the join sides (no shuffle at all).
+          - spine_buckets=N: every analyte result is materialized as a
+            table bucketed+sorted on `spine_key` with N buckets, and the
+            spine accumulates via bucket-aligned sort-merge joins — ZERO
+            exchanges end-to-end. This is the large-analyte path: when the
+            per-subject relations are themselves too big to broadcast, the
+            one-time bucketed write replaces a per-join shuffle, and any
+            LATER study run joining on the same key reuses the layout for
+            free."""
         ordered = study.toposort()
         multi_consumer = self._multi_consumer_analytes(study)
         for plan in ordered:
@@ -175,16 +198,47 @@ class Engine:
         # spine), even when toposort ran one of its dependencies earlier.
         # Joins then follow manifest order, matching the reference's
         # accumulation order (and its output column order).
-        spine = self.analyte_results[study.analytes[0].name]
-        for plan in study.analytes[1:]:
-            spine = spine.join(
-                F.broadcast(self.analyte_results[plan.name]),
-                on=study.spine_key,
-                how="left",
-            )
+        if spine_buckets:
+            spine = self._bucketed_spine(study, spine_buckets)
+        else:
+            spine = self.analyte_results[study.analytes[0].name]
+            for plan in study.analytes[1:]:
+                spine = spine.join(
+                    F.broadcast(self.analyte_results[plan.name]),
+                    on=study.spine_key,
+                    how="left",
+                )
         result = spine
         self.bind(f"{study.study_code}__standardized", result)
         return result
+
+    def _bucketed_spine(self, study: StudyPlan, num_buckets: int) -> DataFrame:
+        """Materialize each analyte bucketed+sorted on the spine key, then
+        accumulate with merge-hinted joins. Bucket counts match on every
+        side, so Catalyst plans each join with no Exchange and no Sort (the
+        bucketed write pre-sorted the files); the merge hint keeps small
+        test-scale tables from silently taking the broadcast path, which
+        would hide a bucketing regression."""
+        from ..sinks.tables import write_bucketed
+
+        tables: dict[str, str] = {}
+        for plan in study.analytes:
+            tbl = _safe_table_name(f"cetl_{study.study_code}_{plan.name}_b")
+            write_bucketed(
+                self.analyte_results[plan.name],
+                tbl,
+                [study.spine_key],
+                num_buckets=num_buckets,
+            )
+            tables[plan.name] = tbl
+        spine = self.spark.table(tables[study.analytes[0].name])
+        for plan in study.analytes[1:]:
+            spine = spine.join(
+                self.spark.table(tables[plan.name]).hint("merge"),
+                on=study.spine_key,
+                how="left",
+            )
+        return spine
 
     @staticmethod
     def _multi_consumer_analytes(study: StudyPlan) -> set[str]:

@@ -56,6 +56,51 @@ def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_o")
 
 
+def test_bucketed_study_spine_zero_exchanges(spark, sf_dir):
+    """run_study(spine_buckets=N): every analyte materializes bucketed on
+    the spine key and the spine accumulates via bucket-aligned SMJ — the
+    executed plan must contain NO exchange of any kind."""
+    from configurable_etl_python_repo_spark.plans import (
+        AnalytePlan, Engine, OpSpec, ScanSpec, StudyPlan,
+    )
+
+    def mk_study():
+        spine = AnalytePlan(
+            name="subjects",
+            scans=[ScanSpec("subjects", "parquet", f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey", "c_name"])],
+            ops=[OpSpec("RENAME COLUMN", "subjects", ["subjects"],
+                        {"renames": {"c_custkey": "subject"}})],
+        )
+        spend = AnalytePlan(
+            name="spend",
+            scans=[ScanSpec("o", "parquet", f"{sf_dir}/orders.parquet")],
+            ops=[
+                OpSpec("GROUPBY SUMMARISE", "spend", ["o"],
+                       {"group_by": ["o_custkey"],
+                        "aggs": [("o_totalprice", "sum", "total_spend")]}),
+                OpSpec("RENAME COLUMN", "spend", ["spend"],
+                       {"renames": {"o_custkey": "subject"}}),
+            ],
+        )
+        return StudyPlan(study_code="BKT", analytes=[spine, spend],
+                         spine_key="subject")
+
+    try:
+        bucketed = Engine(spark).run_study(mk_study(), spine_buckets=8)
+        plan = bucketed._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # neither hash/range nor broadcast
+        # and values match the broadcast path
+        broadcast = Engine(spark).run_study(mk_study())
+        a = sorted(map(tuple, bucketed.collect()))
+        b = sorted(map(tuple, broadcast.collect()))
+        assert a == b and len(a) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cetl_bkt_subjects_b")
+        spark.sql("DROP TABLE IF EXISTS cetl_bkt_spend_b")
+
+
 def test_registry_bindings_sql_addressable(spark, sf_dir):
     from configurable_etl_python_repo_spark.plans import Engine, ScanSpec
 
