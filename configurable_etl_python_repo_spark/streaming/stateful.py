@@ -28,6 +28,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+# RocksDB state store: off-heap, incremental-checkpoint state — the
+# production choice once per-key state stops fitting the executor heap
+# (the default HDFS-backed provider keeps every store's map in memory).
+# Pass to get_spark(extra_conf=ROCKSDB_STATE_CONF) or set on an existing
+# session before starting the query: the provider class is read at query
+# start. Ships inside stock Spark — no extra jars.
+ROCKSDB_STATE_CONF = {
+    "spark.sql.streaming.stateStore.providerClass":
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    # checkpoint only the changelog per batch, not full snapshots
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled":
+        "true",
+}
+
 DEDUP_OUT_SCHEMA = T.StructType(
     [
         T.StructField("key", T.StringType(), False),
@@ -37,6 +52,9 @@ DEDUP_OUT_SCHEMA = T.StructType(
 )
 DEDUP_STATE_SCHEMA = T.StructType(
     [T.StructField("seen", T.ArrayType(T.StringType()), True)]
+)
+BLOOM_STATE_SCHEMA = T.StructType(
+    [T.StructField("bits", T.BinaryType(), True)]
 )
 
 STATS_OUT_SCHEMA = T.StructType(
@@ -74,19 +92,75 @@ def _make_dedup_fn(timeout_ms: int | None):
     return fn
 
 
+def _bloom_positions(fp: str, m: int, k: int) -> list[int]:
+    """k bit positions in [0, m) from an md5 hex fingerprint via double
+    hashing (Kirsch-Mitzenmacher: h_i = h1 + i*h2 — as good as k
+    independent hashes for Bloom filters)."""
+    h1 = int(fp[:16], 16)
+    h2 = int(fp[16:32], 16) | 1  # odd → cycles all residues for m = 2^b
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _make_bloom_dedup_fn(bloom_bits: int, bloom_hashes: int,
+                         timeout_ms: int | None):
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        bits = bytearray(state.get[0]) if state.exists else bytearray(
+            bloom_bits // 8
+        )
+        out_ids, out_first = [], []
+        for pdf in pdfs:
+            for doc_id, fp in zip(pdf["doc_id"], pdf["doc_fp"]):
+                pos = _bloom_positions(fp, bloom_bits, bloom_hashes)
+                first = any(not ((bits[p >> 3] >> (p & 7)) & 1) for p in pos)
+                for p in pos:
+                    bits[p >> 3] |= 1 << (p & 7)
+                out_ids.append(int(doc_id))
+                out_first.append(first)
+        state.update((bytes(bits),))
+        if timeout_ms:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {"key": key[0], "doc_id": out_ids, "is_first_seen": out_first}
+        )
+
+    return fn
+
+
 def streaming_dedup(
-    stream: DataFrame, key_col: str = "source", timeout_ms: int | None = None
+    stream: DataFrame,
+    key_col: str = "source",
+    timeout_ms: int | None = None,
+    bloom_bits: int | None = None,
+    bloom_hashes: int = 6,
 ) -> DataFrame:
-    """Cross-batch exact dedup: emits every document tagged is_first_seen;
+    """Cross-batch dedup: emits every document tagged is_first_seen;
     downstream keeps the firsts. Input needs (key_col, doc_id, doc_fp) —
-    doc_fp from llm.text.fingerprint. State per key = fingerprint set.
+    doc_fp from llm.text.fingerprint.
+
+    State per key:
+      - default: the exact fingerprint set (16 bytes/doc) — exact answers,
+        state grows with the distinct corpus;
+      - bloom_bits=M (a power of two): a FIXED M-bit Bloom filter — state
+        is M/8 bytes per key forever, the unbounded-corpus mode. Trade-off:
+        a false-positive rate of ~(1-e^{-k·n/M})^k marks a few true firsts
+        as dupes (never the reverse); size M for the expected distinct
+        count (M ≈ 10·n bits → ~1% at k=6).
     Pass timeout_ms only under a continuous trigger (see module note)."""
+    if bloom_bits is not None:
+        if bloom_bits % 8 or bloom_bits & (bloom_bits - 1):
+            raise ValueError("bloom_bits must be a power of two >= 8")
+        fn, state_schema = (
+            _make_bloom_dedup_fn(bloom_bits, bloom_hashes, timeout_ms),
+            BLOOM_STATE_SCHEMA,
+        )
+    else:
+        fn, state_schema = _make_dedup_fn(timeout_ms), DEDUP_STATE_SCHEMA
     return (
         stream.groupBy(key_col)
         .applyInPandasWithState(
-            _make_dedup_fn(timeout_ms),
+            fn,
             outputStructType=DEDUP_OUT_SCHEMA,
-            stateStructType=DEDUP_STATE_SCHEMA,
+            stateStructType=state_schema,
             outputMode="append",
             timeoutConf=(GroupStateTimeout.ProcessingTimeTimeout if timeout_ms
                          else GroupStateTimeout.NoTimeout),
