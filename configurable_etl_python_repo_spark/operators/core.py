@@ -317,13 +317,27 @@ def _op_join(how: str):
     def compile_join(engine: "Engine", spec: OpSpec) -> Result:
         """Equi-join on shared column names (any_join,
         Configurable_ETL_Python.py:531-534, dispatch :469-480); pandas merge
-        preserves left-frame order for left joins → propagate left sort."""
+        preserves left-frame order for left joins → propagate left sort.
+
+        Scale args: `broadcast: true` hints the right side small;
+        `salt: N` spreads a pathologically hot left key over N reducers
+        (classic key salting — for the left/inner large-large case AQE's
+        skew splitting can't fix, e.g. one key holding >1 partition's worth
+        of rows on BOTH sides). Same rows either way."""
         left, lsort = engine.peek(spec.inputs[0])
         right, _ = engine.peek(spec.inputs[1])
         on = spec.args["on"]
-        if spec.args.get("broadcast"):
-            right = F.broadcast(right)
-        out = left.join(right, on=on, how=how)
+        salt = int(spec.args.get("salt", 0))
+        if salt > 1:
+            if spec.args.get("broadcast"):
+                raise ValueError("salt and broadcast are mutually exclusive")
+            from .skew import salted_left_join
+
+            out = salted_left_join(left, right, on=on, salt=salt, how=how)
+        else:
+            if spec.args.get("broadcast"):
+                right = F.broadcast(right)
+            out = left.join(right, on=on, how=how)
         keep = lsort if how in ("left", "inner") else None
         return out, _propagates(keep, out.columns)
 

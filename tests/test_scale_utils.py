@@ -56,6 +56,43 @@ def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_o")
 
 
+def test_salt_as_join_op_arg(spark):
+    """`salt: N` on a join OpSpec routes through key salting: identical
+    rows to the plain join on a synthetically skewed key, with the salt
+    column inside the shuffle keys (so one hot key spreads over N
+    reducers)."""
+    from configurable_etl_python_repo_spark.plans import Engine, OpSpec
+
+    import pytest as _pytest
+
+    eng = Engine(spark)
+    # skewed left: 50k rows on key 1, a handful elsewhere; right: 100 keys
+    left = spark.range(0, 50_000).selectExpr(
+        "CASE WHEN id < 49000 THEN 1 ELSE id % 100 END AS k", "id AS v"
+    )
+    right = spark.range(0, 100).selectExpr("id AS k", "id * 10 AS w")
+    eng.bind("l", left)
+    eng.bind("r", right)
+    plain = eng.run_op(OpSpec("LEFT JOIN", "p", ["l", "r"], {"on": ["k"]}))
+    salted = eng.run_op(
+        OpSpec("LEFT JOIN", "s", ["l", "r"], {"on": ["k"], "salt": 8})
+    )
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "__cetl_salt__" in plan  # shuffle keys carry the salt
+    assert plain.count() == salted.count() == 50_000
+    a = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, salted.collect()))
+    assert a == b
+    # outer variants are rejected (salt replication would duplicate
+    # unmatched right rows)
+    with _pytest.raises(Exception, match="left.*inner"):
+        eng.run_op(OpSpec("OUTER JOIN", "o", ["l", "r"],
+                          {"on": ["k"], "salt": 8}))
+    with _pytest.raises(Exception, match="mutually exclusive"):
+        eng.run_op(OpSpec("LEFT JOIN", "x", ["l", "r"],
+                          {"on": ["k"], "salt": 8, "broadcast": True}))
+
+
 def test_bucketed_study_spine_zero_exchanges(spark, sf_dir):
     """run_study(spine_buckets=N): every analyte materializes bucketed on
     the spine key and the spine accumulates via bucket-aligned SMJ — the
