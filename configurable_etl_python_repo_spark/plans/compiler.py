@@ -116,6 +116,12 @@ class Engine:
             return self.spark.read.options(**opts).csv(scan.path)
         if src == "json":
             return self.spark.read.options(**scan.options).json(scan.path)
+        if src == "sas":
+            # S5: pd.read_sas parity, distributed per-file
+            # (Data_Ingestion_Python.py:26-28)
+            from ..sources.sas import read_sas
+
+            return read_sas(self.spark, scan.path, **scan.options)
         if src == "table":
             return self.spark.table(scan.path)
         if src == "bronze":
