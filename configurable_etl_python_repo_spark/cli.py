@@ -24,6 +24,8 @@ from .session import get_spark
 def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--master", default=None)
     p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument("--format", choices=["parquet", "csv"], default="parquet",
+                   help="--out format (csv applies boundary string form)")
 
 
 def cmd_run_study(args) -> int:
@@ -43,11 +45,20 @@ def cmd_run_study(args) -> int:
     eng = Engine(spark)
     result = eng.run_study(study)
     if args.out:
-        result.write.mode("overwrite").parquet(args.out)
+        _write_out(result, args.out, args.format)
         print(f"standardized output -> {args.out} ({result.count()} rows)")
     else:
         result.show(20, truncate=False)
     return 0
+
+
+def _write_out(df, path: str, fmt: str) -> None:
+    if fmt == "csv":
+        from .sinks.boundary import write_csv
+
+        write_csv(df, path)
+    else:
+        df.write.mode("overwrite").parquet(path)
 
 
 def cmd_run_analyte(args) -> int:
@@ -59,7 +70,7 @@ def cmd_run_analyte(args) -> int:
     plan = analyte_from_json(args.program)
     df = Engine(spark).run_analyte(plan)
     if args.out:
-        df.write.mode("overwrite").parquet(args.out)
+        _write_out(df, args.out, args.format)
         print(f"{plan.name} -> {args.out} ({df.count()} rows)")
     else:
         df.show(20, truncate=False)

@@ -64,6 +64,31 @@ def write_gold(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).partitionBy("study_code").parquet(path)
 
 
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    sentinel: bool = True,
+    single_file: bool = False,
+    **options: str,
+) -> None:
+    """K4: CSV sink with the reference's boundary conventions applied
+    (all-string + 'Null' sentinel — the reference's CSV export writes
+    the DynamoDB-normalized string form, Athena_DynamoDB_Normalized.py:
+    15-28, where the reference version writes an empty object; this one
+    writes the data).
+
+    `single_file=True` coalesces to one part file — the debug/hand-off
+    shape for small extracts; the default keeps one file per partition
+    (the only CSV layout that scales)."""
+    if sentinel:
+        df = to_boundary_strings(df)
+    if single_file:
+        df = df.coalesce(1)
+    opts = {"header": "true", **options}
+    df.write.mode(mode).options(**opts).csv(path)
+
+
 def export_normalized(
     bronze,
     path: str,

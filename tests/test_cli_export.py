@@ -23,6 +23,54 @@ def test_export_normalized_schema_evolution(spark, tmp_path):
     assert rows == {("S1", "1", "Null"), ("S2", "Null", "x")}
 
 
+def test_write_csv_sink(spark, tmp_path):
+    """K4: boundary string form, header, NULL sentinel; round-trips."""
+    import csv as _csv
+    import glob
+
+    from configurable_etl_python_repo_spark.sinks.boundary import write_csv
+
+    df = spark.createDataFrame(
+        [Row(k=1, name="a", v=1.5), Row(k=2, name=None, v=None)]
+    )
+    out = str(tmp_path / "out_csv")
+    write_csv(df, out, single_file=True)
+    files = glob.glob(f"{out}/part-*.csv")
+    assert len(files) == 1  # single_file coalesced
+    with open(files[0]) as f:
+        rows = list(_csv.reader(f))
+    assert rows[0] == ["k", "name", "v"]
+    body = {tuple(r) for r in rows[1:]}
+    assert body == {("1", "a", "1.5"), ("2", "Null", "Null")}
+    # distributed (default) mode: still readable back with the same rows
+    write_csv(df, out, single_file=False)
+    back = spark.read.option("header", "true").csv(out)
+    assert back.count() == 2 and back.columns == ["k", "name", "v"]
+
+
+def test_cli_run_analyte_csv_out(spark, sf_dir, tmp_path):
+    import json
+
+    from configurable_etl_python_repo_spark.cli import main
+
+    program = {
+        "analyte": "n",
+        "scans": [{"name": "n", "source": "parquet",
+                   "path": f"{sf_dir}/nation.parquet",
+                   "columns": ["n_nationkey", "n_name"]}],
+        "ops": [],
+    }
+    prog_path = tmp_path / "prog.json"
+    prog_path.write_text(json.dumps(program))
+    out = str(tmp_path / "out_csv")
+    rc = main(["run-analyte", "--program", str(prog_path), "--out", out,
+               "--format", "csv"])
+    assert rc == 0
+    back = spark.read.option("header", "true").csv(out)
+    assert back.count() == 25
+    assert set(back.columns) == {"n_nationkey", "n_name"}
+
+
 def test_cli_run_analyte_json(spark, sf_dir, tmp_path, capsys):
     import json
 
