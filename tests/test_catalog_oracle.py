@@ -46,6 +46,7 @@ def test_query_matches_oracle(spark, sf_dir, oracle_con, name):
 
 
 def test_every_query_has_oracle_or_reason():
+    # every catalog query carries a SQL oracle — the md5-derived hash
+    # families (minhash, simhash, SRP planes) are all generated into SQL
     missing = set(QUERIES) - set(ORACLES)
-    # only engine-side hash families are exempt from the SQL oracle
-    assert missing == {"n2_ann_lsh_bucketed"}
+    assert missing == set()
