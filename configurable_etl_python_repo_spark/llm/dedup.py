@@ -132,11 +132,23 @@ def ngram_jaccard_pairs(
 
 
 def _prefix_candidates(sh: DataFrame, p: int, q: int) -> DataFrame:
-    """PPJoin prefix candidates: for jaccard >= p/q, if two sets of sizes
-    sa, sb match, their intersection has >= ceil(t*max(sa,sb)) elements, so
-    each doc can 'skip' at most sz - ceil(t*sz) shingles: any matching pair
-    shares an element within each side's first (sz - ceil(t*sz) + 1)
-    rarest-first shingles."""
+    """PPJoin candidates: prefix filtering + positional filtering.
+
+    PREFIX: for jaccard >= p/q, if two sets of sizes sa, sb match, their
+    intersection has >= ceil(t*max(sa,sb)) elements, so each doc can
+    'skip' at most sz - ceil(t*sz) shingles: any matching pair shares an
+    element within each side's first (sz - ceil(t*sz) + 1) rarest-first
+    shingles.
+
+    POSITIONAL: both docs order shingles by the SAME global rarity order,
+    so the shared prefix element with the minimum rank on one side is the
+    globally-first common element on BOTH sides (any earlier common
+    element would sit inside both prefixes too). Nothing before it is
+    common, hence inter <= 1 + min(sa - ra*, sb - rb*); prune pairs where
+    that upper bound can't reach the required overlap
+    inter*(p+q) >= p*(sa+sb) (exact integer math). This is the PPJoin
+    position filter adapted to a distributed join (no sequential index
+    probing), pruning candidates BEFORE the verify join ever sees them."""
     from pyspark.sql import Window
 
     df_freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
@@ -152,13 +164,25 @@ def _prefix_candidates(sh: DataFrame, p: int, q: int) -> DataFrame:
     )
     # prefix length = sz - ceil(p/q * sz) + 1, integer math
     prefix_len = F.col("sz") - F.ceil(F.lit(p) * F.col("sz") / F.lit(q)) + 1
-    prefixes = ranked.where(F.col("rank") <= prefix_len).select("id", "sh")
+    prefixes = ranked.where(F.col("rank") <= prefix_len).select(
+        "id", "sh", "rank", "sz"
+    )
     a = prefixes.alias("a")
     b = prefixes.alias("b")
+    ubound = F.lit(1) + F.least(
+        F.col("sa") - F.col("ra"), F.col("sb") - F.col("rb")
+    )
     return (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(
+            F.min("a.rank").alias("ra"),
+            F.min("b.rank").alias("rb"),
+            F.min("a.sz").alias("sa"),
+            F.min("b.sz").alias("sb"),
+        )
+        .where(F.lit(p + q) * ubound >= F.lit(p) * (F.col("sa") + F.col("sb")))
+        .select("id_a", "id_b")
     )
 
 

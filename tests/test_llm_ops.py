@@ -129,6 +129,24 @@ def test_cosine_pairs_planes_is_explicit(spark, sf_dir):
         assert v == exact[k]  # identical sims on the pairs it keeps
 
 
+def test_srp_arrow_matches_column_math(spark, sf_dir):
+    """The vectorized (numpy matmul) SRP hash must agree bucket-for-bucket
+    with the Column-math spec the SQL oracles mirror."""
+    from configurable_etl_python_repo_spark.llm.similarity import (
+        srp_bucket,
+        srp_buckets_arrow,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    fold = F.array(*[srp_bucket(F.col("embedding"), 64, 8, seed=f"srp{t}")
+                     for t in range(4)])
+    arrow = srp_buckets_arrow(64, 8, 4)(F.col("embedding"))
+    bad = emb.select(fold.alias("f"), arrow.alias("a")).where(
+        F.col("f") != F.col("a")
+    )
+    assert bad.count() == 0
+
+
 def test_text_stats_edges(spark):
     df = spark.createDataFrame(
         [Row(doc_id=1, text=""), Row(doc_id=2, text="   "),
