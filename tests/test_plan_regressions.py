@@ -1,0 +1,93 @@
+"""Physical-plan regression guards.
+
+The scale story lives in the PLAN, not just the answer: a filter that
+stops reaching the parquet scan, a broadcast that silently becomes a
+sort-merge join, or a window top-N that loses its WindowGroupLimit
+pushdown all keep the oracle green while multiplying cost at 100 TB.
+These tests pin the load-bearing plan properties of the headline queries
+so a regression shows up in CI before it shows up in bench numbers.
+"""
+
+import re
+
+import pytest
+
+from configurable_etl_python_repo_spark.catalog import QUERIES
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    return QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_tpch_q3_plan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q3_shaped")
+    # filters reach all three parquet scans
+    assert len(re.findall(r"PushedFilters: \[[^\]]", plan)) >= 3
+    # both dimension joins broadcast; no sort-merge join anywhere
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    # fused top-10 compiles to a heap, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_flagship_plan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "flagship_earliest_event")
+    # keep-first dedup under sort compiles to WindowGroupLimit pushdown
+    assert "WindowGroupLimit" in plan
+    # scan filters pushed
+    assert len(re.findall(r"PushedFilters: \[[^\]]", plan)) >= 2
+    # no global Sort above the window (the pending sort must stay fused)
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_w2_window_topn_plan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "w2_sort_slice_topn")
+    assert "WindowGroupLimit" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_spine_study_broadcasts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "j3_spine_study")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_projection_prunes_scan(spark, sf_dir):
+    """p2: a two-column projection must reach the parquet ReadSchema."""
+    plan = _plan(spark, sf_dir, "p2_p4_project_remove")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    read_cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
+    assert len(read_cols) <= 4  # pruned, not the 16-column lineitem schema
+
+
+def test_no_python_udfs_on_reference_surface(spark, sf_dir):
+    """Every reference-surface operator stays inside JVM codegen — the
+    only Python evaluation in the catalog belongs to the two deliberate
+    Arrow paths (multimodal decode, SRP hash)."""
+    for name in ["flagship_earliest_event", "tpch_q3_shaped",
+                 "a1_groupby_summarise", "w2_sort_slice_topn",
+                 "j1_left_join_two_keys", "e2_sessionize_gap30m",
+                 "c8_decision_column", "d2_ngram_jaccard_pairs",
+                 "t1_text_stats"]:
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name  # row-at-a-time Python
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_arrow_only_where_declared(spark, sf_dir):
+    """The two declared Python boundaries are Arrow-batched, never
+    row-at-a-time."""
+    for name in ["d6_embedding_cosine_srp", "m1_multimodal_features"]:
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+
+
+@pytest.mark.parametrize("name", ["d1_dedup_exact", "t3_fingerprint",
+                                  "t4_token_count"])
+def test_single_pass_text_ops(spark, sf_dir, name):
+    """Text ops are scan → project/aggregate: at most one exchange, no
+    joins."""
+    plan = _plan(spark, sf_dir, name)
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
