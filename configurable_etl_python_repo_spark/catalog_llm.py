@@ -540,3 +540,83 @@ def q_m1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(docs, fake_decode=True).select(
         "doc_id", "n_bytes", "payload_md5"
     )
+
+
+# m2/m3: the deterministic fake decode is md5-derived (like the minhash
+# family), so the full resize / frame-sample plumbing is SQL-verifiable:
+# the oracle recomputes source dims / duration from the same hash windows.
+
+_RESIZE_MAX = 512
+
+
+@register(
+    "m2_image_resize_meta",
+    f"""
+    WITH dims AS (
+      SELECT doc_id, md5(text) AS md,
+             320 + CAST(('0x' || substr(md5(text), 1, 4)) AS INT) % 1600 AS w,
+             240 + CAST(('0x' || substr(md5(text), 5, 4)) AS INT) % 840 AS h
+      FROM documents),
+    sized AS (
+      SELECT doc_id, md, w AS src_width, h AS src_height,
+             CASE WHEN greatest(w, h) > {_RESIZE_MAX}
+                  THEN (w * {_RESIZE_MAX}) // greatest(w, h) ELSE w END AS out_width,
+             CASE WHEN greatest(w, h) > {_RESIZE_MAX}
+                  THEN (h * {_RESIZE_MAX}) // greatest(w, h) ELSE h END AS out_height
+      FROM dims)
+    SELECT doc_id, CAST(src_width AS INT) AS src_width,
+           CAST(src_height AS INT) AS src_height,
+           CAST(out_width AS INT) AS out_width,
+           CAST(out_height AS INT) AS out_height,
+           md5(md || '|' || out_width || 'x' || out_height) AS resized_md5
+    FROM sized
+    """,
+)
+def q_m2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing: aspect-preserving integer downscale to a
+    512px max side over mapInPandas (decode faked from the content hash —
+    the real codec swaps into _decode; the batch shape, pruned two-column
+    Arrow input and typed output schema are production-real)."""
+    from .llm.multimodal import resize_images
+
+    docs = spark.read.parquet(_pq(sf_dir, "documents")).select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return resize_images(docs, max_side=_RESIZE_MAX)
+
+
+_FRAME_EVERY_MS, _FRAME_MAX = 30_000, 16
+
+
+@register(
+    "m3_frame_sample",
+    f"""
+    WITH media AS (
+      SELECT doc_id, md5(text) AS md,
+             1000 + CAST(('0x' || substr(md5(text), 9, 5)) AS BIGINT) % 600000
+               AS dur
+      FROM documents),
+    n AS (
+      SELECT doc_id, md,
+             least(dur // {_FRAME_EVERY_MS} + 1, {_FRAME_MAX}) AS n_frames
+      FROM media)
+    SELECT doc_id,
+           CAST(unnest(generate_series(0, n_frames - 1)) AS INT) AS frame_idx,
+           CAST(unnest(generate_series(0, n_frames - 1)) * {_FRAME_EVERY_MS}
+                AS BIGINT) AS frame_ms,
+           md5(md || '#' || unnest(generate_series(0, n_frames - 1)))
+             AS frame_md5
+    FROM n
+    """,
+)
+def q_m3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: one output row per sampled frame (the
+    exploding shape a real libav decode emits), every 30s capped at 16
+    frames per doc."""
+    from .llm.multimodal import sample_frames
+
+    docs = spark.read.parquet(_pq(sf_dir, "documents")).select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return sample_frames(docs, every_ms=_FRAME_EVERY_MS,
+                         max_frames=_FRAME_MAX)

@@ -127,12 +127,127 @@ def extract_features(
     return src.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
-def frame_sample_stub(df: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video frame-sampling STUB: real implementation would mapInPandas over
-    (doc_id, payload) emitting one row per sampled frame. Kept as an explicit
-    NotImplementedError so the API surface is visible."""
-    raise NotImplementedError(
-        "frame sampling requires a video codec; the mapInPandas plumbing "
-        "mirrors extract_features with an exploded (doc_id, frame_idx, png) "
-        "output schema"
-    )
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("src_width", T.IntegerType(), False),
+        T.StructField("src_height", T.IntegerType(), False),
+        T.StructField("out_width", T.IntegerType(), False),
+        T.StructField("out_height", T.IntegerType(), False),
+        T.StructField("resized_md5", T.StringType(), False),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_ms", T.LongType(), False),
+        T.StructField("frame_md5", T.StringType(), False),
+    ]
+)
+
+
+def _fake_dims(payload_md5: str) -> tuple[int, int]:
+    """Deterministic fake image dimensions from the content hash (the
+    codec-free stand-in for a real header parse) — md5-derived like the
+    minhash family, so a SQL oracle reproduces them exactly."""
+    w = 320 + int(payload_md5[:4], 16) % 1600
+    h = 240 + int(payload_md5[4:8], 16) % 840
+    return w, h
+
+
+def _fake_duration_ms(payload_md5: str) -> int:
+    return 1000 + int(payload_md5[8:13], 16) % 600_000
+
+
+def resize_images(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_side: int = 512,
+    fake_decode: bool = True,
+    target_rows_per_batch: int = 256,
+) -> DataFrame:
+    """Image resize plumbing over mapInPandas: downscale so the longer
+    side is <= max_side, preserving aspect ratio with INTEGER math (both
+    engines floor identically — no float rounding drift in the oracle).
+
+    fake_decode=True derives source dims from the content hash and tags
+    the 'resized' payload by hash (the real implementation replaces only
+    the decode/encode calls: PIL.open → thumbnail → tobytes)."""
+    import hashlib
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for start in range(0, len(pdf), target_rows_per_batch):
+                chunk = pdf.iloc[start : start + target_rows_per_batch]
+                rows = []
+                for doc_id, payload in zip(chunk["doc_id"], chunk["payload"]):
+                    if not fake_decode:
+                        raise NotImplementedError(
+                            "image decode requires PIL/torchvision; plug in here"
+                        )
+                    md = hashlib.md5(bytes(payload)).hexdigest()
+                    w, h = _fake_dims(md)
+                    side = max(w, h)
+                    if side > max_side:
+                        ow, oh = (w * max_side) // side, (h * max_side) // side
+                    else:
+                        ow, oh = w, h
+                    rows.append(
+                        (int(doc_id), w, h, ow, oh,
+                         hashlib.md5(f"{md}|{ow}x{oh}".encode()).hexdigest())
+                    )
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in RESIZE_SCHEMA.fields]
+                )
+
+    return src.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    every_ms: int = 1000,
+    max_frames: int = 32,
+    fake_decode: bool = True,
+    target_rows_per_batch: int = 64,
+) -> DataFrame:
+    """Video frame sampling over mapInPandas: one OUTPUT ROW PER SAMPLED
+    FRAME (the exploding shape a real libav decode emits), frames every
+    `every_ms` capped at max_frames per doc.
+
+    fake_decode=True derives the duration from the content hash and tags
+    each frame by (content, frame_idx); batches are small because real
+    frame payloads multiply row width."""
+    import hashlib
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for start in range(0, len(pdf), target_rows_per_batch):
+                chunk = pdf.iloc[start : start + target_rows_per_batch]
+                rows = []
+                for doc_id, payload in zip(chunk["doc_id"], chunk["payload"]):
+                    if not fake_decode:
+                        raise NotImplementedError(
+                            "frame decode requires a video codec; plug libav in here"
+                        )
+                    md = hashlib.md5(bytes(payload)).hexdigest()
+                    dur = _fake_duration_ms(md)
+                    n = min(dur // every_ms + 1, max_frames)
+                    for i in range(n):
+                        rows.append(
+                            (int(doc_id), i, i * every_ms,
+                             hashlib.md5(f"{md}#{i}".encode()).hexdigest())
+                        )
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in FRAME_SCHEMA.fields]
+                )
+
+    return src.mapInPandas(batches, schema=FRAME_SCHEMA)

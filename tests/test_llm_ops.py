@@ -186,3 +186,43 @@ def test_multimodal_strict_decode_raises(spark):
     df = spark.createDataFrame([Row(doc_id=1, payload=b"x")])
     with pytest.raises(Exception):
         extract_features(df, fake_decode=False).collect()
+
+
+def test_resize_preserves_aspect_and_caps_side(spark):
+    from configurable_etl_python_repo_spark.llm.multimodal import resize_images
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, payload=f"img{i}".encode()) for i in range(50)]
+    )
+    out = resize_images(df, max_side=512).collect()
+    assert len(out) == 50
+    for r in out:
+        assert max(r.out_width, r.out_height) <= 512
+        assert r.out_width <= r.src_width and r.out_height <= r.src_height
+        if max(r.src_width, r.src_height) <= 512:
+            assert (r.out_width, r.out_height) == (r.src_width, r.src_height)
+        else:  # integer aspect: floor(src_w * 512 / max_side) both axes
+            side = max(r.src_width, r.src_height)
+            assert r.out_width == r.src_width * 512 // side
+            assert r.out_height == r.src_height * 512 // side
+
+
+def test_sample_frames_shape_and_cap(spark):
+    from configurable_etl_python_repo_spark.llm.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, payload=f"vid{i}".encode()) for i in range(20)]
+    )
+    out = sample_frames(df, every_ms=1000, max_frames=8).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(range(20))
+    for doc_id, frames in by_doc.items():
+        assert 1 <= len(frames) <= 8
+        idxs = sorted(f.frame_idx for f in frames)
+        assert idxs == list(range(len(frames)))  # dense 0..n-1
+        for f in frames:
+            assert f.frame_ms == f.frame_idx * 1000
+    with pytest.raises(Exception):
+        sample_frames(df, fake_decode=False).collect()
