@@ -3,8 +3,9 @@
 `entry(spark)` — flagship analyte program on sf0.001 (smoke).
 `queries()` — one entry per implemented operator from SURVEY.md §2 plus the
 LLM-data-pipeline extensions; each callable is (spark, sf_dir) -> DataFrame.
-`oracle_sql()` — matching DuckDB SQL per query (omitted only for operators
-whose hash family lives engine-side, e.g. SRP-bucketed ANN → rows-only).
+`oracle_sql()` — matching DuckDB SQL per query. Every query has one: the
+md5-derived hash families (minhash, simhash, SRP planes, multimodal fakes)
+are generated into SQL with their driver-side constants embedded.
 """
 
 from __future__ import annotations

@@ -95,6 +95,47 @@ def q_e2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "e3_sliding_window_15m",
+    """
+    WITH starts AS (
+      SELECT event_id, event_type, value,
+             make_timestamp(
+               ((epoch_us(ts) // 1000000 // 900) * 900
+                - 900 * unnest(generate_series(0, 3))) * 1000000) AS window_start
+      FROM events)
+    SELECT window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(event_id) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM starts GROUP BY 1, 2, 3
+    """,
+)
+def q_e3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1h long, 15m slide): each event lands in exactly 4
+    overlapping windows — the batch shape of the streaming
+    `groupBy(window(ts, '1 hour', '15 minutes'))` rollup (same windows the
+    watermarked readStream variant emits)."""
+    from .sources.files import read_events
+
+    ev = read_events(spark, _pq(sf_dir, "events"))
+    w = F.window("ts", "1 hour", "15 minutes")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count("event_id").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+
+
 # ===========================================================================
 # Deduplication
 # ===========================================================================
