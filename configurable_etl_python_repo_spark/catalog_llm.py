@@ -164,7 +164,7 @@ def _shingles_sql(n: int) -> str:
     SELECT DISTINCT doc_id,
            unnest(list_transform(
              generate_series(1, greatest(len(w) - {n - 1}, 0)),
-             i -> concat_ws(' ', list_slice(w, i, i + {n - 1})))) AS sh
+             i -> array_to_string(list_slice(w, i, i + {n - 1}), ' '))) AS sh
     FROM words)"""
     )
 
@@ -554,6 +554,79 @@ def q_t3(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_t4(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(_pq(sf_dir, "documents"))
     return T.token_count_bpe_ish(docs).select("doc_id", "n_tokens")
+
+
+_WIN_K, _WIN_W = 3, 4
+
+
+@register(
+    "t5_winnowing_fingerprints",
+    rf"""
+    WITH {_WORDS_SQL.strip()},
+    h AS (
+      SELECT doc_id,
+             list_transform(
+               list_transform(generate_series(1, greatest(len(w) - {_WIN_K - 1}, 0)),
+                              i -> array_to_string(list_slice(w, i, i + {_WIN_K - 1}), ' ')),
+               g -> CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT)) AS hs
+      FROM words),
+    f AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(hs) - {_WIN_W} + 1, 1)),
+               i -> list_min(list_slice(hs, i, i + {_WIN_W - 1})))) AS fps
+      FROM h WHERE len(hs) >= 1)
+    SELECT doc_id AS id, unnest(fps) AS fp FROM f
+    """,
+)
+def q_t5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprints: md5-window k-gram hashes,
+    per-window minima, distinct — the local-similarity fingerprint set
+    (Schleimer et al. SIGMOD'03)."""
+    docs = spark.read.parquet(_pq(sf_dir, "documents"))
+    return T.winnowing_fingerprints(docs, k=_WIN_K, window=_WIN_W)
+
+
+def _quality_oracle() -> str:
+    r = T.QUALITY_RULES
+    return rf"""
+    WITH {_WORDS_SQL.strip()},
+    s AS (
+      SELECT d.doc_id,
+             CAST(len(w.w) AS BIGINT) AS n_words,
+             CAST(len(regexp_extract_all(d.text, '[^\w\s]', 0)) AS DOUBLE)
+               / greatest(length(d.text), 1) AS punct_ratio,
+             CAST(len(list_filter(w.w, x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+               / greatest(len(w.w), 1) AS stopword_ratio,
+             CAST(list_sum(list_transform(w.w, x -> length(x))) AS DOUBLE)
+               / greatest(len(w.w), 1) AS mean_word_len
+      FROM documents d JOIN words w ON d.doc_id = w.doc_id)
+    SELECT doc_id,
+           (n_words >= {r["min_words"]} AND n_words <= {r["max_words"]})
+             AS ok_word_count,
+           punct_ratio <= {r["max_punct_ratio"]} AS ok_punct,
+           stopword_ratio >= {r["min_stopword_ratio"]} AS ok_stopwords,
+           (mean_word_len >= {r["min_mean_word_len"]}
+            AND mean_word_len <= {r["max_mean_word_len"]}) AS ok_word_len,
+           ((n_words >= {r["min_words"]} AND n_words <= {r["max_words"]})
+            AND punct_ratio <= {r["max_punct_ratio"]}
+            AND stopword_ratio >= {r["min_stopword_ratio"]}
+            AND (mean_word_len >= {r["min_mean_word_len"]}
+                 AND mean_word_len <= {r["max_mean_word_len"]})) AS keep
+    FROM s
+    """
+
+
+@register("t6_quality_filter", _quality_oracle())
+def q_t6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rules as boolean flags + the conjunction
+    `keep` — the pre-training corpus filter, pure Column over the t1
+    features."""
+    docs = spark.read.parquet(_pq(sf_dir, "documents"))
+    return T.quality_filter(docs).select(
+        "doc_id", "ok_word_count", "ok_punct", "ok_stopwords",
+        "ok_word_len", "keep",
+    )
 
 
 # ===========================================================================

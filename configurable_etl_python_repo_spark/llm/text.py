@@ -18,6 +18,9 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
     "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
     "fr": ("le", "la", "les", "et", "est", "pas", "pour", "une"),
     "es": ("el", "la", "los", "que", "es", "por", "con", "una"),
+    "it": ("il", "che", "di", "per", "non", "sono", "della", "anche"),
+    "pt": ("os", "que", "para", "com", "uma", "mais", "como", "dos"),
+    "nl": ("de", "het", "een", "en", "van", "niet", "ook", "maar"),
 }
 
 ENGLISH_STOPWORDS = LANG_STOPWORDS["en"]
@@ -96,6 +99,73 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     identical digest), used as the exact-dedup key."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return df.withColumn("doc_fp", F.md5(norm))
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprints — Schleimer et al., SIGMOD'03:
+    hash every word k-gram in document order, slide a window of `window`
+    consecutive hashes, keep each window's minimum; the distinct kept
+    hashes are the document's fingerprint set (guaranteed to overlap for
+    any shared run of >= k+window-1 words — the local-similarity detector
+    whole-doc md5 can't be).
+
+    Output: (id, fp) exploded, one row per fingerprint. Pure Column ops —
+    the hash is an md5 window, so the SQL oracle reproduces it exactly."""
+    words = _words(F.col(text_col))
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
+    hashes = F.transform(
+        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
+    )
+    wins = F.sequence(F.lit(0), F.greatest(F.size(hashes) - window, F.lit(0)))
+    fps = F.array_distinct(
+        F.transform(wins, lambda i: F.array_min(F.slice(hashes, i + 1, window)))
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.when(n >= k, fps).otherwise(F.array())).alias("fp"),
+    )
+
+
+#: quality-rule thresholds (gopher-style repetition/format heuristics,
+#: shared with the SQL oracle)
+QUALITY_RULES = {
+    "min_words": 10,
+    "max_words": 100_000,
+    "max_punct_ratio": 0.10,
+    "min_stopword_ratio": 0.01,
+    "min_mean_word_len": 2.0,
+    "max_mean_word_len": 12.0,
+}
+
+
+def quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Rule-based quality flags over the text_stats features (the
+    gopher-style pre-training filter shape): one boolean per rule plus the
+    conjunction `keep`. Pure Column — composes with FILTER in a config
+    program to drop low-quality docs before export."""
+    r = QUALITY_RULES
+    out = text_stats(df, text_col)
+    flags = {
+        "ok_word_count": (F.col("n_words") >= r["min_words"])
+        & (F.col("n_words") <= r["max_words"]),
+        "ok_punct": F.col("punct_ratio") <= r["max_punct_ratio"],
+        "ok_stopwords": F.col("stopword_ratio") >= r["min_stopword_ratio"],
+        "ok_word_len": (F.col("mean_word_len") >= r["min_mean_word_len"])
+        & (F.col("mean_word_len") <= r["max_mean_word_len"]),
+    }
+    out = out.withColumns(flags)
+    keep = None
+    for name in flags:
+        keep = F.col(name) if keep is None else (keep & F.col(name))
+    return out.withColumn("keep", keep)
 
 
 def token_count_bpe_ish(df: DataFrame, text_col: str = "text") -> DataFrame:

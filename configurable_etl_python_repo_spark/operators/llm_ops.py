@@ -66,6 +66,17 @@ def _rename_kw(fn, mapping):
 
 _ID_TEXT = {"id_column": "id_col", "text_column": "text_col"}
 
+
+def _lazy_multimodal(fn_name: str):
+    """multimodal imports pandas at module load — defer until dispatch."""
+
+    def call(df, **kwargs):
+        from ..llm import multimodal as M
+
+        return getattr(M, fn_name)(df, **kwargs)
+
+    return call
+
 LLM_OP_COMPILERS = {
     "DEDUP EXACT": _unary(_rename_kw(D.dedup_exact, _ID_TEXT)),
     "NGRAM JACCARD": _unary(_rename_kw(D.ngram_jaccard_pairs, _ID_TEXT)),
@@ -77,10 +88,22 @@ LLM_OP_COMPILERS = {
     "TOKEN COUNT": _unary(
         _rename_kw(T.token_count_bpe_ish, {"text_column": "text_col"})
     ),
+    "WINNOW FINGERPRINT": _unary(_rename_kw(T.winnowing_fingerprints, _ID_TEXT)),
+    "QUALITY FILTER": _unary(
+        _rename_kw(T.quality_filter, {"text_column": "text_col"})
+    ),
     "COSINE PAIRS": _unary(
         _rename_kw(S.embedding_cosine_pairs,
                    {"id_column": "id_col", "vector_column": "vec_col"})
     ),
     "ANN TOPK": _ann_topk,
     "ANN TOPK LSH": _ann_topk_lsh,
+    "IMAGE RESIZE": _unary(
+        _rename_kw(_lazy_multimodal("resize_images"),
+                   {"id_column": "id_col", "payload_column": "payload_col"})
+    ),
+    "FRAME SAMPLE": _unary(
+        _rename_kw(_lazy_multimodal("sample_frames"),
+                   {"id_column": "id_col", "payload_column": "payload_col"})
+    ),
 }

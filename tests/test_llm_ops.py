@@ -169,6 +169,48 @@ def test_language_id(spark):
     assert out == {1: "en", 2: "de", 3: "und"}
 
 
+def test_winnowing_shared_run_overlaps(spark):
+    """Docs sharing a long word run share winnowing fingerprints; unrelated
+    docs (almost surely) don't. Whole-doc md5 can't detect the former."""
+    from configurable_etl_python_repo_spark.llm.text import (
+        winnowing_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame([
+        Row(doc_id=1, text=f"intro words {shared} closing remark"),
+        Row(doc_id=2, text=f"different opening {shared} other ending"),
+        Row(doc_id=3, text="completely unrelated content about engines and "
+                           "pipelines running at scale tonight"),
+        Row(doc_id=4, text="ab"),  # fewer than k words -> no fingerprints
+    ])
+    out = winnowing_fingerprints(df, k=3, window=4)
+    fps = {}
+    for r in out.collect():
+        fps.setdefault(r.id, set()).add(r.fp)
+    assert fps[1] & fps[2]          # shared run -> shared fingerprints
+    assert not (fps[1] & fps[3])    # unrelated -> disjoint
+    assert 4 not in fps             # too short -> empty
+
+
+def test_quality_filter_flags(spark):
+    from configurable_etl_python_repo_spark.llm.text import quality_filter
+
+    good = ("the quick brown fox jumps over the lazy dog and then the fox "
+            "rests in the shade of a tall tree for a while")
+    df = spark.createDataFrame([
+        Row(doc_id=1, text=good),
+        Row(doc_id=2, text="short text"),                       # too few words
+        Row(doc_id=3, text="!!!! ???? **** ((()))) [[[]]] " + good),  # punct-heavy
+        Row(doc_id=4, text="zz qq xx ww vv rr tt yy uu ii oo"), # no stopwords
+    ])
+    out = {r.doc_id: r for r in quality_filter(df).collect()}
+    assert out[1].keep is True
+    assert out[2].keep is False and out[2].ok_word_count is False
+    assert out[3].keep is False and out[3].ok_punct is False
+    assert out[4].keep is False and out[4].ok_stopwords is False
+
+
 def test_multimodal_feature_plumbing(spark):
     df = spark.createDataFrame(
         [Row(doc_id=1, payload=b"hello world"), Row(doc_id=2, payload=b"")]
