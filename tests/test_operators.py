@@ -146,6 +146,18 @@ def test_csv_scan_source(spark, tmp_path):
     assert df.columns == ["a"] and df.count() == 2
 
 
+def test_table_scan_source(spark, sf_dir):
+    """S3: Data Source = table resolves through the session catalog (the
+    reference's from-DB scan, disabled there; live here)."""
+    spark.read.parquet(f"{sf_dir}/region.parquet").createOrReplaceTempView(
+        "s3_region_view"
+    )
+    eng = Engine(spark)
+    df = eng.run_scan(ScanSpec("r", "table", "s3_region_view",
+                               columns=["r_regionkey", "r_name"]))
+    assert df.count() == 5 and df.columns == ["r_regionkey", "r_name"]
+
+
 def test_unknown_scan_source_raises(spark):
     eng = Engine(spark)
     with pytest.raises(ValueError, match="unknown scan source"):

@@ -82,6 +82,27 @@ def test_tumbling_rollup_stream_matches_batch(spark, sf_dir, tmp_path):
     assert stream == batch
 
 
+def test_sliding_rollup_stream_matches_batch(spark, sf_dir, tmp_path):
+    from configurable_etl_python_repo_spark.streaming.windows import (
+        sliding_rollup,
+    )
+
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    src = str(tmp_path / "events_us")
+    ev.write.parquet(src)
+    batch = {tuple(r) for r in sliding_rollup(ev).collect()}
+    # each event falls into exactly window/slide = 4 overlapping windows
+    n_assignments = sum(r[2] for r in batch)
+    assert n_assignments == ev.count() * 4
+
+    q = start_stream_rollup(spark, src, spark.read.parquet(src).schema,
+                            str(tmp_path / "ck3"), transform=sliding_rollup,
+                            output_table="s_rollup")
+    q.awaitTermination(120)
+    stream = {tuple(r) for r in spark.table("s_rollup").collect()}
+    assert stream == batch
+
+
 def test_session_rollup_counts(spark, sf_dir):
     ev = read_events(spark, f"{sf_dir}/events.parquet")
     out = session_rollup(ev)
