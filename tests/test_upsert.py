@@ -68,6 +68,27 @@ def test_upsert_idempotent(spark, tmp_path):
     assert _gold_rows(spark, gold) == {("A", "s1"): "x"}
 
 
+def test_upsert_random_sequence_matches_model(spark, tmp_path):
+    """Model check: any sequence of upsert batches must leave the store
+    equal to a dict replay (put_item semantics, seeded-random batches)."""
+    import random
+
+    rng = random.Random(7)
+    gold = str(tmp_path / "gold")
+    model = {}
+    for step in range(6):
+        batch = {}
+        for _ in range(rng.randint(1, 5)):
+            key = (rng.choice(["A", "B", "C"]), f"s{rng.randint(1, 6)}")
+            batch[key] = f"v{step}_{rng.randint(0, 99)}"
+        df = spark.createDataFrame(
+            [Row(study_code=a, subject=b, val=v) for (a, b), v in batch.items()]
+        )
+        merge_upsert(spark, gold, df, key_cols=["study_code", "subject"])
+        model.update(batch)
+        assert _gold_rows(spark, gold) == model, f"diverged at step {step}"
+
+
 def test_upsert_duplicate_update_keys_last_write_is_single_row(spark, tmp_path):
     """Duplicate keys WITHIN one update batch: both survive the anti-join
     (the store's last-write-wins applies across batches, not within one —
