@@ -44,7 +44,21 @@ def cmd_run_study(args) -> int:
     )
     eng = Engine(spark)
     result = eng.run_study(study)
-    if args.out:
+    if args.merge_out:
+        # the reference's operational shape: each study run REFRESHES its
+        # rows in the standing gold store (per-key put_item overwrite →
+        # partition-scoped merge upsert; other studies' partitions are
+        # untouched)
+        from pyspark.sql import functions as F
+
+        from .sinks.upsert import merge_upsert
+
+        keyed = result.withColumn("study_code", F.lit(study.study_code))
+        merge_upsert(spark, args.merge_out, keyed,
+                     key_cols=["study_code", args.spine_key])
+        print(f"merged study {study.study_code} -> {args.merge_out} "
+              f"({result.count()} rows)")
+    elif args.out:
         _write_out(result, args.out, args.format)
         print(f"standardized output -> {args.out} ({result.count()} rows)")
     else:
@@ -127,6 +141,9 @@ def main(argv: list[str] | None = None) -> int:
     p1.add_argument("--data-dir", help="per-view parquet dir (silver)")
     p1.add_argument("--bronze", help="bronze store path (keyed reads)")
     p1.add_argument("--out")
+    p1.add_argument("--merge-out",
+                    help="upsert the study's rows into a standing gold "
+                         "dataset (partition-scoped merge) instead of --out")
     p1.add_argument("--spine-key", default="subject")
     _add_common(p1)
     p1.set_defaults(fn=cmd_run_study)

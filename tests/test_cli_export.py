@@ -71,6 +71,30 @@ def test_cli_run_analyte_csv_out(spark, sf_dir, tmp_path):
     assert set(back.columns) == {"n_nationkey", "n_name"}
 
 
+def test_cli_run_study_merge_out_idempotent(spark, tmp_path):
+    """--merge-out upserts the study's rows into standing gold: re-running
+    the same study twice leaves one copy (put_item overwrite semantics)."""
+    from clinical_fixtures import generate
+
+    from configurable_etl_python_repo_spark.cli import main
+
+    data_dir = str(tmp_path / "clinical")
+    (tmp_path / "clinical").mkdir()
+    generate(data_dir)
+    gold = str(tmp_path / "gold")
+    argv = ["run-study", "--manifest",
+            "/root/reference/study_configuration.xlsx",
+            "--workbook-dir", "/root/reference",
+            "--data-dir", data_dir, "--merge-out", gold]
+    assert main(argv) == 0
+    first = spark.read.parquet(gold)
+    rows1 = {tuple(r) for r in first.collect()}
+    assert len(rows1) > 0 and "study_code" in first.columns
+    assert main(argv) == 0  # re-run: merge, not append
+    again = spark.read.parquet(gold)
+    assert {tuple(r) for r in again.collect()} == rows1
+
+
 def test_cli_run_analyte_json(spark, sf_dir, tmp_path, capsys):
     import json
 
