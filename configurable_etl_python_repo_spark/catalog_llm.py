@@ -469,6 +469,58 @@ def q_n2(spark: SparkSession, sf_dir: str) -> DataFrame:
                                planes=_N2_PLANES, tables=_N2_TABLES)
 
 
+_IVF_STRIDE, _IVF_PROBE = 64, 2
+
+
+def _ivf_oracle() -> str:
+    return f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      WHERE vec_id % {_IVF_STRIDE} = 0),
+    scored AS (
+      SELECT e.vec_id AS id, c.cid,
+             {_cos_sql('e.embedding', 'c.cv')} AS s
+      FROM embeddings e, cent c),
+    assign AS (
+      SELECT id, cid FROM scored
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY s DESC, cid) = 1),
+    qprobe AS (
+      SELECT id AS query_id, cid FROM scored WHERE id < {_ANN_NQ}
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY s DESC, cid)
+              <= {_IVF_PROBE}),
+    cand AS (
+      SELECT q.query_id, a.id AS neighbor_id
+      FROM qprobe q JOIN assign a ON a.cid = q.cid
+      WHERE a.id != q.query_id),
+    sims AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             {_cos_sql('eq.embedding', 'ec.embedding')} AS sim
+      FROM cand
+      JOIN embeddings eq ON eq.vec_id = cand.query_id
+      JOIN embeddings ec ON ec.vec_id = cand.neighbor_id)
+    SELECT query_id, neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS INTEGER)
+             AS rank,
+           sim
+    FROM sims
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) <= {_ANN_K}
+    """
+
+
+@register("n3_ann_ivf_topk", _ivf_oracle())
+def q_n3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantized top-k: corpus vectors live in per-centroid
+    inverted lists; a query exactly scores only its n_probe nearest lists
+    (~n_probe/n_centroids of the corpus). Deterministic sampled centroids
+    → the whole pipeline, assignment argmax included, replays in SQL."""
+    emb = spark.read.parquet(_pq(sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") < _ANN_NQ)
+    return S.ivf_topk(emb, queries, k=_ANN_K, centroid_stride=_IVF_STRIDE,
+                      n_probe=_IVF_PROBE)
+
+
 # ===========================================================================
 # Text analysis
 # ===========================================================================

@@ -51,6 +51,17 @@ def _ann_topk_lsh(engine: "Engine", spec: OpSpec):
     return S.lsh_bucketed_topk(corpus, queries, **spec.args), None
 
 
+def _binary_corpus_queries(fn_name: str):
+    def compile_op(engine: "Engine", spec: OpSpec):
+        corpus, _ = engine.peek(spec.inputs[0])
+        queries, _ = engine.peek(
+            spec.inputs[1] if len(spec.inputs) > 1 else spec.inputs[0]
+        )
+        return getattr(S, fn_name)(corpus, queries, **spec.args), None
+
+    return compile_op
+
+
 def _rename_kw(fn, mapping):
     """Adapt config-facing arg names (id_column/text_column) to the llm
     functions' parameter names."""
@@ -98,6 +109,7 @@ LLM_OP_COMPILERS = {
     ),
     "ANN TOPK": _ann_topk,
     "ANN TOPK LSH": _ann_topk_lsh,
+    "ANN TOPK IVF": _binary_corpus_queries("ivf_topk"),
     "IMAGE RESIZE": _unary(
         _rename_kw(_lazy_multimodal("resize_images"),
                    {"id_column": "id_col", "payload_column": "payload_col"})

@@ -129,6 +129,27 @@ def test_cosine_pairs_planes_is_explicit(spark, sf_dir):
         assert v == exact[k]  # identical sims on the pairs it keeps
 
 
+def test_ivf_topk_recall_rises_with_probes(spark, sf_dir):
+    """IVF: probing more inverted lists must not lower recall, and even
+    few probes beat the floor."""
+    from configurable_etl_python_repo_spark.llm.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in brute_force_topk(emb, queries, k=5).collect()}
+
+    def recall(n_probe):
+        approx = {(r.query_id, r.neighbor_id)
+                  for r in ivf_topk(emb, queries, k=5, centroid_stride=64,
+                                    n_probe=n_probe).collect()}
+        return len(exact & approx) / len(exact)
+
+    r2, r4 = recall(2), recall(4)
+    assert r4 >= r2 >= 0.3
+    assert r4 >= 0.5
+
+
 def test_srp_arrow_matches_column_math(spark, sf_dir):
     """The vectorized (numpy matmul) SRP hash must agree bucket-for-bucket
     with the Column-math spec the SQL oracles mirror."""
