@@ -221,7 +221,9 @@ _LSH_BANDS, _LSH_ROWS = 8, 2
 _LSH_P, _LSH_Q = 1, 10  # verify threshold 0.1
 
 
-def _minhash_lsh_oracle() -> str:
+def _lsh_ctes() -> str:
+    """CTE chain ending in `lsh_pairs` = the verified MinHash-LSH near-dup
+    pairs (shared by the d3 oracle and the d7 cluster oracle)."""
     H = _LSH_BANDS * _LSH_ROWS
     # scheme mirror of llm.dedup._minhash_expr: seed j//4, hex window j%4
     mh_cols = ", ".join(
@@ -243,10 +245,18 @@ def _minhash_lsh_oracle() -> str:
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM buckets a JOIN buckets b
-      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
-    SELECT c.id_a, c.id_b, p.inter, p.size_a, p.size_b
-    FROM cand c JOIN pairs p ON c.id_a = p.id_a AND c.id_b = p.id_b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    lsh_pairs AS (
+      SELECT c.id_a, c.id_b, p.inter, p.size_a, p.size_b
+      FROM cand c JOIN pairs p ON c.id_a = p.id_a AND c.id_b = p.id_b)
     """
+    )
+
+
+def _minhash_lsh_oracle() -> str:
+    return (
+        _lsh_ctes()
+        + "SELECT id_a, id_b, inter, size_a, size_b FROM lsh_pairs"
     )
 
 
@@ -281,6 +291,45 @@ def _simhash_oracle() -> str:
 def q_d4(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(_pq(sf_dir, "documents"))
     return D.simhash32(docs)
+
+
+def _dedup_clusters_oracle() -> str:
+    """Transitive closure of the LSH near-dup pairs as a recursive CTE:
+    min-id reachability labels every doc with its component minimum —
+    exactly what the alternating-star algorithm computes distributedly."""
+    ctes = _lsh_ctes().replace("WITH ", "WITH RECURSIVE ", 1)
+    return (
+        ctes
+        + """,
+    edges AS (SELECT id_a AS u, id_b AS v FROM lsh_pairs
+              UNION SELECT id_b, id_a FROM lsh_pairs),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r),
+    comp AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+    sized AS (SELECT cluster_id, COUNT(*) AS cluster_size
+              FROM comp GROUP BY cluster_id)
+    SELECT c.doc_id, c.cluster_id, s.cluster_size,
+           c.doc_id = c.cluster_id AS is_keeper
+    FROM comp c JOIN sized s USING (cluster_id)
+    """
+    )
+
+
+@register("d7_dedup_clusters", _dedup_clusters_oracle())
+def q_d7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup resolution: MinHash-LSH pairs (d3's parameters) ->
+    connected components (alternating large-star/small-star) -> every doc
+    labeled with its cluster minimum, cluster size, and a unique keeper
+    flag. `WHERE is_keeper` is the deduplicated corpus."""
+    from .llm.clusters import dedup_clusters
+
+    docs = spark.read.parquet(_pq(sf_dir, "documents"))
+    pairs = D.minhash_lsh_pairs(docs, n=_JACCARD_N, bands=_LSH_BANDS,
+                                rows_per_band=_LSH_ROWS,
+                                threshold=_LSH_P / _LSH_Q)
+    return dedup_clusters(docs, pairs)
 
 
 _COS_T = 0.42  # fixture embeddings are near-orthogonal; max pair sim ≈ 0.51
@@ -579,6 +628,48 @@ def _lang_oracle() -> str:
 def q_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(_pq(sf_dir, "documents"))
     return T.language_id(docs).select("doc_id", "lang_pred", "lang_pred_hits")
+
+
+def _lang_ngram_oracle() -> str:
+    scores = ", ".join(
+        "CAST(len(list_filter(g, x -> list_contains(['"
+        + "', '".join(prof)
+        + f"'], x))) AS BIGINT) AS sc_{lang}"
+        for lang, prof in T.LANG_TRIGRAMS.items()
+    )
+    langs = sorted(T.LANG_TRIGRAMS)
+    best = "greatest(" + ", ".join(f"sc_{lg}" for lg in langs) + ")"
+    case = " ".join(f"WHEN sc_{lg} = {best} THEN '{lg}'" for lg in langs)
+    return rf"""
+    WITH t AS (
+      SELECT doc_id,
+             ' ' || regexp_replace(lower(trim(text)), '\s+', ' ', 'g') || ' '
+               AS s
+      FROM documents),
+    tg AS (
+      SELECT doc_id,
+             CASE WHEN len(s) >= 3
+                  THEN list_transform(generate_series(1, len(s) - 2),
+                                      i -> substr(s, i, 3))
+                  ELSE [] END AS g
+      FROM t),
+    scored AS (SELECT doc_id, {scores} FROM tg)
+    SELECT doc_id,
+           CASE WHEN {best} = 0 THEN 'und' {case} END AS lang_pred,
+           {best} AS lang_pred_score
+    FROM scored
+    """
+
+
+@register("t7_language_id_ngram", _lang_ngram_oracle())
+def q_t7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram profile language ID — frequency-weighted hits
+    against static Cavnar-Trenkle-style profiles; works on short text
+    where the stopword heuristic returns 'und'."""
+    docs = spark.read.parquet(_pq(sf_dir, "documents"))
+    return T.language_id_ngram(docs).select(
+        "doc_id", "lang_pred", "lang_pred_score"
+    )
 
 
 @register(

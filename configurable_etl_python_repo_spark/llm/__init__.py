@@ -12,6 +12,7 @@ the primitive.
 from .text import (  # noqa: F401
     text_stats,
     language_id,
+    language_id_ngram,
     fingerprint,
     token_count_bpe_ish,
 )
@@ -23,3 +24,4 @@ from .dedup import (  # noqa: F401
     simhash32,
 )
 from .similarity import brute_force_topk, lsh_bucketed_topk  # noqa: F401
+from .clusters import connected_components, dedup_clusters  # noqa: F401

@@ -1,0 +1,156 @@
+"""Duplicate-cluster resolution: near-dup PAIRS -> connected COMPONENTS ->
+one keeper per cluster.
+
+Pairwise dedup (ngram_jaccard_pairs / minhash_lsh_pairs) answers "which
+docs are similar"; a training-data pipeline needs the transitive closure:
+if A~B and B~C, all three are one cluster and exactly one survives. This
+module computes that closure with the alternating large-star / small-star
+algorithm (Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14) expressed entirely in DataFrame ops:
+
+  - each round is two (groupBy min + join) passes — plain hash shuffles on
+    the node id, no driver-side graph state, no collect;
+  - converges in O(log^2 n) rounds on ANY graph shape (a chain of 1M
+    near-identical docs converges in ~20 rounds where naive min-label
+    propagation needs 1M);
+  - per-round localCheckpoint truncates the logical plan, so lineage stays
+    O(1) instead of compounding a join tree per iteration (swap for
+    checkpoint() on a real cluster if driver-loss recovery matters).
+
+The output labels every node with the MINIMUM id of its component —
+deterministic, so a recursive-CTE SQL oracle reproduces it exactly.
+
+Reference parity note: the reference engine has no graph/closure operator
+at all (its dedup story ends at pandas drop_duplicates,
+Data_Standardization_Python.py:34); this is part of the LLM-pipeline
+extension surface the brief asks for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _edge_digest(e: DataFrame) -> tuple[int, int]:
+    """(row count, order-independent xxhash64 sum) — one aggregate, used as
+    the convergence test. The sum runs as decimal(38,0): wide enough that
+    summing 2^64-scale terms can't overflow ANSI arithmetic, and
+    order-independent so partitioning doesn't matter."""
+    row = e.select(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+        ).alias("h"),
+    ).first()
+    return int(row["n"]), int(row["h"])
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star: for each node u, attach every LARGER neighbor v to
+    m = min(neighborhood(u) + {u}). Input must be symmetric (both
+    directions); output edges all point larger -> smaller."""
+    mins = e.groupBy("u").agg(F.min("v").alias("mv"))
+    m = F.least(F.col("u"), F.col("mv"))
+    return (
+        e.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), m.alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star: for each node u (edges point larger -> smaller, so all
+    neighbors here are < u), attach u and its neighbors to the minimum."""
+    mins = e.groupBy("u").agg(F.min("v").alias("mv"))
+    neighbor_edges = e.join(mins, "u").select(
+        F.col("v").alias("u"), F.col("mv").alias("v")
+    )
+    self_edges = mins.select("u", F.col("mv").alias("v"))
+    return (
+        neighbor_edges.union(self_edges)
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(id, cluster_id) for every node appearing in `pairs`, where
+    cluster_id is the minimum id of the node's connected component.
+
+    Alternates large-star / small-star until the edge set reaches a fixed
+    point (each round is checked with a count+hash digest, one aggregate).
+    max_iter is a safety valve: 50 rounds covers components of ~2^50 nodes;
+    hitting it raises rather than returning a partial closure."""
+    e = pairs.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+    ).where(F.col("u") != F.col("v"))
+    # orient larger -> smaller so the first small_star input is well-formed
+    e = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct()
+    e = e.localCheckpoint(eager=True)
+    digest = _edge_digest(e)
+    for _ in range(max_iter):
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        e2 = _small_star(_large_star(sym)).localCheckpoint(eager=True)
+        new_digest = _edge_digest(e2)
+        e.unpersist()
+        e = e2
+        if new_digest == digest:
+            break
+        digest = new_digest
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    # at the fixed point every edge is (node -> component minimum);
+    # the minima themselves appear only on the v side
+    roots = e.select(F.col("v").alias("u"), F.col("v")).distinct()
+    return e.union(roots).distinct().select(
+        F.col("u").alias("id"), F.col("v").alias("cluster_id")
+    )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Assign EVERY document a duplicate-cluster id and mark the keeper.
+
+    Documents untouched by any pair are singleton clusters of themselves.
+    Output: (doc_id, cluster_id, cluster_size, is_keeper) with
+    cluster_id = min doc_id in the component and is_keeper true exactly
+    once per cluster (the minimum id — deterministic). Downstream,
+    `WHERE is_keeper` is the deduplicated corpus.
+
+    The join of docs against the component labels is a left join on the
+    doc id — at 100 TB the label side holds only docs that matched some
+    pair (usually a small fraction), so AQE broadcasts it when small and
+    shuffles otherwise."""
+    labels = connected_components(pairs, src_col, dst_col)
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+    labeled = ids.join(
+        labels.withColumnsRenamed({"id": "doc_id"}), "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
+    sizes = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return labeled.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+    )

@@ -93,6 +93,77 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).withColumn("lang_pred_hits", (-best["neg"]).cast("long"))
 
 
+# Character-trigram profiles (space-padded word boundaries, ASCII-only so
+# Spark and the SQL oracle agree byte-for-byte regardless of unicode
+# collation). Hand-curated most-characteristic trigrams per language —
+# the classic Cavnar-Trenkle n-gram profile approach, truncated to a
+# static table. Deliberately overlapping across languages (realistic);
+# frequency-weighted counting disambiguates.
+LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
+    "en": (" th", "the", "he ", " an", "and", "nd ", "ing", "ng ", " of",
+           "of ", " to", "to ", " in", "in ", "ion", "ed ", " is", "is ",
+           "at ", "tio"),
+    "de": (" de", "der", "er ", "die", "ie ", "und", " un", "nd ", "ich",
+           "ch ", "sch", " sc", "ein", " ei", "ung", "gen", "ten", "cht",
+           "das", "en "),
+    "fr": (" de", "de ", " le", "le ", "es ", "ent", "nt ", " la", "la ",
+           "ion", "que", " qu", "ue ", "les", " et", "et ", "re ", "ons",
+           " pa", "ait"),
+    "es": (" de", "de ", " la", "la ", " el", "el ", "que", " qu", "ue ",
+           "os ", "ado", " co", "con", "ent", " en", "en ", "cio", "ion",
+           "es ", "ar "),
+    "it": (" di", "di ", "che", " ch", "he ", "to ", "la ", "re ", "ion",
+           "zio", "one", " co", "per", " pe", "er ", "ell", "lla", "are",
+           "ta ", "no "),
+    "pt": (" de", "de ", "que", " qu", "ue ", "os ", "ar ", "do ", "da ",
+           " pa", "par", "ra ", "nte", "ent", " co", "com", "uma", " um",
+           "ma ", "as "),
+    "nl": (" de", "de ", "en ", "het", " he", "et ", "van", " va", "an ",
+           "een", " ee", "er ", "ijn", "ij ", "aar", " ni", "nie", "iet",
+           "oor", " da"),
+}
+
+
+def language_id_ngram(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Character-trigram language ID (Cavnar-Trenkle-style profiles).
+
+    Scores each language by the FREQUENCY of its profile trigrams in the
+    space-padded, whitespace-normalized lowercase text — robust on short
+    or function-word-poor text where the stopword heuristic
+    (`language_id`) sees zero hits. Argmax wins, ties break
+    alphabetically, zero score → 'und'. Pure Column expressions (one
+    transform + per-language filter over the same trigram array), zero
+    shuffles, and deterministic so the SQL oracle reproduces it."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    padded = F.concat(F.lit(" "), norm, F.lit(" "))
+    n = F.length(padded)
+    grams = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2), lambda i: padded.substr(i, F.lit(3))
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+
+    def _in(profile):
+        return lambda g: g.isin(*profile)
+
+    scores = {
+        lang: F.size(F.filter(grams, _in(prof)))
+        for lang, prof in LANG_TRIGRAMS.items()
+    }
+    pairs = F.array(
+        *[
+            F.struct((-scores[lang]).alias("neg"), F.lit(lang).alias("lang"))
+            for lang in sorted(LANG_TRIGRAMS)
+        ]
+    )
+    best = F.array_sort(pairs)[0]
+    return df.withColumn(
+        "lang_pred",
+        F.when(-best["neg"] > 0, best["lang"]).otherwise(F.lit("und")),
+    ).withColumn("lang_pred_score", (-best["neg"]).cast("long"))
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic document fingerprint: md5 of the whitespace-normalized,
     lowercased text. Stable across engines (the DuckDB oracle computes the

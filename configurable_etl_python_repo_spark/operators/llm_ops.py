@@ -78,6 +78,26 @@ def _rename_kw(fn, mapping):
 _ID_TEXT = {"id_column": "id_col", "text_column": "text_col"}
 
 
+def _connected_components(engine: "Engine", spec: OpSpec):
+    from ..llm import clusters as C
+
+    pairs, _ = engine.peek(spec.inputs[0])
+    return C.connected_components(pairs, **spec.args), None
+
+
+def _dedup_clusters(engine: "Engine", spec: OpSpec):
+    """inputs: [docs, pairs] — label every doc with its duplicate-cluster
+    id and keeper flag (see llm.clusters.dedup_clusters)."""
+    from ..llm import clusters as C
+
+    docs, _ = engine.peek(spec.inputs[0])
+    pairs, _ = engine.peek(spec.inputs[1])
+    kwargs = dict(spec.args)
+    if "id_column" in kwargs:
+        kwargs["id_col"] = kwargs.pop("id_column")
+    return C.dedup_clusters(docs, pairs, **kwargs), None
+
+
 def _lazy_multimodal(fn_name: str):
     """multimodal imports pandas at module load — defer until dispatch."""
 
@@ -95,6 +115,9 @@ LLM_OP_COMPILERS = {
     "SIMHASH": _unary(_rename_kw(D.simhash32, _ID_TEXT)),
     "TEXT STATS": _unary(_rename_kw(T.text_stats, {"text_column": "text_col"})),
     "LANGUAGE ID": _unary(_rename_kw(T.language_id, {"text_column": "text_col"})),
+    "LANGUAGE ID NGRAM": _unary(
+        _rename_kw(T.language_id_ngram, {"text_column": "text_col"})
+    ),
     "FINGERPRINT": _unary(_rename_kw(T.fingerprint, {"text_column": "text_col"})),
     "TOKEN COUNT": _unary(
         _rename_kw(T.token_count_bpe_ish, {"text_column": "text_col"})
@@ -107,6 +130,8 @@ LLM_OP_COMPILERS = {
         _rename_kw(S.embedding_cosine_pairs,
                    {"id_column": "id_col", "vector_column": "vec_col"})
     ),
+    "CONNECTED COMPONENTS": _connected_components,
+    "DEDUP CLUSTERS": _dedup_clusters,
     "ANN TOPK": _ann_topk,
     "ANN TOPK LSH": _ann_topk_lsh,
     "ANN TOPK IVF": _binary_corpus_queries("ivf_topk"),

@@ -1,0 +1,88 @@
+"""Connected-components dedup clustering: alternating star algorithm vs a
+driver-side union-find on the same edges, plus graph shapes that stress
+convergence (long chains, stars, multiple components, singletons)."""
+
+import random
+
+import pytest
+from pyspark.sql import Row
+
+from configurable_etl_python_repo_spark.llm.clusters import (
+    connected_components,
+    dedup_clusters,
+)
+
+
+def _union_find(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # label every node with the component MINIMUM (path-compress twice so
+    # every chain resolves to the true root)
+    return {x: find(x) for x in range(n_nodes)}
+
+
+def _spark_labels(spark, edges):
+    df = spark.createDataFrame(
+        [Row(id_a=a, id_b=b) for a, b in edges] or [], "id_a long, id_b long"
+    )
+    return {r.id: r.cluster_id for r in connected_components(df).collect()}
+
+
+def test_chain_converges_to_min(spark):
+    # path graph 0-1-2-...-19: one component, worst case for naive
+    # label propagation (diameter = n), few rounds for alternating star
+    edges = [(i, i + 1) for i in range(19)]
+    labels = _spark_labels(spark, edges)
+    assert labels == {i: 0 for i in range(20)}
+
+
+def test_two_components_and_direction_independence(spark):
+    edges = [(5, 3), (3, 9), (2, 8), (8, 2)]  # dup edge reversed
+    labels = _spark_labels(spark, edges)
+    assert labels == {3: 3, 5: 3, 9: 3, 2: 2, 8: 2}
+
+
+def test_random_graphs_match_union_find(spark):
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(40 + 20 * trial)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        expect = _union_find(n, edges)
+        touched = {x for e in edges for x in e}
+        labels = _spark_labels(spark, edges)
+        assert labels == {x: expect[x] for x in touched}
+
+
+def test_dedup_clusters_keeper_and_singletons(spark):
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(6)])
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=4), Row(id_a=4, id_b=5)]
+    )
+    out = {r.doc_id: r for r in dedup_clusters(docs, pairs).collect()}
+    assert {d: r.cluster_id for d, r in out.items()} == {
+        0: 0, 1: 1, 2: 2, 3: 3, 4: 1, 5: 1
+    }
+    assert [d for d, r in sorted(out.items()) if r.is_keeper] == [0, 1, 2, 3]
+    assert out[4].cluster_size == 3 and out[0].cluster_size == 1
+
+
+def test_string_ids(spark):
+    # min-id semantics must hold for any orderable id type
+    pairs = spark.createDataFrame(
+        [Row(id_a="doc-b", id_b="doc-a"), Row(id_a="doc-b", id_b="doc-c")]
+    )
+    labels = {r.id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert labels == {"doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a"}

@@ -48,6 +48,24 @@ def test_dedup_op_in_pipeline(spark, sf_dir):
     assert out.count() == 500  # fixture texts are all distinct
 
 
+def test_dedup_clusters_two_input_op(spark, sf_dir):
+    """MINHASH LSH -> DEDUP CLUSTERS chained declaratively: the pairs
+    binding feeds the two-input cluster op alongside the original docs."""
+    eng = Engine(spark)
+    eng.run_scan(ScanSpec("docs", "parquet", f"{sf_dir}/documents.parquet"))
+    eng.bind("pairs", eng.run_op(OpSpec(
+        "MINHASH LSH", "pairs", ["docs"],
+        {"id_column": "doc_id", "text_column": "text",
+         "bands": 8, "rows_per_band": 2, "threshold": 0.1})))
+    out = eng.run_op(OpSpec("DEDUP CLUSTERS", "clusters", ["docs", "pairs"],
+                            {"id_column": "doc_id"}))
+    rows = out.collect()
+    assert len(rows) == 500  # every doc labeled, singletons included
+    keepers = [r for r in rows if r.is_keeper]
+    assert len(keepers) == len({r.cluster_id for r in rows})
+    assert all(r.cluster_id <= r.doc_id for r in rows)
+
+
 def test_ann_topk_two_input_op(spark, sf_dir):
     eng = Engine(spark)
     eng.run_scan(ScanSpec("corpus", "parquet", f"{sf_dir}/embeddings.parquet"))

@@ -190,6 +190,31 @@ def test_language_id(spark):
     assert out == {1: "en", 2: "de", 3: "und"}
 
 
+def test_language_id_ngram(spark):
+    """Trigram profiles classify real sentences per language and beat the
+    stopword heuristic on short function-word-free text."""
+    from configurable_etl_python_repo_spark.llm.text import language_id_ngram
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="the thing is that the most interesting question"),
+         Row(doc_id=2, text="ich dachte das wunderschoene lied und der wald"),
+         Row(doc_id=3, text="les questions que nous passons et ensuite"),
+         Row(doc_id=4, text="interesting"),  # no stopword hits, 'ing' scores
+         Row(doc_id=5, text="")]
+    )
+    out = {r.doc_id: r for r in language_id_ngram(df).collect()}
+    assert out[1].lang_pred == "en"
+    assert out[2].lang_pred == "de"
+    assert out[3].lang_pred == "fr"
+    assert out[4].lang_pred == "en" and out[4].lang_pred_score > 0
+    assert out[5].lang_pred == "und" and out[5].lang_pred_score == 0
+
+    from configurable_etl_python_repo_spark.llm.text import language_id
+
+    stopword = {r.doc_id: r.lang_pred for r in language_id(df).collect()}
+    assert stopword[4] == "und"  # what the upgrade fixes
+
+
 def test_winnowing_shared_run_overlaps(spark):
     """Docs sharing a long word run share winnowing fingerprints; unrelated
     docs (almost surely) don't. Whole-doc md5 can't detect the former."""
