@@ -570,6 +570,18 @@ def q_n3(spark: SparkSession, sf_dir: str) -> DataFrame:
                       n_probe=_IVF_PROBE)
 
 
+@register("n4_ann_ivf_kmeans")
+def q_n4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with pyspark.ml KMeans-trained (data-adaptive) centroids.
+    No SQL oracle by design: KMeans init depends on data partitioning, so
+    the driver records a rows-only check; correctness is pinned by the
+    pytest recall bounds against brute force (test_llm_ops.py)."""
+    emb = spark.read.parquet(_pq(sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") < _ANN_NQ)
+    return S.ivf_topk_kmeans(emb, queries, k=_ANN_K, n_centroids=8,
+                             n_probe=_IVF_PROBE)
+
+
 # ===========================================================================
 # Text analysis
 # ===========================================================================

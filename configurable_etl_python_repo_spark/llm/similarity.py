@@ -263,6 +263,26 @@ def ivf_topk(
     centroids = sorted((r[0], list(r[1])) for r in cent_rows)
     if not centroids:
         raise ValueError("no centroids: corpus has no id % stride == 0 rows")
+    return _ivf_search(
+        corpus, queries, centroids, k, n_probe, id_col, vec_col, round_digits
+    )
+
+
+def _ivf_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: "list[tuple[int, list[float]]]",
+    k: int,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+    round_digits: int,
+) -> DataFrame:
+    """Shared IVF assignment/probe/rerank plumbing: corpus rows join their
+    single nearest centroid (the inverted list), queries explode to their
+    n_probe nearest lists, and exact rerank runs only inside probed
+    lists. The centroid list is driver-side by construction (it IS the
+    coarse index) — a few KB broadcast inside the pandas UDF closures."""
     assign1 = ivf_assignments_arrow(centroids, n_best=1)
     probe = ivf_assignments_arrow(centroids, n_best=n_probe)
     c = corpus.select(
@@ -287,6 +307,43 @@ def ivf_topk(
         sims.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def ivf_topk_kmeans(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    seed: int = 7,
+    max_iter: int = 20,
+) -> DataFrame:
+    """IVF top-k with DATA-ADAPTIVE centroids: pyspark.ml KMeans trains the
+    coarse quantizer (distributed Lloyd iterations over the corpus), then
+    the search plumbing is identical to `ivf_topk`. Data-adaptive lists
+    track the corpus distribution, so list sizes stay balanced where the
+    deterministic-sample quantizer can skew on clustered embeddings.
+
+    KMeans init is seeded but depends on data partitioning, so results
+    are reproducible per-plan rather than engine-portable — this variant
+    is verified by recall tests against brute force, not a SQL oracle
+    (the sampled-centroid `ivf_topk` keeps the oracle-checked path)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(train)
+    centroids = [
+        (i, list(map(float, ctr))) for i, ctr in enumerate(model.clusterCenters())
+    ]
+    return _ivf_search(
+        corpus, queries, centroids, k, n_probe, id_col, vec_col, round_digits
     )
 
 

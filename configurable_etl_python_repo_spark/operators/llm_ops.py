@@ -135,6 +135,7 @@ LLM_OP_COMPILERS = {
     "ANN TOPK": _ann_topk,
     "ANN TOPK LSH": _ann_topk_lsh,
     "ANN TOPK IVF": _binary_corpus_queries("ivf_topk"),
+    "ANN TOPK IVF KMEANS": _binary_corpus_queries("ivf_topk_kmeans"),
     "IMAGE RESIZE": _unary(
         _rename_kw(_lazy_multimodal("resize_images"),
                    {"id_column": "id_col", "payload_column": "payload_col"})

@@ -47,6 +47,13 @@ def test_query_matches_oracle(spark, sf_dir, oracle_con, name):
 
 def test_every_query_has_oracle_or_reason():
     # every catalog query carries a SQL oracle — the md5-derived hash
-    # families (minhash, simhash, SRP planes) are all generated into SQL
-    missing = set(QUERIES) - set(ORACLES)
+    # families (minhash, simhash, SRP planes) are all generated into SQL.
+    # Exemptions are by-design non-SQL-reproducible (documented on the
+    # query) and each carries a pytest correctness bound instead.
+    ROWS_ONLY_BY_DESIGN = {
+        # KMeans init depends on data partitioning; recall-bounded in
+        # test_llm_ops.test_ivf_kmeans_recall
+        "n4_ann_ivf_kmeans",
+    }
+    missing = set(QUERIES) - set(ORACLES) - ROWS_ONLY_BY_DESIGN
     assert missing == set()

@@ -150,6 +150,30 @@ def test_ivf_topk_recall_rises_with_probes(spark, sf_dir):
     assert r4 >= 0.5
 
 
+def test_ivf_kmeans_recall(spark, sf_dir):
+    """Data-adaptive (KMeans-centroid) IVF: same monotone recall-vs-probes
+    contract as the sampled-centroid variant, and probing every list is
+    exhaustive (recall 1.0) — the plumbing loses nothing."""
+    from configurable_etl_python_repo_spark.llm.similarity import (
+        ivf_topk_kmeans,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in brute_force_topk(emb, queries, k=5).collect()}
+
+    def recall(n_probe):
+        approx = {(r.query_id, r.neighbor_id)
+                  for r in ivf_topk_kmeans(emb, queries, k=5, n_centroids=8,
+                                           n_probe=n_probe).collect()}
+        return len(exact & approx) / len(exact)
+
+    r2, r8 = recall(2), recall(8)
+    assert r8 >= r2 >= 0.3
+    assert r8 == 1.0  # all lists probed == brute force
+
+
 def test_srp_arrow_matches_column_math(spark, sf_dir):
     """The vectorized (numpy matmul) SRP hash must agree bucket-for-bucket
     with the Column-math spec the SQL oracles mirror."""
