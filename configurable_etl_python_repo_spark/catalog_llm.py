@@ -518,14 +518,14 @@ def q_n2(spark: SparkSession, sf_dir: str) -> DataFrame:
                                planes=_N2_PLANES, tables=_N2_TABLES)
 
 
-_IVF_STRIDE, _IVF_PROBE = 64, 2
+_IVF_N_CENTROIDS, _IVF_PROBE = 8, 2
 
 
 def _ivf_oracle() -> str:
     return f"""
     WITH cent AS (
       SELECT vec_id AS cid, embedding AS cv FROM embeddings
-      WHERE vec_id % {_IVF_STRIDE} = 0),
+      ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {_IVF_N_CENTROIDS}),
     scored AS (
       SELECT e.vec_id AS id, c.cid,
              {_cos_sql('e.embedding', 'c.cv')} AS s
@@ -562,11 +562,12 @@ def _ivf_oracle() -> str:
 def q_n3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantized top-k: corpus vectors live in per-centroid
     inverted lists; a query exactly scores only its n_probe nearest lists
-    (~n_probe/n_centroids of the corpus). Deterministic sampled centroids
+    (~n_probe/n_centroids of the corpus). Centroids are a hash-order
+    sample bounded by the CONSTANT n_centroids (never corpus-proportional)
     → the whole pipeline, assignment argmax included, replays in SQL."""
     emb = spark.read.parquet(_pq(sf_dir, "embeddings"))
     queries = emb.where(F.col("vec_id") < _ANN_NQ)
-    return S.ivf_topk(emb, queries, k=_ANN_K, centroid_stride=_IVF_STRIDE,
+    return S.ivf_topk(emb, queries, k=_ANN_K, n_centroids=_IVF_N_CENTROIDS,
                       n_probe=_IVF_PROBE)
 
 
@@ -589,31 +590,57 @@ def q_n4(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STOP_SQL = "['" + "', '".join(T.ENGLISH_STOPWORDS) + "']"
 
 
-@register(
-    "t1_text_stats",
-    rf"""
-    WITH {_WORDS_SQL.strip()}
-    SELECT d.doc_id,
-           CAST(length(d.text) AS BIGINT) AS n_chars_measured,
-           CAST(len(w.w) AS BIGINT) AS n_words,
-           CAST(len(regexp_extract_all(d.text, '[^\w\s]', 0)) AS DOUBLE)
-             / greatest(length(d.text), 1) AS punct_ratio,
-           CAST(len(list_filter(w.w, x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
-             / greatest(len(w.w), 1) AS stopword_ratio,
-           CAST(list_sum(list_transform(w.w, x -> length(x))) AS DOUBLE)
-             / greatest(len(w.w), 1) AS mean_word_len
-    FROM documents d JOIN words w ON d.doc_id = w.doc_id
-    """,
-)
+def _stats_quality_oracle() -> str:
+    """t1 = text_stats features + the gopher-style quality flags in one
+    scan (quality_filter composes on text_stats, so one query covers both
+    operators — keeps the driver's 50-row sweep wide)."""
+    r = T.QUALITY_RULES
+    return rf"""
+    WITH {_WORDS_SQL.strip()},
+    s AS (
+      SELECT d.doc_id,
+             CAST(length(d.text) AS BIGINT) AS n_chars_measured,
+             CAST(len(w.w) AS BIGINT) AS n_words,
+             CAST(len(regexp_extract_all(d.text, '[^\w\s]', 0)) AS DOUBLE)
+               / greatest(length(d.text), 1) AS punct_ratio,
+             CAST(len(list_filter(w.w, x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+               / greatest(len(w.w), 1) AS stopword_ratio,
+             CAST(list_sum(list_transform(w.w, x -> length(x))) AS DOUBLE)
+               / greatest(len(w.w), 1) AS mean_word_len
+      FROM documents d JOIN words w ON d.doc_id = w.doc_id)
+    SELECT doc_id, n_chars_measured, n_words, punct_ratio, stopword_ratio,
+           mean_word_len,
+           (n_words >= {r["min_words"]} AND n_words <= {r["max_words"]})
+             AS ok_word_count,
+           punct_ratio <= {r["max_punct_ratio"]} AS ok_punct,
+           stopword_ratio >= {r["min_stopword_ratio"]} AS ok_stopwords,
+           (mean_word_len >= {r["min_mean_word_len"]}
+            AND mean_word_len <= {r["max_mean_word_len"]}) AS ok_word_len,
+           ((n_words >= {r["min_words"]} AND n_words <= {r["max_words"]})
+            AND punct_ratio <= {r["max_punct_ratio"]}
+            AND stopword_ratio >= {r["min_stopword_ratio"]}
+            AND (mean_word_len >= {r["min_mean_word_len"]}
+                 AND mean_word_len <= {r["max_mean_word_len"]})) AS keep
+    FROM s
+    """
+
+
+@register("t1_text_stats", _stats_quality_oracle())
 def q_t1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-stats features + gopher-style quality flags (quality_filter
+    runs on top of text_stats — one scan, both operators verified)."""
     docs = spark.read.parquet(_pq(sf_dir, "documents"))
-    return T.text_stats(docs).select(
+    return T.quality_filter(docs).select(
         "doc_id", "n_chars_measured", "n_words", "punct_ratio",
         "stopword_ratio", "mean_word_len",
+        "ok_word_count", "ok_punct", "ok_stopwords", "ok_word_len", "keep",
     )
 
 
 def _lang_oracle() -> str:
+    """t2 = BOTH language-ID variants (stopword-hit heuristic + the
+    Cavnar-Trenkle-style char-trigram profile) joined on doc_id — one
+    driver row verifies the whole language-ID family."""
     hits = ", ".join(
         "CAST(len(list_filter(w.w, x -> list_contains(['"
         + "', '".join(sw)
@@ -625,35 +652,25 @@ def _lang_oracle() -> str:
     case = " ".join(
         f"WHEN hits_{lg} = {best} THEN '{lg}'" for lg in langs
     )
-    return f"""
-    WITH {_WORDS_SQL.strip()},
-    scored AS (SELECT d.doc_id, {hits}
-               FROM documents d JOIN words w ON d.doc_id = w.doc_id)
-    SELECT doc_id,
-           CASE WHEN {best} = 0 THEN 'und' {case} END AS lang_pred,
-           {best} AS lang_pred_hits
-    FROM scored
-    """
-
-
-@register("t2_language_id", _lang_oracle())
-def q_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(_pq(sf_dir, "documents"))
-    return T.language_id(docs).select("doc_id", "lang_pred", "lang_pred_hits")
-
-
-def _lang_ngram_oracle() -> str:
-    scores = ", ".join(
+    tg_scores = ", ".join(
         "CAST(len(list_filter(g, x -> list_contains(['"
         + "', '".join(prof)
         + f"'], x))) AS BIGINT) AS sc_{lang}"
         for lang, prof in T.LANG_TRIGRAMS.items()
     )
-    langs = sorted(T.LANG_TRIGRAMS)
-    best = "greatest(" + ", ".join(f"sc_{lg}" for lg in langs) + ")"
-    case = " ".join(f"WHEN sc_{lg} = {best} THEN '{lg}'" for lg in langs)
+    tg_langs = sorted(T.LANG_TRIGRAMS)
+    tg_best = "greatest(" + ", ".join(f"sc_{lg}" for lg in tg_langs) + ")"
+    tg_case = " ".join(f"WHEN sc_{lg} = {tg_best} THEN '{lg}'" for lg in tg_langs)
     return rf"""
-    WITH t AS (
+    WITH {_WORDS_SQL.strip()},
+    sw_scored AS (SELECT d.doc_id, {hits}
+                  FROM documents d JOIN words w ON d.doc_id = w.doc_id),
+    sw AS (
+      SELECT doc_id,
+             CASE WHEN {best} = 0 THEN 'und' {case} END AS lang_stopword,
+             {best} AS lang_stopword_hits
+      FROM sw_scored),
+    t AS (
       SELECT doc_id,
              ' ' || regexp_replace(lower(trim(text)), '\s+', ' ', 'g') || ' '
                AS s
@@ -665,50 +682,54 @@ def _lang_ngram_oracle() -> str:
                                       i -> substr(s, i, 3))
                   ELSE [] END AS g
       FROM t),
-    scored AS (SELECT doc_id, {scores} FROM tg)
-    SELECT doc_id,
-           CASE WHEN {best} = 0 THEN 'und' {case} END AS lang_pred,
-           {best} AS lang_pred_score
-    FROM scored
+    tg_scored AS (SELECT doc_id, {tg_scores} FROM tg),
+    ng AS (
+      SELECT doc_id,
+             CASE WHEN {tg_best} = 0 THEN 'und' {tg_case} END AS lang_trigram,
+             {tg_best} AS lang_trigram_score
+      FROM tg_scored)
+    SELECT sw.doc_id, sw.lang_stopword, sw.lang_stopword_hits,
+           ng.lang_trigram, ng.lang_trigram_score
+    FROM sw JOIN ng ON sw.doc_id = ng.doc_id
     """
 
 
-@register("t7_language_id_ngram", _lang_ngram_oracle())
-def q_t7(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Character-trigram profile language ID — frequency-weighted hits
-    against static Cavnar-Trenkle-style profiles; works on short text
-    where the stopword heuristic returns 'und'."""
+@register("t2_language_id", _lang_oracle())
+def q_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both language-ID variants in one row per doc: the stopword-hit
+    heuristic plus the char-trigram profile (robust on short text where
+    stopwords return 'und')."""
     docs = spark.read.parquet(_pq(sf_dir, "documents"))
-    return T.language_id_ngram(docs).select(
-        "doc_id", "lang_pred", "lang_pred_score"
+    sw = T.language_id(docs).select(
+        "doc_id",
+        F.col("lang_pred").alias("lang_stopword"),
+        F.col("lang_pred_hits").alias("lang_stopword_hits"),
     )
+    ng = T.language_id_ngram(docs).select(
+        "doc_id",
+        F.col("lang_pred").alias("lang_trigram"),
+        F.col("lang_pred_score").alias("lang_trigram_score"),
+    )
+    return sw.join(ng, "doc_id")
 
 
 @register(
     "t3_fingerprint",
-    r"""
-    SELECT doc_id,
-           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS doc_fp
-    FROM documents
-    """,
-)
-def q_t3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(_pq(sf_dir, "documents"))
-    return T.fingerprint(docs).select("doc_id", "doc_fp")
-
-
-@register(
-    "t4_token_count",
     rf"""
     SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS doc_fp,
            CAST(len(regexp_extract_all(text, '{T.BPE_ISH_PATTERN}', 0)) AS BIGINT)
              AS n_tokens
     FROM documents
     """,
 )
-def q_t4(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_t3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-doc fingerprint + BPE-ish token count — both single-scan
+    per-doc transforms, folded into one driver row."""
     docs = spark.read.parquet(_pq(sf_dir, "documents"))
-    return T.token_count_bpe_ish(docs).select("doc_id", "n_tokens")
+    return T.token_count_bpe_ish(T.fingerprint(docs)).select(
+        "doc_id", "doc_fp", "n_tokens"
+    )
 
 
 _WIN_K, _WIN_W = 3, 4
@@ -740,48 +761,6 @@ def q_t5(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Schleimer et al. SIGMOD'03)."""
     docs = spark.read.parquet(_pq(sf_dir, "documents"))
     return T.winnowing_fingerprints(docs, k=_WIN_K, window=_WIN_W)
-
-
-def _quality_oracle() -> str:
-    r = T.QUALITY_RULES
-    return rf"""
-    WITH {_WORDS_SQL.strip()},
-    s AS (
-      SELECT d.doc_id,
-             CAST(len(w.w) AS BIGINT) AS n_words,
-             CAST(len(regexp_extract_all(d.text, '[^\w\s]', 0)) AS DOUBLE)
-               / greatest(length(d.text), 1) AS punct_ratio,
-             CAST(len(list_filter(w.w, x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
-               / greatest(len(w.w), 1) AS stopword_ratio,
-             CAST(list_sum(list_transform(w.w, x -> length(x))) AS DOUBLE)
-               / greatest(len(w.w), 1) AS mean_word_len
-      FROM documents d JOIN words w ON d.doc_id = w.doc_id)
-    SELECT doc_id,
-           (n_words >= {r["min_words"]} AND n_words <= {r["max_words"]})
-             AS ok_word_count,
-           punct_ratio <= {r["max_punct_ratio"]} AS ok_punct,
-           stopword_ratio >= {r["min_stopword_ratio"]} AS ok_stopwords,
-           (mean_word_len >= {r["min_mean_word_len"]}
-            AND mean_word_len <= {r["max_mean_word_len"]}) AS ok_word_len,
-           ((n_words >= {r["min_words"]} AND n_words <= {r["max_words"]})
-            AND punct_ratio <= {r["max_punct_ratio"]}
-            AND stopword_ratio >= {r["min_stopword_ratio"]}
-            AND (mean_word_len >= {r["min_mean_word_len"]}
-                 AND mean_word_len <= {r["max_mean_word_len"]})) AS keep
-    FROM s
-    """
-
-
-@register("t6_quality_filter", _quality_oracle())
-def q_t6(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style quality rules as boolean flags + the conjunction
-    `keep` — the pre-training corpus filter, pure Column over the t1
-    features."""
-    docs = spark.read.parquet(_pq(sf_dir, "documents"))
-    return T.quality_filter(docs).select(
-        "doc_id", "ok_word_count", "ok_punct", "ok_stopwords",
-        "ok_word_len", "keep",
-    )
 
 
 # ===========================================================================

@@ -114,13 +114,25 @@ def embedding_cosine_pairs(
         if dim is None:
             raise ValueError("SRP prefilter requires dim")
         bks = srp_buckets_arrow(dim, planes, tables)
-        a = a.select("id_a", "va", F.posexplode(bks(F.col("va"))).alias("tbl", "bk"))
-        b = b.select("id_b", "vb", F.posexplode(bks(F.col("vb"))).alias("tbl", "bk"))
+        # bucket join and multi-table dedupe carry ONLY the ids (a pair may
+        # collide in several tables); the dim-sized vectors join back in
+        # once per surviving candidate — at dim=64 float that's ~512B/row
+        # kept out of both the bucket-join and the distinct shuffles
+        ha = corpus.select(
+            F.col(id_col).alias("id_a"),
+            F.posexplode(bks(F.col(vec_col))).alias("tbl", "bk"),
+        )
+        hb = corpus.select(
+            F.col(id_col).alias("id_b"),
+            F.posexplode(bks(F.col(vec_col))).alias("tbl", "bk"),
+        )
         cand = (
-            a.join(b, ["tbl", "bk"])
+            ha.join(hb, ["tbl", "bk"])
             .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "va", "id_b", "vb")
+            .select("id_a", "id_b")
             .distinct()
+            .join(a, "id_a")
+            .join(b, "id_b")
         )
     else:
         cand = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
@@ -234,7 +246,7 @@ def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    centroid_stride: int = 64,
+    n_centroids: int = 256,
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -245,24 +257,27 @@ def ivf_topk(
     query exactly scores ONLY the lists of its n_probe nearest centroids
     — ~n_probe/n_centroids of the corpus instead of all of it.
 
-    Centroids here are a DETERMINISTIC corpus sample (vec_id %
-    centroid_stride == 0) rather than k-means-trained: the recall/latency
-    trade-off curve is the same shape (probe more lists → higher recall),
-    every step is reproducible in SQL, and no training pass over 100 TB
-    is required. Swap in pyspark.ml KMeans centroids for data-adaptive
-    lists — the assignment/probe/rerank plumbing is unchanged.
+    Centroids are a DETERMINISTIC PSEUDO-RANDOM corpus sample: the
+    n_centroids rows with the smallest md5(id) — a hash-order sample, so
+    (a) the driver-side collect is bounded by the CONSTANT n_centroids
+    regardless of corpus size, (b) the sample is uniform (hash order is
+    uncorrelated with insertion/id order), and (c) every step replays in
+    SQL (ORDER BY md5(id) LIMIT n). Swap in pyspark.ml KMeans centroids
+    (`ivf_topk_kmeans`) for data-adaptive lists — the
+    assignment/probe/rerank plumbing is unchanged.
 
     At scale: assignment is a write-side transform (store the corpus
     partitioned by centroid id); a query then partition-prunes straight
     to its probed lists."""
     cent_rows = (
-        corpus.where((F.col(id_col) % centroid_stride) == 0)
-        .select(id_col, vec_col)
+        corpus.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(n_centroids)
         .collect()
     )
     centroids = sorted((r[0], list(r[1])) for r in cent_rows)
     if not centroids:
-        raise ValueError("no centroids: corpus has no id % stride == 0 rows")
+        raise ValueError("no centroids: corpus is empty")
     return _ivf_search(
         corpus, queries, centroids, k, n_probe, id_col, vec_col, round_digits
     )
@@ -368,21 +383,31 @@ def lsh_bucketed_topk(
     of k-means centroids (no vector libs needed — hashing is one numpy
     matmul per Arrow batch, srp_buckets_arrow)."""
     buckets = srp_buckets_arrow(dim, planes, tables)
+    # bucket join + multi-table dedupe on bare ids (a pair may collide in
+    # several tables — score once); vectors join back in per surviving
+    # candidate, so the dim-sized arrays never ride the bucket-explode or
+    # the distinct shuffle
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
         F.posexplode(buckets(F.col(vec_col))).alias("tbl", "bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
         F.posexplode(buckets(F.col(vec_col))).alias("tbl", "bucket"),
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
     sims = (
         c.join(F.broadcast(q), ["tbl", "bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "qv", "cv")
-        .distinct()  # a pair may collide in several tables — score once
+        .select("query_id", "neighbor_id")
+        .distinct()
+        .join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
         .withColumn("sim", F.round(cosine(F.col("qv"), F.col("cv")), round_digits))
     )
     w = Window.partitionBy("query_id").orderBy(

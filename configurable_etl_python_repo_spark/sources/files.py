@@ -22,4 +22,10 @@ def read_events(spark: SparkSession, path: str) -> DataFrame:
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        # Parquet timestamp[us] with isAdjustedToUTC=false arrives as
+        # TIMESTAMP_NTZ, which unix_micros() and withWatermark() reject.
+        # The session timezone is pinned to UTC (session.py), so casting to
+        # TIMESTAMP reinterprets the same wall-clock instant unambiguously.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df

@@ -141,7 +141,7 @@ def test_ivf_topk_recall_rises_with_probes(spark, sf_dir):
 
     def recall(n_probe):
         approx = {(r.query_id, r.neighbor_id)
-                  for r in ivf_topk(emb, queries, k=5, centroid_stride=64,
+                  for r in ivf_topk(emb, queries, k=5, n_centroids=8,
                                     n_probe=n_probe).collect()}
         return len(exact & approx) / len(exact)
 

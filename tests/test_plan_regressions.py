@@ -83,8 +83,7 @@ def test_arrow_only_where_declared(spark, sf_dir):
         assert "BatchEvalPython" not in plan, name
 
 
-@pytest.mark.parametrize("name", ["d1_dedup_exact", "t3_fingerprint",
-                                  "t4_token_count"])
+@pytest.mark.parametrize("name", ["d1_dedup_exact", "t3_fingerprint"])
 def test_single_pass_text_ops(spark, sf_dir, name):
     """Text ops are scan → project/aggregate: at most one exchange, no
     joins."""

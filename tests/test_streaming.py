@@ -108,3 +108,20 @@ def test_session_rollup_counts(spark, sf_dir):
     out = session_rollup(ev)
     total = out.agg(F.sum("n_events")).collect()[0][0]
     assert total == ev.count()  # every event lands in exactly one session
+
+
+def test_session_rollup_stream_matches_batch(spark, sf_dir, tmp_path):
+    """F.session_window under a real readStream (availableNow) produces
+    the same sessions as the batch plan — the streaming counterpart of
+    the lag-based catalog shape in e2_sessionize_gap30m."""
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    src = str(tmp_path / "events_us")
+    ev.write.parquet(src)
+    batch = {tuple(r) for r in session_rollup(ev).collect()}
+
+    q = start_stream_rollup(spark, src, spark.read.parquet(src).schema,
+                            str(tmp_path / "ck4"), transform=session_rollup,
+                            output_table="sess_rollup")
+    q.awaitTermination(120)
+    stream = {tuple(r) for r in spark.table("sess_rollup").collect()}
+    assert stream == batch
