@@ -81,6 +81,16 @@ def dedup_exact(
     )
 
 
+#: `prefix_filter="auto"` routes to the PPJoin prefix path at or above this
+#: threshold and to the direct inverted-index join below it. Measured at
+#: sf0.1 (high-entropy corpus): t=0.2 ppjoin 8.7s vs direct 5.4s; t=0.5
+#: 6.8 vs 4.7; t=0.7 4.5 vs 4.6 — below ~0.5 the prefix keeps ~(1-t) of
+#: every doc, so its pruning never repays the df-ranking + window + verify
+#: overhead. Both paths are EXACT (identical output); the routing is purely
+#: a physical-plan choice.
+PREFIX_FILTER_MIN_THRESHOLD = 0.5
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -88,26 +98,40 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.6,
     shingles: DataFrame | None = None,
-    prefix_filter: bool = True,
+    prefix_filter: bool | str = "auto",
 ) -> DataFrame:
     """EXACT near-duplicate pairs by n-gram Jaccard >= threshold.
 
-    Candidate generation is an inverted-index join with PPJoin-style
-    PREFIX FILTERING (exact — output is identical to all-pairs Jaccard):
-    order each doc's shingles by global rarity (document frequency asc,
-    shingle asc); a pair with jaccard >= t = p/q MUST share a shingle
-    inside each doc's first ⌊sz - ceil(t*sz)⌋ + 1 shingles, so only those
-    prefixes join. Hot (frequent) shingles land at the END of the ordering
-    and rarely enter a prefix — this bounds the Σ df² blowup that a naive
-    shingle join suffers on low-entropy corpora. Verification then runs
-    only on candidates (jaccard_for_pairs).
+    Two physical strategies, same exact output; `prefix_filter="auto"`
+    (default) routes on the threshold:
+
+    prefix_filter=True — inverted-index join with PPJoin-style PREFIX
+    FILTERING: order each doc's shingles by global rarity (document
+    frequency asc, shingle asc); a pair with jaccard >= t = p/q MUST
+    share a shingle inside each doc's first ⌊sz - ceil(t*sz)⌋ + 1
+    shingles, so only those prefixes join. Hot (frequent) shingles land
+    at the END of the ordering and rarely enter a prefix — this bounds
+    the Σ df² blowup that the direct shingle join suffers on low-entropy
+    corpora. Verification then runs only on candidates
+    (jaccard_for_pairs). The right choice at high thresholds, and the
+    safe choice on heavily skewed shingle distributions.
+
+    prefix_filter=False — direct inverted-index join: every shared
+    shingle joins, and the intersection count falls out of the same
+    groupBy (no separate verify pass). At thresholds below
+    PREFIX_FILTER_MIN_THRESHOLD the prefix covers most of every doc, so
+    this path does strictly less work (measured 1.6× faster at t=0.2).
+
+    Genuinely low-threshold dedup at 100 TB belongs to the LSH path
+    (minhash_lsh_pairs) — sub-linear candidates at any threshold, at the
+    cost of banding recall; this operator stays exact.
 
     Output: (id_a < id_b, inter, size_a, size_b) with integer-exact
-    threshold test: q*inter >= p*(size_a + size_b - inter).
-    prefix_filter=False keeps the naive join (reference behavior for
-    benchmarking; same results)."""
+    threshold test: q*inter >= p*(size_a + size_b - inter)."""
     frac = Fraction(threshold).limit_denominator(10**6)
     p, q = frac.numerator, frac.denominator
+    if prefix_filter == "auto":
+        prefix_filter = threshold >= PREFIX_FILTER_MIN_THRESHOLD
     sh = shingles if shingles is not None else _cached_shingles(df, id_col, text_col, n)
     if not prefix_filter:
         sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))

@@ -47,6 +47,34 @@ def test_ngram_jaccard_finds_near_dups(docs):
     assert not any(4 in p for p in pairs)
 
 
+def test_ngram_jaccard_auto_routing(docs, spark, sf_dir):
+    """prefix_filter='auto' is a physical-plan routing rule only: below
+    PREFIX_FILTER_MIN_THRESHOLD it picks the direct inverted-index join
+    (no rarity-ranking Window), at/above it the PPJoin prefix path — and
+    both strategies return IDENTICAL pairs at any threshold."""
+    from configurable_etl_python_repo_spark.llm.dedup import (
+        PREFIX_FILTER_MIN_THRESHOLD,
+    )
+
+    real = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for thr in (0.2, 0.6):
+        key = lambda r: (r.id_a, r.id_b, r.inter, r.size_a, r.size_b)
+        pp = sorted(map(key, ngram_jaccard_pairs(
+            real, n=3, threshold=thr, prefix_filter=True).collect()))
+        direct = sorted(map(key, ngram_jaccard_pairs(
+            real, n=3, threshold=thr, prefix_filter=False).collect()))
+        assert pp == direct and pp  # identical, non-empty
+
+    def plan(thr):
+        return (ngram_jaccard_pairs(docs, n=3, threshold=thr)
+                ._jdf.queryExecution().executedPlan().toString())
+
+    low = PREFIX_FILTER_MIN_THRESHOLD - 0.1
+    high = PREFIX_FILTER_MIN_THRESHOLD
+    assert "Window" not in plan(low)      # direct join: no rarity ranking
+    assert "Window" in plan(high)         # ppjoin: row_number over rarity
+
+
 def test_minhash_lsh_subset_of_exact(docs):
     exact = {(r.id_a, r.id_b) for r in
              ngram_jaccard_pairs(docs, n=3, threshold=0.3).collect()}
