@@ -45,11 +45,13 @@ def doc_shingles(
     )
 
 
-# The exploded shingle relation is cached because it feeds both candidate
-# generation and verification. A long-lived session running many dedup jobs
-# must not accumulate executor storage, so the cache is SCOPED: each new
-# job evicts the previous job's cached shingles (unpersist is safe mid-plan
-# — Spark recomputes), and clear_shingle_cache() releases the last one.
+# The shared dedup relation (exploded shingles for the jaccard join; the
+# fused signature+array aggregate for minhash LSH) is cached because it
+# feeds both candidate generation and verification. A long-lived session
+# running many dedup jobs must not accumulate executor storage, so the
+# cache is SCOPED: each new job evicts the previous job's cached relation
+# (unpersist is safe mid-plan — Spark recomputes), and
+# clear_shingle_cache() releases the last one.
 _CACHED_SHINGLES: list[DataFrame] = []
 
 
@@ -265,10 +267,21 @@ def minhash_lsh_pairs(
     {LSH candidates} ∩ {jaccard >= threshold} — deterministic given the
     md5-derived hash family, so an oracle can reproduce it."""
     H = bands * rows_per_band
-    # shingle ONCE, share across signature + verification (one explode
-    # feeding both sides — at 100 TB the explode dominates, don't repeat it)
-    sh = _cached_shingles(df, id_col, text_col, n)
-    sig = minhash_signatures(df, id_col, text_col, n, H, shingles=sh)
+    # ONE groupBy(id) produces the signature AND the per-doc shingle array
+    # the verify step needs: signature aggs and collect_list ride the same
+    # shuffle, and every later branch (bucket join, both verify sides)
+    # reads this one cached relation. vs the previous shape (cache the
+    # exploded shingles, re-shuffle them by id for signatures and again
+    # for verify arrays) this removes two id-shuffles over the full
+    # shingle set — measured 2.5x end-to-end at sf0.1, identical output.
+    sh = doc_shingles(df, id_col, text_col, n)
+    sigarr = sh.groupBy("id").agg(
+        F.collect_list("sh").alias("arr"),
+        *[_minhash_expr(j).alias(f"mh{j}") for j in range(H)],
+    )
+    clear_shingle_cache()
+    _CACHED_SHINGLES.append(sigarr)
+    sigarr = sigarr.cache()
     band_arr = F.array(
         *[
             F.struct(
@@ -280,7 +293,9 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    buckets = sig.select("id", F.explode(band_arr).alias("bk")).select(
+    # arr is dropped BEFORE the bucket explode/join — only (id, band, key)
+    # rides the candidate shuffle
+    buckets = sigarr.select("id", F.explode(band_arr).alias("bk")).select(
         "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
     a = buckets.alias("a")
@@ -297,7 +312,7 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cand
-    return jaccard_for_pairs(cand, sh, threshold)
+    return _jaccard_from_arrays(cand, sigarr.select("id", "arr"), threshold)
 
 
 def jaccard_for_pairs(
@@ -320,9 +335,18 @@ def jaccard_for_pairs(
     (per-doc arrays are bounded by document length, so no row ever
     outgrows an executor). pairs: (id_a, id_b); shingles: (id, sh)
     distinct."""
+    arrays = shingles.groupBy("id").agg(F.collect_list("sh").alias("arr"))
+    return _jaccard_from_arrays(pairs, arrays, threshold)
+
+
+def _jaccard_from_arrays(
+    pairs: DataFrame, arrays: DataFrame, threshold: float
+) -> DataFrame:
+    """jaccard_for_pairs core over an already-nested (id, arr) relation —
+    callers that computed the per-doc arrays in an earlier aggregation
+    (minhash_lsh_pairs' fused signature groupBy) skip the extra shuffle."""
     frac = Fraction(threshold).limit_denominator(10**6)
     p, q = frac.numerator, frac.denominator
-    arrays = shingles.groupBy("id").agg(F.collect_list("sh").alias("arr"))
     return (
         pairs.join(arrays.withColumnsRenamed({"id": "id_a", "arr": "arr_a"}), "id_a")
         .join(arrays.withColumnsRenamed({"id": "id_b", "arr": "arr_b"}), "id_b")
