@@ -48,16 +48,25 @@ def cmd_run_study(args) -> int:
         # the reference's operational shape: each study run REFRESHES its
         # rows in the standing gold store (per-key put_item overwrite →
         # partition-scoped merge upsert; other studies' partitions are
-        # untouched)
+        # untouched). --tx commits through the manifest-pointer log:
+        # readers see the whole refresh or none of it.
         from pyspark.sql import functions as F
 
-        from .sinks.upsert import merge_upsert
-
         keyed = result.withColumn("study_code", F.lit(study.study_code))
-        merge_upsert(spark, args.merge_out, keyed,
-                     key_cols=["study_code", args.spine_key])
-        print(f"merged study {study.study_code} -> {args.merge_out} "
-              f"({result.count()} rows)")
+        if args.tx:
+            from .sinks.txlog import tx_merge_upsert
+
+            version = tx_merge_upsert(spark, args.merge_out, keyed,
+                                      key_cols=["study_code", args.spine_key])
+            print(f"merged study {study.study_code} -> {args.merge_out} "
+                  f"v{version} ({result.count()} rows)")
+        else:
+            from .sinks.upsert import merge_upsert
+
+            merge_upsert(spark, args.merge_out, keyed,
+                         key_cols=["study_code", args.spine_key])
+            print(f"merged study {study.study_code} -> {args.merge_out} "
+                  f"({result.count()} rows)")
     elif args.out:
         _write_out(result, args.out, args.format)
         print(f"standardized output -> {args.out} ({result.count()} rows)")
@@ -144,6 +153,10 @@ def main(argv: list[str] | None = None) -> int:
     p1.add_argument("--merge-out",
                     help="upsert the study's rows into a standing gold "
                          "dataset (partition-scoped merge) instead of --out")
+    p1.add_argument("--tx", action="store_true",
+                    help="commit --merge-out through the transactional "
+                         "manifest log (atomic, snapshot-isolated reads "
+                         "via sinks.txlog.read_gold_tx)")
     p1.add_argument("--spine-key", default="subject")
     _add_common(p1)
     p1.set_defaults(fn=cmd_run_study)

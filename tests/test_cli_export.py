@@ -95,6 +95,29 @@ def test_cli_run_study_merge_out_idempotent(spark, tmp_path):
     assert {tuple(r) for r in again.collect()} == rows1
 
 
+def test_cli_run_study_merge_out_tx(spark, tmp_path):
+    """--merge-out --tx commits through the manifest log: same idempotent
+    merge semantics, read back via the snapshot reader."""
+    from clinical_fixtures import generate
+
+    from configurable_etl_python_repo_spark.cli import main
+    from configurable_etl_python_repo_spark.sinks.txlog import read_gold_tx
+
+    data_dir = str(tmp_path / "clinical")
+    (tmp_path / "clinical").mkdir()
+    generate(data_dir)
+    gold = str(tmp_path / "gold_tx")
+    argv = ["run-study", "--manifest",
+            "/root/reference/study_configuration.xlsx",
+            "--workbook-dir", "/root/reference",
+            "--data-dir", data_dir, "--merge-out", gold, "--tx"]
+    assert main(argv) == 0
+    rows1 = {tuple(r) for r in read_gold_tx(spark, gold).collect()}
+    assert len(rows1) > 0
+    assert main(argv) == 0  # re-run: merge (v2), not append
+    assert {tuple(r) for r in read_gold_tx(spark, gold).collect()} == rows1
+
+
 def test_cli_run_analyte_json(spark, sf_dir, tmp_path, capsys):
     import json
 

@@ -1,0 +1,132 @@
+"""Transactional gold MERGE (manifest-pointer commit protocol)."""
+
+import glob
+import os
+
+import pytest
+
+from pyspark.sql import Row
+
+from configurable_etl_python_repo_spark.sinks import txlog
+from configurable_etl_python_repo_spark.sinks.txlog import (
+    ConcurrentWriteError,
+    read_gold_tx,
+    tx_merge_upsert,
+    vacuum_gold_tx,
+)
+
+
+def _rows(spark, gold):
+    return {
+        (r.study_code, r.subject): r.val
+        for r in read_gold_tx(spark, gold).collect()
+    }
+
+
+def test_tx_upsert_updates_and_appends(spark, tmp_path):
+    gold = str(tmp_path / "gold")
+    base = spark.createDataFrame([
+        Row(study_code="A", subject="s1", val="old1"),
+        Row(study_code="A", subject="s2", val="old2"),
+        Row(study_code="B", subject="s9", val="keepB"),
+    ])
+    assert tx_merge_upsert(spark, gold, base, key_cols=["study_code", "subject"]) == 1
+
+    updates = spark.createDataFrame([
+        Row(study_code="A", subject="s1", val="NEW1"),   # update
+        Row(study_code="A", subject="s3", val="new3"),   # insert
+    ])
+    assert tx_merge_upsert(spark, gold, updates,
+                           key_cols=["study_code", "subject"]) == 2
+    assert _rows(spark, gold) == {
+        ("A", "s1"): "NEW1",
+        ("A", "s2"): "old2",
+        ("A", "s3"): "new3",
+        ("B", "s9"): "keepB",
+    }
+
+
+def test_tx_untouched_partition_files_not_rewritten(spark, tmp_path):
+    gold = str(tmp_path / "gold")
+    base = spark.createDataFrame([
+        Row(study_code="A", subject="s1", val="a"),
+        Row(study_code="B", subject="s9", val="b"),
+    ])
+    tx_merge_upsert(spark, gold, base, key_cols=["study_code", "subject"])
+    b_files = sorted(glob.glob(f"{gold}/data/*/study_code=B/*.parquet"))
+
+    updates = spark.createDataFrame([Row(study_code="A", subject="s1", val="a2")])
+    tx_merge_upsert(spark, gold, updates, key_cols=["study_code", "subject"])
+    # partition B: same physical files referenced by the new snapshot
+    assert sorted(glob.glob(f"{gold}/data/*/study_code=B/*.parquet")) == b_files
+    assert _rows(spark, gold)[("A", "s1")] == "a2"
+
+
+def test_tx_crash_before_publish_is_invisible_and_retryable(
+    spark, tmp_path, monkeypatch
+):
+    """The commit IS the LATEST pointer swap: a merge that dies after
+    writing all its data files but before publishing leaves readers on
+    the old snapshot, the debris invisible, vacuum removes it, and a
+    plain retry lands the merge."""
+    gold = str(tmp_path / "gold")
+    base = spark.createDataFrame([Row(study_code="A", subject="s1", val="v0")])
+    tx_merge_upsert(spark, gold, base, key_cols=["study_code", "subject"])
+
+    real_publish = txlog._publish
+
+    def crash(*a, **kw):
+        raise OSError("power loss")
+
+    monkeypatch.setattr(txlog, "_publish", crash)
+    updates = spark.createDataFrame([Row(study_code="A", subject="s1", val="v1")])
+    with pytest.raises(OSError, match="power loss"):
+        tx_merge_upsert(spark, gold, updates, key_cols=["study_code", "subject"])
+
+    # reader: old snapshot, fully intact
+    assert _rows(spark, gold) == {("A", "s1"): "v0"}
+    # debris: the crashed commit's dir exists but nothing references it
+    assert len(glob.glob(f"{gold}/data/*")) == 2
+    removed = vacuum_gold_tx(gold)
+    assert len(removed) == 1
+    assert _rows(spark, gold) == {("A", "s1"): "v0"}  # vacuum kept live data
+
+    # retry commits cleanly
+    monkeypatch.setattr(txlog, "_publish", real_publish)
+    tx_merge_upsert(spark, gold, updates, key_cols=["study_code", "subject"])
+    assert _rows(spark, gold) == {("A", "s1"): "v1"}
+
+
+def test_tx_concurrent_writer_detected(spark, tmp_path):
+    """Optimistic concurrency: a publish based on a stale snapshot raises
+    instead of silently dropping the other writer's merge."""
+    gold = str(tmp_path / "gold")
+    base = spark.createDataFrame([Row(study_code="A", subject="s1", val="v0")])
+    tx_merge_upsert(spark, gold, base, key_cols=["study_code", "subject"])  # v1
+
+    upd = spark.createDataFrame([Row(study_code="A", subject="s1", val="v2")])
+    tx_merge_upsert(spark, gold, upd, key_cols=["study_code", "subject"])  # v2
+
+    with pytest.raises(ConcurrentWriteError):
+        txlog._publish(gold, base_version=1, partitions={})
+
+
+def test_tx_snapshot_isolation_across_merge(spark, tmp_path):
+    """A DataFrame resolved against the old snapshot keeps reading the old
+    files after a later merge commits (writers never mutate visible
+    data), while a fresh reader sees the new version."""
+    gold = str(tmp_path / "gold")
+    base = spark.createDataFrame([Row(study_code="A", subject="s1", val="v0")])
+    tx_merge_upsert(spark, gold, base, key_cols=["study_code", "subject"])
+    old_reader = read_gold_tx(spark, gold)
+
+    upd = spark.createDataFrame([Row(study_code="A", subject="s1", val="v1")])
+    tx_merge_upsert(spark, gold, upd, key_cols=["study_code", "subject"])
+
+    assert [(r.subject, r.val) for r in old_reader.collect()] == [("s1", "v0")]
+    assert _rows(spark, gold) == {("A", "s1"): "v1"}
+
+
+def test_tx_read_missing_table_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        read_gold_tx(spark, str(tmp_path / "nope"))
