@@ -1100,6 +1100,77 @@ def q_x4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x6_asof_join",
+    """
+    WITH l AS (SELECT event_id, ts, user_id FROM events
+               WHERE event_type = 'purchase'),
+    r AS (SELECT user_id, ts, max(value) AS click_value FROM events
+          WHERE event_type = 'click' GROUP BY 1, 2)
+    SELECT l.event_id, l.user_id, l.ts, r.click_value
+    FROM l ASOF LEFT JOIN r
+    ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def q_x6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: each purchase picks up the most recent click value at
+    or before it for the same user (backward, inclusive). Compiled as one
+    key-partitioned window over the tagged union — no join node; DuckDB's
+    native ASOF JOIN is the oracle."""
+    from .operators.temporal import asof_join
+    from .sources.files import read_events
+
+    ev = read_events(spark, _pq(sf_dir, "events"))
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id"
+    )
+    right = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    return asof_join(left, right, on=["user_id"], left_ts="ts").select(
+        "event_id", "user_id", "ts", "click_value"
+    )
+
+
+@register(
+    "x7_range_join",
+    """
+    WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS w_start,
+                      ts + INTERVAL 30 MINUTE AS w_end
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS click_id, user_id, ts FROM events
+          WHERE event_type = 'click')
+    SELECT c.click_id, p.purchase_id, c.user_id
+    FROM c JOIN p
+    ON c.user_id = p.user_id AND p.w_start <= c.ts AND c.ts < p.w_end
+    """,
+)
+def q_x7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE join, bucketed scale path: clicks land in the 30-minute
+    window after a purchase by the same user. Intervals explode to 15-min
+    bins, the join is a plain equi-join on (user_id, bin) + exact range
+    filter — never a BroadcastNestedLoopJoin."""
+    from .operators.temporal import range_join
+    from .sources.files import read_events
+
+    ev = read_events(spark, _pq(sf_dir, "events"))
+    intervals = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("w_end"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    return range_join(
+        clicks, intervals, on=["user_id"], ts_col="ts",
+        start_col="w_start", end_col="w_end", bin_width_s=900,
+    ).select("click_id", "purchase_id", "user_id")
+
+
 # extension queries (streaming-shaped, llm data ops) register on import
 from . import catalog_llm  # noqa: E402,F401
 

@@ -369,6 +369,47 @@ def op_qualified_join(engine: "Engine", spec: OpSpec) -> Result:
     return out, _propagates(keep, out.columns)
 
 
+def op_asof_join(engine: "Engine", spec: OpSpec) -> Result:
+    """ASOF JOIN — engine extension (no reference counterpart; stock
+    Spark has no as-of operator either). args: on, ts (left), right_ts,
+    direction, tolerance_s, suffix. Left-join semantics; compiled to one
+    key-partitioned window, no join node (operators/temporal.asof_join)."""
+    from .temporal import asof_join
+
+    left, lsort = engine.peek(spec.inputs[0])
+    right, _ = engine.peek(spec.inputs[1])
+    out = asof_join(
+        left, right,
+        on=spec.args["on"],
+        left_ts=spec.args.get("ts", "ts"),
+        right_ts=spec.args.get("right_ts"),
+        direction=spec.args.get("direction", "backward"),
+        tolerance_s=spec.args.get("tolerance_s"),
+        suffix=spec.args.get("suffix", "_right"),
+    )
+    return out, _propagates(lsort, out.columns)
+
+
+def op_range_join(engine: "Engine", spec: OpSpec) -> Result:
+    """RANGE JOIN — engine extension: events to intervals on key +
+    start <= ts < end; args: on, ts, start, end, bin_width_s (set it to
+    compile the bucketed equi-join scale path instead of a range-filtered
+    key join — operators/temporal.range_join)."""
+    from .temporal import range_join
+
+    events, _ = engine.peek(spec.inputs[0])
+    intervals, _ = engine.peek(spec.inputs[1])
+    out = range_join(
+        events, intervals,
+        on=spec.args["on"],
+        ts_col=spec.args.get("ts", "ts"),
+        start_col=spec.args.get("start", "start"),
+        end_col=spec.args.get("end", "end"),
+        bin_width_s=spec.args.get("bin_width_s"),
+    )
+    return out, None
+
+
 # ---------------------------------------------------------------------------
 # set ops / aggregation / window-like
 # ---------------------------------------------------------------------------
@@ -523,6 +564,8 @@ OP_COMPILERS = {
     "LIMIT": op_limit,
     "SQL": op_sql,
     "QUALIFIED JOIN": op_qualified_join,
+    "ASOF JOIN": op_asof_join,
+    "RANGE JOIN": op_range_join,
     **{name: _op_join(how) for name, how in _JOIN_HOW.items()},
 }
 OP_COMPILERS.update(_llm_op_compilers())

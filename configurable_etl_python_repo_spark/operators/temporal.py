@@ -1,0 +1,160 @@
+"""Temporal joins the reference (and stock Spark SQL) lack as operators:
+AS-OF join and RANGE (interval) join — the two standard time-series
+shapes a clinical/event pipeline asks for ("the last lab value before
+this visit", "every event inside this dosing window").
+
+Spark-first designs, no UDFs:
+
+  asof_join — the naive formulation is a per-left-row MAX over an
+  inequality join (quadratic per key). Instead: UNION both sides tagged,
+  ONE window ordered by (ts, side) per key, and `last(payload,
+  ignorenulls=True)` carries the most recent right payload forward onto
+  each left row. One hash shuffle on the key, linear work, no join node
+  at all — the plan survives any key cardinality. (Same algorithm Pandas
+  merge_asof runs per group, expressed as a distributed window.)
+
+  range_join — Spark handles key + range predicates as a regular join
+  with a post-filter, which is fine when an equi-key exists; with no
+  (or a low-selectivity) key it degrades to BroadcastNestedLoopJoin.
+  The scale path BUCKETIZES time: each interval explodes to the coarse
+  bins it covers, each event maps to its bin, and the join is a plain
+  equi-join on (key, bin) + exact-range filter. Bin width trades
+  duplication (long intervals explode to more bins) against join
+  fan-out; intervals are deduped by construction since an event's bin
+  matches an interval exactly once (the event's own bin).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SIDE = "__asof_side"
+_RTS = "__asof_rts"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str | None = None,
+    direction: str = "backward",
+    tolerance_s: float | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row, attach the payload of the single right row with
+    the greatest right_ts <= left_ts (direction='backward', inclusive; or
+    smallest right_ts >= left_ts for 'forward') within the same `on` key —
+    NULLs when no such row exists (left-join semantics).
+
+    tolerance_s drops matches further than that many seconds away.
+    Right payload columns that collide with left names get `suffix`.
+    Rows on the right should be unique per (key, ts); with duplicates the
+    carried payload is the window-order-last one (pre-aggregate to make
+    that deterministic)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    right_ts = right_ts or left_ts
+    payload = [c for c in right.columns if c not in on and c != right_ts]
+    renames = {
+        c: (c + suffix if c in left.columns else c) for c in payload
+    }
+
+    l_side = left.withColumn(_SIDE, F.lit(1)).withColumn(
+        "__asof_ts", F.col(left_ts)
+    )
+    r_side = right.select(
+        *on,
+        F.col(right_ts).alias("__asof_ts"),
+        F.col(right_ts).alias(_RTS),
+        *[F.col(c).alias(renames[c]) for c in payload],
+    ).withColumn(_SIDE, F.lit(0))
+    u = l_side.unionByName(r_side, allowMissingColumns=True)
+
+    ts_ord = F.col("__asof_ts")
+    if direction == "forward":
+        ts_ord = ts_ord.desc()
+    # right rows (side 0) sort before left rows at equal ts → inclusive
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(ts_ord, F.col(_SIDE))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = [F.last(renames[c], ignorenulls=True).over(w).alias(renames[c])
+              for c in payload]
+    matched_ts = F.last(_RTS, ignorenulls=True).over(w).alias(_RTS)
+    out = (
+        u.select("*")
+        .select(*left.columns, _SIDE, matched_ts, *filled)
+        .where(F.col(_SIDE) == 1)
+    )
+    if tolerance_s is not None:
+        gap = F.abs(
+            F.col(left_ts).cast("double") - F.col(_RTS).cast("double")
+        )
+        keep = F.col(_RTS).isNotNull() & (gap <= F.lit(float(tolerance_s)))
+        out = out.select(
+            *left.columns,
+            *[F.when(keep, F.col(renames[c])).alias(renames[c]) for c in payload],
+        )
+    else:
+        out = out.select(*left.columns, *[renames[c] for c in payload])
+    return out
+
+
+def range_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    on: list[str],
+    ts_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bin_width_s: int | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each event row to every interval row with the same `on` key
+    and start <= ts < end (half-open, the streaming-window convention).
+
+    bin_width_s=None lets Spark plan the key equi-join with the range as
+    a join filter — right whenever the key carries the selectivity. With
+    bin_width_s set, intervals explode to the coarse time bins they
+    overlap and events join on (key, bin) — the scale path when keys are
+    few/hot or absent (pass on=[]): fan-out becomes events × the one bin
+    they land in, never events × intervals. Exact semantics either way;
+    an (event, interval) pair matches in exactly one bin (the event's),
+    so no dedup pass is needed."""
+    if how != "inner":
+        raise ValueError("range_join supports inner joins")
+    ts, start, end = F.col(ts_col), F.col(start_col), F.col(end_col)
+    rng = (start <= ts) & (ts < end)
+    if bin_width_s is None:
+        cond = rng
+        for k in on:
+            cond = (events[k] == intervals[k]) & cond
+        out = events.join(intervals, cond, "inner")
+        for k in on:
+            out = out.drop(intervals[k])
+        return out
+
+    width = int(bin_width_s)
+    ev_bin = F.floor(ts.cast("double") / width).cast("long").alias("__bin")
+    iv_bins = F.explode(
+        F.sequence(
+            F.floor(start.cast("double") / width).cast("long"),
+            # end is exclusive: an interval ending exactly on a bin edge
+            # does not reach into that bin
+            F.floor(
+                (end.cast("double") - F.lit(1e-6)) / width
+            ).cast("long"),
+        )
+    ).alias("__bin")
+    e = events.select("*", ev_bin)
+    i = intervals.select("*", iv_bins)
+    cond = e["__bin"] == i["__bin"]
+    for k in on:
+        cond = (e[k] == i[k]) & cond
+    out = e.join(i, cond, "inner").where(rng).drop("__bin")
+    for k in on:
+        out = out.drop(i[k])
+    return out

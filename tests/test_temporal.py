@@ -1,0 +1,176 @@
+"""Temporal joins: as-of (window compilation, no join node) and range
+(bucketed equi-join scale path)."""
+
+from datetime import datetime
+
+import pytest
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from configurable_etl_python_repo_spark.operators.temporal import (
+    asof_join,
+    range_join,
+)
+
+
+def _ts(h, m=0):
+    return datetime(2021, 1, 1, h, m)
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    return spark.createDataFrame([
+        Row(key="a", ts=_ts(9), px=1.0),
+        Row(key="a", ts=_ts(11), px=2.0),
+        Row(key="b", ts=_ts(10), px=9.0),
+    ])
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    return spark.createDataFrame([
+        Row(key="a", ts=_ts(8), qty=1),    # before any quote
+        Row(key="a", ts=_ts(9), qty=2),    # exactly on a quote (inclusive)
+        Row(key="a", ts=_ts(10), qty=3),   # between quotes
+        Row(key="a", ts=_ts(12), qty=4),   # after the last quote
+        Row(key="b", ts=_ts(12), qty=5),   # other key
+        Row(key="c", ts=_ts(12), qty=6),   # key with no quotes at all
+    ])
+
+
+def test_asof_backward(trades, quotes):
+    out = {(r.key, r.qty): r.px
+           for r in asof_join(trades, quotes, on=["key"]).collect()}
+    assert out == {
+        ("a", 1): None, ("a", 2): 1.0, ("a", 3): 1.0, ("a", 4): 2.0,
+        ("b", 5): 9.0, ("c", 6): None,
+    }
+
+
+def test_asof_forward(trades, quotes):
+    out = {(r.key, r.qty): r.px
+           for r in asof_join(trades, quotes, on=["key"],
+                              direction="forward").collect()}
+    assert out == {
+        ("a", 1): 1.0, ("a", 2): 1.0, ("a", 3): 2.0, ("a", 4): None,
+        ("b", 5): None, ("c", 6): None,
+    }
+
+
+def test_asof_tolerance(trades, quotes):
+    # 1h tolerance: only matches within an hour survive
+    out = {(r.key, r.qty): r.px
+           for r in asof_join(trades, quotes, on=["key"],
+                              tolerance_s=3600).collect()}
+    assert out == {
+        ("a", 1): None, ("a", 2): 1.0, ("a", 3): 1.0, ("a", 4): 2.0,
+        ("b", 5): None,  # 2h gap > tolerance
+        ("c", 6): None,
+    }
+
+
+def test_asof_suffixes_colliding_payload(spark, trades):
+    right = spark.createDataFrame([Row(key="a", ts=_ts(9), qty=99)])
+    out = asof_join(trades, right, on=["key"])
+    assert "qty_right" in out.columns and "qty" in out.columns
+
+
+def test_asof_plan_has_no_join(trades, quotes):
+    """The as-of compiles to a tagged union + ONE key-partitioned window:
+    no join operator, a single hash exchange — per-key cost is linear, so
+    the plan survives any key cardinality / time density at 100 TB."""
+    plan = (asof_join(trades, quotes, on=["key"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
+
+
+def test_range_join_half_open_boundaries(spark):
+    ev = spark.createDataFrame([
+        Row(k="a", ts=_ts(9, 0), eid=1),    # == start: in
+        Row(k="a", ts=_ts(9, 30), eid=2),   # inside
+        Row(k="a", ts=_ts(10, 0), eid=3),   # == end: out (half-open)
+        Row(k="b", ts=_ts(9, 30), eid=4),   # wrong key
+    ])
+    iv = spark.createDataFrame([
+        Row(k="a", w_start=_ts(9, 0), w_end=_ts(10, 0), ivid=7),
+    ])
+    for width in (None, 600):
+        got = {(r.eid, r.ivid) for r in range_join(
+            ev, iv, on=["k"], ts_col="ts", start_col="w_start",
+            end_col="w_end", bin_width_s=width).collect()}
+        assert got == {(1, 7), (2, 7)}, f"bin_width_s={width}"
+
+
+def test_range_join_binned_matches_plain(spark, sf_dir):
+    from configurable_etl_python_repo_spark.sources.files import read_events
+
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    iv = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 45 MINUTES")).alias("w_end"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"), "user_id", "ts"
+    )
+
+    def run(width):
+        return {(r.cid, r.pid) for r in range_join(
+            clicks, iv, on=["user_id"], ts_col="ts", start_col="w_start",
+            end_col="w_end", bin_width_s=width).collect()}
+
+    assert run(None) == run(900) == run(86400)
+
+
+def test_range_join_binned_never_nested_loop(spark):
+    """With NO equi-key (on=[]), the plain path degrades to a nested-loop
+    join but the binned path stays an equi-join on the time bin."""
+    ev = spark.createDataFrame([Row(ts=_ts(9, 30), eid=1)])
+    iv = spark.createDataFrame(
+        [Row(w_start=_ts(9), w_end=_ts(10), ivid=7)]
+    )
+
+    def plan(width):
+        return (range_join(ev, iv, on=[], ts_col="ts",
+                           start_col="w_start", end_col="w_end",
+                           bin_width_s=width)
+                ._jdf.queryExecution().executedPlan().toString())
+
+    degraded = plan(None)
+    assert ("BroadcastNestedLoopJoin" in degraded
+            or "CartesianProduct" in degraded)          # the degraded shape
+    binned = plan(600)
+    assert "BroadcastNestedLoopJoin" not in binned      # the scale path
+    assert "CartesianProduct" not in binned
+    got = {(r.eid, r.ivid) for r in range_join(
+        ev, iv, on=[], ts_col="ts", start_col="w_start",
+        end_col="w_end", bin_width_s=600).collect()}
+    assert got == {(1, 7)}
+
+
+def test_engine_asof_and_range_ops(spark):
+    """The config-program surface: ASOF JOIN / RANGE JOIN dispatch through
+    the engine like any reference op."""
+    from configurable_etl_python_repo_spark.plans import Engine
+    from configurable_etl_python_repo_spark.plans.spec import OpSpec
+
+    trades = spark.createDataFrame([Row(key="a", ts=_ts(10), qty=3)])
+    quotes = spark.createDataFrame([Row(key="a", ts=_ts(9), px=1.5)])
+    eng = Engine(spark)
+    eng.bind("t", trades)
+    eng.bind("q", quotes)
+    eng.run_op(OpSpec(op="ASOF JOIN", target="j", inputs=["t", "q"],
+                      args={"on": ["key"], "ts": "ts"}))
+    assert eng.resolve("j").collect()[0].px == 1.5
+
+    iv = spark.createDataFrame(
+        [Row(key="a", w_start=_ts(9), w_end=_ts(11), ivid=1)]
+    )
+    eng.bind("iv", iv)
+    eng.run_op(OpSpec(op="RANGE JOIN", target="r", inputs=["t", "iv"],
+                      args={"on": ["key"], "ts": "ts", "start": "w_start",
+                            "end": "w_end", "bin_width_s": 3600}))
+    assert eng.resolve("r").collect()[0].ivid == 1
