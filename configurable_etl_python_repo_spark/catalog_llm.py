@@ -763,6 +763,107 @@ def q_t5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.winnowing_fingerprints(docs, k=_WIN_K, window=_WIN_W)
 
 
+_SAMPLE_FRACS = {"en": 0.5, "de": 1.0}
+_SAMPLE_DEFAULT = 0.25
+
+
+def _stratified_sample_oracle() -> str:
+    """SQL mirror of llm.sampling.stratified_sample: md5-bucket per key
+    under a per-stratum cutoff (exact integer threshold)."""
+    scale = 1 << 32
+    whens = " ".join(
+        f"WHEN '{v}' THEN {int(round(f * scale))}"
+        for v, f in sorted(_SAMPLE_FRACS.items())
+    )
+    return f"""
+    SELECT doc_id, lang FROM documents
+    WHERE CAST(('0x' || substr(md5('sample' || '|' || CAST(doc_id AS VARCHAR)),
+                               1, 8)) AS BIGINT)
+          < CASE lang {whens} ELSE {int(round(_SAMPLE_DEFAULT * scale))} END
+    """
+
+
+@register("x8_stratified_sample", _stratified_sample_oracle())
+def q_x8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: keep 50% of English, all German,
+    25% of everything else — decided by md5(key), so the sample is
+    identical on any partitioning, cluster size, or engine (df.sample is
+    not). Pure scan-stage filter, zero shuffles."""
+    from .llm.sampling import stratified_sample
+
+    docs = spark.read.parquet(_pq(sf_dir, "documents"))
+    return stratified_sample(
+        docs, "lang", _SAMPLE_FRACS, default_fraction=_SAMPLE_DEFAULT
+    ).select("doc_id", "lang")
+
+
+def _curation_oracle() -> str:
+    """End-to-end curation: near-dup clusters (d7's machinery) × quality
+    gate × best-doc-per-cluster — the full corpus-curation answer in one
+    SQL replay."""
+    r = T.QUALITY_RULES
+    ctes = _dedup_clusters_oracle()
+    # reuse everything up to the `comp` (doc -> cluster) CTE; drop d7's
+    # final SELECT
+    ctes = ctes[: ctes.rindex("SELECT c.doc_id")]
+    return (
+        ctes
+        + rf""",
+    stats AS (
+      SELECT d.doc_id,
+             CAST(len(w.w) AS BIGINT) AS n_words,
+             CAST(len(regexp_extract_all(d.text, '[^\w\s]', 0)) AS DOUBLE)
+               / greatest(length(d.text), 1) AS punct_ratio,
+             CAST(len(list_filter(w.w, x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+               / greatest(len(w.w), 1) AS stopword_ratio,
+             CAST(list_sum(list_transform(w.w, x -> length(x))) AS DOUBLE)
+               / greatest(len(w.w), 1) AS mean_word_len
+      FROM documents d JOIN words w ON d.doc_id = w.doc_id),
+    passing AS (
+      SELECT doc_id, n_words FROM stats
+      WHERE n_words BETWEEN {r["min_words"]} AND {r["max_words"]}
+        AND punct_ratio <= {r["max_punct_ratio"]}
+        AND stopword_ratio >= {r["min_stopword_ratio"]}
+        AND mean_word_len BETWEEN {r["min_mean_word_len"]}
+                              AND {r["max_mean_word_len"]})
+    SELECT p.doc_id, c.cluster_id, p.n_words
+    FROM passing p JOIN comp c ON c.doc_id = p.doc_id
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                               ORDER BY p.n_words DESC, p.doc_id) = 1
+    """
+    )
+
+
+@register("x9_curation_pipeline", _curation_oracle())
+def q_x9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data curation pipeline: quality-gate the
+    corpus, resolve near-dup clusters (MinHash-LSH + connected
+    components), keep ONE best document per cluster (longest passing doc,
+    id tiebreak). Each stage is an existing oracle-checked operator; this
+    query pins their composition."""
+    from .llm.clusters import dedup_clusters
+
+    docs = spark.read.parquet(_pq(sf_dir, "documents"))
+    pairs = D.minhash_lsh_pairs(docs, n=_JACCARD_N, bands=_LSH_BANDS,
+                                rows_per_band=_LSH_ROWS,
+                                threshold=_LSH_P / _LSH_Q)
+    clusters = dedup_clusters(docs, pairs).select("doc_id", "cluster_id")
+    passing = (
+        T.quality_filter(docs)
+        .where(F.col("keep"))
+        .select("doc_id", "n_words")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_words").desc(), F.col("doc_id").asc()
+    )
+    return (
+        passing.join(clusters, "doc_id")
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("doc_id", "cluster_id", "n_words")
+    )
+
+
 # ===========================================================================
 # Multimodal plumbing
 # ===========================================================================

@@ -98,6 +98,15 @@ def _dedup_clusters(engine: "Engine", spec: OpSpec):
     return C.dedup_clusters(docs, pairs, **kwargs), None
 
 
+def _lazy_sampling(fn_name: str):
+    def call(df, **kwargs):
+        from ..llm import sampling as SA
+
+        return getattr(SA, fn_name)(df, **kwargs)
+
+    return call
+
+
 def _lazy_multimodal(fn_name: str):
     """multimodal imports pandas at module load — defer until dispatch."""
 
@@ -129,6 +138,13 @@ LLM_OP_COMPILERS = {
     "COSINE PAIRS": _unary(
         _rename_kw(S.embedding_cosine_pairs,
                    {"id_column": "id_col", "vector_column": "vec_col"})
+    ),
+    "SAMPLE HASH": _unary(
+        _rename_kw(_lazy_sampling("hash_sample"), {"key_column": "key_col"})
+    ),
+    "SAMPLE STRATIFIED": _unary(
+        _rename_kw(_lazy_sampling("stratified_sample"),
+                   {"key_column": "key_col", "strata_column": "strata_col"})
     ),
     "CONNECTED COMPONENTS": _connected_components,
     "DEDUP CLUSTERS": _dedup_clusters,
