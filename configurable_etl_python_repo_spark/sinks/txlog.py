@@ -175,6 +175,28 @@ def tx_merge_upsert(
     return _publish(gold_path, base_version, new_manifest)
 
 
+def compact_gold_tx(
+    spark: SparkSession, gold_path: str, partition_col: str = "study_code"
+) -> int:
+    """Rewrite the current snapshot as ONE commit: after many merges the
+    snapshot references one directory per partition-touching commit, and
+    readers pay a union per referenced commit — compaction collapses that
+    back to a single dir (and makes every older data dir vacuumable once
+    pre-compaction manifests age out). Same optimistic commit as a merge:
+    concurrent writers are detected, readers never see a partial state.
+    Returns the committed version."""
+    base_version, manifest = _read_latest(gold_path)
+    current = _read_partition_dirs(spark, manifest, partition_col)
+    if current is None:
+        raise FileNotFoundError(f"no committed snapshot at {gold_path}")
+    commit_dir = os.path.join(gold_path, "data", uuid.uuid4().hex)
+    current.write.mode("overwrite").partitionBy(partition_col).parquet(commit_dir)
+    new_manifest = {
+        p: os.path.join(commit_dir, f"{partition_col}={p}") for p in manifest
+    }
+    return _publish(gold_path, base_version, new_manifest)
+
+
 def vacuum_gold_tx(gold_path: str) -> list[str]:
     """Delete data dirs no manifest <= LATEST references (debris from
     crashed or superseded commits). Returns the removed dirs. Safe any

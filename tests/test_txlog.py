@@ -130,3 +130,31 @@ def test_tx_snapshot_isolation_across_merge(spark, tmp_path):
 def test_tx_read_missing_table_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         read_gold_tx(spark, str(tmp_path / "nope"))
+
+
+def test_tx_compaction_collapses_commits(spark, tmp_path):
+    """After N merges the snapshot spans N data dirs; compaction rewrites
+    it as one commit with identical content."""
+    from configurable_etl_python_repo_spark.sinks.txlog import (
+        compact_gold_tx,
+    )
+
+    gold = str(tmp_path / "gold")
+    # three merges touching different partition sets → snapshot spans
+    # multiple commit dirs
+    for step, studies in enumerate([("A", "B"), ("A",), ("C",)]):
+        df = spark.createDataFrame([
+            Row(study_code=sc, subject=f"s{step}", val=f"v{step}")
+            for sc in studies
+        ])
+        tx_merge_upsert(spark, gold, df, key_cols=["study_code", "subject"])
+    before = _rows(spark, gold)
+    _, manifest = txlog._read_latest(gold)
+    assert len({os.path.dirname(d) for d in manifest.values()}) == 3
+
+    v = compact_gold_tx(spark, gold)
+    assert v == 4
+    _, manifest = txlog._read_latest(gold)
+    # one data dir for the whole snapshot now
+    assert len({os.path.dirname(d) for d in manifest.values()}) == 1
+    assert _rows(spark, gold) == before
