@@ -22,12 +22,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _shingles(text_col, n: int):
-    """Distinct word n-gram shingles of the lowercased text, joined by a
-    single space. n=1 → distinct words."""
-    words = F.filter(
+def _words(text_col):
+    """Whitespace tokens of the lowercased, trimmed text (empty → [])."""
+    return F.filter(
         F.split(F.lower(F.trim(text_col)), r"\s+"), lambda w: w != F.lit("")
     )
+
+
+def _shingles(text_col, n: int):
+    """Distinct word n-gram shingles as a Column (HOF formulation) — the
+    readable spec the SQL oracles mirror. The hot path is doc_shingles
+    below: Catalyst evaluates lambda HOFs interpreted (no codegen), so at
+    n>=2 this costs ~5x the window formulation (measured 2.6s vs 0.56s
+    over sf0.1's ~1.5M grams). Kept for n=1 (cheap: one filter pass) and
+    as the semantic reference."""
+    words = _words(text_col)
     if n == 1:
         return F.array_distinct(words)
     idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(-1)))
@@ -39,9 +48,37 @@ def _shingles(text_col, n: int):
 def doc_shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """(id, shingle) exploded, distinct per doc."""
-    return df.select(
-        F.col(id_col).alias("id"), F.explode(_shingles(F.col(text_col), n)).alias("sh")
+    """(id, shingle) exploded, distinct per doc.
+
+    n>=2 compiles to posexplode + n-1 window LEADs + a partition-local
+    distinct — every expression whole-stage-codegen'd, one hash shuffle on
+    the doc id (which downstream per-doc aggregations reuse exchange-free).
+    The interpreted-HOF alternative (_shingles) is shuffle-free but ~5x
+    the CPU; gram construction dominates both d2 and d3, so codegen wins
+    at every scale where CPU is the shingling bottleneck."""
+    from pyspark.sql import Window
+
+    if n == 1:
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.explode(_shingles(F.col(text_col), n)).alias("sh"),
+        )
+    w0 = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_words(F.col(text_col))).alias("pos", "w"),
+    )
+    win = Window.partitionBy("id").orderBy("pos")
+    leads = [F.col("w")] + [F.lead("w", k).over(win) for k in range(1, n)]
+    grams = (
+        w0.withColumn("sh", F.concat_ws(" ", *leads))
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy("id")))
+        .where(F.col("pos") <= F.col("__n") - n)
+        .select("id", "sh")
+    )
+    # distinct per doc WITHOUT a second exchange: the window already
+    # partitioned by id, so collect_set + explode dedupes partition-local
+    return grams.groupBy("id").agg(F.collect_set("sh").alias("__shs")).select(
+        "id", F.explode("__shs").alias("sh")
     )
 
 

@@ -71,8 +71,11 @@ def test_ngram_jaccard_auto_routing(docs, spark, sf_dir):
 
     low = PREFIX_FILTER_MIN_THRESHOLD - 0.1
     high = PREFIX_FILTER_MIN_THRESHOLD
-    assert "Window" not in plan(low)      # direct join: no rarity ranking
-    assert "Window" in plan(high)         # ppjoin: row_number over rarity
+    # the ppjoin path ranks shingles by rarity with row_number; the direct
+    # join has no ranking (the shingle builder's lead()-window appears in
+    # BOTH plans, so row_number is the discriminating marker)
+    assert "row_number" not in plan(low)
+    assert "row_number" in plan(high)
 
 
 def test_minhash_lsh_subset_of_exact(docs):
