@@ -118,11 +118,27 @@ def _read_partition_dirs(
 
 
 def read_gold_tx(
-    spark: SparkSession, gold_path: str, partition_col: str = "study_code"
+    spark: SparkSession,
+    gold_path: str,
+    partition_col: str = "study_code",
+    version: int | None = None,
 ) -> DataFrame:
-    """Current snapshot of the transactional gold table. Resolves LATEST
-    once — concurrent merges cannot tear this read."""
-    _, manifest = _read_latest(gold_path)
+    """Snapshot of the transactional gold table. By default the current
+    one (LATEST resolved once — concurrent merges cannot tear this read);
+    pass `version` to time-travel to any still-un-vacuumed snapshot
+    (manifests are immutable, so an old version reads exactly what it
+    read the day it committed)."""
+    if version is None:
+        _, manifest = _read_latest(gold_path)
+    else:
+        path = os.path.join(_txdir(gold_path), f"v{version:08d}.json")
+        try:
+            with open(path) as f:
+                manifest = json.load(f)["partitions"]
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"no snapshot v{version} at {gold_path}"
+            ) from None
     df = _read_partition_dirs(spark, manifest, partition_col)
     if df is None:
         raise FileNotFoundError(f"no committed snapshot at {gold_path}")

@@ -110,6 +110,37 @@ def test_session_rollup_counts(spark, sf_dir):
     assert total == ev.count()  # every event lands in exactly one session
 
 
+def test_text_ops_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The curation text operators are stateless Column transforms, so
+    the SAME functions run under readStream unchanged — streaming
+    quality-gating of an arriving corpus produces exactly the batch
+    answer."""
+    from configurable_etl_python_repo_spark.llm.text import (
+        language_id, quality_filter,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def transform(df):
+        return language_id(quality_filter(df)).select(
+            "doc_id", "keep", "lang_pred"
+        )
+
+    batch = {tuple(r) for r in transform(docs).collect()}
+    src = str(tmp_path / "docs_dir")
+    docs.write.parquet(src)  # stream source needs a directory
+    q = (transform(
+            spark.readStream.format("parquet").schema(docs.schema).load(src))
+         .writeStream.format("memory").queryName("txt_stream")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck_txt"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(120)
+    stream = {tuple(r) for r in spark.table("txt_stream").collect()}
+    assert stream == batch
+
+
 def test_session_rollup_stream_matches_batch(spark, sf_dir, tmp_path):
     """F.session_window under a real readStream (availableNow) produces
     the same sessions as the batch plan — the streaming counterpart of

@@ -132,6 +132,33 @@ def test_tx_read_missing_table_raises(spark, tmp_path):
         read_gold_tx(spark, str(tmp_path / "nope"))
 
 
+def test_tx_time_travel_and_schema_evolution(spark, tmp_path):
+    """Manifests are immutable → any un-vacuumed version replays exactly;
+    a merge may add new columns (old rows read them as NULL — the
+    standardized-sink schema-evolution contract carried over)."""
+    gold = str(tmp_path / "gold")
+    v1_df = spark.createDataFrame([Row(study_code="A", subject="s1", val="v0")])
+    assert tx_merge_upsert(spark, gold, v1_df,
+                           key_cols=["study_code", "subject"]) == 1
+    v2_df = spark.createDataFrame([
+        Row(study_code="A", subject="s2", val="x", extra="E"),
+    ])
+    assert tx_merge_upsert(spark, gold, v2_df,
+                           key_cols=["study_code", "subject"]) == 2
+
+    now = read_gold_tx(spark, gold)
+    assert "extra" in now.columns
+    got = {(r.subject): (r.val, r.extra) for r in now.collect()}
+    assert got == {"s1": ("v0", None), "s2": ("x", "E")}
+
+    old = read_gold_tx(spark, gold, version=1)
+    assert "extra" not in old.columns
+    assert [(r.subject, r.val) for r in old.collect()] == [("s1", "v0")]
+
+    with pytest.raises(FileNotFoundError):
+        read_gold_tx(spark, gold, version=9)
+
+
 def test_tx_compaction_collapses_commits(spark, tmp_path):
     """After N merges the snapshot spans N data dirs; compaction rewrites
     it as one commit with identical content."""
