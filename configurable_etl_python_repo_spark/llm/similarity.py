@@ -362,6 +362,88 @@ def ivf_topk_kmeans(
     )
 
 
+def ivf_build_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "list[tuple[int, list[float]]]":
+    """WRITE-SIDE IVF index: assign every corpus vector to its nearest
+    centroid and store the corpus PHYSICALLY PARTITIONED by centroid id
+    (plus the centroid table itself under <path>/_centroids). This is the
+    shape the search path wants at 100 TB: probing n_probe of n_centroids
+    lists becomes parquet PARTITION PRUNING — the scan never touches the
+    other lists' files, so query cost is ~n_probe/n_centroids of the
+    corpus in I/O, not just in compute. Returns the centroid list."""
+    cent_rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = sorted((r[0], list(r[1])) for r in cent_rows)
+    if not centroids:
+        raise ValueError("no centroids: corpus is empty")
+    assign1 = ivf_assignments_arrow(centroids, n_best=1)
+    (
+        corpus.withColumn("cid", assign1(F.col(vec_col))[0])
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(path)
+    )
+    cent_df = [(int(c), list(map(float, v))) for c, v in centroids]
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        cent_df, "cid long, cvec array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/_centroids")
+    return centroids
+
+
+def ivf_search_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Query a write-side IVF index: load the (tiny) centroid table, find
+    each query's n_probe nearest lists, and scan ONLY those partitions of
+    the indexed corpus — `cid IN (...)` prunes at the file listing, so
+    I/O scales with the probed fraction. Rerank is the exact cosine."""
+    cent_rows = spark.read.parquet(path + "/_centroids").collect()
+    centroids = sorted((int(r.cid), list(r.cvec)) for r in cent_rows)
+    probe = ivf_assignments_arrow(centroids, n_best=n_probe)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(probe(F.col(vec_col))).alias("cid"),
+    )
+    probed = sorted({
+        int(r[0]) for r in q.select("cid").distinct().collect()
+    })
+    # partition filter: only the probed lists' files are ever listed/read
+    c = spark.read.parquet(path).where(F.col("cid").isin(probed)).select(
+        "cid", F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    sims = (
+        c.join(F.broadcast(q), "cid")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", F.round(cosine(F.col("qv"), F.col("cv")), round_digits))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
