@@ -864,6 +864,42 @@ def q_x9(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x10_rolling_window",
+    """
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS rolling_1h_sum,
+           CAST(COUNT(event_id)
+                OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS rolling_1h_n
+    FROM events
+    """,
+)
+def q_x10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time rolling aggregates (trailing 1h per user) — the RANGE
+    window frame, anchored to each row's own timestamp (vs e3's fixed
+    sliding windows). Spark range frames are numeric, so the frame rides
+    unix seconds; sums ride DECIMAL so both engines add exactly."""
+    from .sources.files import read_events
+
+    ev = read_events(spark, _pq(sf_dir, "events"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_seconds(F.col("ts")))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id", "user_id", "ts",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w)
+        .cast("double").alias("rolling_1h_sum"),
+        F.count("event_id").over(w).alias("rolling_1h_n"),
+    )
+
+
 # ===========================================================================
 # Multimodal plumbing
 # ===========================================================================

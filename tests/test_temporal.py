@@ -151,6 +151,48 @@ def test_range_join_binned_never_nested_loop(spark):
     assert got == {(1, 7)}
 
 
+def test_asof_matches_pandas_merge_asof_model(spark):
+    """Model check: on seeded-random frames, asof_join must equal pandas'
+    merge_asof per key (the single-node reference implementation of the
+    same operator) — backward, inclusive, left-join semantics."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(11)
+    for trial in range(4):
+        lrows = [Row(key=rng.choice("abc"), ts=_ts(rng.randint(0, 23),
+                                                   rng.choice([0, 15, 30, 45])),
+                     lv=i)
+                 for i in range(rng.randint(1, 25))]
+        # unique (key, ts) on the right so the match is well-defined
+        seen = set()
+        rrows = []
+        for i in range(rng.randint(1, 25)):
+            k = (rng.choice("abc"),
+                 _ts(rng.randint(0, 23), rng.choice([0, 15, 30, 45])))
+            if k in seen:
+                continue
+            seen.add(k)
+            rrows.append(Row(key=k[0], ts=k[1], rv=100 + i))
+        left = spark.createDataFrame(lrows)
+        right = spark.createDataFrame(rrows)
+
+        got = {(r.key, r.ts, r.lv): r.rv
+               for r in asof_join(left, right, on=["key"]).collect()}
+
+        lp = pd.DataFrame([r.asDict() for r in lrows]).sort_values("ts")
+        rp = pd.DataFrame([r.asDict() for r in rrows]).sort_values("ts")
+        model_df = pd.merge_asof(lp, rp, on="ts", by="key",
+                                 direction="backward")
+        model = {
+            (r.key, r.ts.to_pydatetime(), r.lv):
+                (None if pd.isna(r.rv) else int(r.rv))
+            for r in model_df.itertuples()
+        }
+        assert got == model, f"trial {trial} diverged"
+
+
 def test_engine_asof_and_range_ops(spark):
     """The config-program surface: ASOF JOIN / RANGE JOIN dispatch through
     the engine like any reference op."""
