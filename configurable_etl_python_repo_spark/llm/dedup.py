@@ -45,6 +45,27 @@ def _shingles(text_col, n: int):
     )
 
 
+def _doc_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, sh) word n-grams in document order, WITH duplicates, n >= 2 —
+    partitioned by id (the builder window's shuffle). Internal: consumers
+    that aggregate per doc anyway (doc_shingles' distinct, minhash's
+    signature groupBy) fuse their aggregation onto this exchange-free."""
+    from pyspark.sql import Window
+
+    w0 = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_words(F.col(text_col))).alias("pos", "w"),
+    )
+    win = Window.partitionBy("id").orderBy("pos")
+    leads = [F.col("w")] + [F.lead("w", k).over(win) for k in range(1, n)]
+    return (
+        w0.withColumn("sh", F.concat_ws(" ", *leads))
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy("id")))
+        .where(F.col("pos") <= F.col("__n") - n)
+        .select("id", "sh")
+    )
+
+
 def doc_shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
@@ -56,29 +77,18 @@ def doc_shingles(
     The interpreted-HOF alternative (_shingles) is shuffle-free but ~5x
     the CPU; gram construction dominates both d2 and d3, so codegen wins
     at every scale where CPU is the shingling bottleneck."""
-    from pyspark.sql import Window
-
     if n == 1:
         return df.select(
             F.col(id_col).alias("id"),
             F.explode(_shingles(F.col(text_col), n)).alias("sh"),
         )
-    w0 = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(_words(F.col(text_col))).alias("pos", "w"),
-    )
-    win = Window.partitionBy("id").orderBy("pos")
-    leads = [F.col("w")] + [F.lead("w", k).over(win) for k in range(1, n)]
-    grams = (
-        w0.withColumn("sh", F.concat_ws(" ", *leads))
-        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy("id")))
-        .where(F.col("pos") <= F.col("__n") - n)
-        .select("id", "sh")
-    )
     # distinct per doc WITHOUT a second exchange: the window already
     # partitioned by id, so collect_set + explode dedupes partition-local
-    return grams.groupBy("id").agg(F.collect_set("sh").alias("__shs")).select(
-        "id", F.explode("__shs").alias("sh")
+    return (
+        _doc_grams(df, id_col, text_col, n)
+        .groupBy("id")
+        .agg(F.collect_set("sh").alias("__shs"))
+        .select("id", F.explode("__shs").alias("sh"))
     )
 
 
@@ -305,15 +315,19 @@ def minhash_lsh_pairs(
     md5-derived hash family, so an oracle can reproduce it."""
     H = bands * rows_per_band
     # ONE groupBy(id) produces the signature AND the per-doc shingle array
-    # the verify step needs: signature aggs and collect_list ride the same
+    # the verify step needs: signature aggs and collect_set ride the same
     # shuffle, and every later branch (bucket join, both verify sides)
-    # reads this one cached relation. vs the previous shape (cache the
-    # exploded shingles, re-shuffle them by id for signatures and again
-    # for verify arrays) this removes two id-shuffles over the full
-    # shingle set — measured 2.5x end-to-end at sf0.1, identical output.
-    sh = doc_shingles(df, id_col, text_col, n)
-    sigarr = sh.groupBy("id").agg(
-        F.collect_list("sh").alias("arr"),
+    # reads this one cached relation. The input is the raw gram stream
+    # (duplicates included): min() is duplicate-blind, collect_set
+    # dedupes — so no separate per-doc distinct pass exists anywhere in
+    # this pipeline, and the builder window's id-partitioning makes this
+    # aggregation exchange-free.
+    if n == 1:
+        grams = doc_shingles(df, id_col, text_col, n)
+    else:
+        grams = _doc_grams(df, id_col, text_col, n)
+    sigarr = grams.groupBy("id").agg(
+        F.collect_set("sh").alias("arr"),
         *[_minhash_expr(j).alias(f"mh{j}") for j in range(H)],
     )
     clear_shingle_cache()
