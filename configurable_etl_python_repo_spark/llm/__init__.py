@@ -23,5 +23,14 @@ from .dedup import (  # noqa: F401
     minhash_lsh_pairs,
     simhash32,
 )
-from .similarity import brute_force_topk, lsh_bucketed_topk  # noqa: F401
+from .similarity import (  # noqa: F401
+    brute_force_topk,
+    embedding_cosine_pairs,
+    ivf_build_index,
+    ivf_search_index,
+    ivf_topk,
+    ivf_topk_kmeans,
+    lsh_bucketed_topk,
+)
 from .clusters import connected_components, dedup_clusters  # noqa: F401
+from .sampling import hash_sample, stratified_sample  # noqa: F401
