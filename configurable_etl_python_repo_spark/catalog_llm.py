@@ -865,6 +865,46 @@ def q_x9(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x11_quantize_embeddings",
+    """
+    WITH s AS (
+      SELECT vec_id, embedding,
+             greatest(list_max(list_transform(embedding,
+                                              x -> abs(CAST(x AS DOUBLE)))),
+                      1e-30) / 127.0 AS scale
+      FROM embeddings),
+    q AS (
+      SELECT vec_id, scale,
+             list_transform(embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INT))
+               AS qvec
+      FROM s)
+    SELECT vec_id, scale,
+           CAST(list_sum(qvec) AS BIGINT) AS q_sum,
+           md5(array_to_string(qvec, ',')) AS q_md5
+    FROM q
+    """,
+)
+def q_x11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 embedding quantization (4x storage at 100 TB): per-vector
+    scale plus two scalar digests of the quantized array (sum + md5 of
+    the joined string), so the whole int codebook is hash-verified
+    without array-representation ambiguity between engines."""
+    from .llm.similarity import quantize_embeddings
+
+    emb = spark.read.parquet(_pq(sf_dir, "embeddings"))
+    q = quantize_embeddings(emb)
+    return q.select(
+        "vec_id", "scale",
+        F.aggregate(
+            "qvec", F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+        ).alias("q_sum"),
+        F.md5(F.concat_ws(",", F.transform("qvec", lambda x: x.cast("string"))))
+        .alias("q_md5"),
+    )
+
+
+@register(
     "x10_rolling_window",
     """
     SELECT event_id, user_id, ts,

@@ -160,6 +160,45 @@ def test_cosine_pairs_planes_is_explicit(spark, sf_dir):
         assert v == exact[k]  # identical sims on the pairs it keeps
 
 
+def test_quantized_ann_recall(spark, sf_dir):
+    """int8 round-trip: reconstruction error bounded by scale/2 per
+    component, and brute-force top-5 on dequantized vectors keeps high
+    recall vs full-precision — the 4x-storage trade is quantified."""
+    from configurable_etl_python_repo_spark.llm.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    deq = dequantize_embeddings(quantize_embeddings(emb))
+
+    # per-component error <= scale/2 (+ float32 eps)
+    err = (
+        emb.join(deq.withColumnsRenamed({"embedding": "emb_q"}), "vec_id")
+        .select(
+            F.array_max(F.zip_with(
+                "embedding", "emb_q",
+                lambda a, b: F.abs(a.cast("double") - b.cast("double")),
+            )).alias("max_err"),
+            F.array_max(F.transform(
+                "embedding", lambda x: F.abs(x.cast("double"))
+            )).alias("absmax"),
+        )
+        .where(F.col("max_err") > F.col("absmax") / 127.0 / 2.0 + 1e-6)
+        .count()
+    )
+    assert err == 0
+
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in brute_force_topk(emb, queries, k=5).collect()}
+    quant = {(r.query_id, r.neighbor_id)
+             for r in brute_force_topk(
+                 deq, dequantize_embeddings(quantize_embeddings(queries)),
+                 k=5).collect()}
+    assert len(exact & quant) / len(exact) >= 0.9
+
+
 def test_ivf_topk_recall_rises_with_probes(spark, sf_dir):
     """IVF: probing more inverted lists must not lower recall, and even
     few probes beat the floor."""
