@@ -45,6 +45,16 @@ def test_query_matches_oracle(spark, sf_dir, oracle_con, name):
     assert not problems, problems
 
 
+def test_driver_window_is_curated():
+    """The correctness driver checks the FIRST 50 queries in dict order;
+    the curated priority list must be exactly that prefix so every
+    operator family keeps a driver row as new queries register."""
+    from configurable_etl_python_repo_spark.catalog import DRIVER_PRIORITY
+
+    assert len(DRIVER_PRIORITY) == 50
+    assert list(QUERIES)[:50] == DRIVER_PRIORITY
+
+
 def test_every_query_has_oracle_or_reason():
     # every catalog query carries a SQL oracle — the md5-derived hash
     # families (minhash, simhash, SRP planes) are all generated into SQL.
