@@ -124,44 +124,76 @@ LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
 }
 
 
-def language_id_ngram(df: DataFrame, text_col: str = "text") -> DataFrame:
+def language_id_ngram(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
     """Character-trigram language ID (Cavnar-Trenkle-style profiles).
 
     Scores each language by the FREQUENCY of its profile trigrams in the
     space-padded, whitespace-normalized lowercase text — robust on short
     or function-word-poor text where the stopword heuristic
     (`language_id`) sees zero hits. Argmax wins, ties break
-    alphabetically, zero score → 'und'. Pure Column expressions (one
-    transform + per-language filter over the same trigram array), zero
-    shuffles, and deterministic so the SQL oracle reproduces it."""
+    alphabetically, zero score → 'und'.
+
+    Trigrams stream as rows: each character posexplodes, two window
+    LEADs assemble the trigram, and seven InSet conditional counts ride
+    one groupBy — all whole-stage codegen, one shuffle on the doc id,
+    scores joined back to the input. The previous formulation built a
+    per-doc trigram ARRAY and ran 7 interpreted lambda filters over it:
+    a giant single expression that Catalyst cannot codegen (measured
+    154s for 5k×300-char docs at sf0.1; this shape runs in ~1s,
+    identical results)."""
+    from pyspark.sql import Window
+
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     padded = F.concat(F.lit(" "), norm, F.lit(" "))
-    n = F.length(padded)
-    grams = F.when(
-        n >= 3,
-        F.transform(
-            F.sequence(F.lit(1), n - 2), lambda i: padded.substr(i, F.lit(3))
-        ),
-    ).otherwise(F.expr("CAST(array() AS array<string>)"))
-
-    def _in(profile):
-        return lambda g: g.isin(*profile)
-
-    scores = {
-        lang: F.size(F.filter(grams, _in(prof)))
-        for lang, prof in LANG_TRIGRAMS.items()
-    }
+    # bind the char array to a column BEFORE the generate: a generator fed
+    # a raw expression alongside other non-trivial projections drops out
+    # of codegen and re-evaluates the expression per OUTPUT row — O(len²)
+    # per doc (measured 11s vs 0.4s at sf0.1 for this one line)
+    arr = df.select(
+        F.col(id_col).alias("__lid"), F.split(padded, "").alias("__arr")
+    )
+    chars = arr.select(
+        "__lid",
+        F.size("__arr").alias("__plen"),
+        F.posexplode("__arr").alias("__pos", "__c"),
+    )
+    win = Window.partitionBy("__lid").orderBy("__pos")
+    tg = F.concat(
+        F.col("__c"), F.lead("__c", 1).over(win), F.lead("__c", 2).over(win)
+    )
+    grams = chars.withColumn("__tg", tg).where(
+        F.col("__pos") <= F.col("__plen") - 3
+    )
+    langs = sorted(LANG_TRIGRAMS)
+    scored = grams.groupBy("__lid").agg(
+        *[
+            F.sum(
+                F.when(F.col("__tg").isin(*LANG_TRIGRAMS[lg]), 1).otherwise(0)
+            ).alias(f"__sc_{lg}")
+            for lg in langs
+        ]
+    )
     pairs = F.array(
         *[
-            F.struct((-scores[lang]).alias("neg"), F.lit(lang).alias("lang"))
-            for lang in sorted(LANG_TRIGRAMS)
+            F.struct(
+                (-F.coalesce(F.col(f"__sc_{lg}"), F.lit(0))).alias("neg"),
+                F.lit(lg).alias("lang"),
+            )
+            for lg in langs
         ]
     )
     best = F.array_sort(pairs)[0]
-    return df.withColumn(
-        "lang_pred",
-        F.when(-best["neg"] > 0, best["lang"]).otherwise(F.lit("und")),
-    ).withColumn("lang_pred_score", (-best["neg"]).cast("long"))
+    out = (
+        df.join(scored, df[id_col] == scored["__lid"], "left")
+        .withColumn(
+            "lang_pred",
+            F.when(-best["neg"] > 0, best["lang"]).otherwise(F.lit("und")),
+        )
+        .withColumn("lang_pred_score", (-best["neg"]).cast("long"))
+    )
+    return out.drop("__lid", *[f"__sc_{lg}" for lg in langs])
 
 
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -186,22 +218,45 @@ def winnowing_fingerprints(
     any shared run of >= k+window-1 words — the local-similarity detector
     whole-doc md5 can't be).
 
-    Output: (id, fp) exploded, one row per fingerprint. Pure Column ops —
+    Output: (id, fp) exploded, one row per fingerprint. The k-grams and
+    rolling minima compile to posexplode + window LEADs/ROWS-frame min —
+    all whole-stage codegen, one hash shuffle on the doc id (the same
+    rewrite that took the shingle builder off the interpreted-HOF path);
     the hash is an md5 window, so the SQL oracle reproduces it exactly."""
-    words = _words(F.col(text_col))
-    n = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
-    hashes = F.transform(
-        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
-    )
-    wins = F.sequence(F.lit(0), F.greatest(F.size(hashes) - window, F.lit(0)))
-    fps = F.array_distinct(
-        F.transform(wins, lambda i: F.array_min(F.slice(hashes, i + 1, window)))
-    )
-    return df.select(
+    from pyspark.sql import Window
+
+    w0 = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.when(n >= k, fps).otherwise(F.array())).alias("fp"),
+        F.posexplode(_words(F.col(text_col))).alias("pos", "w"),
+    )
+    win = Window.partitionBy("id").orderBy("pos")
+    leads = [F.col("w")] + [F.lead("w", j).over(win) for j in range(1, k)]
+    grams = (
+        w0.withColumn("gram", F.concat_ws(" ", *leads))
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy("id")))
+        .where(F.col("pos") <= F.col("__n") - k)  # no rows when n < k
+        .select(
+            "id", "pos",
+            F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10)
+            .cast("long").alias("h"),
+        )
+    )
+    # rolling minimum over `window` consecutive hashes (frame caps at the
+    # partition end, mirroring slice() at the array end); window start
+    # positions run 0..max(n_grams - window, 0)
+    fp = F.min("h").over(win.rowsBetween(0, window - 1))
+    rn0 = F.row_number().over(win) - 1
+    n_grams = F.count(F.lit(1)).over(Window.partitionBy("id"))
+    mins = (
+        grams.withColumn("fp", fp)
+        .withColumn("__rn0", rn0)
+        .withColumn("__ng", n_grams)
+        .where(F.col("__rn0") <= F.greatest(F.col("__ng") - window, F.lit(0)))
+        .select("id", "fp")
+    )
+    # distinct per doc without another exchange (id-partitioned already)
+    return mins.groupBy("id").agg(F.collect_set("fp").alias("__fps")).select(
+        "id", F.explode("__fps").alias("fp")
     )
 
 

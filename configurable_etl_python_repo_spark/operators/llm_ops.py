@@ -125,7 +125,8 @@ LLM_OP_COMPILERS = {
     "TEXT STATS": _unary(_rename_kw(T.text_stats, {"text_column": "text_col"})),
     "LANGUAGE ID": _unary(_rename_kw(T.language_id, {"text_column": "text_col"})),
     "LANGUAGE ID NGRAM": _unary(
-        _rename_kw(T.language_id_ngram, {"text_column": "text_col"})
+        _rename_kw(T.language_id_ngram,
+                   {"text_column": "text_col", "id_column": "id_col"})
     ),
     "FINGERPRINT": _unary(_rename_kw(T.fingerprint, {"text_column": "text_col"})),
     "TOKEN COUNT": _unary(
