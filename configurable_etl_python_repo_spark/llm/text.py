@@ -64,10 +64,13 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Stopword-hit language heuristic: score each language by function-word
-    hits; argmax wins, ties broken alphabetically, zero hits → 'und'
-    (undetermined). Deterministic so the SQL oracle can reproduce it."""
+def _language_id_stateless(df: DataFrame, text_col: str) -> DataFrame:
+    """Per-row (stateless) formulation of language_id: lambda filters
+    over the word array. Interpreted — ~7 array passes per doc — but
+    involves no aggregation, so it runs under readStream append mode
+    unchanged (micro-batches are small; the batch path below takes the
+    codegen aggregation instead). The stream-vs-batch parity test proves
+    both formulations agree."""
     words = _words(F.col(text_col))
 
     def _hits(sw):
@@ -79,7 +82,6 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang: F.size(F.filter(words, _hits(sw)))
         for lang, sw in LANG_STOPWORDS.items()
     }
-    # argmax by (score desc, lang asc) via a sorted array of structs
     pairs = F.array(
         *[
             F.struct((-scores[lang]).alias("neg"), F.lit(lang).alias("lang"))
@@ -91,6 +93,56 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         "lang_pred",
         F.when(-best["neg"] > 0, best["lang"]).otherwise(F.lit("und")),
     ).withColumn("lang_pred_hits", (-best["neg"]).cast("long"))
+
+
+def language_id(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Stopword-hit language heuristic: score each language by function-word
+    hits; argmax wins, ties broken alphabetically, zero hits → 'und'
+    (undetermined). Deterministic so the SQL oracle can reproduce it.
+
+    Batch plans stream words as rows (bound-array explode) with seven
+    InSet conditional counts on one groupBy — whole-stage codegen, same
+    rewrite as language_id_ngram. Streaming inputs take the stateless
+    per-row formulation instead (aggregations would demand a watermark);
+    both produce identical results (parity-tested)."""
+    if df.isStreaming:
+        return _language_id_stateless(df, text_col)
+    arr = df.select(
+        F.col(id_col).alias("__lid"),
+        _words(F.col(text_col)).alias("__arr"),
+    )
+    w = arr.select("__lid", F.explode("__arr").alias("__w"))
+    langs = sorted(LANG_STOPWORDS)
+    scored = w.groupBy("__lid").agg(
+        *[
+            F.sum(
+                F.when(F.col("__w").isin(*LANG_STOPWORDS[lg]), 1).otherwise(0)
+            ).alias(f"__sw_{lg}")
+            for lg in langs
+        ]
+    )
+    # argmax by (score desc, lang asc) via a sorted array of structs
+    pairs = F.array(
+        *[
+            F.struct(
+                (-F.coalesce(F.col(f"__sw_{lg}"), F.lit(0))).alias("neg"),
+                F.lit(lg).alias("lang"),
+            )
+            for lg in langs
+        ]
+    )
+    best = F.array_sort(pairs)[0]
+    out = (
+        df.join(scored, df[id_col] == scored["__lid"], "left")
+        .withColumn(
+            "lang_pred",
+            F.when(-best["neg"] > 0, best["lang"]).otherwise(F.lit("und")),
+        )
+        .withColumn("lang_pred_hits", (-best["neg"]).cast("long"))
+    )
+    return out.drop("__lid", *[f"__sw_{lg}" for lg in langs])
 
 
 # Character-trigram profiles (space-padded word boundaries, ASCII-only so
@@ -124,6 +176,41 @@ LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
 }
 
 
+def _language_id_ngram_stateless(df: DataFrame, text_col: str) -> DataFrame:
+    """Per-row (stateless) trigram formulation: per-doc trigram array +
+    lambda filters. Interpreted and array-heavy — only the streaming
+    path uses it (micro-batches are small; batch takes the codegen
+    explode+aggregate below). Parity-tested against the batch shape."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    padded = F.concat(F.lit(" "), norm, F.lit(" "))
+    n = F.length(padded)
+    grams = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2), lambda i: padded.substr(i, F.lit(3))
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+
+    def _in(profile):
+        return lambda g: g.isin(*profile)
+
+    scores = {
+        lang: F.size(F.filter(grams, _in(prof)))
+        for lang, prof in LANG_TRIGRAMS.items()
+    }
+    pairs = F.array(
+        *[
+            F.struct((-scores[lang]).alias("neg"), F.lit(lang).alias("lang"))
+            for lang in sorted(LANG_TRIGRAMS)
+        ]
+    )
+    best = F.array_sort(pairs)[0]
+    return df.withColumn(
+        "lang_pred",
+        F.when(-best["neg"] > 0, best["lang"]).otherwise(F.lit("und")),
+    ).withColumn("lang_pred_score", (-best["neg"]).cast("long"))
+
+
 def language_id_ngram(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -142,9 +229,13 @@ def language_id_ngram(
     per-doc trigram ARRAY and ran 7 interpreted lambda filters over it:
     a giant single expression that Catalyst cannot codegen (measured
     154s for 5k×300-char docs at sf0.1; this shape runs in ~1s,
-    identical results)."""
+    identical results). Streaming inputs take the stateless per-row
+    formulation (aggregations would demand a watermark); parity-tested
+    equal."""
     from pyspark.sql import Window
 
+    if df.isStreaming:
+        return _language_id_ngram_stateless(df, text_col)
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     padded = F.concat(F.lit(" "), norm, F.lit(" "))
     # bind the char array to a column BEFORE the generate: a generator fed

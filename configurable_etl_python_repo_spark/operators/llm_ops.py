@@ -123,7 +123,10 @@ LLM_OP_COMPILERS = {
     "MINHASH LSH": _unary(_rename_kw(D.minhash_lsh_pairs, _ID_TEXT)),
     "SIMHASH": _unary(_rename_kw(D.simhash32, _ID_TEXT)),
     "TEXT STATS": _unary(_rename_kw(T.text_stats, {"text_column": "text_col"})),
-    "LANGUAGE ID": _unary(_rename_kw(T.language_id, {"text_column": "text_col"})),
+    "LANGUAGE ID": _unary(
+        _rename_kw(T.language_id,
+                   {"text_column": "text_col", "id_column": "id_col"})
+    ),
     "LANGUAGE ID NGRAM": _unary(
         _rename_kw(T.language_id_ngram,
                    {"text_column": "text_col", "id_column": "id_col"})

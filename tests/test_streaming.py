@@ -116,14 +116,18 @@ def test_text_ops_stream_matches_batch(spark, sf_dir, tmp_path):
     quality-gating of an arriving corpus produces exactly the batch
     answer."""
     from configurable_etl_python_repo_spark.llm.text import (
-        language_id, quality_filter,
+        language_id, language_id_ngram, quality_filter,
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
     def transform(df):
-        return language_id(quality_filter(df)).select(
-            "doc_id", "keep", "lang_pred"
+        out = language_id(quality_filter(df))
+        out = out.withColumnRenamed("lang_pred", "lang_sw").drop(
+            "lang_pred_hits"
+        )
+        return language_id_ngram(out).select(
+            "doc_id", "keep", "lang_sw", "lang_pred"
         )
 
     batch = {tuple(r) for r in transform(docs).collect()}
