@@ -409,6 +409,7 @@ def ivf_build_index(
     n_centroids: int = 256,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantize: bool = False,
 ) -> "list[tuple[int, list[float]]]":
     """WRITE-SIDE IVF index: assign every corpus vector to its nearest
     centroid and store the corpus PHYSICALLY PARTITIONED by centroid id
@@ -416,7 +417,12 @@ def ivf_build_index(
     shape the search path wants at 100 TB: probing n_probe of n_centroids
     lists becomes parquet PARTITION PRUNING — the scan never touches the
     other lists' files, so query cost is ~n_probe/n_centroids of the
-    corpus in I/O, not just in compute. Returns the centroid list."""
+    corpus in I/O, not just in compute. Returns the centroid list.
+
+    quantize=True stores int8 codes + per-vector scale instead of the
+    float vectors (~4x smaller index; assignment still computes on the
+    full-precision input, search reranks on dequantized codes —
+    recall-tested)."""
     cent_rows = (
         corpus.select(id_col, vec_col)
         .orderBy(F.md5(F.col(id_col).cast("string")))
@@ -427,9 +433,20 @@ def ivf_build_index(
     if not centroids:
         raise ValueError("no centroids: corpus is empty")
     assign1 = ivf_assignments_arrow(centroids, n_best=1)
+    rows = corpus.withColumn("cid", assign1(F.col(vec_col))[0])
+    if quantize:
+        q = quantize_embeddings(rows, id_col=id_col, vec_col=vec_col)
+        rows = (
+            rows.select(id_col, "cid")
+            .join(q, id_col)
+            .select(
+                id_col, "scale",
+                F.transform("qvec", lambda x: x.cast("tinyint")).alias("qvec"),
+                "cid",
+            )
+        )
     (
-        corpus.withColumn("cid", assign1(F.col(vec_col))[0])
-        .write.mode("overwrite")
+        rows.write.mode("overwrite")
         .partitionBy("cid")
         .parquet(path)
     )
@@ -467,7 +484,17 @@ def ivf_search_index(
         int(r[0]) for r in q.select("cid").distinct().collect()
     })
     # partition filter: only the probed lists' files are ever listed/read
-    c = spark.read.parquet(path).where(F.col("cid").isin(probed)).select(
+    stored = spark.read.parquet(path).where(F.col("cid").isin(probed))
+    if "qvec" in stored.columns:  # quantized index: dequantize at rerank
+        stored = stored.select(
+            "cid",
+            F.col(id_col),
+            F.transform(
+                "qvec",
+                lambda x: (x.cast("double") * F.col("scale")).cast("float"),
+            ).alias(vec_col),
+        )
+    c = stored.select(
         "cid", F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
     sims = (

@@ -27,6 +27,37 @@ def test_ivf_index_matches_inline_ivf(spark, sf_dir, tmp_path):
     assert indexed == inline and inline
 
 
+def test_ivf_index_quantized_recall_and_size(spark, sf_dir, tmp_path):
+    """quantize=True stores int8 codes + scale (4x smaller on disk than
+    float vectors); search dequantizes at rerank and keeps >=0.8 top-5
+    recall vs the full-precision index."""
+    import glob
+    import os
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 16)
+    full_idx = str(tmp_path / "ivf_full")
+    q_idx = str(tmp_path / "ivf_q8")
+    ivf_build_index(emb, full_idx, n_centroids=8)
+    ivf_build_index(emb, q_idx, n_centroids=8, quantize=True)
+
+    sz = lambda p: sum(  # noqa: E731
+        os.path.getsize(f) for f in glob.glob(f"{p}/cid=*/*.parquet")
+    )
+    assert sz(q_idx) < sz(full_idx) * 0.5  # int8 + scale vs float32
+
+    schema = spark.read.parquet(q_idx).schema
+    assert schema["qvec"].dataType.elementType.typeName() == "byte"
+
+    full = {(r.query_id, r.neighbor_id)
+            for r in ivf_search_index(spark, full_idx, queries, k=5,
+                                      n_probe=2).collect()}
+    quant = {(r.query_id, r.neighbor_id)
+             for r in ivf_search_index(spark, q_idx, queries, k=5,
+                                       n_probe=2).collect()}
+    assert len(full & quant) / len(full) >= 0.8
+
+
 def test_ivf_index_scan_is_partition_pruned(spark, sf_dir, tmp_path):
     """The probed-list filter must reach the file listing: the parquet
     scan carries a partition filter on cid, so un-probed lists cost zero
