@@ -213,16 +213,29 @@ def compact_gold_tx(
     return _publish(gold_path, base_version, new_manifest)
 
 
-def vacuum_gold_tx(gold_path: str) -> list[str]:
-    """Delete data dirs no manifest <= LATEST references (debris from
-    crashed or superseded commits). Returns the removed dirs. Safe any
-    time ONLY for readers of the current snapshot; readers pinned to old
-    versions need a retention window — out of scope here."""
+def vacuum_gold_tx(gold_path: str, keep_versions: int | None = None) -> list[str]:
+    """Delete data dirs no retained manifest references. By default every
+    manifest <= LATEST is retained, so only debris from crashed commits
+    goes (safe any time for every reader). keep_versions=N additionally
+    expires manifests older than the newest N snapshots — their
+    time-travel reads stop working and their exclusively-referenced data
+    dirs are removed; N is the retention window readers pinned to old
+    versions must finish within (the Delta/Iceberg VACUUM contract).
+    Returns the removed data dirs."""
     import shutil
 
     version, _ = _read_latest(gold_path)
+    first_kept = 1
+    if keep_versions is not None:
+        if keep_versions < 1:
+            raise ValueError("keep_versions must be >= 1")
+        first_kept = max(1, version - keep_versions + 1)
+        for v in range(1, first_kept):
+            expired = os.path.join(_txdir(gold_path), f"v{v:08d}.json")
+            if os.path.exists(expired):
+                os.remove(expired)
     live: set[str] = set()
-    for v in range(1, version + 1):
+    for v in range(first_kept, version + 1):
         path = os.path.join(_txdir(gold_path), f"v{v:08d}.json")
         if os.path.exists(path):
             with open(path) as f:

@@ -159,6 +159,25 @@ def test_tx_time_travel_and_schema_evolution(spark, tmp_path):
         read_gold_tx(spark, gold, version=9)
 
 
+def test_tx_retention_vacuum(spark, tmp_path):
+    """keep_versions=N expires older manifests and reclaims data dirs only
+    they referenced; the newest N snapshots (and the current read) stay
+    intact."""
+    gold = str(tmp_path / "gold")
+    for step, studies in enumerate([("A",), ("A",), ("A",)]):
+        df = spark.createDataFrame([
+            Row(study_code=sc, subject="s1", val=f"v{step}") for sc in studies
+        ])
+        tx_merge_upsert(spark, gold, df, key_cols=["study_code", "subject"])
+    assert len(glob.glob(f"{gold}/data/*")) == 3          # three commits
+    removed = vacuum_gold_tx(gold, keep_versions=1)
+    assert len(removed) == 2                               # v1+v2 dirs gone
+    assert _rows(spark, gold) == {("A", "s1"): "v2"}       # current intact
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        read_gold_tx(spark, gold, version=1)               # expired
+
+
 def test_tx_compaction_collapses_commits(spark, tmp_path):
     """After N merges the snapshot spans N data dirs; compaction rewrites
     it as one commit with identical content."""
