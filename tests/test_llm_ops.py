@@ -78,6 +78,40 @@ def test_ngram_jaccard_auto_routing(docs, spark, sf_dir):
     assert "row_number" in plan(high)
 
 
+def test_ngram_jaccard_matches_python_model(spark):
+    """Model check: both physical strategies must equal a pure-Python
+    shingle-set jaccard on seeded-random word soup — exactness is the
+    operator's contract, the join strategy is only a plan choice."""
+    import random
+    from itertools import combinations
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(12)]  # small vocab → real overlaps
+    rows = [
+        Row(doc_id=i, text=" ".join(rng.choices(vocab, k=rng.randint(0, 18))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows)
+
+    def shingles(text, n=3):
+        ws = text.split()
+        return {" ".join(ws[i:i + n]) for i in range(max(len(ws) - n + 1, 0))}
+
+    for thr in (0.2, 0.6):
+        model = set()
+        sh = {r.doc_id: shingles(r.text) for r in rows}
+        for a, b in combinations(sorted(sh), 2):
+            inter = len(sh[a] & sh[b])
+            union = len(sh[a] | sh[b])
+            if union and inter / union >= thr:
+                model.add((a, b, inter, len(sh[a]), len(sh[b])))
+        for pf in (True, False):
+            got = {(r.id_a, r.id_b, r.inter, r.size_a, r.size_b)
+                   for r in ngram_jaccard_pairs(
+                       df, n=3, threshold=thr, prefix_filter=pf).collect()}
+            assert got == model, f"threshold={thr} prefix_filter={pf}"
+
+
 def test_minhash_lsh_subset_of_exact(docs):
     exact = {(r.id_a, r.id_b) for r in
              ngram_jaccard_pairs(docs, n=3, threshold=0.3).collect()}

@@ -127,6 +127,29 @@ def test_tx_snapshot_isolation_across_merge(spark, tmp_path):
     assert _rows(spark, gold) == {("A", "s1"): "v1"}
 
 
+def test_tx_random_sequence_matches_model(spark, tmp_path):
+    """Model check: any sequence of transactional merges equals a dict
+    replay (the same put_item contract merge_upsert is held to), with
+    version numbers advancing by one per commit."""
+    import random
+
+    rng = random.Random(17)
+    gold = str(tmp_path / "gold")
+    model = {}
+    for step in range(5):
+        batch = {}
+        for _ in range(rng.randint(1, 4)):
+            key = (rng.choice(["A", "B", "C"]), f"s{rng.randint(1, 5)}")
+            batch[key] = f"v{step}_{rng.randint(0, 99)}"
+        df = spark.createDataFrame(
+            [Row(study_code=a, subject=b, val=v) for (a, b), v in batch.items()]
+        )
+        v = tx_merge_upsert(spark, gold, df, key_cols=["study_code", "subject"])
+        assert v == step + 1
+        model.update(batch)
+        assert _rows(spark, gold) == model, f"diverged at step {step}"
+
+
 def test_tx_read_missing_table_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         read_gold_tx(spark, str(tmp_path / "nope"))
