@@ -49,6 +49,20 @@ def cosine(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _with_norm(df: DataFrame, vec_alias: str, norm_alias: str) -> DataFrame:
+    """Append the vector's L2 norm as a column. Every pair-scoring path
+    here computes norms ONCE PER VECTOR before the join instead of twice
+    per pair inside `cosine` — the norm fold is the same expression
+    either way (bit-identical values, oracles unaffected), but a vector
+    participating in p pairs pays for 1 norm instead of p."""
+    return df.withColumn(norm_alias, _norm(F.col(vec_alias)))
+
+
+def _sim(qv, cv, nq, nc, round_digits: int):
+    """round(dot/(|q||c|)) with precomputed norm columns."""
+    return F.round(_dot(qv, cv) / (nq * nc), round_digits)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -61,16 +75,26 @@ def brute_force_topk(
 
     Output: (query_id, neighbor_id, rank, sim) — sim rounded for
     determinism; self-matches excluded."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    q = _with_norm(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        ),
+        "qv", "nq",
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    c = _with_norm(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        ),
+        "cv", "nc",
     )
     sims = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", F.round(cosine(F.col("qv"), F.col("cv")), round_digits))
+        .withColumn(
+            "sim",
+            _sim(F.col("qv"), F.col("cv"), F.col("nq"), F.col("nc"),
+                 round_digits),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
@@ -108,8 +132,14 @@ def embedding_cosine_pairs(
             "SRP-prefiltered scale path (recommended), or planes=0 to "
             "explicitly opt in to exact all-pairs on a small corpus"
         )
-    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    a = _with_norm(
+        corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")),
+        "va", "na",
+    )
+    b = _with_norm(
+        corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")),
+        "vb", "nb",
+    )
     if planes > 0:
         if dim is None:
             raise ValueError("SRP prefilter requires dim")
@@ -138,7 +168,9 @@ def embedding_cosine_pairs(
         cand = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
     return (
         cand.withColumn(
-            "sim", F.round(cosine(F.col("va"), F.col("vb")), round_digits)
+            "sim",
+            _sim(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"),
+                 round_digits),
         )
         .where(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
@@ -300,20 +332,30 @@ def _ivf_search(
     coarse index) — a few KB broadcast inside the pandas UDF closures."""
     assign1 = ivf_assignments_arrow(centroids, n_best=1)
     probe = ivf_assignments_arrow(centroids, n_best=n_probe)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        assign1(F.col(vec_col))[0].alias("cid"),
+    c = _with_norm(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            assign1(F.col(vec_col))[0].alias("cid"),
+        ),
+        "cv", "nc",
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        F.explode(probe(F.col(vec_col))).alias("cid"),
+    q = _with_norm(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.explode(probe(F.col(vec_col))).alias("cid"),
+        ),
+        "qv", "nq",
     )
     sims = (
         c.join(F.broadcast(q), "cid")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", F.round(cosine(F.col("qv"), F.col("cv")), round_digits))
+        .withColumn(
+            "sim",
+            _sim(F.col("qv"), F.col("cv"), F.col("nq"), F.col("nc"),
+                 round_digits),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
@@ -494,13 +536,22 @@ def ivf_search_index(
                 lambda x: (x.cast("double") * F.col("scale")).cast("float"),
             ).alias(vec_col),
         )
-    c = stored.select(
-        "cid", F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    c = _with_norm(
+        stored.select(
+            "cid", F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+        ),
+        "cv", "nc",
     )
+    qn = _with_norm(q, "qv", "nq")
     sims = (
-        c.join(F.broadcast(q), "cid")
+        c.join(F.broadcast(qn), "cid")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", F.round(cosine(F.col("qv"), F.col("cv")), round_digits))
+        .withColumn(
+            "sim",
+            _sim(F.col("qv"), F.col("cv"), F.col("nq"), F.col("nc"),
+                 round_digits),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
@@ -545,11 +596,17 @@ def lsh_bucketed_topk(
         F.col(id_col).alias("query_id"),
         F.posexplode(buckets(F.col(vec_col))).alias("tbl", "bucket"),
     )
-    qv = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    qv = _with_norm(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        ),
+        "qv", "nq",
     )
-    cv = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    cv = _with_norm(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        ),
+        "cv", "nc",
     )
     sims = (
         c.join(F.broadcast(q), ["tbl", "bucket"])
@@ -558,7 +615,11 @@ def lsh_bucketed_topk(
         .distinct()
         .join(F.broadcast(qv), "query_id")
         .join(cv, "neighbor_id")
-        .withColumn("sim", F.round(cosine(F.col("qv"), F.col("cv")), round_digits))
+        .withColumn(
+            "sim",
+            _sim(F.col("qv"), F.col("cv"), F.col("nq"), F.col("nc"),
+                 round_digits),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
