@@ -864,6 +864,32 @@ def q_x9(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TOPNG_N, _TOPNG_K = 2, 100
+
+
+@register(
+    "x12_top_ngrams",
+    rf"""
+    WITH {_WORDS_SQL.strip()},
+    g AS (
+      SELECT unnest(list_transform(
+               generate_series(1, greatest(len(w) - {_TOPNG_N - 1}, 0)),
+               i -> array_to_string(list_slice(w, i, i + {_TOPNG_N - 1}), ' ')))
+             AS ngram
+      FROM words)
+    SELECT ngram, COUNT(*) AS n_occurrences
+    FROM g GROUP BY 1
+    ORDER BY n_occurrences DESC, ngram LIMIT {_TOPNG_K}
+    """,
+)
+def q_x12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-100 word bigrams by occurrence — the vocabulary
+    seeding pass for tokenizer training. Count shuffle + per-partition
+    heap (TakeOrderedAndProject); no global sort."""
+    docs = spark.read.parquet(_pq(sf_dir, "documents"))
+    return T.top_ngrams(docs, n=_TOPNG_N, k=_TOPNG_K)
+
+
 @register(
     "x11_quantize_embeddings",
     """

@@ -385,6 +385,50 @@ def quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("keep", keep)
 
 
+def top_ngrams(
+    df: DataFrame,
+    n: int = 2,
+    k: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams by total occurrence count (WITH
+    per-doc duplicates — frequency, not document frequency): the
+    vocabulary-seeding shape for tokenizer training and collocation
+    mining. Output (ngram, n_occurrences), count desc / ngram asc.
+
+    One explode + one count shuffle + TakeOrderedAndProject (a per-
+    partition heap + single merge — no global sort): at 100 TB the only
+    full-data pass is the map-side partial count."""
+    from pyspark.sql import Window
+
+    words = _words(F.col(text_col))
+    if n == 1:
+        grams = df.select(F.explode(words).alias("ngram"))
+    else:
+        # doc id binds BEFORE the explode: evaluated next to a generator,
+        # monotonically_increasing_id would get a fresh value per OUTPUT
+        # row, splitting every doc into single-word "docs"
+        base = df.select(
+            F.monotonically_increasing_id().alias("__doc"),
+            words.alias("__w"),
+        )
+        w0 = base.select("__doc", F.posexplode("__w").alias("pos", "w"))
+        win = Window.partitionBy("__doc").orderBy("pos")
+        leads = [F.col("w")] + [F.lead("w", j).over(win) for j in range(1, n)]
+        grams = (
+            w0.withColumn("ngram", F.concat_ws(" ", *leads))
+            .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy("__doc")))
+            .where(F.col("pos") <= F.col("__n") - n)
+            .select("ngram")
+        )
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
+        .limit(k)
+    )
+
+
 def token_count_bpe_ish(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Approximate LLM token count: BPE-ish pre-tokenization (word / number /
     symbol pieces) — the standard cheap proxy when the real tokenizer isn't

@@ -135,6 +135,9 @@ LLM_OP_COMPILERS = {
     "TOKEN COUNT": _unary(
         _rename_kw(T.token_count_bpe_ish, {"text_column": "text_col"})
     ),
+    "TOP NGRAMS": _unary(
+        _rename_kw(T.top_ngrams, {"text_column": "text_col"})
+    ),
     "WINNOW FINGERPRINT": _unary(_rename_kw(T.winnowing_fingerprints, _ID_TEXT)),
     "QUALITY FILTER": _unary(
         _rename_kw(T.quality_filter, {"text_column": "text_col"})

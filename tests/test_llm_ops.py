@@ -194,6 +194,28 @@ def test_cosine_pairs_planes_is_explicit(spark, sf_dir):
         assert v == exact[k]  # identical sims on the pairs it keeps
 
 
+def test_top_ngrams(spark):
+    """Bigram frequencies count per-occurrence (duplicates included),
+    ranked (count desc, ngram asc), and compile to a heap top-k — no
+    global sort shuffle."""
+    from configurable_etl_python_repo_spark.llm.text import top_ngrams
+
+    df = spark.createDataFrame([
+        Row(text="a b a b a b"),   # "a b" x3, "b a" x2
+        Row(text="a b c"),         # "a b", "b c"
+    ])
+    got = [(r.ngram, r.n_occurrences) for r in top_ngrams(df, n=2, k=3).collect()]
+    assert got == [("a b", 4), ("b a", 2), ("b c", 1)]
+
+    plan = (top_ngrams(df, n=2, k=3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+    uni = [(r.ngram, r.n_occurrences) for r in top_ngrams(df, n=1, k=2).collect()]
+    assert uni == [("a", 4), ("b", 4)]  # tie → alphabetical
+
+
 def test_quantized_ann_recall(spark, sf_dir):
     """int8 round-trip: reconstruction error bounded by scale/2 per
     component, and brute-force top-5 on dequantized vectors keeps high
