@@ -21,8 +21,8 @@ The output labels every node with the MINIMUM id of its component —
 deterministic, so a recursive-CTE SQL oracle reproduces it exactly.
 
 Reference parity note: the reference engine has no graph/closure operator
-at all (its dedup story ends at pandas drop_duplicates,
-Data_Standardization_Python.py:34); this is part of the LLM-pipeline
+at all — its dedup story ends at pandas drop_duplicates
+(Configurable_ETL_Python.py:48,293,406); this is part of the LLM-pipeline
 extension surface the brief asks for.
 """
 

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 _SIDE = "__asof_side"
 _RTS = "__asof_rts"
+_PAY = "__asof_pay"
 
 
 def asof_join(
@@ -52,7 +53,15 @@ def asof_join(
     Right payload columns that collide with left names get `suffix`.
     Rows on the right should be unique per (key, ts); with duplicates the
     carried payload is the window-order-last one (pre-aggregate to make
-    that deterministic)."""
+    that deterministic).
+
+    All payload columns ride in ONE struct carried by a single
+    last(struct, ignorenulls=True): the struct is non-null for every
+    right row even when its fields are NULL, so a matched row's NULL
+    payload values propagate as NULLs (instead of leaking a stale
+    non-null value from an older row) and multi-column payloads always
+    come from the SAME right row — exactly DuckDB ASOF JOIN / pandas
+    merge_asof semantics."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     right_ts = right_ts or left_ts
@@ -64,11 +73,15 @@ def asof_join(
     l_side = left.withColumn(_SIDE, F.lit(1)).withColumn(
         "__asof_ts", F.col(left_ts)
     )
+    # one struct per right row — non-null even when every field is NULL,
+    # so last(..., ignorenulls) selects by ROW, not per-column
     r_side = right.select(
         *on,
         F.col(right_ts).alias("__asof_ts"),
-        F.col(right_ts).alias(_RTS),
-        *[F.col(c).alias(renames[c]) for c in payload],
+        F.struct(
+            F.col(right_ts).alias(_RTS),
+            *[F.col(c).alias(renames[c]) for c in payload],
+        ).alias(_PAY),
     ).withColumn(_SIDE, F.lit(0))
     u = l_side.unionByName(r_side, allowMissingColumns=True)
 
@@ -81,25 +94,30 @@ def asof_join(
         .orderBy(ts_ord, F.col(_SIDE))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = [F.last(renames[c], ignorenulls=True).over(w).alias(renames[c])
-              for c in payload]
-    matched_ts = F.last(_RTS, ignorenulls=True).over(w).alias(_RTS)
+    pay = F.last(_PAY, ignorenulls=True).over(w)
     out = (
         u.select("*")
-        .select(*left.columns, _SIDE, matched_ts, *filled)
+        .select(*left.columns, _SIDE, pay.alias(_PAY))
         .where(F.col(_SIDE) == 1)
     )
+    pay = F.col(_PAY)
     if tolerance_s is not None:
         gap = F.abs(
-            F.col(left_ts).cast("double") - F.col(_RTS).cast("double")
+            F.col(left_ts).cast("double") - pay.getField(_RTS).cast("double")
         )
-        keep = F.col(_RTS).isNotNull() & (gap <= F.lit(float(tolerance_s)))
+        keep = pay.getField(_RTS).isNotNull() & (gap <= F.lit(float(tolerance_s)))
         out = out.select(
             *left.columns,
-            *[F.when(keep, F.col(renames[c])).alias(renames[c]) for c in payload],
+            *[
+                F.when(keep, pay.getField(renames[c])).alias(renames[c])
+                for c in payload
+            ],
         )
     else:
-        out = out.select(*left.columns, *[renames[c] for c in payload])
+        out = out.select(
+            *left.columns,
+            *[pay.getField(renames[c]).alias(renames[c]) for c in payload],
+        )
     return out
 
 

@@ -193,6 +193,41 @@ def test_asof_matches_pandas_merge_asof_model(spark):
         assert got == model, f"trial {trial} diverged"
 
 
+def test_asof_null_payload_propagates_from_matched_row(spark):
+    """When the MATCHED right row carries NULL payload values, those NULLs
+    must come through — not a stale non-null value from an older right row
+    — and multi-column payloads must all come from the same right row
+    (pandas merge_asof / DuckDB ASOF JOIN semantics). Regression: the
+    per-column last(ignorenulls) formulation mixed rows."""
+    left = spark.createDataFrame([
+        Row(key="a", ts=_ts(10), lv=1),   # matches ts=9 row
+        Row(key="a", ts=_ts(12), lv=2),   # matches ts=11 row
+    ])
+    right = spark.createDataFrame(
+        [("a", _ts(9), 1.0, None), ("a", _ts(11), None, 2.0)],
+        "key string, ts timestamp, v1 double, v2 double",
+    )
+    got = {r.lv: (r.v1, r.v2)
+           for r in asof_join(left, right, on=["key"]).collect()}
+    # row-consistent: lv=2 matched the ts=11 row wholesale → v1 is NULL,
+    # not the stale 1.0 from ts=9
+    assert got == {1: (1.0, None), 2: (None, 2.0)}
+
+
+def test_asof_null_payload_with_tolerance(spark):
+    """Tolerance gating keys off the matched row's timestamp carried in
+    the same struct, so all-NULL payload rows still count as matches."""
+    left = spark.createDataFrame([Row(key="a", ts=_ts(10), lv=1)])
+    right = spark.createDataFrame(
+        [("a", _ts(8), 7.0), ("a", _ts(9, 45), None)],
+        "key string, ts timestamp, px double",
+    )
+    got = asof_join(left, right, on=["key"], tolerance_s=3600).collect()
+    # matched row is ts=9:45 (within tolerance) whose px is NULL — the
+    # older 7.0 must not leak through
+    assert got[0].px is None
+
+
 def test_engine_asof_and_range_ops(spark):
     """The config-program surface: ASOF JOIN / RANGE JOIN dispatch through
     the engine like any reference op."""
