@@ -15,23 +15,36 @@ tests/test_upsert.py). This module closes that gap:
     data/{commit}/     each commit's parquet, partitioned by partition_col
 
   - Writers never mutate visible data: a merge writes NEW files under a
-    fresh commit dir, then publishes a NEW manifest, then swaps LATEST
-    via os.replace — one atomic pointer move. A crash at ANY earlier
-    point leaves LATEST (and every reader) on the old snapshot; the only
-    debris is invisible orphan files (vacuum_gold_tx removes them).
-  - Readers resolve LATEST once and read only the files that snapshot
-    names — snapshot isolation: a concurrent merge never tears a read.
-  - Writers are optimistic: publish re-checks that LATEST still names
-    the snapshot the merge was based on and raises ConcurrentWriteError
-    otherwise (retry = re-run the merge; it re-reads the new snapshot).
+    fresh commit dir, then commits by creating the NEXT manifest
+    v{N+1}.json with an ATOMIC create-if-absent (full content hard-linked
+    into place — os.link fails with FileExistsError if v{N+1} exists, so
+    exactly one of two racing writers wins). The manifest IS the commit,
+    exactly Delta Lake's log-store contract: durable the instant it
+    exists, and never partially visible (the link publishes complete
+    bytes or nothing). A crash at any earlier point leaves only
+    invisible orphan data files (vacuum_gold_tx removes them).
+  - LATEST is a HINT, not the commit: publish updates it best-effort
+    after the manifest lands, and readers probe forward from it for
+    newer manifests. A crash between manifest-create and hint-update
+    therefore leaves a COMMITTED version that the next reader/writer
+    discovers by probing — no wedged table, no ambiguous debris.
+  - Readers resolve the newest manifest once and read only the files
+    that snapshot names — snapshot isolation: a concurrent merge never
+    tears a read.
+  - Writers are optimistic: publish checks that the newest manifest
+    still names the snapshot the merge was based on, and the atomic
+    create arbitrates the remaining race — the loser raises
+    ConcurrentWriteError (retry = re-run the merge; it re-reads the new
+    snapshot).
 
 Scale notes: the manifest maps partitions to DIRECTORIES (one per commit
 that last rewrote the partition), so its size is O(partitions), not
 O(files); the merge reads and rewrites only touched partitions, exactly
-like merge_upsert. os.replace is atomic on a POSIX filesystem (local,
-NFS, HDFS-via-fuse); on an object store the pointer swap would ride a
-conditional-put (S3 If-Match / GCS generation) behind the same
-_read_latest/_publish seam.
+like merge_upsert. os.link-if-absent is atomic on a POSIX filesystem
+(local, NFS, HDFS-via-fuse); on an object store the SAME seam
+(_commit_manifest) becomes a conditional put — S3 `If-None-Match: *` /
+GCS `ifGenerationMatch=0` — which has identical create-if-absent
+semantics, and the LATEST hint stays best-effort.
 """
 
 from __future__ import annotations
@@ -54,46 +67,86 @@ def _txdir(gold_path: str) -> str:
     return os.path.join(gold_path, "_txlog")
 
 
+def _manifest_path(gold_path: str, version: int) -> str:
+    return os.path.join(_txdir(gold_path), f"v{version:08d}.json")
+
+
+def _latest_version(gold_path: str) -> int:
+    """True current version: the LATEST hint, probed FORWARD for newer
+    manifests (a crash between manifest-create and hint-update leaves the
+    hint behind by a bounded number of commits — normally zero or one)."""
+    try:
+        with open(os.path.join(_txdir(gold_path), "LATEST")) as f:
+            version = int(f.read().strip())
+    except FileNotFoundError:
+        version = 0
+    while os.path.exists(_manifest_path(gold_path, version + 1)):
+        version += 1
+    return version
+
+
 def _read_latest(gold_path: str) -> tuple[int, dict[str, str]]:
     """(version, {partition_value: data_dir}) of the current snapshot;
     (0, {}) for a table that does not exist yet."""
-    latest = os.path.join(_txdir(gold_path), "LATEST")
-    try:
-        with open(latest) as f:
-            version = int(f.read().strip())
-    except FileNotFoundError:
+    version = _latest_version(gold_path)
+    if version == 0:
         return 0, {}
-    with open(os.path.join(_txdir(gold_path), f"v{version:08d}.json")) as f:
+    with open(_manifest_path(gold_path, version)) as f:
         manifest = json.load(f)
     return version, manifest["partitions"]
 
 
+def _commit_manifest(gold_path: str, version: int, payload: dict) -> None:
+    """THE commit: publish a complete manifest at v{version} iff no
+    manifest with that version exists, atomically. Locally this is a
+    hard-link of fully-written bytes (os.link refuses an existing target,
+    so two racing writers cannot both win, and readers can never observe
+    a half-written manifest). On an object store, swap this one function
+    for a conditional put (S3 `If-None-Match: *` / GCS
+    `ifGenerationMatch=0`) — identical create-if-absent semantics."""
+    txdir = _txdir(gold_path)
+    tmp = os.path.join(txdir, f".tmp.{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, _manifest_path(gold_path, version))
+    except FileExistsError as e:
+        raise ConcurrentWriteError(
+            f"concurrent writer already published v{version}"
+        ) from e
+    finally:
+        os.remove(tmp)
+
+
+def _update_latest_hint(gold_path: str, version: int) -> None:
+    """Best-effort pointer refresh AFTER the manifest committed. Failure
+    here loses nothing: readers and writers probe forward from the stale
+    hint, and the next successful publish heals it."""
+    tmp = os.path.join(_txdir(gold_path), f"LATEST.tmp.{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(_txdir(gold_path), "LATEST"))
+
+
 def _publish(gold_path: str, base_version: int,
              partitions: dict[str, str]) -> int:
-    """Atomically advance LATEST from base_version to base_version+1.
-    Conflict check and pointer swap; manifests are immutable and never
-    overwritten (os.open with O_EXCL refuses a concurrent same-version
-    write — first writer wins, the loser raises)."""
+    """Advance the snapshot from base_version to base_version+1. The
+    stale-snapshot check catches conflicts early; the atomic manifest
+    create (_commit_manifest) arbitrates the remaining race — first
+    writer wins, the loser raises ConcurrentWriteError."""
     os.makedirs(_txdir(gold_path), exist_ok=True)
-    current, _ = _read_latest(gold_path)
+    current = _latest_version(gold_path)
     if current != base_version:
         raise ConcurrentWriteError(
             f"snapshot moved v{base_version} -> v{current} during merge"
         )
     version = base_version + 1
-    manifest_path = os.path.join(_txdir(gold_path), f"v{version:08d}.json")
-    try:
-        fd = os.open(manifest_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError as e:
-        raise ConcurrentWriteError(
-            f"concurrent writer already published v{version}"
-        ) from e
-    with os.fdopen(fd, "w") as f:
-        json.dump({"version": version, "partitions": partitions}, f)
-    tmp = os.path.join(_txdir(gold_path), f"LATEST.tmp.{uuid.uuid4().hex}")
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, os.path.join(_txdir(gold_path), "LATEST"))  # THE commit
+    _commit_manifest(
+        gold_path, version, {"version": version, "partitions": partitions}
+    )
+    _update_latest_hint(gold_path, version)
     return version
 
 
@@ -213,40 +266,67 @@ def compact_gold_tx(
     return _publish(gold_path, base_version, new_manifest)
 
 
-def vacuum_gold_tx(gold_path: str, keep_versions: int | None = None) -> list[str]:
+def vacuum_gold_tx(
+    gold_path: str,
+    keep_versions: int | None = None,
+    retention_s: float = 24 * 3600.0,
+) -> list[str]:
     """Delete data dirs no retained manifest references. By default every
     manifest <= LATEST is retained, so only debris from crashed commits
-    goes (safe any time for every reader). keep_versions=N additionally
-    expires manifests older than the newest N snapshots — their
-    time-travel reads stop working and their exclusively-referenced data
-    dirs are removed; N is the retention window readers pinned to old
-    versions must finish within (the Delta/Iceberg VACUUM contract).
-    Returns the removed data dirs."""
+    goes. keep_versions=N additionally expires manifests older than the
+    newest N snapshots — their time-travel reads stop working and their
+    exclusively-referenced data dirs are removed; N is the retention
+    window readers pinned to old versions must finish within (the
+    Delta/Iceberg VACUUM contract). Returns the removed data dirs.
+
+    A dir that NO manifest (current or expired) has ever referenced is
+    ambiguous: crash debris, or a concurrent merge's freshly written
+    commit that has not published yet. Deleting the latter would commit a
+    snapshot pointing at missing files — silent data loss. So, exactly
+    like Delta's VACUUM, never-referenced dirs are only removed once
+    older than `retention_s` (default 24h — longer than any sane merge's
+    write phase); dirs referenced by an expired manifest are provably not
+    in-flight and go regardless of age. Pass retention_s=0 only when no
+    writer can be running."""
     import shutil
+    import time
 
     version, _ = _read_latest(gold_path)
     first_kept = 1
+    expired_refs: set[str] = set()
     if keep_versions is not None:
         if keep_versions < 1:
             raise ValueError("keep_versions must be >= 1")
         first_kept = max(1, version - keep_versions + 1)
         for v in range(1, first_kept):
-            expired = os.path.join(_txdir(gold_path), f"v{v:08d}.json")
+            expired = _manifest_path(gold_path, v)
             if os.path.exists(expired):
+                with open(expired) as f:
+                    for d in json.load(f)["partitions"].values():
+                        expired_refs.add(os.path.dirname(d))
                 os.remove(expired)
     live: set[str] = set()
     for v in range(first_kept, version + 1):
-        path = os.path.join(_txdir(gold_path), f"v{v:08d}.json")
+        path = _manifest_path(gold_path, v)
         if os.path.exists(path):
             with open(path) as f:
                 for d in json.load(f)["partitions"].values():
                     live.add(os.path.dirname(d))
     data_root = os.path.join(gold_path, "data")
     removed = []
+    now = time.time()
     if os.path.isdir(data_root):
         for entry in sorted(os.listdir(data_root)):
             full = os.path.join(data_root, entry)
-            if full not in live:
-                shutil.rmtree(full)
-                removed.append(full)
+            if full in live:
+                continue
+            if full not in expired_refs:  # never referenced → maybe in-flight
+                try:
+                    age = now - os.path.getmtime(full)
+                except OSError:
+                    continue
+                if age < retention_s:
+                    continue
+            shutil.rmtree(full)
+            removed.append(full)
     return removed

@@ -65,7 +65,7 @@ def test_tx_untouched_partition_files_not_rewritten(spark, tmp_path):
 def test_tx_crash_before_publish_is_invisible_and_retryable(
     spark, tmp_path, monkeypatch
 ):
-    """The commit IS the LATEST pointer swap: a merge that dies after
+    """The commit IS the atomic manifest create: a merge that dies after
     writing all its data files but before publishing leaves readers on
     the old snapshot, the debris invisible, vacuum removes it, and a
     plain retry lands the merge."""
@@ -87,7 +87,7 @@ def test_tx_crash_before_publish_is_invisible_and_retryable(
     assert _rows(spark, gold) == {("A", "s1"): "v0"}
     # debris: the crashed commit's dir exists but nothing references it
     assert len(glob.glob(f"{gold}/data/*")) == 2
-    removed = vacuum_gold_tx(gold)
+    removed = vacuum_gold_tx(gold, retention_s=0.0)  # no writer running
     assert len(removed) == 1
     assert _rows(spark, gold) == {("A", "s1"): "v0"}  # vacuum kept live data
 
@@ -109,6 +109,104 @@ def test_tx_concurrent_writer_detected(spark, tmp_path):
 
     with pytest.raises(ConcurrentWriteError):
         txlog._publish(gold, base_version=1, partitions={})
+
+
+def test_tx_crash_between_manifest_and_pointer_is_committed(
+    spark, tmp_path, monkeypatch
+):
+    """The manifest create IS the commit; LATEST is a probed hint. A
+    crash after the manifest lands but before the hint updates must
+    leave a COMMITTED version — readers discover it by probing forward,
+    and the next merge continues from it instead of colliding with the
+    'orphan' manifest forever (the wedge the old O_EXCL+pointer-swap
+    protocol had)."""
+    gold = str(tmp_path / "gold")
+    base = spark.createDataFrame([Row(study_code="A", subject="s1", val="v0")])
+    tx_merge_upsert(spark, gold, base, key_cols=["study_code", "subject"])
+
+    def crash(*a, **kw):
+        raise OSError("power loss after manifest create")
+
+    monkeypatch.setattr(txlog, "_update_latest_hint", crash)
+    upd = spark.createDataFrame([Row(study_code="A", subject="s1", val="v1")])
+    with pytest.raises(OSError, match="power loss"):
+        tx_merge_upsert(spark, gold, upd, key_cols=["study_code", "subject"])
+
+    # hint still names v1, but v2's manifest exists → v2 is committed
+    with open(f"{gold}/_txlog/LATEST") as f:
+        assert f.read().strip() == "1"
+    assert _rows(spark, gold) == {("A", "s1"): "v1"}
+
+    # and the table is NOT wedged: a later merge proceeds from v2 to v3
+    monkeypatch.undo()
+    upd2 = spark.createDataFrame([Row(study_code="A", subject="s2", val="v2")])
+    assert tx_merge_upsert(spark, gold, upd2,
+                           key_cols=["study_code", "subject"]) == 3
+    assert _rows(spark, gold) == {("A", "s1"): "v1", ("A", "s2"): "v2"}
+    with open(f"{gold}/_txlog/LATEST") as f:  # healed by the publish
+        assert f.read().strip() == "3"
+
+
+def test_tx_two_writer_race_arbitrated_by_manifest_create(
+    spark, tmp_path, monkeypatch
+):
+    """Two writers based on the same snapshot, racing past the early
+    stale-check simultaneously: the atomic create-if-absent (the local
+    conditional-put) lets exactly one win; the loser raises and its
+    retry lands on the new snapshot with neither update lost."""
+    gold = str(tmp_path / "gold")
+    base = spark.createDataFrame([Row(study_code="A", subject="s1", val="v0")])
+    tx_merge_upsert(spark, gold, base, key_cols=["study_code", "subject"])
+
+    # writer A commits v2 for real
+    a = spark.createDataFrame([Row(study_code="A", subject="sA", val="a")])
+    tx_merge_upsert(spark, gold, a, key_cols=["study_code", "subject"])
+
+    # writer B raced: it read v1 before A committed, and (simulating the
+    # worst interleaving) its early stale-check ALSO still saw v1
+    monkeypatch.setattr(txlog, "_latest_version", lambda _: 1)
+    with pytest.raises(ConcurrentWriteError):
+        txlog._publish(gold, base_version=1, partitions={})
+    monkeypatch.undo()
+
+    # B's retry re-reads the moved snapshot and serializes cleanly
+    b = spark.createDataFrame([Row(study_code="A", subject="sB", val="b")])
+    assert tx_merge_upsert(spark, gold, b,
+                           key_cols=["study_code", "subject"]) == 3
+    got = _rows(spark, gold)
+    assert got[("A", "sA")] == "a" and got[("A", "sB")] == "b"  # nothing lost
+
+
+def test_tx_vacuum_spares_fresh_unreferenced_dirs(spark, tmp_path, monkeypatch):
+    """A never-referenced data dir could be a concurrent merge's
+    in-flight commit — vacuum must not delete it until it is older than
+    retention_s (dirs referenced by EXPIRED manifests are provably not
+    in-flight and go regardless of age)."""
+    gold = str(tmp_path / "gold")
+    base = spark.createDataFrame([Row(study_code="A", subject="s1", val="v0")])
+    tx_merge_upsert(spark, gold, base, key_cols=["study_code", "subject"])
+
+    # simulate an in-flight merge: data files written, not yet published
+    monkeypatch.setattr(txlog, "_publish",
+                        lambda *a, **kw: (_ for _ in ()).throw(OSError("die")))
+    upd = spark.createDataFrame([Row(study_code="A", subject="s1", val="v1")])
+    with pytest.raises(OSError):
+        tx_merge_upsert(spark, gold, upd, key_cols=["study_code", "subject"])
+    monkeypatch.undo()
+
+    assert vacuum_gold_tx(gold) == []                    # fresh → protected
+    assert len(glob.glob(f"{gold}/data/*")) == 2
+    removed = vacuum_gold_tx(gold, retention_s=0.0)      # explicit opt-out
+    assert len(removed) == 1
+    assert _rows(spark, gold) == {("A", "s1"): "v0"}
+
+    # expired-manifest dirs are reclaimed even at default retention
+    for step in range(2):
+        df = spark.createDataFrame(
+            [Row(study_code="A", subject="s1", val=f"r{step}")]
+        )
+        tx_merge_upsert(spark, gold, df, key_cols=["study_code", "subject"])
+    assert len(vacuum_gold_tx(gold, keep_versions=1)) == 2
 
 
 def test_tx_snapshot_isolation_across_merge(spark, tmp_path):
