@@ -949,14 +949,17 @@ def q_x10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time rolling aggregates (trailing 1h per user) — the RANGE
     window frame, anchored to each row's own timestamp (vs e3's fixed
     sliding windows). Spark range frames are numeric, so the frame rides
-    unix seconds; sums ride DECIMAL so both engines add exactly."""
+    unix MICROseconds (timestamps' native precision — unix_seconds would
+    truncate, silently grouping same-second rows as frame peers and
+    diverging from the oracle's full-precision INTERVAL frame on any
+    sub-second data); sums ride DECIMAL so both engines add exactly."""
     from .sources.files import read_events
 
     ev = read_events(spark, _pq(sf_dir, "events"))
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_seconds(F.col("ts")))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
     )
     return ev.select(
         "event_id", "user_id", "ts",

@@ -106,8 +106,14 @@ def language_id(
     InSet conditional counts on one groupBy — whole-stage codegen, same
     rewrite as language_id_ngram. Streaming inputs take the stateless
     per-row formulation instead (aggregations would demand a watermark);
-    both produce identical results (parity-tested)."""
-    if df.isStreaming:
+    both produce identical results (parity-tested).
+
+    The batch shape joins scores back on `id_col`, which must uniquely
+    identify rows (duplicate ids would fan the join out). A frame
+    WITHOUT that column falls back to the stateless formulation — same
+    results, so ad-hoc frames (including the LANGUAGE ID engine op on
+    id-less inputs) keep working."""
+    if df.isStreaming or id_col not in df.columns:
         return _language_id_stateless(df, text_col)
     arr = df.select(
         F.col(id_col).alias("__lid"),
@@ -231,10 +237,14 @@ def language_id_ngram(
     154s for 5k×300-char docs at sf0.1; this shape runs in ~1s,
     identical results). Streaming inputs take the stateless per-row
     formulation (aggregations would demand a watermark); parity-tested
-    equal."""
+    equal.
+
+    `id_col` must uniquely identify rows (the scores join back on it);
+    a frame without that column falls back to the stateless formulation
+    — identical results."""
     from pyspark.sql import Window
 
-    if df.isStreaming:
+    if df.isStreaming or id_col not in df.columns:
         return _language_id_ngram_stateless(df, text_col)
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     padded = F.concat(F.lit(" "), norm, F.lit(" "))

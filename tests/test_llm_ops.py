@@ -340,6 +340,26 @@ def test_language_id(spark):
     assert out == {1: "en", 2: "de", 3: "und"}
 
 
+def test_language_id_without_id_column_falls_back(spark):
+    """A frame lacking `id_col` takes the stateless formulation instead of
+    failing analysis on the score join — identical predictions (both
+    variants); regression for the batch-path id requirement."""
+    from configurable_etl_python_repo_spark.llm.text import language_id_ngram
+
+    rows = ["the cat and the dog of the house",
+            "der hund und die katze ist nicht da",
+            "zzz qqq xxx"]
+    noid = spark.createDataFrame([Row(text=t) for t in rows])
+    got = {r.text: r.lang_pred for r in language_id(noid).collect()}
+    assert got == {rows[0]: "en", rows[1]: "de", rows[2]: "und"}
+    got_ng = {r.text: r.lang_pred for r in language_id_ngram(noid).collect()}
+    withid = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(rows)]
+    )
+    batch_ng = {r.text: r.lang_pred for r in language_id_ngram(withid).collect()}
+    assert got_ng == batch_ng
+
+
 def test_language_id_ngram(spark):
     """Trigram profiles classify real sentences per language and beat the
     stopword heuristic on short function-word-free text."""
