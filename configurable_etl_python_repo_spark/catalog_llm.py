@@ -571,16 +571,90 @@ def q_n3(spark: SparkSession, sf_dir: str) -> DataFrame:
                       n_probe=_IVF_PROBE)
 
 
-@register("n4_ann_ivf_kmeans")
+_KM_ITER = 2
+
+
+def _ivf_kmeans_oracle() -> str:
+    """Lloyd's iterations unrolled as CTEs — possible because
+    lloyd_centroids is deterministic by construction: hash-order init,
+    6dp-cosine assignment with id tiebreak, and means whose cross-row
+    sums ride DECIMAL (order-independent) with round() at every float
+    boundary (the same half-away-from-zero in both engines)."""
+    cte = [f"""cent0 AS (
+      SELECT vec_id AS cid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {_IVF_N_CENTROIDS})"""]
+    for i in range(_KM_ITER):
+        cte.append(f"""scored{i} AS (
+      SELECT e.vec_id AS id, c.cid,
+             {_cos_sql('e.embedding', 'c.cv')} AS s
+      FROM embeddings e, cent{i} c),
+    assign{i} AS (
+      SELECT id, cid FROM scored{i}
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY s DESC, cid) = 1),
+    ex{i} AS (
+      SELECT a.cid, g.j, round(CAST(e.embedding[g.j] AS DOUBLE), 6) AS x
+      FROM assign{i} a
+      JOIN embeddings e ON e.vec_id = a.id
+      CROSS JOIN generate_series(1, {_SRP_DIM}) g(j)),
+    mm{i} AS (
+      SELECT cid, j,
+             round(CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE)
+                   / COUNT(*), 6) AS m
+      FROM ex{i} GROUP BY cid, j),
+    cm{i} AS (SELECT cid, list(m ORDER BY j) AS cv FROM mm{i} GROUP BY cid),
+    cent{i + 1} AS (
+      SELECT p.cid, COALESCE(c.cv, p.cv) AS cv
+      FROM cent{i} p LEFT JOIN cm{i} c ON c.cid = p.cid)""")
+    n = _KM_ITER
+    cte.append(f"""scoredF AS (
+      SELECT e.vec_id AS id, c.cid,
+             {_cos_sql('e.embedding', 'c.cv')} AS s
+      FROM embeddings e, cent{n} c),
+    assignF AS (
+      SELECT id, cid FROM scoredF
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY s DESC, cid) = 1),
+    qprobe AS (
+      SELECT id AS query_id, cid FROM scoredF WHERE id < {_ANN_NQ}
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY s DESC, cid)
+              <= {_IVF_PROBE}),
+    cand AS (
+      SELECT q.query_id, a.id AS neighbor_id
+      FROM qprobe q JOIN assignF a ON a.cid = q.cid
+      WHERE a.id != q.query_id),
+    sims AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             {_cos_sql('eq.embedding', 'ec.embedding')} AS sim
+      FROM cand
+      JOIN embeddings eq ON eq.vec_id = cand.query_id
+      JOIN embeddings ec ON ec.vec_id = cand.neighbor_id)""")
+    ctes = ",\n    ".join(cte)
+    return f"""
+    WITH {ctes}
+    SELECT query_id, neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS INTEGER)
+             AS rank,
+           sim
+    FROM sims
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) <= {_ANN_K}
+    """
+
+
+@register("n4_ann_ivf_kmeans", _ivf_kmeans_oracle())
 def q_n4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-k with pyspark.ml KMeans-trained (data-adaptive) centroids.
-    No SQL oracle by design: KMeans init depends on data partitioning, so
-    the driver records a rows-only check; correctness is pinned by the
-    pytest recall bounds against brute force (test_llm_ops.py)."""
+    """IVF top-k with DATA-ADAPTIVE centroids: DataFrame-native Lloyd
+    iterations (llm.similarity.lloyd_centroids) from the deterministic
+    hash-order init — partition-invariant and engine-portable, so unlike
+    a pyspark.ml KMeans fit the whole pipeline (init, assignments, DECIMAL
+    -exact means, final probe/rerank) replays as SQL and hash-matches."""
     emb = spark.read.parquet(_pq(sf_dir, "embeddings"))
     queries = emb.where(F.col("vec_id") < _ANN_NQ)
-    return S.ivf_topk_kmeans(emb, queries, k=_ANN_K, n_centroids=8,
-                             n_probe=_IVF_PROBE)
+    return S.ivf_topk_kmeans(emb, queries, k=_ANN_K,
+                             n_centroids=_IVF_N_CENTROIDS,
+                             n_probe=_IVF_PROBE, n_iter=_KM_ITER)
 
 
 # ===========================================================================

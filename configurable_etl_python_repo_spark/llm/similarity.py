@@ -294,9 +294,9 @@ def ivf_topk(
     (a) the driver-side collect is bounded by the CONSTANT n_centroids
     regardless of corpus size, (b) the sample is uniform (hash order is
     uncorrelated with insertion/id order), and (c) every step replays in
-    SQL (ORDER BY md5(id) LIMIT n). Swap in pyspark.ml KMeans centroids
-    (`ivf_topk_kmeans`) for data-adaptive lists — the
-    assignment/probe/rerank plumbing is unchanged.
+    SQL (ORDER BY md5(id) LIMIT n). Swap in Lloyd-refined centroids
+    (`ivf_topk_kmeans` / `lloyd_centroids`) for data-adaptive lists —
+    the assignment/probe/rerank plumbing is unchanged.
 
     At scale: assignment is a write-side transform (store the corpus
     partitioned by centroid id); a query then partition-prunes straight
@@ -367,6 +367,81 @@ def _ivf_search(
     )
 
 
+def lloyd_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mean_digits: int = 6,
+) -> "list[tuple[int, list[float]]]":
+    """DATA-ADAPTIVE centroids via DataFrame-native Lloyd iterations,
+    engineered to be fully DETERMINISTIC — partition-invariant AND
+    engine-portable, so a SQL oracle replays every step:
+
+      - init: the `ivf_topk` hash-order sample (n_centroids smallest
+        md5(id) — uniform, constant-bounded, ORDER BY + LIMIT in SQL);
+        centroid labels are the sampled ids, stable across iterations;
+      - assignment: nearest centroid by cosine rounded to 6dp, ties to
+        the smaller centroid id (the same contract the search path's
+        quantizer and the oracle's argmax use);
+      - update: per-cluster elementwise mean, with every float hazard
+        pinned: components round to `mean_digits` in double space
+        (F.round == SQL round, half away from zero), cross-row sums ride
+        DECIMAL (exact, ORDER-INDEPENDENT — a double sum would vary with
+        partitioning), and one IEEE divide + round yields the mean;
+      - empty clusters keep their previous centroid (LEFT JOIN+COALESCE
+        in the oracle).
+
+    Each iteration is one corpus pass: a map-side-combined groupBy on the
+    centroid id producing dim DECIMAL sums, then a collect bounded by the
+    CONSTANT n_centroids. At 100 TB: n_iter scans, no driver state beyond
+    the centroid table itself."""
+    init_rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = sorted(
+        (int(r[0]), [float(x) for x in r[1]]) for r in init_rows
+    )
+    if not centroids:
+        raise ValueError("no centroids: corpus is empty")
+    dim = len(centroids[0][1])
+    for _ in range(n_iter):
+        assign1 = ivf_assignments_arrow(centroids, n_best=1)
+        assigned = corpus.select(
+            assign1(F.col(vec_col))[0].alias("__cid"),
+            F.col(vec_col).alias("__v"),
+        )
+        means_df = assigned.groupBy("__cid").agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[
+                F.sum(
+                    F.round(F.col("__v")[j].cast("double"), mean_digits)
+                    .cast("decimal(28,10)")
+                ).alias(f"__s{j}")
+                for j in range(dim)
+            ],
+        ).select(
+            "__cid",
+            *[
+                F.round(
+                    F.col(f"__s{j}").cast("double") / F.col("__n"),
+                    mean_digits,
+                ).alias(f"__m{j}")
+                for j in range(dim)
+            ],
+        )
+        means = {
+            int(r[0]): [float(r[j + 1]) for j in range(dim)]
+            for r in means_df.collect()   # ≤ n_centroids rows — constant
+        }
+        centroids = [(cid, means.get(cid, vec)) for cid, vec in centroids]
+    return centroids
+
+
 def ivf_topk_kmeans(
     corpus: DataFrame,
     queries: DataFrame,
@@ -376,29 +451,21 @@ def ivf_topk_kmeans(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
-    seed: int = 7,
-    max_iter: int = 20,
+    n_iter: int = 2,
 ) -> DataFrame:
-    """IVF top-k with DATA-ADAPTIVE centroids: pyspark.ml KMeans trains the
-    coarse quantizer (distributed Lloyd iterations over the corpus), then
-    the search plumbing is identical to `ivf_topk`. Data-adaptive lists
-    track the corpus distribution, so list sizes stay balanced where the
-    deterministic-sample quantizer can skew on clustered embeddings.
+    """IVF top-k with DATA-ADAPTIVE (Lloyd/k-means) centroids; the search
+    plumbing is identical to `ivf_topk`. Data-adaptive lists track the
+    corpus distribution, so list sizes stay balanced where the
+    static-sample quantizer can skew on clustered embeddings.
 
-    KMeans init is seeded but depends on data partitioning, so results
-    are reproducible per-plan rather than engine-portable — this variant
-    is verified by recall tests against brute force, not a SQL oracle
-    (the sampled-centroid `ivf_topk` keeps the oracle-checked path)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    train = corpus.select(
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    Unlike a pyspark.ml KMeans fit (whose seeded init still depends on
+    data partitioning), `lloyd_centroids` is deterministic end-to-end, so
+    this variant hash-matches a generated SQL oracle exactly like the
+    rest of the ANN family — and the recall bounds vs brute force hold
+    on top (both pytest-pinned)."""
+    centroids = lloyd_centroids(
+        corpus, n_centroids, n_iter, id_col, vec_col, round_digits
     )
-    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(train)
-    centroids = [
-        (i, list(map(float, ctr))) for i, ctr in enumerate(model.clusterCenters())
-    ]
     return _ivf_search(
         corpus, queries, centroids, k, n_probe, id_col, vec_col, round_digits
     )
