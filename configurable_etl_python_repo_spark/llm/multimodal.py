@@ -1,12 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque BINARY columns
 with typed metadata.
 
-The container has no image/audio codecs, so the DECODE step is stubbed —
-either `NotImplementedError` (strict) or a deterministic fake (testing) —
-but the Spark-side plumbing is real and tested: schemas, Arrow batch shape,
-partition sizing, and the mapInPandas UDF signatures are exactly what a
-production decode would use. Swapping in a real codec touches only
-`_decode_payload`.
+Real codecs ride an IMPORT-TRY seam (`_image_codec` = PIL, `_video_codec`
+= PyAV): when the library is installed, strict mode (fake_decode=False)
+decodes for real; when it is not (this container), strict mode raises
+`NotImplementedError` naming the missing codec, and the deterministic
+fake keeps tests and oracles running. The swap is zero-diff — installing
+the codec changes behavior of strict mode only. The Spark-side plumbing
+is real and tested either way: schemas, Arrow batch shape, partition
+sizing, and the mapInPandas UDF signatures are exactly what a production
+decode uses.
 
 Scale notes: binary payloads dominate partition size — repartition by a
 size-aware key before decode (`target_rows_per_batch`), keep
@@ -66,17 +69,53 @@ def attach_payload_meta(
     )
 
 
+def _image_codec():
+    """Import-try the real image codec. Returns PIL's Image module when
+    Pillow is installed, else None (executors re-import per worker — the
+    try costs one cached module lookup per call site)."""
+    try:
+        from PIL import Image
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _video_codec():
+    """Import-try the real video codec (PyAV / libav bindings)."""
+    try:
+        import av
+
+        return av
+    except ImportError:
+        return None
+
+
 def _decode_payload(payload: bytes, fake: bool) -> list[float]:
-    """DECODE STUB. Real deployments replace this with PIL/libav/etc.
+    """THE codec boundary for feature extraction.
 
     fake=True → deterministic 8-dim feature vector derived from payload
-    bytes (so tests exercise the full Arrow round-trip); fake=False →
-    NotImplementedError, clearly marking the codec boundary."""
+    bytes (so tests and SQL oracles exercise the full Arrow round-trip).
+    fake=False → real decode via PIL when installed: 8 dims =
+    [n_bytes, width, height, w*h, 4 px of a 2×2 grayscale thumbnail];
+    without a codec, NotImplementedError names the missing library."""
     if not fake:
-        raise NotImplementedError(
-            "media decode requires a codec library not present in this "
-            "container; plug PIL/torchvision/libav in here"
-        )
+        Image = _image_codec()
+        if Image is None:
+            raise NotImplementedError(
+                "media decode requires a codec library not present in this "
+                "container; install Pillow (PIL) to enable strict mode"
+            )
+        import io
+
+        img = Image.open(io.BytesIO(payload))
+        g = img.convert("L")
+        w, h = g.size
+        px = list(g.resize((2, 2)).getdata())
+        return [
+            float(len(payload)), float(w), float(h), float(w * h),
+            *[float(p) / 255.0 for p in px],
+        ]
     # deterministic fake: byte-histogram-ish moments
     n = max(len(payload), 1)
     return [
@@ -187,9 +226,30 @@ def resize_images(
                 rows = []
                 for doc_id, payload in zip(chunk["doc_id"], chunk["payload"]):
                     if not fake_decode:
-                        raise NotImplementedError(
-                            "image decode requires PIL/torchvision; plug in here"
+                        Image = _image_codec()
+                        if Image is None:
+                            raise NotImplementedError(
+                                "image decode requires a codec not in this "
+                                "container; install Pillow (PIL) for strict mode"
+                            )
+                        import io
+
+                        img = Image.open(io.BytesIO(bytes(payload)))
+                        w, h = img.size
+                        side = max(w, h)
+                        if side > max_side:
+                            ow = (w * max_side) // side
+                            oh = (h * max_side) // side
+                        else:
+                            ow, oh = w, h
+                        out = img.resize((max(ow, 1), max(oh, 1)))
+                        buf = io.BytesIO()
+                        out.save(buf, format=img.format or "PNG")
+                        rows.append(
+                            (int(doc_id), w, h, ow, oh,
+                             hashlib.md5(buf.getvalue()).hexdigest())
                         )
+                        continue
                     md = hashlib.md5(bytes(payload)).hexdigest()
                     w, h = _fake_dims(md)
                     side = max(w, h)
@@ -235,9 +295,33 @@ def sample_frames(
                 rows = []
                 for doc_id, payload in zip(chunk["doc_id"], chunk["payload"]):
                     if not fake_decode:
-                        raise NotImplementedError(
-                            "frame decode requires a video codec; plug libav in here"
-                        )
+                        av = _video_codec()
+                        if av is None:
+                            raise NotImplementedError(
+                                "frame decode requires a video codec not in "
+                                "this container; install PyAV (av) for "
+                                "strict mode"
+                            )
+                        import io
+
+                        with av.open(io.BytesIO(bytes(payload))) as container:
+                            next_ms, idx = 0, 0
+                            for frame in container.decode(video=0):
+                                if idx >= max_frames:
+                                    break
+                                t_ms = int((frame.time or 0.0) * 1000)
+                                if t_ms < next_ms:
+                                    continue
+                                img = frame.to_image()
+                                buf = io.BytesIO()
+                                img.save(buf, format="PNG")
+                                rows.append(
+                                    (int(doc_id), idx, t_ms,
+                                     hashlib.md5(buf.getvalue()).hexdigest())
+                                )
+                                idx += 1
+                                next_ms = t_ms + every_ms
+                        continue
                     md = hashlib.md5(bytes(payload)).hexdigest()
                     dur = _fake_duration_ms(md)
                     n = min(dur // every_ms + 1, max_frames)

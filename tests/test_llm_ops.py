@@ -440,10 +440,27 @@ def test_multimodal_feature_plumbing(spark):
     assert out[2].n_bytes == 0
 
 
-def test_multimodal_strict_decode_raises(spark):
-    df = spark.createDataFrame([Row(doc_id=1, payload=b"x")])
-    with pytest.raises(Exception):
-        extract_features(df, fake_decode=False).collect()
+def test_multimodal_strict_decode_matches_codec_availability(spark):
+    """Strict mode rides the import-try seam: without Pillow it raises
+    NotImplementedError naming the codec; with Pillow installed it
+    decodes for real (zero-diff swap — same call, new behavior)."""
+    from configurable_etl_python_repo_spark.llm.multimodal import (
+        _image_codec,
+    )
+
+    Image = _image_codec()
+    if Image is None:
+        df = spark.createDataFrame([Row(doc_id=1, payload=b"x")])
+        with pytest.raises(Exception, match="Pillow"):
+            extract_features(df, fake_decode=False).collect()
+    else:
+        import io
+
+        buf = io.BytesIO()
+        Image.new("L", (64, 32), color=128).save(buf, format="PNG")
+        df = spark.createDataFrame([Row(doc_id=1, payload=buf.getvalue())])
+        out = extract_features(df, fake_decode=False).collect()[0]
+        assert out.features[1] == 64.0 and out.features[2] == 32.0
 
 
 def test_resize_preserves_aspect_and_caps_side(spark):
@@ -482,5 +499,10 @@ def test_sample_frames_shape_and_cap(spark):
         assert idxs == list(range(len(frames)))  # dense 0..n-1
         for f in frames:
             assert f.frame_ms == f.frame_idx * 1000
-    with pytest.raises(Exception):
-        sample_frames(df, fake_decode=False).collect()
+    from configurable_etl_python_repo_spark.llm.multimodal import (
+        _video_codec,
+    )
+
+    if _video_codec() is None:  # no PyAV in this container
+        with pytest.raises(Exception, match="PyAV"):
+            sample_frames(df, fake_decode=False).collect()
