@@ -93,6 +93,106 @@ def test_salt_as_join_op_arg(spark):
                           {"on": ["k"], "salt": 8, "broadcast": True}))
 
 
+def test_salting_bounds_reducer_load_where_aqe_declines(spark):
+    """The measured skew demonstration, timing-insensitive throughout.
+
+    (a) A hot-keyed SMJ *alone* is exactly what AQE skew-split handles:
+        with thresholds scaled to the data, the final adaptive plan marks
+        the join ``skew=true``.
+    (b) The SAME join feeding a groupBy on the join key is the documented
+        AQE limitation: splitting the skewed partition would break the
+        aggregation's required distribution, so (with the default
+        forceOptimizeSkewedJoin=false) AQE declines — no ``skew=true`` —
+        and one reducer carries the whole hot key.
+    (c) ``salt: N`` fixes shape (b): the shuffle key becomes (key, salt),
+        and the max per-partition row count of the salted join output is
+        bounded by ~2·hot/N vs ~hot for the plain join (measured via
+        spark_partition_id() with AQE's own mitigations disabled — at toy
+        scale AQE coalescing would merge the tiny uniform partitions and
+        obscure the reducer assignment; at 100 TB the hot partition
+        exceeds any advisory size, which is what disabling emulates)."""
+    saved = {}
+
+    def setconf(k, v):
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+
+    hot, total, nsalt = 180_000, 200_000, 16
+    left = spark.range(0, total).selectExpr(
+        f"CASE WHEN id < {hot} THEN 777 ELSE id % 64 END AS k",
+        "md5(CAST(id AS STRING)) AS pad",   # incompressible payload: shuffle
+        "id AS v",                          # bytes reflect row counts
+    )
+    right = spark.range(0, 64).selectExpr(
+        "id AS k", "id * 10 AS w"
+    ).unionByName(spark.sql("SELECT 777L AS k, 7770L AS w"))
+
+    def partition_loads(df):
+        # groupBy(spark_partition_id) counts rows per join-output task;
+        # max(length(pad)) keeps the payload in the plan (column pruning
+        # would otherwise shrink the shuffle and change what's measured)
+        sizes = df.groupBy(F.spark_partition_id().alias("pid")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.length("pad")).alias("keep"),
+        )
+        return sorted(r["n"] for r in sizes.collect())
+
+    try:
+        setconf("spark.sql.autoBroadcastJoinThreshold", "-1")
+        setconf("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        setconf("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+        setconf("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+                "262144")
+        setconf("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+
+        # (a) bare join: AQE splits the skewed partition
+        bare = left.join(right, "k")
+        bare.collect()
+        plan = bare._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+
+        # (b) join under a same-key aggregate: AQE declines the split
+        agg = left.join(right, "k").groupBy("k").agg(F.sum("v").alias("s"))
+        agg.collect()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan and "skew=true" not in plan
+
+        # (c) reducer loads with AQE's own mitigations off (the declined
+        # case / the 100 TB shape): salt bounds what AQE could not
+        setconf("spark.sql.adaptive.skewJoin.enabled", "false")
+        setconf("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        plain_loads = partition_loads(left.join(right, "k"))
+        assert plain_loads[-1] >= hot            # one reducer owns the key
+        salted = salted_left_join(left, right, ["k"], salt=nsalt, how="inner")
+        salted_loads = partition_loads(salted)
+        # The exact bound is partitioning MATH, not chance: sub-key s of
+        # the hot key lands on reducer pmod(hash(777L, s), P) — compute
+        # the worst collision count with Spark's own hash, then bound the
+        # max load by collisions·(hot/nsalt) (+20% rand-salt wobble) plus
+        # every non-hot row in the worst case.
+        nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        collisions = max(
+            r["n"]
+            for r in spark.range(nsalt)
+            .select(F.pmod(F.hash(F.lit(777).cast("long"),
+                                  F.col("id").cast("int")),
+                           F.lit(nparts)).alias("p"))
+            .groupBy("p").agg(F.count(F.lit(1)).alias("n")).collect()
+        )
+        assert collisions < nsalt                # the salt does spread
+        bound = collisions * (hot // nsalt) * 1.2 + (total - hot)
+        assert salted_loads[-1] <= bound
+        assert salted_loads[-1] * 2 <= plain_loads[-1]
+        # same join, different physical distribution only
+        assert sum(salted_loads) == sum(plain_loads)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_bucketed_study_spine_zero_exchanges(spark, sf_dir):
     """run_study(spine_buckets=N): every analyte materializes bucketed on
     the spine key and the spine accumulates via bucket-aligned SMJ — the
