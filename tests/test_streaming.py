@@ -1,7 +1,7 @@
 """Structured Streaming: ingestion foreachBatch + windowed rollups run as
 REAL streaming queries (file source, availableNow trigger)."""
 
-from pyspark.sql import Row
+from pyspark.sql import Row, Window
 from pyspark.sql import functions as F
 
 from configurable_etl_python_repo_spark.sources.bronze import read_bronze
@@ -143,6 +143,58 @@ def test_text_ops_stream_matches_batch(spark, sf_dir, tmp_path):
     q.awaitTermination(120)
     stream = {tuple(r) for r in spark.table("txt_stream").collect()}
     assert stream == batch
+
+
+def test_session_window_equals_lag_based_sessionize(spark, sf_dir):
+    """The native F.session_window defines the SAME sessions as e2's
+    lag-based batch shape (the catalog's oracle-checked query) on the
+    events fixture: identical (user, session_start, last-event ts, count)
+    tuples, with session_window's end = last ts + gap by construction.
+    Exact, not fixture-luck — the boundary case agrees too (next test)."""
+    from configurable_etl_python_repo_spark.catalog import QUERIES
+
+    lag_based = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in QUERIES["e2_sessionize_gap30m"](spark, sf_dir).collect()
+    }
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    native = {
+        (r.user_id, r.session_start,
+         # session_window end is EXCLUSIVE: last event ts + gap
+         r.session_end - __import__("datetime").timedelta(minutes=30),
+         r.n_events)
+        for r in session_rollup(ev, gap="30 minutes").collect()
+    }
+    assert native == lag_based
+
+
+def test_session_window_boundary_semantics_pinned(spark):
+    """Exact-gap boundary agreement, pinned: F.session_window MERGES a
+    window that starts exactly at the previous window's end (touch ==
+    overlap), so an event exactly `gap` after the previous one stays
+    in-session — the same inclusive semantics as the lag shape's strict
+    `>` comparison. One microsecond past the gap splits in both. This is
+    what makes the equivalence above exact rather than
+    fixture-dependent."""
+    from datetime import datetime, timedelta
+
+    def sessions(ts2):
+        ev = spark.createDataFrame(
+            [Row(user_id=1, event_id=1, ts=datetime(2024, 1, 1, 0, 0, 0)),
+             Row(user_id=1, event_id=2, ts=ts2)]
+        )
+        native = session_rollup(ev, gap="30 minutes").count()
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        lag_splits = ev.withColumn(
+            "new_session",
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+             > 1_800_000_000).cast("int"),
+        ).agg(F.sum("new_session")).first()[0]
+        return native, 1 + lag_splits
+
+    on_edge = datetime(2024, 1, 1, 0, 30, 0)
+    assert sessions(on_edge) == (1, 1)                            # merged
+    assert sessions(on_edge + timedelta(microseconds=1)) == (2, 2)  # split
 
 
 def test_session_rollup_stream_matches_batch(spark, sf_dir, tmp_path):
