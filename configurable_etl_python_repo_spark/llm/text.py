@@ -34,18 +34,34 @@ def _words(col: Column) -> Column:
     return F.filter(F.split(F.lower(F.trim(col)), r"\s+"), lambda w: w != F.lit(""))
 
 
+def _token_pattern(tokens: "tuple[str, ...]") -> str:
+    """Regex matching a whole whitespace-delimited token equal to any of
+    `tokens` — the regexp_count twin of `words.isin(...)` filters: the
+    token must start at ^ or after whitespace and end at $ or before
+    whitespace, so 'in' never matches inside 'inside' and 'to,' never
+    counts as 'to' (exactly the array filter's equality semantics)."""
+    alt = "|".join(tokens)
+    return rf"(?:^|(?<=\s))(?:{alt})(?:$|(?=\s))"
+
+
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality-scoring feature columns: length, word count, punctuation
     ratio, stopword ratio, mean word length. Used to filter low-quality
-    documents before training-data export."""
+    documents before training-data export.
+
+    Everything compiles to JVM regexp/length expressions — no array
+    materialization, no interpreted lambda HOFs (the previous filter/
+    aggregate-over-split formulation ran interpreted; same values, these
+    shapes whole-stage-codegen): word count is regexp_count(\\S+), the
+    stopword count is a token-boundary alternation, and the token-length
+    sum is length(text minus whitespace)."""
     c = F.col(text_col)
-    words = _words(c)
-    n_words = F.size(words)
-    n_stop = F.size(
-        F.filter(words, lambda w: w.isin(*ENGLISH_STOPWORDS))
-    )
+    lt = F.lower(F.trim(c))
+    n_words = F.regexp_count(lt, F.lit(r"\S+"))
+    n_stop = F.regexp_count(lt, F.lit(_token_pattern(ENGLISH_STOPWORDS)))
     n_punct = F.regexp_count(c, F.lit(r"[^\w\s]"))
     n_chars = F.length(c)
+    word_chars = F.length(F.regexp_replace(lt, r"\s+", ""))
     return df.withColumns(
         {
             "n_chars_measured": n_chars.cast("long"),
@@ -55,40 +71,36 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
                 n_stop.cast("double") / F.greatest(n_words, F.lit(1))
             ),
             "mean_word_len": (
-                F.aggregate(
-                    words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
-                ).cast("double")
-                / F.greatest(n_words, F.lit(1))
+                word_chars.cast("double") / F.greatest(n_words, F.lit(1))
             ),
         }
     )
 
 
 def _language_id_stateless(df: DataFrame, text_col: str) -> DataFrame:
-    """Per-row (stateless) formulation of language_id: lambda filters
-    over the word array. Interpreted — ~7 array passes per doc — but
-    involves no aggregation, so it runs under readStream append mode
-    unchanged (micro-batches are small; the batch path below takes the
-    codegen aggregation instead). The stream-vs-batch parity test proves
-    both formulations agree."""
-    words = _words(F.col(text_col))
-
-    def _hits(sw):
-        # single-arg closure: a 2-arg lambda would make F.filter pass the
-        # element index as the second argument
-        return lambda w: w.isin(*sw)
-
+    """Per-row (stateless) formulation of language_id: seven
+    token-boundary regexp_counts — pure codegen'd JVM regex, no array
+    build, no interpreted lambda filters (which the previous
+    filter-over-split shape paid ~7 interpreted array passes per doc
+    for). No aggregation, so it runs under readStream append mode
+    unchanged; the stream-vs-batch parity test proves both formulations
+    agree. coalesce(.., 0) keeps NULL text scoring 'und' like the batch
+    path's left join does."""
+    lt = F.lower(F.trim(F.col(text_col)))
     scores = {
-        lang: F.size(F.filter(words, _hits(sw)))
+        lang: F.coalesce(
+            F.regexp_count(lt, F.lit(_token_pattern(sw))), F.lit(0)
+        )
         for lang, sw in LANG_STOPWORDS.items()
     }
-    pairs = F.array(
+    # argmax by (score desc, lang asc) = least() over (neg, lang) structs
+    # (lexicographic struct comparison — no array, no lambda comparator)
+    best = F.least(
         *[
             F.struct((-scores[lang]).alias("neg"), F.lit(lang).alias("lang"))
             for lang in sorted(LANG_STOPWORDS)
         ]
     )
-    best = F.array_sort(pairs)[0]
     return df.withColumn(
         "lang_pred",
         F.when(-best["neg"] > 0, best["lang"]).otherwise(F.lit("und")),
@@ -129,8 +141,8 @@ def language_id(
             for lg in langs
         ]
     )
-    # argmax by (score desc, lang asc) via a sorted array of structs
-    pairs = F.array(
+    # argmax by (score desc, lang asc) = least() over (neg, lang) structs
+    best = F.least(
         *[
             F.struct(
                 (-F.coalesce(F.col(f"__sw_{lg}"), F.lit(0))).alias("neg"),
@@ -139,7 +151,6 @@ def language_id(
             for lg in langs
         ]
     )
-    best = F.array_sort(pairs)[0]
     out = (
         df.join(scored, df[id_col] == scored["__lid"], "left")
         .withColumn(
@@ -183,34 +194,32 @@ LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
 
 
 def _language_id_ngram_stateless(df: DataFrame, text_col: str) -> DataFrame:
-    """Per-row (stateless) trigram formulation: per-doc trigram array +
-    lambda filters. Interpreted and array-heavy — only the streaming
-    path uses it (micro-batches are small; batch takes the codegen
-    explode+aggregate below). Parity-tested against the batch shape."""
+    """Per-row (stateless) trigram formulation, as seven zero-width
+    lookahead regexp_counts: `(?=(?:tri1|tri2|...))` matches at every
+    POSITION where a profile trigram starts, so overlapping trigrams all
+    count — exactly the per-position semantics of the previous
+    trigram-array + lambda-filter shape, without materializing a len-2
+    array per doc or running interpreted HOFs (a plain alternation
+    without the lookahead would undercount: regex matches don't overlap).
+    Only the streaming path uses this (no aggregation → append-mode
+    legal); parity-tested equal to the batch explode+aggregate."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     padded = F.concat(F.lit(" "), norm, F.lit(" "))
-    n = F.length(padded)
-    grams = F.when(
-        n >= 3,
-        F.transform(
-            F.sequence(F.lit(1), n - 2), lambda i: padded.substr(i, F.lit(3))
-        ),
-    ).otherwise(F.expr("CAST(array() AS array<string>)"))
-
-    def _in(profile):
-        return lambda g: g.isin(*profile)
-
     scores = {
-        lang: F.size(F.filter(grams, _in(prof)))
+        lang: F.coalesce(
+            F.regexp_count(
+                padded, F.lit("(?=(?:" + "|".join(prof) + "))")
+            ),
+            F.lit(0),
+        )
         for lang, prof in LANG_TRIGRAMS.items()
     }
-    pairs = F.array(
+    best = F.least(
         *[
             F.struct((-scores[lang]).alias("neg"), F.lit(lang).alias("lang"))
             for lang in sorted(LANG_TRIGRAMS)
         ]
     )
-    best = F.array_sort(pairs)[0]
     return df.withColumn(
         "lang_pred",
         F.when(-best["neg"] > 0, best["lang"]).otherwise(F.lit("und")),
@@ -276,7 +285,7 @@ def language_id_ngram(
             for lg in langs
         ]
     )
-    pairs = F.array(
+    best = F.least(
         *[
             F.struct(
                 (-F.coalesce(F.col(f"__sc_{lg}"), F.lit(0))).alias("neg"),
@@ -285,7 +294,6 @@ def language_id_ngram(
             for lg in langs
         ]
     )
-    best = F.array_sort(pairs)[0]
     out = (
         df.join(scored, df[id_col] == scored["__lid"], "left")
         .withColumn(
