@@ -1,19 +1,36 @@
-"""Scale smoke: replicate the sf0.1 fixtures N× (key-shifted so join
-cardinalities scale linearly, not quadratically) and time the
-reference-surface headline queries at 1× and N×.
+"""Scale stress: replicate the sf0.1 fixtures N× and time the headline
+queries at 1× and each requested factor, reporting a per-query scaling
+exponent (slope of log time vs log factor between the two largest
+factors — the base point sits on a ~0.4s fixed stage-latency floor at
+sf0.1 and would bias the fit).
 
-This is the would-it-hold-at-scale check the small-SF gates can't give:
-work per query should grow ~linearly with N (shuffle-bound ops slightly
-worse), and the audit ensures no plan degenerates (e.g. a broadcast that
-silently becomes a nested loop). Run:
+Replication is content-aware so the measurement reflects the ALGORITHM's
+scaling, not replication artifacts:
 
-    python scripts/scale_smoke.py [--factor 16] [--keep DIR]
+  - join keys are shifted per replica (join cardinalities grow linearly,
+    not quadratically);
+  - `documents.text` is alphabet-rotated per replica (a bijective
+    `translate`), so shingles are disjoint across replicas and near-dup
+    pair counts grow linearly — naive copying would make every doc an
+    exact dup of its N-1 siblings and inflate d2/d3 output O(N²);
+  - `embeddings.embedding` is circularly rotated per replica (norms
+    preserved, cross-replica cosines decorrelated) for the same reason;
+  - `events.user_id` is shifted, so sessions grow linearly.
+
+tests/test_scale_utils.py pins the linearity of these transforms at
+sf0.001. Run:
+
+    python scripts/scale_smoke.py [--factors 4,10] [--keep DIR]
+
+Verdict r3 asked for "an sf1 table showing <=~linear scaling, or named
+fixes" — factor 10 on sf0.1 is sf1; results recorded in ROADMAP.md.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import math
 import os
 import shutil
 import sys
@@ -22,48 +39,85 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-REPLICATED = ["lineitem", "orders", "customer"]
-COPIED = ["part", "supplier", "nation", "region", "events", "documents",
-          "embeddings"]
-#: key columns shifted per replica so keys stay unique across copies
+#: replica key shift, large enough to clear every base key range
+SHIFT = 10_000_000
 KEY_SHIFT = {
     "lineitem": ["l_orderkey"],
     "orders": ["o_orderkey", "o_custkey"],
     "customer": ["c_custkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
 }
+COPIED = ["part", "supplier", "nation", "region"]
 QUERIES = [
+    # reference-surface headliners
     "flagship_earliest_event",
     "a1_groupby_summarise",
     "w2_sort_slice_topn",
     "j1_left_join_two_keys",
     "j3_spine_study",
     "x4_global_topk",
+    # verdict-named scale probes
+    "d2_ngram_jaccard_pairs",
+    "d3_minhash_lsh_pairs",
+    "t2_language_id",
+    "e2_sessionize_gap30m",
+    "x9_curation_pipeline",
+    # extra coverage: winnowing + partitioned ANN
+    "t5_winnowing_fingerprints",
+    "n3_ann_ivf_topk",
 ]
+
+_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _transform_replica(name: str, df, rep: int):
+    """Per-replica content transform (constant `rep`, stays in codegen)."""
+    from pyspark.sql import functions as F
+
+    for k in KEY_SHIFT.get(name, []):
+        df = df.withColumn(k, F.col(k) + F.lit(rep * SHIFT))
+    if rep == 0:
+        return df
+    if name == "documents":
+        rot = rep % 25 + 1  # never identity for rep > 0
+        rotated = _ALPHA[rot:] + _ALPHA[:rot]
+        df = df.withColumn(
+            "text",
+            F.translate("text", _ALPHA + _ALPHA.upper(),
+                        rotated + rotated.upper()),
+        )
+    elif name == "embeddings":
+        dim = 64
+        rot = rep % (dim - 1) + 1
+        df = df.withColumn(
+            "embedding",
+            F.concat(
+                F.slice("embedding", rot + 1, dim - rot),
+                F.slice("embedding", 1, rot),
+            ),
+        )
+    return df
 
 
 def replicate(spark, src_dir: str, out_dir: str, factor: int) -> None:
-    from pyspark.sql import functions as F
+    from functools import reduce
 
     for name in COPIED:
         shutil.copyfile(f"{src_dir}/{name}.parquet", f"{out_dir}/{name}.parquet")
-    for name in REPLICATED:
+    for name in KEY_SHIFT:
         df = spark.read.parquet(f"{src_dir}/{name}.parquet")
-        copies = df.crossJoin(
-            spark.range(factor).withColumnRenamed("id", "__rep")
-        )
-        shift = 10_000_000
-        for k in KEY_SHIFT[name]:
-            copies = copies.withColumn(k, F.col(k) + F.col("__rep") * shift)
-        copies.drop("__rep").write.mode("overwrite").parquet(
-            f"{out_dir}/{name}.parquet"
-        )
+        parts = [_transform_replica(name, df, r) for r in range(factor)]
+        out = reduce(lambda a, b: a.unionByName(b), parts)
+        out.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
 
 
-def time_queries(spark, sf_dir: str) -> dict[str, float]:
+def time_queries(spark, sf_dir: str, names=QUERIES) -> dict[str, float]:
     from configurable_etl_python_repo_spark.catalog import QUERIES as Q
 
     out = {}
-    for name in QUERIES:
+    for name in names:
         Q[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         t0 = time.time()
         Q[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -73,36 +127,47 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--factor", type=int, default=16)
+    ap.add_argument("--factors", default="4,10",
+                    help="comma-separated replication factors (besides 1)")
     ap.add_argument("--src", default="/root/testdata/sf0.1")
-    ap.add_argument("--keep", help="reuse/keep the replicated dir")
+    ap.add_argument("--keep", help="parent dir to build/reuse replicated sets in")
+    ap.add_argument("--queries", help="comma-separated subset of queries")
     args = ap.parse_args()
+    factors = sorted({int(f) for f in args.factors.split(",")} - {1})
+    names = args.queries.split(",") if args.queries else QUERIES
 
     from configurable_etl_python_repo_spark import get_spark
 
     spark = get_spark("scale_smoke")
-    base = time_queries(spark, args.src)
+    timings: dict[int, dict[str, float]] = {1: time_queries(spark, args.src, names)}
 
-    big_dir = args.keep or tempfile.mkdtemp(prefix="scale_smoke_")
-    os.makedirs(big_dir, exist_ok=True)
-    if not os.path.exists(f"{big_dir}/lineitem.parquet") or not args.keep:
-        replicate(spark, args.src, big_dir, args.factor)
-    big = time_queries(spark, big_dir)
+    parent = args.keep or tempfile.mkdtemp(prefix="scale_smoke_")
+    for f in factors:
+        big_dir = os.path.join(parent, f"x{f}")
+        if not os.path.exists(os.path.join(big_dir, "lineitem.parquet")):
+            os.makedirs(big_dir, exist_ok=True)
+            replicate(spark, args.src, big_dir, f)
+        timings[f] = time_queries(spark, big_dir, names)
 
+    f_hi = factors[-1]
+    f_lo = factors[-2] if len(factors) > 1 else 1
     report = {
-        "factor": args.factor,
+        "src": args.src,
+        "factors": [1] + factors,
         "queries": {
             n: {
-                "base_s": base[n],
-                "scaled_s": big[n],
-                "ratio": round(big[n] / max(base[n], 1e-9), 1),
+                **{f"x{f}_s": timings[f][n] for f in [1] + factors},
+                "exponent": round(
+                    math.log(max(timings[f_hi][n], 1e-3)
+                             / max(timings[f_lo][n], 1e-3))
+                    / math.log(f_hi / f_lo), 2),
             }
-            for n in QUERIES
+            for n in names
         },
     }
     print(json.dumps(report, indent=2))
     if not args.keep:
-        shutil.rmtree(big_dir, ignore_errors=True)
+        shutil.rmtree(parent, ignore_errors=True)
     spark.stop()
 
 

@@ -1,6 +1,8 @@
 """Scale machinery: salted joins, bucketed shuffle-free joins, SQL-view
 addressability of registry bindings."""
 
+import os
+
 from pyspark.sql import functions as F
 
 from configurable_etl_python_repo_spark.operators.skew import (
@@ -236,6 +238,50 @@ def test_bucketed_study_spine_zero_exchanges(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS cetl_bkt_subjects_b")
         spark.sql("DROP TABLE IF EXISTS cetl_bkt_spend_b")
+
+
+def test_scale_replication_measures_linear_work(spark, sf_dir, tmp_path):
+    """scripts/scale_smoke.replicate must grow WORK linearly, or the
+    scaling exponents it reports are artifacts. Naive copying fails this:
+    every doc/vector would be an exact dup of its N-1 replica siblings, so
+    near-dup pair output (d2/d3/d5) grows O(N²) regardless of the
+    algorithm. The content transforms (per-replica alphabet rotation for
+    text, circular rotation for embeddings, user_id shift for events) make
+    replicas disjoint; pin that at factor 2 on sf0.001."""
+    import importlib
+    import sys as _sys
+
+    scripts_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"
+    )
+    _sys.path.insert(0, scripts_dir)
+    try:
+        sm = importlib.import_module("scale_smoke")
+    finally:
+        _sys.path.remove(scripts_dir)
+    from configurable_etl_python_repo_spark.catalog import QUERIES
+
+    big = str(tmp_path / "x2")
+    os.makedirs(big)
+    sm.replicate(spark, sf_dir, big, 2)
+
+    # d2: pair count exactly doubles, and no pair crosses replicas
+    base_pairs = QUERIES["d2_ngram_jaccard_pairs"](spark, sf_dir).collect()
+    big_pairs = QUERIES["d2_ngram_jaccard_pairs"](spark, big).collect()
+    assert len(big_pairs) == 2 * len(base_pairs)
+    assert all(
+        (r["id_a"] < sm.SHIFT) == (r["id_b"] < sm.SHIFT) for r in big_pairs
+    )
+
+    # d1: rotation keeps replicas textually distinct -> fingerprint groups
+    # double (a copied corpus would keep the SAME group count with doubled
+    # n_copies)
+    base_fp = QUERIES["d1_dedup_exact"](spark, sf_dir).count()
+    assert QUERIES["d1_dedup_exact"](spark, big).count() == 2 * base_fp
+
+    # e2: shifted user_ids -> sessions double
+    base_sess = QUERIES["e2_sessionize_gap30m"](spark, sf_dir).count()
+    assert QUERIES["e2_sessionize_gap30m"](spark, big).count() == 2 * base_sess
 
 
 def test_registry_bindings_sql_addressable(spark, sf_dir):
