@@ -142,13 +142,17 @@ def q_e3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # shared SQL fragments -------------------------------------------------------
 
-_WORDS_SQL = r"""
+def _words_sql(src: str = "documents") -> str:
+    return rf"""
   words AS (
     SELECT doc_id,
            list_filter(string_split_regex(lower(trim(text)), '\s+'),
                        x -> x != '') AS w
-    FROM documents)
+    FROM {src})
 """
+
+
+_WORDS_SQL = _words_sql()
 
 
 def _shingles_sql(n: int) -> str:
@@ -1148,3 +1152,197 @@ def q_m3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sample_frames(docs, every_ms=_FRAME_EVERY_MS,
                          max_frames=_FRAME_MAX)
+
+
+# ===========================================================================
+# Round-4 curation operators: PII scrubbing, repetition quality,
+# sub-document span dedup, domain-mixture resampling
+# ===========================================================================
+
+#: deterministic PII injection shared VERBATIM by the Spark query (via
+#: F.expr) and the DuckDB oracle — the sf documents contain no PII, so the
+#: query synthesizes some from doc_id before scrubbing
+_PII_INJ = (
+    "text"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' user' || CAST(doc_id AS STRING)"
+    " || '@example.com' ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' call 555-867-5309 or 555 123 4567'"
+    " ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.0.1 ssn 123-45-6789'"
+    " ELSE '' END"
+)
+
+
+def _pii_oracle() -> str:
+    """Generated from scrub.PII_PATTERNS so the regexes can never drift
+    between engines (Java regex and DuckDB's RE2 agree on this subset)."""
+    from .llm.scrub import PII_PATTERNS
+
+    counts = ",\n           ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS pii_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    total = " + ".join(f"pii_{name}" for name, _, _ in PII_PATTERNS)
+    scrub = "text"
+    for _, pat, token in PII_PATTERNS:
+        scrub = f"regexp_replace({scrub}, '{pat}', '{token}', 'g')"
+    return f"""
+    WITH inj AS (SELECT doc_id, {_PII_INJ} AS text FROM documents),
+    counted AS (
+      SELECT doc_id, text,
+           {counts}
+      FROM inj)
+    SELECT doc_id, pii_email, pii_ssn, pii_ipv4, pii_phone,
+           {total} AS pii_total,
+           {scrub} AS text_scrubbed
+    FROM counted
+    """
+
+
+@register("t6_pii_scrub", _pii_oracle())
+def q_t6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact (emails, SSNs, IPv4, phones) with per-category
+    audit counts — pure regexp codegen, scan-stage, zero shuffles."""
+    from .llm.scrub import pii_scrub
+
+    docs = spark.read.parquet(_pq(sf_dir, "documents"))
+    inj = docs.select("doc_id", F.expr(_PII_INJ).alias("text"))
+    return pii_scrub(inj).select(
+        "doc_id", "pii_email", "pii_ssn", "pii_ipv4", "pii_phone",
+        "pii_total", "text_scrubbed",
+    )
+
+
+def _repetition_oracle() -> str:
+    return (
+        "WITH " + _WORDS_SQL
+        + """,
+    wf AS (SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS nd
+           FROM words),
+    wd AS (SELECT doc_id, unnest(w) AS wrd,
+                  generate_subscripts(w, 1) AS pos
+           FROM words),
+    gr AS (SELECT doc_id,
+                  wrd || ' ' || lead(wrd) OVER
+                    (PARTITION BY doc_id ORDER BY pos) AS gram
+           FROM wd),
+    gc AS (SELECT doc_id, gram, count(*) AS c FROM gr
+           WHERE gram IS NOT NULL GROUP BY 1, 2),
+    gf AS (SELECT doc_id,
+                  max(c) / sum(c) AS top_ngram_frac,
+                  (sum(c) - count(*)) / sum(c) AS dup_ngram_frac
+           FROM gc GROUP BY doc_id)
+    SELECT wf.doc_id, wf.n_words,
+           CASE WHEN wf.n_words > 0
+                THEN (wf.n_words - wf.nd) / wf.n_words
+                ELSE 0.0 END AS dup_word_frac,
+           coalesce(gf.top_ngram_frac, 0.0) AS top_ngram_frac,
+           coalesce(gf.dup_ngram_frac, 0.0) AS dup_ngram_frac
+    FROM wf LEFT JOIN gf USING (doc_id)
+    """
+    )
+
+
+@register("t7_repetition_stats", _repetition_oracle())
+def q_t7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality features (dup-word fraction, top /
+    duplicate 2-gram fractions) per document."""
+    docs = spark.read.parquet(_pq(sf_dir, "documents"))
+    return T.repetition_stats(docs, n=2)
+
+
+_SPAN_K = 10
+#: synthesized exact-duplicate docs (the sf corpus has almost none) so the
+#: keep-first span dedup has real work; shared by query and oracle
+_SPAN_CORPUS_SQL = """
+    corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      WHERE doc_id % 10 = 0)
+"""
+
+
+def _span_dedup_oracle() -> str:
+    return (
+        "WITH " + _SPAN_CORPUS_SQL + ", " + _words_sql("corpus")
+        + f""",
+    wd AS (SELECT doc_id, unnest(w) AS wrd,
+                  generate_subscripts(w, 1) AS pos
+           FROM words),
+    sp AS (SELECT doc_id, (pos - 1) // {_SPAN_K} AS span_idx,
+                  string_agg(wrd, ' ' ORDER BY pos) AS span
+           FROM wd GROUP BY doc_id, span_idx),
+    ns AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY doc_id),
+    kept AS (SELECT doc_id, span_idx, span,
+                    row_number() OVER
+                      (PARTITION BY span ORDER BY doc_id, span_idx) AS rn
+             FROM sp),
+    outq AS (SELECT doc_id,
+                    string_agg(span, ' ' ORDER BY span_idx) AS text_deduped,
+                    count(*) AS n_spans_kept
+             FROM kept WHERE rn = 1 GROUP BY doc_id)
+    SELECT o.doc_id, o.text_deduped, ns.n_spans, o.n_spans_kept
+    FROM outq o JOIN ns USING (doc_id)
+    """
+    )
+
+
+@register("d8_span_dedup", _span_dedup_oracle())
+def q_d8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup: aligned 10-word spans, corpus-wide
+    keep-first, reassembled — the line-level-dedup shape for corpora
+    without line structure. Injected exact-dup docs vanish entirely."""
+    docs = spark.read.parquet(_pq(sf_dir, "documents"))
+    corpus = docs.select("doc_id", "text").unionByName(
+        docs.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    return D.dedup_spans(corpus, k=_SPAN_K)
+
+
+#: non-uniform target mixture over the documents' source domains
+_MIX_WEIGHTS = {f"src{i}": i % 3 + 1 for i in range(20)}
+_MIX_SEED = "mix"
+
+
+def _mixture_oracle() -> str:
+    """Mirror of llm.sampling.mixture_sample's integer math: W, the
+    binding total T* = min_s floor(n_s*W/w_s), per-stratum target
+    q_s = floor(w_s*T*/W), md5-bucket cutoff floor(q_s*2^20/n_s)."""
+    whens = " ".join(
+        f"WHEN '{v}' THEN {w}" for v, w in sorted(_MIX_WEIGHTS.items())
+    )
+    in_list = ", ".join(f"'{v}'" for v in sorted(_MIX_WEIGHTS))
+    return f"""
+    WITH c AS (
+      SELECT source, count(*) AS n, CASE source {whens} END AS w
+      FROM documents WHERE source IN ({in_list}) GROUP BY source),
+    t1 AS (SELECT sum(w) AS wtot FROM c),
+    t2 AS (SELECT max(t1.wtot) AS wtot,
+                  min(c.n * t1.wtot // c.w) AS tstar
+           FROM c, t1),
+    cut AS (SELECT c.source,
+                   (c.w * t2.tstar // t2.wtot) * {1 << 20} // c.n AS cutoff
+            FROM c, t2)
+    SELECT d.doc_id, d.source, d.lang
+    FROM documents d JOIN cut ON d.source = cut.source
+    WHERE CAST(('0x' || substr(md5('{_MIX_SEED}' || '|' ||
+                                   CAST(d.doc_id AS STRING)), 1, 5))
+               AS BIGINT) < cut.cutoff
+    """
+
+
+@register("x13_domain_mixture", _mixture_oracle())
+def q_x13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling: keep the largest corpus achievable at
+    the requested integer weight ratios (1:2:3 across source domains),
+    rows admitted by deterministic md5 bucket — exact BIGINT math end to
+    end, so the sample is reproducible on any cluster and engine."""
+    from .llm.sampling import mixture_sample
+
+    docs = spark.read.parquet(_pq(sf_dir, "documents"))
+    return mixture_sample(docs, _MIX_WEIGHTS, seed=_MIX_SEED).select(
+        "doc_id", "source", "lang"
+    )

@@ -14,15 +14,18 @@ from .text import (  # noqa: F401
     language_id,
     language_id_ngram,
     fingerprint,
+    repetition_stats,
     token_count_bpe_ish,
 )
 from .dedup import (  # noqa: F401
     dedup_exact,
+    dedup_spans,
     ngram_jaccard_pairs,
     minhash_signatures,
     minhash_lsh_pairs,
     simhash32,
 )
+from .scrub import pii_scrub  # noqa: F401
 from .similarity import (  # noqa: F401
     brute_force_topk,
     embedding_cosine_pairs,
@@ -33,4 +36,8 @@ from .similarity import (  # noqa: F401
     lsh_bucketed_topk,
 )
 from .clusters import connected_components, dedup_clusters  # noqa: F401
-from .sampling import hash_sample, stratified_sample  # noqa: F401
+from .sampling import (  # noqa: F401
+    hash_sample,
+    mixture_sample,
+    stratified_sample,
+)

@@ -403,6 +403,87 @@ def quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("keep", keep)
 
 
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Repetition-based quality features (the Gopher/MassiveText rule
+    family — Rae et al. 2021 §A1.1): per document,
+
+      - ``dup_word_frac``   — fraction of word occurrences that are
+        repeats of an earlier word (1 - distinct/total);
+      - ``top_ngram_frac``  — fraction of word n-gram occurrences taken
+        by the single most frequent n-gram;
+      - ``dup_ngram_frac``  — fraction of n-gram occurrences that are
+        repeats (1 - distinct/total).
+
+    High values flag boilerplate/spam docs for curation filters. Word
+    features are scan-stage Column math (`array_distinct` is a codegen
+    collection op, not an interpreted lambda); n-gram features use the
+    posexplode + window-LEAD shingle path (whole-stage codegen) with two
+    map-side-combinable shuffles on the doc id — no interpreted HOFs, no
+    all-pairs anything, linear at any corpus size. Fractions are plain
+    long/long divisions in a fixed order so the DuckDB oracle reproduces
+    them bit-for-bit; docs with < n words get 0.0 (no grams to repeat).
+    """
+    from pyspark.sql import Window
+
+    words = _words(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(words).cast("long").alias("n_words"),
+        F.size(F.array_distinct(words)).cast("long").alias("__nd"),
+        words.alias("__w"),
+    )
+    word_feats = base.select(
+        "id", "n_words",
+        F.when(F.col("n_words") > 0,
+               (F.col("n_words") - F.col("__nd"))
+               / F.col("n_words")).otherwise(F.lit(0.0))
+        .alias("dup_word_frac"),
+        "__w",
+    )
+
+    w0 = word_feats.select("id", F.posexplode("__w").alias("pos", "w"))
+    win = Window.partitionBy("id").orderBy("pos")
+    leads = [F.col("w")] + [F.lead("w", j).over(win) for j in range(1, n)]
+    grams = (
+        w0.withColumn("gram", F.concat_ws(" ", *leads))
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy("id")))
+        .where(F.col("pos") <= F.col("__n") - n)
+        .select("id", "gram")
+    )
+    gram_feats = (
+        grams.groupBy("id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(
+            F.sum("c").alias("__total"),
+            F.max("c").alias("__mx"),
+            F.count(F.lit(1)).alias("__distinct"),
+        )
+        .select(
+            "id",
+            (F.col("__mx") / F.col("__total")).alias("top_ngram_frac"),
+            ((F.col("__total") - F.col("__distinct")) / F.col("__total"))
+            .alias("dup_ngram_frac"),
+        )
+    )
+    return (
+        word_feats.drop("__w")
+        .join(gram_feats, on="id", how="left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_words",
+            "dup_word_frac",
+            F.coalesce("top_ngram_frac", F.lit(0.0)).alias("top_ngram_frac"),
+            F.coalesce("dup_ngram_frac", F.lit(0.0)).alias("dup_ngram_frac"),
+        )
+    )
+
+
 def top_ngrams(
     df: DataFrame,
     n: int = 2,

@@ -22,6 +22,7 @@ from __future__ import annotations
 from typing import TYPE_CHECKING
 
 from ..llm import dedup as D
+from ..llm import scrub as SC
 from ..llm import similarity as S
 from ..llm import text as T
 from ..plans.spec import OpSpec
@@ -153,6 +154,18 @@ LLM_OP_COMPILERS = {
         _rename_kw(_lazy_sampling("stratified_sample"),
                    {"key_column": "key_col", "strata_column": "strata_col"})
     ),
+    "SAMPLE MIXTURE": _unary(
+        _rename_kw(_lazy_sampling("mixture_sample"),
+                   {"key_column": "key_col", "strata_column": "strata_col"})
+    ),
+    "PII SCRUB": _unary(
+        _rename_kw(SC.pii_scrub, {"text_column": "text_col"})
+    ),
+    "REPETITION STATS": _unary(
+        _rename_kw(T.repetition_stats,
+                   {"id_column": "id_col", "text_column": "text_col"})
+    ),
+    "DEDUP SPANS": _unary(_rename_kw(D.dedup_spans, _ID_TEXT)),
     "CONNECTED COMPONENTS": _connected_components,
     "DEDUP CLUSTERS": _dedup_clusters,
     "ANN TOPK": _ann_topk,

@@ -17,6 +17,11 @@ SPOT = [
     "d2_ngram_jaccard_pairs",
     "n1_ann_cosine_topk",
     "e2_sessionize_gap30m",
+    # round-4 curation ops
+    "t6_pii_scrub",
+    "t7_repetition_stats",
+    "d8_span_dedup",
+    "x13_domain_mixture",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

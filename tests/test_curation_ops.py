@@ -1,0 +1,176 @@
+"""Round-4 curation operators: PII scrubbing, repetition quality,
+sub-document span dedup, domain-mixture resampling — semantics pinned
+against hand-computed / pure-Python models (the catalog oracles cover the
+DuckDB parity; these cover the edge semantics oracles can't isolate)."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from configurable_etl_python_repo_spark.llm.dedup import dedup_spans
+from configurable_etl_python_repo_spark.llm.sampling import mixture_sample
+from configurable_etl_python_repo_spark.llm.scrub import pii_scrub
+from configurable_etl_python_repo_spark.llm.text import repetition_stats
+from configurable_etl_python_repo_spark.plans import Engine, OpSpec, ScanSpec
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "contact a@b.co or c.d@e.org, ssn 123-45-6789, "
+                "ip 1.2.3.4, call 555-123-4567 or 555.123.4567"),
+            (2, "clean text with no identifiers at all"),
+            (3, ""),
+        ],
+        ["id", "text"],
+    )
+    rows = {r["id"]: r for r in pii_scrub(df).collect()}
+    r1 = rows[1]
+    assert (r1["pii_email"], r1["pii_ssn"], r1["pii_ipv4"], r1["pii_phone"]) \
+        == (2, 1, 1, 2)
+    assert r1["pii_total"] == 6
+    assert r1["text_scrubbed"] == (
+        "contact <EMAIL> or <EMAIL>, ssn <SSN>, "
+        "ip <IP>, call <PHONE> or <PHONE>"
+    )
+    assert rows[2]["pii_total"] == 0
+    assert rows[2]["text_scrubbed"] == rows[2]["text"]
+    assert rows[3]["pii_total"] == 0
+
+
+def test_pii_patterns_do_not_cross_match(spark):
+    """An SSN is not a phone, a phone is not an IP, and vice versa."""
+    df = spark.createDataFrame(
+        [(1, "123-45-6789"), (2, "555-123-4567"), (3, "10.0.0.1")],
+        ["id", "text"],
+    )
+    rows = {r["id"]: r for r in pii_scrub(df).collect()}
+    assert rows[1]["pii_ssn"] == 1 and rows[1]["pii_phone"] == 0
+    assert rows[2]["pii_phone"] == 1 and rows[2]["pii_ssn"] == 0 \
+        and rows[2]["pii_ipv4"] == 0
+    assert rows[3]["pii_ipv4"] == 1 and rows[3]["pii_phone"] == 0
+
+
+def test_repetition_stats_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),        # 4 words, 1 distinct; 3 grams all "a a"
+            (2, "a b c"),          # all distinct; grams "a b", "b c"
+            (3, "x"),              # single word -> no grams
+            (4, "go go stop go go"),  # grams: "go go" x2, "go stop",
+                                      # "stop go" -> top 2/4, dup 1/4
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert rows[1]["dup_word_frac"] == 0.75
+    assert rows[1]["top_ngram_frac"] == 1.0
+    assert rows[1]["dup_ngram_frac"] == 2 / 3
+    assert rows[2]["dup_word_frac"] == 0.0
+    assert rows[2]["top_ngram_frac"] == 0.5
+    assert rows[2]["dup_ngram_frac"] == 0.0
+    assert rows[3]["n_words"] == 1
+    assert rows[3]["top_ngram_frac"] == 0.0  # no grams -> coalesced 0
+    assert rows[4]["dup_word_frac"] == 3 / 5
+    assert rows[4]["top_ngram_frac"] == 0.5
+    assert rows[4]["dup_ngram_frac"] == 0.25
+
+
+def test_dedup_spans_keep_first_and_reassembly(spark):
+    w20 = " ".join(f"w{i}" for i in range(20))
+    first5 = " ".join(f"w{i}" for i in range(5))
+    df = spark.createDataFrame(
+        [
+            (1, w20),                          # 4 spans at k=5, all novel
+            (2, w20),                          # exact dup -> vanishes
+            (3, first5 + " x1 x2 x3 x4 x5"),   # span 1 dups doc 1's
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in dedup_spans(df, k=5).collect()}
+    assert set(out) == {1, 3}
+    assert out[1]["text_deduped"] == w20
+    assert (out[1]["n_spans"], out[1]["n_spans_kept"]) == (4, 4)
+    assert out[3]["text_deduped"] == "x1 x2 x3 x4 x5"
+    assert (out[3]["n_spans"], out[3]["n_spans_kept"]) == (2, 1)
+
+
+def test_dedup_spans_order_within_doc_preserved(spark):
+    # shared boilerplate span occurs at DIFFERENT span indexes: kept only
+    # where it appears first (doc order), removed from the later doc
+    boiler = " ".join(f"b{i}" for i in range(5))
+    df = spark.createDataFrame(
+        [
+            (1, boiler + " m0 m1 m2 m3 m4"),
+            (2, "z0 z1 z2 z3 z4 " + boiler),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in dedup_spans(df, k=5).collect()}
+    assert out[1]["text_deduped"] == boiler + " m0 m1 m2 m3 m4"
+    assert out[2]["text_deduped"] == "z0 z1 z2 z3 z4"
+
+
+def _mixture_model(rows, weights, seed="mix"):
+    """Pure-Python replica of mixture_sample's integer math."""
+    from collections import Counter
+
+    n = Counter(s for _, s in rows if s in weights)
+    wtot = sum(weights[s] for s in n)
+    tstar = min(n[s] * wtot // weights[s] for s in n)
+    kept = set()
+    for key, s in rows:
+        if s not in n:
+            continue
+        q = weights[s] * tstar // wtot
+        cutoff = (q << 20) // n[s]
+        bucket = int(
+            hashlib.md5(f"{seed}|{key}".encode()).hexdigest()[:5], 16
+        )
+        if bucket < cutoff:
+            kept.add(key)
+    return kept
+
+
+def test_mixture_sample_matches_python_model_exactly(spark):
+    rows = [(i, f"dom{i % 4}") for i in range(400)]
+    weights = {"dom0": 3, "dom1": 1, "dom2": 2}  # dom3 dropped
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    got = {r["doc_id"] for r in mixture_sample(df, weights).collect()}
+    assert got == _mixture_model(rows, weights)
+    assert not any(i % 4 == 3 for i in got)  # unlisted stratum dropped
+    # binding stratum (the one with min n*W/w — here dom0, the largest
+    # weight at equal counts) keeps ~100%
+    assert sum(1 for i in got if i % 4 == 0) == 100
+
+
+def test_mixture_sample_rejects_bad_weights(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "source"])
+    with pytest.raises(ValueError, match="non-empty"):
+        mixture_sample(df, {})
+    with pytest.raises(ValueError, match="positive int"):
+        mixture_sample(df, {"a": 0})
+    with pytest.raises(ValueError, match="positive int"):
+        mixture_sample(df, {"a": 1.5})
+
+
+def test_curation_ops_registered_as_config_ops(spark, sf_dir):
+    """The four round-4 ops dispatch from declarative OpSpecs."""
+    eng = Engine(spark)
+    eng.run_scan(ScanSpec("docs", "parquet", f"{sf_dir}/documents.parquet"))
+    scrubbed = eng.run_op(OpSpec("PII SCRUB", "s", ["docs"], {}))
+    assert "pii_total" in scrubbed.columns
+    rep = eng.run_op(OpSpec("REPETITION STATS", "r", ["docs"],
+                            {"id_column": "doc_id"}))
+    assert "top_ngram_frac" in rep.columns
+    spans = eng.run_op(OpSpec("DEDUP SPANS", "d", ["docs"],
+                              {"id_column": "doc_id", "k": 10}))
+    assert "text_deduped" in spans.columns
+    mix = eng.run_op(OpSpec(
+        "SAMPLE MIXTURE", "m", ["docs"],
+        {"strata_column": "source", "key_column": "doc_id",
+         "weights": {"src0": 1, "src1": 2}},
+    ))
+    assert mix.count() > 0

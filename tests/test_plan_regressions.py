@@ -108,6 +108,23 @@ def test_text_ops_free_of_interpreted_lambda_hofs(spark, sf_dir):
         assert "lambdafunction" not in plan.lower()
 
 
+def test_pii_scrub_pure_regexp_scan_stage(spark, sf_dir):
+    """t6 is regexp_count/regexp_replace only: no Python, no interpreted
+    lambdas, no exchange of any kind — a pure scan-stage map."""
+    plan = _plan(spark, sf_dir, "t6_pii_scrub")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "lambdafunction" not in plan.lower()
+    assert "Exchange" not in plan
+
+
+def test_domain_mixture_broadcasts_cutoffs(spark, sf_dir):
+    """x13's per-stratum cutoffs join back by BROADCAST: the corpus scan
+    is never hash-exchanged (only the tiny count aggregate shuffles)."""
+    plan = _plan(spark, sf_dir, "x13_domain_mixture")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 @pytest.mark.parametrize("name", ["d1_dedup_exact", "t3_fingerprint"])
 def test_single_pass_text_ops(spark, sf_dir, name):
     """Text ops are scan → project/aggregate: at most one exchange, no
