@@ -1,0 +1,166 @@
+"""Pluggable commit-log storage for the transactional gold layer.
+
+The txlog protocol (sinks/txlog.py) needs exactly one strong primitive:
+`put_if_absent(name, data)` — publish a complete blob at a name iff
+nothing exists there, atomically. Everything else (reads, the LATEST
+hint) is best-effort. This is Delta Lake's public LogStore contract; the
+two implementations here are its two canonical realizations:
+
+- `LocalLogStore` — POSIX: write a temp file, fsync, `os.link` into
+  place (link refuses an existing target, so exactly one of two racing
+  writers wins and readers can never observe partial bytes).
+- `S3LogStore` — object stores: a conditional put. S3's public
+  conditional-write API (`PutObject` with `If-None-Match: *`, GA since
+  2024) and GCS's `ifGenerationMatch=0` have identical create-if-absent
+  semantics. The boto3-style client is injected (or import-tried), so
+  the protocol is testable against a stub and runs unchanged against a
+  real bucket.
+
+Keys are names relative to the table's `_txlog/` directory
+("v00000001.json", "LATEST") — the store decides where those bytes live.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+
+class LogStore:
+    """Interface. `put_if_absent` must be atomic create-if-absent and is
+    the ONLY primitive the commit protocol's correctness rests on."""
+
+    def put_if_absent(self, name: str, data: bytes) -> bool:
+        """Publish `data` at `name` iff absent; True if this call won."""
+        raise NotImplementedError
+
+    def read(self, name: str) -> bytes | None:
+        raise NotImplementedError
+
+    def exists(self, name: str) -> bool:
+        return self.read(name) is not None
+
+    def write(self, name: str, data: bytes) -> None:
+        """Unconditional overwrite — hint files only, never the commit."""
+        raise NotImplementedError
+
+    def delete(self, name: str) -> None:
+        raise NotImplementedError
+
+
+class LocalLogStore(LogStore):
+    """Hard-link create-if-absent on a POSIX filesystem (local, NFS,
+    HDFS-via-fuse)."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def put_if_absent(self, name: str, data: bytes) -> bool:
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self._path(f".tmp.{uuid.uuid4().hex}")
+        with open(tmp, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, self._path(name))
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.remove(tmp)
+
+    def read(self, name: str) -> bytes | None:
+        try:
+            with open(self._path(name), "rb") as f:
+                return f.read()
+        except FileNotFoundError:
+            return None
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(self._path(name))
+
+    def write(self, name: str, data: bytes) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self._path(f".tmp.{uuid.uuid4().hex}")
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, self._path(name))
+
+    def delete(self, name: str) -> None:
+        try:
+            os.remove(self._path(name))
+        except FileNotFoundError:
+            pass
+
+
+class S3LogStore(LogStore):
+    """Conditional-put commits on an S3-compatible object store.
+
+    `client` is a boto3-style S3 client (anything exposing
+    put_object/get_object/head_object/delete_object with the standard
+    kwargs); pass your own for testing or alternative SDKs, or omit it
+    to import boto3. A losing conditional put surfaces as HTTP 412
+    PreconditionFailed (or 409 ConditionalRequestConflict under
+    concurrent in-flight puts), which maps to put_if_absent -> False —
+    exactly the os.link FileExistsError of the local store.
+    """
+
+    #: error codes that mean "someone else already created it"
+    _LOST_RACE = {"PreconditionFailed", "ConditionalRequestConflict", "412"}
+
+    def __init__(self, bucket: str, prefix: str, client=None):
+        if client is None:  # pragma: no cover - no cloud in CI
+            import boto3
+
+            client = boto3.client("s3")
+        self._c = client
+        self.bucket = bucket
+        self.prefix = prefix.rstrip("/")
+
+    def _key(self, name: str) -> str:
+        return f"{self.prefix}/{name}"
+
+    @classmethod
+    def _error_code(cls, exc) -> str:
+        err = getattr(exc, "response", None) or {}
+        return str(err.get("Error", {}).get("Code", ""))
+
+    def put_if_absent(self, name: str, data: bytes) -> bool:
+        try:
+            self._c.put_object(
+                Bucket=self.bucket, Key=self._key(name), Body=data,
+                IfNoneMatch="*",
+            )
+            return True
+        except Exception as e:
+            if self._error_code(e) in self._LOST_RACE:
+                return False
+            raise
+
+    def read(self, name: str) -> bytes | None:
+        try:
+            obj = self._c.get_object(Bucket=self.bucket, Key=self._key(name))
+            return obj["Body"].read()
+        except Exception as e:
+            if self._error_code(e) in {"NoSuchKey", "404"}:
+                return None
+            raise
+
+    def exists(self, name: str) -> bool:
+        try:
+            self._c.head_object(Bucket=self.bucket, Key=self._key(name))
+            return True
+        except Exception as e:
+            if self._error_code(e) in {"NoSuchKey", "NotFound", "404"}:
+                return False
+            raise
+
+    def write(self, name: str, data: bytes) -> None:
+        self._c.put_object(Bucket=self.bucket, Key=self._key(name), Body=data)
+
+    def delete(self, name: str) -> None:
+        self._c.delete_object(Bucket=self.bucket, Key=self._key(name))

@@ -40,11 +40,17 @@ tests/test_upsert.py). This module closes that gap:
 Scale notes: the manifest maps partitions to DIRECTORIES (one per commit
 that last rewrote the partition), so its size is O(partitions), not
 O(files); the merge reads and rewrites only touched partitions, exactly
-like merge_upsert. os.link-if-absent is atomic on a POSIX filesystem
-(local, NFS, HDFS-via-fuse); on an object store the SAME seam
-(_commit_manifest) becomes a conditional put — S3 `If-None-Match: *` /
-GCS `ifGenerationMatch=0` — which has identical create-if-absent
-semantics, and the LATEST hint stays best-effort.
+like merge_upsert.
+
+Storage is pluggable via sinks/logstore.LogStore: every function takes
+`store=` (default LocalLogStore — os.link-if-absent, atomic on POSIX:
+local, NFS, HDFS-via-fuse). For gold on an object store pass
+`S3LogStore(bucket, prefix)` — the commit becomes a conditional put
+(S3 `If-None-Match: *` / GCS `ifGenerationMatch=0`), which has identical
+create-if-absent semantics; the LATEST hint stays best-effort either
+way. Only manifest/hint blobs go through the store; data files are
+written by Spark to `gold_path` (point both at the same bucket in
+production).
 """
 
 from __future__ import annotations
@@ -57,6 +63,8 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .logstore import LocalLogStore, LogStore
+
 
 class ConcurrentWriteError(RuntimeError):
     """Another merge committed between this merge's snapshot read and its
@@ -67,86 +75,81 @@ def _txdir(gold_path: str) -> str:
     return os.path.join(gold_path, "_txlog")
 
 
-def _manifest_path(gold_path: str, version: int) -> str:
-    return os.path.join(_txdir(gold_path), f"v{version:08d}.json")
+def _store(gold_path: str, store: LogStore | None) -> LogStore:
+    return store if store is not None else LocalLogStore(_txdir(gold_path))
 
 
-def _latest_version(gold_path: str) -> int:
+def _manifest_name(version: int) -> str:
+    return f"v{version:08d}.json"
+
+
+def _latest_version(gold_path: str, store: LogStore | None = None) -> int:
     """True current version: the LATEST hint, probed FORWARD for newer
     manifests (a crash between manifest-create and hint-update leaves the
     hint behind by a bounded number of commits — normally zero or one)."""
-    try:
-        with open(os.path.join(_txdir(gold_path), "LATEST")) as f:
-            version = int(f.read().strip())
-    except FileNotFoundError:
-        version = 0
-    while os.path.exists(_manifest_path(gold_path, version + 1)):
+    st = _store(gold_path, store)
+    hint = st.read("LATEST")
+    version = int(hint.decode().strip()) if hint is not None else 0
+    while st.exists(_manifest_name(version + 1)):
         version += 1
     return version
 
 
-def _read_latest(gold_path: str) -> tuple[int, dict[str, str]]:
+def _read_latest(
+    gold_path: str, store: LogStore | None = None
+) -> tuple[int, dict[str, str]]:
     """(version, {partition_value: data_dir}) of the current snapshot;
     (0, {}) for a table that does not exist yet."""
-    version = _latest_version(gold_path)
+    st = _store(gold_path, store)
+    version = _latest_version(gold_path, st)
     if version == 0:
         return 0, {}
-    with open(_manifest_path(gold_path, version)) as f:
-        manifest = json.load(f)
+    manifest = json.loads(st.read(_manifest_name(version)))
     return version, manifest["partitions"]
 
 
-def _commit_manifest(gold_path: str, version: int, payload: dict) -> None:
+def _commit_manifest(gold_path: str, version: int, payload: dict,
+                     store: LogStore | None = None) -> None:
     """THE commit: publish a complete manifest at v{version} iff no
-    manifest with that version exists, atomically. Locally this is a
-    hard-link of fully-written bytes (os.link refuses an existing target,
-    so two racing writers cannot both win, and readers can never observe
-    a half-written manifest). On an object store, swap this one function
-    for a conditional put (S3 `If-None-Match: *` / GCS
-    `ifGenerationMatch=0`) — identical create-if-absent semantics."""
-    txdir = _txdir(gold_path)
-    tmp = os.path.join(txdir, f".tmp.{uuid.uuid4().hex}.json")
-    with open(tmp, "w") as f:
-        json.dump(payload, f)
-        f.flush()
-        os.fsync(f.fileno())
-    try:
-        os.link(tmp, _manifest_path(gold_path, version))
-    except FileExistsError as e:
+    manifest with that version exists, atomically — the store's
+    put_if_absent (os.link locally, a conditional put on an object
+    store; see sinks/logstore.py). Two racing writers cannot both win,
+    and readers can never observe a half-written manifest."""
+    st = _store(gold_path, store)
+    data = json.dumps(payload).encode()
+    if not st.put_if_absent(_manifest_name(version), data):
         raise ConcurrentWriteError(
             f"concurrent writer already published v{version}"
-        ) from e
-    finally:
-        os.remove(tmp)
+        )
 
 
-def _update_latest_hint(gold_path: str, version: int) -> None:
+def _update_latest_hint(gold_path: str, version: int,
+                        store: LogStore | None = None) -> None:
     """Best-effort pointer refresh AFTER the manifest committed. Failure
     here loses nothing: readers and writers probe forward from the stale
     hint, and the next successful publish heals it."""
-    tmp = os.path.join(_txdir(gold_path), f"LATEST.tmp.{uuid.uuid4().hex}")
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, os.path.join(_txdir(gold_path), "LATEST"))
+    _store(gold_path, store).write("LATEST", str(version).encode())
 
 
 def _publish(gold_path: str, base_version: int,
-             partitions: dict[str, str]) -> int:
+             partitions: dict[str, str],
+             store: LogStore | None = None) -> int:
     """Advance the snapshot from base_version to base_version+1. The
     stale-snapshot check catches conflicts early; the atomic manifest
     create (_commit_manifest) arbitrates the remaining race — first
     writer wins, the loser raises ConcurrentWriteError."""
-    os.makedirs(_txdir(gold_path), exist_ok=True)
-    current = _latest_version(gold_path)
+    st = _store(gold_path, store)
+    current = _latest_version(gold_path, st)
     if current != base_version:
         raise ConcurrentWriteError(
             f"snapshot moved v{base_version} -> v{current} during merge"
         )
     version = base_version + 1
     _commit_manifest(
-        gold_path, version, {"version": version, "partitions": partitions}
+        gold_path, version, {"version": version, "partitions": partitions},
+        st,
     )
-    _update_latest_hint(gold_path, version)
+    _update_latest_hint(gold_path, version, st)
     return version
 
 
@@ -175,23 +178,23 @@ def read_gold_tx(
     gold_path: str,
     partition_col: str = "study_code",
     version: int | None = None,
+    store: LogStore | None = None,
 ) -> DataFrame:
     """Snapshot of the transactional gold table. By default the current
     one (LATEST resolved once — concurrent merges cannot tear this read);
     pass `version` to time-travel to any still-un-vacuumed snapshot
     (manifests are immutable, so an old version reads exactly what it
     read the day it committed)."""
+    st = _store(gold_path, store)
     if version is None:
-        _, manifest = _read_latest(gold_path)
+        _, manifest = _read_latest(gold_path, st)
     else:
-        path = os.path.join(_txdir(gold_path), f"v{version:08d}.json")
-        try:
-            with open(path) as f:
-                manifest = json.load(f)["partitions"]
-        except FileNotFoundError:
+        raw = st.read(_manifest_name(version))
+        if raw is None:
             raise FileNotFoundError(
                 f"no snapshot v{version} at {gold_path}"
-            ) from None
+            )
+        manifest = json.loads(raw)["partitions"]
     df = _read_partition_dirs(spark, manifest, partition_col)
     if df is None:
         raise FileNotFoundError(f"no committed snapshot at {gold_path}")
@@ -204,6 +207,7 @@ def tx_merge_upsert(
     updates: DataFrame,
     key_cols: list[str],
     partition_col: str = "study_code",
+    store: LogStore | None = None,
 ) -> int:
     """merge_upsert semantics (update rows win by key, unmatched keys
     append, untouched partitions never read or written) with an ATOMIC
@@ -215,7 +219,8 @@ def tx_merge_upsert(
         if k not in updates.columns:
             raise ValueError(f"updates missing key column {k!r}")
 
-    base_version, manifest = _read_latest(gold_path)
+    st = _store(gold_path, store)
+    base_version, manifest = _read_latest(gold_path, st)
     touched = sorted(
         str(r[0])
         for r in updates.select(partition_col).distinct().collect()
@@ -241,11 +246,12 @@ def tx_merge_upsert(
         p: os.path.join(commit_dir, f"{partition_col}={p}") for p in touched
     }
     new_manifest = {**manifest, **written}
-    return _publish(gold_path, base_version, new_manifest)
+    return _publish(gold_path, base_version, new_manifest, st)
 
 
 def compact_gold_tx(
-    spark: SparkSession, gold_path: str, partition_col: str = "study_code"
+    spark: SparkSession, gold_path: str, partition_col: str = "study_code",
+    store: LogStore | None = None,
 ) -> int:
     """Rewrite the current snapshot as ONE commit: after many merges the
     snapshot references one directory per partition-touching commit, and
@@ -254,7 +260,8 @@ def compact_gold_tx(
     pre-compaction manifests age out). Same optimistic commit as a merge:
     concurrent writers are detected, readers never see a partial state.
     Returns the committed version."""
-    base_version, manifest = _read_latest(gold_path)
+    st = _store(gold_path, store)
+    base_version, manifest = _read_latest(gold_path, st)
     current = _read_partition_dirs(spark, manifest, partition_col)
     if current is None:
         raise FileNotFoundError(f"no committed snapshot at {gold_path}")
@@ -263,13 +270,14 @@ def compact_gold_tx(
     new_manifest = {
         p: os.path.join(commit_dir, f"{partition_col}={p}") for p in manifest
     }
-    return _publish(gold_path, base_version, new_manifest)
+    return _publish(gold_path, base_version, new_manifest, st)
 
 
 def vacuum_gold_tx(
     gold_path: str,
     keep_versions: int | None = None,
     retention_s: float = 24 * 3600.0,
+    store: LogStore | None = None,
 ) -> list[str]:
     """Delete data dirs no retained manifest references. By default every
     manifest <= LATEST is retained, so only debris from crashed commits
@@ -291,7 +299,8 @@ def vacuum_gold_tx(
     import shutil
     import time
 
-    version, _ = _read_latest(gold_path)
+    st = _store(gold_path, store)
+    version, _ = _read_latest(gold_path, st)
     first_kept = 1
     expired_refs: set[str] = set()
     if keep_versions is not None:
@@ -299,19 +308,17 @@ def vacuum_gold_tx(
             raise ValueError("keep_versions must be >= 1")
         first_kept = max(1, version - keep_versions + 1)
         for v in range(1, first_kept):
-            expired = _manifest_path(gold_path, v)
-            if os.path.exists(expired):
-                with open(expired) as f:
-                    for d in json.load(f)["partitions"].values():
-                        expired_refs.add(os.path.dirname(d))
-                os.remove(expired)
+            raw = st.read(_manifest_name(v))
+            if raw is not None:
+                for d in json.loads(raw)["partitions"].values():
+                    expired_refs.add(os.path.dirname(d))
+                st.delete(_manifest_name(v))
     live: set[str] = set()
     for v in range(first_kept, version + 1):
-        path = _manifest_path(gold_path, v)
-        if os.path.exists(path):
-            with open(path) as f:
-                for d in json.load(f)["partitions"].values():
-                    live.add(os.path.dirname(d))
+        raw = st.read(_manifest_name(v))
+        if raw is not None:
+            for d in json.loads(raw)["partitions"].values():
+                live.add(os.path.dirname(d))
     data_root = os.path.join(gold_path, "data")
     removed = []
     now = time.time()

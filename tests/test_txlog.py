@@ -164,7 +164,7 @@ def test_tx_two_writer_race_arbitrated_by_manifest_create(
 
     # writer B raced: it read v1 before A committed, and (simulating the
     # worst interleaving) its early stale-check ALSO still saw v1
-    monkeypatch.setattr(txlog, "_latest_version", lambda _: 1)
+    monkeypatch.setattr(txlog, "_latest_version", lambda *a, **k: 1)
     with pytest.raises(ConcurrentWriteError):
         txlog._publish(gold, base_version=1, partitions={})
     monkeypatch.undo()
@@ -325,3 +325,130 @@ def test_tx_compaction_collapses_commits(spark, tmp_path):
     # one data dir for the whole snapshot now
     assert len({os.path.dirname(d) for d in manifest.values()}) == 1
     assert _rows(spark, gold) == before
+
+
+# ---------------------------------------------------------------------------
+# Object-store commits (S3LogStore over a stub boto3-style client)
+# ---------------------------------------------------------------------------
+
+import io
+
+
+class _StubS3Error(Exception):
+    def __init__(self, code):
+        super().__init__(code)
+        self.response = {"Error": {"Code": code}}
+
+
+class _StubS3Client:
+    """Dict-backed S3 stand-in implementing the conditional-write API
+    (PutObject If-None-Match: '*' -> 412 PreconditionFailed on existing
+    keys — the public S3 semantics S3LogStore targets)."""
+
+    def __init__(self):
+        self.blobs = {}
+
+    def put_object(self, Bucket, Key, Body, IfNoneMatch=None):
+        k = (Bucket, Key)
+        if IfNoneMatch == "*" and k in self.blobs:
+            raise _StubS3Error("PreconditionFailed")
+        self.blobs[k] = bytes(Body)
+
+    def get_object(self, Bucket, Key):
+        if (Bucket, Key) not in self.blobs:
+            raise _StubS3Error("NoSuchKey")
+        return {"Body": io.BytesIO(self.blobs[(Bucket, Key)])}
+
+    def head_object(self, Bucket, Key):
+        if (Bucket, Key) not in self.blobs:
+            raise _StubS3Error("404")
+        return {}
+
+    def delete_object(self, Bucket, Key):
+        self.blobs.pop((Bucket, Key), None)
+
+
+def _s3_store():
+    from configurable_etl_python_repo_spark.sinks.logstore import S3LogStore
+
+    client = _StubS3Client()
+    return S3LogStore("gold-bucket", "tables/study/_txlog",
+                      client=client), client
+
+
+def test_tx_object_store_merge_and_read(spark, tmp_path):
+    """Full merge/read/time-travel cycle with ALL manifest I/O through a
+    conditional-put object store: no _txlog directory ever appears on
+    the local filesystem."""
+    gold = str(tmp_path / "gold")
+    store, client = _s3_store()
+
+    base = spark.createDataFrame([Row(study_code="A", subject="s1", val="v0")])
+    assert tx_merge_upsert(spark, gold, base,
+                           key_cols=["study_code", "subject"],
+                           store=store) == 1
+    upd = spark.createDataFrame([Row(study_code="A", subject="s1", val="v1")])
+    assert tx_merge_upsert(spark, gold, upd,
+                           key_cols=["study_code", "subject"],
+                           store=store) == 2
+
+    got = {
+        (r.study_code, r.subject): r.val
+        for r in read_gold_tx(spark, gold, store=store).collect()
+    }
+    assert got == {("A", "s1"): "v1"}
+    # time travel still works against the store
+    old = read_gold_tx(spark, gold, version=1, store=store).collect()
+    assert [r.val for r in old] == ["v0"]
+    # commit log lives in the bucket, not on disk
+    assert not os.path.exists(f"{gold}/_txlog")
+    keys = {k for _, k in client.blobs}
+    assert "tables/study/_txlog/v00000001.json" in keys
+    assert "tables/study/_txlog/LATEST" in keys
+
+
+def test_tx_object_store_two_writer_race(spark, tmp_path):
+    """Two writers publishing the same next version against the object
+    store: the conditional put lets exactly one win."""
+    gold = str(tmp_path / "gold")
+    store, _ = _s3_store()
+    assert txlog._publish(gold, 0, {"A": "d1"}, store) == 1
+    # writer B, based on the same v0 snapshot, loses the put race
+    with pytest.raises(ConcurrentWriteError):
+        txlog._commit_manifest(gold, 1, {"version": 1, "partitions": {}},
+                               store)
+    # and B's retry from the NEW snapshot serializes
+    assert txlog._publish(gold, 1, {"A": "d2"}, store) == 2
+
+
+def test_tx_object_store_vacuum_expires_manifests(spark, tmp_path):
+    gold = str(tmp_path / "gold")
+    store, client = _s3_store()
+    base = spark.createDataFrame([Row(study_code="A", subject="s1", val="v0")])
+    tx_merge_upsert(spark, gold, base, key_cols=["study_code", "subject"],
+                    store=store)
+    upd = spark.createDataFrame([Row(study_code="A", subject="s1", val="v1")])
+    tx_merge_upsert(spark, gold, upd, key_cols=["study_code", "subject"],
+                    store=store)
+    vacuum_gold_tx(gold, keep_versions=1, retention_s=0, store=store)
+    keys = {k for _, k in client.blobs}
+    assert "tables/study/_txlog/v00000001.json" not in keys
+    assert "tables/study/_txlog/v00000002.json" in keys
+    with pytest.raises(FileNotFoundError):
+        read_gold_tx(spark, gold, version=1, store=store)
+
+
+def test_s3_logstore_error_code_mapping():
+    """Losing-race codes map to put_if_absent=False; anything else (e.g.
+    AccessDenied) must RAISE — swallowing it would turn an outage into a
+    phantom 'concurrent writer' loop."""
+    store, client = _s3_store()
+    assert store.put_if_absent("LATEST", b"1") is True
+    assert store.put_if_absent("LATEST", b"2") is False  # 412 -> lost race
+
+    def denied(**kw):
+        raise _StubS3Error("AccessDenied")
+
+    client.put_object = denied
+    with pytest.raises(_StubS3Error):
+        store.put_if_absent("v00000009.json", b"{}")
