@@ -36,6 +36,8 @@ HEADLINE = [
     "n1_ann_cosine_topk",        # brute-force cosine top-k
     "t1_text_stats",             # text quality features
     "m1_multimodal_features",    # Arrow-batched decode plumbing
+    "d8_span_dedup",             # sub-document span dedup (r4)
+    "d9_decontaminate",          # eval-set 13-gram decontamination (r4)
 ]
 
 

@@ -1346,3 +1346,42 @@ def q_x13(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_sample(docs, _MIX_WEIGHTS, seed=_MIX_SEED).select(
         "doc_id", "source", "lang"
     )
+
+
+_DECONTAM_N = 13
+#: eval-set membership predicate, shared by query and oracle: the
+#: "benchmark" is a copy of every 17th document (an external eval set
+#: that happens to contain training docs verbatim — the exact situation
+#: decontamination exists to catch)
+_DECONTAM_PRED = "doc_id % 17 = 0"
+
+
+def _decontam_oracle() -> str:
+    return (
+        "WITH " + _shingles_sql(_DECONTAM_N)
+        + f""",
+    ev AS (SELECT DISTINCT sh FROM sh WHERE {_DECONTAM_PRED}),
+    hits AS (SELECT s.doc_id, count(*) AS n_contaminated_grams
+             FROM sh s JOIN ev e USING (sh)
+             GROUP BY s.doc_id)
+    SELECT d.doc_id,
+           h.doc_id IS NOT NULL AS contaminated,
+           coalesce(h.n_contaminated_grams, CAST(0 AS BIGINT))
+             AS n_contaminated_grams
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    """
+    )
+
+
+@register("d9_decontaminate", _decontam_oracle())
+def q_d9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination (GPT-3 13-gram rule): flag corpus docs
+    sharing any 13-gram with the eval set. Eval grams broadcast; the
+    probe is a map-side hash join, no shuffle by gram."""
+    docs = spark.read.parquet(_pq(sf_dir, "documents"))
+    evalset = docs.where(F.expr(_DECONTAM_PRED)).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text"
+    )
+    return D.decontaminate(docs, evalset, n=_DECONTAM_N).select(
+        "doc_id", "contaminated", "n_contaminated_grams"
+    )

@@ -18,6 +18,7 @@ from .text import (  # noqa: F401
     token_count_bpe_ish,
 )
 from .dedup import (  # noqa: F401
+    decontaminate,
     dedup_exact,
     dedup_spans,
     ngram_jaccard_pairs,

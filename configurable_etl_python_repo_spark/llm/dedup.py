@@ -521,3 +521,78 @@ def dedup_spans(
             "n_spans_kept",
         )
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    evalset: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str = "text",
+    n: int = 13,
+    mode: str = "flag",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Train/test contamination check: flag (or drop) corpus documents
+    sharing ANY word n-gram with the evaluation set — the GPT-3/PaLM
+    13-gram decontamination rule (Brown et al. 2020, Appendix C). The
+    reference pipeline has no analogue; this is training-data surface.
+
+    mode="flag" (default) returns every corpus row annotated with
+    `contaminated` (bool) and `n_contaminated_grams` (count of the doc's
+    DISTINCT n-grams that appear anywhere in the eval set);
+    mode="drop" returns only clean rows, un-annotated.
+
+    Plan shape: both sides shingle on the codegen posexplode+LEAD path
+    (the corpus pays the one shingle-window shuffle on its doc id — the
+    same linear exchange every dedup op pays); the eval gram set is
+    DISTINCT and (by default) broadcast — benchmarks are small next to a
+    training corpus, so the PROBE is a map-side BroadcastHashJoin with no
+    shuffle by gram; only the matched grams (normally a sliver) shuffle
+    for the per-doc count, and the flag broadcasts back onto the corpus.
+    Set broadcast_eval=False for an unusually large eval set and the
+    probe becomes a regular shuffle join.
+    """
+    if mode not in ("flag", "drop"):
+        raise ValueError(f"mode must be 'flag' or 'drop', got {mode!r}")
+    # the shingle window partitions by doc id, so eval rows need DISTINCT
+    # ids or LEADs cross document boundaries; a content hash is safe (two
+    # identical eval texts merge into one partition with identical grams)
+    # where monotonically_increasing_id next to the generator would not be
+    eval_grams = (
+        doc_shingles(
+            evalset.select(
+                F.xxhash64(F.col(eval_text_col)).alias("__eid"),
+                F.col(eval_text_col),
+            ).distinct(),  # duplicate eval texts would interleave the window
+            id_col="__eid", text_col=eval_text_col, n=n,
+        )
+        .select("sh")
+        .distinct()
+    )
+    if broadcast_eval:
+        eval_grams = F.broadcast(eval_grams)
+    hits = (
+        doc_shingles(corpus, id_col=id_col, text_col=text_col, n=n)
+        .join(eval_grams, on="sh")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+        .withColumnRenamed("id", id_col)
+    )
+    # hits is NOT force-broadcast: it is usually tiny, but a pervasively
+    # contaminated corpus makes it corpus-sized — AQE picks the strategy
+    out = (
+        corpus.join(hits, on=id_col, how="left")
+        .withColumn(
+            "contaminated", F.col("n_contaminated_grams").isNotNull()
+        )
+        .withColumn(
+            "n_contaminated_grams",
+            F.coalesce("n_contaminated_grams", F.lit(0).cast("long")),
+        )
+    )
+    if mode == "drop":
+        return out.where(~F.col("contaminated")).drop(
+            "contaminated", "n_contaminated_grams"
+        )
+    return out

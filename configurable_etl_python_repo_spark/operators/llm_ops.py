@@ -86,6 +86,18 @@ def _connected_components(engine: "Engine", spec: OpSpec):
     return C.connected_components(pairs, **spec.args), None
 
 
+def _decontaminate(engine: "Engine", spec: OpSpec):
+    """inputs: [corpus, evalset] — flag/drop corpus docs sharing any word
+    n-gram with the eval set (llm.dedup.decontaminate)."""
+    corpus, _ = engine.peek(spec.inputs[0])
+    evalset, _ = engine.peek(spec.inputs[1])
+    kwargs = dict(spec.args)
+    for cfg_name, py_name in _ID_TEXT.items():
+        if cfg_name in kwargs:
+            kwargs[py_name] = kwargs.pop(cfg_name)
+    return D.decontaminate(corpus, evalset, **kwargs), None
+
+
 def _dedup_clusters(engine: "Engine", spec: OpSpec):
     """inputs: [docs, pairs] — label every doc with its duplicate-cluster
     id and keeper flag (see llm.clusters.dedup_clusters)."""
@@ -168,6 +180,7 @@ LLM_OP_COMPILERS = {
     "DEDUP SPANS": _unary(_rename_kw(D.dedup_spans, _ID_TEXT)),
     "CONNECTED COMPONENTS": _connected_components,
     "DEDUP CLUSTERS": _dedup_clusters,
+    "DECONTAMINATE": _decontaminate,
     "ANN TOPK": _ann_topk,
     "ANN TOPK LSH": _ann_topk_lsh,
     "ANN TOPK IVF": _binary_corpus_queries("ivf_topk"),

@@ -21,6 +21,7 @@ SPOT = [
     "t6_pii_scrub",
     "t7_repetition_stats",
     "d8_span_dedup",
+    "d9_decontaminate",
     "x13_domain_mixture",
 ]
 

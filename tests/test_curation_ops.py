@@ -174,3 +174,65 @@ def test_curation_ops_registered_as_config_ops(spark, sf_dir):
          "weights": {"src0": 1, "src1": 2}},
     ))
     assert mix.count() > 0
+
+
+def test_decontaminate_flag_and_drop(spark):
+    from configurable_etl_python_repo_spark.llm.dedup import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),      # shares "beta gamma delta"
+            (2, "epsilon zeta eta theta"),      # clean
+            (3, "beta gamma delta epsilon x"),  # shares 2 eval 3-grams
+            (4, "al be"),                       # < n words: never flagged
+        ],
+        ["doc_id", "text"],
+    )
+    evalset = spark.createDataFrame(
+        [(100, "zz beta gamma delta epsilon qq")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r
+           for r in decontaminate(corpus, evalset, n=3).collect()}
+    # eval grams: {zz beta gamma, beta gamma delta, gamma delta epsilon,
+    # delta epsilon qq}; doc1 shares only "beta gamma delta", doc3 shares
+    # that plus "gamma delta epsilon"
+    assert out[1]["contaminated"] and out[1]["n_contaminated_grams"] == 1
+    assert not out[2]["contaminated"] and out[2]["n_contaminated_grams"] == 0
+    assert out[3]["contaminated"] and out[3]["n_contaminated_grams"] == 2
+    assert not out[4]["contaminated"]
+
+    clean = decontaminate(corpus, evalset, n=3, mode="drop")
+    assert {r["doc_id"] for r in clean.collect()} == {2, 4}
+    assert "contaminated" not in clean.columns
+
+
+def test_decontaminate_duplicate_eval_texts_do_not_corrupt_grams(spark):
+    """Two identical eval rows must not interleave the shingle window
+    (the content-hash id merges them; distinct() dedupes the rows)."""
+    from configurable_etl_python_repo_spark.llm.dedup import decontaminate
+
+    corpus = spark.createDataFrame(
+        [(1, "a a b c"), (2, "x y z w")], ["doc_id", "text"]
+    )
+    evalset = spark.createDataFrame(
+        [(100, "q a b c q2"), (101, "q a b c q2")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r
+           for r in decontaminate(corpus, evalset, n=3).collect()}
+    assert out[1]["contaminated"] and out[1]["n_contaminated_grams"] == 1
+    assert not out[2]["contaminated"]
+
+
+def test_decontaminate_as_config_op(spark, sf_dir):
+    from configurable_etl_python_repo_spark.plans import ScanSpec
+
+    eng = Engine(spark)
+    eng.run_scan(ScanSpec("docs", "parquet", f"{sf_dir}/documents.parquet"))
+    eng.bind("evalset", eng.peek("docs")[0].limit(5))
+    out = eng.run_op(OpSpec(
+        "DECONTAMINATE", "d", ["docs", "evalset"],
+        {"id_column": "doc_id", "text_column": "text", "n": 5},
+    ))
+    assert "contaminated" in out.columns
+    # the eval docs themselves are verbatim in the corpus -> flagged
+    assert out.where("contaminated").count() >= 5
