@@ -1385,3 +1385,159 @@ def q_d9(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.decontaminate(docs, evalset, n=_DECONTAM_N).select(
         "doc_id", "contaminated", "n_contaminated_grams"
     )
+
+
+_PIPE_REP_MAX = 0.2  # top-2-gram repetition gate
+
+
+def _pipeline_oracle() -> str:
+    """x14 = the WHOLE pre-training curation pipeline as one SQL chain:
+    inject PII -> scrub -> quality gate (on scrubbed text) -> repetition
+    gate -> 13-gram eval-set decontamination -> exact-ratio domain
+    mixture. Every CTE mirrors an already-oracle-checked operator; this
+    query pins their composition end to end."""
+    from .llm.scrub import PII_PATTERNS
+
+    r = T.QUALITY_RULES
+    total = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))" for _, pat, _ in PII_PATTERNS
+    )
+    scrub = "text"
+    for _, pat, token in PII_PATTERNS:
+        scrub = f"regexp_replace({scrub}, '{pat}', '{token}', 'g')"
+    whens = " ".join(
+        f"WHEN '{v}' THEN {w}" for v, w in sorted(_MIX_WEIGHTS.items())
+    )
+    in_list = ", ".join(f"'{v}'" for v in sorted(_MIX_WEIGHTS))
+    nm1 = _DECONTAM_N - 1
+    return rf"""
+    WITH inj AS (
+      SELECT doc_id, source, lang, {_PII_INJ} AS text FROM documents),
+    scrub AS (
+      SELECT doc_id, source, lang,
+             CAST({total} AS BIGINT) AS pii_total,
+             {scrub} AS text_scrubbed
+      FROM inj),
+    sdocs AS (SELECT doc_id, text_scrubbed AS text FROM scrub),
+    {_words_sql("sdocs").strip()},
+    q AS (
+      SELECT d.doc_id,
+             CAST(len(w.w) AS BIGINT) AS n_words,
+             CAST(len(regexp_extract_all(d.text, '[^\w\s]', 0)) AS DOUBLE)
+               / greatest(length(d.text), 1) AS punct_ratio,
+             CAST(len(list_filter(w.w, x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+               / greatest(len(w.w), 1) AS stopword_ratio,
+             CAST(list_sum(list_transform(w.w, x -> length(x))) AS DOUBLE)
+               / greatest(len(w.w), 1) AS mean_word_len
+      FROM sdocs d JOIN words w ON d.doc_id = w.doc_id),
+    qk AS (
+      SELECT doc_id, n_words,
+             ((n_words >= {r["min_words"]} AND n_words <= {r["max_words"]})
+              AND punct_ratio <= {r["max_punct_ratio"]}
+              AND stopword_ratio >= {r["min_stopword_ratio"]}
+              AND (mean_word_len >= {r["min_mean_word_len"]}
+                   AND mean_word_len <= {r["max_mean_word_len"]})) AS keep
+      FROM q),
+    wd AS (SELECT doc_id, unnest(w) AS wrd,
+                  generate_subscripts(w, 1) AS pos
+           FROM words),
+    gr AS (SELECT doc_id,
+                  wrd || ' ' || lead(wrd) OVER
+                    (PARTITION BY doc_id ORDER BY pos) AS gram
+           FROM wd),
+    gc AS (SELECT doc_id, gram, count(*) AS c FROM gr
+           WHERE gram IS NOT NULL GROUP BY 1, 2),
+    gf AS (SELECT doc_id, max(c) / sum(c) AS top_ngram_frac
+           FROM gc GROUP BY doc_id),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(w) - {nm1}, 0)),
+               i -> array_to_string(list_slice(w, i, i + {nm1}), ' '))) AS sh
+      FROM words),
+    ev AS (SELECT DISTINCT sh FROM sh WHERE {_DECONTAM_PRED}),
+    contaminated AS (
+      SELECT DISTINCT s.doc_id FROM sh s JOIN ev e USING (sh)),
+    kept AS (
+      SELECT sc.doc_id, sc.source, sc.lang, qk.n_words, sc.pii_total,
+             coalesce(gf.top_ngram_frac, 0.0) AS top_ngram_frac,
+             sc.text_scrubbed
+      FROM scrub sc
+      JOIN qk ON sc.doc_id = qk.doc_id
+      LEFT JOIN gf ON sc.doc_id = gf.doc_id
+      WHERE qk.keep
+        AND coalesce(gf.top_ngram_frac, 0.0) <= {_PIPE_REP_MAX}
+        AND sc.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+    c AS (
+      SELECT source, count(*) AS n, CASE source {whens} END AS w
+      FROM kept WHERE source IN ({in_list}) GROUP BY source),
+    t1 AS (SELECT sum(w) AS wtot FROM c),
+    t2 AS (SELECT max(t1.wtot) AS wtot,
+                  min(c.n * t1.wtot // c.w) AS tstar
+           FROM c, t1),
+    cut AS (SELECT c.source,
+                   (c.w * t2.tstar // t2.wtot) * {1 << 20} // c.n AS cutoff
+            FROM c, t2)
+    SELECT k.doc_id, k.source, k.lang, k.n_words, k.pii_total,
+           k.top_ngram_frac, k.text_scrubbed
+    FROM kept k JOIN cut ON k.source = cut.source
+    WHERE CAST(('0x' || substr(md5('{_MIX_SEED}' || '|' ||
+                                   CAST(k.doc_id AS STRING)), 1, 5))
+               AS BIGINT) < cut.cutoff
+    """
+
+
+@register("x14_pretraining_pipeline", _pipeline_oracle())
+def q_x14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE pre-training curation pipeline, composed entirely
+    from registered config op types through the declarative Engine: PII
+    scrub -> quality gate (on the scrubbed text) -> repetition gate ->
+    13-gram eval-set decontamination (drop) -> exact-ratio domain
+    mixture. What a real 100 TB curation run looks like in this engine:
+    one lazy plan, every stage an oracle-checked operator."""
+    from .plans import Engine, OpSpec, ScanSpec
+
+    eng = Engine(spark)
+    eng.run_scan(ScanSpec("docs_raw", "parquet", _pq(sf_dir, "documents")))
+    eng.bind("docs", eng.peek("docs_raw")[0].select(
+        "doc_id", "source", "lang", F.expr(_PII_INJ).alias("text")
+    ))
+    run = eng.run_op
+    eng.bind("scrub", run(OpSpec("PII SCRUB", "scrub", ["docs"], {})))
+    eng.bind("qual", run(OpSpec(
+        "QUALITY FILTER", "qual", ["scrub"],
+        {"text_column": "text_scrubbed"},
+    )))
+    eng.bind("rep", run(OpSpec(
+        "REPETITION STATS", "rep", ["scrub"],
+        {"id_column": "doc_id", "text_column": "text_scrubbed"},
+    )))
+    eng.bind("rep2", run(OpSpec(
+        "REMOVE COLUMN", "rep2", ["rep"],
+        {"columns": ["n_words", "dup_word_frac", "dup_ngram_frac"]},
+    )))
+    eng.bind("joined", run(OpSpec(
+        "LEFT JOIN", "joined", ["qual", "rep2"], {"on": ["doc_id"]},
+    )))
+    eng.bind("gated", run(OpSpec(
+        "FILTER", "gated", ["joined"],
+        {"condition": "keep = BOOLEAN(TRUE)"
+                      f" & top_ngram_frac <= NUMBER({_PIPE_REP_MAX})"},
+    )))
+    eng.bind("evalset", eng.peek("scrub")[0]
+             .where(F.expr(_DECONTAM_PRED)).select("doc_id", "text_scrubbed"))
+    eng.bind("clean", run(OpSpec(
+        "DECONTAMINATE", "clean", ["gated", "evalset"],
+        {"id_column": "doc_id", "text_column": "text_scrubbed",
+         "eval_text_col": "text_scrubbed", "n": _DECONTAM_N, "mode": "drop"},
+    )))
+    eng.bind("mixed", run(OpSpec(
+        "SAMPLE MIXTURE", "mixed", ["clean"],
+        {"strata_column": "source", "key_column": "doc_id",
+         "weights": _MIX_WEIGHTS, "seed": _MIX_SEED},
+    )))
+    return run(OpSpec(
+        "SELECT COLUMNS", "out", ["mixed"],
+        {"columns": ["doc_id", "source", "lang", "n_words", "pii_total",
+                     "top_ngram_frac", "text_scrubbed"]},
+    ))

@@ -23,6 +23,7 @@ SPOT = [
     "d8_span_dedup",
     "d9_decontaminate",
     "x13_domain_mixture",
+    "x14_pretraining_pipeline",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

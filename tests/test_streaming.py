@@ -115,6 +115,7 @@ def test_text_ops_stream_matches_batch(spark, sf_dir, tmp_path):
     the SAME functions run under readStream unchanged — streaming
     quality-gating of an arriving corpus produces exactly the batch
     answer."""
+    from configurable_etl_python_repo_spark.llm.scrub import pii_scrub
     from configurable_etl_python_repo_spark.llm.text import (
         language_id, language_id_ngram, quality_filter,
     )
@@ -122,12 +123,12 @@ def test_text_ops_stream_matches_batch(spark, sf_dir, tmp_path):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
     def transform(df):
-        out = language_id(quality_filter(df))
+        out = language_id(quality_filter(pii_scrub(df)))
         out = out.withColumnRenamed("lang_pred", "lang_sw").drop(
             "lang_pred_hits"
         )
         return language_id_ngram(out).select(
-            "doc_id", "keep", "lang_sw", "lang_pred"
+            "doc_id", "keep", "lang_sw", "lang_pred", "pii_total"
         )
 
     batch = {tuple(r) for r in transform(docs).collect()}
