@@ -1494,7 +1494,17 @@ def q_x14(spark: SparkSession, sf_dir: str) -> DataFrame:
     scrub -> quality gate (on the scrubbed text) -> repetition gate ->
     13-gram eval-set decontamination (drop) -> exact-ratio domain
     mixture. What a real 100 TB curation run looks like in this engine:
-    one lazy plan, every stage an oracle-checked operator."""
+    every stage an oracle-checked operator.
+
+    The scrub output feeds FOUR branches (quality, repetition, eval set,
+    decontamination corpus) and the decontaminated corpus feeds the
+    mixture's counting pass plus the output — naive composition embeds
+    each upstream subtree once per consumer (measured 28 corpus FileScans
+    in the fully-lazy plan). Lazy localCheckpoints at those two stage
+    boundaries truncate lineage so each stage materializes once — the
+    multi-branch analogue of d2/d3's scoped shingle cache, and exactly
+    the stage-materialization a 100 TB curation run would do by writing
+    intermediate tables."""
     from .plans import Engine, OpSpec, ScanSpec
 
     eng = Engine(spark)
@@ -1503,7 +1513,8 @@ def q_x14(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "lang", F.expr(_PII_INJ).alias("text")
     ))
     run = eng.run_op
-    eng.bind("scrub", run(OpSpec("PII SCRUB", "scrub", ["docs"], {})))
+    eng.bind("scrub", run(OpSpec("PII SCRUB", "scrub", ["docs"], {}))
+             .localCheckpoint(eager=False))
     eng.bind("qual", run(OpSpec(
         "QUALITY FILTER", "qual", ["scrub"],
         {"text_column": "text_scrubbed"},
@@ -1530,7 +1541,7 @@ def q_x14(spark: SparkSession, sf_dir: str) -> DataFrame:
         "DECONTAMINATE", "clean", ["gated", "evalset"],
         {"id_column": "doc_id", "text_column": "text_scrubbed",
          "eval_text_col": "text_scrubbed", "n": _DECONTAM_N, "mode": "drop"},
-    )))
+    )).localCheckpoint(eager=False))
     eng.bind("mixed", run(OpSpec(
         "SAMPLE MIXTURE", "mixed", ["clean"],
         {"strata_column": "source", "key_column": "doc_id",

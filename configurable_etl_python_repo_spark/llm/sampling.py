@@ -68,9 +68,15 @@ def mixture_sample(
     (exact for n_s < 2^43 with the 20-bit bucket). Strata absent from
     `weights` are dropped (weight 0).
 
-    Plan shape: one tiny per-stratum count (map-side partial, output =
-    #strata rows), a scalar min over it, and a broadcast join of the
-    cutoffs back onto the scan — the corpus itself is never shuffled.
+    Plan shape: ONE counting pass over the corpus (map-side partial,
+    output = #strata rows, collected — driver state bounded by the number
+    of strata, the same constant-bounded-collect pattern as the IVF
+    centroid sample), then the cutoffs fold into a literal CASE and the
+    output plan is a pure scan-stage filter: no join, no shuffle, and —
+    crucially for composed pipelines — the input's lineage appears ONCE
+    in the output plan (the previous cutoff-join formulation embedded the
+    upstream subtree three more times, which multiplied whole-pipeline
+    scans when mixture ran as the last stage of x14).
     """
     if not weights:
         raise ValueError("weights must be a non-empty {stratum: int} map")
@@ -79,34 +85,24 @@ def mixture_sample(
             raise ValueError(f"weight for {v!r} must be a positive int, got {w!r}")
 
     strata = F.col(strata_col)
-    wcol = None
-    for value, w in sorted(weights.items()):
-        cond, val = strata == F.lit(value), F.lit(w).cast("long")
-        wcol = F.when(cond, val) if wcol is None else wcol.when(cond, val)
-    in_mix = df.where(strata.isin(*weights)).withColumn("__w", wcol)
-
-    counts = in_mix.groupBy(strata_col, "__w").agg(
-        F.count(F.lit(1)).alias("__n")
-    )
-    # W over strata PRESENT in the data (an absent stratum can't bind);
-    # T* = min_s floor(n_s*W/w_s); both are one tiny scalar row
-    # (column names differ beyond case: resolution is case-insensitive)
-    wsum = counts.agg(F.sum("__w").alias("__wtot"))
-    totals = (
-        counts.crossJoin(F.broadcast(wsum))
-        .agg(
-            F.max("__wtot").alias("__wtot"),
-            F.min(F.expr("__n * __wtot div __w")).alias("__tstar"),
-        )
-    )
-    cutoffs = (
-        counts.crossJoin(F.broadcast(totals))
-        .select(
-            strata_col,
-            F.expr(f"(__w * __tstar div __wtot) * {1 << 20} div __n")
-            .alias("__cutoff"),
-        )
-    )
+    in_mix = df.where(strata.isin(*weights))
+    # counting pass: #strata rows to the driver; W over strata PRESENT in
+    # the data (an absent stratum can't bind), then exact BIGINT math
+    n = {
+        r[0]: r[1]
+        for r in in_mix.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    }
+    if not n:
+        return in_mix.where(F.lit(False))
+    wtot = sum(weights[s] for s in n)
+    tstar = min(cnt * wtot // weights[s] for s, cnt in n.items())
+    cutoff = None
+    for s, cnt in sorted(n.items()):
+        q = weights[s] * tstar // wtot
+        cond, val = strata == F.lit(s), F.lit((q << 20) // cnt)
+        cutoff = F.when(cond, val) if cutoff is None else cutoff.when(cond, val)
     bucket20 = F.conv(
         F.substring(
             F.md5(F.concat_ws("|", F.lit(seed), F.col(key_col).cast("string"))),
@@ -114,12 +110,7 @@ def mixture_sample(
         ),
         16, 10,
     ).cast("long")
-    return (
-        in_mix.drop("__w")
-        .join(F.broadcast(cutoffs), on=strata_col, how="inner")
-        .where(bucket20 < F.col("__cutoff"))
-        .drop("__cutoff")
-    )
+    return in_mix.where(bucket20 < cutoff)
 
 
 def stratified_sample(

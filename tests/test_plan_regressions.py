@@ -117,12 +117,16 @@ def test_pii_scrub_pure_regexp_scan_stage(spark, sf_dir):
     assert "Exchange" not in plan
 
 
-def test_domain_mixture_broadcasts_cutoffs(spark, sf_dir):
-    """x13's per-stratum cutoffs join back by BROADCAST: the corpus scan
-    is never hash-exchanged (only the tiny count aggregate shuffles)."""
+def test_domain_mixture_is_pure_scan_filter(spark, sf_dir):
+    """x13's cutoffs are computed driver-side from the one bounded
+    counting pass and folded into a literal CASE: the OUTPUT plan has no
+    join and no exchange of any kind — a pure scan-stage filter whose
+    input lineage appears exactly once (the cutoff-join formulation
+    embedded the upstream subtree three extra times)."""
     plan = _plan(spark, sf_dir, "x13_domain_mixture")
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+    assert plan.count("FileScan") == 1
 
 
 @pytest.mark.parametrize("name", ["d1_dedup_exact", "t3_fingerprint"])
