@@ -1552,3 +1552,35 @@ def q_x14(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"columns": ["doc_id", "source", "lang", "n_words", "pii_total",
                      "top_ngram_frac", "text_scrubbed"]},
     ))
+
+
+_PACK_SEQ_LEN = 512
+
+
+@register(
+    "t8_pack_sequences",
+    rf"""
+    WITH counted AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_extract_all(text, '{T.BPE_ISH_PATTERN}', 0))
+                  AS BIGINT) AS n_tokens
+      FROM documents),
+    packed AS (
+      SELECT doc_id, source, n_tokens,
+             coalesce(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               CAST(0 AS BIGINT)) AS bef
+      FROM counted)
+    SELECT doc_id, source, n_tokens,
+           bef // {_PACK_SEQ_LEN} AS seq_id,
+           bef % {_PACK_SEQ_LEN} AS seq_offset
+    FROM packed
+    """,
+)
+def q_t8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: where every doc's tokens land in the
+    fixed-length (512) training sequences, packed per source shard —
+    pure window math, one shuffle on the shard key."""
+    docs = spark.read.parquet(_pq(sf_dir, "documents"))
+    return T.pack_sequences(docs, seq_len=_PACK_SEQ_LEN)

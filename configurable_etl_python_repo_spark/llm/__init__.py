@@ -14,6 +14,7 @@ from .text import (  # noqa: F401
     language_id,
     language_id_ngram,
     fingerprint,
+    pack_sequences,
     repetition_stats,
     token_count_bpe_ish,
 )

@@ -528,6 +528,51 @@ def top_ngrams(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy sequence packing — assign every document its position in
+    the fixed-length training sequences a data loader would emit
+    (GPT-style continuous packing: documents are concatenated in order
+    and split every `seq_len` tokens; a doc can straddle a boundary).
+    Per shard: docs in deterministic `id_col` order, `seq_id` = (tokens
+    before this doc) div seq_len and `seq_offset` the position within
+    that sequence; (shard, seq_id, seq_offset) tells the loader exactly
+    where each doc's tokens land without materializing token ids.
+
+    Packing is PER SHARD (`shard_col`) because a single global running
+    sum is a total order — one task at any scale. A shard is the packing
+    atom (one output file / loader stream): within it the running sum is
+    one window over one partition, and shards pack in parallel. Token
+    counts are the BPE-ish regexp proxy (token_count_bpe_ish) — swap the
+    count column for real tokenizer lengths if they're precomputed.
+
+    Output: (id, shard, n_tokens, seq_id, seq_offset); pure window math,
+    one shuffle on the shard key, SQL-replayable exactly.
+    """
+    from pyspark.sql import Window
+
+    counted = token_count_bpe_ish(df, text_col)
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    # BIGINT div, not float-divide-and-truncate: exact past 2^53 tokens
+    return counted.withColumn("__before", before).select(
+        id_col,
+        shard_col,
+        "n_tokens",
+        F.expr(f"__before div {seq_len}").alias("seq_id"),
+        (F.col("__before") % seq_len).alias("seq_offset"),
+    )
+
+
 def token_count_bpe_ish(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Approximate LLM token count: BPE-ish pre-tokenization (word / number /
     symbol pieces) — the standard cheap proxy when the real tokenizer isn't

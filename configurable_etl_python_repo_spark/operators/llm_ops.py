@@ -178,6 +178,11 @@ LLM_OP_COMPILERS = {
                    {"id_column": "id_col", "text_column": "text_col"})
     ),
     "DEDUP SPANS": _unary(_rename_kw(D.dedup_spans, _ID_TEXT)),
+    "PACK SEQUENCES": _unary(
+        _rename_kw(T.pack_sequences,
+                   {"id_column": "id_col", "text_column": "text_col",
+                    "shard_column": "shard_col"})
+    ),
     "CONNECTED COMPONENTS": _connected_components,
     "DEDUP CLUSTERS": _dedup_clusters,
     "DECONTAMINATE": _decontaminate,

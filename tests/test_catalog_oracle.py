@@ -24,6 +24,7 @@ SPOT = [
     "d9_decontaminate",
     "x13_domain_mixture",
     "x14_pretraining_pipeline",
+    "t8_pack_sequences",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

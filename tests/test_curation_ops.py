@@ -236,3 +236,55 @@ def test_decontaminate_as_config_op(spark, sf_dir):
     assert "contaminated" in out.columns
     # the eval docs themselves are verbatim in the corpus -> flagged
     assert out.where("contaminated").count() >= 5
+
+
+def test_pack_sequences_boundaries(spark):
+    from configurable_etl_python_repo_spark.llm.text import pack_sequences
+
+    # shard A: token counts 3, 4, 5 at seq_len 6 ->
+    #   doc 1: before 0 -> seq 0 off 0
+    #   doc 2: before 3 -> seq 0 off 3 (straddles into seq 1)
+    #   doc 3: before 7 -> seq 1 off 1
+    df = spark.createDataFrame(
+        [
+            (1, "A", "a b c"),
+            (2, "A", "a b c d"),
+            (3, "A", "a b c d e"),
+            (9, "B", "x y"),        # other shard packs independently
+        ],
+        ["doc_id", "source", "text"],
+    )
+    out = {r["doc_id"]: r for r in pack_sequences(df, seq_len=6).collect()}
+    assert (out[1]["seq_id"], out[1]["seq_offset"]) == (0, 0)
+    assert (out[2]["seq_id"], out[2]["seq_offset"]) == (0, 3)
+    assert (out[3]["seq_id"], out[3]["seq_offset"]) == (1, 1)
+    assert (out[9]["seq_id"], out[9]["seq_offset"]) == (0, 0)
+    assert out[2]["n_tokens"] == 4
+
+
+def test_pack_sequences_conservation(spark, sf_dir):
+    """Offsets are consistent with a continuous token stream per shard:
+    each doc's offset equals (previous doc's offset + tokens) mod
+    seq_len, carried across sequence boundaries."""
+    from configurable_etl_python_repo_spark.llm.text import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = sorted(
+        pack_sequences(docs, seq_len=128).collect(),
+        key=lambda r: (r["source"], r["doc_id"]),
+    )
+    stream = {}
+    for r in rows:
+        expect = stream.get(r["source"], 0)
+        assert r["seq_id"] * 128 + r["seq_offset"] == expect
+        stream[r["source"]] = expect + r["n_tokens"]
+
+
+def test_pack_sequences_as_config_op(spark, sf_dir):
+    eng = Engine(spark)
+    eng.run_scan(ScanSpec("docs", "parquet", f"{sf_dir}/documents.parquet"))
+    out = eng.run_op(OpSpec(
+        "PACK SEQUENCES", "p", ["docs"],
+        {"seq_len": 256, "shard_column": "source", "id_column": "doc_id"},
+    ))
+    assert {"seq_id", "seq_offset", "n_tokens"} <= set(out.columns)
