@@ -471,11 +471,14 @@ def dedup_spans(
     exhaustive version); k trades granularity against over-matching.
 
     Plan shape: posexplode + window LEADs build spans in whole-stage
-    codegen (the shingle rewrite's path — no interpreted HOFs), dedup is
-    ONE row_number window over md5(span) (hash shuffle on the span
-    fingerprint — bounded key size however long the spans), reassembly is
-    an ordered full-frame collect_list per doc. Three linear shuffles, no
-    all-pairs joins, no driver state — 100 TB safe.
+    codegen (the shingle rewrite's path — no interpreted HOFs); keep-first
+    is min(struct(id, span_idx)) grouped by span — a HashAggregate with
+    MAP-SIDE PARTIAL COMBINE, so a boilerplate span duplicated millions of
+    times shuffles at most one candidate per map partition (a row_number
+    window over the span would ship every copy to one reducer and sort
+    them — the skew this shape exists to avoid); reassembly is an ordered
+    full-frame collect_list per doc. Three linear shuffles, no all-pairs
+    joins, no driver state — 100 TB safe.
 
     Output: (id, text_deduped, n_spans, n_spans_kept), one row per doc
     with >= 1 surviving span.
@@ -497,12 +500,19 @@ def dedup_spans(
             "span",
         )
     )
-    first = Window.partitionBy(F.md5(F.col("span"))).orderBy("id", "span_idx")
+    # (struct comparison is lexicographic and (id, span_idx) is unique, so
+    # __n_spans riding in third position can never influence the argmin)
     kept = (
         spans.withColumn("__n_spans",
                          F.count(F.lit(1)).over(Window.partitionBy("id")))
-        .withColumn("__rn", F.row_number().over(first))
-        .where(F.col("__rn") == 1)
+        .groupBy("span")
+        .agg(F.min(F.struct("id", "span_idx", "__n_spans")).alias("__w"))
+        .select(
+            F.col("__w.id").alias("id"),
+            F.col("__w.span_idx").alias("span_idx"),
+            F.col("__w.__n_spans").alias("__n_spans"),
+            "span",
+        )
     )
     doc = Window.partitionBy("id").orderBy("span_idx")
     full = doc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)

@@ -129,6 +129,16 @@ def test_domain_mixture_is_pure_scan_filter(spark, sf_dir):
     assert plan.count("FileScan") == 1
 
 
+def test_span_dedup_keep_first_is_partial_aggregate(spark, sf_dir):
+    """d8's corpus-wide keep-first must compile to min(struct) with a
+    map-side partial (HashAggregate partial_min): a hot boilerplate span
+    then ships one candidate per map partition. A row_number window over
+    the span fingerprint reappearing here is the skew regression — every
+    copy of the hot span would land on one reducer and sort."""
+    plan = _plan(spark, sf_dir, "d8_span_dedup")
+    assert "partial_min" in plan
+
+
 @pytest.mark.parametrize("name", ["d1_dedup_exact", "t3_fingerprint"])
 def test_single_pass_text_ops(spark, sf_dir, name):
     """Text ops are scan → project/aggregate: at most one exchange, no
