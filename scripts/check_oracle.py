@@ -71,12 +71,16 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("-k", default="", help="only queries containing this substring")
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--partitions", type=int, default=None,
+                    help="spark.sql.shuffle.partitions (default: session "
+                         "factory's 32) — rerun the sweep at e.g. 5 and 7 "
+                         "to verify partition-count invariance")
     args = ap.parse_args()
 
     from configurable_etl_python_repo_spark import get_spark
     from configurable_etl_python_repo_spark.catalog import ORACLES, QUERIES
 
-    spark = get_spark("check_oracle")
+    spark = get_spark("check_oracle", shuffle_partitions=args.partitions)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')")
