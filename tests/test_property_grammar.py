@@ -70,3 +70,63 @@ def test_bind_rows_alignment_invariant(spark, left_cols, right_cols, n):
     only_left = set(left_cols) - set(right_cols)
     for c in only_left:
         assert out.filter(f"{c} IS NULL").count() == n * 2
+
+
+# ---------------------------------------------------------------------------
+# Round-4 curation ops: exact-integer-math properties
+# ---------------------------------------------------------------------------
+
+_mix_corpora = st.lists(
+    st.tuples(st.integers(0, 500), st.sampled_from(["a", "b", "c", "d"])),
+    min_size=1, max_size=60, unique_by=lambda t: t[0],
+)
+_mix_weights = st.dictionaries(
+    st.sampled_from(["a", "b", "c"]), st.integers(1, 5),
+    min_size=1, max_size=3,
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=_mix_corpora, weights=_mix_weights)
+def test_mixture_sample_equals_model_on_random_corpora(spark, rows, weights):
+    """mixture_sample == the pure-Python integer-math model EXACTLY, for
+    any corpus/weights: the whole point of the BIGINT formulation is that
+    no float boundary can make an engine disagree."""
+    from test_curation_ops import _mixture_model
+
+    from configurable_etl_python_repo_spark.llm.sampling import mixture_sample
+
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {r["doc_id"] for r in mixture_sample(df, weights).collect()}
+    assert got == _mixture_model(rows, weights)
+
+
+_pack_docs = st.lists(
+    st.tuples(
+        st.integers(0, 100),
+        st.sampled_from(["s1", "s2"]),
+        st.lists(st.sampled_from(["aa", "b", "cc1"]), min_size=0,
+                 max_size=8).map(" ".join),
+    ),
+    min_size=1, max_size=25, unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=_pack_docs)
+def test_pack_sequences_stream_invariant_on_random_docs(spark, docs):
+    """For any corpus: per shard, in id order, each doc starts exactly
+    where the previous doc's tokens ended (seq_id*L + seq_offset equals
+    the running token total) — packing never drops or double-counts a
+    token."""
+    from configurable_etl_python_repo_spark.llm.text import pack_sequences
+
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    rows = sorted(pack_sequences(df, seq_len=7).collect(),
+                  key=lambda r: (r["source"], r["doc_id"]))
+    stream = {}
+    for r in rows:
+        assert r["seq_id"] * 7 + r["seq_offset"] == stream.get(r["source"], 0)
+        stream[r["source"]] = stream.get(r["source"], 0) + r["n_tokens"]
