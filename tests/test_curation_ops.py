@@ -288,3 +288,75 @@ def test_pack_sequences_as_config_op(spark, sf_dir):
         {"seq_len": 256, "shard_column": "source", "id_column": "doc_id"},
     ))
     assert {"seq_id", "seq_offset", "n_tokens"} <= set(out.columns)
+
+
+def test_x14_pipeline_is_fully_serializable_as_json_program(
+    spark, sf_dir, tmp_path
+):
+    """The ENTIRE x14 curation pipeline ships as a plain JSON config
+    file — a user writes no Python: PII injection via COMPUTE COLUMN,
+    scrub, quality + repetition gates, the eval-set derivation, 13-gram
+    decontamination, and the domain mixture are all declarative ops.
+    Output matches the catalog query row-for-row."""
+    import json
+
+    from configurable_etl_python_repo_spark.catalog import QUERIES
+    from configurable_etl_python_repo_spark.catalog_llm import (
+        _DECONTAM_N, _MIX_SEED, _MIX_WEIGHTS, _PII_INJ, _PIPE_REP_MAX,
+    )
+    from configurable_etl_python_repo_spark.config.program import (
+        analyte_from_json,
+    )
+
+    program = {
+        "analyte": "pipeline",
+        "scans": [{"name": "docs_raw", "source": "parquet",
+                   "path": f"{sf_dir}/documents.parquet",
+                   "columns": ["doc_id", "source", "lang", "text"]}],
+        "ops": [
+            {"op": "COMPUTE COLUMN", "target": "docs", "inputs": ["docs_raw"],
+             "args": {"column": "text", "expr": _PII_INJ}},
+            {"op": "PII SCRUB", "target": "scrub", "inputs": ["docs"],
+             "args": {}},
+            {"op": "QUALITY FILTER", "target": "qual", "inputs": ["scrub"],
+             "args": {"text_column": "text_scrubbed"}},
+            {"op": "REPETITION STATS", "target": "rep", "inputs": ["scrub"],
+             "args": {"id_column": "doc_id",
+                      "text_column": "text_scrubbed"}},
+            {"op": "REMOVE COLUMN", "target": "rep2", "inputs": ["rep"],
+             "args": {"columns": ["n_words", "dup_word_frac",
+                                  "dup_ngram_frac"]}},
+            {"op": "LEFT JOIN", "target": "joined",
+             "inputs": ["qual", "rep2"], "args": {"on": ["doc_id"]}},
+            {"op": "FILTER", "target": "gated", "inputs": ["joined"],
+             "args": {"condition": "keep = BOOLEAN(TRUE)"
+                      f" & top_ngram_frac <= NUMBER({_PIPE_REP_MAX})"}},
+            {"op": "COMPUTE COLUMN", "target": "ev0", "inputs": ["scrub"],
+             "args": {"column": "__m", "expr": "doc_id % 17"}},
+            {"op": "FILTER", "target": "ev1", "inputs": ["ev0"],
+             "args": {"condition": "__m = NUMBER(0)"}},
+            {"op": "SELECT COLUMNS", "target": "evalset", "inputs": ["ev1"],
+             "args": {"columns": ["doc_id", "text_scrubbed"]}},
+            {"op": "DECONTAMINATE", "target": "clean",
+             "inputs": ["gated", "evalset"],
+             "args": {"id_column": "doc_id", "text_column": "text_scrubbed",
+                      "eval_text_col": "text_scrubbed", "n": _DECONTAM_N,
+                      "mode": "drop"}},
+            {"op": "SAMPLE MIXTURE", "target": "mixed", "inputs": ["clean"],
+             "args": {"strata_column": "source", "key_column": "doc_id",
+                      "weights": _MIX_WEIGHTS, "seed": _MIX_SEED}},
+            {"op": "SELECT COLUMNS", "target": "pipeline",
+             "inputs": ["mixed"],
+             "args": {"columns": ["doc_id", "source", "lang", "n_words",
+                                  "pii_total", "top_ngram_frac",
+                                  "text_scrubbed"]}},
+        ],
+    }
+    path = tmp_path / "pipeline.json"
+    path.write_text(json.dumps(program))
+
+    got = Engine(spark).run_analyte(analyte_from_json(str(path)))
+    want = QUERIES["x14_pretraining_pipeline"](spark, sf_dir)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+    assert got.count() > 0
