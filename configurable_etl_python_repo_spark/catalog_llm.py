@@ -1173,19 +1173,34 @@ _PII_INJ = (
 )
 
 
-def _pii_oracle() -> str:
-    """Generated from scrub.PII_PATTERNS so the regexes can never drift
-    between engines (Java regex and DuckDB's RE2 agree on this subset)."""
+def _pii_count_exprs() -> list[tuple[str, str]]:
+    """[(category, count SQL expr)] from scrub.PII_PATTERNS — the single
+    source both the t6 oracle and the x14 pipeline oracle build from, so
+    the regexes can never drift between engines or between oracles."""
     from .llm.scrub import PII_PATTERNS
 
-    counts = ",\n           ".join(
-        f"len(regexp_extract_all(text, '{pat}')) AS pii_{name}"
+    return [
+        (name, f"len(regexp_extract_all(text, '{pat}'))")
         for name, pat, _ in PII_PATTERNS
-    )
-    total = " + ".join(f"pii_{name}" for name, _, _ in PII_PATTERNS)
+    ]
+
+
+def _pii_scrub_expr() -> str:
+    """The chained regexp_replace redaction, in PII_PATTERNS order."""
+    from .llm.scrub import PII_PATTERNS
+
     scrub = "text"
     for _, pat, token in PII_PATTERNS:
         scrub = f"regexp_replace({scrub}, '{pat}', '{token}', 'g')"
+    return scrub
+
+
+def _pii_oracle() -> str:
+    counts = ",\n           ".join(
+        f"{expr} AS pii_{name}" for name, expr in _pii_count_exprs()
+    )
+    total = " + ".join(f"pii_{name}" for name, _ in _pii_count_exprs())
+    scrub = _pii_scrub_expr()
     return f"""
     WITH inj AS (SELECT doc_id, {_PII_INJ} AS text FROM documents),
     counted AS (
@@ -1307,30 +1322,43 @@ _MIX_WEIGHTS = {f"src{i}": i % 3 + 1 for i in range(20)}
 _MIX_SEED = "mix"
 
 
-def _mixture_oracle() -> str:
-    """Mirror of llm.sampling.mixture_sample's integer math: W, the
-    binding total T* = min_s floor(n_s*W/w_s), per-stratum target
-    q_s = floor(w_s*T*/W), md5-bucket cutoff floor(q_s*2^20/n_s)."""
+def _mixture_ctes(src: str) -> str:
+    """c/t1/t2/cut CTE chain: mixture_sample's integer math (W, binding
+    total T* = min_s floor(n_s*W/w_s), target q_s = floor(w_s*T*/W),
+    cutoff floor(q_s*2^20/n_s)) over the `src` relation — shared by the
+    x13 oracle and the x14 pipeline oracle."""
     whens = " ".join(
         f"WHEN '{v}' THEN {w}" for v, w in sorted(_MIX_WEIGHTS.items())
     )
     in_list = ", ".join(f"'{v}'" for v in sorted(_MIX_WEIGHTS))
     return f"""
-    WITH c AS (
+    c AS (
       SELECT source, count(*) AS n, CASE source {whens} END AS w
-      FROM documents WHERE source IN ({in_list}) GROUP BY source),
+      FROM {src} WHERE source IN ({in_list}) GROUP BY source),
     t1 AS (SELECT sum(w) AS wtot FROM c),
     t2 AS (SELECT max(t1.wtot) AS wtot,
                   min(c.n * t1.wtot // c.w) AS tstar
            FROM c, t1),
     cut AS (SELECT c.source,
                    (c.w * t2.tstar // t2.wtot) * {1 << 20} // c.n AS cutoff
-            FROM c, t2)
+            FROM c, t2)"""
+
+
+def _mix_admit_sql(alias: str) -> str:
+    """WHERE fragment admitting `alias` rows under cut.cutoff by the
+    20-bit md5 bucket."""
+    return (
+        f"CAST(('0x' || substr(md5('{_MIX_SEED}' || '|' || "
+        f"CAST({alias}.doc_id AS STRING)), 1, 5)) AS BIGINT) < cut.cutoff"
+    )
+
+
+def _mixture_oracle() -> str:
+    return f"""
+    WITH {_mixture_ctes("documents")}
     SELECT d.doc_id, d.source, d.lang
     FROM documents d JOIN cut ON d.source = cut.source
-    WHERE CAST(('0x' || substr(md5('{_MIX_SEED}' || '|' ||
-                                   CAST(d.doc_id AS STRING)), 1, 5))
-               AS BIGINT) < cut.cutoff
+    WHERE {_mix_admit_sql("d")}
     """
 
 
@@ -1395,20 +1423,13 @@ def _pipeline_oracle() -> str:
     inject PII -> scrub -> quality gate (on scrubbed text) -> repetition
     gate -> 13-gram eval-set decontamination -> exact-ratio domain
     mixture. Every CTE mirrors an already-oracle-checked operator; this
-    query pins their composition end to end."""
-    from .llm.scrub import PII_PATTERNS
-
+    query pins their composition end to end. Every shared fragment
+    (_pii_count_exprs/_pii_scrub_expr/_mixture_ctes/_mix_admit_sql) is
+    built ONCE and reused by the standalone t6/x13 oracles, so the
+    pipeline oracle can never drift from theirs."""
     r = T.QUALITY_RULES
-    total = " + ".join(
-        f"len(regexp_extract_all(text, '{pat}'))" for _, pat, _ in PII_PATTERNS
-    )
-    scrub = "text"
-    for _, pat, token in PII_PATTERNS:
-        scrub = f"regexp_replace({scrub}, '{pat}', '{token}', 'g')"
-    whens = " ".join(
-        f"WHEN '{v}' THEN {w}" for v, w in sorted(_MIX_WEIGHTS.items())
-    )
-    in_list = ", ".join(f"'{v}'" for v in sorted(_MIX_WEIGHTS))
+    total = " + ".join(expr for _, expr in _pii_count_exprs())
+    scrub = _pii_scrub_expr()
     nm1 = _DECONTAM_N - 1
     return rf"""
     WITH inj AS (
@@ -1468,22 +1489,11 @@ def _pipeline_oracle() -> str:
       WHERE qk.keep
         AND coalesce(gf.top_ngram_frac, 0.0) <= {_PIPE_REP_MAX}
         AND sc.doc_id NOT IN (SELECT doc_id FROM contaminated)),
-    c AS (
-      SELECT source, count(*) AS n, CASE source {whens} END AS w
-      FROM kept WHERE source IN ({in_list}) GROUP BY source),
-    t1 AS (SELECT sum(w) AS wtot FROM c),
-    t2 AS (SELECT max(t1.wtot) AS wtot,
-                  min(c.n * t1.wtot // c.w) AS tstar
-           FROM c, t1),
-    cut AS (SELECT c.source,
-                   (c.w * t2.tstar // t2.wtot) * {1 << 20} // c.n AS cutoff
-            FROM c, t2)
+    {_mixture_ctes("kept")}
     SELECT k.doc_id, k.source, k.lang, k.n_words, k.pii_total,
            k.top_ngram_frac, k.text_scrubbed
     FROM kept k JOIN cut ON k.source = cut.source
-    WHERE CAST(('0x' || substr(md5('{_MIX_SEED}' || '|' ||
-                                   CAST(k.doc_id AS STRING)), 1, 5))
-               AS BIGINT) < cut.cutoff
+    WHERE {_mix_admit_sql("k")}
     """
 
 

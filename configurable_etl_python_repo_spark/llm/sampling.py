@@ -22,11 +22,15 @@ from pyspark.sql import functions as F
 _SCALE = 1 << 32
 
 
-def _bucket(key_col, seed: str):
-    """Uniform 32-bit integer derived from the row key: the first 8 hex
-    chars of md5(seed|key)."""
+def _bucket(key_col, seed: str, hex_chars: int = 8):
+    """Uniform integer derived from the row key: the first `hex_chars`
+    hex chars of md5(seed|key) (8 → 32-bit; mixture uses 5 → 20-bit so
+    its all-BIGINT cutoff products can never overflow)."""
     return F.conv(
-        F.substring(F.md5(F.concat_ws("|", F.lit(seed), key_col.cast("string"))), 1, 8),
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(seed), key_col.cast("string"))),
+            1, hex_chars,
+        ),
         16, 10,
     ).cast("long")
 
@@ -103,14 +107,9 @@ def mixture_sample(
         q = weights[s] * tstar // wtot
         cond, val = strata == F.lit(s), F.lit((q << 20) // cnt)
         cutoff = F.when(cond, val) if cutoff is None else cutoff.when(cond, val)
-    bucket20 = F.conv(
-        F.substring(
-            F.md5(F.concat_ws("|", F.lit(seed), F.col(key_col).cast("string"))),
-            1, 5,
-        ),
-        16, 10,
-    ).cast("long")
-    return in_mix.where(bucket20 < cutoff)
+    return in_mix.where(
+        _bucket(F.col(key_col), seed, hex_chars=5) < cutoff
+    )
 
 
 def stratified_sample(

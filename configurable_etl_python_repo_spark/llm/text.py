@@ -419,68 +419,71 @@ def repetition_stats(
       - ``dup_ngram_frac``  — fraction of n-gram occurrences that are
         repeats (1 - distinct/total).
 
-    High values flag boilerplate/spam docs for curation filters. Word
-    features are scan-stage Column math (`array_distinct` is a codegen
-    collection op, not an interpreted lambda); n-gram features use the
-    posexplode + window-LEAD shingle path (whole-stage codegen) with two
-    map-side-combinable shuffles on the doc id — no interpreted HOFs, no
-    all-pairs anything, linear at any corpus size. Fractions are plain
-    long/long divisions in a fixed order so the DuckDB oracle reproduces
-    them bit-for-bit; docs with < n words get 0.0 (no grams to repeat).
+    High values flag boilerplate/spam docs for curation filters. ONE
+    corpus scan, no joins: posexplode_outer keeps a placeholder row even
+    for empty/short docs, word-level features (count / collect_set size)
+    ride the same per-doc window the gram LEADs use, and gram-less docs
+    survive the aggregation via a synthetic NULL-gram row — so the plan
+    is scan → window(id) → two map-side-combinable aggregations, where
+    the previous formulation scanned the corpus twice (word branch +
+    gram branch) and paid a join to stitch them. No interpreted HOFs,
+    no all-pairs anything, linear at any corpus size. Fractions are
+    plain long/long divisions in a fixed order so the DuckDB oracle
+    reproduces them bit-for-bit; docs with < n words get 0.0 (no grams
+    to repeat).
     """
     from pyspark.sql import Window
 
     words = _words(F.col(text_col))
-    base = df.select(
+    w0 = df.select(
         F.col(id_col).alias("id"),
-        F.size(words).cast("long").alias("n_words"),
-        F.size(F.array_distinct(words)).cast("long").alias("__nd"),
-        words.alias("__w"),
+        F.posexplode_outer(words).alias("pos", "w"),
     )
-    word_feats = base.select(
-        "id", "n_words",
+    win = Window.partitionBy("id").orderBy("pos")
+    full = Window.partitionBy("id")
+    leads = [F.col("w")] + [F.lead("w", j).over(win) for j in range(1, n)]
+    enriched = (
+        w0.withColumn("__nw", F.count("w").over(full))
+        .withColumn("__nd", F.size(F.collect_set("w").over(full)).cast("long"))
+        .withColumn(
+            "gram",
+            F.when(F.col("pos") <= F.col("__nw") - n,
+                   F.concat_ws(" ", *leads)),
+        )
+        # keep real gram rows, plus ONE synthetic NULL-gram row (the
+        # first/placeholder row) for docs too short to have any gram
+        .where(
+            F.col("gram").isNotNull()
+            | ((F.coalesce(F.col("pos"), F.lit(0)) == 0)
+               & (F.col("__nw") < n))
+        )
+    )
+    per_gram = enriched.groupBy("id", "gram").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.max("__nw").alias("__nw"),
+        F.max("__nd").alias("__nd"),
+    )
+    real = F.col("gram").isNotNull()
+    per_doc = per_gram.groupBy("id").agg(
+        F.sum(F.when(real, F.col("c"))).alias("__total"),
+        F.max(F.when(real, F.col("c"))).alias("__mx"),
+        F.count(F.when(real, F.lit(1))).alias("__distinct"),
+        F.max("__nw").alias("n_words"),
+        F.max("__nd").alias("__nd"),
+    )
+    return per_doc.select(
+        F.col("id").alias(id_col),
+        "n_words",
         F.when(F.col("n_words") > 0,
                (F.col("n_words") - F.col("__nd"))
                / F.col("n_words")).otherwise(F.lit(0.0))
         .alias("dup_word_frac"),
-        "__w",
-    )
-
-    w0 = word_feats.select("id", F.posexplode("__w").alias("pos", "w"))
-    win = Window.partitionBy("id").orderBy("pos")
-    leads = [F.col("w")] + [F.lead("w", j).over(win) for j in range(1, n)]
-    grams = (
-        w0.withColumn("gram", F.concat_ws(" ", *leads))
-        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy("id")))
-        .where(F.col("pos") <= F.col("__n") - n)
-        .select("id", "gram")
-    )
-    gram_feats = (
-        grams.groupBy("id", "gram")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("id")
-        .agg(
-            F.sum("c").alias("__total"),
-            F.max("c").alias("__mx"),
-            F.count(F.lit(1)).alias("__distinct"),
-        )
-        .select(
-            "id",
-            (F.col("__mx") / F.col("__total")).alias("top_ngram_frac"),
-            ((F.col("__total") - F.col("__distinct")) / F.col("__total"))
-            .alias("dup_ngram_frac"),
-        )
-    )
-    return (
-        word_feats.drop("__w")
-        .join(gram_feats, on="id", how="left")
-        .select(
-            F.col("id").alias(id_col),
-            "n_words",
-            "dup_word_frac",
-            F.coalesce("top_ngram_frac", F.lit(0.0)).alias("top_ngram_frac"),
-            F.coalesce("dup_ngram_frac", F.lit(0.0)).alias("dup_ngram_frac"),
-        )
+        F.coalesce(F.col("__mx") / F.col("__total"), F.lit(0.0))
+        .alias("top_ngram_frac"),
+        F.coalesce(
+            (F.col("__total") - F.col("__distinct")) / F.col("__total"),
+            F.lit(0.0),
+        ).alias("dup_ngram_frac"),
     )
 
 

@@ -92,7 +92,8 @@ def _decontaminate(engine: "Engine", spec: OpSpec):
     corpus, _ = engine.peek(spec.inputs[0])
     evalset, _ = engine.peek(spec.inputs[1])
     kwargs = dict(spec.args)
-    for cfg_name, py_name in _ID_TEXT.items():
+    renames = {**_ID_TEXT, "eval_text_column": "eval_text_col"}
+    for cfg_name, py_name in renames.items():
         if cfg_name in kwargs:
             kwargs[py_name] = kwargs.pop(cfg_name)
     return D.decontaminate(corpus, evalset, **kwargs), None

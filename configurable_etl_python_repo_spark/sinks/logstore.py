@@ -67,11 +67,19 @@ class LocalLogStore(LogStore):
             os.fsync(f.fileno())
         try:
             os.link(tmp, self._path(name))
-            return True
         except FileExistsError:
             return False
         finally:
             os.remove(tmp)
+        # fsync the DIRECTORY too: the link's dir entry is only in the
+        # page cache until the inode flushes — without this, power loss
+        # after we acknowledge the commit could roll the snapshot back
+        dfd = os.open(self.root, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+        return True
 
     def read(self, name: str) -> bytes | None:
         try:
@@ -137,9 +145,15 @@ class S3LogStore(LogStore):
             )
             return True
         except Exception as e:
-            if self._error_code(e) in self._LOST_RACE:
-                return False
-            raise
+            if self._error_code(e) not in self._LOST_RACE:
+                raise
+            # Self-win detection: if the FIRST attempt's 200 was lost to a
+            # network failure, the SDK's automatic retry resends the same
+            # conditional put and gets 412 against our OWN object. Read it
+            # back — identical bytes mean this writer committed; reporting
+            # a lost race would make the caller re-merge and publish a
+            # duplicate next version.
+            return self.read(name) == data
 
     def read(self, name: str) -> bytes | None:
         try:

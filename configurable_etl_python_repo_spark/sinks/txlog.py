@@ -299,6 +299,18 @@ def vacuum_gold_tx(
     import shutil
     import time
 
+    # Data-file cleanup walks the filesystem at gold_path. On a
+    # non-local gold (s3a:// etc.) os.listdir silently finds nothing —
+    # expiring manifests there would permanently orphan their data dirs
+    # (the expired manifest is the only record of what they were), so
+    # refuse up front rather than leak.
+    if not os.path.isdir(gold_path):
+        raise NotImplementedError(
+            f"vacuum_gold_tx lists data dirs on the local filesystem and "
+            f"{gold_path!r} is not a local directory; for object-store "
+            f"gold, route data cleanup through a bucket lister/lifecycle "
+            f"before expiring manifests"
+        )
     st = _store(gold_path, store)
     version, _ = _read_latest(gold_path, st)
     first_kept = 1

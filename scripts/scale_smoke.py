@@ -134,6 +134,8 @@ def main() -> None:
     ap.add_argument("--queries", help="comma-separated subset of queries")
     args = ap.parse_args()
     factors = sorted({int(f) for f in args.factors.split(",")} - {1})
+    if not factors:  # fail fast, not IndexError after minutes of timing
+        ap.error("--factors needs at least one factor > 1")
     names = args.queries.split(",") if args.queries else QUERIES
 
     from configurable_etl_python_repo_spark import get_spark
@@ -144,9 +146,15 @@ def main() -> None:
     parent = args.keep or tempfile.mkdtemp(prefix="scale_smoke_")
     for f in factors:
         big_dir = os.path.join(parent, f"x{f}")
-        if not os.path.exists(os.path.join(big_dir, "lineitem.parquet")):
+        # completion marker records (src, factor): a crashed or
+        # different-source build is rebuilt, never silently timed
+        marker = os.path.join(big_dir, "_REPLICATED")
+        stamp = f"{os.path.abspath(args.src)} x{f}"
+        if not (os.path.exists(marker) and open(marker).read() == stamp):
             os.makedirs(big_dir, exist_ok=True)
             replicate(spark, args.src, big_dir, f)
+            with open(marker, "w") as fh:
+                fh.write(stamp)
         timings[f] = time_queries(spark, big_dir, names)
 
     f_hi = factors[-1]

@@ -452,3 +452,26 @@ def test_s3_logstore_error_code_mapping():
     client.put_object = denied
     with pytest.raises(_StubS3Error):
         store.put_if_absent("v00000009.json", b"{}")
+
+
+def test_s3_put_if_absent_detects_self_win_on_retry():
+    """If the SDK's automatic retry resends a conditional put whose first
+    attempt actually succeeded (lost 200), the 412 is against our OWN
+    object: byte-identical content must report True, or the caller would
+    re-merge and publish a duplicate next version."""
+    store, _ = _s3_store()
+    assert store.put_if_absent("v00000007.json", b'{"v": 7}') is True
+    # the retry resends identical bytes -> self-win, not a lost race
+    assert store.put_if_absent("v00000007.json", b'{"v": 7}') is True
+    # a REAL concurrent writer's different manifest still loses
+    assert store.put_if_absent("v00000007.json", b'{"v": "other"}') is False
+
+
+def test_vacuum_refuses_non_local_gold_path():
+    """Expiring manifests for object-store gold would permanently orphan
+    their data dirs (os.listdir finds nothing to delete and the expired
+    manifest was the only record) — vacuum must refuse, not leak."""
+    store, _ = _s3_store()
+    with pytest.raises(NotImplementedError, match="not a local directory"):
+        vacuum_gold_tx("s3a://gold-bucket/tables/study", keep_versions=1,
+                       store=store)
