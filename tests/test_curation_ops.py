@@ -116,6 +116,8 @@ def _mixture_model(rows, weights, seed="mix"):
     from collections import Counter
 
     n = Counter(s for _, s in rows if s in weights)
+    if not n:  # no listed stratum present -> empty sample
+        return set()
     wtot = sum(weights[s] for s in n)
     tstar = min(n[s] * wtot // weights[s] for s in n)
     kept = set()
