@@ -238,11 +238,15 @@ def resize_images(
                         w, h = img.size
                         side = max(w, h)
                         if side > max_side:
-                            ow = (w * max_side) // side
-                            oh = (h * max_side) // side
+                            # clamp BEFORE recording: the metadata must
+                            # describe the actually-resized image (an
+                            # extreme aspect ratio would otherwise report
+                            # out_height=0 for a 1-pixel-high resize)
+                            ow = max((w * max_side) // side, 1)
+                            oh = max((h * max_side) // side, 1)
                         else:
                             ow, oh = w, h
-                        out = img.resize((max(ow, 1), max(oh, 1)))
+                        out = img.resize((ow, oh))
                         buf = io.BytesIO()
                         out.save(buf, format=img.format or "PNG")
                         rows.append(

@@ -247,12 +247,13 @@ def _round_half_away(a: "np.ndarray", digits: int = 6) -> "np.ndarray":
 
 
 def ivf_assignments_arrow(centroids: "list[tuple[int, list[float]]]",
-                          n_best: int = 1):
+                          n_best: int = 1, digits: int = 6):
     """Vectorized IVF coarse quantizer: a pandas UDF mapping a vector
-    column to its n_best nearest centroid ids (cosine, rounded 6dp, ties
-    to the smaller centroid id — the ordering the SQL oracle reproduces).
-    `centroids` is the driver-side [(centroid_id, vector), ...] list —
-    tiny (the centroid table IS the coarse index)."""
+    column to its n_best nearest centroid ids (cosine, rounded to
+    `digits`, ties to the smaller centroid id — the ordering the SQL
+    oracle reproduces). `centroids` is the driver-side
+    [(centroid_id, vector), ...] list — tiny (the centroid table IS the
+    coarse index)."""
     from pyspark.sql.functions import pandas_udf
 
     cids = np.array([c[0] for c in centroids], dtype=np.int64)
@@ -265,13 +266,37 @@ def ivf_assignments_arrow(centroids: "list[tuple[int, list[float]]]",
             return pd.Series([], dtype=object)
         V = np.stack(s.to_numpy()).astype(np.float64)
         Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
-        sims = _round_half_away(Vn @ Cn.T)
+        sims = _round_half_away(Vn @ Cn.T, digits)
         # sort by (-sim, centroid_id): centroid ids are ascending in C, so
         # a stable argsort on -sims gives the smaller id on ties
         order = np.argsort(-sims, axis=1, kind="stable")[:, :n_best]
         return pd.Series([cids[row].tolist() for row in order])
 
     return assign
+
+
+def _hash_order_sample(
+    corpus: DataFrame, n: int, id_col: str, vec_col: str
+) -> "list[tuple[int, list[float]]]":
+    """The deterministic centroid init every IVF variant shares: the n
+    rows with the smallest md5(id) — a hash-order sample, uniform,
+    partition-invariant, and exactly `ORDER BY md5(CAST(id AS STRING))
+    LIMIT n` in the SQL oracles. ONE definition on purpose: this is a
+    load-bearing determinism contract; copies could drift from each
+    other and from the generated oracles. Driver state is bounded by the
+    constant n."""
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(n)
+        .collect()
+    )
+    centroids = sorted(
+        (int(r[0]), [float(x) for x in r[1]]) for r in rows
+    )
+    if not centroids:
+        raise ValueError("no centroids: corpus is empty")
+    return centroids
 
 
 def ivf_topk(
@@ -301,15 +326,7 @@ def ivf_topk(
     At scale: assignment is a write-side transform (store the corpus
     partitioned by centroid id); a query then partition-prunes straight
     to its probed lists."""
-    cent_rows = (
-        corpus.select(id_col, vec_col)
-        .orderBy(F.md5(F.col(id_col).cast("string")))
-        .limit(n_centroids)
-        .collect()
-    )
-    centroids = sorted((r[0], list(r[1])) for r in cent_rows)
-    if not centroids:
-        raise ValueError("no centroids: corpus is empty")
+    centroids = _hash_order_sample(corpus, n_centroids, id_col, vec_col)
     return _ivf_search(
         corpus, queries, centroids, k, n_probe, id_col, vec_col, round_digits
     )
@@ -330,8 +347,9 @@ def _ivf_search(
     n_probe nearest lists, and exact rerank runs only inside probed
     lists. The centroid list is driver-side by construction (it IS the
     coarse index) — a few KB broadcast inside the pandas UDF closures."""
-    assign1 = ivf_assignments_arrow(centroids, n_best=1)
-    probe = ivf_assignments_arrow(centroids, n_best=n_probe)
+    assign1 = ivf_assignments_arrow(centroids, n_best=1, digits=round_digits)
+    probe = ivf_assignments_arrow(centroids, n_best=n_probe,
+                                  digits=round_digits)
     c = _with_norm(
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
@@ -397,20 +415,11 @@ def lloyd_centroids(
     centroid id producing dim DECIMAL sums, then a collect bounded by the
     CONSTANT n_centroids. At 100 TB: n_iter scans, no driver state beyond
     the centroid table itself."""
-    init_rows = (
-        corpus.select(id_col, vec_col)
-        .orderBy(F.md5(F.col(id_col).cast("string")))
-        .limit(n_centroids)
-        .collect()
-    )
-    centroids = sorted(
-        (int(r[0]), [float(x) for x in r[1]]) for r in init_rows
-    )
-    if not centroids:
-        raise ValueError("no centroids: corpus is empty")
+    centroids = _hash_order_sample(corpus, n_centroids, id_col, vec_col)
     dim = len(centroids[0][1])
     for _ in range(n_iter):
-        assign1 = ivf_assignments_arrow(centroids, n_best=1)
+        assign1 = ivf_assignments_arrow(centroids, n_best=1,
+                                        digits=mean_digits)
         assigned = corpus.select(
             assign1(F.col(vec_col))[0].alias("__cid"),
             F.col(vec_col).alias("__v"),
@@ -532,15 +541,7 @@ def ivf_build_index(
     float vectors (~4x smaller index; assignment still computes on the
     full-precision input, search reranks on dequantized codes —
     recall-tested)."""
-    cent_rows = (
-        corpus.select(id_col, vec_col)
-        .orderBy(F.md5(F.col(id_col).cast("string")))
-        .limit(n_centroids)
-        .collect()
-    )
-    centroids = sorted((r[0], list(r[1])) for r in cent_rows)
-    if not centroids:
-        raise ValueError("no centroids: corpus is empty")
+    centroids = _hash_order_sample(corpus, n_centroids, id_col, vec_col)
     assign1 = ivf_assignments_arrow(centroids, n_best=1)
     rows = corpus.withColumn("cid", assign1(F.col(vec_col))[0])
     if quantize:

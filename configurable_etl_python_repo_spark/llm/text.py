@@ -8,6 +8,8 @@ per-row.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -39,8 +41,10 @@ def _token_pattern(tokens: "tuple[str, ...]") -> str:
     `tokens` — the regexp_count twin of `words.isin(...)` filters: the
     token must start at ^ or after whitespace and end at $ or before
     whitespace, so 'in' never matches inside 'inside' and 'to,' never
-    counts as 'to' (exactly the array filter's equality semantics)."""
-    alt = "|".join(tokens)
+    counts as 'to' (exactly the array filter's equality semantics).
+    Tokens are escaped so a future list entry containing a regex
+    metacharacter matches literally instead of corrupting the pattern."""
+    alt = "|".join(re.escape(t) for t in tokens)
     return rf"(?:^|(?<=\s))(?:{alt})(?:$|(?=\s))"
 
 
@@ -208,7 +212,10 @@ def _language_id_ngram_stateless(df: DataFrame, text_col: str) -> DataFrame:
     scores = {
         lang: F.coalesce(
             F.regexp_count(
-                padded, F.lit("(?=(?:" + "|".join(prof) + "))")
+                padded,
+                F.lit("(?=(?:"
+                      + "|".join(re.escape(t) for t in prof)
+                      + "))"),
             ),
             F.lit(0),
         )

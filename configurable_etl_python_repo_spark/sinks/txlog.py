@@ -89,7 +89,12 @@ def _latest_version(gold_path: str, store: LogStore | None = None) -> int:
     hint behind by a bounded number of commits — normally zero or one)."""
     st = _store(gold_path, store)
     hint = st.read("LATEST")
-    version = int(hint.decode().strip()) if hint is not None else 0
+    try:
+        version = int(hint.decode().strip()) if hint is not None else 0
+    except ValueError:
+        # a torn/garbled best-effort hint degrades like a missing one:
+        # probe from 0 rather than bricking every read and write
+        version = 0
     while st.exists(_manifest_name(version + 1)):
         version += 1
     return version
@@ -319,6 +324,13 @@ def vacuum_gold_tx(
         if keep_versions < 1:
             raise ValueError("keep_versions must be >= 1")
         first_kept = max(1, version - keep_versions + 1)
+        # HEAL the hint BEFORE expiring manifests: _latest_version probes
+        # forward from the hint, and expiry is about to delete the bottom
+        # of that chain — a missing/stale-low hint afterwards would make
+        # the table read as empty (and a merge would then re-commit v1,
+        # shadowing the live snapshot). With the hint pinned at `version`
+        # first, a crash mid-expiry leaves a fully working table.
+        _update_latest_hint(gold_path, version, st)
         for v in range(1, first_kept):
             raw = st.read(_manifest_name(v))
             if raw is not None:

@@ -475,3 +475,41 @@ def test_vacuum_refuses_non_local_gold_path():
     with pytest.raises(NotImplementedError, match="not a local directory"):
         vacuum_gold_tx("s3a://gold-bucket/tables/study", keep_versions=1,
                        store=store)
+
+
+def test_vacuum_heals_missing_hint_before_expiry(spark, tmp_path):
+    """The LATEST hint is best-effort; if it never landed, _latest_version
+    probes from 0 — but keep_versions expiry deletes the bottom of that
+    probe chain. vacuum must pin the hint at the current version FIRST,
+    or the table would read as empty and the next merge would shadow the
+    live snapshot at v1."""
+    gold = str(tmp_path / "gold")
+    for i in range(3):
+        df = spark.createDataFrame(
+            [Row(study_code="A", subject="s1", val=f"v{i}")])
+        tx_merge_upsert(spark, gold, df, key_cols=["study_code", "subject"])
+    os.remove(f"{gold}/_txlog/LATEST")  # hint lost (best-effort)
+
+    vacuum_gold_tx(gold, keep_versions=1, retention_s=0)
+    assert not os.path.exists(f"{gold}/_txlog/v00000001.json")
+    # still reads the newest snapshot and merges continue from it
+    assert _rows(spark, gold) == {("A", "s1"): "v2"}
+    nxt = spark.createDataFrame(
+        [Row(study_code="A", subject="s1", val="v3")])
+    assert tx_merge_upsert(spark, gold, nxt,
+                           key_cols=["study_code", "subject"]) == 4
+    assert _rows(spark, gold) == {("A", "s1"): "v3"}
+
+
+def test_garbled_latest_hint_degrades_to_probe(spark, tmp_path):
+    """A torn/empty LATEST (power loss mid-replace) must degrade like a
+    missing one — probe forward from 0 — not brick every read/write."""
+    gold = str(tmp_path / "gold")
+    df = spark.createDataFrame([Row(study_code="A", subject="s1", val="v0")])
+    tx_merge_upsert(spark, gold, df, key_cols=["study_code", "subject"])
+    with open(f"{gold}/_txlog/LATEST", "w") as f:
+        f.write("")  # torn write
+    assert _rows(spark, gold) == {("A", "s1"): "v0"}
+    upd = spark.createDataFrame([Row(study_code="A", subject="s1", val="v1")])
+    assert tx_merge_upsert(spark, gold, upd,
+                           key_cols=["study_code", "subject"]) == 2
