@@ -20,6 +20,7 @@ from .text import (  # noqa: F401
 )
 from .dedup import (  # noqa: F401
     decontaminate,
+    decontaminate_stream,
     dedup_exact,
     dedup_spans,
     ngram_jaccard_pairs,

@@ -606,3 +606,72 @@ def decontaminate(
             "contaminated", "n_contaminated_grams"
         )
     return out
+
+
+def eval_gram_set(
+    evalset: DataFrame,
+    text_col: str = "text",
+    n: int = 13,
+) -> "list[str]":
+    """The eval set's distinct word n-grams, collected driver-side —
+    bounded by the benchmark's size, which is what makes the streaming
+    decontamination below possible (and is the same bounded-collect
+    budget the IVF centroid table uses). Compute once per eval-set
+    release, reuse across streams."""
+    grams = (
+        doc_shingles(
+            evalset.select(
+                F.xxhash64(F.col(text_col)).alias("__eid"),
+                F.col(text_col),
+            ).distinct(),
+            id_col="__eid", text_col=text_col, n=n,
+        )
+        .select("sh")
+        .distinct()
+        .collect()
+    )
+    return sorted(r[0] for r in grams)
+
+
+def decontaminate_stream(
+    df: DataFrame,
+    eval_grams: "list[str]",
+    text_col: str = "text",
+    n: int = 13,
+    mode: str = "flag",
+    max_eval_grams: int = 1_000_000,
+) -> DataFrame:
+    """Streaming-legal decontamination: the batch operator's shingle
+    window and per-doc hit aggregation are not allowed under readStream
+    append mode, so this variant is PURE per-row Column math — the
+    HOF-built distinct shingle array intersected with the eval grams as
+    ONE array literal. Same `contaminated`/`n_contaminated_grams`
+    semantics as decontaminate(mode="flag") and the same row set for
+    mode="drop"; parity is pytest-pinned stream-vs-batch.
+
+    Trade-offs, stated plainly: the lambda HOFs run interpreted (fine at
+    stream arrival rates, NOT the batch path — use decontaminate() for
+    backfills), and the eval grams ride the plan as a literal (guarded
+    by max_eval_grams; a benchmark suite is ~10^4-10^5 grams).
+    """
+    if mode not in ("flag", "drop"):
+        raise ValueError(f"mode must be 'flag' or 'drop', got {mode!r}")
+    if len(eval_grams) > max_eval_grams:
+        raise ValueError(
+            f"{len(eval_grams)} eval grams exceeds max_eval_grams="
+            f"{max_eval_grams}; a literal that large would bloat every "
+            f"task — shrink the eval set or run batch decontaminate()"
+        )
+    if eval_grams:
+        hits = F.size(
+            F.array_intersect(
+                _shingles(F.col(text_col), n), F.lit(list(eval_grams))
+            )
+        ).cast("long")
+    else:  # empty eval set: nothing can be contaminated
+        hits = F.lit(0).cast("long")
+    if mode == "drop":
+        return df.where(hits == 0)
+    return df.withColumn("n_contaminated_grams", hits).withColumn(
+        "contaminated", F.col("n_contaminated_grams") > 0
+    )

@@ -213,3 +213,50 @@ def test_session_rollup_stream_matches_batch(spark, sf_dir, tmp_path):
     q.awaitTermination(120)
     stream = {tuple(r) for r in spark.table("sess_rollup").collect()}
     assert stream == batch
+
+
+def test_decontaminate_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming decontamination (per-row Column math over an eval-gram
+    literal) produces exactly the batch operator's answer, running under
+    readStream append mode."""
+    from configurable_etl_python_repo_spark.llm.dedup import (
+        decontaminate, decontaminate_stream, eval_gram_set,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    evalset = docs.where("doc_id % 17 = 0").select("doc_id", "text")
+    n = 5  # small n so the sf0.001 fixture has real matches
+
+    batch = {
+        (r["doc_id"], r["contaminated"], r["n_contaminated_grams"])
+        for r in decontaminate(docs, evalset, n=n).collect()
+    }
+    assert any(c for _, c, _ in batch)  # the eval docs themselves match
+
+    grams = eval_gram_set(evalset, n=n)
+    src = str(tmp_path / "docs_src")
+    docs.write.parquet(src)
+    q = (
+        decontaminate_stream(
+            spark.readStream.format("parquet").schema(docs.schema).load(src),
+            grams, n=n,
+        )
+        .select("doc_id", "contaminated", "n_contaminated_grams")
+        .writeStream.format("memory").queryName("decon_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_decon"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream = {tuple(r) for r in spark.table("decon_stream").collect()}
+    assert stream == batch
+
+    # drop mode keeps exactly the clean rows
+    clean_batch = {r["doc_id"] for r in
+                   decontaminate(docs, evalset, n=n, mode="drop").collect()}
+    clean_rowset = {
+        r["doc_id"]
+        for r in decontaminate_stream(docs, grams, n=n, mode="drop").collect()
+    }
+    assert clean_rowset == clean_batch
