@@ -61,17 +61,23 @@ def main() -> None:
         return time.time() - t0
 
     timings: dict[str, float] = {}
+    minima: dict[str, float] = {}
     for name in HEADLINE:
         run(name)  # warm-up: JIT/codegen/file-listing warm, then steady-state
-        timings[name] = round(
-            statistics.median(run(name) for _ in range(max(args.repeat, 1))), 3
-        )
+        samples = [run(name) for _ in range(max(args.repeat, 1))]
+        timings[name] = round(statistics.median(samples), 3)
+        minima[name] = round(min(samples), 3)
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # per-query min alongside the median: box-load noise inflates a
+        # single sample 1.5-3x, and the min is the better floor estimate
+        # when comparing rounds run under different load
+        "queries_min": minima,
+        "min_total": round(sum(minima.values()), 3),
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
         "repeat": args.repeat,
     }))

@@ -544,6 +544,7 @@ def pack_sequences(
     shard_col: str = "source",
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Greedy sequence packing — assign every document its position in
     the fixed-length training sequences a data loader would emit
@@ -558,15 +559,22 @@ def pack_sequences(
     sum is a total order — one task at any scale. A shard is the packing
     atom (one output file / loader stream): within it the running sum is
     one window over one partition, and shards pack in parallel. Token
-    counts are the BPE-ish regexp proxy (token_count_bpe_ish) — swap the
-    count column for real tokenizer lengths if they're precomputed.
+    counts default to the BPE-ish regexp proxy (token_count_bpe_ish);
+    pass `tokens_col` naming a precomputed REAL-tokenizer length column
+    and the proxy is skipped entirely — the packing math is
+    tokenizer-agnostic.
 
     Output: (id, shard, n_tokens, seq_id, seq_offset); pure window math,
     one shuffle on the shard key, SQL-replayable exactly.
     """
     from pyspark.sql import Window
 
-    counted = token_count_bpe_ish(df, text_col)
+    if tokens_col is not None:
+        counted = df.withColumn(
+            "n_tokens", F.col(tokens_col).cast("long")
+        )
+    else:
+        counted = token_count_bpe_ish(df, text_col)
     w = (
         Window.partitionBy(shard_col)
         .orderBy(id_col)

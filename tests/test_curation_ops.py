@@ -362,3 +362,19 @@ def test_x14_pipeline_is_fully_serializable_as_json_program(
     assert sorted(map(tuple, got.collect())) == \
         sorted(map(tuple, want.collect()))
     assert got.count() > 0
+
+
+def test_pack_sequences_precomputed_tokens_col(spark):
+    """tokens_col names a real-tokenizer length column: the regexp proxy
+    is skipped and the packing math uses it verbatim."""
+    from configurable_etl_python_repo_spark.llm.text import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, "A", "ignored words here", 4), (2, "A", "x", 5)],
+        ["doc_id", "source", "text", "real_len"],
+    )
+    out = {r["doc_id"]: r
+           for r in pack_sequences(df, seq_len=6,
+                                   tokens_col="real_len").collect()}
+    assert out[1]["n_tokens"] == 4            # not the 3 whitespace words
+    assert (out[2]["seq_id"], out[2]["seq_offset"]) == (0, 4)
