@@ -39,10 +39,19 @@ def _shingles(text_col, n: int):
     words = _words(text_col)
     if n == 1:
         return F.array_distinct(words)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(-1)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
-    )
+    # size<n must yield [] — sequence(0, size-n) DESCENDS when size-n<0,
+    # producing [0,-1], and slice(words, 0, n) then throws
+    # INVALID_PARAMETER_VALUE.START, aborting a whole streaming query on
+    # one short row; guard explicitly rather than clamping the bound
+    idx = F.sequence(F.lit(0), F.size(words) - n)
+    return F.when(
+        F.size(words) >= n,
+        F.array_distinct(
+            F.transform(
+                idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def _doc_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:

@@ -31,7 +31,15 @@ class LogStore:
     the ONLY primitive the commit protocol's correctness rests on."""
 
     def put_if_absent(self, name: str, data: bytes) -> bool:
-        """Publish `data` at `name` iff absent; True if this call won."""
+        """Publish `data` at `name` iff absent; True if this call won.
+
+        CONTRACT: callers must make each writer's payload byte-unique
+        (txlog manifests embed a fresh uuid commit dir). Object-store
+        implementations distinguish "my own first attempt committed but
+        the 200 was lost, and the SDK retried" from "another writer won"
+        by reading the object back and comparing bytes — two writers
+        publishing IDENTICAL bytes would BOTH report a win. Deterministic
+        payloads void that detection; do not publish them."""
         raise NotImplementedError
 
     def read(self, name: str) -> bytes | None:
@@ -178,3 +186,138 @@ class S3LogStore(LogStore):
 
     def delete(self, name: str) -> None:
         self._c.delete_object(Bucket=self.bucket, Key=self._key(name))
+
+
+# ---------------------------------------------------------------------------
+# Data-file listing — the vacuum seam
+# ---------------------------------------------------------------------------
+
+
+class DataLister:
+    """Seam for the ONE txlog operation that touches data files rather
+    than the commit log: vacuum's enumerate/age/remove of commit dirs
+    under `{gold_path}/data/`. Manifests name directories as plain
+    strings; a lister must return and accept EXACTLY those strings
+    (`{gold_path}/data/{commit_id}`), whatever storage they denote, so
+    vacuum's set arithmetic against manifest contents stays stringly
+    exact."""
+
+    def list_commit_dirs(self, gold_path: str) -> "list[str]":
+        """Every commit dir currently under `{gold_path}/data/`."""
+        raise NotImplementedError
+
+    def age_s(self, commit_dir: str) -> "float | None":
+        """Seconds since the dir's newest write, or None if unknowable —
+        vacuum treats None as 'may be in-flight' and protects the dir."""
+        raise NotImplementedError
+
+    def remove(self, commit_dir: str) -> None:
+        """Delete the commit dir and everything under it."""
+        raise NotImplementedError
+
+
+class LocalDataLister(DataLister):
+    """POSIX data dirs (the default when gold_path is a local path)."""
+
+    def list_commit_dirs(self, gold_path: str) -> "list[str]":
+        data_root = os.path.join(gold_path, "data")
+        if not os.path.isdir(data_root):
+            return []
+        return sorted(
+            os.path.join(data_root, e) for e in os.listdir(data_root)
+        )
+
+    def age_s(self, commit_dir: str) -> "float | None":
+        import time
+
+        try:
+            return time.time() - os.path.getmtime(commit_dir)
+        except OSError:
+            return None
+
+    def remove(self, commit_dir: str) -> None:
+        import shutil
+
+        shutil.rmtree(commit_dir)
+
+
+class S3DataLister(DataLister):
+    """Commit dirs as S3 key prefixes. Accepts gold paths in URI form
+    (`s3://bucket/tables/study`, `s3a://...`) or bucket-relative
+    (`tables/study`); returned dir strings always reuse the caller's
+    gold_path spelling verbatim so they compare equal to manifest
+    entries. The client is boto3-style (list_objects_v2 with
+    Delimiter/ContinuationToken, delete_object), injectable for tests."""
+
+    _URI = None  # compiled lazily; avoids importing re at module load
+
+    def __init__(self, bucket: str, client=None):
+        if client is None:  # pragma: no cover - no cloud in CI
+            import boto3
+
+            client = boto3.client("s3")
+        self._c = client
+        self.bucket = bucket
+
+    def _key_of(self, path: str) -> str:
+        import re
+
+        m = re.match(r"^[a-z0-9]+://([^/]+)/(.*)$", path)
+        if m:
+            if m.group(1) != self.bucket:
+                raise ValueError(
+                    f"path {path!r} names bucket {m.group(1)!r}, lister is "
+                    f"bound to {self.bucket!r}"
+                )
+            return m.group(2)
+        return path.lstrip("/")
+
+    def _list(self, prefix: str, delimiter: str = ""):
+        token = None
+        while True:
+            kw = dict(Bucket=self.bucket, Prefix=prefix)
+            if delimiter:
+                kw["Delimiter"] = delimiter
+            if token:
+                kw["ContinuationToken"] = token
+            page = self._c.list_objects_v2(**kw)
+            yield page
+            token = page.get("NextContinuationToken")
+            if not token:
+                return
+
+    def list_commit_dirs(self, gold_path: str) -> "list[str]":
+        base = gold_path.rstrip("/")
+        prefix = f"{self._key_of(base)}/data/"
+        commits = set()
+        for page in self._list(prefix, delimiter="/"):
+            for cp in page.get("CommonPrefixes", []):
+                name = cp["Prefix"][len(prefix):].rstrip("/")
+                if name:
+                    commits.add(name)
+        return sorted(f"{base}/data/{c}" for c in commits)
+
+    def age_s(self, commit_dir: str) -> "float | None":
+        import datetime
+
+        prefix = self._key_of(commit_dir).rstrip("/") + "/"
+        newest = None
+        for page in self._list(prefix):
+            for obj in page.get("Contents", []):
+                lm = obj.get("LastModified")
+                if lm is not None and (newest is None or lm > newest):
+                    newest = lm
+        if newest is None:
+            return None
+        now = datetime.datetime.now(datetime.timezone.utc)
+        if newest.tzinfo is None:
+            newest = newest.replace(tzinfo=datetime.timezone.utc)
+        return (now - newest).total_seconds()
+
+    def remove(self, commit_dir: str) -> None:
+        prefix = self._key_of(commit_dir).rstrip("/") + "/"
+        keys = []
+        for page in self._list(prefix):
+            keys.extend(o["Key"] for o in page.get("Contents", []))
+        for k in keys:
+            self._c.delete_object(Bucket=self.bucket, Key=k)

@@ -95,8 +95,18 @@ def _latest_version(gold_path: str, store: LogStore | None = None) -> int:
         # a torn/garbled best-effort hint degrades like a missing one:
         # probe from 0 rather than bricking every read and write
         version = 0
+    if version < 0:
+        version = 0
     while st.exists(_manifest_name(version + 1)):
         version += 1
+    if version > 0 and not st.exists(_manifest_name(version)):
+        # a hint that PARSES but points past every manifest (overwritten
+        # with junk, restored from a different table, ...) must degrade
+        # like a garbled one — otherwise _read_latest json.loads(None)s.
+        # Probing from 0 finds the true newest chain-reachable version.
+        version = 0
+        while st.exists(_manifest_name(version + 1)):
+            version += 1
     return version
 
 
@@ -283,6 +293,7 @@ def vacuum_gold_tx(
     keep_versions: int | None = None,
     retention_s: float = 24 * 3600.0,
     store: LogStore | None = None,
+    lister: "DataLister | None" = None,
 ) -> list[str]:
     """Delete data dirs no retained manifest references. By default every
     manifest <= LATEST is retained, so only debris from crashed commits
@@ -300,22 +311,25 @@ def vacuum_gold_tx(
     older than `retention_s` (default 24h — longer than any sane merge's
     write phase); dirs referenced by an expired manifest are provably not
     in-flight and go regardless of age. Pass retention_s=0 only when no
-    writer can be running."""
-    import shutil
-    import time
+    writer can be running.
 
-    # Data-file cleanup walks the filesystem at gold_path. On a
-    # non-local gold (s3a:// etc.) os.listdir silently finds nothing —
-    # expiring manifests there would permanently orphan their data dirs
-    # (the expired manifest is the only record of what they were), so
-    # refuse up front rather than leak.
-    if not os.path.isdir(gold_path):
-        raise NotImplementedError(
-            f"vacuum_gold_tx lists data dirs on the local filesystem and "
-            f"{gold_path!r} is not a local directory; for object-store "
-            f"gold, route data cleanup through a bucket lister/lifecycle "
-            f"before expiring manifests"
-        )
+    Data-file enumeration/removal goes through `lister` (a
+    sinks.logstore.DataLister). The default LocalDataLister walks the
+    local filesystem; for object-store gold pass
+    `S3DataLister(bucket, client)` — on a non-local gold_path with no
+    lister this raises rather than silently finding nothing to delete
+    (expiring manifests there would permanently orphan their data dirs:
+    the expired manifest is the only record of what they were)."""
+    from .logstore import LocalDataLister
+
+    if lister is None:
+        if not os.path.isdir(gold_path):
+            raise NotImplementedError(
+                f"{gold_path!r} is not a local directory; for object-store "
+                f"gold pass lister=S3DataLister(bucket, client) so data "
+                f"cleanup reaches the bucket before manifests expire"
+            )
+        lister = LocalDataLister()
     st = _store(gold_path, store)
     version, _ = _read_latest(gold_path, st)
     first_kept = 1
@@ -343,21 +357,14 @@ def vacuum_gold_tx(
         if raw is not None:
             for d in json.loads(raw)["partitions"].values():
                 live.add(os.path.dirname(d))
-    data_root = os.path.join(gold_path, "data")
     removed = []
-    now = time.time()
-    if os.path.isdir(data_root):
-        for entry in sorted(os.listdir(data_root)):
-            full = os.path.join(data_root, entry)
-            if full in live:
+    for full in lister.list_commit_dirs(gold_path):
+        if full in live:
+            continue
+        if full not in expired_refs:  # never referenced → maybe in-flight
+            age = lister.age_s(full)
+            if age is None or age < retention_s:
                 continue
-            if full not in expired_refs:  # never referenced → maybe in-flight
-                try:
-                    age = now - os.path.getmtime(full)
-                except OSError:
-                    continue
-                if age < retention_s:
-                    continue
-            shutil.rmtree(full)
-            removed.append(full)
+        lister.remove(full)
+        removed.append(full)
     return removed

@@ -89,13 +89,16 @@ def _transform_replica(name: str, df, rep: int):
                         rotated + rotated.upper()),
         )
     elif name == "embeddings":
-        dim = 64
-        rot = rep % (dim - 1) + 1
+        # dim comes from the data, not a literal: a hardcoded 64 would
+        # silently truncate/malform vectors if the fixture's dimension
+        # ever changed, quietly corrupting the scale measurement
+        dim = F.size("embedding")
+        rot = F.lit(rep) % (dim - F.lit(1)) + F.lit(1)
         df = df.withColumn(
             "embedding",
             F.concat(
-                F.slice("embedding", rot + 1, dim - rot),
-                F.slice("embedding", 1, rot),
+                F.slice("embedding", rot + F.lit(1), dim - rot),
+                F.slice("embedding", F.lit(1), rot),
             ),
         )
     return df

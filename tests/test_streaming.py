@@ -223,7 +223,19 @@ def test_decontaminate_stream_matches_batch(spark, sf_dir, tmp_path):
         decontaminate, decontaminate_stream, eval_gram_set,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # rows with fewer than n words (and one empty) — a single short doc
+    # used to abort the whole streaming query (slice start 0 from the
+    # descending sequence [0,-1]); pin that they flow through as clean
+    docs = docs.unionByName(
+        spark.createDataFrame(
+            [(10_000_001, "too short"), (10_000_002, ""),
+             (10_000_003, "four words right here")],
+            schema="doc_id long, text string",
+        )
+    )
     evalset = docs.where("doc_id % 17 = 0").select("doc_id", "text")
     n = 5  # small n so the sf0.001 fixture has real matches
 

@@ -347,12 +347,16 @@ class _StubS3Client:
 
     def __init__(self):
         self.blobs = {}
+        self.mtimes = {}
 
     def put_object(self, Bucket, Key, Body, IfNoneMatch=None):
+        import datetime
+
         k = (Bucket, Key)
         if IfNoneMatch == "*" and k in self.blobs:
             raise _StubS3Error("PreconditionFailed")
         self.blobs[k] = bytes(Body)
+        self.mtimes[k] = datetime.datetime.now(datetime.timezone.utc)
 
     def get_object(self, Bucket, Key):
         if (Bucket, Key) not in self.blobs:
@@ -366,6 +370,45 @@ class _StubS3Client:
 
     def delete_object(self, Bucket, Key):
         self.blobs.pop((Bucket, Key), None)
+
+    def list_objects_v2(self, Bucket, Prefix, Delimiter=None,
+                        ContinuationToken=None, MaxKeys=2):
+        """Real pagination (MaxKeys=2 by default so tests exercise the
+        ContinuationToken path) and Delimiter common-prefix rollup."""
+        import datetime
+
+        keys = sorted(
+            k for (b, k) in self.blobs if b == Bucket and k.startswith(Prefix)
+        )
+        start = int(ContinuationToken) if ContinuationToken else 0
+        contents, prefixes, taken = [], [], 0
+        i = start
+        while i < len(keys) and taken < MaxKeys:
+            k = keys[i]
+            if Delimiter:
+                rest = k[len(Prefix):]
+                if Delimiter in rest:
+                    cp = Prefix + rest.split(Delimiter)[0] + Delimiter
+                    if not prefixes or prefixes[-1] != cp:
+                        prefixes.append(cp)
+                        taken += 1
+                    i += 1
+                    continue
+            contents.append({
+                "Key": k,
+                "LastModified": self.mtimes.get(
+                    (Bucket, k),
+                    datetime.datetime.now(datetime.timezone.utc),
+                ),
+            })
+            taken += 1
+            i += 1
+        out = {"Contents": contents, "CommonPrefixes": [
+            {"Prefix": p} for p in prefixes
+        ]}
+        if i < len(keys):
+            out["NextContinuationToken"] = str(i)
+        return out
 
 
 def _s3_store():
@@ -499,6 +542,106 @@ def test_vacuum_heals_missing_hint_before_expiry(spark, tmp_path):
     assert tx_merge_upsert(spark, gold, nxt,
                            key_cols=["study_code", "subject"]) == 4
     assert _rows(spark, gold) == {("A", "s1"): "v3"}
+
+
+def test_latest_hint_past_all_manifests_degrades_to_probe(spark, tmp_path):
+    """A hint that PARSES but points past every manifest (junk overwrite,
+    restore from another table) must degrade like a garbled one — probe
+    from 0 — not TypeError on json.loads(None) and brick the table. A
+    negative hint likewise."""
+    gold = str(tmp_path / "gold")
+    df = spark.createDataFrame([Row(study_code="A", subject="s1", val="v0")])
+    tx_merge_upsert(spark, gold, df, key_cols=["study_code", "subject"])
+    for junk in ("99", "-5"):
+        with open(f"{gold}/_txlog/LATEST", "w") as f:
+            f.write(junk)
+        assert _rows(spark, gold) == {("A", "s1"): "v0"}
+    upd = spark.createDataFrame([Row(study_code="A", subject="s1", val="v1")])
+    assert tx_merge_upsert(spark, gold, upd,
+                           key_cols=["study_code", "subject"]) == 2
+    assert _rows(spark, gold) == {("A", "s1"): "v1"}
+
+
+def test_tx_object_store_vacuum_data_dirs_via_lister():
+    """Pure object-store gold: manifests through S3LogStore AND data-dir
+    cleanup through S3DataLister — vacuum never touches the local
+    filesystem. Expired-manifest dirs go regardless of age; a fresh
+    never-referenced dir (a possibly in-flight merge) is protected until
+    retention_s."""
+    from configurable_etl_python_repo_spark.sinks.logstore import S3DataLister
+
+    store, client = _s3_store()
+    gold = "s3a://gold-bucket/tables/study"
+    lister = S3DataLister("gold-bucket", client=client)
+
+    def put_data(commit):
+        for i in range(3):  # several keys/commit → exercises pagination
+            client.put_object(
+                Bucket="gold-bucket",
+                Key=f"tables/study/data/{commit}/study_code=A/part-{i}.parquet",
+                Body=b"x",
+            )
+
+    put_data("c1")
+    put_data("c2")
+    put_data("c3")  # never referenced: crash debris or in-flight merge
+    txlog._publish(gold, 0, {"A": f"{gold}/data/c1/study_code=A"}, store)
+    txlog._publish(gold, 1, {"A": f"{gold}/data/c2/study_code=A"}, store)
+
+    removed = vacuum_gold_tx(gold, keep_versions=1, store=store,
+                             lister=lister)
+    assert removed == [f"{gold}/data/c1"]          # expired v1's dir
+    keys = {k for _, k in client.blobs}
+    assert not any(k.startswith("tables/study/data/c1/") for k in keys)
+    assert any(k.startswith("tables/study/data/c2/") for k in keys)  # live
+    assert any(k.startswith("tables/study/data/c3/") for k in keys)  # fresh
+
+    removed = vacuum_gold_tx(gold, retention_s=0.0, store=store,
+                             lister=lister)       # explicit no-writers
+    assert removed == [f"{gold}/data/c3"]
+    keys = {k for _, k in client.blobs}
+    assert not any(k.startswith("tables/study/data/c3/") for k in keys)
+    assert "tables/study/_txlog/v00000002.json" in keys
+
+
+def test_s3_data_lister_rejects_foreign_bucket():
+    from configurable_etl_python_repo_spark.sinks.logstore import S3DataLister
+
+    _, client = _s3_store()
+    lister = S3DataLister("gold-bucket", client=client)
+    with pytest.raises(ValueError, match="bound to"):
+        lister.list_commit_dirs("s3a://other-bucket/tables/study")
+    # bucket-relative paths are accepted
+    assert lister.list_commit_dirs("tables/study") == []
+
+
+def test_tx_object_store_compaction(spark, tmp_path):
+    """Compaction with manifest I/O through the object store: commits
+    collapse to one data dir, content identical, no _txlog on disk."""
+    from configurable_etl_python_repo_spark.sinks.txlog import compact_gold_tx
+
+    gold = str(tmp_path / "gold")
+    store, client = _s3_store()
+    for step, studies in enumerate([("A", "B"), ("A",)]):
+        df = spark.createDataFrame([
+            Row(study_code=sc, subject=f"s{step}", val=f"v{step}")
+            for sc in studies
+        ])
+        tx_merge_upsert(spark, gold, df, key_cols=["study_code", "subject"],
+                        store=store)
+    before = {
+        (r.study_code, r.subject): r.val
+        for r in read_gold_tx(spark, gold, store=store).collect()
+    }
+    assert compact_gold_tx(spark, gold, store=store) == 3
+    _, manifest = txlog._read_latest(gold, store)
+    assert len({os.path.dirname(d) for d in manifest.values()}) == 1
+    after = {
+        (r.study_code, r.subject): r.val
+        for r in read_gold_tx(spark, gold, store=store).collect()
+    }
+    assert after == before
+    assert not os.path.exists(f"{gold}/_txlog")
 
 
 def test_garbled_latest_hint_degrades_to_probe(spark, tmp_path):
