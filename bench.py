@@ -38,6 +38,7 @@ HEADLINE = [
     "m1_multimodal_features",    # Arrow-batched decode plumbing
     "d8_span_dedup",             # sub-document span dedup (r4)
     "d9_decontaminate",          # eval-set 13-gram decontamination (r4)
+    "d10_substring_dedup",       # shift-robust substring dedup (r5)
 ]
 
 

@@ -1194,28 +1194,33 @@ DRIVER_PRIORITY = [
     "c8_decision_column", "c9_c10_boundary_sentinel", "c11_c12_gold_record",
     "j1_left_join_two_keys", "j2_outer_join_counts", "j3_spine_study",
     "j4_qualified_join", "a1_groupby_summarise", "a4_unique_keep_first",
-    "a5_nest_per_group", "w2_sort_slice_topn", "w3_last_per_group",
+    "w2_sort_slice_topn", "w3_last_per_group",
     "u1_bind_rows",
-    # scalar-function surface (§2.8)
-    "f1_scalar_functions",
     # event-time analytics (§2.9 batch shapes)
-    "e1_hourly_event_rollup", "e2_sessionize_gap30m", "e3_sliding_window_15m",
-    # LLM pipeline: dedup
+    "e1_hourly_event_rollup", "e2_sessionize_gap30m",
+    # LLM pipeline: dedup + decontamination (d8-d10 rotated in for r4/r5)
     "d1_dedup_exact", "d2_ngram_jaccard_pairs", "d3_minhash_lsh_pairs",
-    "d4_simhash32", "d5_embedding_cosine_pairs", "d6_embedding_cosine_srp",
-    "d7_dedup_clusters",
+    "d6_embedding_cosine_srp", "d7_dedup_clusters",
+    "d8_span_dedup", "d9_decontaminate", "d10_substring_dedup",
     # LLM pipeline: similarity search
-    "n1_ann_cosine_topk", "n2_ann_lsh_bucketed", "n3_ann_ivf_topk",
-    "n4_ann_ivf_kmeans",
-    # LLM pipeline: text analysis (t1=stats+quality, t2=both lang IDs,
-    # t3=fingerprint+tokens)
-    "t1_text_stats", "t2_language_id", "t3_fingerprint",
-    "t5_winnowing_fingerprints",
+    "n1_ann_cosine_topk", "n3_ann_ivf_topk", "n4_ann_ivf_kmeans",
+    # LLM pipeline: text analysis + curation (t6-t8 rotated in for r4)
+    "t1_text_stats", "t2_language_id", "t5_winnowing_fingerprints",
+    "t6_pii_scrub", "t7_repetition_stats", "t8_pack_sequences",
     # LLM pipeline: multimodal plumbing
-    "m1_multimodal_features", "m2_image_resize_meta", "m3_frame_sample",
+    "m1_multimodal_features", "m3_frame_sample",
+    # LLM pipeline: mixture + composed end-to-end curation (r4)
+    "x13_domain_mixture", "x14_pretraining_pipeline",
     # engine showcase (COMPUTE COLUMN + broadcast joins + fused LIMIT)
     "tpch_q3_shaped",
 ]
+# Rotated OUT of the window in round 5 to make room for the r4/r5
+# operators above (still hash-checked by the local full sweep): a5 (nest
+# semantics already driver-checked via s1), f1 (scalar composite; f2
+# overlaps), e3 (tumbling+session cover §2.9), d4 (simhash; d1-d3/d7
+# cover dedup), d5 (documented O(N^2) opt-in; d6 is the scale path),
+# n2 (n1/n3/n4 cover ANN), t3 (fingerprint composite; t5 winnowing
+# stays), m2 (m1/m3 cover the Arrow plumbing).
 
 
 def _curate() -> None:

