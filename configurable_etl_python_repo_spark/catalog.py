@@ -1206,7 +1206,7 @@ DRIVER_PRIORITY = [
     "n1_ann_cosine_topk", "n3_ann_ivf_topk", "n4_ann_ivf_kmeans",
     # LLM pipeline: text analysis + curation (t6-t8 rotated in for r4)
     "t1_text_stats", "t2_language_id", "t5_winnowing_fingerprints",
-    "t6_pii_scrub", "t7_repetition_stats", "t8_pack_sequences",
+    "t6_pii_scrub", "t7_repetition_stats", "t9_bpe_pack_sequences",
     # LLM pipeline: multimodal plumbing
     "m1_multimodal_features", "m3_frame_sample",
     # LLM pipeline: mixture + composed end-to-end curation (r4)
@@ -1220,7 +1220,8 @@ DRIVER_PRIORITY = [
 # overlaps), e3 (tumbling+session cover §2.9), d4 (simhash; d1-d3/d7
 # cover dedup), d5 (documented O(N^2) opt-in; d6 is the scale path),
 # n2 (n1/n3/n4 cover ANN), t3 (fingerprint composite; t5 winnowing
-# stays), m2 (m1/m3 cover the Arrow plumbing).
+# stays), m2 (m1/m3 cover the Arrow plumbing), t8 (t9 runs the same
+# packing on REAL merges-table BPE counts — strictly more coverage).
 
 
 def _curate() -> None:

@@ -1667,3 +1667,41 @@ def q_t8(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure window math, one shuffle on the shard key."""
     docs = spark.read.parquet(_pq(sf_dir, "documents"))
     return T.pack_sequences(docs, seq_len=_PACK_SEQ_LEN)
+
+
+def _bpe_pack_oracle() -> str:
+    from .llm.bpe import bpe_count_sql
+
+    return rf"""
+    WITH counted AS (
+      SELECT doc_id, source, {bpe_count_sql("text")} AS n_tokens
+      FROM documents),
+    packed AS (
+      SELECT doc_id, source, n_tokens,
+             coalesce(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               CAST(0 AS BIGINT)) AS bef
+      FROM counted)
+    SELECT doc_id, source, n_tokens,
+           bef // {_PACK_SEQ_LEN} AS seq_id,
+           bef % {_PACK_SEQ_LEN} AS seq_offset
+    FROM packed
+    """
+
+
+@register("t9_bpe_pack_sequences", _bpe_pack_oracle())
+def q_t9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL merges-table BPE token counts (32-rule well-formed fixture,
+    pure-Column nested literal replace — zero shuffles, zero UDFs)
+    feeding pack_sequences through its tokens_col seam: the packing math
+    runs on actual tokenizer lengths, proxy skipped. The Arrow path
+    (token_count_bpe_arrow, broadcast vocab) computes identical counts
+    for production-size merges tables — parity pytest-pinned."""
+    from .llm.bpe import token_count_bpe
+
+    docs = spark.read.parquet(_pq(sf_dir, "documents"))
+    counted = token_count_bpe(docs.select("doc_id", "source", "text"))
+    return T.pack_sequences(
+        counted.drop("text"), seq_len=_PACK_SEQ_LEN, tokens_col="n_tokens"
+    )

@@ -1,0 +1,273 @@
+"""Merges-table-driven BPE token counting.
+
+pack_sequences (llm/text.py) accepts any precomputed token-length column
+via ``tokens_col``; this module supplies REAL byte-pair-encoding counts
+in-engine (the reference pipeline has no analogue — this is
+training-data surface; the cheap proxy token_count_bpe_ish remains the
+fallback when no merges table ships).
+
+Algorithm note that makes the whole design work: for a WELL-FORMED
+merges table — every multi-character side of rule i is the output of
+some rule j < i, single characters are base — applying the rules
+SEQUENTIALLY in rank order, each merging all of its occurrences
+left-to-right, yields exactly the classic priority-queue BPE
+("repeatedly merge the lowest-ranked pair present", Sennrich et al.
+2016; the gpt-2 bpe() loop): at the moment rule r is applied no pair of
+rank < r can exist, because producing one would need a rule that
+creates its symbols to run later than r, contradicting well-formedness.
+``validate_merges`` enforces the property, so the two execution paths
+below are provably identical and a SQL oracle can replay the sequential
+form:
+
+- ``token_count_bpe`` — pure Column: the document becomes a
+  symbol-separated char stream (one regexp_replace), each merge rule is
+  one literal ``F.replace`` (left-to-right, non-overlapping — exactly
+  the sequential pass), and the count is a length difference. Zero
+  shuffles, zero UDFs, whole-stage codegen; each rule costs one linear
+  scan of the stream, so the plan grows O(|merges|) — guarded, intended
+  for fixture/domain vocabularies (tens to a few hundred rules).
+  ``bpe_count_sql`` emits the exactly-mirroring DuckDB expression.
+- ``token_count_bpe_arrow`` — the production path for real vocabularies
+  (a 50k-rule GPT-2-style table would bloat every task's plan as
+  literals): merges ride a Spark BROADCAST variable (shipped once per
+  executor, not per task), counting runs in an Arrow-batched
+  mapInPandas with a per-batch piece memo — corpora are Zipfian, so
+  almost every piece is a cache hit. Parity with the Column path is
+  pytest-pinned on the fixture.
+
+Pre-tokenization is BPE_ISH_PATTERN (word / number / symbol pieces);
+merges never cross piece boundaries, matching real BPE pre-tokenizers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import BPE_ISH_PATTERN
+
+#: every symbol in the char stream is wrapped START..SEP (start marker +
+#: terminator). BOTH are required for literal replace to equal greedy
+#: BPE: a terminator-only scheme lets a rule's pattern match the SUFFIX
+#: of a longer symbol (wrong merge), and a single boundary shared
+#: between adjacent matches would be consumed by the first match (missed
+#: merge); with the wrap, rule (a, b) is the literal replace
+#: START+a+SEP+START+b+SEP -> START+ab+SEP, matches can only align to
+#: symbol starts, and adjacent matches share no characters — semantics
+#: identical in Spark, DuckDB, and Python str.replace.
+_START = "\x1d"
+_SEP = "\x1f"
+#: piece-boundary marker; validate_merges bans it from rule symbols, so
+#: no merge can ever cross a piece boundary
+_BREAK = "\x1e"
+
+#: deterministic fixture: 32 well-formed English-ish merges (char pairs
+#: first, compounds only from earlier outputs) — the "real merges table"
+#: stand-in for tests/oracles; swap in a learned table in production
+BPE_FIXTURE_MERGES: "tuple[tuple[str, str], ...]" = (
+    ("t", "h"), ("i", "n"), ("a", "n"), ("e", "r"), ("o", "n"),
+    ("r", "e"), ("a", "t"), ("e", "n"), ("o", "r"), ("e", "s"),
+    ("s", "t"), ("a", "l"), ("o", "u"), ("a", "r"), ("l", "e"),
+    ("th", "e"), ("in", "g"), ("an", "d"), ("i", "s"), ("i", "t"),
+    ("o", "f"), ("t", "o"), ("e", "d"), ("c", "h"), ("ch", "ar"),
+    ("er", "s"), ("on", "e"), ("re", "s"), ("the", "re"), ("1", "9"),
+    ("2", "0"), ("s", "e"),
+)
+
+#: Column-path guard: above this the nested-replace plan (and the
+#: mirrored SQL) stops being a sane literal payload — use the Arrow path
+MAX_COLUMN_MERGES = 512
+
+
+def validate_merges(
+    merges: "list[tuple[str, str]] | tuple[tuple[str, str], ...]",
+) -> "list[tuple[str, str]]":
+    """Check well-formedness (the property the sequential == priority
+    equivalence rests on) and return the merges as a list."""
+    out: "list[tuple[str, str]]" = []
+    produced: set[str] = set()
+    for i, rule in enumerate(merges):
+        a, b = rule
+        for side in (a, b):
+            if not side:
+                raise ValueError(f"rule {i}: empty symbol")
+            if _SEP in side or _BREAK in side or _START in side:
+                raise ValueError(
+                    f"rule {i}: symbol contains a reserved separator char"
+                )
+            if len(side) > 1 and side not in produced:
+                raise ValueError(
+                    f"rule {i}: symbol {side!r} is not produced by an "
+                    f"earlier rule — merges table is not well-formed "
+                    f"(sequential application would diverge from BPE)"
+                )
+        if a + b in produced:
+            # two rules with the same output string would let a LATER
+            # rule mint new occurrences of an EARLIER rule's pair,
+            # breaking the sequential == priority equivalence
+            raise ValueError(
+                f"rule {i}: output {a + b!r} duplicates an earlier rule's"
+            )
+        produced.add(a + b)
+        out.append((a, b))
+    return out
+
+
+def _char_stream(text_col: Column) -> "tuple[Column, Column]":
+    """(symbol stream, piece count): pieces joined by BREAK, every char
+    wrapped START..SEP. BPE_ISH pieces contain no whitespace, so '(.)'
+    (which skips newlines identically in Java regex and RE2) sees every
+    character."""
+    pieces = F.regexp_extract_all(text_col, F.lit(BPE_ISH_PATTERN), 0)
+    stream = F.regexp_replace(
+        F.array_join(pieces, _BREAK), "(.)", _START + "$1" + _SEP
+    )
+    return stream, F.size(pieces)
+
+
+def token_count_bpe(
+    df: DataFrame,
+    merges: "list[tuple[str, str]] | None" = None,
+    text_col: str = "text",
+    out_col: str = "n_tokens",
+) -> DataFrame:
+    """Exact BPE token count as a pure Column expression (see module
+    docstring). The SEP count equals symbols + piece boundaries, so
+    n_tokens = seps - (pieces - 1); empty text has zero pieces and zero
+    tokens."""
+    rules = validate_merges(merges if merges is not None else BPE_FIXTURE_MERGES)
+    if len(rules) > MAX_COLUMN_MERGES:
+        raise ValueError(
+            f"{len(rules)} merges exceeds MAX_COLUMN_MERGES="
+            f"{MAX_COLUMN_MERGES}: the nested-replace plan would embed "
+            f"every rule as a task-side literal — use token_count_bpe_arrow"
+        )
+    s, n_pieces = _char_stream(F.col(text_col))
+    for a, b in rules:
+        s = F.replace(
+            s,
+            F.lit(_START + a + _SEP + _START + b + _SEP),
+            F.lit(_START + a + b + _SEP),
+        )
+    seps = F.length(s) - F.length(F.replace(s, F.lit(_SEP), F.lit("")))
+    n = F.when(n_pieces == 0, F.lit(0)).otherwise(seps - (n_pieces - 1))
+    return df.withColumn(out_col, n.cast("long"))
+
+
+def _sql_str(s: str) -> str:
+    """DuckDB string literal for text that may contain the control-char
+    separators — quoted runs joined with chr() calls."""
+    parts: list[str] = []
+    run = ""
+    for ch in s:
+        if ch in (_SEP, _BREAK, _START):
+            if run:
+                parts.append("'" + run.replace("'", "''") + "'")
+                run = ""
+            parts.append(f"chr({ord(ch)})")
+        else:
+            run += ch
+    if run:
+        parts.append("'" + run.replace("'", "''") + "'")
+    return " || ".join(parts) if parts else "''"
+
+
+def bpe_count_sql(
+    text_expr: str = "text",
+    merges: "list[tuple[str, str]] | None" = None,
+) -> str:
+    """The DuckDB scalar expression mirroring token_count_bpe exactly
+    (DuckDB replace() is the same literal left-to-right non-overlapping
+    substitution as F.replace)."""
+    rules = validate_merges(merges if merges is not None else BPE_FIXTURE_MERGES)
+    s = (
+        f"regexp_replace(array_to_string(regexp_extract_all({text_expr}, "
+        f"'{BPE_ISH_PATTERN}', 0), chr({ord(_BREAK)})), "
+        f"'(.)', chr({ord(_START)}) || '\\1' || chr({ord(_SEP)}), 'g')"
+    )
+    for a, b in rules:
+        s = (
+            f"replace({s}, {_sql_str(_START + a + _SEP + _START + b + _SEP)}, "
+            f"{_sql_str(_START + a + b + _SEP)})"
+        )
+    np = f"len(regexp_extract_all({text_expr}, '{BPE_ISH_PATTERN}', 0))"
+    seps = f"length({s}) - length(replace({s}, chr({ord(_SEP)}), ''))"
+    return (
+        f"CAST(CASE WHEN {np} = 0 THEN 0 "
+        f"ELSE ({seps}) - ({np} - 1) END AS BIGINT)"
+    )
+
+
+def count_piece(piece: str, ranks: "dict[tuple[str, str], int]") -> int:
+    """Reference Python BPE (the priority-queue form) for one
+    pre-tokenized piece — the Arrow path's kernel, importable for
+    model-checking against the Column path."""
+    syms = list(piece)
+    while len(syms) > 1:
+        best_rank = None
+        a = b = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, a, b = r, syms[i], syms[i + 1]
+        if best_rank is None:
+            break
+        merged: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                merged.append(a + b)
+                i += 2
+            else:
+                merged.append(syms[i])
+                i += 1
+        syms = merged
+    return len(syms)
+
+
+def token_count_bpe_arrow(
+    df: DataFrame,
+    merges: "list[tuple[str, str]] | None" = None,
+    text_col: str = "text",
+    out_col: str = "n_tokens",
+) -> DataFrame:
+    """Exact BPE token count for production-size vocabularies: merges as
+    ONE broadcast variable (per-executor, not per-task/plan), counting
+    in Arrow-batched mapInPandas with a per-batch piece memo (Zipfian
+    corpora make the memo hit rate extreme). Identical output to
+    token_count_bpe — parity is pytest-pinned on the fixture."""
+    import re
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    rules = validate_merges(merges if merges is not None else BPE_FIXTURE_MERGES)
+    ranks = {pair: i for i, pair in enumerate(rules)}
+    bc = df.sparkSession.sparkContext.broadcast(ranks)
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, LongType())]
+    )
+    pattern = BPE_ISH_PATTERN
+
+    def count_batches(batches):
+        rk = bc.value
+        pre = re.compile(pattern)
+        memo: dict[str, int] = {}
+
+        def n_tokens(text):
+            if text is None:  # NULL in, NULL out — matches the Column path
+                return None
+            if not text:
+                return 0
+            total = 0
+            for p in pre.findall(text):
+                c = memo.get(p)
+                if c is None:
+                    c = count_piece(p, rk)
+                    memo[p] = c
+                total += c
+            return total
+
+        for pdf in batches:
+            yield pdf.assign(**{out_col: pdf[text_col].map(n_tokens)})
+
+    return df.mapInPandas(count_batches, schema)

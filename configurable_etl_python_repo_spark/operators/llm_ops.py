@@ -121,6 +121,17 @@ def _lazy_sampling(fn_name: str):
     return call
 
 
+def _lazy_bpe(fn_name: str):
+    def call(df, **kwargs):
+        from ..llm import bpe as B
+
+        if "merges" in kwargs:  # JSON configs carry pairs as lists
+            kwargs["merges"] = [tuple(m) for m in kwargs["merges"]]
+        return getattr(B, fn_name)(df, **kwargs)
+
+    return call
+
+
 def _lazy_multimodal(fn_name: str):
     """multimodal imports pandas at module load — defer until dispatch."""
 
@@ -148,6 +159,14 @@ LLM_OP_COMPILERS = {
     "FINGERPRINT": _unary(_rename_kw(T.fingerprint, {"text_column": "text_col"})),
     "TOKEN COUNT": _unary(
         _rename_kw(T.token_count_bpe_ish, {"text_column": "text_col"})
+    ),
+    "TOKEN COUNT BPE": _unary(
+        _rename_kw(_lazy_bpe("token_count_bpe"),
+                   {"text_column": "text_col", "output_column": "out_col"})
+    ),
+    "TOKEN COUNT BPE ARROW": _unary(
+        _rename_kw(_lazy_bpe("token_count_bpe_arrow"),
+                   {"text_column": "text_col", "output_column": "out_col"})
     ),
     "TOP NGRAMS": _unary(
         _rename_kw(T.top_ngrams, {"text_column": "text_col"})
