@@ -121,6 +121,19 @@ def _lazy_sampling(fn_name: str):
     return call
 
 
+def _lazy_windows(fn_name: str):
+    """Event-time window rollups (streaming/windows.py) as config ops.
+    The transforms take batch OR streaming inputs (unified model), so a
+    program can sessionize a parquet-stream scan declaratively."""
+
+    def call(df, **kwargs):
+        from ..streaming import windows as W
+
+        return getattr(W, fn_name)(df, **kwargs)
+
+    return call
+
+
 def _lazy_bpe(fn_name: str):
     def call(df, **kwargs):
         from ..llm import bpe as B
@@ -203,6 +216,18 @@ LLM_OP_COMPILERS = {
         _rename_kw(T.pack_sequences,
                    {"id_column": "id_col", "text_column": "text_col",
                     "shard_column": "shard_col"})
+    ),
+    "SESSION WINDOW": _unary(
+        _rename_kw(_lazy_windows("session_rollup"),
+                   {"timestamp_column": "ts_col"})
+    ),
+    "TUMBLING WINDOW": _unary(
+        _rename_kw(_lazy_windows("tumbling_rollup"),
+                   {"timestamp_column": "ts_col"})
+    ),
+    "SLIDING WINDOW": _unary(
+        _rename_kw(_lazy_windows("sliding_rollup"),
+                   {"timestamp_column": "ts_col"})
     ),
     "CONNECTED COMPONENTS": _connected_components,
     "DEDUP CLUSTERS": _dedup_clusters,

@@ -111,6 +111,20 @@ class Engine:
             return self.registry.get(key)
         if src == "parquet":
             return self.spark.read.options(**scan.options).parquet(scan.path)
+        if src == "parquet-stream":
+            # streaming source as a first-class config scan: a program
+            # (not just the library) can declare a stream and pipe it
+            # through streaming-legal ops (windows §2.9). readStream
+            # requires a schema up front; the one batch-side listing of
+            # the same path supplies it — no data is read.
+            schema = (
+                self.spark.read.options(**scan.options)
+                .parquet(scan.path).schema
+            )
+            return (
+                self.spark.readStream.options(**scan.options)
+                .schema(schema).parquet(scan.path)
+            )
         if src == "csv":
             opts = {"header": "true", **scan.options}
             return self.spark.read.options(**opts).csv(scan.path)

@@ -54,7 +54,7 @@ class ScanSpec:
     columns that are then projected away)."""
 
     name: str  # binding name ("View" column)
-    source: str  # parquet | csv | json | analyte | bronze | table
+    source: str  # parquet | parquet-stream | csv | json | analyte | bronze | table
     path: str | None = None
     filter: str | None = None
     columns: list[str] | None = None

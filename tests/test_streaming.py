@@ -215,6 +215,43 @@ def test_session_rollup_stream_matches_batch(spark, sf_dir, tmp_path):
     assert stream == batch
 
 
+def test_config_program_sessionizes_a_stream(spark, sf_dir, tmp_path):
+    """Streaming as a PROGRAM surface, not just a library call: a config
+    program declares a parquet-stream scan and a SESSION WINDOW op; the
+    engine lowers it to a streaming plan that runs under availableNow
+    and matches the identical program run over the batch scan."""
+    from configurable_etl_python_repo_spark.plans import (
+        Engine, OpSpec, ScanSpec,
+    )
+
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    src = str(tmp_path / "events_cfg")
+    ev.write.parquet(src)
+
+    def run_program(source_kind):
+        eng = Engine(spark)
+        eng.run_scan(ScanSpec("ev", source_kind, src))
+        eng.run_op(OpSpec("SESSION WINDOW", "sess", ["ev"],
+                          {"gap": "30 minutes",
+                           "timestamp_column": "ts"}))
+        return eng.resolve("sess")
+
+    batch = {tuple(r) for r in run_program("parquet").collect()}
+
+    out = run_program("parquet-stream")
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory").queryName("cfg_sess")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck_cfg"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream = {tuple(r) for r in spark.table("cfg_sess").collect()}
+    assert stream == batch and len(batch) > 0
+
+
 def test_decontaminate_stream_matches_batch(spark, sf_dir, tmp_path):
     """Streaming decontamination (per-row Column math over an eval-gram
     literal) produces exactly the batch operator's answer, running under
