@@ -91,16 +91,18 @@ def _video_codec():
         return None
 
 
-def _decode_payload(payload: bytes, fake: bool) -> list[float]:
+def _decode_payload(payload: bytes, fake: bool, codec=None) -> list[float]:
     """THE codec boundary for feature extraction.
 
     fake=True → deterministic 8-dim feature vector derived from payload
     bytes (so tests and SQL oracles exercise the full Arrow round-trip).
     fake=False → real decode via PIL when installed: 8 dims =
     [n_bytes, width, height, w*h, 4 px of a 2×2 grayscale thumbnail];
-    without a codec, NotImplementedError names the missing library."""
+    without a codec, NotImplementedError names the missing library.
+    `codec` injects a PIL.Image-shaped module (tests drive the strict
+    path without Pillow; None = import-try the real library)."""
     if not fake:
-        Image = _image_codec()
+        Image = codec if codec is not None else _image_codec()
         if Image is None:
             raise NotImplementedError(
                 "media decode requires a codec library not present in this "
@@ -136,6 +138,7 @@ def extract_features(
     payload_col: str = "payload",
     fake_decode: bool = True,
     target_rows_per_batch: int = 256,
+    codec=None,
 ) -> DataFrame:
     """Decode/feature-extract over mapInPandas (Arrow-batched).
 
@@ -158,7 +161,9 @@ def extract_features(
                             lambda b: hashlib.md5(b).hexdigest()
                         ),
                         "features": chunk["payload"].map(
-                            lambda b: _decode_payload(bytes(b), fake_decode)
+                            lambda b: _decode_payload(
+                                bytes(b), fake_decode, codec
+                            )
                         ),
                     }
                 )
@@ -207,6 +212,7 @@ def resize_images(
     max_side: int = 512,
     fake_decode: bool = True,
     target_rows_per_batch: int = 256,
+    codec=None,
 ) -> DataFrame:
     """Image resize plumbing over mapInPandas: downscale so the longer
     side is <= max_side, preserving aspect ratio with INTEGER math (both
@@ -214,7 +220,9 @@ def resize_images(
 
     fake_decode=True derives source dims from the content hash and tags
     the 'resized' payload by hash (the real implementation replaces only
-    the decode/encode calls: PIL.open → thumbnail → tobytes)."""
+    the decode/encode calls: PIL.open → thumbnail → tobytes). `codec`
+    injects a PIL.Image-shaped module for the strict path (None =
+    import-try Pillow)."""
     import hashlib
 
     src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
@@ -226,7 +234,7 @@ def resize_images(
                 rows = []
                 for doc_id, payload in zip(chunk["doc_id"], chunk["payload"]):
                     if not fake_decode:
-                        Image = _image_codec()
+                        Image = codec if codec is not None else _image_codec()
                         if Image is None:
                             raise NotImplementedError(
                                 "image decode requires a codec not in this "
@@ -280,6 +288,7 @@ def sample_frames(
     max_frames: int = 32,
     fake_decode: bool = True,
     target_rows_per_batch: int = 64,
+    codec=None,
 ) -> DataFrame:
     """Video frame sampling over mapInPandas: one OUTPUT ROW PER SAMPLED
     FRAME (the exploding shape a real libav decode emits), frames every
@@ -299,7 +308,7 @@ def sample_frames(
                 rows = []
                 for doc_id, payload in zip(chunk["doc_id"], chunk["payload"]):
                     if not fake_decode:
-                        av = _video_codec()
+                        av = codec if codec is not None else _video_codec()
                         if av is None:
                             raise NotImplementedError(
                                 "frame decode requires a video codec not in "

@@ -463,6 +463,107 @@ def test_multimodal_strict_decode_matches_codec_availability(spark):
         assert out.features[1] == 64.0 and out.features[2] == 32.0
 
 
+def _stub_pil(payloads_are="dims"):
+    """A PIL.Image-shaped module built from closures (cloudpickle ships
+    it by value into the Python workers — a monkeypatch of the module
+    attribute would NOT survive the worker boundary). Payloads are
+    'W|H' byte strings; save() writes 'STUB:WxH' so the strict path's
+    re-encode md5 is predictable."""
+    from types import SimpleNamespace
+
+    def make_img(w, h):
+        img = SimpleNamespace()
+        img.size = (w, h)
+        img.format = "PNG"
+        img.convert = lambda mode: img
+        img.resize = lambda wh: make_img(*wh)
+        img.getdata = lambda: [51] * (img.size[0] * img.size[1])
+        img.save = lambda buf, format=None: buf.write(
+            f"STUB:{img.size[0]}x{img.size[1]}".encode()
+        )
+        return img
+
+    def open_(bio):
+        w, h = bio.read().decode().split("|")
+        return make_img(int(w), int(h))
+
+    return SimpleNamespace(open=open_)
+
+
+def test_strict_resize_wiring_with_injected_codec(spark):
+    """The REAL-decode path (fake_decode=False) runs end-to-end in CI via
+    an injected PIL-shaped codec: source dims come from the decode, the
+    clamp math matches the fake-path contract, and the resized md5 is
+    the re-encoded payload's. This pins the wiring so installing Pillow
+    only swaps the codec, not the code path."""
+    import hashlib
+
+    from configurable_etl_python_repo_spark.llm.multimodal import (
+        resize_images,
+    )
+
+    df = spark.createDataFrame([
+        Row(doc_id=1, payload=b"2048|512"),   # landscape, downscale
+        Row(doc_id=2, payload=b"100|80"),     # under max_side, untouched
+        Row(doc_id=3, payload=b"10000|3"),    # extreme aspect: clamp to >=1
+    ])
+    out = {r.doc_id: r for r in
+           resize_images(df, max_side=512, fake_decode=False,
+                         codec=_stub_pil()).collect()}
+    assert (out[1].src_width, out[1].src_height) == (2048, 512)
+    assert (out[1].out_width, out[1].out_height) == (512, 128)
+    assert out[1].resized_md5 == hashlib.md5(b"STUB:512x128").hexdigest()
+    assert (out[2].out_width, out[2].out_height) == (100, 80)
+    assert (out[3].out_width, out[3].out_height) == (512, 1)  # clamped
+
+    from configurable_etl_python_repo_spark.llm.multimodal import (
+        extract_features,
+    )
+
+    feats = extract_features(
+        spark.createDataFrame([Row(doc_id=7, payload=b"64|32")]),
+        fake_decode=False, codec=_stub_pil(),
+    ).collect()[0]
+    assert feats.features[1] == 64.0 and feats.features[2] == 32.0
+    # 2x2 thumbnail px (float32 storage -> approx)
+    assert feats.features[4:] == pytest.approx([51.0 / 255.0] * 4, abs=1e-6)
+
+
+def test_strict_resize_with_real_pillow(spark):
+    """When Pillow IS importable (optional-PIL environment), the genuine
+    decode runs and the resize metadata obeys the same contract the
+    fake path and the stub-codec test pin. Skips in codec-free CI."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import hashlib
+    import io
+
+    from configurable_etl_python_repo_spark.llm.multimodal import (
+        resize_images,
+    )
+
+    def png(w, h):
+        buf = io.BytesIO()
+        PIL_Image.new("RGB", (w, h), color=(10, 20, 30)).save(
+            buf, format="PNG"
+        )
+        return buf.getvalue()
+
+    df = spark.createDataFrame([
+        Row(doc_id=1, payload=png(1024, 256)),
+        Row(doc_id=2, payload=png(64, 48)),
+    ])
+    out = {r.doc_id: r for r in
+           resize_images(df, max_side=512, fake_decode=False).collect()}
+    assert (out[1].src_width, out[1].src_height) == (1024, 256)
+    assert (out[1].out_width, out[1].out_height) == (512, 128)
+    assert (out[2].out_width, out[2].out_height) == (64, 48)
+    # the md5 tags the actually re-encoded image deterministically
+    img = PIL_Image.open(io.BytesIO(png(1024, 256)))
+    buf = io.BytesIO()
+    img.resize((512, 128)).save(buf, format="PNG")
+    assert out[1].resized_md5 == hashlib.md5(buf.getvalue()).hexdigest()
+
+
 def test_resize_preserves_aspect_and_caps_side(spark):
     from configurable_etl_python_repo_spark.llm.multimodal import resize_images
 
