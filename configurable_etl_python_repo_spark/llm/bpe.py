@@ -8,13 +8,16 @@ fallback when no merges table ships).
 
 Algorithm note that makes the whole design work: for a WELL-FORMED
 merges table — every multi-character side of rule i is the output of
-some rule j < i, single characters are base — applying the rules
-SEQUENTIALLY in rank order, each merging all of its occurrences
-left-to-right, yields exactly the classic priority-queue BPE
-("repeatedly merge the lowest-ranked pair present", Sennrich et al.
-2016; the gpt-2 bpe() loop): at the moment rule r is applied no pair of
-rank < r can exist, because producing one would need a rule that
-creates its symbols to run later than r, contradicting well-formedness.
+some rule j < i, single characters are base, and no two rules produce
+the same output string — applying the rules SEQUENTIALLY in rank order,
+each merging all of its occurrences left-to-right, yields exactly the
+classic priority-queue BPE ("repeatedly merge the lowest-ranked pair
+present", Sennrich et al. 2016; the gpt-2 bpe() loop): at the moment
+rule r is applied no pair of rank < r can exist, because producing one
+would need a rule that creates its symbols to run later than r, which
+well-formedness plus output-distinctness forbids (a duplicate output
+string is exactly the loophole that would let a later rule mint an
+earlier rule's symbol).
 ``validate_merges`` enforces the property, so the two execution paths
 below are provably identical and a SQL oracle can replay the sequential
 form:
