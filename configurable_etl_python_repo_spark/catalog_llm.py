@@ -1690,6 +1690,87 @@ def _bpe_pack_oracle() -> str:
     """
 
 
+#: deterministic URL injection shared VERBATIM by query and oracle (the
+#: sf documents contain no URLs): every 3rd doc gets a blocked domain
+#: (one behind www., exercising the regex-side normalization), every
+#: 4th a clean one
+_URL_INJ = (
+    "text"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' see https://spam.example/page'"
+    " || CAST(doc_id AS STRING)"
+    " || ' and http://www.Bad-Ads.net/x' ELSE '' END"
+    " || CASE WHEN doc_id % 4 = 0 THEN"
+    " ' ref https://docs.example.org/intro' ELSE '' END"
+)
+
+_BLOCKED_DOMAINS = ("spam.example", "www.bad-ads.net", "tracker.test")
+
+
+def _url_blocklist_oracle() -> str:
+    from .llm.scrub import URL_HOST_PATTERN
+
+    blocked = ", ".join(
+        f"'{d.lower().removeprefix('www.')}'" for d in sorted(
+            {d.lower().removeprefix("www.") for d in _BLOCKED_DOMAINS}
+        )
+    )
+    return rf"""
+    WITH inj AS (SELECT doc_id, {_URL_INJ} AS text FROM documents),
+    ex AS (SELECT doc_id, text,
+                  regexp_extract_all(lower(text), '{URL_HOST_PATTERN}', 1)
+                    AS hosts
+           FROM inj),
+    hits AS (SELECT doc_id, text, hosts,
+                    list_intersect(list_distinct(hosts), [{blocked}]) AS hit
+             FROM ex)
+    SELECT doc_id, text,
+           CAST(len(hosts) AS BIGINT) AS n_urls,
+           CAST(len(hit) AS BIGINT) AS n_blocked_domains,
+           len(hit) > 0 AS blocked
+    FROM hits
+    """
+
+
+@register("t11_url_blocklist", _url_blocklist_oracle())
+def q_t11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist curation (the UT1/URL-filter stage): extract URL
+    hosts (www.-stripped inside the one codegen regexp), intersect with
+    the blocklist literal, flag — zero shuffles, scan-stage."""
+    from .llm.scrub import url_blocklist_filter
+
+    docs = spark.read.parquet(_pq(sf_dir, "documents"))
+    inj = docs.select("doc_id", F.expr(_URL_INJ).alias("text"))
+    return url_blocklist_filter(inj, list(_BLOCKED_DOMAINS))
+
+
+_SURPRISAL_ORACLE = (
+    "WITH " + _WORDS_SQL
+    + """,
+    wd AS (SELECT doc_id, unnest(w) AS wrd FROM words),
+    counts AS (SELECT wrd, count(*) AS c FROM wd GROUP BY wrd),
+    tot AS (SELECT sum(c) AS n FROM counts),
+    sup AS (SELECT doc_id,
+                   CAST(round(ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE)), 6)
+                        AS DECIMAL(18,6)) AS s
+            FROM wd JOIN counts USING (wrd) CROSS JOIN tot)
+    SELECT doc_id,
+           count(*) AS n_words,
+           round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS avg_surprisal
+    FROM sup GROUP BY doc_id
+    """
+)
+
+
+@register("t10_unigram_surprisal", _SURPRISAL_ORACLE)
+def q_t10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal per document (the CCNet fluency/quality
+    signal, in-engine): avg -ln p(word) under the corpus's own unigram
+    distribution — per-word surprisal rounded BEFORE an exact decimal
+    sum, so accumulation order can't flip bits vs the oracle."""
+    docs = spark.read.parquet(_pq(sf_dir, "documents"))
+    return T.surprisal_score(docs.select("doc_id", "text"))
+
+
 @register("t9_bpe_pack_sequences", _bpe_pack_oracle())
 def q_t9(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL merges-table BPE token counts (32-rule well-formed fixture,

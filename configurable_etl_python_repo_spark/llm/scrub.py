@@ -31,6 +31,60 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
 )
 
 
+#: extracts the host of every http(s) URL as capture group 1, with a
+#: leading 'www.' stripped by the non-capturing group (keeps the whole
+#: normalization inside ONE codegen regexp — no lambda HOF needed);
+#: Java-regex/RE2 common subset, like PII_PATTERNS
+URL_HOST_PATTERN = r"https?://(?:www\.)?([A-Za-z0-9.-]+)"
+
+
+def url_blocklist_filter(
+    df: DataFrame,
+    blocked_domains: "list[str] | tuple[str, ...]",
+    text_col: str = "text",
+    mode: str = "flag",
+) -> DataFrame:
+    """Domain-blocklist curation (the UT1/URL-filter stage of web-corpus
+    pipelines): extract every http(s) URL host from the text, normalize
+    (lowercase, strip a leading 'www.'), and test membership in
+    `blocked_domains` (exact-domain matching, normalized the same way —
+    subdomain suffix matching would need a per-element lambda; stated
+    limitation).
+
+    mode='flag' annotates every row with `n_urls` (total URL count),
+    `n_blocked_domains` (DISTINCT blocked hosts present), and `blocked`;
+    mode='drop' keeps only clean rows, un-annotated.
+
+    Pure scan-stage Column work: regexp_extract_all + array_distinct +
+    array_intersect against a literal array — zero shuffles, codegen,
+    and the blocklist rides the plan as a literal (fine for real
+    blocklists of 10^4-10^5 domains; beyond that, broadcast-join a
+    blocklist table instead)."""
+    if mode not in ("flag", "drop"):
+        raise ValueError(f"mode must be 'flag' or 'drop', got {mode!r}")
+    norm_blocked = sorted(
+        {d.lower().removeprefix("www.") for d in blocked_domains}
+    )
+    hosts = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(URL_HOST_PATTERN), 1
+    )
+    hit = F.array_intersect(
+        F.array_distinct(hosts), F.lit(norm_blocked).cast("array<string>")
+    )
+    out = df.withColumns(
+        {
+            "n_urls": F.size(hosts).cast("long"),
+            "n_blocked_domains": F.size(hit).cast("long"),
+            "blocked": F.size(hit) > 0,
+        }
+    )
+    if mode == "drop":
+        return out.where(~F.col("blocked")).drop(
+            "n_urls", "n_blocked_domains", "blocked"
+        )
+    return out
+
+
 def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Add per-category match counts (`pii_email`, `pii_ssn`, `pii_ipv4`,
     `pii_phone`, long), their sum `pii_total`, and the redacted text as

@@ -591,6 +591,90 @@ def pack_sequences(
     )
 
 
+def surprisal_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lm_df: "DataFrame | None" = None,
+    lm_text_col: str | None = None,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Unigram language-model surprisal per document — the CCNet-style
+    quality/fluency signal (Wenzek et al. 2020 score with a KenLM;
+    unigram here, in-engine, no model artifact): documents full of rare
+    or garbage tokens score HIGH, fluent common-word text scores LOW.
+    Per doc: avg over word occurrences of -ln p(w), where p comes from
+    the reference corpus `lm_df` (default: the scored corpus itself).
+
+    Determinism across engines (the oracle convention): each word's
+    surprisal ln(N/c) is rounded to 6 decimals FIRST, the per-doc sum
+    runs in DECIMAL (exact, order-independent), and only the final
+    average casts back to double — accumulation order can't flip bits.
+
+    Scoring against a separate reference corpus uses Laplace smoothing:
+    p(w) = (c(w) + alpha) / (N + alpha * (V + 1)), so out-of-vocabulary
+    words get the finite maximal surprisal instead of infinity. With
+    lm_df=None (self-scoring) every scored word was counted, alpha is
+    irrelevant, and the un-smoothed MLE keeps the oracle SQL simple.
+
+    Plan: one explode + word-count shuffle for the LM, the corpus total
+    as a broadcast crossJoin scalar (the c6 ATTACH SUMEQ shape), then
+    one equi-join words->counts (AQE splits the hot stopword keys) and
+    a per-doc aggregation. Docs with zero words are absent from the
+    output (nothing to average), documented.
+
+    Output: (id, n_words, avg_surprisal) — avg_surprisal in nats,
+    rounded to 6 decimals.
+    """
+    src_lm = lm_df if lm_df is not None else df
+    lm_text = lm_text_col if lm_text_col is not None else text_col
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_words(F.col(text_col))).alias("w"),
+    )
+    counts = (
+        src_lm.select(F.explode(_words(F.col(lm_text))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    if lm_df is None:
+        total = counts.agg(F.sum("__c").alias("__n"))
+        joined = words.join(counts, on="w").crossJoin(F.broadcast(total))
+        sup = F.log(F.col("__n").cast("double") / F.col("__c").cast("double"))
+    else:
+        vocab = counts.agg(
+            F.sum("__c").alias("__n"), F.count(F.lit(1)).alias("__v")
+        )
+        joined = (
+            words.join(counts, on="w", how="left")
+            .crossJoin(F.broadcast(vocab))
+        )
+        denom = F.col("__n").cast("double") + F.lit(alpha) * (
+            F.col("__v").cast("double") + 1.0
+        )
+        num = F.coalesce(F.col("__c"), F.lit(0)).cast("double") + F.lit(alpha)
+        sup = F.log(denom / num)
+    scored = joined.withColumn(
+        "__s", F.round(sup, 6).cast("decimal(18,6)")
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("__s").alias("__sum"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_words",
+            # exact decimal sum -> ONE double division (IEEE-identical
+            # in both engines), then round: no decimal-scale divergence
+            F.round(
+                F.col("__sum").cast("double") / F.col("n_words"), 6
+            ).alias("avg_surprisal"),
+        )
+    )
+
+
 def token_count_bpe_ish(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Approximate LLM token count: BPE-ish pre-tokenization (word / number /
     symbol pieces) — the standard cheap proxy when the real tokenizer isn't

@@ -134,6 +134,20 @@ def _lazy_windows(fn_name: str):
     return call
 
 
+def _surprisal(engine: "Engine", spec: OpSpec):
+    """SURPRISAL SCORE: unary scores a corpus against its own unigram
+    LM; a second input names the reference corpus (Laplace-smoothed)."""
+    df, _ = engine.peek(spec.inputs[0])
+    kwargs = dict(spec.args)
+    for cfg, py in (("id_column", "id_col"), ("text_column", "text_col"),
+                    ("lm_text_column", "lm_text_col")):
+        if cfg in kwargs:
+            kwargs[py] = kwargs.pop(cfg)
+    if len(spec.inputs) > 1:
+        kwargs["lm_df"], _ = engine.peek(spec.inputs[1])
+    return T.surprisal_score(df, **kwargs), None
+
+
 def _lazy_bpe(fn_name: str):
     def call(df, **kwargs):
         from ..llm import bpe as B
@@ -206,6 +220,10 @@ LLM_OP_COMPILERS = {
     "PII SCRUB": _unary(
         _rename_kw(SC.pii_scrub, {"text_column": "text_col"})
     ),
+    "URL BLOCKLIST": _unary(
+        _rename_kw(SC.url_blocklist_filter, {"text_column": "text_col"})
+    ),
+    "SURPRISAL SCORE": _surprisal,
     "REPETITION STATS": _unary(
         _rename_kw(T.repetition_stats,
                    {"id_column": "id_col", "text_column": "text_col"})

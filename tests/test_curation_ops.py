@@ -175,6 +175,103 @@ def test_dedup_substrings_as_config_op(spark):
     assert [r["doc_id"] for r in rows] == [1]  # exact dup vanished
 
 
+def test_surprisal_score_hand_computed(spark):
+    """Self-scored unigram surprisal: counts a=3, b=1 -> N=4; doc 1 =
+    'a a a' scores ln(4/3), doc 2 = 'b' scores ln(4/1) (rounded to 6
+    decimals per word before the exact decimal sum)."""
+    import math
+
+    from configurable_etl_python_repo_spark.llm.text import surprisal_score
+
+    df = spark.createDataFrame(
+        [(1, "a a a"), (2, "b"), (3, "   ")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in surprisal_score(df).collect()}
+    assert set(out) == {1, 2}  # wordless doc absent, documented
+    assert out[1]["n_words"] == 3
+    assert out[1]["avg_surprisal"] == round(round(math.log(4 / 3), 6), 6)
+    assert out[2]["avg_surprisal"] == round(math.log(4.0), 6)
+    # rare-word docs score strictly higher than common-word docs
+    assert out[2]["avg_surprisal"] > out[1]["avg_surprisal"]
+
+
+def test_surprisal_score_reference_corpus_smoothed(spark):
+    """Scoring against a SEPARATE reference LM: OOV words get the finite
+    Laplace-maximal surprisal, in-vocab common words score low."""
+    import math
+
+    from configurable_etl_python_repo_spark.llm.text import surprisal_score
+
+    lm = spark.createDataFrame(
+        [(1, "the the the cat")], ["doc_id", "text"]
+    )  # counts: the=3, cat=1; N=4, V=2
+    score = spark.createDataFrame(
+        [(10, "the"), (11, "zzzz")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r["avg_surprisal"]
+        for r in surprisal_score(score, lm_df=lm, alpha=1.0).collect()
+    }
+    denom = 4 + 1.0 * (2 + 1)
+    assert out[10] == round(math.log(denom / (3 + 1.0)), 6)
+    assert out[11] == round(math.log(denom / (0 + 1.0)), 6)  # OOV max
+    assert out[11] > out[10]
+
+
+def test_surprisal_as_config_op_two_inputs(spark):
+    eng = Engine(spark)
+    eng.bind("lm", spark.createDataFrame([(1, "x x y")], ["doc_id", "text"]))
+    eng.bind("docs", spark.createDataFrame([(5, "x q")], ["doc_id", "text"]))
+    out = eng.run_op(OpSpec("SURPRISAL SCORE", "s", ["docs", "lm"],
+                            {"id_column": "doc_id"}))
+    (row,) = out.collect()
+    assert row["n_words"] == 2 and row["avg_surprisal"] > 0
+
+
+def test_url_blocklist_flag_and_drop(spark):
+    from configurable_etl_python_repo_spark.llm.scrub import (
+        url_blocklist_filter,
+    )
+
+    df = spark.createDataFrame([
+        (1, "see https://spam.example/a and https://ok.org/b"),
+        (2, "visit http://www.SPAM.example/page twice http://spam.example/z"),
+        (3, "clean text, no urls"),
+        (4, "https://docs.example.org only"),
+    ], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           url_blocklist_filter(df, ["spam.example"]).collect()}
+    assert (out[1]["n_urls"], out[1]["n_blocked_domains"],
+            out[1]["blocked"]) == (2, 1, True)
+    # www. + case normalization collapse to ONE distinct blocked domain
+    assert (out[2]["n_urls"], out[2]["n_blocked_domains"],
+            out[2]["blocked"]) == (2, 1, True)
+    assert out[3]["blocked"] is False and out[3]["n_urls"] == 0
+    assert out[4]["blocked"] is False and out[4]["n_urls"] == 1
+
+    kept = {r["doc_id"] for r in
+            url_blocklist_filter(df, ["spam.example"], mode="drop").collect()}
+    assert kept == {3, 4}
+    # blocklist entries are normalized like extracted hosts
+    kept2 = {r["doc_id"] for r in url_blocklist_filter(
+        df, ["WWW.Spam.Example"], mode="drop").collect()}
+    assert kept2 == {3, 4}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="mode"):
+        url_blocklist_filter(df, ["x.com"], mode="bogus")
+
+
+def test_url_blocklist_as_config_op(spark):
+    eng = Engine(spark)
+    eng.bind("docs", spark.createDataFrame(
+        [(1, "https://bad.net/x"), (2, "nope")], ["doc_id", "text"]))
+    out = eng.run_op(OpSpec(
+        "URL BLOCKLIST", "u", ["docs"],
+        {"blocked_domains": ["bad.net"], "mode": "drop"},
+    ))
+    assert [r["doc_id"] for r in out.collect()] == [2]
+
+
 def _mixture_model(rows, weights, seed="mix"):
     """Pure-Python replica of mixture_sample's integer math."""
     from collections import Counter
