@@ -1331,40 +1331,53 @@ _SUBSTR_CORPUS_SQL = """
 """
 
 
-def _substr_dedup_oracle() -> str:
-    k = _SPAN_K
+def _substr_dedup_ctes(src: str, k: int = _SPAN_K) -> str:
+    """CTE chain for every-position k-gram substring dedup over relation
+    `src`(doc_id, text); final CTE `ddout`(doc_id, text_deduped,
+    n_words, n_words_kept). Shared by d10 and the composed x15."""
     lead_cols = ", ".join(
-        f"lead(wrd, {j}) OVER win" for j in range(1, k)
+        f"lead(wrd, {j}) OVER dwin" for j in range(1, k)
     )
-    return (
-        "WITH " + _SUBSTR_CORPUS_SQL + ", " + _words_sql("corpus")
-        + f""",
-    wd AS (SELECT doc_id, unnest(w) AS wrd,
-                  generate_subscripts(w, 1) AS pos
-           FROM words),
-    gr AS (SELECT doc_id, pos, wrd,
-                  CASE WHEN lead(wrd, {k - 1}) OVER win IS NOT NULL
-                       THEN concat_ws(' ', wrd, {lead_cols})
-                  END AS gram
-           FROM wd WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
-    fl AS (SELECT doc_id, pos, wrd,
-                  gram IS NOT NULL AND row_number() OVER
-                    (PARTITION BY gram ORDER BY doc_id, pos) > 1 AS dup
-           FROM gr),
-    cov AS (SELECT doc_id, pos, wrd,
-                   max(CASE WHEN dup THEN 1 ELSE 0 END) OVER
-                     (PARTITION BY doc_id ORDER BY pos
-                      ROWS BETWEEN {k - 1} PRECEDING AND CURRENT ROW)
-                     AS covered
-            FROM fl),
-    nw AS (SELECT doc_id, count(*) AS n_words FROM wd GROUP BY doc_id),
-    outq AS (SELECT doc_id,
-                    string_agg(wrd, ' ' ORDER BY pos) AS text_deduped,
-                    count(*) AS n_words_kept
-             FROM cov WHERE covered = 0 GROUP BY doc_id)
-    SELECT o.doc_id, o.text_deduped, nw.n_words, o.n_words_kept
-    FROM outq o JOIN nw USING (doc_id)
+    return f"""
+    dwords AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x != '') AS w
+      FROM {src}),
+    dwd AS (SELECT doc_id, unnest(w) AS wrd,
+                   generate_subscripts(w, 1) AS pos
+            FROM dwords),
+    dgr AS (SELECT doc_id, pos, wrd,
+                   CASE WHEN lead(wrd, {k - 1}) OVER dwin IS NOT NULL
+                        THEN concat_ws(' ', wrd, {lead_cols})
+                   END AS gram
+            FROM dwd WINDOW dwin AS (PARTITION BY doc_id ORDER BY pos)),
+    dfl AS (SELECT doc_id, pos, wrd,
+                   gram IS NOT NULL AND row_number() OVER
+                     (PARTITION BY gram ORDER BY doc_id, pos) > 1 AS dup
+            FROM dgr),
+    dcov AS (SELECT doc_id, pos, wrd,
+                    max(CASE WHEN dup THEN 1 ELSE 0 END) OVER
+                      (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN {k - 1} PRECEDING AND CURRENT ROW)
+                      AS covered
+             FROM dfl),
+    dnw AS (SELECT doc_id, count(*) AS n_words FROM dwd GROUP BY doc_id),
+    ddout AS (
+      SELECT o.doc_id, o.text_deduped, dnw.n_words, o.n_words_kept
+      FROM (SELECT doc_id,
+                   string_agg(wrd, ' ' ORDER BY pos) AS text_deduped,
+                   count(*) AS n_words_kept
+            FROM dcov WHERE covered = 0 GROUP BY doc_id) o
+      JOIN dnw USING (doc_id))
     """
+
+
+def _substr_dedup_oracle() -> str:
+    return (
+        "WITH " + _SUBSTR_CORPUS_SQL + ", "
+        + _substr_dedup_ctes("corpus").strip()
+        + "\n    SELECT doc_id, text_deduped, n_words, n_words_kept FROM ddout"
     )
 
 
@@ -1743,21 +1756,35 @@ def q_t11(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_blocklist_filter(inj, list(_BLOCKED_DOMAINS))
 
 
-_SURPRISAL_ORACLE = (
-    "WITH " + _WORDS_SQL
-    + """,
-    wd AS (SELECT doc_id, unnest(w) AS wrd FROM words),
-    counts AS (SELECT wrd, count(*) AS c FROM wd GROUP BY wrd),
-    tot AS (SELECT sum(c) AS n FROM counts),
-    sup AS (SELECT doc_id,
-                   CAST(round(ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE)), 6)
-                        AS DECIMAL(18,6)) AS s
-            FROM wd JOIN counts USING (wrd) CROSS JOIN tot)
-    SELECT doc_id,
-           count(*) AS n_words,
-           round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS avg_surprisal
-    FROM sup GROUP BY doc_id
+def _surprisal_ctes(src: str) -> str:
+    """CTE chain computing self-corpus unigram surprisal over relation
+    `src`(doc_id, text); final CTE `sscore`(doc_id, n_words,
+    avg_surprisal). Shared by t10 and the composed x15 so the pipeline
+    oracle can never drift from the standalone one."""
+    return rf"""
+    swords AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x != '') AS w
+      FROM {src}),
+    swd AS (SELECT doc_id, unnest(w) AS wrd FROM swords),
+    scnt AS (SELECT wrd, count(*) AS c FROM swd GROUP BY wrd),
+    stot AS (SELECT sum(c) AS n FROM scnt),
+    ssup AS (SELECT doc_id,
+                    CAST(round(ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE)), 6)
+                         AS DECIMAL(18,6)) AS s
+             FROM swd JOIN scnt USING (wrd) CROSS JOIN stot),
+    sscore AS (
+      SELECT doc_id,
+             count(*) AS n_words,
+             round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS avg_surprisal
+      FROM ssup GROUP BY doc_id)
     """
+
+
+_SURPRISAL_ORACLE = (
+    "WITH " + _surprisal_ctes("documents").strip()
+    + "\n    SELECT doc_id, n_words, avg_surprisal FROM sscore"
 )
 
 
@@ -1786,3 +1813,120 @@ def q_t9(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.pack_sequences(
         counted.drop("text"), seq_len=_PACK_SEQ_LEN, tokens_col="n_tokens"
     )
+
+
+#: surprisal gate for x15 — ~p50 of the fixture distribution (3.38-3.70),
+#: so the gate does real work without emptying the corpus
+_X15_SUP_MAX = 3.41
+_X15_SEQ_LEN = 512
+
+
+def _web_pipeline_oracle() -> str:
+    """x15 = the web-corpus curation chain as one SQL pipeline: URL
+    inject -> domain-blocklist drop -> unigram-surprisal gate (LM fit on
+    the blocklist survivors) -> every-position substring dedup -> real
+    BPE token counts -> greedy sequence packing per source shard. Every
+    stage's CTEs are the SAME generators the standalone t11/t10/d10/t9
+    oracles use, so this composition can never drift from them."""
+    from .llm.bpe import bpe_count_sql
+    from .llm.scrub import URL_HOST_PATTERN
+
+    blocked = ", ".join(
+        f"'{d.lower().removeprefix('www.')}'" for d in sorted(
+            {d.lower().removeprefix("www.") for d in _BLOCKED_DOMAINS}
+        )
+    )
+    return rf"""
+    WITH inj AS (SELECT doc_id, source, {_URL_INJ} AS text FROM documents),
+    urlkept AS (
+      SELECT doc_id, source, text FROM inj
+      WHERE len(list_intersect(
+              list_distinct(regexp_extract_all(lower(text),
+                                               '{URL_HOST_PATTERN}', 1)),
+              [{blocked}])) = 0),
+    {_surprisal_ctes("urlkept").strip()},
+    gated AS (
+      SELECT u.doc_id, u.source, u.text
+      FROM urlkept u JOIN sscore s USING (doc_id)
+      WHERE s.avg_surprisal <= {_X15_SUP_MAX}),
+    {_substr_dedup_ctes("gated").strip()},
+    tok AS (
+      SELECT d.doc_id, g.source,
+             {bpe_count_sql("d.text_deduped")} AS n_tokens
+      FROM ddout d JOIN gated g USING (doc_id)),
+    packed AS (
+      SELECT doc_id, source, n_tokens,
+             coalesce(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               CAST(0 AS BIGINT)) AS bef
+      FROM tok)
+    SELECT doc_id, source, n_tokens,
+           bef // {_X15_SEQ_LEN} AS seq_id,
+           bef % {_X15_SEQ_LEN} AS seq_offset
+    FROM packed
+    """
+
+
+@register("x15_web_curation_pipeline", _web_pipeline_oracle())
+def q_x15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The web-corpus curation chain composed entirely from registered
+    config op types: URL blocklist (drop) -> unigram-surprisal fluency
+    gate -> shift-robust substring dedup -> real merges-table BPE token
+    counts -> greedy packing per source shard. The round-5 counterpart
+    of x14 (which covers scrub/quality/decontaminate/mixture): together
+    they span the full operator surface a 100 TB pre-training data run
+    chains. The blocklist survivors feed the surprisal LM twice (words +
+    counts) plus the gate join, and the gate output feeds dedup + the
+    source re-join — lazy localCheckpoints at both boundaries keep each
+    stage materializing once (the x14 lesson)."""
+    from .plans import Engine, OpSpec, ScanSpec
+
+    eng = Engine(spark)
+    eng.run_scan(ScanSpec("docs_raw", "parquet", _pq(sf_dir, "documents")))
+    eng.bind("docs", eng.peek("docs_raw")[0].select(
+        "doc_id", "source", F.expr(_URL_INJ).alias("text")
+    ))
+    run = eng.run_op
+    eng.bind("urlkept", run(OpSpec(
+        "URL BLOCKLIST", "urlkept", ["docs"],
+        {"blocked_domains": list(_BLOCKED_DOMAINS), "mode": "drop"},
+    )).localCheckpoint(eager=False))
+    eng.bind("sup", run(OpSpec(
+        "SURPRISAL SCORE", "sup", ["urlkept"], {"id_column": "doc_id"},
+    )))
+    eng.bind("sup2", run(OpSpec(
+        "REMOVE COLUMN", "sup2", ["sup"], {"columns": ["n_words"]},
+    )))
+    eng.bind("joined", run(OpSpec(
+        "INNER JOIN", "joined", ["urlkept", "sup2"], {"on": ["doc_id"]},
+    )))
+    eng.bind("gated", run(OpSpec(
+        "FILTER", "gated", ["joined"],
+        {"condition": f"avg_surprisal <= NUMBER({_X15_SUP_MAX})"},
+    )).localCheckpoint(eager=False))
+    eng.bind("dd", run(OpSpec(
+        "DEDUP SUBSTRINGS", "dd", ["gated"],
+        {"id_column": "doc_id", "k": _SPAN_K},
+    )))
+    eng.bind("dd2", run(OpSpec(
+        "REMOVE COLUMN", "dd2", ["dd"], {"columns": ["n_words"]},
+    )))
+    eng.bind("src_map", eng.peek("gated")[0].select("doc_id", "source"))
+    eng.bind("withsrc", run(OpSpec(
+        "INNER JOIN", "withsrc", ["dd2", "src_map"], {"on": ["doc_id"]},
+    )))
+    eng.bind("tok", run(OpSpec(
+        "TOKEN COUNT BPE", "tok", ["withsrc"],
+        {"text_column": "text_deduped"},
+    )))
+    eng.bind("packed", run(OpSpec(
+        "PACK SEQUENCES", "packed", ["tok"],
+        {"seq_len": _X15_SEQ_LEN, "shard_column": "source",
+         "tokens_col": "n_tokens"},
+    )))
+    return run(OpSpec(
+        "SELECT COLUMNS", "out", ["packed"],
+        {"columns": ["doc_id", "source", "n_tokens", "seq_id",
+                     "seq_offset"]},
+    ))
