@@ -675,6 +675,112 @@ def surprisal_score(
     )
 
 
+def surprisal_lm_table(
+    lm_df: DataFrame,
+    text_col: str = "text",
+    alpha: float = 1.0,
+    max_vocab: int = 1_000_000,
+) -> "tuple[list[str], list[int], int]":
+    """Driver-side unigram LM for the streaming scorer: (vocab words,
+    per-word surprisal in integer MICRO-NATS, OOV surprisal). The
+    surprisals are computed IN SPARK with the exact expressions the
+    batch scorer uses (round(log(...), 6)), so stream == batch holds
+    bit-for-bit — precomputing with Python's math.log could differ by
+    an ulp and flip the 6th decimal. Bounded by max_vocab (the
+    eval_gram_set budget); compute once per LM release, reuse across
+    streams."""
+    counts = (
+        lm_df.select(F.explode(_words(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    vocab = counts.agg(
+        F.coalesce(F.sum("__c"), F.lit(0)).alias("__n"),  # empty LM -> 0
+        F.count(F.lit(1)).alias("__v"),
+    )
+    denom = F.col("__n").cast("double") + F.lit(alpha) * (
+        F.col("__v").cast("double") + 1.0
+    )
+    # re-round after the 1e6 scale-up: the 6dp double is not exactly
+    # binary-representable, so *1e6 can sit an ulp BELOW the integer and
+    # a bare long cast would truncate it off by one
+    s6 = F.round(
+        F.round(F.log(denom / (F.col("__c").cast("double") + F.lit(alpha))), 6)
+        * 1_000_000,
+        0,
+    ).cast("long")
+    rows = (
+        counts.crossJoin(F.broadcast(vocab))
+        .select("w", s6.alias("s6"))
+        .collect()
+    )
+    if len(rows) > max_vocab:
+        raise ValueError(
+            f"LM vocabulary {len(rows)} exceeds max_vocab={max_vocab}; "
+            f"a literal that large would bloat every task — shrink the "
+            f"LM corpus or run batch surprisal_score()"
+        )
+    (oov_row,) = (
+        vocab.select(
+            F.round(
+                F.round(F.log(denom / F.lit(alpha)), 6) * 1_000_000, 0
+            ).cast("long").alias("s6")
+        ).collect()
+    )
+    rows.sort(key=lambda r: r["w"])
+    return (
+        [r["w"] for r in rows],
+        [r["s6"] for r in rows],
+        oov_row["s6"],
+    )
+
+
+def surprisal_score_stream(
+    df: DataFrame,
+    lm: "tuple[list[str], list[int], int]",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming-legal surprisal: the batch operator's corpus-wide count
+    shuffle and per-doc aggregation are illegal under readStream append
+    mode, so this variant is PURE per-row Column math — the LM rides the
+    plan as a constant-folded map literal (map_from_arrays of two array
+    literals), each word looks up its micro-nat surprisal (OOV → the
+    Laplace-maximal value), and the per-doc sum is an exact integer fold.
+    Same (n_words, avg_surprisal) as surprisal_score(lm_df=...) with the
+    same alpha — parity pytest-pinned stream-vs-batch. Wordless docs
+    keep their row with NULL avg_surprisal (a stream must not drop rows
+    silently); the batch scorer omits them, stated there.
+
+    Trade-offs, stated plainly: the lambda HOFs run interpreted (fine at
+    stream arrival rates, NOT the batch path) and the vocab is bounded
+    by surprisal_lm_table's max_vocab."""
+    words_v, s6_v, oov_s6 = lm
+    words = _words(F.col(text_col))
+    if words_v:
+        m = F.map_from_arrays(
+            F.lit(words_v),
+            F.lit(s6_v).cast("array<long>"),
+        )
+        sup = F.transform(
+            words, lambda w: F.coalesce(
+                F.element_at(m, w), F.lit(oov_s6).cast("long")
+            )
+        )
+    else:  # empty LM: everything is OOV
+        sup = F.transform(words, lambda w: F.lit(oov_s6).cast("long"))
+    total = F.aggregate(
+        sup, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    n = F.size(words).cast("long")
+    return df.withColumn("n_words", n).withColumn(
+        "avg_surprisal",
+        F.when(
+            n > 0,
+            F.round(total.cast("double") / 1_000_000.0 / n, 6),
+        ),
+    )
+
+
 def token_count_bpe_ish(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Approximate LLM token count: BPE-ish pre-tokenization (word / number /
     symbol pieces) — the standard cheap proxy when the real tokenizer isn't

@@ -139,6 +139,43 @@ def test_span_dedup_keep_first_is_partial_aggregate(spark, sf_dir):
     assert "partial_min" in plan
 
 
+def test_url_blocklist_pure_scan_stage(spark, sf_dir):
+    """t11 is one codegen regexp + array_intersect against a literal: no
+    Python, no interpreted lambdas, no exchange — scan-stage like t6."""
+    plan = _plan(spark, sf_dir, "t11_url_blocklist")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "lambdafunction" not in plan.lower()
+    assert "Exchange" not in plan
+
+
+def test_substring_dedup_keep_first_is_partial_aggregate(spark, sf_dir):
+    """d10's canonical-occurrence aggregate is min(struct) with map-side
+    partial combine (the d8 skew shape); the dup flag comes from an
+    equi-JOIN on the gram, never a window over the gram key (which would
+    sort every copy of a hot boilerplate gram on one reducer)."""
+    plan = _plan(spark, sf_dir, "d10_substring_dedup")
+    assert "partial_min" in plan
+
+
+def test_surprisal_total_is_broadcast_scalar(spark, sf_dir):
+    """t10: the corpus word total rides a broadcast (the c6 scalar
+    crossJoin shape) and the LM counts aggregate partially map-side; no
+    Python evaluation anywhere."""
+    plan = _plan(spark, sf_dir, "t10_unigram_surprisal")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastExchange" in plan
+    assert "partial_count" in plan
+
+
+def test_bpe_pack_is_pure_column_no_python(spark, sf_dir):
+    """t9: the nested-replace BPE count plus the packing window stay
+    entirely JVM-side — the Arrow path exists for big vocabs but must
+    not be on this plan."""
+    plan = _plan(spark, sf_dir, "t9_bpe_pack_sequences")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+
+
 @pytest.mark.parametrize("name", ["d1_dedup_exact", "t3_fingerprint"])
 def test_single_pass_text_ops(spark, sf_dir, name):
     """Text ops are scan → project/aggregate: at most one exchange, no

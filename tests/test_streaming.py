@@ -252,6 +252,59 @@ def test_config_program_sessionizes_a_stream(spark, sf_dir, tmp_path):
     assert stream == batch and len(batch) > 0
 
 
+def test_surprisal_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming surprisal (constant-folded LM map literal, integer
+    micro-nat fold) produces exactly the batch smoothed scorer's
+    answers under readStream append mode — including OOV words and a
+    wordless row (kept with NULL by the stream, absent from batch)."""
+    from configurable_etl_python_repo_spark.llm.text import (
+        surprisal_lm_table,
+        surprisal_score,
+        surprisal_score_stream,
+    )
+
+    lm = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    docs = lm.unionByName(
+        spark.createDataFrame(
+            [(20_000_001, "zzzzq unseen oovword the the"),
+             (20_000_002, "   ")],
+            schema="doc_id long, text string",
+        )
+    )
+    batch = {
+        (r["doc_id"], r["n_words"], r["avg_surprisal"])
+        for r in surprisal_score(docs, lm_df=lm, alpha=1.0).collect()
+    }
+
+    table = surprisal_lm_table(lm, alpha=1.0)
+    src = str(tmp_path / "docs_sup")
+    docs.write.parquet(src)
+    q = (
+        surprisal_score_stream(
+            spark.readStream.format("parquet").schema(docs.schema).load(src),
+            table,
+        )
+        .select("doc_id", "n_words", "avg_surprisal")
+        .writeStream.format("memory").queryName("sup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_sup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("sup_stream").collect()
+    stream = {
+        (r["doc_id"], r["n_words"], r["avg_surprisal"])
+        for r in rows if r["n_words"] > 0
+    }
+    assert stream == batch
+    # the wordless row flows through with NULL instead of vanishing
+    (empty,) = [r for r in rows if r["doc_id"] == 20_000_002]
+    assert empty["n_words"] == 0 and empty["avg_surprisal"] is None
+
+
 def test_decontaminate_stream_matches_batch(spark, sf_dir, tmp_path):
     """Streaming decontamination (per-row Column math over an eval-gram
     literal) produces exactly the batch operator's answer, running under
