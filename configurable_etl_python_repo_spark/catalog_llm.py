@@ -1930,3 +1930,50 @@ def q_x15(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"columns": ["doc_id", "source", "n_tokens", "seq_id",
                      "seq_offset"]},
     ))
+
+
+def _classifier_oracle() -> str:
+    """t12 reuses t1's feature CTE verbatim, then the logistic layer in
+    the same sorted-feature-name accumulation order as the Spark side —
+    identical float expression trees, score rounded to 6 decimals."""
+    w = T.DEFAULT_CLASSIFIER_WEIGHTS
+    feat_sql = {
+        "log_n_words": "ln(1.0 + CAST(n_words AS DOUBLE))",
+        "mean_word_len": "mean_word_len",
+        "punct_ratio": "punct_ratio",
+        "stopword_ratio": "stopword_ratio",
+    }
+    z = str(float(T.DEFAULT_CLASSIFIER_BIAS))
+    for name in sorted(w):
+        z += f" + {float(w[name])} * {feat_sql[name]}"
+    return rf"""
+    WITH {_WORDS_SQL.strip()},
+    s AS (
+      SELECT d.doc_id,
+             CAST(len(w.w) AS BIGINT) AS n_words,
+             CAST(len(regexp_extract_all(d.text, '[^\w\s]', 0)) AS DOUBLE)
+               / greatest(length(d.text), 1) AS punct_ratio,
+             CAST(len(list_filter(w.w, x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+               / greatest(len(w.w), 1) AS stopword_ratio,
+             CAST(list_sum(list_transform(w.w, x -> length(x))) AS DOUBLE)
+               / greatest(len(w.w), 1) AS mean_word_len
+      FROM documents d JOIN words w ON d.doc_id = w.doc_id),
+    scored AS (
+      SELECT doc_id, n_words,
+             round(1.0 / (1.0 + exp(-({z}))), 6) AS quality_score
+      FROM s)
+    SELECT doc_id, n_words, quality_score,
+           quality_score >= 0.5 AS quality_keep
+    FROM scored
+    """
+
+
+@register("t12_quality_classifier", _classifier_oracle())
+def q_t12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic quality classifier over the text_stats features (the
+    fasttext-classifier shape for pretraining-quality gating): pure
+    Column, weights folded into the plan, zero shuffles."""
+    docs = spark.read.parquet(_pq(sf_dir, "documents"))
+    return T.classifier_score(docs.select("doc_id", "text")).select(
+        "doc_id", "n_words", "quality_score", "quality_keep"
+    )

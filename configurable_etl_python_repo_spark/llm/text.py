@@ -591,6 +591,60 @@ def pack_sequences(
     )
 
 
+#: classifier feature -> weight; the model is a plain logistic layer
+#: over the text_stats features (the fasttext-classifier SHAPE used for
+#: pretraining-quality gating, with engineered features standing in for
+#: learned n-gram embeddings — swap the weights for a trained set)
+DEFAULT_CLASSIFIER_WEIGHTS: "dict[str, float]" = {
+    "log_n_words": 0.35,
+    "mean_word_len": 0.15,
+    "punct_ratio": -3.0,
+    "stopword_ratio": 2.0,
+}
+DEFAULT_CLASSIFIER_BIAS = -2.0
+
+
+def classifier_score(
+    df: DataFrame,
+    weights: "dict[str, float] | None" = None,
+    bias: float = DEFAULT_CLASSIFIER_BIAS,
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Logistic quality classifier over the text_stats features:
+    quality_score = sigmoid(bias + Σ w_f · f), quality_keep = score >=
+    threshold. Pure Column on top of the codegen feature expressions —
+    zero shuffles; the weights fold into the plan as literals.
+
+    Determinism: the linear term accumulates in SORTED feature-name
+    order on both engines, so the float expression trees are identical;
+    the score rounds to 6 decimals (the similarity-score convention).
+
+    Features: log_n_words = ln(1 + n_words), mean_word_len,
+    punct_ratio, stopword_ratio. Unknown weight keys raise."""
+    w = dict(DEFAULT_CLASSIFIER_WEIGHTS if weights is None else weights)
+    feats = {
+        "log_n_words": F.log(F.lit(1.0) + F.col("n_words").cast("double")),
+        "mean_word_len": F.col("mean_word_len"),
+        "punct_ratio": F.col("punct_ratio"),
+        "stopword_ratio": F.col("stopword_ratio"),
+    }
+    unknown = set(w) - set(feats)
+    if unknown:
+        raise ValueError(
+            f"unknown classifier features {sorted(unknown)}; "
+            f"available: {sorted(feats)}"
+        )
+    out = text_stats(df, text_col)
+    z = F.lit(float(bias))
+    for name in sorted(w):
+        z = z + F.lit(float(w[name])) * feats[name]
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return out.withColumn("quality_score", score).withColumn(
+        "quality_keep", F.col("quality_score") >= F.lit(float(threshold))
+    )
+
+
 def surprisal_score(
     df: DataFrame,
     id_col: str = "doc_id",

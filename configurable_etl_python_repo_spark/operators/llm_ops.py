@@ -224,6 +224,9 @@ LLM_OP_COMPILERS = {
         _rename_kw(SC.url_blocklist_filter, {"text_column": "text_col"})
     ),
     "SURPRISAL SCORE": _surprisal,
+    "CLASSIFIER SCORE": _unary(
+        _rename_kw(T.classifier_score, {"text_column": "text_col"})
+    ),
     "REPETITION STATS": _unary(
         _rename_kw(T.repetition_stats,
                    {"id_column": "id_col", "text_column": "text_col"})

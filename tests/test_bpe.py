@@ -111,6 +111,66 @@ def test_column_path_guard_and_sql_mirror():
     assert "\x1d" not in sql and "\x1f" not in sql
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+
+def _seq_count_via_replace(piece: str, rules) -> int:
+    """Pure-Python simulation of the Column path: wrapped-symbol stream,
+    one literal str.replace per rule in rank order (str.replace has the
+    same left-to-right non-overlap semantics as F.replace/DuckDB)."""
+    START, SEP = "\x1d", "\x1f"
+    s = "".join(START + c + SEP for c in piece)
+    for a, b in rules:
+        s = s.replace(START + a + SEP + START + b + SEP, START + a + b + SEP)
+    return s.count(SEP)
+
+
+def _random_wellformed_merges(draw):
+    """A random WELL-FORMED merges table over a 3-letter alphabet:
+    each rule's sides drawn from {single chars} ∪ {earlier outputs},
+    duplicate outputs discarded — tiny alphabet maximizes overlap and
+    adjacent-merge collisions (the hard cases)."""
+    alphabet = ["a", "b", "c"]
+    n_rules = draw(st.integers(min_value=0, max_value=12))
+    produced: list[str] = []
+    rules = []
+    for _ in range(n_rules):
+        pool = alphabet + produced
+        a = pool[draw(st.integers(0, len(pool) - 1))]
+        b = pool[draw(st.integers(0, len(pool) - 1))]
+        if a + b in set(produced):
+            continue
+        rules.append((a, b))
+        produced.append(a + b)
+    return rules
+
+
+if HAVE_HYPOTHESIS:
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.data())
+    def test_sequential_replace_equals_priority_bpe_property(data):
+        """THE theorem the Column path and SQL oracle rest on: for any
+        well-formed merges table, sequential rank-order literal
+        replacement over the wrapped-symbol stream == priority-queue
+        BPE. Random tables over a 3-letter alphabet + random strings
+        (overlap chains, self-adjacent merges, symbols that are
+        substrings of other symbols)."""
+        rules = _random_wellformed_merges(data.draw)
+        rules = validate_merges(rules)  # must accept its own construction
+        ranks = {p: i for i, p in enumerate(rules)}
+        piece = data.draw(st.text(alphabet="abc", max_size=14))
+        assert _seq_count_via_replace(piece, rules) == (
+            count_piece(piece, ranks) if piece else 0
+        )
+
+
 def test_bpe_as_config_ops(spark):
     eng = Engine(spark)
     df = spark.createDataFrame(

@@ -228,6 +228,50 @@ def test_surprisal_as_config_op_two_inputs(spark):
     assert row["n_words"] == 2 and row["avg_surprisal"] > 0
 
 
+def test_classifier_score_hand_computed(spark):
+    """Logistic layer over text_stats features, reproduced in pure
+    Python with the same sorted-weight accumulation order."""
+    import math
+
+    from configurable_etl_python_repo_spark.llm.text import (
+        DEFAULT_CLASSIFIER_BIAS,
+        DEFAULT_CLASSIFIER_WEIGHTS,
+        classifier_score,
+        text_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat with a hat"),
+         (2, "!!! ??? ### $$$ %%%")],
+        ["doc_id", "text"],
+    )
+    feats = {r["doc_id"]: r for r in text_stats(df).collect()}
+    out = {r["doc_id"]: r for r in classifier_score(df).collect()}
+    for i in (1, 2):
+        f = {
+            "log_n_words": math.log(1.0 + feats[i]["n_words"]),
+            "mean_word_len": feats[i]["mean_word_len"],
+            "punct_ratio": feats[i]["punct_ratio"],
+            "stopword_ratio": feats[i]["stopword_ratio"],
+        }
+        z = float(DEFAULT_CLASSIFIER_BIAS)
+        for name in sorted(DEFAULT_CLASSIFIER_WEIGHTS):
+            z += DEFAULT_CLASSIFIER_WEIGHTS[name] * f[name]
+        assert out[i]["quality_score"] == round(1.0 / (1.0 + math.exp(-z)), 6)
+    # fluent text beats punctuation soup
+    assert out[1]["quality_score"] > out[2]["quality_score"]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown classifier features"):
+        classifier_score(df, weights={"nope": 1.0})
+
+    eng = Engine(spark)
+    eng.bind("docs", df)
+    op = eng.run_op(OpSpec("CLASSIFIER SCORE", "c", ["docs"],
+                           {"threshold": 0.9}))
+    assert "quality_keep" in op.columns
+
+
 def test_url_blocklist_flag_and_drop(spark):
     from configurable_etl_python_repo_spark.llm.scrub import (
         url_blocklist_filter,
