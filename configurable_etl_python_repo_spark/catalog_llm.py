@@ -1977,3 +1977,58 @@ def q_t12(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.classifier_score(docs.select("doc_id", "text")).select(
         "doc_id", "n_words", "quality_score", "quality_keep"
     )
+
+
+_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_SPLIT_SEED = "split"
+
+
+def _cluster_split_oracle() -> str:
+    """x16 = d7's component labeling (recursive-CTE reachability) + the
+    hash-range split CASE over the CLUSTER id — reuses d7's CTE chain so
+    the composition cannot drift from the standalone query."""
+    scale = 1 << 32
+    cum = 0.0
+    cases = []
+    for name in sorted(_SPLITS):
+        cum += _SPLITS[name]
+        cases.append(
+            f"WHEN CAST(('0x' || substr(md5('{_SPLIT_SEED}' || '|' ||"
+            f" CAST(cluster_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+            f" < {int(round(cum * scale))} THEN '{name}'"
+        )
+    case = "CASE " + " ".join(cases) + " ELSE NULL END"
+    ctes = _lsh_ctes().replace("WITH ", "WITH RECURSIVE ", 1)
+    return (
+        ctes
+        + f""",
+    edges AS (SELECT id_a AS u, id_b AS v FROM lsh_pairs
+              UNION SELECT id_b, id_a FROM lsh_pairs),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r),
+    comp AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+    SELECT doc_id, cluster_id, {case} AS split FROM comp
+    """
+    )
+
+
+@register("x16_cluster_aware_splits", _cluster_split_oracle())
+def q_x16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-FREE train/val/test splits: near-duplicate clusters
+    (MinHash-LSH pairs -> connected components) are the split atoms —
+    every member of a cluster hashes by the CLUSTER id, so a near-dup
+    pair can never straddle train/test and leak eval data into
+    training. The split itself is a pure scan-stage hash-range CASE
+    (partitioning-invariant, engine-portable)."""
+    from .llm.clusters import dedup_clusters
+    from .llm.sampling import split_assign
+
+    docs = spark.read.parquet(_pq(sf_dir, "documents"))
+    pairs = D.minhash_lsh_pairs(docs, n=_JACCARD_N, bands=_LSH_BANDS,
+                                rows_per_band=_LSH_ROWS,
+                                threshold=_LSH_P / _LSH_Q)
+    comp = dedup_clusters(docs, pairs).select("doc_id", "cluster_id")
+    return split_assign(comp, _SPLITS, seed=_SPLIT_SEED,
+                        group_col="cluster_id")

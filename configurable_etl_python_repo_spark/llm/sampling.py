@@ -130,3 +130,48 @@ def stratified_sample(
             F.col(strata_col) == F.lit(value), F.lit(_cutoff(frac))
         ).otherwise(cut)
     return df.where(_bucket(F.col(key_col), seed) < cut)
+
+def split_assign(
+    df: DataFrame,
+    splits: "dict[str, float]",
+    key_col: str = "doc_id",
+    seed: str = "split",
+    group_col: "str | None" = None,
+) -> DataFrame:
+    """Deterministic train/val/test split assignment by content hash —
+    adds a `split` column naming each row's split (NULL for the
+    unassigned remainder when fractions sum below 1).
+
+    `group_col` makes the split LEAKAGE-FREE: rows hash by their GROUP
+    key (e.g. the near-duplicate cluster id from dedup_clusters), so
+    every member of a cluster lands in the SAME split — without it, a
+    near-duplicate pair straddling train/test silently leaks eval data
+    into training. This is the reason the operator exists; plain
+    per-row splits are the group_col=None degenerate case.
+
+    Ranges are contiguous [c_{i-1}, c_i) slices of the 32-bit hash
+    space in SORTED split-name order with exact integer cutoffs (the
+    hash_sample convention) — a pure scan-stage CASE, zero shuffles,
+    partitioning-invariant, engine-portable."""
+    if not splits:
+        raise ValueError("splits must be a non-empty {name: fraction} dict")
+    total = 0.0
+    for name, frac in splits.items():
+        if not (0.0 < frac <= 1.0):
+            raise ValueError(
+                f"split {name!r}: fraction must be in (0, 1], got {frac}"
+            )
+        total += frac
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split fractions sum to {total} > 1")
+    b = _bucket(F.col(group_col if group_col is not None else key_col), seed)
+    cum = 0.0
+    cuts = []
+    for name in sorted(splits):
+        cum += splits[name]
+        cuts.append((name, int(round(cum * _SCALE))))
+    # nest the CASE inside-out so the LOWEST matching cutoff wins
+    assigned = F.lit(None).cast("string")
+    for name, hi in reversed(cuts):
+        assigned = F.when(b < F.lit(hi), F.lit(name)).otherwise(assigned)
+    return df.withColumn("split", assigned)

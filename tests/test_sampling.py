@@ -73,3 +73,64 @@ def test_sampling_engine_ops(spark):
                       args={"strata_column": "lang",
                             "fractions": {"en": 1.0}}))
     assert eng.resolve("t").count() == 50
+
+
+def test_split_assign_is_leakage_free_by_group(spark):
+    """Every member of a group gets the SAME split (the property that
+    keeps near-duplicates from straddling train/test), fractions are
+    approximately respected over many groups, and the assignment is
+    partitioning-invariant."""
+    from configurable_etl_python_repo_spark.llm.sampling import split_assign
+
+    rows = [(i, i // 3) for i in range(900)]  # 300 groups of 3
+    df = spark.createDataFrame(rows, ["doc_id", "cluster_id"])
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = split_assign(df, splits, group_col="cluster_id").collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_group.values())  # no straddling
+    from collections import Counter
+
+    per_group = Counter(next(iter(s)) for s in by_group.values())
+    assert abs(per_group["train"] / 300 - 0.8) < 0.1
+    assert set(per_group) == {"train", "val", "test"}  # full coverage
+
+    again = split_assign(
+        df.repartition(7, "doc_id"), splits, group_col="cluster_id"
+    ).collect()
+    assert {(r["doc_id"], r["split"]) for r in again} == {
+        (r["doc_id"], r["split"]) for r in out
+    }
+
+
+def test_split_assign_remainder_and_validation(spark):
+    import pytest
+
+    from configurable_etl_python_repo_spark.llm.sampling import split_assign
+
+    df = spark.createDataFrame([(i,) for i in range(400)], ["doc_id"])
+    # fractions below 1: the remainder is explicitly unassigned (NULL)
+    out = split_assign(df, {"train": 0.5}).collect()
+    n_null = sum(1 for r in out if r["split"] is None)
+    assert 0 < n_null < 400
+    with pytest.raises(ValueError, match="sum"):
+        split_assign(df, {"a": 0.7, "b": 0.7})
+    with pytest.raises(ValueError, match="fraction"):
+        split_assign(df, {"a": 0.0})
+    with pytest.raises(ValueError, match="non-empty"):
+        split_assign(df, {})
+
+
+def test_split_assign_as_config_op(spark):
+    from configurable_etl_python_repo_spark.plans import Engine, OpSpec
+
+    eng = Engine(spark)
+    eng.bind("docs", spark.createDataFrame(
+        [(i, i % 5) for i in range(50)], ["doc_id", "cluster_id"]))
+    out = eng.run_op(OpSpec(
+        "SPLIT ASSIGN", "s", ["docs"],
+        {"splits": {"train": 0.9, "test": 0.1},
+         "group_column": "cluster_id"},
+    ))
+    assert "split" in out.columns and out.count() == 50
