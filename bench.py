@@ -39,6 +39,9 @@ HEADLINE = [
     "d8_span_dedup",             # sub-document span dedup (r4)
     "d9_decontaminate",          # eval-set 13-gram decontamination (r4)
     "d10_substring_dedup",       # shift-robust substring dedup (r5)
+    "t9_bpe_pack_sequences",     # merges-table BPE + packing (r5)
+    "t10_unigram_surprisal",     # unigram-LM fluency scoring (r5)
+    "x15_web_curation_pipeline", # composed r5 curation chain (r5)
 ]
 
 
