@@ -2032,3 +2032,33 @@ def q_x16(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = dedup_clusters(docs, pairs).select("doc_id", "cluster_id")
     return split_assign(comp, _SPLITS, seed=_SPLIT_SEED,
                         group_col="cluster_id")
+
+
+_TOPK_K = 5
+
+
+@register(
+    "x17_exact_k_sample",
+    f"""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY CAST(('0x' || substr(md5('sample' || '|' ||
+                          CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) ASC,
+                        doc_id ASC) AS rn
+      FROM documents)
+    WHERE rn <= {_TOPK_K}
+    """,
+)
+def q_x17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k deterministic sample per source stratum (hash-order
+    top-k): exactly min(k, stratum) rows, partitioning-invariant and
+    nested across k — compiles to WindowGroupLimit so map partitions
+    pre-prune to their local top-k before the shuffle."""
+    from .llm.sampling import top_k_sample
+
+    docs = spark.read.parquet(_pq(sf_dir, "documents"))
+    return top_k_sample(
+        docs.select("doc_id", "source"), _TOPK_K, strata_col="source"
+    )

@@ -175,3 +175,39 @@ def split_assign(
     for name, hi in reversed(cuts):
         assigned = F.when(b < F.lit(hi), F.lit(name)).otherwise(assigned)
     return df.withColumn("split", assigned)
+
+
+def top_k_sample(
+    df: DataFrame,
+    k: int,
+    strata_col: "str | None" = None,
+    key_col: str = "doc_id",
+    seed: str = "sample",
+) -> DataFrame:
+    """EXACTLY min(k, stratum size) rows per stratum (or globally with
+    strata_col=None), chosen deterministically by content-hash order —
+    the exact-count companion to hash_sample's fractions ("exactly 10k
+    eval docs per domain"). Same invariances: a pure function of
+    (key, seed), partitioning-independent, engine-portable, and NESTED
+    (the top-k' for k' < k is a prefix of the top-k).
+
+    Scale shape: row_number over (stratum, hash, key) bounded by k
+    compiles to WindowGroupLimit (plan-asserted in tests) — every map
+    partition pre-prunes to its LOCAL top-k per stratum before the
+    shuffle, so at most k rows per stratum per partition move; a hot
+    stratum never ships its full population to one reducer. Hash ties
+    break by key, so the result is unique even for duplicate content."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    b = _bucket(F.col(key_col), seed)
+    part = [F.col(strata_col)] if strata_col is not None else [F.lit(1)]
+    w = Window.partitionBy(*part).orderBy(
+        b.asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -221,6 +221,10 @@ LLM_OP_COMPILERS = {
         _rename_kw(_lazy_sampling("split_assign"),
                    {"key_column": "key_col", "group_column": "group_col"})
     ),
+    "SAMPLE TOP K": _unary(
+        _rename_kw(_lazy_sampling("top_k_sample"),
+                   {"key_column": "key_col", "strata_column": "strata_col"})
+    ),
     "PII SCRUB": _unary(
         _rename_kw(SC.pii_scrub, {"text_column": "text_col"})
     ),

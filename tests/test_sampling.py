@@ -134,3 +134,51 @@ def test_split_assign_as_config_op(spark):
          "group_column": "cluster_id"},
     ))
     assert "split" in out.columns and out.count() == 50
+
+
+def test_top_k_sample_exact_nested_invariant(spark, sf_dir):
+    """Exactly min(k, stratum) rows per stratum; top-k' is a PREFIX of
+    top-k for k' < k (nested); repartitioning never changes the sample;
+    and the plan keeps the WindowGroupLimit map-side prune (the shape
+    that stops a hot stratum shipping its population to one reducer)."""
+    from configurable_etl_python_repo_spark.llm.sampling import top_k_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    out = top_k_sample(docs, 5, strata_col="source")
+    sizes = {r["source"]: r["n"] for r in
+             out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    base = {r["source"]: r["n"] for r in
+            docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {s: min(5, n) for s, n in base.items()}
+
+    small = {r["doc_id"] for r in top_k_sample(docs, 2, strata_col="source").collect()}
+    big = {r["doc_id"] for r in out.collect()}
+    assert small <= big  # nested
+
+    shuffled = {r["doc_id"] for r in top_k_sample(
+        docs.repartition(7, "doc_id"), 5, strata_col="source").collect()}
+    assert shuffled == big  # partitioning-invariant
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+    # global mode + validation
+    assert top_k_sample(docs, 3).count() == 3
+    import pytest
+    with pytest.raises(ValueError, match="k must be"):
+        top_k_sample(docs, 0)
+
+
+def test_top_k_sample_as_config_op(spark):
+    from configurable_etl_python_repo_spark.plans import Engine, OpSpec
+
+    eng = Engine(spark)
+    eng.bind("docs", spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(30)], ["doc_id", "source"]))
+    out = eng.run_op(OpSpec(
+        "SAMPLE TOP K", "t", ["docs"],
+        {"k": 4, "strata_column": "source"},
+    ))
+    assert out.count() == 12

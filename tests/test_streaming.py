@@ -115,9 +115,11 @@ def test_text_ops_stream_matches_batch(spark, sf_dir, tmp_path):
     the SAME functions run under readStream unchanged — streaming
     quality-gating of an arriving corpus produces exactly the batch
     answer."""
-    from configurable_etl_python_repo_spark.llm.scrub import pii_scrub
+    from configurable_etl_python_repo_spark.llm.scrub import (
+        pii_scrub, url_blocklist_filter,
+    )
     from configurable_etl_python_repo_spark.llm.text import (
-        language_id, language_id_ngram, quality_filter,
+        classifier_score, language_id, language_id_ngram, quality_filter,
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -127,8 +129,11 @@ def test_text_ops_stream_matches_batch(spark, sf_dir, tmp_path):
         out = out.withColumnRenamed("lang_pred", "lang_sw").drop(
             "lang_pred_hits"
         )
-        return language_id_ngram(out).select(
-            "doc_id", "keep", "lang_sw", "lang_pred", "pii_total"
+        out = url_blocklist_filter(language_id_ngram(out),
+                                   ["spam.example"])
+        return classifier_score(out).select(
+            "doc_id", "keep", "lang_sw", "lang_pred", "pii_total",
+            "blocked", "quality_score", "quality_keep",
         )
 
     batch = {tuple(r) for r in transform(docs).collect()}
