@@ -111,11 +111,22 @@ def doc_shingles(
 _CACHED_SHINGLES: list[DataFrame] = []
 
 
-def _cached_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    sh = doc_shingles(df, id_col, text_col, n)
+def _scope_cache(df: DataFrame) -> DataFrame:
+    """Cache a multi-consumer dedup relation under the scoped eviction
+    policy above: the previous job's relation is released first, so a
+    long-lived session running many dedup jobs holds at most one. Cache,
+    NOT localCheckpoint: unpersisting a cache is always safe (Spark
+    recomputes), while a released local checkpoint breaks any still-held
+    reference — and unreleased checkpoint blocks from one query were
+    measured doubling the next query's runtime at sf1 (executor storage
+    pressure)."""
     clear_shingle_cache()
-    _CACHED_SHINGLES.append(sh)
-    return sh.cache()
+    _CACHED_SHINGLES.append(df)
+    return df.cache()
+
+
+def _cached_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return _scope_cache(doc_shingles(df, id_col, text_col, n))
 
 
 def clear_shingle_cache() -> None:
@@ -602,10 +613,11 @@ def dedup_substrings(
         ),
     )
     # occ feeds BOTH the canonical aggregate and the probe side of the
-    # join; without lineage truncation the gram-build window (the
-    # dominant cost) executes twice — the x14 multi-consumer lesson.
-    # Lazy: materializes on first use, a linear stage write.
-    occ = occ.localCheckpoint(eager=False)
+    # join; uncached, the gram-build window (the dominant cost) executes
+    # twice — the x14 multi-consumer lesson. Scoped cache, not
+    # localCheckpoint: see _scope_cache (checkpoint blocks from one
+    # query measurably slowed the NEXT query at sf1).
+    occ = _scope_cache(occ)
     canon = (
         occ.where(F.col("gram").isNotNull())
         .groupBy("gram")
