@@ -1220,8 +1220,9 @@ DRIVER_PRIORITY = [
 # overlaps), e3 (tumbling+session cover §2.9), d4 (simhash; d1-d3/d7
 # cover dedup), d5 (documented O(N^2) opt-in; d6 is the scale path),
 # n2 (n1/n3/n4 cover ANN), t3 (fingerprint composite; t5 winnowing
-# stays), m2 (m1/m3 cover the Arrow plumbing), t8 (t9 runs the same
-# packing on REAL merges-table BPE counts — strictly more coverage).
+# stays), m2 (m1/m3 cover the Arrow plumbing). t8 was never in the
+# window; its packing surface enters via t9, which runs the same math
+# on REAL merges-table BPE counts — strictly more coverage.
 
 
 def _curate() -> None:

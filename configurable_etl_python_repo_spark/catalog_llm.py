@@ -1719,18 +1719,26 @@ _URL_INJ = (
 _BLOCKED_DOMAINS = ("spam.example", "www.bad-ads.net", "tracker.test")
 
 
-def _url_blocklist_oracle() -> str:
-    from .llm.scrub import URL_HOST_PATTERN
-
-    blocked = ", ".join(
-        f"'{d.lower().removeprefix('www.')}'" for d in sorted(
+def _blocked_sql() -> str:
+    """The normalized blocklist as ONE SQL list literal — shared by the
+    standalone t11 oracle and the composed x15 oracle so the
+    normalization can never drift between them."""
+    return ", ".join(
+        f"'{d}'" for d in sorted(
             {d.lower().removeprefix("www.") for d in _BLOCKED_DOMAINS}
         )
     )
+
+
+def _url_blocklist_oracle() -> str:
+    from .llm.scrub import URL_HOST_PATTERN
+
+    blocked = _blocked_sql()
     return rf"""
     WITH inj AS (SELECT doc_id, {_URL_INJ} AS text FROM documents),
     ex AS (SELECT doc_id, text,
-                  regexp_extract_all(lower(text), '{URL_HOST_PATTERN}', 1)
+                  regexp_extract_all(coalesce(lower(text), ''),
+                                     '{URL_HOST_PATTERN}', 1)
                     AS hosts
            FROM inj),
     hits AS (SELECT doc_id, text, hosts,
@@ -1831,17 +1839,13 @@ def _web_pipeline_oracle() -> str:
     from .llm.bpe import bpe_count_sql
     from .llm.scrub import URL_HOST_PATTERN
 
-    blocked = ", ".join(
-        f"'{d.lower().removeprefix('www.')}'" for d in sorted(
-            {d.lower().removeprefix("www.") for d in _BLOCKED_DOMAINS}
-        )
-    )
+    blocked = _blocked_sql()
     return rf"""
     WITH inj AS (SELECT doc_id, source, {_URL_INJ} AS text FROM documents),
     urlkept AS (
       SELECT doc_id, source, text FROM inj
       WHERE len(list_intersect(
-              list_distinct(regexp_extract_all(lower(text),
+              list_distinct(regexp_extract_all(coalesce(lower(text), ''),
                                                '{URL_HOST_PATTERN}', 1)),
               [{blocked}])) = 0),
     {_surprisal_ctes("urlkept").strip()},

@@ -116,12 +116,22 @@ def validate_merges(
     return out
 
 
+#: the three C0 control chars the stream encoding reserves; INPUT text
+#: containing them would corrupt the symbol framing (a literal \x1f in a
+#: piece reads as an extra terminator — miscount and false merges), so
+#: EVERY path treats them as whitespace before pre-tokenization:
+#: _RESERVED_RE in Spark/Python, the chr()-built class in bpe_count_sql
+_RESERVED_RE = "[\x1d-\x1f]"
+
+
 def _char_stream(text_col: Column) -> "tuple[Column, Column]":
     """(symbol stream, piece count): pieces joined by BREAK, every char
     wrapped START..SEP. BPE_ISH pieces contain no whitespace, so '(.)'
     (which skips newlines identically in Java regex and RE2) sees every
-    character."""
-    pieces = F.regexp_extract_all(text_col, F.lit(BPE_ISH_PATTERN), 0)
+    character. Reserved separator chars in the INPUT are mapped to
+    spaces first — they act as piece boundaries, never as framing."""
+    clean = F.regexp_replace(text_col, _RESERVED_RE, " ")
+    pieces = F.regexp_extract_all(clean, F.lit(BPE_ISH_PATTERN), 0)
     stream = F.regexp_replace(
         F.array_join(pieces, _BREAK), "(.)", _START + "$1" + _SEP
     )
@@ -183,6 +193,12 @@ def bpe_count_sql(
     (DuckDB replace() is the same literal left-to-right non-overlapping
     substitution as F.replace)."""
     rules = validate_merges(merges if merges is not None else BPE_FIXTURE_MERGES)
+    # mirror _char_stream's reserved-char neutralization exactly
+    text_expr = (
+        f"regexp_replace({text_expr}, "
+        f"'[' || chr({ord(_START)}) || '-' || chr({ord(_SEP)}) || ']', "
+        f"' ', 'g')"
+    )
     s = (
         f"regexp_replace(array_to_string(regexp_extract_all({text_expr}, "
         f"'{BPE_ISH_PATTERN}', 0), chr({ord(_BREAK)})), "
@@ -251,9 +267,12 @@ def token_count_bpe_arrow(
     )
     pattern = BPE_ISH_PATTERN
 
+    reserved = _RESERVED_RE
+
     def count_batches(batches):
         rk = bc.value
         pre = re.compile(pattern)
+        strip = re.compile(reserved)
         memo: dict[str, int] = {}
 
         def n_tokens(text):
@@ -262,7 +281,7 @@ def token_count_bpe_arrow(
             if not text:
                 return 0
             total = 0
-            for p in pre.findall(text):
+            for p in pre.findall(strip.sub(" ", text)):
                 c = memo.get(p)
                 if c is None:
                     c = count_piece(p, rk)

@@ -101,26 +101,31 @@ def doc_shingles(
     )
 
 
-# The shared dedup relation (exploded shingles for the jaccard join; the
-# fused signature+array aggregate for minhash LSH) is cached because it
-# feeds both candidate generation and verification. A long-lived session
-# running many dedup jobs must not accumulate executor storage, so the
-# cache is SCOPED: each new job evicts the previous job's cached relation
-# (unpersist is safe mid-plan — Spark recomputes), and
-# clear_shingle_cache() releases the last one.
+# The shared dedup relations (exploded shingles for the jaccard join;
+# the fused signature+array aggregate for minhash LSH; the substring
+# pass's every-position gram stream) are cached because each feeds
+# multiple consumers. A long-lived session running many dedup jobs must
+# not accumulate executor storage, so the cache is SCOPED: at most
+# _SCOPE_CAPACITY relations stay cached, oldest evicted first
+# (unpersist is safe mid-plan — Spark recomputes). Capacity > 1 so a
+# LAZY pipeline composing several dedup operators before its first
+# action (e.g. substring dedup downstream of a jaccard pass) does not
+# evict a relation that has not even materialized yet; capacity small
+# so a session sweeping many queries stays bounded.
+# clear_shingle_cache() releases everything.
 _CACHED_SHINGLES: list[DataFrame] = []
+_SCOPE_CAPACITY = 4
 
 
 def _scope_cache(df: DataFrame) -> DataFrame:
-    """Cache a multi-consumer dedup relation under the scoped eviction
-    policy above: the previous job's relation is released first, so a
-    long-lived session running many dedup jobs holds at most one. Cache,
-    NOT localCheckpoint: unpersisting a cache is always safe (Spark
-    recomputes), while a released local checkpoint breaks any still-held
-    reference — and unreleased checkpoint blocks from one query were
-    measured doubling the next query's runtime at sf1 (executor storage
-    pressure)."""
-    clear_shingle_cache()
+    """Cache a multi-consumer dedup relation under the bounded eviction
+    policy above. Cache, NOT localCheckpoint: unpersisting a cache is
+    always safe (Spark recomputes), while a released local checkpoint
+    breaks any still-held reference — and unreleased checkpoint blocks
+    from one query were measured doubling the next query's runtime at
+    sf1 (executor storage pressure)."""
+    while len(_CACHED_SHINGLES) >= _SCOPE_CAPACITY:
+        _CACHED_SHINGLES.pop(0).unpersist()
     _CACHED_SHINGLES.append(df)
     return df.cache()
 

@@ -65,8 +65,11 @@ def url_blocklist_filter(
     norm_blocked = sorted(
         {d.lower().removeprefix("www.") for d in blocked_domains}
     )
+    # NULL text counts as zero URLs: without the coalesce, Spark's
+    # size(NULL) = -1 leaks nonsense counts and diverges from the oracle
     hosts = F.regexp_extract_all(
-        F.lower(F.col(text_col)), F.lit(URL_HOST_PATTERN), 1
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+        F.lit(URL_HOST_PATTERN), 1,
     )
     hit = F.array_intersect(
         F.array_distinct(hosts), F.lit(norm_blocked).cast("array<string>")

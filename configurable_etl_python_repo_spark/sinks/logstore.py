@@ -249,8 +249,6 @@ class S3DataLister(DataLister):
     entries. The client is boto3-style (list_objects_v2 with
     Delimiter/ContinuationToken, delete_object), injectable for tests."""
 
-    _URI = None  # compiled lazily; avoids importing re at module load
-
     def __init__(self, bucket: str, client=None):
         if client is None:  # pragma: no cover - no cloud in CI
             import boto3

@@ -53,8 +53,14 @@ def write_training_shards(
         .partitionBy(shard_col)
         .parquet(out_dir)
     )
+    # manifest stats aggregate over the files JUST WRITTEN, not the
+    # input lineage — re-running `packed` here would execute the whole
+    # upstream pipeline a second time (the x14 multi-consumer lesson),
+    # and the read-back also makes the manifest describe what is
+    # actually on disk
+    written = packed.sparkSession.read.parquet(out_dir)
     stats = (
-        packed.groupBy(shard_col)
+        written.groupBy(shard_col)
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("n_tokens"),

@@ -32,18 +32,25 @@ ADVERSARIAL = [
     (6, "thereresthere ererer ononeone"),
     (7, "a"),
     (8, "   \t  "),
+    # reserved framing chars IN the text: must act as piece boundaries
+    # on every path, never corrupt the stream encoding
+    (9, "a\x1fb and\x1dthe\x1ethe \x1d\x1e\x1f"),
 ]
 
 
 def _model_counts(texts):
     ranks = {p: i for i, p in enumerate(validate_merges(BPE_FIXTURE_MERGES))}
     pre = re.compile(BPE_ISH_PATTERN)
+    strip = re.compile("[\x1d-\x1f]")
     out = {}
     for i, t in texts:
         out[i] = (
             None
             if t is None
-            else sum(count_piece(p, ranks) for p in pre.findall(t))
+            else sum(
+                count_piece(p, ranks)
+                for p in pre.findall(strip.sub(" ", t))
+            )
         )
     return out
 

@@ -282,6 +282,7 @@ def test_url_blocklist_flag_and_drop(spark):
         (2, "visit http://www.SPAM.example/page twice http://spam.example/z"),
         (3, "clean text, no urls"),
         (4, "https://docs.example.org only"),
+        (5, None),  # NULL text: zero URLs, never size(NULL) = -1
     ], ["doc_id", "text"])
     out = {r["doc_id"]: r for r in
            url_blocklist_filter(df, ["spam.example"]).collect()}
@@ -292,14 +293,16 @@ def test_url_blocklist_flag_and_drop(spark):
             out[2]["blocked"]) == (2, 1, True)
     assert out[3]["blocked"] is False and out[3]["n_urls"] == 0
     assert out[4]["blocked"] is False and out[4]["n_urls"] == 1
+    assert (out[5]["n_urls"], out[5]["n_blocked_domains"],
+            out[5]["blocked"]) == (0, 0, False)
 
     kept = {r["doc_id"] for r in
             url_blocklist_filter(df, ["spam.example"], mode="drop").collect()}
-    assert kept == {3, 4}
+    assert kept == {3, 4, 5}
     # blocklist entries are normalized like extracted hosts
     kept2 = {r["doc_id"] for r in url_blocklist_filter(
         df, ["WWW.Spam.Example"], mode="drop").collect()}
-    assert kept2 == {3, 4}
+    assert kept2 == {3, 4, 5}
     import pytest as _pytest
     with _pytest.raises(ValueError, match="mode"):
         url_blocklist_filter(df, ["x.com"], mode="bogus")
