@@ -293,3 +293,88 @@ def token_count_bpe_arrow(
             yield pdf.assign(**{out_col: pdf[text_col].map(n_tokens)})
 
     return df.mapInPandas(count_batches, schema)
+
+
+def _merge_all(syms: "list[str]", a: str, b: str) -> "list[str]":
+    """Greedy left-to-right merge of every (a, b) adjacency — the same
+    non-overlap semantics as literal replace."""
+    out: "list[str]" = []
+    i = 0
+    while i < len(syms):
+        if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def learn_bpe_merges(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    max_distinct_pieces: int = 1_000_000,
+) -> "list[tuple[str, str]]":
+    """LEARN a merges table from the corpus (Sennrich et al. 2016) —
+    the other half of the BPE story: the result is well-formed by
+    construction and feeds token_count_bpe / token_count_bpe_arrow
+    directly.
+
+    Scale split: the CORPUS work is one distributed pass — pre-tokenize
+    and count DISTINCT pieces (Zipf makes this table tiny next to the
+    corpus; bounded by `max_distinct_pieces`, the eval_gram_set /
+    IVF-centroid collect budget). The iterative pair-count/merge loop
+    then runs driver-side over that weighted vocabulary — the classic
+    algorithm, deterministic by construction: ties break on (count
+    desc, pair lexicographic asc), so the same corpus always yields the
+    same table on any cluster, any partitioning.
+
+    Reserved framing chars are neutralized exactly like the counters,
+    and learned symbols can therefore never contain them."""
+    if n_merges < 0:
+        raise ValueError(f"n_merges must be >= 0, got {n_merges}")
+    clean = F.regexp_replace(F.col(text_col), _RESERVED_RE, " ")
+    rows = (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(clean, F.lit(BPE_ISH_PATTERN), 0)
+            ).alias("piece")
+        )
+        .groupBy("piece")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    if len(rows) > max_distinct_pieces:
+        raise ValueError(
+            f"{len(rows)} distinct pieces exceeds max_distinct_pieces="
+            f"{max_distinct_pieces}; pre-filter the corpus or raise the "
+            f"budget"
+        )
+    vocab: "dict[tuple[str, ...], int]" = {
+        tuple(r["piece"]): r["c"] for r in rows
+    }
+    merges: "list[tuple[str, str]]" = []
+    produced: set[str] = set()
+    for _ in range(n_merges):
+        pair_counts: "dict[tuple[str, str], int]" = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + c
+        # a pair whose output string an earlier rule already produced
+        # would break the sequential==priority equivalence — skip it
+        candidates = {
+            p: c for p, c in pair_counts.items()
+            if p[0] + p[1] not in produced
+        }
+        if not candidates:
+            break
+        best = min(candidates.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        produced.add(best[0] + best[1])
+        vocab = {
+            tuple(_merge_all(list(syms), *best)): c
+            for syms, c in vocab.items()
+        }
+    return validate_merges(merges)

@@ -195,3 +195,86 @@ def test_bpe_as_config_ops(spark):
     # 'there'->the,r,e=3
     assert arow["n_tokens"] == 11
     assert row["n_tokens"] <= arow["n_tokens"]  # fixture has more merges
+
+
+def test_learn_bpe_merges_hand_computed(spark):
+    """Sennrich learning on a tiny corpus: 'low' x3 + 'lower' x1 ->
+    first merge is (l,o) (count 4), then (lo,w) (count 4), then ties
+    break lexicographically; the result is well-formed by construction
+    and drives token_count_bpe directly."""
+    from configurable_etl_python_repo_spark.llm.bpe import (
+        learn_bpe_merges, token_count_bpe, validate_merges,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "low low low lower")], ["doc_id", "text"]
+    )
+    merges = learn_bpe_merges(df, 3)
+    assert merges[0] == ("l", "o") and merges[1] == ("lo", "w")
+    assert validate_merges(merges) == merges  # well-formed
+
+    counted = {r["doc_id"]: r["n_tokens"]
+               for r in token_count_bpe(df, merges=merges).collect()}
+    # after (l,o),(lo,w),(low,e): low=1 token x3, lower = low+e? ->
+    # third merge is (low, e) (count 1; lexicographic among count-1
+    # pairs: ('e','r') < ('low','e')!) -- just assert monotonicity
+    fewer = {r["doc_id"]: r["n_tokens"]
+             for r in token_count_bpe(df, merges=merges[:1]).collect()}
+    assert counted[1] <= fewer[1]
+
+
+def test_learn_bpe_merges_deterministic_and_partition_invariant(spark, sf_dir):
+    from configurable_etl_python_repo_spark.llm.bpe import learn_bpe_merges
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text")
+    a = learn_bpe_merges(docs, 12)
+    b = learn_bpe_merges(docs.repartition(7), 12)
+    assert a == b and len(a) == 12
+    # learned merges compose with the counters end-to-end
+    from configurable_etl_python_repo_spark.llm.bpe import (
+        token_count_bpe, token_count_bpe_arrow,
+    )
+
+    d2 = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    col = {r["doc_id"]: r["n_tokens"]
+           for r in token_count_bpe(d2, merges=a).collect()}
+    arr = {r["doc_id"]: r["n_tokens"]
+           for r in token_count_bpe_arrow(d2, merges=a).collect()}
+    assert col == arr
+
+
+def test_learn_bpe_merges_matches_reference_implementation(spark):
+    """The driver-side loop equals a naive Sennrich reference (count all
+    pairs over the expanded corpus, merge argmax) on a mixed corpus."""
+    from configurable_etl_python_repo_spark.llm.bpe import (
+        _merge_all, learn_bpe_merges,
+    )
+    import re
+
+    texts = ["the cat sat on the mat", "that hat is the best hat",
+             "cats chat, hats that matter"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["doc_id", "text"])
+    got = learn_bpe_merges(df, 8)
+
+    # reference: expanded piece list (no distinct-weighting)
+    pre = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+    corpus = [list(p) for t in texts for p in pre.findall(t)]
+    produced = set()
+    expect = []
+    for _ in range(8):
+        pc = {}
+        for syms in corpus:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pc[p] = pc.get(p, 0) + 1
+        cand = {p: c for p, c in pc.items() if p[0] + p[1] not in produced}
+        if not cand:
+            break
+        best = min(cand.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        expect.append(best)
+        produced.add(best[0] + best[1])
+        corpus = [_merge_all(s, *best) for s in corpus]
+    assert got == expect
