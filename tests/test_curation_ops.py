@@ -572,6 +572,75 @@ def test_x14_pipeline_is_fully_serializable_as_json_program(
     assert got.count() > 0
 
 
+def test_x15_pipeline_is_fully_serializable_as_json_program(
+    spark, sf_dir, tmp_path
+):
+    """The round-5 web-curation chain ships as a plain JSON config file
+    too: URL injection via COMPUTE COLUMN, blocklist drop, surprisal
+    gate, substring dedup, BPE token counts, and packing are all
+    declarative ops. Output matches the catalog query row-for-row."""
+    import json
+
+    from configurable_etl_python_repo_spark.catalog import QUERIES
+    from configurable_etl_python_repo_spark.catalog_llm import (
+        _BLOCKED_DOMAINS, _SPAN_K, _URL_INJ, _X15_SEQ_LEN, _X15_SUP_MAX,
+    )
+    from configurable_etl_python_repo_spark.config.program import (
+        analyte_from_json,
+    )
+
+    program = {
+        "analyte": "webpipe",
+        "scans": [{"name": "docs_raw", "source": "parquet",
+                   "path": f"{sf_dir}/documents.parquet",
+                   "columns": ["doc_id", "source", "text"]}],
+        "ops": [
+            {"op": "COMPUTE COLUMN", "target": "docs",
+             "inputs": ["docs_raw"],
+             "args": {"column": "text", "expr": _URL_INJ}},
+            {"op": "URL BLOCKLIST", "target": "urlkept",
+             "inputs": ["docs"],
+             "args": {"blocked_domains": list(_BLOCKED_DOMAINS),
+                      "mode": "drop"}},
+            {"op": "SURPRISAL SCORE", "target": "sup",
+             "inputs": ["urlkept"], "args": {"id_column": "doc_id"}},
+            {"op": "REMOVE COLUMN", "target": "sup2", "inputs": ["sup"],
+             "args": {"columns": ["n_words"]}},
+            {"op": "INNER JOIN", "target": "joined",
+             "inputs": ["urlkept", "sup2"], "args": {"on": ["doc_id"]}},
+            {"op": "FILTER", "target": "gated", "inputs": ["joined"],
+             "args": {"condition":
+                      f"avg_surprisal <= NUMBER({_X15_SUP_MAX})"}},
+            {"op": "DEDUP SUBSTRINGS", "target": "dd", "inputs": ["gated"],
+             "args": {"id_column": "doc_id", "k": _SPAN_K}},
+            {"op": "REMOVE COLUMN", "target": "dd2", "inputs": ["dd"],
+             "args": {"columns": ["n_words"]}},
+            {"op": "SELECT COLUMNS", "target": "src_map",
+             "inputs": ["gated"], "args": {"columns": ["doc_id", "source"]}},
+            {"op": "INNER JOIN", "target": "withsrc",
+             "inputs": ["dd2", "src_map"], "args": {"on": ["doc_id"]}},
+            {"op": "TOKEN COUNT BPE", "target": "tok",
+             "inputs": ["withsrc"],
+             "args": {"text_column": "text_deduped"}},
+            {"op": "PACK SEQUENCES", "target": "packed", "inputs": ["tok"],
+             "args": {"seq_len": _X15_SEQ_LEN, "shard_column": "source",
+                      "tokens_col": "n_tokens"}},
+            {"op": "SELECT COLUMNS", "target": "webpipe",
+             "inputs": ["packed"],
+             "args": {"columns": ["doc_id", "source", "n_tokens",
+                                  "seq_id", "seq_offset"]}},
+        ],
+    }
+    path = tmp_path / "webpipe.json"
+    path.write_text(json.dumps(program))
+
+    got = Engine(spark).run_analyte(analyte_from_json(str(path)))
+    want = QUERIES["x15_web_curation_pipeline"](spark, sf_dir)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+    assert got.count() > 0
+
+
 def test_pack_sequences_precomputed_tokens_col(spark):
     """tokens_col names a real-tokenizer length column: the regexp proxy
     is skipped and the packing math uses it verbatim."""
