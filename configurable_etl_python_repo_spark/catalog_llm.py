@@ -578,12 +578,15 @@ def q_n3(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KM_ITER = 2
 
 
-def _ivf_kmeans_oracle() -> str:
-    """Lloyd's iterations unrolled as CTEs — possible because
+def _kmeans_assign_ctes() -> str:
+    """Lloyd's iterations unrolled as CTEs, ending in `assignF`
+    (vec_id -> final cluster id) and `cent{N}` — possible because
     lloyd_centroids is deterministic by construction: hash-order init,
     6dp-cosine assignment with id tiebreak, and means whose cross-row
     sums ride DECIMAL (order-independent) with round() at every float
-    boundary (the same half-away-from-zero in both engines)."""
+    boundary (the same half-away-from-zero in both engines). Shared by
+    the n4 ANN oracle and the d11 SemDeDup oracle so the clustering can
+    never drift between them."""
     cte = [f"""cent0 AS (
       SELECT vec_id AS cid,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
@@ -618,7 +621,13 @@ def _ivf_kmeans_oracle() -> str:
       FROM embeddings e, cent{n} c),
     assignF AS (
       SELECT id, cid FROM scoredF
-      QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY s DESC, cid) = 1),
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY s DESC, cid) = 1)""")
+    return ",\n    ".join(cte)
+
+
+def _ivf_kmeans_oracle() -> str:
+    return f"""
+    WITH {_kmeans_assign_ctes()},
     qprobe AS (
       SELECT id AS query_id, cid FROM scoredF WHERE id < {_ANN_NQ}
       QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY s DESC, cid)
@@ -632,10 +641,7 @@ def _ivf_kmeans_oracle() -> str:
              {_cos_sql('eq.embedding', 'ec.embedding')} AS sim
       FROM cand
       JOIN embeddings eq ON eq.vec_id = cand.query_id
-      JOIN embeddings ec ON ec.vec_id = cand.neighbor_id)""")
-    ctes = ",\n    ".join(cte)
-    return f"""
-    WITH {ctes}
+      JOIN embeddings ec ON ec.vec_id = cand.neighbor_id)
     SELECT query_id, neighbor_id,
            CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY sim DESC, neighbor_id) AS INTEGER)
@@ -2066,3 +2072,40 @@ def q_x17(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_k_sample(
         docs.select("doc_id", "source"), _TOPK_K, strata_col="source"
     )
+
+
+_SEMDEDUP_T = 0.40
+
+
+def _semdedup_oracle() -> str:
+    """d11 = the shared Lloyd/assignment CTEs + within-cluster pairwise
+    cosine + keep-first witnesses — SemDeDup replayed in SQL."""
+    return f"""
+    WITH {_kmeans_assign_ctes()},
+    mem AS (
+      SELECT a.id, a.cid, e.embedding
+      FROM assignF a JOIN embeddings e ON e.vec_id = a.id),
+    p AS (
+      SELECT x.id AS id_a, y.id AS id_b,
+             {_cos_sql('x.embedding', 'y.embedding')} AS sim
+      FROM mem x JOIN mem y ON x.cid = y.cid AND x.id < y.id),
+    wit AS (
+      SELECT id_b, MIN(id_a) AS dup_of
+      FROM p WHERE sim >= {_SEMDEDUP_T} GROUP BY id_b)
+    SELECT a.id AS vec_id, a.cid, w.dup_of, w.dup_of IS NULL AS kept
+    FROM assignF a LEFT JOIN wit w ON w.id_b = a.id
+    """
+
+
+@register("d11_semantic_dedup", _semdedup_oracle())
+def q_d11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: embedding-space dedup with k-means clusters bounding
+    the pairwise cosine work (all-pairs is the documented d5 opt-in;
+    clusters make it sum-of-cluster-sizes-squared). Deterministic
+    end-to-end — Lloyd clustering included — so the whole pipeline
+    hash-matches its SQL replay."""
+    from .llm.similarity import semantic_dedup
+
+    emb = spark.read.parquet(_pq(sf_dir, "embeddings"))
+    return semantic_dedup(emb, threshold=_SEMDEDUP_T,
+                          n_centroids=_IVF_N_CENTROIDS, n_iter=_KM_ITER)

@@ -697,3 +697,70 @@ def lsh_bucketed_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float,
+    n_centroids: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embedding-space deduplication with
+    k-means clusters bounding the pairwise work — vectors land in their
+    nearest Lloyd centroid's cluster, exact cosine runs only WITHIN each
+    cluster, and of any pair scoring >= threshold the lower id is kept
+    (the engine's keep-first convention, deterministic).
+
+    The clusters are the whole point at scale: all-pairs cosine is
+    O(N^2) (the documented d5 opt-in); SemDeDup pays sum of cluster
+    sizes squared, tuned by n_centroids — the pairwise join is an
+    equi-join on the cluster id, so AQE splits an oversized cluster's
+    partitions and nothing is ever a cartesian across clusters.
+
+    Determinism end-to-end: lloyd_centroids is hash-order-init,
+    DECIMAL-mean, 6dp-rounded; assignment ties break to the smaller
+    centroid id; sims round to `round_digits` with id tiebreaks — so
+    the full pipeline (clustering included) replays as SQL.
+
+    Output: one row per vector — (id_col, cid, dup_of, kept) where
+    dup_of is the smallest same-cluster id witnessing sim >= threshold
+    (NULL for kept representatives). `WHERE kept` is the deduplicated
+    corpus."""
+    cents = lloyd_centroids(df, n_centroids, n_iter, id_col, vec_col)
+    assign1 = ivf_assignments_arrow(cents, n_best=1, digits=round_digits)
+    a = _with_norm(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            assign1(F.col(vec_col))[0].alias("cid"),
+        ),
+        "v", "nv",
+    )
+    b = a.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("nv").alias("nb"), "cid",
+    )
+    pairs = (
+        a.join(b, "cid")
+        .where(F.col("id") < F.col("id_b"))
+        .withColumn(
+            "sim",
+            _sim(F.col("v"), F.col("vb"), F.col("nv"), F.col("nb"),
+                 round_digits),
+        )
+        .where(F.col("sim") >= threshold)
+    )
+    wit = pairs.groupBy("id_b").agg(F.min("id").alias("dup_of"))
+    return (
+        a.select("id", "cid")
+        .join(wit, F.col("id") == F.col("id_b"), "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cid",
+            "dup_of",
+            F.col("dup_of").isNull().alias("kept"),
+        )
+    )

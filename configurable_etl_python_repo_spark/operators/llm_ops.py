@@ -261,6 +261,10 @@ LLM_OP_COMPILERS = {
     "CONNECTED COMPONENTS": _connected_components,
     "DEDUP CLUSTERS": _dedup_clusters,
     "DECONTAMINATE": _decontaminate,
+    "SEMANTIC DEDUP": _unary(
+        _rename_kw(S.semantic_dedup,
+                   {"id_column": "id_col", "vector_column": "vec_col"})
+    ),
     "ANN TOPK": _ann_topk,
     "ANN TOPK LSH": _ann_topk_lsh,
     "ANN TOPK IVF": _binary_corpus_queries("ivf_topk"),

@@ -156,8 +156,12 @@ def test_lsh_topk_recall(spark, sf_dir):
 
 def test_shingle_cache_bounded_across_jobs(spark, docs):
     """Repeated dedup calls in one session must not accumulate cached
-    shingle relations: each job evicts the previous job's cache."""
-    from configurable_etl_python_repo_spark.llm.dedup import clear_shingle_cache
+    relations without bound: the scope holds at most _SCOPE_CAPACITY,
+    oldest evicted first (capacity > 1 so lazily-composed pipelines
+    keep their not-yet-materialized relations)."""
+    from configurable_etl_python_repo_spark.llm.dedup import (
+        _SCOPE_CAPACITY, clear_shingle_cache,
+    )
 
     clear_shingle_cache()
 
@@ -165,11 +169,11 @@ def test_shingle_cache_bounded_across_jobs(spark, docs):
         return spark.sparkContext._jsc.getPersistentRDDs().size()
 
     base = n_cached()
-    for _ in range(3):
+    for _ in range(4):  # 8 cache registrations > capacity
         ngram_jaccard_pairs(docs, n=3, threshold=0.5).count()
         minhash_lsh_pairs(docs, n=3, bands=8, rows_per_band=2,
                           threshold=0.3).count()
-    assert n_cached() <= base + 1  # at most the LAST job's shingles
+    assert n_cached() <= base + _SCOPE_CAPACITY
     clear_shingle_cache()
     assert n_cached() <= base
 
@@ -607,3 +611,56 @@ def test_sample_frames_shape_and_cap(spark):
     if _video_codec() is None:  # no PyAV in this container
         with pytest.raises(Exception, match="PyAV"):
             sample_frames(df, fake_decode=False).collect()
+
+
+def test_semantic_dedup_clusters_bound_pairwise_and_keep_first(spark):
+    """SemDeDup: identical vectors in one cluster dedup to the lowest
+    id; near-orthogonal vectors all survive; vectors in DIFFERENT
+    clusters are never compared (the scale contract)."""
+    from configurable_etl_python_repo_spark.llm.similarity import (
+        semantic_dedup,
+    )
+
+    dim = 8
+    def v(i, scale=1.0):
+        vec = [0.0] * dim
+        vec[i % dim] = float(scale)
+        return vec
+
+    rows = [
+        (1, v(0)), (2, v(0, 0.99)),   # near-identical pair -> keep 1
+        (3, v(1)), (4, v(2)),         # orthogonal -> kept
+        (5, v(0, 1.01)),              # third member of the dup group
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r for r in
+           semantic_dedup(df, threshold=0.95, n_centroids=3,
+                          n_iter=1).collect()}
+    assert out[1]["kept"] is True and out[1]["dup_of"] is None
+    assert out[2]["kept"] is False and out[2]["dup_of"] == 1
+    assert out[5]["kept"] is False and out[5]["dup_of"] == 1
+    assert out[3]["kept"] is True and out[4]["kept"] is True
+
+    # determinism: repartitioning changes nothing (Lloyd + assignment +
+    # pairwise are all partition-invariant by construction)
+    again = {r["vec_id"]: (r["kept"], r["dup_of"]) for r in semantic_dedup(
+        df.repartition(5), threshold=0.95, n_centroids=3, n_iter=1
+    ).collect()}
+    assert again == {k: (r["kept"], r["dup_of"]) for k, r in out.items()}
+
+
+def test_semantic_dedup_as_config_op(spark, sf_dir):
+    from configurable_etl_python_repo_spark.plans import (
+        Engine, OpSpec, ScanSpec,
+    )
+
+    eng = Engine(spark)
+    eng.run_scan(ScanSpec("emb", "parquet", f"{sf_dir}/embeddings.parquet"))
+    out = eng.run_op(OpSpec(
+        "SEMANTIC DEDUP", "d", ["emb"],
+        {"threshold": 0.4, "n_centroids": 4, "id_column": "vec_id"},
+    ))
+    rows = out.collect()
+    assert {"vec_id", "cid", "dup_of", "kept"} <= set(out.columns)
+    assert len(rows) == spark.read.parquet(
+        f"{sf_dir}/embeddings.parquet").count()
