@@ -148,6 +148,56 @@ def _surprisal(engine: "Engine", spec: OpSpec):
     return T.surprisal_score(df, **kwargs), None
 
 
+def _decontaminate_stream(engine: "Engine", spec: OpSpec):
+    """Streaming-legal decontamination as a config op. One input + an
+    `eval_grams` list in args (a program ships the precomputed gram set,
+    the decontaminate_stream contract); or TWO inputs, where the second
+    is a BATCH eval corpus the op collects grams from via eval_gram_set
+    (bounded driver-side, exactly the library seam)."""
+    df, _ = engine.peek(spec.inputs[0])
+    kwargs = dict(spec.args)
+    for cfg, py in (("text_column", "text_col"),):
+        if cfg in kwargs:
+            kwargs[py] = kwargs.pop(cfg)
+    if "eval_grams" not in kwargs:
+        if len(spec.inputs) < 2:
+            raise ValueError(
+                "DECONTAMINATE STREAM needs eval_grams in args or a "
+                "second (batch) input naming the eval corpus"
+            )
+        evalset, _ = engine.peek(spec.inputs[1])
+        kwargs["eval_grams"] = D.eval_gram_set(
+            evalset,
+            text_col=kwargs.pop("eval_text_col", "text"),
+            n=kwargs.get("n", 13),
+        )
+    return D.decontaminate_stream(df, **kwargs), None
+
+
+def _surprisal_stream(engine: "Engine", spec: OpSpec):
+    """Streaming-legal surprisal as a config op: the second input names
+    the BATCH LM corpus; its table is computed in-Spark (bit-exact with
+    the batch scorer) and folded into the per-row plan."""
+    df, _ = engine.peek(spec.inputs[0])
+    if len(spec.inputs) < 2:
+        raise ValueError(
+            "SURPRISAL SCORE STREAM needs a second (batch) input naming "
+            "the LM corpus"
+        )
+    lm_df, _ = engine.peek(spec.inputs[1])
+    kwargs = dict(spec.args)
+    for cfg, py in (("text_column", "text_col"),):
+        if cfg in kwargs:
+            kwargs[py] = kwargs.pop(cfg)
+    table = T.surprisal_lm_table(
+        lm_df,
+        text_col=kwargs.pop("lm_text_col", kwargs.get("text_col", "text")),
+        alpha=kwargs.pop("alpha", 1.0),
+        max_vocab=kwargs.pop("max_vocab", 1_000_000),
+    )
+    return T.surprisal_score_stream(df, table, **kwargs), None
+
+
 def _lazy_bpe(fn_name: str):
     def call(df, **kwargs):
         from ..llm import bpe as B
@@ -261,6 +311,8 @@ LLM_OP_COMPILERS = {
     "CONNECTED COMPONENTS": _connected_components,
     "DEDUP CLUSTERS": _dedup_clusters,
     "DECONTAMINATE": _decontaminate,
+    "DECONTAMINATE STREAM": _decontaminate_stream,
+    "SURPRISAL SCORE STREAM": _surprisal_stream,
     "SEMANTIC DEDUP": _unary(
         _rename_kw(S.semantic_dedup,
                    {"id_column": "id_col", "vector_column": "vec_col"})

@@ -310,6 +310,65 @@ def test_surprisal_stream_matches_batch(spark, sf_dir, tmp_path):
     assert empty["n_words"] == 0 and empty["avg_surprisal"] is None
 
 
+def test_config_program_streams_decontamination_and_surprisal(
+    spark, sf_dir, tmp_path
+):
+    """The streaming duals are config ops too: a program declares a
+    parquet-stream scan plus BATCH side inputs (eval corpus, LM corpus)
+    and chains DECONTAMINATE STREAM -> SURPRISAL SCORE STREAM; the
+    engine lowers it to one streaming plan whose availableNow drain
+    matches the batch operators row-for-row."""
+    from configurable_etl_python_repo_spark.llm.dedup import decontaminate
+    from configurable_etl_python_repo_spark.llm.text import surprisal_score
+    from configurable_etl_python_repo_spark.plans import (
+        Engine, OpSpec, ScanSpec,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "docs_cfg2")
+    docs.write.parquet(src)
+
+    eng = Engine(spark)
+    eng.run_scan(ScanSpec("stream", "parquet-stream", src))
+    eng.run_scan(ScanSpec("batch", "parquet", src))
+    eng.run_op(OpSpec(
+        "FILTER", "evalset", ["batch"], {"condition": "doc_id < NUMBER(30)"},
+    ))
+    eng.run_op(OpSpec(
+        "DECONTAMINATE STREAM", "flagged", ["stream", "evalset"],
+        {"n": 5, "mode": "flag"},
+    ))
+    out = eng.run_op(OpSpec(
+        "SURPRISAL SCORE STREAM", "scored", ["flagged", "batch"],
+        {"alpha": 1.0},
+    ))
+    assert out.isStreaming
+    q = (
+        out.select("doc_id", "contaminated", "n_words", "avg_surprisal")
+        .writeStream.format("memory").queryName("cfg_stream2")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_cfg2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream = {tuple(r) for r in spark.table("cfg_stream2").collect()
+              if r["n_words"] > 0}
+
+    bd = decontaminate(docs, docs.where("doc_id < 30"), n=5)
+    bs = surprisal_score(docs, lm_df=docs, alpha=1.0)
+    batch = {
+        tuple(r)
+        for r in bd.select("doc_id", "contaminated")
+        .join(bs, "doc_id")
+        .select("doc_id", "contaminated", "n_words", "avg_surprisal")
+        .collect()
+    }
+    assert stream == batch and len(batch) > 0
+
+
 def test_decontaminate_stream_matches_batch(spark, sf_dir, tmp_path):
     """Streaming decontamination (per-row Column math over an eval-gram
     literal) produces exactly the batch operator's answer, running under
