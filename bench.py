@@ -42,6 +42,7 @@ HEADLINE = [
     "t9_bpe_pack_sequences",     # merges-table BPE + packing (r5)
     "t10_unigram_surprisal",     # unigram-LM fluency scoring (r5)
     "x15_web_curation_pipeline", # composed r5 curation chain (r5)
+    "d11_semantic_dedup",        # SemDeDup, k-means-bounded pairwise (r5)
 ]
 
 
