@@ -716,9 +716,14 @@ def semantic_dedup(
 
     The clusters are the whole point at scale: all-pairs cosine is
     O(N^2) (the documented d5 opt-in); SemDeDup pays sum of cluster
-    sizes squared, tuned by n_centroids — the pairwise join is an
-    equi-join on the cluster id, so AQE splits an oversized cluster's
-    partitions and nothing is ever a cartesian across clusters.
+    sizes squared — the pairwise join is an equi-join on the cluster
+    id, so AQE splits an oversized cluster's partitions and nothing is
+    ever a cartesian across clusters. SCALE POLICY: n_centroids must
+    grow WITH the corpus so expected CLUSTER SIZE stays constant (the
+    SemDeDup paper's regime); a fixed n_centroids makes the pairwise
+    term quadratic. Measured (sf0.1 -> x10, n_centroids 8 -> 80 at
+    constant cluster size): 2.0s -> 4.3s, exponent 0.44 — vs 1.32
+    super-linear when n_centroids is pinned.
 
     Determinism end-to-end: lloyd_centroids is hash-order-init,
     DECIMAL-mean, 6dp-rounded; assignment ties break to the smaller
