@@ -702,11 +702,13 @@ def lsh_bucketed_topk(
 def semantic_dedup(
     df: DataFrame,
     threshold: float,
-    n_centroids: int = 8,
+    n_centroids: "int | None" = None,
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    target_cluster_size: int = 64,
+    max_centroids: int = 65_536,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): embedding-space deduplication with
     k-means clusters bounding the pairwise work — vectors land in their
@@ -718,12 +720,16 @@ def semantic_dedup(
     O(N^2) (the documented d5 opt-in); SemDeDup pays sum of cluster
     sizes squared — the pairwise join is an equi-join on the cluster
     id, so AQE splits an oversized cluster's partitions and nothing is
-    ever a cartesian across clusters. SCALE POLICY: n_centroids must
-    grow WITH the corpus so expected CLUSTER SIZE stays constant (the
-    SemDeDup paper's regime); a fixed n_centroids makes the pairwise
-    term quadratic. Measured (sf0.1 -> x10, n_centroids 8 -> 80 at
-    constant cluster size): 2.0s -> 4.3s, exponent 0.44 — vs 1.32
-    super-linear when n_centroids is pinned.
+    ever a cartesian across clusters. SCALE POLICY (the default):
+    n_centroids=None derives ceil(N / target_cluster_size) from one
+    counting pass, so expected CLUSTER SIZE stays constant as the
+    corpus grows (the SemDeDup paper's regime) — a PINNED n_centroids
+    makes the pairwise term quadratic (measured at sf0.1 -> x10:
+    exponent 0.44 under the policy vs 1.32 pinned). The derived count
+    is capped at max_centroids because the centroid table is driver
+    state (the IVF bounded-collect budget); a corpus needing more
+    (~ max_centroids x target_cluster_size vectors) must shard first
+    or raise the cap knowingly.
 
     Determinism end-to-end: lloyd_centroids is hash-order-init,
     DECIMAL-mean, 6dp-rounded; assignment ties break to the smaller
@@ -734,6 +740,11 @@ def semantic_dedup(
     dup_of is the smallest same-cluster id witnessing sim >= threshold
     (NULL for kept representatives). `WHERE kept` is the deduplicated
     corpus."""
+    if n_centroids is None:
+        n = df.count()  # one cheap counting pass, like mixture_sample's
+        n_centroids = min(
+            max(1, -(-n // target_cluster_size)), max_centroids
+        )
     cents = lloyd_centroids(df, n_centroids, n_iter, id_col, vec_col)
     assign1 = ivf_assignments_arrow(cents, n_best=1, digits=round_digits)
     a = _with_norm(

@@ -664,3 +664,24 @@ def test_semantic_dedup_as_config_op(spark, sf_dir):
     assert {"vec_id", "cid", "dup_of", "kept"} <= set(out.columns)
     assert len(rows) == spark.read.parquet(
         f"{sf_dir}/embeddings.parquet").count()
+
+
+def test_semantic_dedup_auto_centroids_scale_policy(spark, sf_dir):
+    """n_centroids=None derives ceil(N / target_cluster_size): constant
+    expected cluster size as the corpus grows — the SemDeDup scale
+    policy as the DEFAULT, with the driver-state cap applied."""
+    from configurable_etl_python_repo_spark.llm.similarity import (
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    out = semantic_dedup(emb, threshold=0.4, target_cluster_size=50,
+                         n_iter=1)
+    n_clusters = out.select("cid").distinct().count()
+    assert n_clusters <= -(-n // 50)  # at most the derived centroid count
+    assert out.count() == n
+    # the cap clamps a tiny target
+    capped = semantic_dedup(emb, threshold=0.4, target_cluster_size=1,
+                            n_iter=1, max_centroids=4)
+    assert capped.select("cid").distinct().count() <= 4
