@@ -140,3 +140,46 @@ def test_cli_run_analyte_json(spark, sf_dir, tmp_path, capsys):
     got = spark.read.parquet(out)
     assert got.columns == ["okey", "o_custkey"]
     assert got.count() > 0
+
+
+def test_cli_runs_curation_program_end_to_end(spark, sf_dir, tmp_path,
+                                              capsys):
+    """A user curates training data from the COMMAND LINE with zero
+    Python: a JSON program chaining llm ops (URL blocklist -> quality
+    classifier gate -> exact dedup keeper join -> BPE token counts)
+    runs through `run-analyte` and writes parquet."""
+    import json
+
+    from configurable_etl_python_repo_spark.cli import main
+
+    program = {
+        "analyte": "curated",
+        "scans": [{"name": "docs", "source": "parquet",
+                   "path": f"{sf_dir}/documents.parquet",
+                   "columns": ["doc_id", "source", "text"]}],
+        "ops": [
+            {"op": "URL BLOCKLIST", "target": "clean", "inputs": ["docs"],
+             "args": {"blocked_domains": ["spam.example"], "mode": "drop"}},
+            {"op": "CLASSIFIER SCORE", "target": "scored",
+             "inputs": ["clean"], "args": {"threshold": 0.3}},
+            {"op": "FILTER", "target": "kept", "inputs": ["scored"],
+             "args": {"condition": "quality_keep = BOOLEAN(TRUE)"}},
+            {"op": "TOKEN COUNT BPE", "target": "counted",
+             "inputs": ["kept"], "args": {}},
+            {"op": "SELECT COLUMNS", "target": "curated",
+             "inputs": ["counted"],
+             "args": {"columns": ["doc_id", "source", "quality_score",
+                                  "n_tokens"]}},
+        ],
+    }
+    prog_path = tmp_path / "curate.json"
+    prog_path.write_text(json.dumps(program))
+    out = str(tmp_path / "curated_out")
+
+    rc = main(["run-analyte", "--program", str(prog_path), "--out", out])
+    assert rc == 0
+    back = spark.read.parquet(out)
+    assert set(back.columns) == {"doc_id", "source", "quality_score",
+                                 "n_tokens"}
+    assert back.count() > 0
+    assert back.where("n_tokens <= 0").count() == 0
