@@ -231,16 +231,10 @@ def count_piece(piece: str, ranks: "dict[tuple[str, str], int]") -> int:
                 best_rank, a, b = r, syms[i], syms[i + 1]
         if best_rank is None:
             break
-        merged: list[str] = []
-        i = 0
-        while i < len(syms):
-            if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
-                merged.append(a + b)
-                i += 2
-            else:
-                merged.append(syms[i])
-                i += 1
-        syms = merged
+        # ONE merge kernel for counter and learner: the sequential ==
+        # priority equivalence depends on identical non-overlap
+        # semantics, so there must be a single definition to diverge
+        syms = _merge_all(syms, a, b)
     return len(syms)
 
 
@@ -335,7 +329,7 @@ def learn_bpe_merges(
     if n_merges < 0:
         raise ValueError(f"n_merges must be >= 0, got {n_merges}")
     clean = F.regexp_replace(F.col(text_col), _RESERVED_RE, " ")
-    rows = (
+    counted = (
         df.select(
             F.explode(
                 F.regexp_extract_all(clean, F.lit(BPE_ISH_PATTERN), 0)
@@ -343,14 +337,17 @@ def learn_bpe_merges(
         )
         .groupBy("piece")
         .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
     )
-    if len(rows) > max_distinct_pieces:
+    # guard BEFORE collecting: the budget exists to protect the driver,
+    # so it must fire without materializing the oversized table there
+    over = counted.limit(max_distinct_pieces + 1).count()
+    if over > max_distinct_pieces:
         raise ValueError(
-            f"{len(rows)} distinct pieces exceeds max_distinct_pieces="
+            f"distinct pieces exceed max_distinct_pieces="
             f"{max_distinct_pieces}; pre-filter the corpus or raise the "
             f"budget"
         )
+    rows = counted.collect()
     vocab: "dict[tuple[str, ...], int]" = {
         tuple(r["piece"]): r["c"] for r in rows
     }

@@ -740,6 +740,10 @@ def semantic_dedup(
     dup_of is the smallest same-cluster id witnessing sim >= threshold
     (NULL for kept representatives). `WHERE kept` is the deduplicated
     corpus."""
+    if target_cluster_size < 1:
+        raise ValueError(
+            f"target_cluster_size must be >= 1, got {target_cluster_size}"
+        )
     if n_centroids is None:
         n = df.count()  # one cheap counting pass, like mixture_sample's
         n_centroids = min(
@@ -747,14 +751,19 @@ def semantic_dedup(
         )
     cents = lloyd_centroids(df, n_centroids, n_iter, id_col, vec_col)
     assign1 = ivf_assignments_arrow(cents, n_best=1, digits=round_digits)
-    a = _with_norm(
+    # the assignment relation feeds THREE branches (pairs left side, b,
+    # and the output join): the scoped cache stops the corpus scan and
+    # the Arrow quantizer (the dominant cost) recomputing per branch
+    from .dedup import _scope_cache
+
+    a = _scope_cache(_with_norm(
         df.select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("v"),
             assign1(F.col(vec_col))[0].alias("cid"),
         ),
         "v", "nv",
-    )
+    ))
     b = a.select(
         F.col("id").alias("id_b"), F.col("v").alias("vb"),
         F.col("nv").alias("nb"), "cid",

@@ -156,10 +156,20 @@ def _decontaminate_stream(engine: "Engine", spec: OpSpec):
     (bounded driver-side, exactly the library seam)."""
     df, _ = engine.peek(spec.inputs[0])
     kwargs = dict(spec.args)
-    for cfg, py in (("text_column", "text_col"),):
+    # the SAME renames the batch DECONTAMINATE op accepts — a program
+    # can move between the duals without touching its arg names
+    for cfg, py in (("text_column", "text_col"),
+                    ("eval_text_column", "eval_text_col")):
         if cfg in kwargs:
             kwargs[py] = kwargs.pop(cfg)
-    if "eval_grams" not in kwargs:
+    if "eval_grams" in kwargs:
+        if len(spec.inputs) > 1:
+            raise ValueError(
+                "DECONTAMINATE STREAM got BOTH eval_grams in args and a "
+                "second input — ambiguous; pass one"
+            )
+        kwargs.pop("eval_text_col", None)
+    else:
         if len(spec.inputs) < 2:
             raise ValueError(
                 "DECONTAMINATE STREAM needs eval_grams in args or a "
@@ -186,7 +196,9 @@ def _surprisal_stream(engine: "Engine", spec: OpSpec):
         )
     lm_df, _ = engine.peek(spec.inputs[1])
     kwargs = dict(spec.args)
-    for cfg, py in (("text_column", "text_col"),):
+    # same renames as batch SURPRISAL SCORE — duals share arg names
+    for cfg, py in (("text_column", "text_col"),
+                    ("lm_text_column", "lm_text_col")):
         if cfg in kwargs:
             kwargs[py] = kwargs.pop(cfg)
     table = T.surprisal_lm_table(
