@@ -2109,3 +2109,55 @@ def q_d11(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(_pq(sf_dir, "embeddings"))
     return semantic_dedup(emb, threshold=_SEMDEDUP_T,
                           n_centroids=_IVF_N_CENTROIDS, n_iter=_KM_ITER)
+
+
+_SHARD_TARGET = 2000
+
+
+@register(
+    "t13_sized_shards",
+    rf"""
+    WITH counted AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_extract_all(text, '{T.BPE_ISH_PATTERN}', 0))
+                  AS BIGINT) AS n_tokens
+      FROM documents),
+    tot AS (
+      SELECT source,
+             greatest(1, (sum(n_tokens) + {_SHARD_TARGET} - 1)
+                         // {_SHARD_TARGET}) AS n_sub
+      FROM counted GROUP BY source),
+    keyed AS (
+      SELECT c.doc_id, c.source, c.n_tokens,
+             c.source || '#' || CAST(
+               CAST(('0x' || substr(md5('shard' || '|' ||
+                       CAST(c.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % t.n_sub AS VARCHAR) AS shard
+      FROM counted c JOIN tot t USING (source)),
+    packed AS (
+      SELECT doc_id, shard, n_tokens,
+             coalesce(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               CAST(0 AS BIGINT)) AS bef
+      FROM keyed)
+    SELECT doc_id, shard, n_tokens,
+           bef // {_PACK_SEQ_LEN} AS seq_id,
+           bef % {_PACK_SEQ_LEN} AS seq_offset
+    FROM packed
+    """,
+)
+def q_t13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-targeted shards: every base source splits into
+    ceil(total/target) hash-buckets before packing, so a hot domain
+    cannot produce one monster shard file/window — the counting pass
+    folds to a literal CASE, the bucket is the md5 content hash."""
+    docs = spark.read.parquet(_pq(sf_dir, "documents"))
+    keyed = T.derive_shard_key(
+        docs.select("doc_id", "source", "text"),
+        target_tokens=_SHARD_TARGET,
+    )
+    return T.pack_sequences(
+        keyed.select("doc_id", "shard", "n_tokens"),
+        seq_len=_PACK_SEQ_LEN, shard_col="shard", tokens_col="n_tokens",
+    )

@@ -835,6 +835,69 @@ def surprisal_score_stream(
     )
 
 
+def derive_shard_key(
+    df: DataFrame,
+    target_tokens: int,
+    base_shard_col: str = "source",
+    tokens_col: "str | None" = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "shard",
+    out_col: str = "shard",
+) -> DataFrame:
+    """Size-targeted shard keys for pack_sequences / the shard writer:
+    split every base shard into ceil(total_tokens / target_tokens)
+    hash-buckets, so one hot domain can never produce a single
+    monster shard (a shard is one packing window partition AND one
+    output file — its size bounds both the window's task and the file).
+
+    One counting pass collects per-base totals (bounded by the number
+    of base shards, the mixture-op budget); the subshard counts fold
+    into a literal CASE, and the bucket is the md5 content hash of the
+    doc id — deterministic, partitioning-invariant, engine-portable
+    (the sampling-family _bucket). Output shard names are
+    '<base>#<bucket>'. Expected subshard size ~= target_tokens
+    (hash-uniform across docs; exact balance would need a running-sum
+    shuffle per base — the approximation is the point).
+
+    Token counts default to the BPE-ish proxy; pass tokens_col for
+    real counts (same seam as pack_sequences)."""
+    if target_tokens < 1:
+        raise ValueError(f"target_tokens must be >= 1, got {target_tokens}")
+    from .sampling import _bucket
+
+    if tokens_col is None:
+        counted = token_count_bpe_ish(df, text_col)
+        tokens_col = "n_tokens"
+    else:
+        counted = df
+    totals = (
+        counted.groupBy(base_shard_col)
+        .agg(F.sum(F.col(tokens_col).cast("long")).alias("__t"))
+        .collect()  # bounded: one row per base shard
+    )
+    n_sub = {
+        str(r[base_shard_col]): max(
+            1, -(-int(r["__t"] or 0) // target_tokens)
+        )
+        for r in totals
+    }
+    case = None
+    for base, n in sorted(n_sub.items()):
+        cond = F.col(base_shard_col).cast("string") == base
+        case = (
+            F.when(cond, F.lit(n)) if case is None
+            else case.when(cond, F.lit(n))
+        )
+    n_col = case.otherwise(F.lit(1)) if case is not None else F.lit(1)
+    bucket = _bucket(F.col(id_col), seed) % n_col
+    return counted.withColumn(
+        out_col,
+        F.concat_ws("#", F.col(base_shard_col).cast("string"),
+                    bucket.cast("string")),
+    )
+
+
 def token_count_bpe_ish(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Approximate LLM token count: BPE-ish pre-tokenization (word / number /
     symbol pieces) — the standard cheap proxy when the real tokenizer isn't

@@ -303,6 +303,12 @@ LLM_OP_COMPILERS = {
     ),
     "DEDUP SPANS": _unary(_rename_kw(D.dedup_spans, _ID_TEXT)),
     "DEDUP SUBSTRINGS": _unary(_rename_kw(D.dedup_substrings, _ID_TEXT)),
+    "DERIVE SHARD KEY": _unary(
+        _rename_kw(T.derive_shard_key,
+                   {"id_column": "id_col", "text_column": "text_col",
+                    "base_shard_column": "base_shard_col",
+                    "output_column": "out_col"})
+    ),
     "PACK SEQUENCES": _unary(
         _rename_kw(T.pack_sequences,
                    {"id_column": "id_col", "text_column": "text_col",

@@ -655,3 +655,52 @@ def test_pack_sequences_precomputed_tokens_col(spark):
                                    tokens_col="real_len").collect()}
     assert out[1]["n_tokens"] == 4            # not the 3 whitespace words
     assert (out[2]["seq_id"], out[2]["seq_offset"]) == (0, 4)
+
+
+def test_derive_shard_key_size_targets_and_invariance(spark, sf_dir):
+    """Hash-split shards track the token target: every base shard with
+    more than target tokens splits into ceil(total/target) buckets,
+    subshard totals land near the target (hash-uniform), tiny shards
+    stay whole, and the keying is partitioning-invariant."""
+    from configurable_etl_python_repo_spark.llm.text import derive_shard_key
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    target = 2000
+    out = derive_shard_key(docs, target_tokens=target)
+    stats = out.groupBy("source", "shard").agg(
+        F.sum("n_tokens").alias("t")).collect()
+    per_base = {}
+    for r in stats:
+        per_base.setdefault(r["source"], []).append(r["t"])
+    totals = {s: sum(ts) for s, ts in per_base.items()}
+    for s, ts in per_base.items():
+        assert len(ts) == max(1, -(-totals[s] // target)), s
+        # hash-uniform: no subshard wildly above 3x target
+        assert max(ts) <= 3 * target
+
+    again = derive_shard_key(docs.repartition(7, "text"),
+                             target_tokens=target)
+    assert {(r["doc_id"], r["shard"]) for r in again.collect()} == \
+        {(r["doc_id"], r["shard"]) for r in out.collect()}
+
+    import pytest
+    with pytest.raises(ValueError, match="target_tokens"):
+        derive_shard_key(docs, target_tokens=0)
+
+
+def test_derive_shard_key_as_config_op_feeds_packing(spark, sf_dir):
+    eng = Engine(spark)
+    eng.run_scan(ScanSpec("docs", "parquet", f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "source", "text"]))
+    keyed = eng.run_op(OpSpec(
+        "DERIVE SHARD KEY", "k", ["docs"], {"target_tokens": 2000},
+    ))
+    assert "shard" in keyed.columns
+    packed = eng.run_op(OpSpec(
+        "PACK SEQUENCES", "p", ["k"],
+        {"seq_len": 512, "shard_column": "shard",
+         "tokens_col": "n_tokens"},
+    ))
+    assert packed.count() == keyed.count()
