@@ -183,3 +183,13 @@ def test_single_pass_text_ops(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_semantic_dedup_pairwise_is_equi_join_not_cartesian(spark, sf_dir):
+    """d11's within-cluster pairwise must stay an equi-join on the
+    cluster id (AQE-splittable): a CartesianProduct or
+    BroadcastNestedLoopJoin appearing here is the all-pairs regression
+    SemDeDup exists to avoid."""
+    plan = _plan(spark, sf_dir, "d11_semantic_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
