@@ -2161,3 +2161,26 @@ def q_t13(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed.select("doc_id", "shard", "n_tokens"),
         seq_len=_PACK_SEQ_LEN, shard_col="shard", tokens_col="n_tokens",
     )
+
+
+def _bpe_bytes_oracle() -> str:
+    from .llm.bpe import bpe_count_sql
+
+    return rf"""
+    SELECT doc_id, {bpe_count_sql("text", level="bytes")} AS n_tokens
+    FROM documents
+    """
+
+
+@register("t14_bpe_bytes", _bpe_bytes_oracle())
+def q_t14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-level BPE token counts (the GPT-2-family regime: one symbol
+    per UTF-8 byte, surfaced as hex pairs so the same wrapped-symbol
+    replace machinery and its SQL mirror apply unchanged; merges =
+    the fixture's hex-pair image)."""
+    from .llm.bpe import token_count_bpe
+
+    docs = spark.read.parquet(_pq(sf_dir, "documents"))
+    return token_count_bpe(
+        docs.select("doc_id", "text"), level="bytes"
+    ).select("doc_id", "n_tokens")

@@ -81,12 +81,19 @@ BPE_FIXTURE_MERGES: "tuple[tuple[str, str], ...]" = (
 #: mirrored SQL) stops being a sane literal payload — use the Arrow path
 MAX_COLUMN_MERGES = 512
 
+#: the fixture's byte-level (hex-pair) image, defined after
+#: to_byte_rules below — assigned at module bottom
+BPE_FIXTURE_MERGES_BYTES: "tuple[tuple[str, str], ...]" = ()
+
 
 def validate_merges(
     merges: "list[tuple[str, str]] | tuple[tuple[str, str], ...]",
+    base_len: int = 1,
 ) -> "list[tuple[str, str]]":
     """Check well-formedness (the property the sequential == priority
-    equivalence rests on) and return the merges as a list."""
+    equivalence rests on) and return the merges as a list. `base_len`
+    is the string length of an ATOMIC symbol — 1 for codepoint chars,
+    2 for byte-level hex pairs."""
     out: "list[tuple[str, str]]" = []
     produced: set[str] = set()
     for i, rule in enumerate(merges):
@@ -98,7 +105,7 @@ def validate_merges(
                 raise ValueError(
                     f"rule {i}: symbol contains a reserved separator char"
                 )
-            if len(side) > 1 and side not in produced:
+            if len(side) > base_len and side not in produced:
                 raise ValueError(
                     f"rule {i}: symbol {side!r} is not produced by an "
                     f"earlier rule — merges table is not well-formed "
@@ -124,18 +131,81 @@ def validate_merges(
 _RESERVED_RE = "[\x1d-\x1f]"
 
 
-def _char_stream(text_col: Column) -> "tuple[Column, Column]":
-    """(symbol stream, piece count): pieces joined by BREAK, every char
-    wrapped START..SEP. BPE_ISH pieces contain no whitespace, so '(.)'
-    (which skips newlines identically in Java regex and RE2) sees every
-    character. Reserved separator chars in the INPUT are mapped to
-    spaces first — they act as piece boundaries, never as framing."""
+def _char_stream(text_col: Column, level: str = "chars") -> "tuple[Column, Column]":
+    """(symbol stream, piece count): pieces joined by BREAK, every
+    symbol wrapped START..SEP. level='chars' wraps each codepoint;
+    level='bytes' hex-encodes the UTF-8 byte stream and wraps each hex
+    PAIR — one symbol per byte, the GPT-2-family regime, with the BREAK
+    byte surfacing as the '1E' pair (banned from rule symbols, so no
+    merge crosses pieces). BPE_ISH pieces contain no whitespace, so
+    '(.)'/'(..)' (which skip newlines identically in Java regex and
+    RE2) see every symbol. Reserved separator chars in the INPUT are
+    mapped to spaces first — they act as piece boundaries, never as
+    framing."""
     clean = F.regexp_replace(text_col, _RESERVED_RE, " ")
     pieces = F.regexp_extract_all(clean, F.lit(BPE_ISH_PATTERN), 0)
-    stream = F.regexp_replace(
-        F.array_join(pieces, _BREAK), "(.)", _START + "$1" + _SEP
-    )
+    joined = F.array_join(pieces, _BREAK)
+    if level == "bytes":
+        stream = F.regexp_replace(
+            F.hex(F.encode(joined, "UTF-8")),
+            "(..)", _START + "$1" + _SEP,
+        )
+    else:
+        stream = F.regexp_replace(joined, "(.)", _START + "$1" + _SEP)
     return stream, F.size(pieces)
+
+
+#: hex pairs a byte-level rule symbol may never contain (they are the
+#: framing bytes' hex images; input text never produces them after the
+#: reserved-char neutralization, and a rule containing one could merge
+#: across piece boundaries)
+_FORBIDDEN_BYTE_PAIRS = {"1D", "1E", "1F"}
+
+
+def _base_len(level: str) -> int:
+    """Atomic-symbol string length for a level; validates the level."""
+    if level not in ("chars", "bytes"):
+        raise ValueError(f"level must be 'chars' or 'bytes', got {level!r}")
+    return 2 if level == "bytes" else 1
+
+
+def _check_level(rules: "list[tuple[str, str]]", level: str) -> None:
+    _base_len(level)
+    if level == "bytes":
+        import re as _re
+
+        for i, (a, b) in enumerate(rules):
+            for side in (a, b):
+                if len(side) % 2 or not _re.fullmatch(r"[0-9A-F]+", side):
+                    raise ValueError(
+                        f"rule {i}: byte-level symbols are UPPERCASE hex "
+                        f"pairs, got {side!r}"
+                    )
+                if any(side[j:j + 2] in _FORBIDDEN_BYTE_PAIRS
+                       for j in range(0, len(side), 2)):
+                    raise ValueError(
+                        f"rule {i}: symbol {side!r} contains a framing "
+                        f"byte's hex pair"
+                    )
+
+
+def piece_symbols(piece: str, level: str = "chars") -> "list[str]":
+    """The initial symbol sequence of one pre-tokenized piece: its
+    codepoints, or its UTF-8 bytes as uppercase hex pairs."""
+    if level == "bytes":
+        h = piece.encode("utf-8").hex().upper()
+        return [h[i:i + 2] for i in range(0, len(h), 2)]
+    return list(piece)
+
+
+def to_byte_rules(rules: "list[tuple[str, str]]") -> "list[tuple[str, str]]":
+    """Map char-level rules over ASCII symbols to their byte-level
+    (hex-pair) images — well-formedness is preserved because the map is
+    a homomorphism on concatenation."""
+    return [
+        (a.encode("utf-8").hex().upper(), b.encode("utf-8").hex().upper())
+        for a, b in rules
+    ]
 
 
 def token_count_bpe(
@@ -143,19 +213,24 @@ def token_count_bpe(
     merges: "list[tuple[str, str]] | None" = None,
     text_col: str = "text",
     out_col: str = "n_tokens",
+    level: str = "chars",
 ) -> DataFrame:
     """Exact BPE token count as a pure Column expression (see module
     docstring). The SEP count equals symbols + piece boundaries, so
     n_tokens = seps - (pieces - 1); empty text has zero pieces and zero
     tokens."""
-    rules = validate_merges(merges if merges is not None else BPE_FIXTURE_MERGES)
+    if merges is None:
+        merges = (BPE_FIXTURE_MERGES_BYTES if level == "bytes"
+                  else BPE_FIXTURE_MERGES)
+    rules = validate_merges(merges, base_len=_base_len(level))
+    _check_level(rules, level)
     if len(rules) > MAX_COLUMN_MERGES:
         raise ValueError(
             f"{len(rules)} merges exceeds MAX_COLUMN_MERGES="
             f"{MAX_COLUMN_MERGES}: the nested-replace plan would embed "
             f"every rule as a task-side literal — use token_count_bpe_arrow"
         )
-    s, n_pieces = _char_stream(F.col(text_col))
+    s, n_pieces = _char_stream(F.col(text_col), level)
     for a, b in rules:
         s = F.replace(
             s,
@@ -188,22 +263,37 @@ def _sql_str(s: str) -> str:
 def bpe_count_sql(
     text_expr: str = "text",
     merges: "list[tuple[str, str]] | None" = None,
+    level: str = "chars",
 ) -> str:
     """The DuckDB scalar expression mirroring token_count_bpe exactly
     (DuckDB replace() is the same literal left-to-right non-overlapping
-    substitution as F.replace)."""
-    rules = validate_merges(merges if merges is not None else BPE_FIXTURE_MERGES)
+    substitution as F.replace; DuckDB hex(encode(..)) is the same
+    uppercase hex byte image as F.hex(F.encode(..)))."""
+    if merges is None:
+        merges = (BPE_FIXTURE_MERGES_BYTES if level == "bytes"
+                  else BPE_FIXTURE_MERGES)
+    rules = validate_merges(merges, base_len=_base_len(level))
+    _check_level(rules, level)
     # mirror _char_stream's reserved-char neutralization exactly
     text_expr = (
         f"regexp_replace({text_expr}, "
         f"'[' || chr({ord(_START)}) || '-' || chr({ord(_SEP)}) || ']', "
         f"' ', 'g')"
     )
-    s = (
-        f"regexp_replace(array_to_string(regexp_extract_all({text_expr}, "
-        f"'{BPE_ISH_PATTERN}', 0), chr({ord(_BREAK)})), "
-        f"'(.)', chr({ord(_START)}) || '\\1' || chr({ord(_SEP)}), 'g')"
+    joined = (
+        f"array_to_string(regexp_extract_all({text_expr}, "
+        f"'{BPE_ISH_PATTERN}', 0), chr({ord(_BREAK)}))"
     )
+    if level == "bytes":
+        s = (
+            f"regexp_replace(hex(encode({joined})), "
+            f"'(..)', chr({ord(_START)}) || '\\1' || chr({ord(_SEP)}), 'g')"
+        )
+    else:
+        s = (
+            f"regexp_replace({joined}, "
+            f"'(.)', chr({ord(_START)}) || '\\1' || chr({ord(_SEP)}), 'g')"
+        )
     for a, b in rules:
         s = (
             f"replace({s}, {_sql_str(_START + a + _SEP + _START + b + _SEP)}, "
@@ -217,11 +307,12 @@ def bpe_count_sql(
     )
 
 
-def count_piece(piece: str, ranks: "dict[tuple[str, str], int]") -> int:
+def count_piece(piece: str, ranks: "dict[tuple[str, str], int]",
+                level: str = "chars") -> int:
     """Reference Python BPE (the priority-queue form) for one
     pre-tokenized piece — the Arrow path's kernel, importable for
     model-checking against the Column path."""
-    syms = list(piece)
+    syms = piece_symbols(piece, level)
     while len(syms) > 1:
         best_rank = None
         a = b = None
@@ -243,6 +334,7 @@ def token_count_bpe_arrow(
     merges: "list[tuple[str, str]] | None" = None,
     text_col: str = "text",
     out_col: str = "n_tokens",
+    level: str = "chars",
 ) -> DataFrame:
     """Exact BPE token count for production-size vocabularies: merges as
     ONE broadcast variable (per-executor, not per-task/plan), counting
@@ -253,7 +345,11 @@ def token_count_bpe_arrow(
 
     from pyspark.sql.types import LongType, StructField, StructType
 
-    rules = validate_merges(merges if merges is not None else BPE_FIXTURE_MERGES)
+    if merges is None:
+        merges = (BPE_FIXTURE_MERGES_BYTES if level == "bytes"
+                  else BPE_FIXTURE_MERGES)
+    rules = validate_merges(merges, base_len=_base_len(level))
+    _check_level(rules, level)
     ranks = {pair: i for i, pair in enumerate(rules)}
     bc = df.sparkSession.sparkContext.broadcast(ranks)
     schema = StructType(
@@ -262,6 +358,8 @@ def token_count_bpe_arrow(
     pattern = BPE_ISH_PATTERN
 
     reserved = _RESERVED_RE
+
+    lvl = level
 
     def count_batches(batches):
         rk = bc.value
@@ -278,7 +376,7 @@ def token_count_bpe_arrow(
             for p in pre.findall(strip.sub(" ", text)):
                 c = memo.get(p)
                 if c is None:
-                    c = count_piece(p, rk)
+                    c = count_piece(p, rk, lvl)
                     memo[p] = c
                 total += c
             return total
@@ -309,6 +407,7 @@ def learn_bpe_merges(
     n_merges: int,
     text_col: str = "text",
     max_distinct_pieces: int = 1_000_000,
+    level: str = "chars",
 ) -> "list[tuple[str, str]]":
     """LEARN a merges table from the corpus (Sennrich et al. 2016) —
     the other half of the BPE story: the result is well-formed by
@@ -328,6 +427,7 @@ def learn_bpe_merges(
     and learned symbols can therefore never contain them."""
     if n_merges < 0:
         raise ValueError(f"n_merges must be >= 0, got {n_merges}")
+    _check_level([], level)
     clean = F.regexp_replace(F.col(text_col), _RESERVED_RE, " ")
     counted = (
         df.select(
@@ -349,7 +449,7 @@ def learn_bpe_merges(
         )
     rows = counted.collect()
     vocab: "dict[tuple[str, ...], int]" = {
-        tuple(r["piece"]): r["c"] for r in rows
+        tuple(piece_symbols(r["piece"], level)): r["c"] for r in rows
     }
     merges: "list[tuple[str, str]]" = []
     produced: set[str] = set()
@@ -374,4 +474,7 @@ def learn_bpe_merges(
             tuple(_merge_all(list(syms), *best)): c
             for syms, c in vocab.items()
         }
-    return validate_merges(merges)
+    return validate_merges(merges, base_len=_base_len(level))
+
+
+BPE_FIXTURE_MERGES_BYTES = tuple(to_byte_rules(list(BPE_FIXTURE_MERGES)))

@@ -278,3 +278,69 @@ def test_learn_bpe_merges_matches_reference_implementation(spark):
         produced.add(best[0] + best[1])
         corpus = [_merge_all(s, *best) for s in corpus]
     assert got == expect
+
+
+def test_byte_level_parity_and_ascii_invariant(spark):
+    """level='bytes': Column == Arrow == DuckDB mirror; pure-ASCII text
+    counts identically at both levels (1 byte == 1 char there), and
+    multibyte text costs MORE byte symbols; NULL/empty unchanged."""
+    import duckdb
+
+    from configurable_etl_python_repo_spark.llm.bpe import bpe_count_sql
+
+    texts = [(i, t) for i, t in enumerate([
+        "There is another character in the测试 20 there there",
+        "", None, "ascii only the cat resting 1999",
+        "emoji 🙂 and dashes — multibyte", "a\x1fb\x1e\x1d framing",
+    ])]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    colb = {r["doc_id"]: r["n_tokens"]
+            for r in token_count_bpe(df, level="bytes").collect()}
+    arrb = {r["doc_id"]: r["n_tokens"]
+            for r in token_count_bpe_arrow(df, level="bytes").collect()}
+    colc = {r["doc_id"]: r["n_tokens"] for r in token_count_bpe(df).collect()}
+    assert colb == arrb
+    assert colb[3] == colc[3]          # pure ASCII: byte == char
+    assert colb[4] > colc[4]           # multibyte costs more bytes
+    assert colb[1] == 0 and colb[2] is None
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?,?)", texts)
+    duck = {r[0]: r[1] for r in con.execute(
+        "SELECT doc_id, " + bpe_count_sql("text", level="bytes") + " FROM t"
+    ).fetchall()}
+    assert duck == colb
+
+
+def test_byte_level_learner_roundtrip(spark):
+    """learn_bpe_merges(level='bytes') yields hex-pair rules that are
+    well-formed at base_len=2, drive both counters identically, and on
+    ASCII corpora mirror the char-level learner's merges exactly (the
+    hex map is a homomorphism)."""
+    from configurable_etl_python_repo_spark.llm.bpe import (
+        learn_bpe_merges, to_byte_rules,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "low low low lower the the cafe")], ["doc_id", "text"]
+    )
+    merges_b = learn_bpe_merges(df, 6, level="bytes")
+    merges_c = learn_bpe_merges(df, 6)
+    assert merges_b == to_byte_rules(merges_c)  # ASCII corpus: same tree
+    colb = token_count_bpe(df, merges=merges_b, level="bytes").collect()
+    arrb = token_count_bpe_arrow(df, merges=merges_b,
+                                 level="bytes").collect()
+    assert colb[0]["n_tokens"] == arrb[0]["n_tokens"]
+
+
+def test_byte_level_validation():
+    from configurable_etl_python_repo_spark.llm.bpe import (
+        token_count_bpe as tc,
+    )
+
+    with pytest.raises(ValueError, match="hex pairs"):
+        tc(None, merges=[("t", "h")], level="bytes")   # char symbols
+    with pytest.raises(ValueError, match="framing byte"):
+        tc(None, merges=[("1E", "41")], level="bytes")
+    with pytest.raises(ValueError, match="level must be"):
+        tc(None, merges=[("41", "42")], level="nibbles")
