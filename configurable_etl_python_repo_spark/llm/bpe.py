@@ -451,29 +451,74 @@ def learn_bpe_merges(
     vocab: "dict[tuple[str, ...], int]" = {
         tuple(piece_symbols(r["piece"], level)): r["c"] for r in rows
     }
+    # Incremental learner (the classic subword-nmt optimization): pair
+    # counts update only for the pieces a merge actually touches
+    # (inverted index pair -> piece ids), and the argmax is a
+    # lazy-deletion heap keyed (-count, pair) — so a merge costs
+    # O(affected pieces + log updates) instead of a full vocabulary
+    # recount, making tens of thousands of merges tractable. Selection
+    # order is IDENTICAL to the naive recount (count desc, pair
+    # lexicographic asc — fully deterministic), pinned by the
+    # reference-implementation equality test.
+    import heapq
+
+    pieces: "list[list[str]]" = []
+    weights: "list[int]" = []
+    for syms, c in vocab.items():
+        pieces.append(list(syms))
+        weights.append(c)
+
+    pair_counts: "dict[tuple[str, str], int]" = {}
+    pair_pieces: "dict[tuple[str, str], set[int]]" = {}
+    heap: "list[tuple[int, tuple[str, str]]]" = []
+
+    def apply_pairs(idx: int, sign: int) -> None:
+        syms = pieces[idx]
+        c = weights[idx] * sign
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            nc = pair_counts.get(p, 0) + c
+            pair_counts[p] = nc
+            if sign > 0:
+                pair_pieces.setdefault(p, set()).add(idx)
+            # push on EVERY change while positive: decreases must leave
+            # a fresh entry too, or the stale higher one at the top
+            # would be discarded with nothing underneath to find
+            if nc > 0:
+                heapq.heappush(heap, (-nc, p))
+
+    for idx in range(len(pieces)):
+        apply_pairs(idx, +1)
+
     merges: "list[tuple[str, str]]" = []
     produced: set[str] = set()
-    for _ in range(n_merges):
-        pair_counts: "dict[tuple[str, str], int]" = {}
-        for syms, c in vocab.items():
-            for i in range(len(syms) - 1):
-                p = (syms[i], syms[i + 1])
-                pair_counts[p] = pair_counts.get(p, 0) + c
-        # a pair whose output string an earlier rule already produced
-        # would break the sequential==priority equivalence — skip it
-        candidates = {
-            p: c for p, c in pair_counts.items()
-            if p[0] + p[1] not in produced
-        }
-        if not candidates:
+    while len(merges) < n_merges:
+        best = None
+        while heap:
+            negc, p = heapq.heappop(heap)
+            if pair_counts.get(p, 0) != -negc:
+                continue  # stale entry
+            # a pair whose output string an earlier rule already
+            # produced would break the sequential==priority equivalence
+            if p[0] + p[1] in produced:
+                continue
+            best = p
             break
-        best = min(candidates.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if best is None:
+            break
         merges.append(best)
         produced.add(best[0] + best[1])
-        vocab = {
-            tuple(_merge_all(list(syms), *best)): c
-            for syms, c in vocab.items()
-        }
+        a, b = best
+        for idx in sorted(pair_pieces.get(best, ())):
+            syms = pieces[idx]
+            if not any(
+                syms[i] == a and syms[i + 1] == b
+                for i in range(len(syms) - 1)
+            ):
+                continue  # stale index entry
+            apply_pairs(idx, -1)
+            pieces[idx] = _merge_all(syms, a, b)
+            apply_pairs(idx, +1)
     return validate_merges(merges, base_len=_base_len(level))
 
 
