@@ -52,7 +52,7 @@ BOILERPLATE = (
 MIN_TASKS = 8
 
 QUERIES = ["d8_span_dedup", "d9_decontaminate", "d10_substring_dedup",
-           "x14_pretraining_pipeline"]
+           "x14_pretraining_pipeline", "x15_web_curation_pipeline"]
 
 
 def replicate_skewed(spark, src_dir: str, out_dir: str, factor: int) -> None:
