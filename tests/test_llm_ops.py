@@ -685,3 +685,35 @@ def test_semantic_dedup_auto_centroids_scale_policy(spark, sf_dir):
     capped = semantic_dedup(emb, threshold=0.4, target_cluster_size=1,
                             n_iter=1, max_centroids=4)
     assert capped.select("cid").distinct().count() <= 4
+
+
+def test_semantic_dedup_table_reproduces_driver_path_exhaustively(
+    spark, sf_dir
+):
+    """The table-centroid path (centroids as a DataFrame, two-level
+    assignment, NO driver-side centroid collect) with exhaustive coarse
+    probing reproduces semantic_dedup row-for-row — the million-cluster
+    regime runs the same math."""
+    from configurable_etl_python_repo_spark.llm.similarity import (
+        semantic_dedup, semantic_dedup_table,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    key = lambda r: (r["vec_id"], r["cid"], r["dup_of"], r["kept"])
+    drv = {key(r) for r in semantic_dedup(
+        emb, threshold=0.4, n_centroids=6, n_iter=2).collect()}
+    tbl = {key(r) for r in semantic_dedup_table(
+        emb, threshold=0.4, n_centroids=6, n_iter=2,
+        coarse_centroids=4, n_probe_coarse=4).collect()}
+    assert tbl == drv
+
+    # probed mode stays complete (every vector classified) and close:
+    # coarse pruning may flip borderline assignments, never drop rows
+    probed = semantic_dedup_table(
+        emb, threshold=0.4, n_centroids=6, n_iter=2,
+        coarse_centroids=4, n_probe_coarse=1)
+    rows = probed.collect()
+    assert len(rows) == emb.count()
+    kept_exact = sum(1 for r in drv if r[3])
+    kept_probed = sum(1 for r in rows if r["kept"])
+    assert abs(kept_probed - kept_exact) <= 0.2 * len(rows)
