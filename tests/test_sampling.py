@@ -182,3 +182,34 @@ def test_top_k_sample_as_config_op(spark):
         {"k": 4, "strata_column": "source"},
     ))
     assert out.count() == 12
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.data())
+    def test_split_ranges_partition_the_hash_space_property(data):
+        """Pure-math property of the split cutoffs: for ANY fraction set
+        summing to <= 1 and ANY bucket value, at most one range claims
+        the bucket, ranges are contiguous in sorted-name order, and
+        fractions summing to exactly 1 leave no bucket unassigned."""
+        n = data.draw(st.integers(1, 5))
+        fracs = [data.draw(st.floats(0.01, 1.0)) for _ in range(n)]
+        total = sum(fracs)
+        fracs = [f / total for f in fracs]  # normalize to sum 1 exactly-ish
+        names = [f"s{i}" for i in range(n)]
+        scale = 1 << 32
+        cum, cuts = 0.0, []
+        for name in sorted(names):
+            cum += fracs[names.index(name)]
+            cuts.append((name, int(round(cum * scale))))
+        bucket = data.draw(st.integers(0, scale - 1))
+        claims = [nm for (nm, hi), lo in zip(
+            cuts, [0] + [h for _, h in cuts[:-1]]) if lo <= bucket < hi]
+        assert len(claims) <= 1
+        # sum == 1 (within float round): the last cutoff covers the space
+        assert cuts[-1][1] >= scale - 1
+except ImportError:  # pragma: no cover
+    pass
