@@ -1037,15 +1037,21 @@ def q_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(month(o_orderdate) AS INTEGER) AS m,
            CAST(day(o_orderdate) AS INTEGER) AS d,
            strftime(o_orderdate, '%Y-%m-%d %H') AS formatted,
-           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus30,
-           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
-           last_day(CAST(o_orderdate AS DATE)) AS month_end
+           CAST(CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS TIMESTAMP)
+             AS plus30,
+           CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS TIMESTAMP)
+             AS month_start,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end
     FROM orders
     """,
 )
 def q_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 datetime surface: extracts, formatting (strftime<->Java pattern
-    parity), arithmetic, truncation."""
+    parity), arithmetic, truncation. The derived dates are cast to
+    TIMESTAMP on BOTH sides: Spark DATE materializes in pandas as object
+    datetime.date while DuckDB DATE fetches as datetime64 — numerically
+    equal, type-different, exactly the drift the driver's type-sensitive
+    value-hash rejects (the r6 dtype-strict comparator caught this)."""
     o = spark.read.parquet(_pq(sf_dir, "orders"))
     return o.select(
         "o_orderkey",
@@ -1054,9 +1060,9 @@ def q_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("o_orderdate").alias("m"),
         F.dayofmonth("o_orderdate").alias("d"),
         F.date_format("o_orderdate", "yyyy-MM-dd HH").alias("formatted"),
-        F.date_add("o_orderdate", 30).alias("plus30"),
-        F.trunc("o_orderdate", "month").alias("month_start"),
-        F.last_day("o_orderdate").alias("month_end"),
+        F.date_add("o_orderdate", 30).cast("timestamp").alias("plus30"),
+        F.trunc("o_orderdate", "month").cast("timestamp").alias("month_start"),
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
     )
 
 

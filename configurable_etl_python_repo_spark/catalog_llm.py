@@ -1675,8 +1675,8 @@ _PACK_SEQ_LEN = 512
                CAST(0 AS BIGINT)) AS bef
       FROM counted)
     SELECT doc_id, source, n_tokens,
-           bef // {_PACK_SEQ_LEN} AS seq_id,
-           bef % {_PACK_SEQ_LEN} AS seq_offset
+           CAST(bef // {_PACK_SEQ_LEN} AS BIGINT) AS seq_id,
+           CAST(bef % {_PACK_SEQ_LEN} AS BIGINT) AS seq_offset
     FROM packed
     """,
 )
@@ -1703,8 +1703,8 @@ def _bpe_pack_oracle() -> str:
                CAST(0 AS BIGINT)) AS bef
       FROM counted)
     SELECT doc_id, source, n_tokens,
-           bef // {_PACK_SEQ_LEN} AS seq_id,
-           bef % {_PACK_SEQ_LEN} AS seq_offset
+           CAST(bef // {_PACK_SEQ_LEN} AS BIGINT) AS seq_id,
+           CAST(bef % {_PACK_SEQ_LEN} AS BIGINT) AS seq_offset
     FROM packed
     """
 
@@ -1872,8 +1872,8 @@ def _web_pipeline_oracle() -> str:
                CAST(0 AS BIGINT)) AS bef
       FROM tok)
     SELECT doc_id, source, n_tokens,
-           bef // {_X15_SEQ_LEN} AS seq_id,
-           bef % {_X15_SEQ_LEN} AS seq_offset
+           CAST(bef // {_X15_SEQ_LEN} AS BIGINT) AS seq_id,
+           CAST(bef % {_X15_SEQ_LEN} AS BIGINT) AS seq_offset
     FROM packed
     """
 
@@ -2142,8 +2142,8 @@ _SHARD_TARGET = 2000
                CAST(0 AS BIGINT)) AS bef
       FROM keyed)
     SELECT doc_id, shard, n_tokens,
-           bef // {_PACK_SEQ_LEN} AS seq_id,
-           bef % {_PACK_SEQ_LEN} AS seq_offset
+           CAST(bef // {_PACK_SEQ_LEN} AS BIGINT) AS seq_id,
+           CAST(bef % {_PACK_SEQ_LEN} AS BIGINT) AS seq_offset
     FROM packed
     """,
 )

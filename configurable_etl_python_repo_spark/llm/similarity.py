@@ -749,7 +749,11 @@ def semantic_dedup(
         n_centroids = min(
             max(1, -(-n // target_cluster_size)), max_centroids
         )
-    cents = lloyd_centroids(df, n_centroids, n_iter, id_col, vec_col)
+    # mean_digits follows round_digits so the clustering rounding agrees
+    # with the assignment/sim rounding end-to-end (the SQL-replay
+    # contract); semantic_dedup_table already forwards it the same way
+    cents = lloyd_centroids(df, n_centroids, n_iter, id_col, vec_col,
+                            mean_digits=round_digits)
     assign1 = ivf_assignments_arrow(cents, n_best=1, digits=round_digits)
     # the assignment relation feeds THREE branches (pairs left side, b,
     # and the output join): the scoped cache stops the corpus scan and

@@ -696,8 +696,12 @@ def surprisal_score(
         joined = words.join(counts, on="w").crossJoin(F.broadcast(total))
         sup = F.log(F.col("__n").cast("double") / F.col("__c").cast("double"))
     else:
+        # coalesce the zero-row SUM to 0 (an EMPTY reference LM must
+        # yield the finite Laplace OOV surprisal, matching the
+        # surprisal_lm_table streaming dual — not NULL everywhere)
         vocab = counts.agg(
-            F.sum("__c").alias("__n"), F.count(F.lit(1)).alias("__v")
+            F.coalesce(F.sum("__c"), F.lit(0)).alias("__n"),
+            F.count(F.lit(1)).alias("__v"),
         )
         joined = (
             words.join(counts, on="w", how="left")

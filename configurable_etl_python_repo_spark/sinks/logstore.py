@@ -260,7 +260,7 @@ class S3DataLister(DataLister):
     def _key_of(self, path: str) -> str:
         import re
 
-        m = re.match(r"^[a-z0-9]+://([^/]+)/(.*)$", path)
+        m = re.match(r"^[a-z0-9]+://([^/]+)/?(.*)$", path)
         if m:
             if m.group(1) != self.bucket:
                 raise ValueError(
@@ -286,7 +286,10 @@ class S3DataLister(DataLister):
 
     def list_commit_dirs(self, gold_path: str) -> "list[str]":
         base = gold_path.rstrip("/")
-        prefix = f"{self._key_of(base)}/data/"
+        key = self._key_of(base)
+        # bucket-root gold ('s3a://bucket') parses to the empty key;
+        # the prefix must be 'data/', not '/data/' (matches nothing)
+        prefix = f"{key}/data/" if key else "data/"
         commits = set()
         for page in self._list(prefix, delimiter="/"):
             for cp in page.get("CommonPrefixes", []):

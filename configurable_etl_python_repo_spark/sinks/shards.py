@@ -96,7 +96,16 @@ def read_training_shard(spark, out_dir: str, shard: str,
                         shard_col: str = "source") -> DataFrame:
     """One shard, in loader order. Row order within a parquet file is
     preserved on read as long as the read is not re-shuffled; the single
-    file per shard makes that the default."""
-    return spark.read.option("basePath", out_dir).parquet(
-        os.path.join(out_dir, f"{shard_col}={shard}")
+    file per shard makes that the default.
+
+    Filters on the partition column rather than joining the raw shard
+    value into a path: Spark Hive-escapes special characters in
+    partition directory names ('src0#3' -> 'shard=src0%233'), so a
+    literal path join breaks for derive_shard_key outputs. The filter
+    compiles to partition pruning — still exactly one directory read.
+    """
+    return (
+        spark.read.option("basePath", out_dir)
+        .parquet(out_dir)
+        .filter(F.col(shard_col) == F.lit(shard))
     )

@@ -37,6 +37,24 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _family(dtype) -> str:
+    """Coarse dtype family. The driver's value-hash is TYPE-sensitive:
+    an int64 Spark column against a float64 oracle column hash-mismatches
+    even when every value is numerically identical (the r5 t9 failure —
+    DuckDB types a windowed SUM(BIGINT) as HUGEINT, which fetchdf()
+    renders float64). Families must MATCH before values are compared."""
+    s = str(dtype).lower()
+    if s.startswith("bool"):
+        return "bool"
+    if "int" in s:
+        return "int"
+    if s.startswith("float") or s == "double":
+        return "float"
+    if s.startswith("datetime") or s.startswith("timestamp"):
+        return "datetime"
+    return "object"
+
+
 def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
     problems = []
     if len(spark_pdf) != len(oracle_pdf):
@@ -48,7 +66,16 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
     a, b = canon(spark_pdf), canon(oracle_pdf)
     if len(a) == len(b):
         for c in a.columns:
-            if str(a[c].dtype).startswith("float") or str(b[c].dtype).startswith("float"):
+            fa, fb = _family(a[c].dtype), _family(b[c].dtype)
+            if fa != fb and len(a):
+                problems.append(
+                    f"col {c}: dtype mismatch spark={a[c].dtype} "
+                    f"oracle={b[c].dtype} ({fa} vs {fb}) — numerically "
+                    f"equal values would still fail the driver's "
+                    f"type-sensitive hash"
+                )
+                continue
+            if fa == "float" and fb == "float":
                 av, bv = a[c].astype(float), b[c].astype(float)
                 bad = ~(
                     (av.isna() & bv.isna())

@@ -218,6 +218,29 @@ def test_surprisal_score_reference_corpus_smoothed(spark):
     assert out[11] > out[10]
 
 
+def test_surprisal_empty_reference_lm_matches_stream_dual(spark):
+    """An EMPTY reference lm_df: every word is OOV, surprisal is the
+    finite Laplace maximum ln((0 + a*(0+1)) / a) = ln(1) = 0 with
+    alpha=1 and N=V=0 — NOT NULL (the zero-row SUM must coalesce to 0
+    exactly as surprisal_lm_table's streaming dual does)."""
+    import math
+
+    from configurable_etl_python_repo_spark.llm.text import (
+        surprisal_lm_table,
+        surprisal_score,
+    )
+
+    empty_lm = spark.createDataFrame([], schema="doc_id long, text string")
+    docs = spark.createDataFrame([(1, "any words here")], ["doc_id", "text"])
+    (row,) = surprisal_score(docs, lm_df=empty_lm, alpha=2.0).collect()
+    expected = round(math.log((0 + 2.0 * 1) / 2.0), 6)  # = 0.0
+    assert row["avg_surprisal"] == expected
+    assert row["avg_surprisal"] is not None
+    # the streaming dual's OOV surprisal agrees (micro-nats)
+    vocab, _, oov = surprisal_lm_table(empty_lm, alpha=2.0)
+    assert vocab == [] and oov == round(expected * 1_000_000)
+
+
 def test_surprisal_as_config_op_two_inputs(spark):
     eng = Engine(spark)
     eng.bind("lm", spark.createDataFrame([(1, "x x y")], ["doc_id", "text"]))

@@ -719,6 +719,27 @@ def test_semantic_dedup_table_reproduces_driver_path_exhaustively(
     assert abs(kept_probed - kept_exact) <= 0.2 * len(rows)
 
 
+def test_semantic_dedup_round_digits_forwarded_to_clustering(spark, sf_dir):
+    """With a NON-default round_digits the whole pipeline — Lloyd means
+    included — must round consistently: semantic_dedup passes it through
+    as lloyd_centroids' mean_digits exactly like semantic_dedup_table
+    does, so driver path == table path holds at any precision (the
+    documented end-to-end determinism/SQL-replay contract)."""
+    from configurable_etl_python_repo_spark.llm.similarity import (
+        semantic_dedup, semantic_dedup_table,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    key = lambda r: (r["vec_id"], r["cid"], r["dup_of"], r["kept"])
+    drv = {key(r) for r in semantic_dedup(
+        emb, threshold=0.4, n_centroids=6, n_iter=2,
+        round_digits=3).collect()}
+    tbl = {key(r) for r in semantic_dedup_table(
+        emb, threshold=0.4, n_centroids=6, n_iter=2,
+        coarse_centroids=4, n_probe_coarse=4, round_digits=3).collect()}
+    assert tbl == drv
+
+
 def test_semantic_dedup_table_probing_accurate_on_clustered_vectors(spark):
     """The probe-vs-exhaustive gap measured on the fixture comes from its
     near-orthogonal embeddings (every cell boundary is ambiguous); on

@@ -64,3 +64,40 @@ def test_write_training_shards_validates_input(spark, tmp_path):
     df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="pack_sequences"):
         write_training_shards(df, str(tmp_path / "x"), seq_len=8)
+
+
+def test_read_shard_with_hive_escaped_name(spark, sf_dir, tmp_path):
+    """derive_shard_key emits names like 'src0#3'; Spark Hive-escapes
+    '#' in partition directory names ('shard=src0%233'), so the reader
+    must prune on the partition COLUMN, not join the raw value into a
+    path (which raises PATH_NOT_FOUND). This is the documented
+    derive_shard_key -> write_training_shards -> read_training_shard
+    composition end-to-end."""
+    from pyspark.sql import functions as F
+
+    from configurable_etl_python_repo_spark.llm.text import derive_shard_key
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source", "text")
+        .limit(200)
+    )
+    keyed = derive_shard_key(docs, target_tokens=2_000)
+    packed = pack_sequences(keyed, seq_len=SEQ_LEN, shard_col="shard")
+    out = str(tmp_path / "shards")
+    manifest = write_training_shards(
+        packed, out, seq_len=SEQ_LEN, shard_col="shard"
+    )
+    hashed = [s for s in manifest["shards"] if "#" in s]
+    assert hashed, "fixture produced no split shards; lower target_tokens"
+    shard = sorted(hashed)[0]
+    got = read_training_shard(spark, out, shard, shard_col="shard")
+    assert got.count() == manifest["shards"][shard]["n_docs"]
+    assert got.filter(F.col("shard") != shard).count() == 0
+    # partition pruning, not a full scan: the shard predicate must reach
+    # the scan as a partition filter (one directory read at any scale)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m is not None and "shard" in m.group(1), plan

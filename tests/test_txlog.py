@@ -615,6 +615,29 @@ def test_s3_data_lister_rejects_foreign_bucket():
     assert lister.list_commit_dirs("tables/study") == []
 
 
+def test_s3_data_lister_bucket_root_gold_path():
+    """A gold table at the bucket ROOT ('s3a://gold-bucket' with or
+    without trailing slash) must parse to the empty key — not fall
+    through to being treated as a bucket-relative key named
+    's3a://gold-bucket', which would silently list nothing and let
+    vacuum expire manifests while orphaning their data dirs."""
+    from configurable_etl_python_repo_spark.sinks.logstore import S3DataLister
+
+    _, client = _s3_store()
+    lister = S3DataLister("gold-bucket", client=client)
+    assert lister._key_of("s3a://gold-bucket") == ""
+    assert lister._key_of("s3a://gold-bucket/") == ""
+    assert lister._key_of("s3a://gold-bucket/tables/study") == "tables/study"
+    client.put_object(Bucket="gold-bucket",
+                      Key="data/c1/part-0.parquet", Body=b"x")
+    assert lister.list_commit_dirs("s3a://gold-bucket") == [
+        "s3a://gold-bucket/data/c1"
+    ]
+    # foreign bucket still rejected in root form
+    with pytest.raises(ValueError, match="bound to"):
+        lister._key_of("s3a://other-bucket")
+
+
 def test_tx_object_store_compaction(spark, tmp_path):
     """Compaction with manifest I/O through the object store: commits
     collapse to one data dir, content identical, no _txlog on disk."""
