@@ -1193,42 +1193,52 @@ from . import catalog_llm  # noqa: E402,F401
 DRIVER_PRIORITY = [
     # reference surface (SURVEY §2.1-§2.7)
     "flagship_earliest_event", "s1_bronze_nest_explode",
-    "p1_lenient_scan_distinct", "p2_p4_project_remove", "p3_select_distinct",
+    "p1_lenient_scan_distinct", "p2_p4_project_remove",
     "p5_filter_grammar", "p6_remove_rows_null", "p7_filter_not_null",
-    "c1_c2_rename_format", "c3_add_column", "c4_rowwise_min_max",
-    "c5_attach_notnull", "c6_attach_sumeq", "c7_attach_null_coalesce",
+    "c1_c2_rename_format", "c4_rowwise_min_max",
+    "c5_attach_notnull", "c6_attach_sumeq",
     "c8_decision_column", "c9_c10_boundary_sentinel", "c11_c12_gold_record",
-    "j1_left_join_two_keys", "j2_outer_join_counts", "j3_spine_study",
+    "j1_left_join_two_keys", "j3_spine_study",
     "j4_qualified_join", "a1_groupby_summarise", "a4_unique_keep_first",
-    "w2_sort_slice_topn", "w3_last_per_group",
+    "w2_sort_slice_topn",
     "u1_bind_rows",
     # event-time analytics (§2.9 batch shapes)
-    "e1_hourly_event_rollup", "e2_sessionize_gap30m",
-    # LLM pipeline: dedup + decontamination (d8-d10 rotated in for r4/r5)
-    "d1_dedup_exact", "d2_ngram_jaccard_pairs", "d3_minhash_lsh_pairs",
+    "e2_sessionize_gap30m",
+    # LLM pipeline: dedup + decontamination (d11 rotated in for r7)
+    "d2_ngram_jaccard_pairs", "d3_minhash_lsh_pairs",
     "d6_embedding_cosine_srp", "d7_dedup_clusters",
     "d8_span_dedup", "d9_decontaminate", "d10_substring_dedup",
+    "d11_semantic_dedup",
     # LLM pipeline: similarity search
-    "n1_ann_cosine_topk", "n3_ann_ivf_topk", "n4_ann_ivf_kmeans",
-    # LLM pipeline: text analysis + curation (t6-t8 rotated in for r4)
+    "n1_ann_cosine_topk", "n4_ann_ivf_kmeans",
+    # LLM pipeline: text analysis + curation (t10-t14 rotated in for r7)
     "t1_text_stats", "t2_language_id", "t5_winnowing_fingerprints",
     "t6_pii_scrub", "t7_repetition_stats", "t9_bpe_pack_sequences",
+    "t10_unigram_surprisal", "t11_url_blocklist", "t12_quality_classifier",
+    "t13_sized_shards", "t14_bpe_bytes",
     # LLM pipeline: multimodal plumbing
-    "m1_multimodal_features", "m3_frame_sample",
-    # LLM pipeline: mixture + composed end-to-end curation (r4)
+    "m1_multimodal_features",
+    # LLM pipeline: mixture, sampling/splits, composed curation (r5 x15-x17
+    # rotated in for r7)
     "x13_domain_mixture", "x14_pretraining_pipeline",
+    "x15_web_curation_pipeline", "x16_cluster_aware_splits",
+    "x17_exact_k_sample",
     # engine showcase (COMPUTE COLUMN + broadcast joins + fused LIMIT)
     "tpch_q3_shaped",
 ]
-# Rotated OUT of the window in round 5 to make room for the r4/r5
-# operators above (still hash-checked by the local full sweep): a5 (nest
-# semantics already driver-checked via s1), f1 (scalar composite; f2
-# overlaps), e3 (tumbling+session cover §2.9), d4 (simhash; d1-d3/d7
-# cover dedup), d5 (documented O(N^2) opt-in; d6 is the scale path),
-# n2 (n1/n3/n4 cover ANN), t3 (fingerprint composite; t5 winnowing
-# stays), m2 (m1/m3 cover the Arrow plumbing). t8 was never in the
-# window; its packing surface enters via t9, which runs the same math
-# on REAL merges-table BPE counts — strictly more coverage.
+# Rotated OUT of the window in round 7 so the nine r5 operators above
+# (t10-t14, d11, x15-x17) each get a hard driver CORRECTNESS row for the
+# first time (verdict r6 item #1). The nine demoted rows all carry
+# multiple green driver rows from rounds 1-6 AND an in-window sibling
+# covering the same operator family; the local full sweep still
+# hash-checks every one of them: p3 (distinct covered by p1 + a4),
+# c3 (mutate family covered by c4-c7's survivors), c7 (attach family
+# covered by c5/c6), j2 (join family covered by j1/j4), w3 (window
+# family covered by w2 + a4's keep-first), e1 (§2.9 covered by e2),
+# d1 (dedup covered by d7/d8), n3 (IVF ANN covered by n4; write-side
+# index stays pytest-pinned), m3 (Arrow multimodal plumbing covered by
+# m1). Earlier rotations (r5): a5, f1, e3, d4, d5, n2, t3, m2; t8's
+# packing surface enters via t9 (same math on real BPE counts).
 
 
 def _curate() -> None:

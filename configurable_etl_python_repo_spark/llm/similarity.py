@@ -732,9 +732,11 @@ def semantic_dedup(
     or raise the cap knowingly.
 
     Determinism end-to-end: lloyd_centroids is hash-order-init,
-    DECIMAL-mean, 6dp-rounded; assignment ties break to the smaller
-    centroid id; sims round to `round_digits` with id tiebreaks — so
-    the full pipeline (clustering included) replays as SQL.
+    DECIMAL-mean, rounded to `round_digits` (default 6 — the same
+    precision as assignment and sims, forwarded as mean_digits);
+    assignment ties break to the smaller centroid id; sims round to
+    `round_digits` with id tiebreaks — so the full pipeline
+    (clustering included) replays as SQL.
 
     Output: one row per vector — (id_col, cid, dup_of, kept) where
     dup_of is the smallest same-cluster id witnessing sim >= threshold

@@ -67,7 +67,10 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
     if len(a) == len(b):
         for c in a.columns:
             fa, fb = _family(a[c].dtype), _family(b[c].dtype)
-            if fa != fb and len(a):
+            # flagged even for ZERO-row results: the driver's schema
+            # check is row-count-independent, so an empty frame with
+            # dtype drift must still go red locally (ADVICE r6)
+            if fa != fb:
                 problems.append(
                     f"col {c}: dtype mismatch spark={a[c].dtype} "
                     f"oracle={b[c].dtype} ({fa} vs {fb}) — numerically "

@@ -60,6 +60,18 @@ def test_hugeint_window_sum_is_caught():
     assert compare("hugeint_fixed", spark_side, fixed) == []
 
 
+def test_empty_frames_still_flag_dtype_drift():
+    """A zero-row result with schema drift must fail the local sweep —
+    the driver's schema check is row-count-independent (ADVICE r6)."""
+    a = pd.DataFrame({"x": pd.Series([], dtype="int64")})
+    b = pd.DataFrame({"x": pd.Series([], dtype="float64")})
+    problems = compare("empty_drift", a, b)
+    assert problems and "dtype mismatch" in problems[0]
+    # matching empty frames stay green
+    c = pd.DataFrame({"x": pd.Series([], dtype="int64")})
+    assert compare("empty_same", a, c) == []
+
+
 def test_matching_float_sides_keep_tolerance():
     a = pd.DataFrame({"x": [1.0, 2.0]})
     b = pd.DataFrame({"x": [1.0 + 1e-12, 2.0]})
