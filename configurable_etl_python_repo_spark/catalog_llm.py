@@ -2039,7 +2039,12 @@ def q_x16(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.minhash_lsh_pairs(docs, n=_JACCARD_N, bands=_LSH_BANDS,
                                 rows_per_band=_LSH_ROWS,
                                 threshold=_LSH_P / _LSH_Q)
-    comp = dedup_clusters(docs, pairs).select("doc_id", "cluster_id")
+    # degree_cap=8: the star rounds iterate on <= 8*N edges instead of
+    # the full LSH pair volume (boilerplate cliques made x16's sf1
+    # edge-volume exponent 0.81 uncapped) — EXACT, so the oracle and the
+    # uncapped path produce bit-identical splits (pinned in tests)
+    comp = dedup_clusters(docs, pairs,
+                          degree_cap=8).select("doc_id", "cluster_id")
     return split_assign(comp, _SPLITS, seed=_SPLIT_SEED,
                         group_col="cluster_id")
 

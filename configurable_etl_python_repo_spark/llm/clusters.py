@@ -76,26 +76,20 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
-def connected_components(
-    pairs: DataFrame,
-    src_col: str = "id_a",
-    dst_col: str = "id_b",
-    max_iter: int = 50,
-) -> DataFrame:
-    """(id, cluster_id) for every node appearing in `pairs`, where
-    cluster_id is the minimum id of the node's connected component.
+def _normalize_edges(e: DataFrame) -> DataFrame:
+    """Orient larger -> smaller, drop loops, dedup — the star rounds'
+    input contract."""
+    return (
+        e.where(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+    )
 
-    Alternates large-star / small-star until the edge set reaches a fixed
-    point (each round is checked with a count+hash digest, one aggregate).
-    max_iter is a safety valve: 50 rounds covers components of ~2^50 nodes;
-    hitting it raises rather than returning a partial closure."""
-    e = pairs.select(
-        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
-    ).where(F.col("u") != F.col("v"))
-    # orient larger -> smaller so the first small_star input is well-formed
-    e = e.select(
-        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-    ).distinct()
+
+def _star_labels(e: DataFrame, max_iter: int) -> DataFrame:
+    """Iterate large-star/small-star on normalized edges to the fixed
+    point; return (id, cluster_id = component minimum) for every node
+    appearing in `e`."""
     e = e.localCheckpoint(eager=True)
     digest = _edge_digest(e)
     for _ in range(max_iter):
@@ -119,12 +113,105 @@ def connected_components(
     )
 
 
+def _cap_edges(e: DataFrame, cap: int) -> DataFrame:
+    """Per-node degree thinning: from the symmetric adjacency, keep each
+    node's edges to its `cap` SMALLEST neighbors. Deterministic (ids are
+    distinct), and the row_number-under-constant filter compiles to
+    WindowGroupLimit, so every map partition pre-prunes to its local
+    top-cap per node before the shuffle — a hot node never ships its
+    full adjacency to one reducer.
+
+    NOT component-preserving on its own (a bridge whose two endpoints
+    both have `cap` smaller neighbors elsewhere is dropped — pinned in
+    tests); only valid paired with the contraction pass in
+    connected_components."""
+    from pyspark.sql import Window
+
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    w = Window.partitionBy("u").orderBy(F.col("v").asc())
+    kept = (
+        sym.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+    return _normalize_edges(kept)
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 50,
+    degree_cap: "int | None" = None,
+) -> DataFrame:
+    """(id, cluster_id) for every node appearing in `pairs`, where
+    cluster_id is the minimum id of the node's connected component.
+
+    Alternates large-star / small-star until the edge set reaches a fixed
+    point (each round is checked with a count+hash digest, one aggregate).
+    max_iter is a safety valve: 50 rounds covers components of ~2^50 nodes;
+    hitting it raises rather than returning a partial closure.
+
+    degree_cap bounds the edge volume the O(log^2 n) iterations touch —
+    the scale lever for boilerplate-heavy corpora where near-dup clusters
+    are cliques (m docs -> m^2/2 LSH pairs; x16's sf1 edge-volume exponent
+    was 0.81 uncapped). Two phases, EXACT for any cap >= 1:
+
+      1. star rounds on the capped subgraph (<= cap * N edges per round)
+         -> labels that REFINE the true components;
+      2. contract the FULL edge set through those labels (one linear
+         pass: two id-joins + distinct — AQE broadcasts the label side
+         when small), then re-run the star rounds on the contracted
+         graph, whose nodes are phase-1 roots (tiny: one node per
+         sub-cluster, edges only where sub-clusters touch).
+
+    Components of the contraction quotient correspond 1:1 to true
+    components (a u~v edge merges exactly its endpoints' phase-1 labels),
+    so composing the two labelings reproduces the uncapped answer
+    bit-for-bit — min-composes with min, and every step is deterministic.
+    Equality with the uncapped path is pinned in tests, including a
+    bridge graph where the capped subgraph ALONE is disconnected."""
+    e = _normalize_edges(
+        pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    )
+    if degree_cap is None:
+        return _star_labels(e, max_iter)
+    if degree_cap < 1:
+        raise ValueError(f"degree_cap must be >= 1, got {degree_cap}")
+    e = e.localCheckpoint(eager=True)  # shared by phase 1 and contraction
+    lab1 = _star_labels(_cap_edges(e, degree_cap), max_iter)
+    lab1 = lab1.localCheckpoint(eager=True)  # feeds contraction + compose
+    lu = lab1.withColumnsRenamed({"id": "u", "cluster_id": "lu"})
+    lv = lab1.withColumnsRenamed({"id": "v", "cluster_id": "lv"})
+    contracted = _normalize_edges(
+        e.join(lu, "u").join(lv, "v").select(
+            F.col("lu").alias("u"), F.col("lv").alias("v")
+        )
+    )
+    lab2 = _star_labels(contracted, max_iter)
+    return (
+        lab1.join(
+            lab2.select(
+                F.col("id").alias("cluster_id"),
+                F.col("cluster_id").alias("root"),
+            ),
+            "cluster_id",
+            "left",
+        )
+        .select(
+            "id",
+            F.coalesce("root", "cluster_id").alias("cluster_id"),
+        )
+    )
+
+
 def dedup_clusters(
     docs: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
     src_col: str = "id_a",
     dst_col: str = "id_b",
+    degree_cap: "int | None" = None,
 ) -> DataFrame:
     """Assign EVERY document a duplicate-cluster id and mark the keeper.
 
@@ -137,8 +224,11 @@ def dedup_clusters(
     The join of docs against the component labels is a left join on the
     doc id — at 100 TB the label side holds only docs that matched some
     pair (usually a small fraction), so AQE broadcasts it when small and
-    shuffles otherwise."""
-    labels = connected_components(pairs, src_col, dst_col)
+    shuffles otherwise. degree_cap forwards to connected_components
+    (exact two-phase edge thinning — same labels, bounded per-round edge
+    volume)."""
+    labels = connected_components(pairs, src_col, dst_col,
+                                  degree_cap=degree_cap)
     ids = docs.select(F.col(id_col).alias("doc_id"))
     labeled = ids.join(
         labels.withColumnsRenamed({"id": "doc_id"}), "doc_id", "left"

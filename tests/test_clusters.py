@@ -79,6 +79,70 @@ def test_dedup_clusters_keeper_and_singletons(spark):
     assert out[4].cluster_size == 3 and out[0].cluster_size == 1
 
 
+def _spark_labels_capped(spark, edges, cap):
+    df = spark.createDataFrame(
+        [Row(id_a=a, id_b=b) for a, b in edges] or [], "id_a long, id_b long"
+    )
+    return {
+        r.id: r.cluster_id
+        for r in connected_components(df, degree_cap=cap).collect()
+    }
+
+
+def test_degree_cap_bridge_graph_is_exact(spark):
+    # 1-5, 2-6, 5-6: one path component. With cap=1 each of 5 and 6 keeps
+    # only its SMALLER neighbor (1 and 2), so the capped subgraph drops
+    # the 5-6 bridge and phase 1 alone would answer {1,5} | {2,6} —
+    # exactly the failure mode the contraction pass repairs.
+    edges = [(1, 5), (2, 6), (5, 6)]
+    from configurable_etl_python_repo_spark.llm.clusters import (
+        _cap_edges,
+        _normalize_edges,
+    )
+
+    e = _normalize_edges(
+        spark.createDataFrame(
+            [Row(u=a, v=b) for a, b in edges], "u long, v long"
+        )
+    )
+    capped = {(r.u, r.v) for r in _cap_edges(e, 1).collect()}
+    assert (6, 5) not in capped and (5, 6) not in capped  # bridge dropped
+    assert _spark_labels_capped(spark, edges, cap=1) == {
+        1: 1, 2: 1, 5: 1, 6: 1
+    }
+
+
+def test_degree_cap_matches_uncapped_on_random_graphs(spark):
+    rng = random.Random(13)
+    for trial, cap in [(0, 1), (1, 2), (2, 3)]:
+        n = 50
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(45 + 15 * trial)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        assert _spark_labels_capped(spark, edges, cap) == _spark_labels(
+            spark, edges
+        )
+
+
+def test_degree_cap_clique_and_star(spark):
+    # clique of 8 (the boilerplate shape degree capping exists for) and a
+    # hub star — both collapse to the min under any cap
+    clique = [(a, b) for a in range(8) for b in range(a + 1, 8)]
+    star = [(100, 100 + i) for i in range(1, 12)]
+    labels = _spark_labels_capped(spark, clique + star, cap=2)
+    assert labels == {
+        **{i: 0 for i in range(8)},
+        **{100 + i: 100 for i in range(12)},
+    }
+
+
+def test_degree_cap_validation(spark):
+    pairs = spark.createDataFrame([Row(id_a=1, id_b=2)])
+    with pytest.raises(ValueError, match="degree_cap"):
+        connected_components(pairs, degree_cap=0).collect()
+
+
 def test_string_ids(spark):
     # min-id semantics must hold for any orderable id type
     pairs = spark.createDataFrame(

@@ -104,6 +104,42 @@ def test_split_assign_is_leakage_free_by_group(spark):
     }
 
 
+def test_cluster_splits_invariant_under_degree_cap(spark):
+    """x16's scale lever (degree-capped two-phase CC) must leave split
+    assignments BIT-IDENTICAL — near-dup cluster atoms are the leakage
+    guarantee, so an approximate thinning would silently re-introduce
+    train/test straddling. Graph includes a clique (boilerplate shape),
+    a chain, and a bridge the capped subgraph alone would drop."""
+    from pyspark.sql import Row
+
+    from configurable_etl_python_repo_spark.llm.clusters import dedup_clusters
+    from configurable_etl_python_repo_spark.llm.sampling import split_assign
+
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(40)])
+    clique = [(a, b) for a in range(6) for b in range(a + 1, 6)]
+    chain = [(i, i + 1) for i in range(10, 18)]
+    bridge = [(20, 30), (21, 31), (30, 31)]  # 30/31 prefer 20/21 under cap=1
+    pairs = spark.createDataFrame(
+        [Row(id_a=a, id_b=b) for a, b in clique + chain + bridge]
+    )
+    splits = {"train": 0.6, "val": 0.2, "test": 0.2}
+
+    def assignments(cap):
+        comp = dedup_clusters(docs, pairs, degree_cap=cap).select(
+            "doc_id", "cluster_id"
+        )
+        return {
+            (r["doc_id"], r["cluster_id"], r["split"])
+            for r in split_assign(
+                comp, splits, group_col="cluster_id"
+            ).collect()
+        }
+
+    uncapped = assignments(None)
+    assert assignments(1) == uncapped
+    assert assignments(8) == uncapped
+
+
 def test_split_assign_remainder_and_validation(spark):
     import pytest
 
