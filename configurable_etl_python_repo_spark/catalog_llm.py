@@ -2189,3 +2189,42 @@ def q_t14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_count_bpe(
         docs.select("doc_id", "text"), level="bytes"
     ).select("doc_id", "n_tokens")
+
+
+#: contraction / multi-space / trailing-run suffix appended to every doc
+#: so the corpus exercises exactly the GPT-2 branches bpe_ish lacks
+#: (apostrophe contractions, leading-space pieces, whitespace-run splits)
+_GPT2_SUFFIX = "  we'll isn't  don't 42abc  tail run   "
+
+
+def _bpe_gpt2_oracle() -> str:
+    from .llm.bpe import GPT2_FIXTURE_MERGES, bpe_count_sql
+
+    text = f"text || '{_GPT2_SUFFIX.replace(chr(39), chr(39) * 2)}'"
+    return rf"""
+    SELECT doc_id,
+           {bpe_count_sql(text, merges=GPT2_FIXTURE_MERGES,
+                          pretokenizer="gpt2")} AS n_tokens
+    FROM documents
+    """
+
+
+@register("t15_bpe_gpt2", _bpe_gpt2_oracle())
+def q_t15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE token counts under the EXACT GPT-2 pre-tokenizer
+    (contractions, leading-space pieces, whitespace runs yielding their
+    final char to the next piece) — learned/counted vocabs become
+    drop-in comparable to released-tokenizer conventions. The engines
+    run the lookahead-free marked equivalent (RE2 has no lookarounds);
+    equality with the released regex is pytest-pinned. Merges include
+    leading-space rules (' the') that only this pre-tokenizer can feed.
+    Same zero-shuffle pure-Column scan shape as t9/t14."""
+    from .llm.bpe import GPT2_FIXTURE_MERGES, token_count_bpe
+
+    docs = spark.read.parquet(_pq(sf_dir, "documents"))
+    docs = docs.select(
+        "doc_id", F.concat(F.col("text"), F.lit(_GPT2_SUFFIX)).alias("text")
+    )
+    return token_count_bpe(
+        docs, merges=GPT2_FIXTURE_MERGES, pretokenizer="gpt2"
+    ).select("doc_id", "n_tokens")

@@ -64,6 +64,106 @@ _SEP = "\x1f"
 #: no merge can ever cross a piece boundary
 _BREAK = "\x1e"
 
+#: Unicode White_Space as an EXPLICIT class body — identical semantics in
+#: Java regex (Spark), RE2 (DuckDB), and the Python `regex` module, unlike
+#: bare `\s` (ASCII-only in Java/RE2, Unicode in Python): the control
+#: whitespace chars + NEL + every Z-category codepoint (Zs holds space
+#: and NBSP, Zl/Zp the line/paragraph separators).
+_WS = r"\t\n\x0B\f\r\x85\p{Z}"
+
+#: GPT-2's pre-tokenizer (Radford et al. 2019; the released gpt-2
+#: encoder.py regex): contractions, space-prefixed letter / number /
+#: symbol pieces, and whitespace runs that yield their FINAL char to the
+#: following piece. Reference form — it contains a lookahead, so only
+#: the Python `regex` module can run it; the engines run the marked
+#: equivalent below (equality pytest-pinned).
+GPT2_PATTERN = (
+    "'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?\p{L}+| ?\p{N}+"
+    rf"| ?[^{_WS}\p{{L}}\p{{N}}]+"
+    rf"|[{_WS}]+(?![^{_WS}])|[{_WS}]+"
+)
+
+#: Engine-portable equivalent: RE2 (the DuckDB oracle) has no
+#: lookarounds, so `\s+(?!\S)` cannot ship. Instead a MARKER PRE-PASS
+#: (regexp_replace of (ws)(non-ws) -> BREAK + both chars) inserts \x1E
+#: before the final whitespace char of every run that precedes a piece —
+#: exactly the split the lookahead encodes — after which this
+#: lookahead-free alternation tokenizes identically: the marker matches
+#: no branch (excluded from the symbol class, not whitespace), so it
+#: acts as a pure boundary and extraction drops it. Matches must align:
+#: a whitespace run mid-text now ends at the marker (`[ws]+` cannot
+#: cross it) and the run-final space attaches to the next piece via the
+#: branches' literal ' ?' prefix, exactly as in GPT2_PATTERN.
+_GPT2_MARK_RE = rf"([{_WS}])([^{_WS}])"
+GPT2_MARKED_PATTERN = (
+    "'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?\p{L}+| ?\p{N}+"
+    rf"| ?[^{_WS}\p{{L}}\p{{N}}\x1D-\x1F]+"
+    rf"|[{_WS}]+"
+)
+
+_PRETOKENIZERS = ("bpe_ish", "gpt2")
+
+
+def _check_pretokenizer(pretokenizer: str) -> None:
+    if pretokenizer not in _PRETOKENIZERS:
+        raise ValueError(
+            f"pretokenizer must be one of {_PRETOKENIZERS}, "
+            f"got {pretokenizer!r}"
+        )
+
+
+def _pieces_col(clean: Column, pretokenizer: str) -> Column:
+    """Pre-tokenized pieces of an already-neutralized text Column."""
+    if pretokenizer == "gpt2":
+        marked = F.regexp_replace(
+            clean, _GPT2_MARK_RE, _BREAK + "$1$2"
+        )
+        return F.regexp_extract_all(marked, F.lit(GPT2_MARKED_PATTERN), 0)
+    return F.regexp_extract_all(clean, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def _sql_regex(pat: str) -> str:
+    """DuckDB string literal for a regex pattern (quote-doubling only —
+    standard strings keep backslashes literal)."""
+    return "'" + pat.replace("'", "''") + "'"
+
+
+def _pieces_sql(text_expr: str, pretokenizer: str) -> str:
+    """The DuckDB list expression mirroring _pieces_col exactly."""
+    if pretokenizer == "gpt2":
+        marked = (
+            f"regexp_replace({text_expr}, {_sql_regex(_GPT2_MARK_RE)}, "
+            f"chr({ord(_BREAK)}) || '\\1\\2', 'g')"
+        )
+        return (
+            f"regexp_extract_all({marked}, "
+            f"{_sql_regex(GPT2_MARKED_PATTERN)}, 0)"
+        )
+    return f"regexp_extract_all({text_expr}, '{BPE_ISH_PATTERN}', 0)"
+
+
+def _pieces_py(pretokenizer: str):
+    """text -> list of pieces, for the Arrow kernel and the learner's
+    model checks — same algorithm as _pieces_col (marked pre-pass, no
+    lookahead), via the `regex` module for the \\p classes."""
+    if pretokenizer == "gpt2":
+        try:
+            import regex as rx
+        except ImportError as exc:  # pragma: no cover - present in CI
+            raise RuntimeError(
+                "the gpt2 pretokenizer's Python path needs the 'regex' "
+                "module for \\p{L}/\\p{N}/\\p{Z} classes"
+            ) from exc
+        mark = rx.compile(_GPT2_MARK_RE)
+        pat = rx.compile(GPT2_MARKED_PATTERN)
+        return lambda t: pat.findall(mark.sub("\x1e\\1\\2", t))
+    import re
+
+    return re.compile(BPE_ISH_PATTERN).findall
+
+
 #: deterministic fixture: 32 well-formed English-ish merges (char pairs
 #: first, compounds only from earlier outputs) — the "real merges table"
 #: stand-in for tests/oracles; swap in a learned table in production
@@ -131,19 +231,21 @@ def validate_merges(
 _RESERVED_RE = "[\x1d-\x1f]"
 
 
-def _char_stream(text_col: Column, level: str = "chars") -> "tuple[Column, Column]":
+def _char_stream(
+    text_col: Column, level: str = "chars", pretokenizer: str = "bpe_ish"
+) -> "tuple[Column, Column]":
     """(symbol stream, piece count): pieces joined by BREAK, every
     symbol wrapped START..SEP. level='chars' wraps each codepoint;
     level='bytes' hex-encodes the UTF-8 byte stream and wraps each hex
     PAIR — one symbol per byte, the GPT-2-family regime, with the BREAK
     byte surfacing as the '1E' pair (banned from rule symbols, so no
-    merge crosses pieces). BPE_ISH pieces contain no whitespace, so
-    '(.)'/'(..)' (which skip newlines identically in Java regex and
-    RE2) see every symbol. Reserved separator chars in the INPUT are
-    mapped to spaces first — they act as piece boundaries, never as
-    framing."""
+    merge crosses pieces). The char wrap runs (?s) because gpt2 pieces
+    (leading-space tokens, whitespace runs) may contain newlines —
+    identical DOTALL semantics in Java regex and RE2. Reserved
+    separator chars in the INPUT are mapped to spaces first — they act
+    as piece boundaries, never as framing."""
     clean = F.regexp_replace(text_col, _RESERVED_RE, " ")
-    pieces = F.regexp_extract_all(clean, F.lit(BPE_ISH_PATTERN), 0)
+    pieces = _pieces_col(clean, pretokenizer)
     joined = F.array_join(pieces, _BREAK)
     if level == "bytes":
         stream = F.regexp_replace(
@@ -151,7 +253,7 @@ def _char_stream(text_col: Column, level: str = "chars") -> "tuple[Column, Colum
             "(..)", _START + "$1" + _SEP,
         )
     else:
-        stream = F.regexp_replace(joined, "(.)", _START + "$1" + _SEP)
+        stream = F.regexp_replace(joined, "(?s)(.)", _START + "$1" + _SEP)
     return stream, F.size(pieces)
 
 
@@ -214,6 +316,7 @@ def token_count_bpe(
     text_col: str = "text",
     out_col: str = "n_tokens",
     level: str = "chars",
+    pretokenizer: str = "bpe_ish",
 ) -> DataFrame:
     """Exact BPE token count as a pure Column expression (see module
     docstring). The SEP count equals symbols + piece boundaries, so
@@ -224,13 +327,14 @@ def token_count_bpe(
                   else BPE_FIXTURE_MERGES)
     rules = validate_merges(merges, base_len=_base_len(level))
     _check_level(rules, level)
+    _check_pretokenizer(pretokenizer)
     if len(rules) > MAX_COLUMN_MERGES:
         raise ValueError(
             f"{len(rules)} merges exceeds MAX_COLUMN_MERGES="
             f"{MAX_COLUMN_MERGES}: the nested-replace plan would embed "
             f"every rule as a task-side literal — use token_count_bpe_arrow"
         )
-    s, n_pieces = _char_stream(F.col(text_col), level)
+    s, n_pieces = _char_stream(F.col(text_col), level, pretokenizer)
     for a, b in rules:
         s = F.replace(
             s,
@@ -264,6 +368,7 @@ def bpe_count_sql(
     text_expr: str = "text",
     merges: "list[tuple[str, str]] | None" = None,
     level: str = "chars",
+    pretokenizer: str = "bpe_ish",
 ) -> str:
     """The DuckDB scalar expression mirroring token_count_bpe exactly
     (DuckDB replace() is the same literal left-to-right non-overlapping
@@ -274,16 +379,15 @@ def bpe_count_sql(
                   else BPE_FIXTURE_MERGES)
     rules = validate_merges(merges, base_len=_base_len(level))
     _check_level(rules, level)
+    _check_pretokenizer(pretokenizer)
     # mirror _char_stream's reserved-char neutralization exactly
     text_expr = (
         f"regexp_replace({text_expr}, "
         f"'[' || chr({ord(_START)}) || '-' || chr({ord(_SEP)}) || ']', "
         f"' ', 'g')"
     )
-    joined = (
-        f"array_to_string(regexp_extract_all({text_expr}, "
-        f"'{BPE_ISH_PATTERN}', 0), chr({ord(_BREAK)}))"
-    )
+    pieces = _pieces_sql(text_expr, pretokenizer)
+    joined = f"array_to_string({pieces}, chr({ord(_BREAK)}))"
     if level == "bytes":
         s = (
             f"regexp_replace(hex(encode({joined})), "
@@ -292,14 +396,14 @@ def bpe_count_sql(
     else:
         s = (
             f"regexp_replace({joined}, "
-            f"'(.)', chr({ord(_START)}) || '\\1' || chr({ord(_SEP)}), 'g')"
+            f"'(?s)(.)', chr({ord(_START)}) || '\\1' || chr({ord(_SEP)}), 'g')"
         )
     for a, b in rules:
         s = (
             f"replace({s}, {_sql_str(_START + a + _SEP + _START + b + _SEP)}, "
             f"{_sql_str(_START + a + b + _SEP)})"
         )
-    np = f"len(regexp_extract_all({text_expr}, '{BPE_ISH_PATTERN}', 0))"
+    np = f"len({pieces})"
     seps = f"length({s}) - length(replace({s}, chr({ord(_SEP)}), ''))"
     return (
         f"CAST(CASE WHEN {np} = 0 THEN 0 "
@@ -335,6 +439,7 @@ def token_count_bpe_arrow(
     text_col: str = "text",
     out_col: str = "n_tokens",
     level: str = "chars",
+    pretokenizer: str = "bpe_ish",
 ) -> DataFrame:
     """Exact BPE token count for production-size vocabularies: merges as
     ONE broadcast variable (per-executor, not per-task/plan), counting
@@ -350,12 +455,15 @@ def token_count_bpe_arrow(
                   else BPE_FIXTURE_MERGES)
     rules = validate_merges(merges, base_len=_base_len(level))
     _check_level(rules, level)
+    _check_pretokenizer(pretokenizer)
+    if pretokenizer == "gpt2":
+        _pieces_py("gpt2")  # fail fast on the driver if `regex` is absent
     ranks = {pair: i for i, pair in enumerate(rules)}
     bc = df.sparkSession.sparkContext.broadcast(ranks)
     schema = StructType(
         list(df.schema.fields) + [StructField(out_col, LongType())]
     )
-    pattern = BPE_ISH_PATTERN
+    pretok = pretokenizer
 
     reserved = _RESERVED_RE
 
@@ -363,7 +471,7 @@ def token_count_bpe_arrow(
 
     def count_batches(batches):
         rk = bc.value
-        pre = re.compile(pattern)
+        find_pieces = _pieces_py(pretok)
         strip = re.compile(reserved)
         memo: dict[str, int] = {}
 
@@ -373,7 +481,7 @@ def token_count_bpe_arrow(
             if not text:
                 return 0
             total = 0
-            for p in pre.findall(strip.sub(" ", text)):
+            for p in find_pieces(strip.sub(" ", text)):
                 c = memo.get(p)
                 if c is None:
                     c = count_piece(p, rk, lvl)
@@ -408,6 +516,7 @@ def learn_bpe_merges(
     text_col: str = "text",
     max_distinct_pieces: int = 1_000_000,
     level: str = "chars",
+    pretokenizer: str = "bpe_ish",
 ) -> "list[tuple[str, str]]":
     """LEARN a merges table from the corpus (Sennrich et al. 2016) —
     the other half of the BPE story: the result is well-formed by
@@ -428,12 +537,11 @@ def learn_bpe_merges(
     if n_merges < 0:
         raise ValueError(f"n_merges must be >= 0, got {n_merges}")
     _check_level([], level)
+    _check_pretokenizer(pretokenizer)
     clean = F.regexp_replace(F.col(text_col), _RESERVED_RE, " ")
     counted = (
         df.select(
-            F.explode(
-                F.regexp_extract_all(clean, F.lit(BPE_ISH_PATTERN), 0)
-            ).alias("piece")
+            F.explode(_pieces_col(clean, pretokenizer)).alias("piece")
         )
         .groupBy("piece")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -523,3 +631,12 @@ def learn_bpe_merges(
 
 
 BPE_FIXTURE_MERGES_BYTES = tuple(to_byte_rules(list(BPE_FIXTURE_MERGES)))
+
+#: the fixture extended with LEADING-SPACE merges — the GPT-2 hallmark
+#: (' the' as one token) that only the gpt2 pretokenizer can feed:
+#: bpe_ish pieces never contain spaces, so these rules are dead under it.
+#: Well-formed: 'the' is produced by the base fixture's ('th','e').
+GPT2_FIXTURE_MERGES: "tuple[tuple[str, str], ...]" = BPE_FIXTURE_MERGES + (
+    (" ", "the"), (" ", "a"), (" ", "to"),
+)
+GPT2_FIXTURE_MERGES_BYTES = tuple(to_byte_rules(list(GPT2_FIXTURE_MERGES)))

@@ -344,3 +344,118 @@ def test_byte_level_validation():
         tc(None, merges=[("1E", "41")], level="bytes")
     with pytest.raises(ValueError, match="level must be"):
         tc(None, merges=[("41", "42")], level="nibbles")
+
+
+# --------------------------- GPT-2 pre-tokenizer ---------------------------
+
+GPT2_TRICKY = [
+    "He's sure we'll don't I'm you're they've I'd",
+    "the  quick   brown\tfox\n\nover  the lazy dog  ",
+    " leading space", "trailing run   ", "tabs\t\t\tx", "a\nb",
+    "mixed 42abc 3.14 (par)en!!  ,comma 'quote'",
+    "HE'S SHOUTY 'S s't", "x 's detached", "",
+    "unicode café naïve 测试  nbsp emsp",
+    " linesep parsep \x85nel", "   ", "\n \t mixed run \r\n x",
+]
+
+
+def test_gpt2_marked_equals_lookahead_reference():
+    """The engine-portable marked algorithm must tokenize EXACTLY like
+    GPT-2's released lookahead regex on contractions, multi-space runs,
+    unicode whitespace, and trailing whitespace."""
+    import regex as rx
+
+    from configurable_etl_python_repo_spark.llm.bpe import (
+        GPT2_PATTERN,
+        _pieces_py,
+    )
+
+    truth = rx.compile(GPT2_PATTERN)
+    marked = _pieces_py("gpt2")
+    for t in GPT2_TRICKY:
+        assert marked(t) == truth.findall(t), t
+        # lossless: pieces concatenate back to the input
+        assert "".join(truth.findall(t)) == t, t
+
+
+def test_gpt2_pretokenizer_parity_column_arrow_duckdb(spark):
+    """pretokenizer='gpt2': Column == Arrow == DuckDB mirror at both
+    levels, and the leading-space merges actually fire (' the' is ONE
+    token under gpt2, dead weight under bpe_ish)."""
+    import duckdb
+
+    from configurable_etl_python_repo_spark.llm.bpe import (
+        GPT2_FIXTURE_MERGES,
+        GPT2_FIXTURE_MERGES_BYTES,
+        bpe_count_sql,
+    )
+
+    texts = [(i, t) for i, t in enumerate(GPT2_TRICKY)] + [
+        (len(GPT2_TRICKY), None)
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    col = {r["doc_id"]: r["n_tokens"]
+           for r in token_count_bpe(
+               df, merges=GPT2_FIXTURE_MERGES, pretokenizer="gpt2"
+           ).collect()}
+    arr = {r["doc_id"]: r["n_tokens"]
+           for r in token_count_bpe_arrow(
+               df, merges=GPT2_FIXTURE_MERGES, pretokenizer="gpt2"
+           ).collect()}
+    assert col == arr
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?,?)", texts)
+    duck = {r[0]: r[1] for r in con.execute(
+        "SELECT doc_id, " + bpe_count_sql(
+            "text", merges=GPT2_FIXTURE_MERGES, pretokenizer="gpt2"
+        ) + " FROM t"
+    ).fetchall()}
+    assert duck == col
+    # byte level too
+    colb = {r["doc_id"]: r["n_tokens"]
+            for r in token_count_bpe(
+                df, merges=GPT2_FIXTURE_MERGES_BYTES, level="bytes",
+                pretokenizer="gpt2",
+            ).collect()}
+    duckb = {r[0]: r[1] for r in con.execute(
+        "SELECT doc_id, " + bpe_count_sql(
+            "text", merges=GPT2_FIXTURE_MERGES_BYTES, level="bytes",
+            pretokenizer="gpt2",
+        ) + " FROM t"
+    ).fetchall()}
+    assert duckb == colb
+
+
+def test_gpt2_leading_space_merges_fire(spark):
+    from configurable_etl_python_repo_spark.llm.bpe import GPT2_FIXTURE_MERGES
+
+    df = spark.createDataFrame([(0, "go to the store")],
+                               "doc_id long, text string")
+    gpt2 = token_count_bpe(df, merges=GPT2_FIXTURE_MERGES,
+                           pretokenizer="gpt2").collect()[0]["n_tokens"]
+    ish = token_count_bpe(df, merges=GPT2_FIXTURE_MERGES).collect()[0][
+        "n_tokens"]
+    # gpt2 pieces: go| to| the| store -> 'go'(2 sym) ' to'(1) ' the'(1)
+    # ' st'+'or'+'e' -> ' ' 'st' 'or' 'e'(4) = 8; bpe_ish: go to the
+    # store without spaces = 2+1+1+3 = 7 (spaces dropped pre-merge)
+    assert gpt2 == 8 and ish == 7
+
+
+def test_gpt2_learner_learns_space_symbols(spark):
+    from configurable_etl_python_repo_spark.llm.bpe import learn_bpe_merges
+
+    df = spark.createDataFrame(
+        [(i, "the cat and the dog and the bird") for i in range(4)],
+        "doc_id long, text string",
+    )
+    rules = learn_bpe_merges(df, 8, pretokenizer="gpt2")
+    assert any(" " in a + b for a, b in rules)  # leading-space merges exist
+
+
+def test_gpt2_pretokenizer_validation(spark):
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pretokenizer"):
+        token_count_bpe(df, pretokenizer="nope")
