@@ -2228,3 +2228,39 @@ def q_t15(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_count_bpe(
         docs, merges=GPT2_FIXTURE_MERGES, pretokenizer="gpt2"
     ).select("doc_id", "n_tokens")
+
+
+_SHARD_TARGET_BYTES = 12_000
+
+
+@register(
+    "t16_sized_shards_bytes",
+    rf"""
+    WITH counted AS (
+      SELECT doc_id, source, CAST(strlen(text) AS BIGINT) AS n_bytes
+      FROM documents),
+    tot AS (
+      SELECT source,
+             greatest(1, (sum(n_bytes) + {_SHARD_TARGET_BYTES} - 1)
+                         // {_SHARD_TARGET_BYTES}) AS n_sub
+      FROM counted GROUP BY source)
+    SELECT c.doc_id, c.source, c.n_bytes,
+           c.source || '#' || CAST(
+             CAST(('0x' || substr(md5('shard' || '|' ||
+                     CAST(c.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             % t.n_sub AS VARCHAR) AS shard
+    FROM counted c JOIN tot t USING (source)
+    """,
+)
+def q_t16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-targeted shard keys: t13's hash-split sizing with
+    octet_length(text) as the weight, so OUTPUT FILES (not just packing
+    windows) hit a serialized-size target — DuckDB strlen is the same
+    UTF-8 byte count as Spark octet_length. Same shape: one bounded
+    counting pass folds to a literal CASE, md5 bucket, zero corpus
+    shuffles."""
+    docs = spark.read.parquet(_pq(sf_dir, "documents"))
+    return T.derive_shard_key(
+        docs.select("doc_id", "source", "text"),
+        target_bytes=_SHARD_TARGET_BYTES,
+    ).select("doc_id", "source", "n_bytes", "shard")

@@ -841,48 +841,77 @@ def surprisal_score_stream(
 
 def derive_shard_key(
     df: DataFrame,
-    target_tokens: int,
+    target_tokens: "int | None" = None,
     base_shard_col: str = "source",
     tokens_col: "str | None" = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     seed: str = "shard",
     out_col: str = "shard",
+    target_bytes: "int | None" = None,
+    bytes_col: "str | None" = None,
 ) -> DataFrame:
     """Size-targeted shard keys for pack_sequences / the shard writer:
-    split every base shard into ceil(total_tokens / target_tokens)
-    hash-buckets, so one hot domain can never produce a single
-    monster shard (a shard is one packing window partition AND one
-    output file — its size bounds both the window's task and the file).
+    split every base shard into ceil(total_weight / target) hash-buckets,
+    so one hot domain can never produce a single monster shard (a shard
+    is one packing window partition AND one output file — its size
+    bounds both the window's task and the file).
+
+    The target is EITHER token-based (target_tokens; weight defaults to
+    the BPE-ish proxy, pass tokens_col for real counts — the
+    pack_sequences seam) OR byte-based (target_bytes; weight defaults
+    to octet_length(text_col), the serialized-size estimate that makes
+    OUTPUT FILES hit a size target — pass bytes_col when rows carry a
+    fuller estimate, e.g. text + metadata + parquet overhead). Exactly
+    one of the two targets must be set.
 
     One counting pass collects per-base totals (bounded by the number
     of base shards, the mixture-op budget); the subshard counts fold
     into a literal CASE, and the bucket is the md5 content hash of the
     doc id — deterministic, partitioning-invariant, engine-portable
     (the sampling-family _bucket). Output shard names are
-    '<base>#<bucket>'. Expected subshard size ~= target_tokens
+    '<base>#<bucket>'. Expected subshard size ~= the target
     (hash-uniform across docs; exact balance would need a running-sum
-    shuffle per base — the approximation is the point).
-
-    Token counts default to the BPE-ish proxy; pass tokens_col for
-    real counts (same seam as pack_sequences)."""
-    if target_tokens < 1:
-        raise ValueError(f"target_tokens must be >= 1, got {target_tokens}")
+    shuffle per base — the approximation is the point)."""
+    if (target_tokens is None) == (target_bytes is None):
+        raise ValueError(
+            "exactly one of target_tokens / target_bytes must be set"
+        )
+    target = target_tokens if target_tokens is not None else target_bytes
+    if target < 1:
+        raise ValueError(
+            f"target_tokens/target_bytes must be >= 1, got {target}"
+        )
     from .sampling import _bucket
 
-    if tokens_col is None:
-        counted = token_count_bpe_ish(df, text_col)
-        tokens_col = "n_tokens"
+    if target_bytes is not None:
+        if tokens_col is not None:
+            raise ValueError("tokens_col only applies to target_tokens")
+        if bytes_col is None:
+            counted = df.withColumn(
+                "n_bytes", F.octet_length(F.col(text_col)).cast("long")
+            )
+            weight_col = "n_bytes"
+        else:
+            counted = df
+            weight_col = bytes_col
     else:
-        counted = df
+        if bytes_col is not None:
+            raise ValueError("bytes_col only applies to target_bytes")
+        if tokens_col is None:
+            counted = token_count_bpe_ish(df, text_col)
+            weight_col = "n_tokens"
+        else:
+            counted = df
+            weight_col = tokens_col
     totals = (
         counted.groupBy(base_shard_col)
-        .agg(F.sum(F.col(tokens_col).cast("long")).alias("__t"))
+        .agg(F.sum(F.col(weight_col).cast("long")).alias("__t"))
         .collect()  # bounded: one row per base shard
     )
     n_sub = {
         str(r[base_shard_col]): max(
-            1, -(-int(r["__t"] or 0) // target_tokens)
+            1, -(-int(r["__t"] or 0) // target)
         )
         for r in totals
     }

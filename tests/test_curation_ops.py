@@ -713,6 +713,51 @@ def test_derive_shard_key_size_targets_and_invariance(spark, sf_dir):
         derive_shard_key(docs, target_tokens=0)
 
 
+def test_derive_shard_key_byte_targets_on_skewed_fixture(spark):
+    """target_bytes: output-file-size targeting — on a skewed corpus
+    (one source holds ~100x the bytes of the others, with one giant doc)
+    no subshard exceeds 3x the byte target, bucket counts are
+    ceil(total_bytes/target), small sources stay whole, and the keying
+    is partitioning-invariant. Validation: the two targets are mutually
+    exclusive and the weight-column overrides are mode-checked."""
+    import pytest
+    from pyspark.sql import Row
+
+    from configurable_etl_python_repo_spark.llm.text import derive_shard_key
+
+    rows = [Row(doc_id=i, source="hot", text="x" * 400) for i in range(200)]
+    rows += [Row(doc_id=1000, source="hot", text="y" * 3000)]  # giant doc
+    rows += [Row(doc_id=2000 + i, source=f"cold{i}", text="tiny doc")
+             for i in range(3)]
+    docs = spark.createDataFrame(rows)
+    target = 4000
+    out = derive_shard_key(docs, target_bytes=target)
+    stats = out.groupBy("source", "shard").agg(
+        F.sum("n_bytes").alias("b")).collect()
+    per_base = {}
+    for r in stats:
+        per_base.setdefault(r["source"], []).append(r["b"])
+    totals = {s: sum(bs) for s, bs in per_base.items()}
+    for s, bs in per_base.items():
+        assert len(bs) == max(1, -(-totals[s] // target)), s
+        assert max(bs) <= 3 * target, (s, bs)
+    assert all(len(per_base[f"cold{i}"]) == 1 for i in range(3))
+
+    again = derive_shard_key(docs.repartition(5, "text"),
+                             target_bytes=target)
+    assert {(r["doc_id"], r["shard"]) for r in again.collect()} == \
+        {(r["doc_id"], r["shard"]) for r in out.collect()}
+
+    with pytest.raises(ValueError, match="exactly one"):
+        derive_shard_key(docs, target_tokens=100, target_bytes=100)
+    with pytest.raises(ValueError, match="exactly one"):
+        derive_shard_key(docs)
+    with pytest.raises(ValueError, match="tokens_col"):
+        derive_shard_key(docs, target_bytes=100, tokens_col="n")
+    with pytest.raises(ValueError, match="bytes_col"):
+        derive_shard_key(docs, target_tokens=100, bytes_col="n")
+
+
 def test_derive_shard_key_as_config_op_feeds_packing(spark, sf_dir):
     eng = Engine(spark)
     eng.run_scan(ScanSpec("docs", "parquet", f"{sf_dir}/documents.parquet",
