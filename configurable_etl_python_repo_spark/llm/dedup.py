@@ -238,15 +238,23 @@ def _prefix_candidates(sh: DataFrame, p: int, q: int) -> DataFrame:
     element within each side's first (sz - ceil(t*sz) + 1) rarest-first
     shingles.
 
-    POSITIONAL: both docs order shingles by the SAME global rarity order,
-    so the shared prefix element with the minimum rank on one side is the
-    globally-first common element on BOTH sides (any earlier common
-    element would sit inside both prefixes too). Nothing before it is
-    common, hence inter <= 1 + min(sa - ra*, sb - rb*); prune pairs where
-    that upper bound can't reach the required overlap
-    inter*(p+q) >= p*(sa+sb) (exact integer math). This is the PPJoin
-    position filter adapted to a distributed join (no sequential index
-    probing), pruning candidates BEFORE the verify join ever sees them."""
+    LENGTH: jaccard >= p/q forces min(sa,sb)*(p+q) >= p*(sa+sb) (the
+    intersection is at most the smaller set), so size-incompatible pairs
+    are dropped INSIDE the join, before the pair aggregation ever sees
+    them (the PPJoin length filter, applied as a join-time predicate —
+    the "length-stratified" prune without re-keying the shuffle).
+
+    POSITIONAL, applied PER JOIN ROW: both docs order shingles by the
+    SAME global rarity order, so the globally-first common element e* of
+    a matching pair sits inside both prefixes and attains the
+    componentwise-MINIMUM ranks (ra*, rb*) simultaneously — any shared
+    element's per-row bound 1 + min(sa - ra, sb - rb) is therefore <=
+    e*'s bound, and the pair survives the classic aggregate test iff
+    e*'s own row passes the per-row test. Filtering rows inside the join
+    is thus EXACT, and the surviving pair set needs only a distinct —
+    no min-rank aggregation at all. (Both filters are integer-exact:
+    inter*(p+q) >= p*(sa+sb) with inter bounded by min-size / by the
+    positional bound.)"""
     from pyspark.sql import Window
 
     df_freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
@@ -267,20 +275,23 @@ def _prefix_candidates(sh: DataFrame, p: int, q: int) -> DataFrame:
     )
     a = prefixes.alias("a")
     b = prefixes.alias("b")
-    ubound = F.lit(1) + F.least(
-        F.col("sa") - F.col("ra"), F.col("sb") - F.col("rb")
+    required = F.lit(p) * (F.col("a.sz") + F.col("b.sz"))
+    length_ok = (
+        F.lit(p + q) * F.least(F.col("a.sz"), F.col("b.sz")) >= required
+    )
+    pos_bound = F.lit(1) + F.least(
+        F.col("a.sz") - F.col("a.rank"), F.col("b.sz") - F.col("b.rank")
     )
     return (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(
-            F.min("a.rank").alias("ra"),
-            F.min("b.rank").alias("rb"),
-            F.min("a.sz").alias("sa"),
-            F.min("b.sz").alias("sb"),
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.id") < F.col("b.id"))
+            & length_ok
+            & (F.lit(p + q) * pos_bound >= required),
         )
-        .where(F.lit(p + q) * ubound >= F.lit(p) * (F.col("sa") + F.col("sb")))
-        .select("id_a", "id_b")
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
 
 
