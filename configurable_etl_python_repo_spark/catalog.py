@@ -1213,9 +1213,10 @@ DRIVER_PRIORITY = [
     "n1_ann_cosine_topk", "n4_ann_ivf_kmeans",
     # LLM pipeline: text analysis + curation (t10-t14 rotated in for r7)
     "t1_text_stats", "t2_language_id", "t5_winnowing_fingerprints",
-    "t6_pii_scrub", "t7_repetition_stats", "t9_bpe_pack_sequences",
+    "t9_bpe_pack_sequences",
     "t10_unigram_surprisal", "t11_url_blocklist", "t12_quality_classifier",
-    "t13_sized_shards", "t14_bpe_bytes",
+    "t13_sized_shards", "t14_bpe_bytes", "t15_bpe_gpt2",
+    "t16_sized_shards_bytes",
     # LLM pipeline: multimodal plumbing
     "m1_multimodal_features",
     # LLM pipeline: mixture, sampling/splits, composed curation (r5 x15-x17
@@ -1226,19 +1227,22 @@ DRIVER_PRIORITY = [
     # engine showcase (COMPUTE COLUMN + broadcast joins + fused LIMIT)
     "tpch_q3_shaped",
 ]
-# Rotated OUT of the window in round 7 so the nine r5 operators above
-# (t10-t14, d11, x15-x17) each get a hard driver CORRECTNESS row for the
-# first time (verdict r6 item #1). The nine demoted rows all carry
-# multiple green driver rows from rounds 1-6 AND an in-window sibling
-# covering the same operator family; the local full sweep still
-# hash-checks every one of them: p3 (distinct covered by p1 + a4),
-# c3 (mutate family covered by c4-c7's survivors), c7 (attach family
-# covered by c5/c6), j2 (join family covered by j1/j4), w3 (window
-# family covered by w2 + a4's keep-first), e1 (§2.9 covered by e2),
-# d1 (dedup covered by d7/d8), n3 (IVF ANN covered by n4; write-side
-# index stays pytest-pinned), m3 (Arrow multimodal plumbing covered by
-# m1). Earlier rotations (r5): a5, f1, e3, d4, d5, n2, t3, m2; t8's
-# packing surface enters via t9 (same math on real BPE counts).
+# Rotated OUT of the window in round 7 so the nine r5 operators
+# (t10-t14, d11, x15-x17) and the two NEW r7 operators (t15 gpt2-BPE,
+# t16 byte shards) each get a hard driver CORRECTNESS row (verdict r6
+# item #1: local-sweep green can hide a driver red). The eleven demoted
+# rows all carry multiple green driver rows from rounds 1-6 AND an
+# in-window sibling covering the same operator family; the local full
+# sweep still hash-checks every one of them: p3 (distinct covered by
+# p1 + a4), c3 (mutate family covered by c4-c7's survivors), c7 (attach
+# family covered by c5/c6), j2 (join family covered by j1/j4), w3
+# (window family covered by w2 + a4's keep-first), e1 (§2.9 covered by
+# e2), d1 (dedup covered by d7/d8), n3 (IVF ANN covered by n4;
+# write-side index stays pytest-pinned), m3 (Arrow multimodal plumbing
+# covered by m1), t6 (regexp scrub family covered by t11), t7 (text
+# feature family covered by t1 + t12). Earlier rotations (r5): a5, f1,
+# e3, d4, d5, n2, t3, m2; t8's packing surface enters via t9 (same math
+# on real BPE counts).
 
 
 def _curate() -> None:

@@ -178,9 +178,17 @@ def connected_components(
         return _star_labels(e, max_iter)
     if degree_cap < 1:
         raise ValueError(f"degree_cap must be >= 1, got {degree_cap}")
-    e = e.localCheckpoint(eager=True)  # shared by phase 1 and contraction
-    lab1 = _star_labels(_cap_edges(e, degree_cap), max_iter)
-    lab1 = lab1.localCheckpoint(eager=True)  # feeds contraction + compose
+    # multi-consumer relations ride the SCOPED CACHE, not localCheckpoint:
+    # e feeds phase 1 + the contraction, lab1 feeds the contraction's two
+    # sides + the final compose — and unreleased checkpoint blocks from
+    # one query measurably tax the next (the r5 skew finding; cache
+    # eviction is recompute-safe, and lab1's recompute is cheap because
+    # _star_labels' result lineage is truncated at its fixpoint
+    # checkpoint)
+    from .dedup import _scope_cache
+
+    e = _scope_cache(e)
+    lab1 = _scope_cache(_star_labels(_cap_edges(e, degree_cap), max_iter))
     lu = lab1.withColumnsRenamed({"id": "u", "cluster_id": "lu"})
     lv = lab1.withColumnsRenamed({"id": "v", "cluster_id": "lv"})
     contracted = _normalize_edges(

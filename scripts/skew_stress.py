@@ -130,7 +130,10 @@ def main() -> None:
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--keep", help="parent dir to build/reuse the fixture in")
+    ap.add_argument("--queries",
+                    help="comma-separated subset/override of QUERIES")
     args = ap.parse_args()
+    names = args.queries.split(",") if args.queries else QUERIES
 
     from configurable_etl_python_repo_spark import get_spark
     from configurable_etl_python_repo_spark.catalog import QUERIES as Q
@@ -147,7 +150,7 @@ def main() -> None:
             fh.write(stamp)
 
     report = {"factor": args.factor, "src": args.src, "queries": {}}
-    for name in QUERIES:
+    for name in names:
         Q[name](spark, big_dir).write.format("noop").mode("overwrite").save()  # warm
         mark = latest_stage_id(spark)
         t0 = time.time()
