@@ -113,6 +113,17 @@ def _star_labels(e: DataFrame, max_iter: int) -> DataFrame:
     )
 
 
+def _max_degree(e: DataFrame) -> int:
+    """Maximum symmetric degree over normalized edges — one groupBy+max
+    aggregate, O(edges). Cheap relative to even a single star round
+    (which is two groupBy+join passes over the same edges)."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    row = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d")).agg(
+        F.max("d").alias("m")
+    ).first()
+    return int(row["m"]) if row["m"] is not None else 0
+
+
 def _cap_edges(e: DataFrame, cap: int) -> DataFrame:
     """Per-node degree thinning: from the symmetric adjacency, keep each
     node's edges to its `cap` SMALLEST neighbors. Deterministic (ids are
@@ -155,7 +166,10 @@ def connected_components(
     degree_cap bounds the edge volume the O(log^2 n) iterations touch —
     the scale lever for boilerplate-heavy corpora where near-dup clusters
     are cliques (m docs -> m^2/2 LSH pairs; x16's sf1 edge-volume exponent
-    was 0.81 uncapped). Two phases, EXACT for any cap >= 1:
+    was 0.81 uncapped). Engagement is ADAPTIVE: one O(edges) degree probe
+    skips the whole capped machinery when no node exceeds the cap (then
+    capping is an identity and the plain star rounds are already optimal).
+    When it binds — two phases, EXACT for any cap >= 1:
 
       1. star rounds on the capped subgraph (<= cap * N edges per round)
          -> labels that REFINE the true components;
@@ -179,15 +193,25 @@ def connected_components(
     if degree_cap < 1:
         raise ValueError(f"degree_cap must be >= 1, got {degree_cap}")
     # multi-consumer relations ride the SCOPED CACHE, not localCheckpoint:
-    # e feeds phase 1 + the contraction, lab1 feeds the contraction's two
-    # sides + the final compose — and unreleased checkpoint blocks from
-    # one query measurably tax the next (the r5 skew finding; cache
-    # eviction is recompute-safe, and lab1's recompute is cheap because
-    # _star_labels' result lineage is truncated at its fixpoint
-    # checkpoint)
+    # e feeds the degree probe + phase 1 + the contraction, lab1 feeds the
+    # contraction's two sides + the final compose — and unreleased
+    # checkpoint blocks from one query measurably tax the next (the r5
+    # skew finding; cache eviction is recompute-safe, and lab1's recompute
+    # is cheap because _star_labels' result lineage is truncated at its
+    # fixpoint checkpoint)
     from .dedup import _scope_cache
 
     e = _scope_cache(e)
+    # Adaptive engagement: the two-phase capped path costs an extra
+    # window pass + contraction + compose (~1.6x measured on a corpus
+    # where no node exceeds the cap), and buys nothing unless some node's
+    # degree actually exceeds the cap. One O(edges) aggregate decides —
+    # the same runtime-statistics-over-static-plan tradeoff AQE makes.
+    # When the probe says the cap never binds, _cap_edges would return
+    # the edge set unchanged and phase 2 would relabel an
+    # already-correct labeling, so skipping it is exact by construction.
+    if _max_degree(e) <= degree_cap:
+        return _star_labels(e, max_iter)
     lab1 = _scope_cache(_star_labels(_cap_edges(e, degree_cap), max_iter))
     lu = lab1.withColumnsRenamed({"id": "u", "cluster_id": "lu"})
     lv = lab1.withColumnsRenamed({"id": "v", "cluster_id": "lv"})

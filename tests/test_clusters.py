@@ -137,6 +137,30 @@ def test_degree_cap_clique_and_star(spark):
     }
 
 
+def test_degree_cap_adaptive_skip_when_cap_never_binds(spark):
+    # max symmetric degree 2 (a path) with cap=8: the degree probe must
+    # route to the plain star rounds and still produce the exact labels
+    from configurable_etl_python_repo_spark.llm.clusters import (
+        _max_degree,
+        _normalize_edges,
+    )
+
+    edges = [(1, 2), (2, 3), (10, 11)]
+    e = _normalize_edges(
+        spark.createDataFrame(
+            [Row(u=a, v=b) for a, b in edges], "u long, v long"
+        )
+    )
+    assert _max_degree(e) == 2
+    assert _spark_labels_capped(spark, edges, cap=8) == {
+        1: 1, 2: 1, 3: 1, 10: 10, 11: 10
+    }
+    empty = _normalize_edges(
+        spark.createDataFrame([], "u long, v long")
+    )
+    assert _max_degree(empty) == 0
+
+
 def test_degree_cap_validation(spark):
     pairs = spark.createDataFrame([Row(id_a=1, id_b=2)])
     with pytest.raises(ValueError, match="degree_cap"):
