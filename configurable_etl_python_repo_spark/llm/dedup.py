@@ -123,7 +123,28 @@ def _scope_cache(df: DataFrame) -> DataFrame:
     always safe (Spark recomputes), while a released local checkpoint
     breaks any still-held reference — and unreleased checkpoint blocks
     from one query were measured doubling the next query's runtime at
-    sf1 (executor storage pressure)."""
+    sf1 (executor storage pressure).
+
+    Eviction is PLAN-aware, not object-aware: re-invoking the same query
+    rebuilds a plan-identical relation, and Spark's CacheManager maps
+    both to ONE InMemoryRelation — so registering the twin as a new
+    entry and later evicting the old one would unpersist the shared
+    data out from under the newly built pipeline mid-plan. Measured
+    before this dedup: a warm re-run recomputed each evicted heavy
+    relation once PER CONSUMER, inflating sf1 samples 3-6x at random
+    depending on which query's twin got evicted. A sameSemantics match
+    instead refreshes the existing entry's LRU position and registers
+    nothing."""
+    for old in list(_CACHED_SHINGLES):
+        try:
+            same = old.sameSemantics(df)
+        except Exception:  # stale entry from a stopped session
+            _CACHED_SHINGLES.remove(old)
+            continue
+        if same:
+            _CACHED_SHINGLES.remove(old)
+            _CACHED_SHINGLES.append(old)
+            return df.cache()
     while len(_CACHED_SHINGLES) >= _SCOPE_CAPACITY:
         _CACHED_SHINGLES.pop(0).unpersist()
     _CACHED_SHINGLES.append(df)
@@ -366,9 +387,11 @@ def minhash_lsh_pairs(
         F.collect_set("sh").alias("arr"),
         *[_minhash_expr(j).alias(f"mh{j}") for j in range(H)],
     )
-    clear_shingle_cache()
-    _CACHED_SHINGLES.append(sigarr)
-    sigarr = sigarr.cache()
+    # scoped (plan-aware) cache, NOT a clear+append: clearing here wiped
+    # every cached relation — other queries' and this plan's own warm
+    # twin — at PLAN CONSTRUCTION time, so a warm re-run always paid a
+    # full signature recompute and neighbors randomly lost their caches
+    sigarr = _scope_cache(sigarr)
     band_arr = F.array(
         *[
             F.struct(

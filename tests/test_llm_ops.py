@@ -178,6 +178,39 @@ def test_shingle_cache_bounded_across_jobs(spark, docs):
     assert n_cached() <= base
 
 
+def test_scope_cache_plan_aware_reinvocation(spark, docs):
+    """Re-invoking the same query must NOT register a twin entry whose
+    eviction would unpersist the shared InMemoryRelation mid-plan, and
+    must NOT wipe the warm run's cached data (the pre-r7 clear+append in
+    minhash did both — warm re-runs recomputed heavy relations once per
+    consumer)."""
+    from pyspark.sql import functions as F
+
+    from configurable_etl_python_repo_spark.llm.dedup import (
+        _CACHED_SHINGLES, _scope_cache, clear_shingle_cache,
+    )
+
+    clear_shingle_cache()
+    try:
+        first = docs.select("doc_id", F.length("text").alias("n"))
+        first = _scope_cache(first)
+        first.count()  # materialize the cache
+        # plan-identical twin: same source, same projection
+        twin = docs.select("doc_id", F.length("text").alias("n"))
+        twin = _scope_cache(twin)
+        assert len(_CACHED_SHINGLES) == 1  # refreshed, not re-registered
+        assert first.storageLevel.useMemory  # warm data survived
+        # a genuinely different plan still registers
+        other = _scope_cache(docs.select("doc_id"))
+        assert len(_CACHED_SHINGLES) == 2
+        # minhash no longer clears the scope at plan-construction time
+        minhash_lsh_pairs(docs, n=3, bands=8, rows_per_band=2,
+                          threshold=0.3)
+        assert len(_CACHED_SHINGLES) >= 2
+    finally:
+        clear_shingle_cache()
+
+
 def test_cosine_pairs_planes_is_explicit(spark, sf_dir):
     """planes has no silent default: all-pairs (planes=0) must be an
     explicit opt-in, and the SRP path's output is a subset of exact."""
