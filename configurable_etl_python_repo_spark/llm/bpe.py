@@ -223,12 +223,20 @@ def validate_merges(
     return out
 
 
-#: the three C0 control chars the stream encoding reserves; INPUT text
-#: containing them would corrupt the symbol framing (a literal \x1f in a
-#: piece reads as an extra terminator — miscount and false merges), so
-#: EVERY path treats them as whitespace before pre-tokenization:
-#: _RESERVED_RE in Spark/Python, the chr()-built class in bpe_count_sql
-_RESERVED_RE = "[\x1d-\x1f]"
+#: the C0 control chars every path maps to a space before
+#: pre-tokenization: \x1d-\x1f because the stream encoding reserves
+#: them (a literal \x1f in a piece reads as an extra terminator —
+#: miscount and false merges), and \x1c because Python's \s — hence the
+#: released GPT-2 tokenizer — treats all four file/group/record/unit
+#: separators as whitespace while _WS (Z-category-based, engine-
+#: portable) does not: mapping them to ' ' keeps them whitespace-shaped
+#: on every engine. Residual documented divergence from the released
+#: tokenizer: a whitespace RUN containing these chars tokenizes as if
+#: they were spaces (the run structure is preserved, the codepoints are
+#: not). _RESERVED_RE in Spark/Python, the chr()-built class in
+#: bpe_count_sql.
+_RESERVED_LO = "\x1c"
+_RESERVED_RE = "[\x1c-\x1f]"
 
 
 def _char_stream(
@@ -383,7 +391,7 @@ def bpe_count_sql(
     # mirror _char_stream's reserved-char neutralization exactly
     text_expr = (
         f"regexp_replace({text_expr}, "
-        f"'[' || chr({ord(_START)}) || '-' || chr({ord(_SEP)}) || ']', "
+        f"'[' || chr({ord(_RESERVED_LO)}) || '-' || chr({ord(_SEP)}) || ']', "
         f"' ', 'g')"
     )
     pieces = _pieces_sql(text_expr, pretokenizer)

@@ -219,7 +219,17 @@ def ngram_jaccard_pairs(
 
     Genuinely low-threshold dedup at 100 TB belongs to the LSH path
     (minhash_lsh_pairs) — sub-linear candidates at any threshold, at the
-    cost of banding recall; this operator stays exact.
+    cost of banding recall; this operator stays exact. Boilerplate-heavy
+    corpora make that routing advice a hard requirement: on an sf1
+    fixture where 1/7 of docs share one appended sentence, the TRUE
+    t=0.2 answer is 6.7M pairs (vs 2.6k clean) — the OUTPUT is
+    quadratic in the boilerplate shard, so no exact candidate strategy
+    can be fast (measured: direct 137s, prefix 85s; a hot-gram-capped
+    two-phase rewrite was abandoned at 343s because natural corpora
+    make most docs hot-feasible). Route such corpora to
+    prefix_filter=True for the constant-factor shield, to d3 for
+    sub-linear candidates, or dedup the boilerplate spans first
+    (dedup_spans / dedup_substrings).
 
     Output: (id_a < id_b, inter, size_a, size_b) with integer-exact
     threshold test: q*inter >= p*(size_a + size_b - inter)."""

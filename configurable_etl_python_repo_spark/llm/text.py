@@ -888,6 +888,14 @@ def derive_shard_key(
         if tokens_col is not None:
             raise ValueError("tokens_col only applies to target_tokens")
         if bytes_col is None:
+            if "n_bytes" in df.columns:
+                # silently overwriting a caller's (likely fuller) size
+                # estimate with bare octet_length would corrupt the
+                # totals invisibly — make them choose
+                raise ValueError(
+                    "input already has an n_bytes column; pass "
+                    "bytes_col='n_bytes' to use it as the weight"
+                )
             counted = df.withColumn(
                 "n_bytes", F.octet_length(F.col(text_col)).cast("long")
             )
@@ -899,6 +907,11 @@ def derive_shard_key(
         if bytes_col is not None:
             raise ValueError("bytes_col only applies to target_bytes")
         if tokens_col is None:
+            if "n_tokens" in df.columns:
+                raise ValueError(
+                    "input already has an n_tokens column; pass "
+                    "tokens_col='n_tokens' to use it as the weight"
+                )
             counted = token_count_bpe_ish(df, text_col)
             weight_col = "n_tokens"
         else:

@@ -116,15 +116,22 @@ def replicate(spark, src_dir: str, out_dir: str, factor: int) -> None:
         out.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
 
 
-def time_queries(spark, sf_dir: str, names=QUERIES) -> dict[str, float]:
+def time_queries(spark, sf_dir: str, names=QUERIES,
+                 samples: int = 3) -> dict[str, float]:
+    """Warm once, then min-of-`samples`: single warm samples on this box
+    swing 1.5-3x (transient stalls land on random queries), and a noisy
+    point in either the x4 or x10 slot corrupts the exponent."""
     from configurable_etl_python_repo_spark.catalog import QUERIES as Q
 
     out = {}
     for name in names:
         Q[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        t0 = time.time()
-        Q[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        out[name] = round(time.time() - t0, 2)
+        best = float("inf")
+        for _ in range(samples):
+            t0 = time.time()
+            Q[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        out[name] = round(best, 2)
     return out
 
 
@@ -135,16 +142,24 @@ def main() -> None:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--keep", help="parent dir to build/reuse replicated sets in")
     ap.add_argument("--queries", help="comma-separated subset of queries")
+    ap.add_argument("--samples", type=int, default=3,
+                    help="timed runs per query after 1 warm-up (min kept)")
     args = ap.parse_args()
     factors = sorted({int(f) for f in args.factors.split(",")} - {1})
     if not factors:  # fail fast, not IndexError after minutes of timing
         ap.error("--factors needs at least one factor > 1")
-    names = args.queries.split(",") if args.queries else QUERIES
+    names = ([n.strip() for n in args.queries.split(",") if n.strip()]
+             if args.queries else QUERIES)
 
     from configurable_etl_python_repo_spark import get_spark
+    from configurable_etl_python_repo_spark.catalog import QUERIES as _Q
+
+    unknown = [n for n in names if n not in _Q]
+    if unknown:  # fail BEFORE the minutes-long replication, not after
+        ap.error(f"unknown queries: {', '.join(unknown)}")
 
     spark = get_spark("scale_smoke")
-    timings: dict[int, dict[str, float]] = {1: time_queries(spark, args.src, names)}
+    timings: dict[int, dict[str, float]] = {1: time_queries(spark, args.src, names, args.samples)}
 
     parent = args.keep or tempfile.mkdtemp(prefix="scale_smoke_")
     for f in factors:
@@ -158,7 +173,7 @@ def main() -> None:
             replicate(spark, args.src, big_dir, f)
             with open(marker, "w") as fh:
                 fh.write(stamp)
-        timings[f] = time_queries(spark, big_dir, names)
+        timings[f] = time_queries(spark, big_dir, names, args.samples)
 
     f_hi = factors[-1]
     f_lo = factors[-2] if len(factors) > 1 else 1

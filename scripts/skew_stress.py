@@ -50,6 +50,10 @@ BOILERPLATE = (
 )
 
 MIN_TASKS = 8
+#: stages whose MEDIAN task is under this are pure per-task fixed
+#: overhead (scheduler jitter makes a 1ms-median stage report ratios of
+#: 10+ that say nothing about data skew) — excluded from worst_ratio
+MIN_MEDIAN_MS = 50
 
 QUERIES = ["d8_span_dedup", "d9_decontaminate", "d10_substring_dedup",
            "x14_pretraining_pipeline", "x15_web_curation_pipeline"]
@@ -107,7 +111,7 @@ def stage_task_ratios(spark, since_stage: int) -> "list[dict]":
         except Exception:
             continue
         med, mx = q["executorRunTime"]
-        if med <= 0:
+        if med < MIN_MEDIAN_MS:
             continue
         out.append({
             "stage": sid,
@@ -133,10 +137,15 @@ def main() -> None:
     ap.add_argument("--queries",
                     help="comma-separated subset/override of QUERIES")
     args = ap.parse_args()
-    names = args.queries.split(",") if args.queries else QUERIES
+    names = ([n.strip() for n in args.queries.split(",") if n.strip()]
+             if args.queries else QUERIES)
 
     from configurable_etl_python_repo_spark import get_spark
     from configurable_etl_python_repo_spark.catalog import QUERIES as Q
+
+    unknown = [n for n in names if n not in Q]
+    if unknown:  # fail BEFORE the minutes-long fixture build, not after
+        ap.error(f"unknown queries: {', '.join(unknown)}")
 
     spark = get_spark("skew_stress")
     parent = args.keep or tempfile.mkdtemp(prefix="skew_stress_")
