@@ -1210,7 +1210,7 @@ DRIVER_PRIORITY = [
     "d8_span_dedup", "d9_decontaminate", "d10_substring_dedup",
     "d11_semantic_dedup",
     # LLM pipeline: similarity search
-    "n1_ann_cosine_topk", "n4_ann_ivf_kmeans",
+    "n4_ann_ivf_kmeans",
     # LLM pipeline: text analysis + curation (t10-t14 rotated in for r7)
     "t1_text_stats", "t2_language_id", "t5_winnowing_fingerprints",
     "t9_bpe_pack_sequences",
@@ -1223,7 +1223,7 @@ DRIVER_PRIORITY = [
     # rotated in for r7)
     "x13_domain_mixture", "x14_pretraining_pipeline",
     "x15_web_curation_pipeline", "x16_cluster_aware_splits",
-    "x17_exact_k_sample",
+    "x17_exact_k_sample", "x18_dsir_selection",
     # engine showcase (COMPUTE COLUMN + broadcast joins + fused LIMIT)
     "tpch_q3_shaped",
 ]
@@ -1240,7 +1240,9 @@ DRIVER_PRIORITY = [
 # e2), d1 (dedup covered by d7/d8), n3 (IVF ANN covered by n4;
 # write-side index stays pytest-pinned), m3 (Arrow multimodal plumbing
 # covered by m1), t6 (regexp scrub family covered by t11), t7 (text
-# feature family covered by t1 + t12). Earlier rotations (r5): a5, f1,
+# feature family covered by t1 + t12), n1 (brute-force cosine covered
+# by n4's IVF family + d6's SRP pairs; demoted late-r7 for the NEW x18
+# DSIR selection row). Earlier rotations (r5): a5, f1,
 # e3, d4, d5, n2, t3, m2; t8's packing surface enters via t9 (same math
 # on real BPE counts).
 

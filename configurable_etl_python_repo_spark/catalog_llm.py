@@ -2079,6 +2079,107 @@ def q_x17(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DSIR_BUCKETS = 512
+_DSIR_K = 200
+_DSIR_TARGET_SRC = "src0"
+
+
+def _dsir_oracle() -> str:
+    """x18 = DSIR importance resampling in SQL: hashed unigram+bigram
+    bucket counts for corpus and target, Laplace-smoothed per-bucket
+    log-ratios (each ln rounded to 6dp FIRST — the surprisal/t10
+    determinism convention), exact DECIMAL per-doc sums, deterministic
+    md5-Gumbel perturbation, top-k."""
+    B, K = _DSIR_BUCKETS, _DSIR_K
+    return rf"""
+    WITH tgt AS (SELECT doc_id, text FROM documents
+                 WHERE source = '{_DSIR_TARGET_SRC}'),
+    cw AS (SELECT doc_id, list_filter(
+             string_split_regex(lower(trim(text)), '\s+'),
+             x -> x != '') AS w FROM documents),
+    tw AS (SELECT doc_id, list_filter(
+             string_split_regex(lower(trim(text)), '\s+'),
+             x -> x != '') AS w FROM tgt),
+    cwd AS (SELECT doc_id, unnest(w) AS wrd,
+                   generate_subscripts(w, 1) AS pos FROM cw),
+    twd AS (SELECT doc_id, unnest(w) AS wrd,
+                   generate_subscripts(w, 1) AS pos FROM tw),
+    cg AS (
+      SELECT doc_id, wrd AS g FROM cwd
+      UNION ALL
+      SELECT doc_id, wrd || ' ' || lead(wrd) OVER
+               (PARTITION BY doc_id ORDER BY pos) AS g
+      FROM cwd QUALIFY g IS NOT NULL),
+    tg AS (
+      SELECT doc_id, wrd AS g FROM twd
+      UNION ALL
+      SELECT doc_id, wrd || ' ' || lead(wrd) OVER
+               (PARTITION BY doc_id ORDER BY pos) AS g
+      FROM twd QUALIFY g IS NOT NULL),
+    cgb AS (SELECT doc_id, CAST(('0x' || substr(md5('dsir' || '|' || g),
+                   1, 8)) AS BIGINT) % {B} AS bkt FROM cg),
+    tgb AS (SELECT CAST(('0x' || substr(md5('dsir' || '|' || g),
+                   1, 8)) AS BIGINT) % {B} AS bkt FROM tg),
+    cq AS (SELECT bkt, count(*) AS cq FROM cgb GROUP BY bkt),
+    cp AS (SELECT bkt, count(*) AS cp FROM tgb GROUP BY bkt),
+    nq AS (SELECT sum(cq) AS nq FROM cq),
+    np AS (SELECT sum(cp) AS np FROM cp),
+    lam AS (
+      SELECT cq.bkt,
+             CAST(round(ln((coalesce(cp.cp, 0) + 1.0)
+                           / (coalesce(np.np, 0) + 1.0 * {B})), 6)
+                  AS DECIMAL(18,6))
+             - CAST(round(ln((cq.cq + 1.0) / (nq.nq + 1.0 * {B})), 6)
+                    AS DECIMAL(18,6)) AS lam
+      FROM cq LEFT JOIN cp USING (bkt) CROSS JOIN nq CROSS JOIN np),
+    w AS (
+      SELECT cgb.doc_id AS id, count(*) AS n_grams,
+             CAST(sum(lam) AS DECIMAL(28,6)) AS logw
+      FROM cgb JOIN lam USING (bkt) GROUP BY cgb.doc_id),
+    keyed AS (
+      SELECT id, n_grams, logw,
+             CAST(logw + CAST(round(-ln(-ln(
+               (CAST(('0x' || substr(md5('dsir|gumbel' || '|' ||
+                  CAST(id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+               / 4294967296.0)), 6) AS DECIMAL(18,6)) AS DECIMAL(28,6))
+             AS sel_key
+      FROM w)
+    SELECT d.doc_id, d.source, k.n_grams,
+           CAST(k.logw AS DOUBLE) AS logw,
+           CAST(k.sel_key AS DOUBLE) AS sel_key
+    FROM keyed k JOIN documents d ON d.doc_id = k.id
+    ORDER BY k.sel_key DESC, d.doc_id ASC LIMIT {K}
+    """
+
+
+@register("x18_dsir_selection", _dsir_oracle())
+def q_x18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): hashed unigram+bigram
+    importance log-weights of every corpus doc against an in-domain
+    target sample, then deterministic Gumbel-top-k resampling — the
+    data-selection step of a pre-training pipeline, engine-portable and
+    bit-exact vs the SQL replay (each ln rounded to 6dp before exact
+    DECIMAL sums). Bucket-count aggregates are <= buckets rows (a
+    constant), lambda broadcasts onto the gram stream, and the top-k
+    compiles to TakeOrderedAndProject — no collect, no full sort."""
+    from .llm.sampling import dsir_select
+
+    docs = spark.read.parquet(_pq(sf_dir, "documents"))
+    target = docs.where(F.col("source") == _DSIR_TARGET_SRC)
+    # exact DECIMAL math end-to-end (ordering included); the final cast
+    # to DOUBLE only normalizes the wire dtype for the driver's
+    # type-sensitive hash — identical nearest-double on both engines
+    return dsir_select(
+        docs.select("doc_id", "source", "text"),
+        target.select("doc_id", "text"),
+        k=_DSIR_K, buckets=_DSIR_BUCKETS,
+    ).select(
+        "doc_id", "source", "n_grams",
+        F.col("logw").cast("double").alias("logw"),
+        F.col("sel_key").cast("double").alias("sel_key"),
+    )
+
+
 _SEMDEDUP_T = 0.40
 
 

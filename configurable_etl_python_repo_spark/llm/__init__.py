@@ -40,6 +40,8 @@ from .similarity import (  # noqa: F401
 )
 from .clusters import connected_components, dedup_clusters  # noqa: F401
 from .sampling import (  # noqa: F401
+    dsir_select,
+    dsir_weights,
     hash_sample,
     mixture_sample,
     stratified_sample,

@@ -211,3 +211,146 @@ def top_k_sample(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def _uni_bi_grams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, g) word unigrams + bigrams WITH duplicates — the DSIR
+    hashed-feature stream. Unigrams explode shuffle-free; bigrams reuse
+    the dedup module's codegen posexplode+LEAD builder (one hash shuffle
+    on the doc id)."""
+    from .dedup import _doc_grams, _words
+
+    uni = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_words(F.col(text_col))).alias("g"),
+    )
+    bi = _doc_grams(df, id_col, text_col, 2).withColumnsRenamed({"sh": "g"})
+    return uni.union(bi)
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_text_col: "str | None" = None,
+    buckets: int = 10_000,
+    alpha: float = 1.0,
+    seed: str = "dsir",
+) -> DataFrame:
+    """Per-document DSIR importance log-weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score how
+    much more likely each corpus document is under a small in-domain
+    TARGET sample than under the raw corpus, using hashed n-gram
+    (unigram + bigram) bag-of-words models.
+
+    Per bucket b: lambda_b = ln p_target(b) - ln p_corpus(b), Laplace-
+    smoothed; per doc: logw = sum over its gram occurrences of
+    lambda_{bucket(gram)}. High logw = looks like the target.
+
+    Determinism (the oracle convention): gram->bucket is the md5 bucket
+    (engine-portable, partitioning-invariant), each ln is rounded to 6
+    decimals FIRST, lambda is an exact DECIMAL difference, and the
+    per-doc sum runs in DECIMAL — accumulation order can't flip bits.
+
+    100 TB shape: two bucket-count aggregations (output <= `buckets`
+    rows each — a constant), the per-bucket lambda table joins the
+    corpus gram stream on the bucket id (AQE broadcasts it: <= buckets
+    rows), one per-doc aggregation. No collect anywhere; the corpus is
+    scanned twice (count pass + weight pass) and never shuffled except
+    by doc id for the bigram window and the final groupBy.
+
+    Output: (id, n_grams, logw DECIMAL(28,6)); docs with zero grams are
+    absent (no evidence either way), documented like surprisal_score."""
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+    tgt_text = target_text_col if target_text_col is not None else text_col
+
+    def bucketed(grams: DataFrame) -> DataFrame:
+        return grams.withColumn(
+            "bkt", F.pmod(_bucket(F.col("g"), seed), F.lit(buckets))
+        )
+
+    corpus_grams = bucketed(_uni_bi_grams(df, id_col, text_col))
+    target_grams = bucketed(_uni_bi_grams(target, id_col, tgt_text))
+    cq = corpus_grams.groupBy("bkt").agg(F.count(F.lit(1)).alias("cq"))
+    cp = target_grams.groupBy("bkt").agg(F.count(F.lit(1)).alias("cp"))
+    nq = cq.agg(F.sum("cq").alias("nq"))
+    np_ = cp.agg(F.sum("cp").alias("np"))
+
+    def log6(num, den):
+        return F.round(F.log(num / den), 6).cast("decimal(18,6)")
+
+    lam = (
+        cq.join(cp, "bkt", "left")
+        .crossJoin(F.broadcast(nq))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "bkt",
+            (
+                log6(
+                    F.coalesce(F.col("cp"), F.lit(0)).cast("double")
+                    + F.lit(alpha),
+                    F.coalesce(F.col("np"), F.lit(0)).cast("double")
+                    + F.lit(alpha * buckets),
+                )
+                - log6(
+                    F.col("cq").cast("double") + F.lit(alpha),
+                    F.col("nq").cast("double") + F.lit(alpha * buckets),
+                )
+            ).alias("lam"),
+        )
+    )
+    return (
+        corpus_grams.join(lam, "bkt")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("lam").cast("decimal(28,6)").alias("logw"),
+        )
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_text_col: "str | None" = None,
+    buckets: int = 10_000,
+    alpha: float = 1.0,
+    seed: str = "dsir",
+) -> DataFrame:
+    """DSIR data selection: the top-k corpus documents under Gumbel-
+    perturbed importance log-weights — exact Gumbel-top-k sampling
+    without replacement from the softmax over dsir_weights (Xie et al.
+    2023 select docs this way; temperature 1).
+
+    The Gumbel noise is DETERMINISTIC content-hash randomness (the
+    sampling-family convention): u = (md5-bucket(id) + 0.5) / 2^32,
+    g = -ln(-ln(u)) rounded to 6 decimals, key = logw + g as an exact
+    DECIMAL sum — reproducible on any cluster, any partitioning, any
+    engine. Ties break by id. Global top-k compiles to
+    TakeOrderedAndProject (per-partition heaps, no full sort).
+
+    Output: the selected docs' rows plus (n_grams, logw, sel_key),
+    exactly k rows (or fewer when the corpus has fewer docs with >= 1
+    gram)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = dsir_weights(df, target, id_col, text_col, target_text_col,
+                     buckets, alpha, seed)
+    u = (
+        _bucket(F.col("id"), seed + "|gumbel").cast("double") + F.lit(0.5)
+    ) / F.lit(float(_SCALE))
+    gumbel = F.round(-F.log(-F.log(u)), 6).cast("decimal(18,6)")
+    keyed = w.select(
+        "id", "n_grams", "logw",
+        (F.col("logw") + gumbel).cast("decimal(28,6)").alias("sel_key"),
+    )
+    return (
+        df.join(keyed.withColumnsRenamed({"id": id_col}), id_col)
+        .orderBy(F.col("sel_key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

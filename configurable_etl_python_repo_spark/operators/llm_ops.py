@@ -63,6 +63,27 @@ def _binary_corpus_queries(fn_name: str):
     return compile_op
 
 
+def _binary_corpus_target(fn_name: str):
+    """Corpus + in-domain target sample (DSIR): second input is the
+    target; a single input scores the corpus against itself (degenerate
+    but well-defined — every lambda is 0 up to smoothing)."""
+    def compile_op(engine: "Engine", spec: OpSpec):
+        corpus, _ = engine.peek(spec.inputs[0])
+        target, _ = engine.peek(
+            spec.inputs[1] if len(spec.inputs) > 1 else spec.inputs[0]
+        )
+        from ..llm import sampling as M
+
+        kwargs = dict(spec.args)
+        for cfg, py in (("id_column", "id_col"), ("text_column", "text_col"),
+                        ("target_text_column", "target_text_col")):
+            if cfg in kwargs:
+                kwargs[py] = kwargs.pop(cfg)
+        return getattr(M, fn_name)(corpus, target, **kwargs), None
+
+    return compile_op
+
+
 def _rename_kw(fn, mapping):
     """Adapt config-facing arg names (id_column/text_column) to the llm
     functions' parameter names."""
@@ -283,6 +304,8 @@ LLM_OP_COMPILERS = {
         _rename_kw(_lazy_sampling("split_assign"),
                    {"key_column": "key_col", "group_column": "group_col"})
     ),
+    "DSIR WEIGHTS": _binary_corpus_target("dsir_weights"),
+    "DSIR SELECT": _binary_corpus_target("dsir_select"),
     "SAMPLE TOP K": _unary(
         _rename_kw(_lazy_sampling("top_k_sample"),
                    {"key_column": "key_col", "strata_column": "strata_col"})

@@ -249,3 +249,87 @@ try:
         assert cuts[-1][1] >= scale - 1
 except ImportError:  # pragma: no cover
     pass
+
+
+def _dsir_docs(spark):
+    # two clearly separated vocabularies: "code-like" target domain vs
+    # "prose" background, plus mixed docs in between
+    rows = []
+    for i in range(20):
+        rows.append(Row(doc_id=i, source="code",
+                        text="def foo return lambda class import yield"))
+    for i in range(20, 80):
+        rows.append(Row(doc_id=i, source="prose",
+                        text="the cat sat on the warm mat all day long"))
+    for i in range(80, 90):
+        rows.append(Row(doc_id=i, source="mixed",
+                        text="the cat import lambda on the mat return"))
+    return spark.createDataFrame(rows)
+
+
+def test_dsir_selects_target_like_docs(spark):
+    """Importance resampling must overwhelmingly pick docs resembling
+    the target distribution: with a code-vocabulary target, code docs
+    carry the mass and prose docs score far below."""
+    from configurable_etl_python_repo_spark.llm.sampling import (
+        dsir_select,
+        dsir_weights,
+    )
+
+    docs = _dsir_docs(spark)
+    target = docs.where("source = 'code'").select("doc_id", "text")
+    w = {r.id: float(r.logw)
+         for r in dsir_weights(docs, target, buckets=256).collect()}
+    code_w = [w[i] for i in range(20)]
+    prose_w = [w[i] for i in range(20, 80)]
+    assert min(code_w) > max(prose_w)
+    sel = dsir_select(docs, target, k=25, buckets=256)
+    picked = {r.doc_id for r in sel.collect()}
+    assert len(picked) == 25
+    # all 20 code docs make the cut; the rest come from mixed before prose
+    assert set(range(20)) <= picked
+
+
+def test_dsir_partitioning_invariant_and_k_overflow(spark):
+    from configurable_etl_python_repo_spark.llm.sampling import dsir_select
+
+    docs = _dsir_docs(spark)
+    target = docs.where("source = 'code'").select("doc_id", "text")
+    a = sorted((r.doc_id, str(r.sel_key))
+               for r in dsir_select(docs, target, k=30, buckets=256).collect())
+    b = sorted((r.doc_id, str(r.sel_key))
+               for r in dsir_select(docs.repartition(7, "text"), target,
+                                    k=30, buckets=256).collect())
+    assert a == b
+    # k beyond the corpus: every doc with >= 1 gram comes back, no error
+    assert dsir_select(docs, target, k=10_000, buckets=256).count() == 90
+
+
+def test_dsir_as_config_ops(spark):
+    from configurable_etl_python_repo_spark.plans import Engine, OpSpec
+
+    eng = Engine(spark)
+    docs = _dsir_docs(spark)
+    eng.bind("docs", docs)
+    eng.bind("tgt", docs.where("source = 'code'").select("doc_id", "text"))
+    w = eng.run_op(OpSpec("DSIR WEIGHTS", "w", ["docs", "tgt"],
+                          {"buckets": 256}))
+    assert {"id", "n_grams", "logw"} <= set(w.columns)
+    sel = eng.run_op(OpSpec("DSIR SELECT", "s", ["docs", "tgt"],
+                            {"k": 10, "buckets": 256}))
+    assert sel.count() == 10
+
+
+def test_dsir_validation(spark):
+    import pytest
+
+    from configurable_etl_python_repo_spark.llm.sampling import (
+        dsir_select,
+        dsir_weights,
+    )
+
+    docs = _dsir_docs(spark)
+    with pytest.raises(ValueError, match="buckets"):
+        dsir_weights(docs, docs, buckets=1).collect()
+    with pytest.raises(ValueError, match="k"):
+        dsir_select(docs, docs, k=0).collect()
