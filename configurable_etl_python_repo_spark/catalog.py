@@ -1207,7 +1207,7 @@ DRIVER_PRIORITY = [
     # LLM pipeline: dedup + decontamination (d11 rotated in for r7)
     "d2_ngram_jaccard_pairs", "d3_minhash_lsh_pairs",
     "d6_embedding_cosine_srp", "d7_dedup_clusters",
-    "d8_span_dedup", "d9_decontaminate", "d10_substring_dedup",
+    "d9_decontaminate", "d10_substring_dedup",
     "d11_semantic_dedup",
     # LLM pipeline: similarity search
     "n4_ann_ivf_kmeans",
@@ -1216,7 +1216,7 @@ DRIVER_PRIORITY = [
     "t9_bpe_pack_sequences",
     "t10_unigram_surprisal", "t11_url_blocklist", "t12_quality_classifier",
     "t13_sized_shards", "t14_bpe_bytes", "t15_bpe_gpt2",
-    "t16_sized_shards_bytes",
+    "t16_sized_shards_bytes", "t17_backoff_surprisal",
     # LLM pipeline: multimodal plumbing
     "m1_multimodal_features",
     # LLM pipeline: mixture, sampling/splits, composed curation (r5 x15-x17
@@ -1242,7 +1242,9 @@ DRIVER_PRIORITY = [
 # covered by m1), t6 (regexp scrub family covered by t11), t7 (text
 # feature family covered by t1 + t12), n1 (brute-force cosine covered
 # by n4's IVF family + d6's SRP pairs; demoted late-r7 for the NEW x18
-# DSIR selection row). Earlier rotations (r5): a5, f1,
+# DSIR selection row), d8 (span dedup family covered by d10's strictly-
+# stronger shift-robust pass + d9; demoted late-r7 for the NEW t17
+# backoff-surprisal row). Earlier rotations (r5): a5, f1,
 # e3, d4, d5, n2, t3, m2; t8's packing surface enters via t9 (same math
 # on real BPE counts).
 

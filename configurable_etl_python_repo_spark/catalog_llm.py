@@ -2079,6 +2079,71 @@ def q_x17(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _backoff_oracle() -> str:
+    """t17 = bigram Stupid-Backoff surprisal in SQL: LM counts from the
+    even-doc_id half, lag-window bigrams, backoff CASE, -ln rounded 6dp
+    before the exact DECIMAL per-doc sum (the t10 convention)."""
+    return r"""
+    WITH lmdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+    dw AS (SELECT doc_id, list_filter(
+             string_split_regex(lower(trim(text)), '\s+'),
+             x -> x != '') AS w FROM documents),
+    lw AS (SELECT doc_id, list_filter(
+             string_split_regex(lower(trim(text)), '\s+'),
+             x -> x != '') AS w FROM lmdocs),
+    dwd AS (SELECT doc_id, unnest(w) AS wrd,
+                   generate_subscripts(w, 1) AS pos FROM dw),
+    lwd AS (SELECT doc_id, unnest(w) AS wrd,
+                   generate_subscripts(w, 1) AS pos FROM lw),
+    uni AS (SELECT wrd, count(*) AS cu FROM lwd GROUP BY wrd),
+    voc AS (SELECT coalesce(sum(cu), 0) AS n, count(*) AS v FROM uni),
+    lbi AS (SELECT doc_id, wrd, pos,
+                   lag(wrd) OVER (PARTITION BY doc_id ORDER BY pos) AS pw
+            FROM lwd),
+    bi AS (SELECT pw, wrd, count(*) AS cb FROM lbi
+           WHERE pw IS NOT NULL GROUP BY pw, wrd),
+    pos2 AS (SELECT doc_id, wrd, pos,
+                    lag(wrd) OVER (PARTITION BY doc_id ORDER BY pos) AS pw
+             FROM dwd),
+    sc AS (
+      SELECT p.doc_id,
+             CAST(round(-ln(CASE
+               WHEN p.pw IS NOT NULL AND b.cb IS NOT NULL
+                 THEN CAST(b.cb AS DOUBLE) / CAST(upw.cu AS DOUBLE)
+               WHEN p.pw IS NOT NULL
+                 THEN 0.4 * ((coalesce(u.cu, 0) + 1.0)
+                             / (voc.n + 1.0 * (voc.v + 1.0)))
+               ELSE ((coalesce(u.cu, 0) + 1.0)
+                     / (voc.n + 1.0 * (voc.v + 1.0)))
+             END), 6) AS DECIMAL(18,6)) AS s
+      FROM pos2 p
+      LEFT JOIN bi b ON b.pw = p.pw AND b.wrd = p.wrd
+      LEFT JOIN uni upw ON upw.wrd = p.pw
+      LEFT JOIN uni u ON u.wrd = p.wrd
+      CROSS JOIN voc)
+    SELECT doc_id, count(*) AS n_words,
+           round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS avg_surprisal
+    FROM sc GROUP BY doc_id
+    """
+
+
+@register("t17_backoff_surprisal", _backoff_oracle())
+def q_t17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram Stupid-Backoff surprisal (Brants et al. 2007) of every doc
+    against an LM fit on the even-doc_id half of the corpus — the
+    contextual fluency signal past t10's unigram LM (implausible word
+    ORDER now scores high); odd docs genuinely exercise the backoff
+    path. Three AQE-skew-splittable hash joins on content keys, no
+    collect."""
+    from .llm.text import backoff_surprisal
+
+    docs = spark.read.parquet(_pq(sf_dir, "documents"))
+    lm = docs.where(F.col("doc_id") % 2 == 0)
+    return backoff_surprisal(
+        docs.select("doc_id", "text"), lm.select("doc_id", "text")
+    )
+
+
 _DSIR_BUCKETS = 512
 _DSIR_K = 200
 _DSIR_TARGET_SRC = "src0"

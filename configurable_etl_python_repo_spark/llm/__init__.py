@@ -10,6 +10,7 @@ the primitive.
 """
 
 from .text import (  # noqa: F401
+    backoff_surprisal,
     text_stats,
     language_id,
     language_id_ngram,

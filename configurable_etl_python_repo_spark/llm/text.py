@@ -954,3 +954,105 @@ def token_count_bpe_ish(df: DataFrame, text_col: str = "text") -> DataFrame:
             "long"
         ),
     )
+
+
+def backoff_surprisal(
+    df: DataFrame,
+    lm_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lm_text_col: "str | None" = None,
+    backoff: float = 0.4,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Bigram Stupid-Backoff surprisal per document (Brants et al. 2007,
+    "Large Language Models in Machine Translation") — the contextual
+    step past surprisal_score's unigram LM: a doc full of individually
+    common words in IMPLAUSIBLE ORDER now scores high.
+
+    Per word position i: S(w_i | w_{i-1}) = c(w_{i-1} w_i) / c(w_{i-1})
+    when the reference corpus saw the bigram, else backoff * S_uni(w_i);
+    the first word and the unigram base case use the Laplace-smoothed
+    S_uni(w) = (c(w) + alpha) / (N + alpha * (V + 1)) so out-of-vocab
+    words stay finite (the surprisal_score reference-LM convention).
+    Surprisal is -ln S, averaged per doc.
+
+    The reference LM is a REQUIRED second relation: self-scoring is
+    pointless here (every adjacent pair of the scored corpus occurs in
+    itself, so backoff would never fire).
+
+    Determinism: per-position surprisal rounds to 6 decimals FIRST,
+    per-doc sums run in DECIMAL, one final double division (the t10
+    oracle convention — accumulation order can't flip bits).
+
+    100 TB shape: one posexplode + lag window (hash shuffle on doc id),
+    two corpus-wide count aggregations on the LM side (map-side
+    partial), then three hash joins on content keys — bigram, word,
+    context word — all AQE-skew-splittable (stopword keys are hot by
+    nature, the d9/t10 documented path); per-doc aggregation reuses the
+    window's id partitioning. No collect, no window over the LM.
+
+    Output: (id_col, n_words, avg_surprisal) — wordless docs absent."""
+    from pyspark.sql import Window
+
+    lm_text = lm_text_col if lm_text_col is not None else text_col
+    w0 = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_words(F.col(text_col))).alias("pos", "w"),
+    )
+    win = Window.partitionBy("id").orderBy("pos")
+    positions = w0.withColumn("pw", F.lag("w").over(win))
+
+    lm_words = lm_df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_words(F.col(lm_text))).alias("pos", "w"),
+    )
+    uni = lm_words.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    vocab = uni.agg(
+        F.coalesce(F.sum("cu"), F.lit(0)).alias("n"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    lm_win = Window.partitionBy("id").orderBy("pos")
+    bi = (
+        lm_words.withColumn("pw", F.lag("w").over(lm_win))
+        .where(F.col("pw").isNotNull())
+        .groupBy("pw", "w")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    joined = (
+        positions
+        .join(bi, ["pw", "w"], "left")
+        .join(uni.withColumnsRenamed({"w": "pw", "cu": "cupw"}), "pw", "left")
+        .join(uni, "w", "left")
+        .crossJoin(F.broadcast(vocab))
+    )
+    s_uni = (
+        (F.coalesce(F.col("cu"), F.lit(0)).cast("double") + F.lit(alpha))
+        / (F.col("n").cast("double")
+           + F.lit(alpha) * (F.col("v").cast("double") + F.lit(1.0)))
+    )
+    s = (
+        F.when(
+            F.col("pw").isNotNull() & F.col("cb").isNotNull(),
+            F.col("cb").cast("double") / F.col("cupw").cast("double"),
+        )
+        .when(F.col("pw").isNotNull(), F.lit(backoff) * s_uni)
+        .otherwise(s_uni)
+    )
+    scored = joined.withColumn(
+        "__s", F.round(-F.log(s), 6).cast("decimal(18,6)")
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("__s").alias("__sum"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_words",
+            F.round(
+                F.col("__sum").cast("double") / F.col("n_words"), 6
+            ).alias("avg_surprisal"),
+        )
+    )

@@ -169,6 +169,22 @@ def _surprisal(engine: "Engine", spec: OpSpec):
     return T.surprisal_score(df, **kwargs), None
 
 
+def _backoff_surprisal(engine: "Engine", spec: OpSpec):
+    """SURPRISAL BACKOFF: two inputs — the scored corpus and the
+    REQUIRED reference-LM corpus (self-scoring never backs off, so a
+    single input is an error by design)."""
+    df, _ = engine.peek(spec.inputs[0])
+    if len(spec.inputs) < 2:
+        raise ValueError("SURPRISAL BACKOFF needs [corpus, lm] inputs")
+    lm, _ = engine.peek(spec.inputs[1])
+    kwargs = dict(spec.args)
+    for cfg, py in (("id_column", "id_col"), ("text_column", "text_col"),
+                    ("lm_text_column", "lm_text_col")):
+        if cfg in kwargs:
+            kwargs[py] = kwargs.pop(cfg)
+    return T.backoff_surprisal(df, lm, **kwargs), None
+
+
 def _decontaminate_stream(engine: "Engine", spec: OpSpec):
     """Streaming-legal decontamination as a config op. One input + an
     `eval_grams` list in args (a program ships the precomputed gram set,
@@ -317,6 +333,7 @@ LLM_OP_COMPILERS = {
         _rename_kw(SC.url_blocklist_filter, {"text_column": "text_col"})
     ),
     "SURPRISAL SCORE": _surprisal,
+    "SURPRISAL BACKOFF": _backoff_surprisal,
     "CLASSIFIER SCORE": _unary(
         _rename_kw(T.classifier_score, {"text_column": "text_col"})
     ),

@@ -772,3 +772,65 @@ def test_derive_shard_key_as_config_op_feeds_packing(spark, sf_dir):
          "tokens_col": "n_tokens"},
     ))
     assert packed.count() == keyed.count()
+
+
+def test_backoff_surprisal_hand_computed(spark):
+    """Pin the Stupid-Backoff cases against hand math: seen bigram
+    (MLE), unseen bigram over seen words (backoff * Laplace unigram),
+    OOV word (backoff * OOV Laplace), first word (Laplace unigram)."""
+    import math
+
+    from pyspark.sql import Row
+
+    from configurable_etl_python_repo_spark.llm.text import backoff_surprisal
+
+    lm = spark.createDataFrame([
+        Row(doc_id=1, text="a b a b"),
+        Row(doc_id=2, text="a c"),
+    ])
+    # LM: N=6, V=3; cu: a=3, b=2, c=1; cb: (a,b)=2, (b,a)=1, (a,c)=1
+    scored = spark.createDataFrame([
+        Row(doc_id=10, text="a b"),    # first: uni(a); then seen bigram
+        Row(doc_id=11, text="b c"),    # (b,c) unseen -> backoff*uni(c)
+        Row(doc_id=12, text="a z"),    # z OOV -> backoff*laplace-OOV
+    ])
+    out = {r.doc_id: r for r in backoff_surprisal(scored, lm).collect()}
+
+    def uni(c):
+        return (c + 1.0) / (6 + 1.0 * (3 + 1))
+
+    def r6(x):
+        return round(round(-math.log(x), 6) * 1e6) / 1e6
+
+    exp10 = round((r6(uni(3)) + r6(2 / 3)) / 2, 6)
+    exp11 = round((r6(uni(2)) + r6(0.4 * uni(1))) / 2, 6)
+    exp12 = round((r6(uni(3)) + r6(0.4 * uni(0))) / 2, 6)
+    assert out[10].n_words == 2 and abs(out[10].avg_surprisal - exp10) < 1e-9
+    assert abs(out[11].avg_surprisal - exp11) < 1e-9
+    assert abs(out[12].avg_surprisal - exp12) < 1e-9
+    # contextual signal: common words in implausible order score higher
+    # than the same words in corpus order
+    docs = spark.createDataFrame([
+        Row(doc_id=20, text="a b a b"),
+        Row(doc_id=21, text="b b a a"),
+    ])
+    got = {r.doc_id: r.avg_surprisal
+           for r in backoff_surprisal(docs, lm).collect()}
+    assert got[21] > got[20]
+
+
+def test_backoff_surprisal_as_config_op(spark):
+    from pyspark.sql import Row
+
+    from configurable_etl_python_repo_spark.plans import Engine, OpSpec
+
+    eng = Engine(spark)
+    eng.bind("docs", spark.createDataFrame([Row(doc_id=1, text="a b")]))
+    eng.bind("lm", spark.createDataFrame([Row(doc_id=2, text="a b a")]))
+    out = eng.run_op(OpSpec("SURPRISAL BACKOFF", "s", ["docs", "lm"], {}))
+    assert set(out.columns) == {"doc_id", "n_words", "avg_surprisal"}
+    assert out.count() == 1
+    import pytest
+
+    with pytest.raises(ValueError, match="lm"):
+        eng.run_op(OpSpec("SURPRISAL BACKOFF", "s2", ["docs"], {}))
