@@ -1194,7 +1194,7 @@ DRIVER_PRIORITY = [
     # reference surface (SURVEY §2.1-§2.7)
     "flagship_earliest_event", "s1_bronze_nest_explode",
     "p1_lenient_scan_distinct", "p2_p4_project_remove",
-    "p5_filter_grammar", "p6_remove_rows_null", "p7_filter_not_null",
+    "p5_filter_grammar", "p6_remove_rows_null",
     "c1_c2_rename_format", "c4_rowwise_min_max",
     "c5_attach_notnull", "c6_attach_sumeq",
     "c8_decision_column", "c9_c10_boundary_sentinel", "c11_c12_gold_record",
@@ -1208,7 +1208,7 @@ DRIVER_PRIORITY = [
     "d2_ngram_jaccard_pairs", "d3_minhash_lsh_pairs",
     "d6_embedding_cosine_srp", "d7_dedup_clusters",
     "d9_decontaminate", "d10_substring_dedup",
-    "d11_semantic_dedup",
+    "d11_semantic_dedup", "d12_dedup_keep_best",
     # LLM pipeline: similarity search
     "n4_ann_ivf_kmeans",
     # LLM pipeline: text analysis + curation (t10-t14 rotated in for r7)
@@ -1244,7 +1244,9 @@ DRIVER_PRIORITY = [
 # by n4's IVF family + d6's SRP pairs; demoted late-r7 for the NEW x18
 # DSIR selection row), d8 (span dedup family covered by d10's strictly-
 # stronger shift-robust pass + d9; demoted late-r7 for the NEW t17
-# backoff-surprisal row). Earlier rotations (r5): a5, f1,
+# backoff-surprisal row), p7 (NOT NULL predicate is a sub-case of p5's
+# compiled filter grammar + p6's null-row removal; demoted late-r7 for
+# the NEW d12 quality-aware-keeper row). Earlier rotations (r5): a5, f1,
 # e3, d4, d5, n2, t3, m2; t8's packing surface enters via t9 (same math
 # on real BPE counts).
 

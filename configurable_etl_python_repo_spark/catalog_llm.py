@@ -297,10 +297,11 @@ def q_d4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash32(docs)
 
 
-def _dedup_clusters_oracle() -> str:
-    """Transitive closure of the LSH near-dup pairs as a recursive CTE:
-    min-id reachability labels every doc with its component minimum —
-    exactly what the alternating-star algorithm computes distributedly."""
+def _components_ctes() -> str:
+    """Shared CTE prefix: LSH pairs -> transitive closure (recursive
+    min-id reachability) -> comp(doc_id, cluster_id) + sized(cluster_id,
+    cluster_size). Shared by d7 and d12 so the keeper-policy variants
+    can never drift on the clustering itself."""
     ctes = _lsh_ctes().replace("WITH ", "WITH RECURSIVE ", 1)
     return (
         ctes
@@ -313,7 +314,17 @@ def _dedup_clusters_oracle() -> str:
       SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r),
     comp AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
     sized AS (SELECT cluster_id, COUNT(*) AS cluster_size
-              FROM comp GROUP BY cluster_id)
+              FROM comp GROUP BY cluster_id)"""
+    )
+
+
+def _dedup_clusters_oracle() -> str:
+    """Transitive closure of the LSH near-dup pairs as a recursive CTE:
+    min-id reachability labels every doc with its component minimum —
+    exactly what the alternating-star algorithm computes distributedly."""
+    return (
+        _components_ctes()
+        + """
     SELECT c.doc_id, c.cluster_id, s.cluster_size,
            c.doc_id = c.cluster_id AS is_keeper
     FROM comp c JOIN sized s USING (cluster_id)
@@ -334,6 +345,45 @@ def q_d7(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 rows_per_band=_LSH_ROWS,
                                 threshold=_LSH_P / _LSH_Q)
     return dedup_clusters(docs, pairs)
+
+
+def _keep_best_oracle() -> str:
+    """d12 = d7's clustering CTEs + quality-aware keeper: the cluster's
+    longest doc (n_chars max, ties to smaller id) survives instead of
+    the minimum id."""
+    return (
+        _components_ctes()
+        + """,
+    best AS (
+      SELECT c.doc_id, c.cluster_id,
+             row_number() OVER (
+               PARTITION BY c.cluster_id
+               ORDER BY -CAST(d.n_chars AS DOUBLE) ASC, c.doc_id ASC
+             ) AS rn
+      FROM comp c JOIN documents d USING (doc_id))
+    SELECT b.doc_id, b.cluster_id, s.cluster_size,
+           b.rn = 1 AS is_keeper
+    FROM best b JOIN sized s USING (cluster_id)
+    """
+    )
+
+
+@register("d12_dedup_keep_best", _keep_best_oracle())
+def q_d12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup resolution: same LSH pairs + connected
+    components as d7, but the KEEPER is each cluster's longest document
+    (score_col='n_chars', ties to the smaller id) — what a curation
+    pipeline actually keeps (the full copy, not whichever mirror got
+    the smallest id). The argmax runs as a min-struct HashAggregate
+    (map-side partial combine — a giant boilerplate cluster never ships
+    its members to one reducer)."""
+    from .llm.clusters import dedup_clusters
+
+    docs = spark.read.parquet(_pq(sf_dir, "documents"))
+    pairs = D.minhash_lsh_pairs(docs, n=_JACCARD_N, bands=_LSH_BANDS,
+                                rows_per_band=_LSH_ROWS,
+                                threshold=_LSH_P / _LSH_Q)
+    return dedup_clusters(docs, pairs, score_col="n_chars")
 
 
 _COS_T = 0.42  # fixture embeddings are near-orthogonal; max pair sim ≈ 0.51

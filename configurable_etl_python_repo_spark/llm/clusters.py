@@ -244,14 +244,25 @@ def dedup_clusters(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     degree_cap: "int | None" = None,
+    score_col: "str | None" = None,
 ) -> DataFrame:
     """Assign EVERY document a duplicate-cluster id and mark the keeper.
 
     Documents untouched by any pair are singleton clusters of themselves.
     Output: (doc_id, cluster_id, cluster_size, is_keeper) with
     cluster_id = min doc_id in the component and is_keeper true exactly
-    once per cluster (the minimum id — deterministic). Downstream,
-    `WHERE is_keeper` is the deduplicated corpus.
+    once per cluster. Downstream, `WHERE is_keeper` is the deduplicated
+    corpus.
+
+    Keeper policy: min doc_id (deterministic) by default; `score_col`
+    names a NON-NULL numeric column on `docs` and switches to
+    QUALITY-AWARE selection — the cluster's highest-scoring doc survives
+    (ties break to the smaller id), which is what a curation pipeline
+    actually wants (keep the longest / highest-classifier-score copy,
+    drop the truncated mirror). The argmax is a min(struct(-score, id))
+    HashAggregate — map-side partial combine, so a million-doc
+    boilerplate cluster never ships its members to one reducer (the d8
+    span-dedup skew shape).
 
     The join of docs against the component labels is a left join on the
     doc id — at 100 TB the label side holds only docs that matched some
@@ -261,18 +272,38 @@ def dedup_clusters(
     volume)."""
     labels = connected_components(pairs, src_col, dst_col,
                                   degree_cap=degree_cap)
-    ids = docs.select(F.col(id_col).alias("doc_id"))
+    cols = [F.col(id_col).alias("doc_id")]
+    if score_col is not None:
+        cols.append(F.col(score_col).alias("__score"))
+    ids = docs.select(*cols)
     labeled = ids.join(
         labels.withColumnsRenamed({"id": "doc_id"}), "doc_id", "left"
-    ).select(
-        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
-    )
+    ).withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
     sizes = labeled.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
-    return labeled.join(sizes, "cluster_id").select(
-        "doc_id",
-        "cluster_id",
-        "cluster_size",
-        (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+    if score_col is None:
+        return labeled.join(sizes, "cluster_id").select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+        )
+    keepers = labeled.groupBy("cluster_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("__score").cast("double")).alias("ns"),
+                F.col("doc_id").alias("kid"),
+            )
+        )["kid"].alias("__keeper_id")
+    )
+    return (
+        labeled.join(sizes, "cluster_id")
+        .join(keepers, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            (F.col("doc_id") == F.col("__keeper_id")).alias("is_keeper"),
+        )
     )

@@ -130,6 +130,8 @@ def _dedup_clusters(engine: "Engine", spec: OpSpec):
     kwargs = dict(spec.args)
     if "id_column" in kwargs:
         kwargs["id_col"] = kwargs.pop("id_column")
+    if "score_column" in kwargs:
+        kwargs["score_col"] = kwargs.pop("score_column")
     return C.dedup_clusters(docs, pairs, **kwargs), None
 
 

@@ -174,3 +174,27 @@ def test_string_ids(spark):
     )
     labels = {r.id: r.cluster_id for r in connected_components(pairs).collect()}
     assert labels == {"doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a"}
+
+
+def test_dedup_clusters_quality_aware_keeper(spark):
+    """score_col switches the keeper from min-id to argmax score with
+    min-id ties — singletons keep themselves, and the default policy is
+    unchanged."""
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, n=s) for i, s in
+         [(0, 5), (1, 3), (2, 9), (3, 9), (4, 1), (5, 7)]]
+    )
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=4, id_b=5)]
+    )
+    out = {r.doc_id: r for r in
+           dedup_clusters(docs, pairs, score_col="n").collect()}
+    # cluster {1,2,3}: 2 and 3 tie at score 9 -> smaller id 2 keeps
+    assert [d for d in sorted(out) if out[d].is_keeper] == [0, 2, 5]
+    assert out[3].cluster_id == 1 and out[3].cluster_size == 3
+    # singleton keeps itself regardless of score
+    assert out[0].is_keeper and out[0].cluster_size == 1
+    # default min-id policy unchanged
+    base = {r.doc_id: r.is_keeper
+            for r in dedup_clusters(docs, pairs).collect()}
+    assert [d for d in sorted(base) if base[d]] == [0, 1, 4]
