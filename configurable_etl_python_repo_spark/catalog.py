@@ -1221,9 +1221,9 @@ DRIVER_PRIORITY = [
     "m1_multimodal_features",
     # LLM pipeline: mixture, sampling/splits, composed curation (r5 x15-x17
     # rotated in for r7)
-    "x13_domain_mixture", "x14_pretraining_pipeline",
+    "x14_pretraining_pipeline",
     "x15_web_curation_pipeline", "x16_cluster_aware_splits",
-    "x17_exact_k_sample", "x18_dsir_selection",
+    "x17_exact_k_sample", "x18_dsir_selection", "x19_targeted_pipeline",
     # engine showcase (COMPUTE COLUMN + broadcast joins + fused LIMIT)
     "tpch_q3_shaped",
 ]
@@ -1246,7 +1246,9 @@ DRIVER_PRIORITY = [
 # stronger shift-robust pass + d9; demoted late-r7 for the NEW t17
 # backoff-surprisal row), p7 (NOT NULL predicate is a sub-case of p5's
 # compiled filter grammar + p6's null-row removal; demoted late-r7 for
-# the NEW d12 quality-aware-keeper row). Earlier rotations (r5): a5, f1,
+# the NEW d12 quality-aware-keeper row), x13 (exact-ratio mixture is a
+# pinned stage INSIDE the in-window x14 composition, CTE-shared; demoted
+# late-r7 for the NEW x19 targeted-selection pipeline row). Earlier rotations (r5): a5, f1,
 # e3, d4, d5, n2, t3, m2; t8's packing surface enters via t9 (same math
 # on real BPE counts).
 

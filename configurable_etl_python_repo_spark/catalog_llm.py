@@ -155,14 +155,14 @@ def _words_sql(src: str = "documents") -> str:
 _WORDS_SQL = _words_sql()
 
 
-def _shingles_sql(n: int) -> str:
+def _shingles_sql(n: int, src: str = "documents") -> str:
     if n == 1:
         return (
-            _WORDS_SQL
+            _words_sql(src)
             + ", sh AS (SELECT DISTINCT doc_id, unnest(w) AS sh FROM words)"
         )
     return (
-        _WORDS_SQL
+        _words_sql(src)
         + f""",
   sh AS (
     SELECT DISTINCT doc_id,
@@ -2129,18 +2129,19 @@ def q_x17(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _backoff_oracle() -> str:
-    """t17 = bigram Stupid-Backoff surprisal in SQL: LM counts from the
-    even-doc_id half, lag-window bigrams, backoff CASE, -ln rounded 6dp
-    before the exact DECIMAL per-doc sum (the t10 convention)."""
-    return r"""
-    WITH lmdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+def _backoff_ctes(scored_src: str, lm_src: str) -> str:
+    """Bigram Stupid-Backoff surprisal CTE chain: LM counts from
+    `lm_src`, lag-window bigrams, backoff CASE, -ln rounded 6dp before
+    the exact DECIMAL per-doc sum (the t10 convention). Final CTE:
+    `bscore`(doc_id, n_words, avg_surprisal). Shared by t17 and the
+    composed x19."""
+    return rf"""
     dw AS (SELECT doc_id, list_filter(
              string_split_regex(lower(trim(text)), '\s+'),
-             x -> x != '') AS w FROM documents),
+             x -> x != '') AS w FROM {scored_src}),
     lw AS (SELECT doc_id, list_filter(
              string_split_regex(lower(trim(text)), '\s+'),
-             x -> x != '') AS w FROM lmdocs),
+             x -> x != '') AS w FROM {lm_src}),
     dwd AS (SELECT doc_id, unnest(w) AS wrd,
                    generate_subscripts(w, 1) AS pos FROM dw),
     lwd AS (SELECT doc_id, unnest(w) AS wrd,
@@ -2170,11 +2171,21 @@ def _backoff_oracle() -> str:
       LEFT JOIN bi b ON b.pw = p.pw AND b.wrd = p.wrd
       LEFT JOIN uni upw ON upw.wrd = p.pw
       LEFT JOIN uni u ON u.wrd = p.wrd
-      CROSS JOIN voc)
-    SELECT doc_id, count(*) AS n_words,
-           round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS avg_surprisal
-    FROM sc GROUP BY doc_id
+      CROSS JOIN voc),
+    bscore AS (
+      SELECT doc_id, count(*) AS n_words,
+             round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS avg_surprisal
+      FROM sc GROUP BY doc_id)
     """
+
+
+def _backoff_oracle() -> str:
+    return (
+        "WITH lmdocs AS (SELECT doc_id, text FROM documents"
+        " WHERE doc_id % 2 = 0),"
+        + _backoff_ctes("documents", "lmdocs").strip()
+        + "\n    SELECT doc_id, n_words, avg_surprisal FROM bscore"
+    )
 
 
 @register("t17_backoff_surprisal", _backoff_oracle())
@@ -2199,19 +2210,22 @@ _DSIR_K = 200
 _DSIR_TARGET_SRC = "src0"
 
 
-def _dsir_oracle() -> str:
-    """x18 = DSIR importance resampling in SQL: hashed unigram+bigram
-    bucket counts for corpus and target, Laplace-smoothed per-bucket
-    log-ratios (each ln rounded to 6dp FIRST — the surprisal/t10
-    determinism convention), exact DECIMAL per-doc sums, deterministic
-    md5-Gumbel perturbation, top-k."""
+def _dsir_ctes(src: str = "documents") -> str:
+    """DSIR CTE chain over relation `src`(doc_id, source, text): hashed
+    unigram+bigram bucket counts for corpus and target, Laplace-smoothed
+    per-bucket log-ratios (each ln rounded to 6dp FIRST — the
+    surprisal/t10 determinism convention), exact DECIMAL per-doc sums,
+    deterministic md5-Gumbel perturbation, top-k. Final CTE:
+    `dsir_sel`(doc_id, source, text, n_grams, logw, sel_key) — the
+    selected docs. Shared by x18 and the composed x19 so the pipeline
+    oracle can never drift from the standalone one."""
     B, K = _DSIR_BUCKETS, _DSIR_K
     return rf"""
-    WITH tgt AS (SELECT doc_id, text FROM documents
-                 WHERE source = '{_DSIR_TARGET_SRC}'),
+    tgt AS (SELECT doc_id, text FROM {src}
+            WHERE source = '{_DSIR_TARGET_SRC}'),
     cw AS (SELECT doc_id, list_filter(
              string_split_regex(lower(trim(text)), '\s+'),
-             x -> x != '') AS w FROM documents),
+             x -> x != '') AS w FROM {src}),
     tw AS (SELECT doc_id, list_filter(
              string_split_regex(lower(trim(text)), '\s+'),
              x -> x != '') AS w FROM tgt),
@@ -2258,13 +2272,25 @@ def _dsir_oracle() -> str:
                   CAST(id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
                / 4294967296.0)), 6) AS DECIMAL(18,6)) AS DECIMAL(28,6))
              AS sel_key
-      FROM w)
-    SELECT d.doc_id, d.source, k.n_grams,
-           CAST(k.logw AS DOUBLE) AS logw,
-           CAST(k.sel_key AS DOUBLE) AS sel_key
-    FROM keyed k JOIN documents d ON d.doc_id = k.id
-    ORDER BY k.sel_key DESC, d.doc_id ASC LIMIT {K}
+      FROM w),
+    dsir_sel AS (
+      SELECT d.doc_id, d.source, d.text, k.n_grams, k.logw, k.sel_key
+      FROM keyed k JOIN {src} d ON d.doc_id = k.id
+      ORDER BY k.sel_key DESC, d.doc_id ASC LIMIT {K})
     """
+
+
+def _dsir_oracle() -> str:
+    return (
+        "WITH " + _dsir_ctes().strip()
+        + """
+    SELECT doc_id, source, n_grams,
+           CAST(logw AS DOUBLE) AS logw,
+           CAST(sel_key AS DOUBLE) AS sel_key
+    FROM dsir_sel
+    ORDER BY sel_key DESC, doc_id ASC
+    """
+    )
 
 
 @register("x18_dsir_selection", _dsir_oracle())
@@ -2292,6 +2318,118 @@ def q_x18(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "n_grams",
         F.col("logw").cast("double").alias("logw"),
         F.col("sel_key").cast("double").alias("sel_key"),
+    )
+
+
+#: backoff-surprisal gate for x19 — ~p50 of the DSIR-selected docs'
+#: score distribution (3.38-3.56), so the gate does real work without
+#: emptying the selection
+_X19_SUP_MAX = 3.48
+_X19_SEQ_LEN = 512
+
+
+def _targeted_pipeline_oracle() -> str:
+    """x19 = the TARGETED pre-training data chain as one SQL pipeline:
+    DSIR importance selection against the src0 in-domain target ->
+    bigram-backoff fluency gate (LM = the same target) -> 13-gram
+    eval-set decontamination (drop) -> BPE-ish token counts -> greedy
+    packing per source shard. Every stage's CTEs are the SAME
+    generators the standalone x18/t17/d9 oracles use, so this
+    composition can never drift from them."""
+    from .llm import text as T
+
+    return rf"""
+    WITH {_dsir_ctes("documents").strip()},
+    sel AS (SELECT doc_id, source, text FROM dsir_sel),
+    {_backoff_ctes("sel", "tgt").strip()},
+    gated AS (
+      SELECT s.doc_id, s.source, s.text
+      FROM sel s JOIN bscore b USING (doc_id)
+      WHERE b.avg_surprisal <= {_X19_SUP_MAX}),
+    {_shingles_sql(_DECONTAM_N).strip()},
+    ev AS (SELECT DISTINCT sh FROM sh WHERE {_DECONTAM_PRED}),
+    hits AS (SELECT DISTINCT s.doc_id
+             FROM sh s JOIN gated g USING (doc_id)
+             JOIN ev e USING (sh)),
+    clean AS (
+      SELECT g.doc_id, g.source, g.text
+      FROM gated g LEFT JOIN hits h USING (doc_id)
+      WHERE h.doc_id IS NULL),
+    tok AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_extract_all(text, '{T.BPE_ISH_PATTERN}', 0))
+                  AS BIGINT) AS n_tokens
+      FROM clean),
+    packed AS (
+      SELECT doc_id, source, n_tokens,
+             coalesce(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               CAST(0 AS BIGINT)) AS bef
+      FROM tok)
+    SELECT doc_id, source, n_tokens,
+           CAST(bef // {_X19_SEQ_LEN} AS BIGINT) AS seq_id,
+           CAST(bef % {_X19_SEQ_LEN} AS BIGINT) AS seq_offset
+    FROM packed
+    """
+
+
+@register("x19_targeted_pipeline", _targeted_pipeline_oracle())
+def q_x19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TARGETED pre-training data chain composed entirely from
+    registered config op types — the round-7 counterpart of x14/x15,
+    spanning the new selection surface: DSIR importance selection
+    against an in-domain target -> bigram Stupid-Backoff fluency gate
+    (LM = the same target, so 'reads like the target' is enforced
+    contextually, not just lexically) -> GPT-3-rule 13-gram eval-set
+    decontamination (drop) -> token counts -> greedy packing per source
+    shard. The DSIR selection feeds the gate's scorer and the gate
+    output feeds decontamination + packing — lazy localCheckpoints at
+    both multi-consumer boundaries (the x14 lesson)."""
+    from .plans import Engine, OpSpec, ScanSpec
+
+    eng = Engine(spark)
+    eng.run_scan(ScanSpec("docs_raw", "parquet", _pq(sf_dir, "documents")))
+    docs = eng.peek("docs_raw")[0].select("doc_id", "source", "text")
+    eng.bind("docs", docs)
+    eng.bind("tgt", docs.where(
+        F.col("source") == _DSIR_TARGET_SRC
+    ).select("doc_id", "text"))
+    run = eng.run_op
+    eng.bind("sel", run(OpSpec(
+        "DSIR SELECT", "sel", ["docs", "tgt"],
+        {"k": _DSIR_K, "buckets": _DSIR_BUCKETS},
+    )).select("doc_id", "source", "text").localCheckpoint(eager=False))
+    eng.bind("bs", run(OpSpec(
+        "SURPRISAL BACKOFF", "bs", ["sel", "tgt"], {},
+    )))
+    eng.bind("bs2", run(OpSpec(
+        "REMOVE COLUMN", "bs2", ["bs"], {"columns": ["n_words"]},
+    )))
+    eng.bind("joined", run(OpSpec(
+        "INNER JOIN", "joined", ["sel", "bs2"], {"on": ["doc_id"]},
+    )))
+    eng.bind("gated", run(OpSpec(
+        "FILTER", "gated", ["joined"],
+        {"condition": f"avg_surprisal <= NUMBER({_X19_SUP_MAX})"},
+    )).localCheckpoint(eager=False))
+    eng.bind("evalset", docs.where(F.expr(_DECONTAM_PRED)).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text"
+    ))
+    eng.bind("clean", run(OpSpec(
+        "DECONTAMINATE", "clean", ["gated", "evalset"],
+        {"n": _DECONTAM_N, "mode": "drop"},
+    )))
+    eng.bind("tok", run(OpSpec(
+        "TOKEN COUNT", "tok", ["clean"], {},
+    )))
+    eng.bind("packed", run(OpSpec(
+        "PACK SEQUENCES", "packed", ["tok"],
+        {"seq_len": _X19_SEQ_LEN, "shard_column": "source",
+         "tokens_col": "n_tokens"},
+    )))
+    return eng.peek("packed")[0].select(
+        "doc_id", "source", "n_tokens", "seq_id", "seq_offset"
     )
 
 

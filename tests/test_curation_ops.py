@@ -834,3 +834,78 @@ def test_backoff_surprisal_as_config_op(spark):
 
     with pytest.raises(ValueError, match="lm"):
         eng.run_op(OpSpec("SURPRISAL BACKOFF", "s2", ["docs"], {}))
+
+
+def test_x19_pipeline_is_fully_serializable_as_json_program(
+    spark, sf_dir, tmp_path
+):
+    """The round-7 targeted-selection chain ships as a plain JSON config
+    file too: DSIR selection, the backoff-fluency gate, 13-gram
+    decontamination, token counts, and packing are all declarative ops —
+    including the target/evalset derivations (FILTER grammar + COMPUTE
+    COLUMN). Output matches the catalog query row-for-row."""
+    import json
+
+    from configurable_etl_python_repo_spark.catalog import QUERIES
+    from configurable_etl_python_repo_spark.catalog_llm import (
+        _DECONTAM_N, _DSIR_BUCKETS, _DSIR_K, _DSIR_TARGET_SRC,
+        _X19_SEQ_LEN, _X19_SUP_MAX,
+    )
+    from configurable_etl_python_repo_spark.config.program import (
+        analyte_from_json,
+    )
+
+    program = {
+        "analyte": "targeted",
+        "scans": [{"name": "docs_raw", "source": "parquet",
+                   "path": f"{sf_dir}/documents.parquet",
+                   "columns": ["doc_id", "source", "text"]}],
+        "ops": [
+            {"op": "FILTER", "target": "tgt_rows", "inputs": ["docs_raw"],
+             "args": {"condition": f"source = {_DSIR_TARGET_SRC}"}},
+            {"op": "SELECT COLUMNS", "target": "tgt",
+             "inputs": ["tgt_rows"], "args": {"columns": ["doc_id", "text"]}},
+            {"op": "DSIR SELECT", "target": "sel_raw",
+             "inputs": ["docs_raw", "tgt"],
+             "args": {"k": _DSIR_K, "buckets": _DSIR_BUCKETS}},
+            {"op": "SELECT COLUMNS", "target": "sel", "inputs": ["sel_raw"],
+             "args": {"columns": ["doc_id", "source", "text"]}},
+            {"op": "SURPRISAL BACKOFF", "target": "bs",
+             "inputs": ["sel", "tgt"], "args": {}},
+            {"op": "REMOVE COLUMN", "target": "bs2", "inputs": ["bs"],
+             "args": {"columns": ["n_words"]}},
+            {"op": "INNER JOIN", "target": "joined",
+             "inputs": ["sel", "bs2"], "args": {"on": ["doc_id"]}},
+            {"op": "FILTER", "target": "gated", "inputs": ["joined"],
+             "args": {"condition":
+                      f"avg_surprisal <= NUMBER({_X19_SUP_MAX})"}},
+            {"op": "COMPUTE COLUMN", "target": "ev0", "inputs": ["docs_raw"],
+             "args": {"column": "ev", "expr": "doc_id % 17"}},
+            {"op": "FILTER", "target": "ev1", "inputs": ["ev0"],
+             "args": {"condition": "ev = NUMBER(0)"}},
+            {"op": "COMPUTE COLUMN", "target": "ev2", "inputs": ["ev1"],
+             "args": {"column": "doc_id", "expr": "doc_id + 500000"}},
+            {"op": "SELECT COLUMNS", "target": "evalset", "inputs": ["ev2"],
+             "args": {"columns": ["doc_id", "text"]}},
+            {"op": "DECONTAMINATE", "target": "clean",
+             "inputs": ["gated", "evalset"],
+             "args": {"n": _DECONTAM_N, "mode": "drop"}},
+            {"op": "TOKEN COUNT", "target": "tok", "inputs": ["clean"],
+             "args": {}},
+            {"op": "PACK SEQUENCES", "target": "packed", "inputs": ["tok"],
+             "args": {"seq_len": _X19_SEQ_LEN, "shard_column": "source",
+                      "tokens_col": "n_tokens"}},
+            {"op": "SELECT COLUMNS", "target": "targeted",
+             "inputs": ["packed"],
+             "args": {"columns": ["doc_id", "source", "n_tokens",
+                                  "seq_id", "seq_offset"]}},
+        ],
+    }
+    path = tmp_path / "targeted.json"
+    path.write_text(json.dumps(program))
+
+    got = Engine(spark).run_analyte(analyte_from_json(str(path)))
+    want = QUERIES["x19_targeted_pipeline"](spark, sf_dir)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+    assert got.count() > 0
