@@ -10,7 +10,9 @@ the primitive.
 """
 
 from .text import (  # noqa: F401
+    backoff_lm_table,
     backoff_surprisal,
+    backoff_surprisal_stream,
     text_stats,
     language_id,
     language_id_ngram,

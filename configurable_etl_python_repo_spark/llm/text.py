@@ -1056,3 +1056,156 @@ def backoff_surprisal(
             ).alias("avg_surprisal"),
         )
     )
+
+
+def backoff_lm_table(
+    lm_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    backoff: float = 0.4,
+    alpha: float = 1.0,
+    max_vocab: int = 1_000_000,
+) -> "tuple[list[str], list[int], list[int], list[str], list[int], int, int]":
+    """Driver-side bigram Stupid-Backoff LM for the streaming scorer:
+    (uni words, first-word s6, backed-off s6, bigram keys 'pw w',
+    bigram s6, first-word OOV s6, backed-off OOV s6), surprisals in
+    integer MICRO-NATS. Each s6 vector is computed IN SPARK with the
+    exact single-rounding expressions the batch scorer uses — in
+    particular round(-ln(backoff * S_uni), 6) is ONE rounding, not
+    round(-ln backoff) + round(-ln S_uni), which can differ in the 6th
+    decimal — so stream == batch holds bit-for-bit. Bounded by
+    max_vocab across unigrams + bigrams (the eval_gram_set budget);
+    compute once per LM release, reuse across streams."""
+    # per-doc id from the caller, NOT monotonically_increasing_id: an id
+    # expression next to a generator re-evaluates per output row (the
+    # d9 hazard) and would interleave docs inside the lag window
+    words = lm_df.select(
+        F.col(id_col).alias("__rid"),
+        F.posexplode(_words(F.col(text_col))).alias("pos", "w"),
+    )
+    uni = words.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    vocab = uni.agg(
+        F.coalesce(F.sum("cu"), F.lit(0)).alias("n"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    denom = F.col("n").cast("double") + F.lit(alpha) * (
+        F.col("v").cast("double") + 1.0
+    )
+
+    def s6(expr):
+        # re-round after the 1e6 scale-up (see surprisal_lm_table)
+        return F.round(F.round(expr, 6) * 1_000_000, 0).cast("long")
+
+    s_uni = (F.col("cu").cast("double") + F.lit(alpha)) / denom
+    uni_rows = (
+        uni.crossJoin(F.broadcast(vocab))
+        .select(
+            "w",
+            s6(-F.log(s_uni)).alias("first6"),
+            s6(-F.log(F.lit(backoff) * s_uni)).alias("back6"),
+        )
+        .collect()
+    )
+    from pyspark.sql import Window
+
+    lm_win = Window.partitionBy("__rid").orderBy("pos")
+    bi = (
+        words.withColumn("pw", F.lag("w").over(lm_win))
+        .where(F.col("pw").isNotNull())
+        .groupBy("pw", "w")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    bi_rows = (
+        bi.join(uni.withColumnsRenamed({"w": "pw", "cu": "cupw"}), "pw")
+        .select(
+            F.concat_ws(" ", "pw", "w").alias("k"),
+            s6(-F.log(
+                F.col("cb").cast("double") / F.col("cupw").cast("double")
+            )).alias("s6"),
+        )
+        .collect()
+    )
+    if len(uni_rows) + len(bi_rows) > max_vocab:
+        raise ValueError(
+            f"LM size {len(uni_rows)}+{len(bi_rows)} exceeds "
+            f"max_vocab={max_vocab}; a literal that large would bloat "
+            f"every task — shrink the LM corpus or run batch "
+            f"backoff_surprisal()"
+        )
+    s_oov = F.lit(alpha) / denom
+    (oov_row,) = (
+        vocab.select(
+            s6(-F.log(s_oov)).alias("first6"),
+            s6(-F.log(F.lit(backoff) * s_oov)).alias("back6"),
+        ).collect()
+    )
+    uni_rows.sort(key=lambda r: r["w"])
+    bi_rows.sort(key=lambda r: r["k"])
+    return (
+        [r["w"] for r in uni_rows],
+        [r["first6"] for r in uni_rows],
+        [r["back6"] for r in uni_rows],
+        [r["k"] for r in bi_rows],
+        [r["s6"] for r in bi_rows],
+        oov_row["first6"],
+        oov_row["back6"],
+    )
+
+
+def backoff_surprisal_stream(
+    df: DataFrame,
+    lm: "tuple[list[str], list[int], list[int], list[str], list[int], int, int]",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming-legal bigram Stupid-Backoff surprisal: the batch
+    operator's LM count shuffles, lag window, and per-doc aggregation
+    are all illegal under readStream append mode, so this variant is
+    PURE per-row Column math — the LM rides the plan as constant-folded
+    map literals (first-word / backed-off unigram maps + the bigram
+    map), each position looks up its micro-nat surprisal, and the
+    per-doc sum is an exact integer fold. Same (n_words, avg_surprisal)
+    as backoff_surprisal(lm_df) with the same backoff/alpha — parity
+    pytest-pinned stream-vs-batch. Wordless docs keep their row with
+    NULL avg_surprisal (a stream must not drop rows silently); the
+    batch scorer omits them, stated there.
+
+    Trade-offs as surprisal_score_stream: interpreted lambda HOFs (fine
+    at stream arrival rates, NOT the batch path), vocab bounded by
+    backoff_lm_table's max_vocab."""
+    uni_w, first6, back6, bi_k, bi_s6, oov_first, oov_back = lm
+    words = _words(F.col(text_col))
+
+    def lookup(keys, vals, key_col, default):
+        if not keys:
+            return F.lit(default).cast("long")
+        m = F.map_from_arrays(F.lit(keys), F.lit(vals).cast("array<long>"))
+        return F.coalesce(F.element_at(m, key_col), F.lit(default).cast("long"))
+
+    idx = F.sequence(F.lit(0), F.size(words) - 1)
+    sup = F.transform(
+        idx,
+        lambda i: F.when(
+            i == 0,
+            lookup(uni_w, first6, F.element_at(words, i + 1), oov_first),
+        ).otherwise(
+            F.coalesce(
+                # seen bigram: exact MLE surprisal
+                (F.element_at(
+                    F.map_from_arrays(
+                        F.lit(bi_k), F.lit(bi_s6).cast("array<long>")
+                    ),
+                    F.concat_ws(
+                        " ", F.element_at(words, i), F.element_at(words, i + 1)
+                    ),
+                ) if bi_k else F.lit(None).cast("long")),
+                # unseen bigram: backed-off unigram surprisal
+                lookup(uni_w, back6, F.element_at(words, i + 1), oov_back),
+            )
+        ),
+    )
+    total = F.aggregate(sup, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    n = F.size(words).cast("long")
+    return df.withColumn("n_words", n).withColumn(
+        "avg_surprisal",
+        F.when(n > 0, F.round(total.cast("double") / 1_000_000.0 / n, 6)),
+    )

@@ -187,6 +187,35 @@ def _backoff_surprisal(engine: "Engine", spec: OpSpec):
     return T.backoff_surprisal(df, lm, **kwargs), None
 
 
+def _backoff_stream(engine: "Engine", spec: OpSpec):
+    """Streaming-legal bigram backoff surprisal as a config op: the
+    second input names the BATCH LM corpus; its unigram+bigram table is
+    computed in-Spark (bit-exact with the batch scorer) and folded into
+    the per-row plan as map literals."""
+    df, _ = engine.peek(spec.inputs[0])
+    if len(spec.inputs) < 2:
+        raise ValueError(
+            "SURPRISAL BACKOFF STREAM needs a second (batch) input "
+            "naming the LM corpus"
+        )
+    lm_df, _ = engine.peek(spec.inputs[1])
+    kwargs = dict(spec.args)
+    for cfg, py in (("text_column", "text_col"),
+                    ("lm_text_column", "lm_text_col"),
+                    ("id_column", "id_col")):
+        if cfg in kwargs:
+            kwargs[py] = kwargs.pop(cfg)
+    table = T.backoff_lm_table(
+        lm_df,
+        id_col=kwargs.pop("id_col", "doc_id"),
+        text_col=kwargs.pop("lm_text_col", kwargs.get("text_col", "text")),
+        backoff=kwargs.pop("backoff", 0.4),
+        alpha=kwargs.pop("alpha", 1.0),
+        max_vocab=kwargs.pop("max_vocab", 1_000_000),
+    )
+    return T.backoff_surprisal_stream(df, table, **kwargs), None
+
+
 def _decontaminate_stream(engine: "Engine", spec: OpSpec):
     """Streaming-legal decontamination as a config op. One input + an
     `eval_grams` list in args (a program ships the precomputed gram set,
@@ -373,6 +402,7 @@ LLM_OP_COMPILERS = {
     "DECONTAMINATE": _decontaminate,
     "DECONTAMINATE STREAM": _decontaminate_stream,
     "SURPRISAL SCORE STREAM": _surprisal_stream,
+    "SURPRISAL BACKOFF STREAM": _backoff_stream,
     "SEMANTIC DEDUP": _unary(
         _rename_kw(S.semantic_dedup,
                    {"id_column": "id_col", "vector_column": "vec_col"})

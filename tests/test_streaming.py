@@ -426,3 +426,77 @@ def test_decontaminate_stream_matches_batch(spark, sf_dir, tmp_path):
         for r in decontaminate_stream(docs, grams, n=n, mode="drop").collect()
     }
     assert clean_rowset == clean_batch
+
+
+def test_backoff_surprisal_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming bigram backoff surprisal (constant-folded unigram +
+    bigram map literals, integer micro-nat fold) produces exactly the
+    batch scorer's answers under readStream append mode — including
+    unseen bigrams (backoff path), OOV words, and a wordless row (kept
+    with NULL by the stream, absent from batch)."""
+    from configurable_etl_python_repo_spark.llm.text import (
+        backoff_lm_table,
+        backoff_surprisal,
+        backoff_surprisal_stream,
+    )
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    lm = base.where("doc_id % 2 = 0")
+    docs = base.unionByName(
+        spark.createDataFrame(
+            [(20_000_001, "zzzzq unseen oovword the the"),
+             (20_000_002, "   ")],
+            schema="doc_id long, text string",
+        )
+    )
+    batch = {
+        (r["doc_id"], r["n_words"], r["avg_surprisal"])
+        for r in backoff_surprisal(docs, lm).collect()
+    }
+
+    table = backoff_lm_table(lm)
+    src = str(tmp_path / "docs_bsup")
+    docs.write.parquet(src)
+    q = (
+        backoff_surprisal_stream(
+            spark.readStream.format("parquet").schema(docs.schema).load(src),
+            table,
+        )
+        .select("doc_id", "n_words", "avg_surprisal")
+        .writeStream.format("memory").queryName("bsup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_bsup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("bsup_stream").collect()
+    stream = {
+        (r["doc_id"], r["n_words"], r["avg_surprisal"])
+        for r in rows if r["n_words"] > 0
+    }
+    assert stream == batch
+    (empty,) = [r for r in rows if r["doc_id"] == 20_000_002]
+    assert empty["n_words"] == 0 and empty["avg_surprisal"] is None
+
+
+def test_backoff_stream_config_op(spark):
+    from pyspark.sql import Row
+
+    from configurable_etl_python_repo_spark.plans import Engine, OpSpec
+
+    eng = Engine(spark)
+    eng.bind("docs", spark.createDataFrame(
+        [Row(doc_id=1, text="a b z")]))
+    eng.bind("lm", spark.createDataFrame(
+        [Row(doc_id=2, text="a b a c")]))
+    out = eng.run_op(OpSpec(
+        "SURPRISAL BACKOFF STREAM", "s", ["docs", "lm"], {},
+    ))
+    assert {"n_words", "avg_surprisal"} <= set(out.columns)
+    import pytest
+
+    with pytest.raises(ValueError, match="second"):
+        eng.run_op(OpSpec("SURPRISAL BACKOFF STREAM", "s2", ["docs"], {}))
