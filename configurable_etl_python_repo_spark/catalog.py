@@ -1237,7 +1237,7 @@ DRIVER_PRIORITY = [
 # p1 + a4), c3 (mutate family covered by c4-c7's survivors), c7 (attach
 # family covered by c5/c6), j2 (join family covered by j1/j4), w3
 # (window family covered by w2 + a4's keep-first), e1 (§2.9 covered by
-# e2), d1 (dedup covered by d7/d8), n3 (IVF ANN covered by n4;
+# e2), d1 (dedup covered by d7/d10), n3 (IVF ANN covered by n4;
 # write-side index stays pytest-pinned), m3 (Arrow multimodal plumbing
 # covered by m1), t6 (regexp scrub family covered by t11), t7 (text
 # feature family covered by t1 + t12), n1 (brute-force cosine covered

@@ -271,7 +271,12 @@ def dsir_weights(
             "bkt", F.pmod(_bucket(F.col("g"), seed), F.lit(buckets))
         )
 
-    corpus_grams = bucketed(_uni_bi_grams(df, id_col, text_col))
+    # the corpus gram stream feeds BOTH the bucket-count aggregation and
+    # the weight join — scope-cache it (capacity-bounded, recompute-safe)
+    # so the posexplode + bigram-window build runs once, not twice
+    from .dedup import _scope_cache
+
+    corpus_grams = _scope_cache(bucketed(_uni_bi_grams(df, id_col, text_col)))
     target_grams = bucketed(_uni_bi_grams(target, id_col, tgt_text))
     cq = corpus_grams.groupBy("bkt").agg(F.count(F.lit(1)).alias("cq"))
     cp = target_grams.groupBy("bkt").agg(F.count(F.lit(1)).alias("cp"))

@@ -1181,7 +1181,14 @@ def backoff_surprisal_stream(
         m = F.map_from_arrays(F.lit(keys), F.lit(vals).cast("array<long>"))
         return F.coalesce(F.element_at(m, key_col), F.lit(default).cast("long"))
 
-    idx = F.sequence(F.lit(0), F.size(words) - 1)
+    # size=0 must yield [] — sequence(0, -1) DESCENDS to [0, -1] and
+    # element_at(words, 0) then throws, aborting a whole streaming query
+    # on one blank row; guard explicitly rather than relying on the
+    # n > 0 mask below lazily skipping the branch (the dedup.py
+    # _shingles convention)
+    idx = F.when(
+        F.size(words) > 0, F.sequence(F.lit(0), F.size(words) - 1)
+    ).otherwise(F.array().cast("array<int>"))
     sup = F.transform(
         idx,
         lambda i: F.when(
