@@ -43,6 +43,8 @@ HEADLINE = [
     "t10_unigram_surprisal",     # unigram-LM fluency scoring (r5)
     "x15_web_curation_pipeline", # composed r5 curation chain (r5)
     "d11_semantic_dedup",        # SemDeDup, k-means-bounded pairwise (r5)
+    "x18_dsir_selection",        # DSIR importance resampling (r7)
+    "x19_targeted_pipeline",     # composed targeted-selection chain (r7)
 ]
 
 
