@@ -1206,7 +1206,7 @@ DRIVER_PRIORITY = [
     "e2_sessionize_gap30m",
     # LLM pipeline: dedup + decontamination (d11 rotated in for r7)
     "d2_ngram_jaccard_pairs", "d3_minhash_lsh_pairs",
-    "d6_embedding_cosine_srp", "d7_dedup_clusters",
+    "d7_dedup_clusters",
     "d9_decontaminate", "d10_substring_dedup",
     "d11_semantic_dedup", "d12_dedup_keep_best",
     # LLM pipeline: similarity search
@@ -1217,6 +1217,7 @@ DRIVER_PRIORITY = [
     "t10_unigram_surprisal", "t11_url_blocklist", "t12_quality_classifier",
     "t13_sized_shards", "t14_bpe_bytes", "t15_bpe_gpt2",
     "t16_sized_shards_bytes", "t17_backoff_surprisal",
+    "t18_perplexity_partition",
     # LLM pipeline: multimodal plumbing
     "m1_multimodal_features",
     # LLM pipeline: mixture, sampling/splits, composed curation (r5 x15-x17
@@ -1248,7 +1249,10 @@ DRIVER_PRIORITY = [
 # compiled filter grammar + p6's null-row removal; demoted late-r7 for
 # the NEW d12 quality-aware-keeper row), x13 (exact-ratio mixture is a
 # pinned stage INSIDE the in-window x14 composition, CTE-shared; demoted
-# late-r7 for the NEW x19 targeted-selection pipeline row). Earlier rotations (r5): a5, f1,
+# late-r7 for the NEW x19 targeted-selection pipeline row), d6
+# (SRP-prefiltered cosine pairs; embedding-similarity family covered by
+# n4's IVF ANN + d11's within-cluster pairwise cosine, both in-window;
+# demoted late-r7 for the NEW t18 perplexity-partition row). Earlier rotations (r5): a5, f1,
 # e3, d4, d5, n2, t3, m2; t8's packing surface enters via t9 (same math
 # on real BPE counts).
 

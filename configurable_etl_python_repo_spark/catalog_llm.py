@@ -1862,6 +1862,37 @@ def q_t10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.surprisal_score(docs.select("doc_id", "text"))
 
 
+_PPL_ORACLE = (
+    "WITH " + _surprisal_ctes("documents").strip()
+    + """
+    SELECT s.doc_id, d.lang, s.n_words, s.avg_surprisal,
+           CASE ntile(3) OVER (PARTITION BY d.lang
+                               ORDER BY s.avg_surprisal ASC, s.doc_id ASC)
+             WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS ppl_bucket
+    FROM sscore s JOIN documents d USING (doc_id)
+    """
+)
+
+
+@register("t18_perplexity_partition", _PPL_ORACLE)
+def q_t18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail partition (Wenzek et al. 2020): unigram
+    surprisal per doc, then rank-based ntile terciles WITHIN each
+    language — exact equal-count buckets, deterministic under ties (id
+    tiebreak), bit-identical in SQL. Downstream keeps head+middle or
+    down-samples tail."""
+    from .llm.text import perplexity_partition, surprisal_score
+
+    docs = spark.read.parquet(_pq(sf_dir, "documents"))
+    scored = surprisal_score(docs.select("doc_id", "text")).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return perplexity_partition(scored, strata_col="lang").select(
+        "doc_id", "lang", "n_words", "avg_surprisal", "ppl_bucket"
+    )
+
+
 @register("t9_bpe_pack_sequences", _bpe_pack_oracle())
 def q_t9(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL merges-table BPE token counts (32-rule well-formed fixture,

@@ -18,6 +18,7 @@ from .text import (  # noqa: F401
     language_id_ngram,
     fingerprint,
     pack_sequences,
+    perplexity_partition,
     repetition_stats,
     token_count_bpe_ish,
 )

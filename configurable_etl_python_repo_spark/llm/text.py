@@ -1216,3 +1216,51 @@ def backoff_surprisal_stream(
         "avg_surprisal",
         F.when(n > 0, F.round(total.cast("double") / 1_000_000.0 / n, 6)),
     )
+
+
+def perplexity_partition(
+    scored: DataFrame,
+    score_col: str = "avg_surprisal",
+    id_col: str = "doc_id",
+    strata_col: "str | None" = None,
+    n_buckets: int = 3,
+    labels: "tuple[str, ...] | None" = ("head", "middle", "tail"),
+    out_col: str = "ppl_bucket",
+) -> DataFrame:
+    """CCNet-style head/middle/tail partition (Wenzek et al. 2020): rank
+    every document by its LM score within its stratum (per language in
+    CCNet) and split into n_buckets equal-count groups — head = most
+    fluent, tail = least. Downstream pipelines keep head+middle, or
+    sample tail at a reduced rate.
+
+    Rank-based (ntile over a TOTAL order: score asc, id asc), not
+    threshold-based: exact equal-count buckets, deterministic under
+    ties, and bit-identical in any engine — no float cutoff to disagree
+    on. Labels map bucket 1..n; labels=None keeps the integer.
+
+    100 TB shape: one window sort per stratum — a full shuffle+sort of
+    the (id, score) projection, the honest cost of exact global ranks.
+    CCNet's strata are languages (dozens), so each sort is corpus/|langs|
+    and AQE splits any dominant language; for cutoff-based streaming
+    admission precompute the cutoffs from a sample instead (documented
+    trade, not implemented here)."""
+    from pyspark.sql import Window
+
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    if labels is not None and len(labels) != n_buckets:
+        raise ValueError(
+            f"labels must have n_buckets={n_buckets} entries, got "
+            f"{len(labels)}"
+        )
+    part = [F.col(strata_col)] if strata_col is not None else [F.lit(1)]
+    w = Window.partitionBy(*part).orderBy(
+        F.col(score_col).asc(), F.col(id_col).asc()
+    )
+    b = F.ntile(n_buckets).over(w)
+    if labels is not None:
+        expr = F.lit(None).cast("string")
+        for i, name in reversed(list(enumerate(labels, start=1))):
+            expr = F.when(b == F.lit(i), F.lit(name)).otherwise(expr)
+        b = expr
+    return scored.withColumn(out_col, b)

@@ -365,6 +365,12 @@ LLM_OP_COMPILERS = {
     ),
     "SURPRISAL SCORE": _surprisal,
     "SURPRISAL BACKOFF": _backoff_surprisal,
+    "PERPLEXITY PARTITION": _unary(
+        _rename_kw(T.perplexity_partition,
+                   {"score_column": "score_col", "id_column": "id_col",
+                    "strata_column": "strata_col",
+                    "output_column": "out_col"})
+    ),
     "CLASSIFIER SCORE": _unary(
         _rename_kw(T.classifier_score, {"text_column": "text_col"})
     ),

@@ -909,3 +909,57 @@ def test_x19_pipeline_is_fully_serializable_as_json_program(
     assert sorted(map(tuple, got.collect())) == \
         sorted(map(tuple, want.collect()))
     assert got.count() > 0
+
+
+def test_perplexity_partition_exact_terciles(spark):
+    """Rank-based buckets: exact equal counts per stratum, ties broken
+    by id, head = lowest scores; labels=None keeps integers; validation
+    errors on bad bucket/label counts."""
+    import pytest
+    from pyspark.sql import Row
+
+    from configurable_etl_python_repo_spark.llm.text import (
+        perplexity_partition,
+    )
+
+    rows = [Row(doc_id=i, lang="en", avg_surprisal=float(i % 4))
+            for i in range(9)]
+    rows += [Row(doc_id=100 + i, lang="de", avg_surprisal=1.0)
+             for i in range(6)]
+    df = spark.createDataFrame(rows)
+    out = {r.doc_id: r.ppl_bucket
+           for r in perplexity_partition(df, strata_col="lang").collect()}
+    from collections import Counter
+
+    en = Counter(out[i] for i in range(9))
+    de = Counter(out[100 + i] for i in range(6))
+    assert en == {"head": 3, "middle": 3, "tail": 3}
+    assert de == {"head": 2, "middle": 2, "tail": 2}
+    # en scores: ids 0,4,8 score 0/1/... sorted by (score, id):
+    # score0: 0,4,8 -> head; all-ties de: pure id order
+    assert out[0] == "head" and out[100] == "head" and out[105] == "tail"
+    ints = {r.doc_id: r.ppl_bucket
+            for r in perplexity_partition(
+                df, strata_col="lang", labels=None).collect()}
+    assert ints[0] == 1 and ints[105] == 3
+    with pytest.raises(ValueError, match="n_buckets"):
+        perplexity_partition(df, n_buckets=1).collect()
+    with pytest.raises(ValueError, match="labels"):
+        perplexity_partition(df, n_buckets=4).collect()
+
+
+def test_perplexity_partition_as_config_op(spark):
+    from pyspark.sql import Row
+
+    from configurable_etl_python_repo_spark.plans import Engine, OpSpec
+
+    eng = Engine(spark)
+    eng.bind("scored", spark.createDataFrame(
+        [Row(doc_id=i, avg_surprisal=float(i)) for i in range(6)]))
+    out = eng.run_op(OpSpec(
+        "PERPLEXITY PARTITION", "p", ["scored"],
+        {"n_buckets": 2, "labels": ["keep", "drop"]},
+    ))
+    got = {r.doc_id: r.ppl_bucket for r in out.collect()}
+    assert got == {0: "keep", 1: "keep", 2: "keep",
+                   3: "drop", 4: "drop", 5: "drop"}
