@@ -1201,7 +1201,6 @@ DRIVER_PRIORITY = [
     "j1_left_join_two_keys", "j3_spine_study",
     "j4_qualified_join", "a1_groupby_summarise", "a4_unique_keep_first",
     "w2_sort_slice_topn",
-    "u1_bind_rows",
     # event-time analytics (§2.9 batch shapes)
     "e2_sessionize_gap30m",
     # LLM pipeline: dedup + decontamination (d11 rotated in for r7)
@@ -1217,7 +1216,7 @@ DRIVER_PRIORITY = [
     "t10_unigram_surprisal", "t11_url_blocklist", "t12_quality_classifier",
     "t13_sized_shards", "t14_bpe_bytes", "t15_bpe_gpt2",
     "t16_sized_shards_bytes", "t17_backoff_surprisal",
-    "t18_perplexity_partition",
+    "t18_perplexity_partition", "t19_gopher_line_rules",
     # LLM pipeline: multimodal plumbing
     "m1_multimodal_features",
     # LLM pipeline: mixture, sampling/splits, composed curation (r5 x15-x17
@@ -1252,7 +1251,10 @@ DRIVER_PRIORITY = [
 # late-r7 for the NEW x19 targeted-selection pipeline row), d6
 # (SRP-prefiltered cosine pairs; embedding-similarity family covered by
 # n4's IVF ANN + d11's within-cluster pairwise cosine, both in-window;
-# demoted late-r7 for the NEW t18 perplexity-partition row). Earlier rotations (r5): a5, f1,
+# demoted late-r7 for the NEW t18 perplexity-partition row), u1
+# (unionByName bind-rows; the union surface is exercised by the
+# in-window s1 round-trip and the composed x14/x15 programs; demoted
+# late-r7 for the NEW t19 gopher-line-rules row). Earlier rotations (r5): a5, f1,
 # e3, d4, d5, n2, t3, m2; t8's packing surface enters via t9 (same math
 # on real BPE counts).
 

@@ -1862,6 +1862,76 @@ def q_t10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.surprisal_score(docs.select("doc_id", "text"))
 
 
+def _gopher_lines_oracle() -> str:
+    """t19 = the Gopher line/symbol rules in SQL: words as the list CTE
+    (no lookarounds — RE2), lines via string_split on newline, exact
+    small-integer divisions so both engines agree bit-for-bit."""
+    from .llm.text import GOPHER_LINE_RULES as R
+    from .llm.text import GOPHER_STOPWORDS
+
+    stop_hits = " + ".join(
+        f"CASE WHEN list_contains(w, '{wd}') THEN 1 ELSE 0 END"
+        for wd in GOPHER_STOPWORDS
+    )
+    return rf"""
+    WITH {_words_sql().strip()},
+    feats AS (
+      SELECT d.doc_id,
+             len(ww.w) AS n_words,
+             greatest(len(ww.w), 1) AS nw1,
+             len(regexp_extract_all(d.text, '#|\.\.\.|…')) AS n_symbols,
+             greatest(len(string_split(d.text, chr(10))), 1) AS n_lines,
+             len(list_filter(string_split(d.text, chr(10)),
+                             x -> regexp_matches(x, '^\s*[-*•‣◦]')))
+               AS n_bullet,
+             len(list_filter(string_split(d.text, chr(10)),
+                             x -> regexp_matches(x, '(\.\.\.|…)\s*$')))
+               AS n_ellipsis,
+             len(list_filter(ww.w, x -> regexp_matches(x, '[a-z]')))
+               AS n_alpha,
+             {stop_hits} AS n_req_stop
+      FROM documents d JOIN words ww ON ww.doc_id = d.doc_id),
+    ratios AS (
+      SELECT doc_id,
+             CAST(n_symbols AS DOUBLE) / nw1 AS symbol_word_ratio,
+             CAST(n_bullet AS DOUBLE) / n_lines AS bullet_line_frac,
+             CAST(n_ellipsis AS DOUBLE) / n_lines AS ellipsis_line_frac,
+             CAST(n_alpha AS DOUBLE) / nw1 AS alpha_word_frac,
+             CAST(n_req_stop AS BIGINT) AS n_required_stopwords
+      FROM feats)
+    SELECT doc_id, symbol_word_ratio, bullet_line_frac,
+           ellipsis_line_frac, alpha_word_frac, n_required_stopwords,
+           symbol_word_ratio <= {R["max_symbol_word_ratio"]} AS ok_symbols,
+           bullet_line_frac <= {R["max_bullet_line_frac"]} AS ok_bullets,
+           ellipsis_line_frac <= {R["max_ellipsis_line_frac"]}
+             AS ok_ellipsis,
+           alpha_word_frac >= {R["min_alpha_word_frac"]} AS ok_alpha,
+           n_required_stopwords >= {R["min_required_stopwords"]}
+             AS ok_req_stopwords,
+           (symbol_word_ratio <= {R["max_symbol_word_ratio"]})
+             AND (bullet_line_frac <= {R["max_bullet_line_frac"]})
+             AND (ellipsis_line_frac <= {R["max_ellipsis_line_frac"]})
+             AND (alpha_word_frac >= {R["min_alpha_word_frac"]})
+             AND (n_required_stopwords >= {R["min_required_stopwords"]})
+             AS keep_lines
+    FROM ratios
+    """
+
+
+@register("t19_gopher_line_rules", _gopher_lines_oracle())
+def q_t19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher line/symbol quality rules (Rae et al. 2021 §A1.1)
+    completing the published rule family next to quality_filter (word
+    counts/ratios) and repetition_stats (dup fractions): symbol-to-word
+    ratio, bullet-started / ellipsis-ended line fractions, alpha-word
+    fraction, required-stopword count. Pure codegen regexp math, zero
+    exchanges."""
+    from .llm.text import gopher_line_rules
+
+    docs = spark.read.parquet(_pq(sf_dir, "documents"))
+    return gopher_line_rules(docs.select("doc_id", "text")).drop("text")
+
+
 _PPL_ORACLE = (
     "WITH " + _surprisal_ctes("documents").strip()
     + """

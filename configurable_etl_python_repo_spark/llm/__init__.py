@@ -17,6 +17,7 @@ from .text import (  # noqa: F401
     language_id,
     language_id_ngram,
     fingerprint,
+    gopher_line_rules,
     pack_sequences,
     perplexity_partition,
     repetition_stats,

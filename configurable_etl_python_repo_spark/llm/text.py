@@ -1264,3 +1264,80 @@ def perplexity_partition(
             expr = F.when(b == F.lit(i), F.lit(name)).otherwise(expr)
         b = expr
     return scored.withColumn(out_col, b)
+
+
+#: the Gopher/MassiveText line-and-symbol rule thresholds (Rae et al.
+#: 2021 §A1.1) not already covered by quality_filter (word counts,
+#: ratios) and repetition_stats (dup fractions)
+GOPHER_LINE_RULES = {
+    "max_symbol_word_ratio": 0.1,   # '#' or '...' per word
+    "max_bullet_line_frac": 0.9,    # lines starting with a bullet
+    "max_ellipsis_line_frac": 0.3,  # lines ending with an ellipsis
+    "min_alpha_word_frac": 0.8,     # words containing >= 1 alphabetic
+    "min_required_stopwords": 2,    # distinct hits in the 8-word list
+}
+
+#: Gopher's required-stopword list (distinct-membership rule)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_line_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The Gopher line/symbol quality rules (Rae et al. 2021 §A1.1) that
+    complement quality_filter's word-count/ratio rules and
+    repetition_stats' duplicate fractions: symbol-to-word ratio ('#' and
+    '...'/ellipsis per word), bullet-started line fraction,
+    ellipsis-ended line fraction, fraction of words containing an
+    alphabetic character, and the distinct required-stopword count
+    (>= 2 of Gopher's 8-word list). One boolean per rule plus the
+    conjunction `keep_lines`.
+
+    Pure Column regexp/length math in the Java/RE2 common subset — zero
+    shuffles, composes with FILTER in a config program; ratios are exact
+    small-integer divisions, so both engines agree bit-for-bit."""
+    c = F.col(text_col)
+    lt = F.lower(F.trim(c))
+    r = GOPHER_LINE_RULES
+    n_words = F.regexp_count(lt, F.lit(r"\S+"))
+    nw1 = F.greatest(n_words, F.lit(1))
+    n_symbols = F.regexp_count(c, F.lit(r"#|\.\.\.|…"))
+    n_lines = F.greatest(
+        F.size(F.split(c, "\n", -1)).cast("long"), F.lit(1)
+    )
+    n_bullet = F.regexp_count(
+        c, F.lit(r"(?:^|\n)\s*(?:[-*•‣◦])")
+    )
+    n_ellipsis_end = F.regexp_count(
+        c, F.lit(r"(?:\.\.\.|…)\s*(?:\n|$)")
+    )
+    n_alpha_words = F.regexp_count(
+        lt, F.lit(r"(?:^|(?<=\s))\S*[a-z]\S*(?:$|(?=\s))")
+    )
+    n_req_stop = None
+    for wd in GOPHER_STOPWORDS:
+        hit = F.when(
+            F.regexp_count(lt, F.lit(_token_pattern((wd,)))) > 0, 1
+        ).otherwise(0)
+        n_req_stop = hit if n_req_stop is None else n_req_stop + hit
+    out = df.withColumns({
+        "symbol_word_ratio": n_symbols.cast("double") / nw1,
+        "bullet_line_frac": n_bullet.cast("double") / n_lines,
+        "ellipsis_line_frac": n_ellipsis_end.cast("double") / n_lines,
+        "alpha_word_frac": n_alpha_words.cast("double") / nw1,
+        "n_required_stopwords": n_req_stop.cast("long"),
+    })
+    flags = {
+        "ok_symbols": F.col("symbol_word_ratio")
+        <= r["max_symbol_word_ratio"],
+        "ok_bullets": F.col("bullet_line_frac")
+        <= r["max_bullet_line_frac"],
+        "ok_ellipsis": F.col("ellipsis_line_frac")
+        <= r["max_ellipsis_line_frac"],
+        "ok_alpha": F.col("alpha_word_frac") >= r["min_alpha_word_frac"],
+        "ok_req_stopwords": F.col("n_required_stopwords")
+        >= r["min_required_stopwords"],
+    }
+    out = out.withColumns(flags)
+    keep = None
+    for name in flags:
+        keep = F.col(name) if keep is None else (keep & F.col(name))
+    return out.withColumn("keep_lines", keep)

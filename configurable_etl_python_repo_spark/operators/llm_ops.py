@@ -329,6 +329,9 @@ LLM_OP_COMPILERS = {
         _rename_kw(T.top_ngrams, {"text_column": "text_col"})
     ),
     "WINNOW FINGERPRINT": _unary(_rename_kw(T.winnowing_fingerprints, _ID_TEXT)),
+    "GOPHER LINE RULES": _unary(
+        _rename_kw(T.gopher_line_rules, {"text_column": "text_col"})
+    ),
     "QUALITY FILTER": _unary(
         _rename_kw(T.quality_filter, {"text_column": "text_col"})
     ),

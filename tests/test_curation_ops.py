@@ -963,3 +963,44 @@ def test_perplexity_partition_as_config_op(spark):
     got = {r.doc_id: r.ppl_bucket for r in out.collect()}
     assert got == {0: "keep", 1: "keep", 2: "keep",
                    3: "drop", 4: "drop", 5: "drop"}
+
+
+def test_gopher_line_rules_hand_computed(spark):
+    """Each Gopher line/symbol rule fires on a crafted violator and
+    passes on clean prose; ratios are exact small-integer divisions."""
+    from pyspark.sql import Row
+
+    from configurable_etl_python_repo_spark.llm.text import (
+        gopher_line_rules,
+    )
+
+    rows = [
+        Row(doc_id=1, text="the cat and that dog have fun with all of it"),
+        Row(doc_id=2, text="# # # # #"),                     # symbols, no alpha
+        Row(doc_id=3, text="- a\n- b\n- c\n- d"),            # all bullet lines
+        Row(doc_id=4, text="wait...\nmore...\nok"),          # 2/3 ellipsis ends
+        Row(doc_id=5, text="1 2 3 4 5 the be"),              # low alpha frac
+    ]
+    out = {r.doc_id: r
+           for r in gopher_line_rules(spark.createDataFrame(rows)).collect()}
+    assert out[1].keep_lines
+    assert out[1].n_required_stopwords >= 5
+    assert not out[2].ok_symbols and out[2].symbol_word_ratio == 1.0
+    assert not out[2].ok_alpha and out[2].alpha_word_frac == 0.0
+    assert not out[3].ok_bullets and out[3].bullet_line_frac == 1.0
+    assert not out[4].ok_ellipsis
+    assert abs(out[4].ellipsis_line_frac - 2 / 3) < 1e-12
+    assert not out[5].ok_alpha  # 2 alpha words of 7
+    assert not out[2].keep_lines and not out[3].keep_lines
+
+
+def test_gopher_line_rules_as_config_op(spark):
+    from pyspark.sql import Row
+
+    from configurable_etl_python_repo_spark.plans import Engine, OpSpec
+
+    eng = Engine(spark)
+    eng.bind("docs", spark.createDataFrame(
+        [Row(doc_id=1, text="the cat and that dog have fun with it")]))
+    out = eng.run_op(OpSpec("GOPHER LINE RULES", "g", ["docs"], {}))
+    assert "keep_lines" in out.columns and out.count() == 1
