@@ -193,3 +193,30 @@ def test_semantic_dedup_pairwise_is_equi_join_not_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "d11_semantic_dedup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gopher_line_rules_pure_scan_stage(spark, sf_dir):
+    """t19 is regexp/length math only: no shuffle may appear (an
+    Exchange here means some rule silently became an aggregation)."""
+    plan = _plan(spark, sf_dir, "t19_gopher_line_rules")
+    assert "Exchange" not in plan
+    assert "pythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_dsir_selection_plan(spark, sf_dir):
+    """x18's top-k must stay a TakeOrderedAndProject heap (a global Sort
+    instead re-sorts the whole corpus), and the only nested-loop join
+    allowed is the 1-row broadcast scalar cross joins (the ATTACH SUMEQ
+    shape) — never a CartesianProduct."""
+    plan = _plan(spark, sf_dir, "x18_dsir_selection")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_perplexity_partition_single_sort_per_stratum(spark, sf_dir):
+    """t18's ntile runs on ONE hashpartitioning-by-lang exchange + sort;
+    a rangepartitioning exchange would mean a global sort snuck in."""
+    plan = _plan(spark, sf_dir, "t18_perplexity_partition")
+    assert "ntile" in plan.lower()
+    assert "Exchange rangepartitioning" not in plan
