@@ -1196,7 +1196,7 @@ DRIVER_PRIORITY = [
     "p1_lenient_scan_distinct", "p2_p4_project_remove",
     "p5_filter_grammar", "p6_remove_rows_null",
     "c1_c2_rename_format", "c4_rowwise_min_max",
-    "c5_attach_notnull", "c6_attach_sumeq",
+    "c6_attach_sumeq",
     "c8_decision_column", "c9_c10_boundary_sentinel", "c11_c12_gold_record",
     "j1_left_join_two_keys", "j3_spine_study",
     "j4_qualified_join", "a1_groupby_summarise", "a4_unique_keep_first",
@@ -1207,7 +1207,7 @@ DRIVER_PRIORITY = [
     "d2_ngram_jaccard_pairs", "d3_minhash_lsh_pairs",
     "d7_dedup_clusters",
     "d9_decontaminate", "d10_substring_dedup",
-    "d11_semantic_dedup", "d12_dedup_keep_best",
+    "d11_semantic_dedup", "d12_dedup_keep_best", "d13_simhash_pairs",
     # LLM pipeline: similarity search
     "n4_ann_ivf_kmeans",
     # LLM pipeline: text analysis + curation (t10-t14 rotated in for r7)
@@ -1254,7 +1254,10 @@ DRIVER_PRIORITY = [
 # demoted late-r7 for the NEW t18 perplexity-partition row), u1
 # (unionByName bind-rows; the union surface is exercised by the
 # in-window s1 round-trip and the composed x14/x15 programs; demoted
-# late-r7 for the NEW t19 gopher-line-rules row). Earlier rotations (r5): a5, f1,
+# late-r7 for the NEW t19 gopher-line-rules row), c5 (ATTACH family
+# machinery covered by the in-window c6 sumeq variant, same compiler
+# path as the demoted c7; demoted late-r7 for the NEW d13 simhash-pairs
+# row). Earlier rotations (r5): a5, f1,
 # e3, d4, d5, n2, t3, m2; t8's packing surface enters via t9 (same math
 # on real BPE counts).
 

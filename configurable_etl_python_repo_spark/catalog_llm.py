@@ -274,7 +274,9 @@ def q_d3(spark: SparkSession, sf_dir: str) -> DataFrame:
                                threshold=_LSH_P / _LSH_Q)
 
 
-def _simhash_oracle() -> str:
+def _simhash_ctes() -> str:
+    """SimHash fingerprint CTE chain; final CTE `shfp`(doc_id, simhash).
+    Shared by d4 and the d13 hamming-banded pair join."""
     sums = ", ".join(
         f"SUM(CAST(((v >> {i}) & 1) * 2 - 1 AS BIGINT)) AS s{i}" for i in range(32)
     )
@@ -282,19 +284,65 @@ def _simhash_oracle() -> str:
         f"CAST(CASE WHEN s{i} > 0 THEN {2 ** i} ELSE 0 END AS BIGINT)"
         for i in range(32)
     )
-    return f"""
-    WITH {_shingles_sql(1)},
+    return f"""{_shingles_sql(1)},
     v AS (SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) AS v
           FROM sh),
-    s AS (SELECT doc_id, {sums} FROM v GROUP BY doc_id)
-    SELECT doc_id AS id, ({fp}) AS simhash FROM s
-    """
+    s AS (SELECT doc_id, {sums} FROM v GROUP BY doc_id),
+    shfp AS (SELECT doc_id, ({fp}) AS simhash FROM s)"""
+
+
+def _simhash_oracle() -> str:
+    return (
+        "WITH " + _simhash_ctes().strip()
+        + "\n    SELECT doc_id AS id, simhash FROM shfp"
+    )
 
 
 @register("d4_simhash32", _simhash_oracle())
 def q_d4(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(_pq(sf_dir, "documents"))
     return D.simhash32(docs)
+
+
+_SIMHASH_K = 3
+
+
+def _simhash_pairs_oracle() -> str:
+    """d13 = the shared SimHash CTEs + the Manku et al. pigeonhole band
+    join: k+1 contiguous bit bands, candidates agree on >= 1 band,
+    verified bit_count(xor) <= k."""
+    k = _SIMHASH_K
+    n_bands = k + 1
+    bounds = [round(i * 32 / n_bands) for i in range(n_bands + 1)]
+    band_sel = "\n      UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, "
+        f"(simhash >> {bounds[b]}) & {(1 << (bounds[b + 1] - bounds[b])) - 1}"
+        f" AS key FROM shfp"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH {_simhash_ctes().strip()},
+    bands AS (
+      {band_sel}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+               AS hamming
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= {k})
+    SELECT id_a, id_b, hamming FROM cand
+    """
+
+
+@register("d13_simhash_pairs", _simhash_pairs_oracle())
+def q_d13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS at hamming <= 3 via the Manku/Jain/Sarma
+    WWW'07 pigeonhole band join (k+1 bands, agree on >= 1), verified
+    with exact bit_count(xor) — never an all-pairs comparison; the
+    family's pair-join counterpart to d4's fingerprints."""
+    docs = spark.read.parquet(_pq(sf_dir, "documents"))
+    return D.simhash_pairs(docs, max_hamming=_SIMHASH_K)
 
 
 def _components_ctes() -> str:

@@ -519,6 +519,80 @@ def hamming32(col_a, col_b):
     return F.bit_count(F.col(col_a).bitwiseXOR(F.col(col_b)))
 
 
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    fingerprints: DataFrame | None = None,
+) -> DataFrame:
+    """EXACT near-duplicate pairs by SimHash hamming distance <=
+    max_hamming — the Manku/Jain/Sarma WWW'07 multi-index pigeonhole
+    construction that made SimHash Google's web-dedup workhorse: split
+    the 32-bit fingerprint into max_hamming + 1 bands; two fingerprints
+    within hamming k differ in at most k bands, so they AGREE on at
+    least one band — candidates are the per-band bucket equi-joins
+    (never an all-pairs comparison), verified with an exact
+    bit_count(xor) <= k filter and deduped.
+
+    EXACT for the fingerprint metric (the pigeonhole bound misses
+    nothing); the fingerprints themselves are the usual lossy SimHash
+    summary. Bands are contiguous bit ranges, sized as evenly as 32 /
+    (k+1) divides.
+
+    100 TB shape: k+1 hash shuffles on (band, band-bits) — fan-out
+    O(docs * (k+1)), independent of document length; a hot bucket (many
+    docs sharing a band value) is the data's true near-dup density, and
+    the verify filter runs INSIDE the join before the distinct
+    shuffles anything. Output: (id_a < id_b, hamming)."""
+    if not (0 <= max_hamming < 32):
+        raise ValueError(
+            f"max_hamming must be in [0, 32), got {max_hamming}"
+        )
+    fp = (
+        fingerprints
+        if fingerprints is not None
+        else simhash32(df, id_col, text_col)
+    )
+    n_bands = max_hamming + 1
+    bounds = [round(i * 32 / n_bands) for i in range(n_bands + 1)]
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("simhash", bounds[b])
+                .bitwiseAND(F.lit((1 << (bounds[b + 1] - bounds[b])) - 1))
+                .alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = fp.select("id", "simhash", F.explode(bands).alias("bk"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (
+                F.bit_count(
+                    F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                )
+                <= max_hamming
+            ),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("long").alias("hamming"),
+        )
+        .distinct()
+    )
+
+
 def dedup_spans(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -304,6 +304,7 @@ LLM_OP_COMPILERS = {
     "NGRAM JACCARD": _unary(_rename_kw(D.ngram_jaccard_pairs, _ID_TEXT)),
     "MINHASH LSH": _unary(_rename_kw(D.minhash_lsh_pairs, _ID_TEXT)),
     "SIMHASH": _unary(_rename_kw(D.simhash32, _ID_TEXT)),
+    "SIMHASH PAIRS": _unary(_rename_kw(D.simhash_pairs, _ID_TEXT)),
     "TEXT STATS": _unary(_rename_kw(T.text_stats, {"text_column": "text_col"})),
     "LANGUAGE ID": _unary(
         _rename_kw(T.language_id,

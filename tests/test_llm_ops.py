@@ -812,3 +812,38 @@ def test_semantic_dedup_table_probing_accurate_on_clustered_vectors(spark):
         coarse_centroids=8, n_probe_coarse=1).collect()}
     agreement = sum(1 for k in exact if exact[k] == probed[k]) / len(exact)
     assert agreement >= 0.95, agreement
+
+
+def test_simhash_pairs_matches_brute_force(spark, sf_dir):
+    """The pigeonhole band join is EXACT for the fingerprint metric:
+    identical pair set (with distances) as brute-force all-pairs
+    hamming over the same fingerprints, at two k values."""
+    from itertools import combinations
+
+    from configurable_etl_python_repo_spark.llm.dedup import simhash_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
+    fp = {r.id: r.simhash for r in simhash32(docs).collect()}
+    for k in (0, 3):
+        brute = {
+            (a, b, bin(fp[a] ^ fp[b]).count("1"))
+            for a, b in combinations(sorted(fp), 2)
+            if bin(fp[a] ^ fp[b]).count("1") <= k
+        }
+        got = {(r.id_a, r.id_b, r.hamming)
+               for r in simhash_pairs(docs, max_hamming=k).collect()}
+        assert got == brute, f"k={k}"
+    # near-identical docs (one-word delta) land within a small radius
+    near = spark.createDataFrame([
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog "
+                           "again and again in the morning light"),
+        Row(doc_id=2, text="the quick brown fox jumps over the lazy cat "
+                           "again and again in the morning light"),
+    ])
+    pairs = simhash_pairs(near, max_hamming=8).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(1, 2)]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_pairs(near, max_hamming=32).collect()
