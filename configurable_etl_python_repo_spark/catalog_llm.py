@@ -307,30 +307,66 @@ def q_d4(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIMHASH_K = 3
 
 
+def _simhash64_ctes() -> str:
+    """64-bit SimHash as two 32-bit halves; final CTE
+    `shfp64`(doc_id, sh_hi, sh_lo). Mirrors llm.dedup.simhash64."""
+    parts = []
+    for h, (lo_c, _) in {"hi": (1, 8), "lo": (9, 16)}.items():
+        parts.append(
+            f"v_{h} AS (SELECT doc_id, CAST(('0x' || substr(md5(sh), "
+            f"{lo_c}, 8)) AS BIGINT) AS v FROM sh)"
+        )
+    sums = {
+        h: ", ".join(
+            f"SUM(CAST(((v >> {i}) & 1) * 2 - 1 AS BIGINT)) AS s{i}"
+            for i in range(32)
+        )
+        for h in ("hi", "lo")
+    }
+    fp = " + ".join(
+        f"CAST(CASE WHEN s{i} > 0 THEN {2 ** i} ELSE 0 END AS BIGINT)"
+        for i in range(32)
+    )
+    return f"""{_shingles_sql(1)},
+    {parts[0]},
+    {parts[1]},
+    s_hi AS (SELECT doc_id, {sums["hi"]} FROM v_hi GROUP BY doc_id),
+    s_lo AS (SELECT doc_id, {sums["lo"]} FROM v_lo GROUP BY doc_id),
+    fp_hi AS (SELECT doc_id, ({fp}) AS sh_hi FROM s_hi),
+    fp_lo AS (SELECT doc_id, ({fp}) AS sh_lo FROM s_lo),
+    shfp64 AS (SELECT h.doc_id, h.sh_hi, l.sh_lo
+               FROM fp_hi h JOIN fp_lo l USING (doc_id))"""
+
+
 def _simhash_pairs_oracle() -> str:
-    """d13 = the shared SimHash CTEs + the Manku et al. pigeonhole band
-    join: k+1 contiguous bit bands, candidates agree on >= 1 band,
-    verified bit_count(xor) <= k."""
+    """d13 = the 64-bit SimHash CTEs + the Manku et al. pigeonhole band
+    join: k+1 contiguous nibble-aligned bands of the 16-hex-char
+    fingerprint, candidates agree on >= 1 band, verified per-half
+    bit_count(xor) sum <= k."""
     k = _SIMHASH_K
     n_bands = k + 1
-    bounds = [round(i * 32 / n_bands) for i in range(n_bands + 1)]
+    bounds = [round(i * 16 / n_bands) for i in range(n_bands + 1)]
     band_sel = "\n      UNION ALL ".join(
-        f"SELECT doc_id, simhash, {b} AS band, "
-        f"(simhash >> {bounds[b]}) & {(1 << (bounds[b + 1] - bounds[b])) - 1}"
-        f" AS key FROM shfp"
+        f"SELECT doc_id, sh_hi, sh_lo, {b} AS band, "
+        f"substr(hexs, {bounds[b] + 1}, {bounds[b + 1] - bounds[b]})"
+        f" AS key FROM hexed"
         for b in range(n_bands)
     )
+    dist = ("(bit_count(xor(a.sh_hi, b.sh_hi)) "
+            "+ bit_count(xor(a.sh_lo, b.sh_lo)))")
     return f"""
-    WITH {_simhash_ctes().strip()},
+    WITH {_simhash64_ctes().strip()},
+    hexed AS (SELECT doc_id, sh_hi, sh_lo,
+                     printf('%08x%08x', sh_hi, sh_lo) AS hexs
+              FROM shfp64),
     bands AS (
       {band_sel}),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-             CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
-               AS hamming
+             CAST({dist} AS BIGINT) AS hamming
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-      WHERE bit_count(xor(a.simhash, b.simhash)) <= {k})
+      WHERE {dist} <= {k})
     SELECT id_a, id_b, hamming FROM cand
     """
 

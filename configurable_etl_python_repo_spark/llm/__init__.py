@@ -32,6 +32,7 @@ from .dedup import (  # noqa: F401
     minhash_signatures,
     minhash_lsh_pairs,
     simhash32,
+    simhash64,
     simhash_pairs,
 )
 from .scrub import pii_scrub  # noqa: F401

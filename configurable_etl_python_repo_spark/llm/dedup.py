@@ -519,6 +519,44 @@ def hamming32(col_a, col_b):
     return F.bit_count(F.col(col_a).bitwiseXOR(F.col(col_b)))
 
 
+def simhash64(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash over distinct lowercased words, as TWO 32-bit
+    halves (sh_hi, sh_lo) — 64-bit unsigned arithmetic overflows a
+    signed BIGINT in one engine or the other, so the halves never get
+    recombined numerically. Word hash = md5 chars 1-8 (hi) and 9-16
+    (lo). The width matters for the banded pair join: with B-bit bands,
+    expected candidates scale with docs^2 / 2^B — 8-bit bands (the
+    32-bit fingerprint's best at k=3) collide at 1/256 and went
+    quadratic on the sf1 fixture; 16-bit bands collide at 1/65536."""
+    words = doc_shingles(df, id_col, text_col, n=1)
+    md = F.md5(F.col("sh"))
+    halves = {
+        "hi": F.conv(F.substring(md, 1, 8), 16, 10).cast("long"),
+        "lo": F.conv(F.substring(md, 9, 8), 16, 10).cast("long"),
+    }
+    sums = [
+        F.sum(
+            (F.shiftright(v, i).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+        ).alias(f"s_{h}{i}")
+        for h, v in halves.items()
+        for i in range(32)
+    ]
+    agg = words.groupBy("id").agg(*sums)
+    out = {}
+    for h in halves:
+        fp = None
+        for i in range(32):
+            bit = F.when(
+                F.col(f"s_{h}{i}") > 0, F.lit(2**i).cast("long")
+            ).otherwise(F.lit(0))
+            fp = bit if fp is None else (fp + bit)
+        out[f"sh_{h}"] = fp
+    return agg.select("id", out["sh_hi"].alias("sh_hi"),
+                      out["sh_lo"].alias("sh_lo"))
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -526,48 +564,55 @@ def simhash_pairs(
     max_hamming: int = 3,
     fingerprints: DataFrame | None = None,
 ) -> DataFrame:
-    """EXACT near-duplicate pairs by SimHash hamming distance <=
+    """EXACT near-duplicate pairs by 64-bit SimHash hamming distance <=
     max_hamming — the Manku/Jain/Sarma WWW'07 multi-index pigeonhole
     construction that made SimHash Google's web-dedup workhorse: split
-    the 32-bit fingerprint into max_hamming + 1 bands; two fingerprints
-    within hamming k differ in at most k bands, so they AGREE on at
-    least one band — candidates are the per-band bucket equi-joins
-    (never an all-pairs comparison), verified with an exact
-    bit_count(xor) <= k filter and deduped.
+    the fingerprint into max_hamming + 1 bands; two fingerprints within
+    hamming k differ in at most k bands, so they AGREE on at least one
+    band — candidates are the per-band bucket equi-joins (never an
+    all-pairs comparison), verified with an exact per-half
+    bit_count(xor) sum <= k filter and deduped.
 
     EXACT for the fingerprint metric (the pigeonhole bound misses
     nothing); the fingerprints themselves are the usual lossy SimHash
-    summary. Bands are contiguous bit ranges, sized as evenly as 32 /
-    (k+1) divides.
+    summary. Bands are contiguous 4-bit-aligned ranges of the 16-nibble
+    hex string (any partition satisfies the pigeonhole argument), so
+    max_hamming <= 15.
 
-    100 TB shape: k+1 hash shuffles on (band, band-bits) — fan-out
-    O(docs * (k+1)), independent of document length; a hot bucket (many
-    docs sharing a band value) is the data's true near-dup density, and
-    the verify filter runs INSIDE the join before the distinct
-    shuffles anything. Output: (id_a < id_b, hamming)."""
-    if not (0 <= max_hamming < 32):
+    100 TB shape: k+1 hash shuffles on (band, band-bits) with expected
+    candidate volume docs^2 * (k+1) / 2^band_bits — 16-bit bands at k=3
+    keep a 500k-doc corpus in the millions where the 32-bit
+    fingerprint's 8-bit bands measured ~2e9; the verify filter runs
+    INSIDE the join before the distinct shuffles anything. Output:
+    (id_a < id_b, hamming)."""
+    if not (0 <= max_hamming <= 15):
         raise ValueError(
-            f"max_hamming must be in [0, 32), got {max_hamming}"
+            f"max_hamming must be in [0, 15], got {max_hamming}"
         )
     fp = (
         fingerprints
         if fingerprints is not None
-        else simhash32(df, id_col, text_col)
+        else simhash64(df, id_col, text_col)
     )
     n_bands = max_hamming + 1
-    bounds = [round(i * 32 / n_bands) for i in range(n_bands + 1)]
+    bounds = [round(i * 16 / n_bands) for i in range(n_bands + 1)]
+    hexs = F.format_string("%08x%08x", F.col("sh_hi"), F.col("sh_lo"))
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftright("simhash", bounds[b])
-                .bitwiseAND(F.lit((1 << (bounds[b + 1] - bounds[b])) - 1))
-                .alias("key"),
+                F.substring(
+                    hexs, bounds[b] + 1, bounds[b + 1] - bounds[b]
+                ).alias("key"),
             )
             for b in range(n_bands)
         ]
     )
-    exploded = fp.select("id", "simhash", F.explode(bands).alias("bk"))
+    exploded = fp.select("id", "sh_hi", "sh_lo", F.explode(bands).alias("bk"))
+    dist = (
+        F.bit_count(F.col("a.sh_hi").bitwiseXOR(F.col("b.sh_hi")))
+        + F.bit_count(F.col("a.sh_lo").bitwiseXOR(F.col("b.sh_lo")))
+    )
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -575,19 +620,12 @@ def simhash_pairs(
             b,
             (F.col("a.bk") == F.col("b.bk"))
             & (F.col("a.id") < F.col("b.id"))
-            & (
-                F.bit_count(
-                    F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-                )
-                <= max_hamming
-            ),
+            & (dist <= max_hamming),
         )
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).cast("long").alias("hamming"),
+            dist.cast("long").alias("hamming"),
         )
         .distinct()
     )

@@ -817,18 +817,27 @@ def test_semantic_dedup_table_probing_accurate_on_clustered_vectors(spark):
 def test_simhash_pairs_matches_brute_force(spark, sf_dir):
     """The pigeonhole band join is EXACT for the fingerprint metric:
     identical pair set (with distances) as brute-force all-pairs
-    hamming over the same fingerprints, at two k values."""
+    hamming over the same 64-bit (hi/lo) fingerprints, at several k
+    (including k=7, where bands span 2 nibbles)."""
     from itertools import combinations
 
-    from configurable_etl_python_repo_spark.llm.dedup import simhash_pairs
+    from configurable_etl_python_repo_spark.llm.dedup import (
+        simhash64,
+        simhash_pairs,
+    )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
-    fp = {r.id: r.simhash for r in simhash32(docs).collect()}
-    for k in (0, 3):
+    fp = {r.id: (r.sh_hi, r.sh_lo) for r in simhash64(docs).collect()}
+
+    def ham(a, b):
+        return (bin(fp[a][0] ^ fp[b][0]).count("1")
+                + bin(fp[a][1] ^ fp[b][1]).count("1"))
+
+    for k in (0, 3, 7):
         brute = {
-            (a, b, bin(fp[a] ^ fp[b]).count("1"))
+            (a, b, ham(a, b))
             for a, b in combinations(sorted(fp), 2)
-            if bin(fp[a] ^ fp[b]).count("1") <= k
+            if ham(a, b) <= k
         }
         got = {(r.id_a, r.id_b, r.hamming)
                for r in simhash_pairs(docs, max_hamming=k).collect()}
@@ -840,10 +849,10 @@ def test_simhash_pairs_matches_brute_force(spark, sf_dir):
         Row(doc_id=2, text="the quick brown fox jumps over the lazy cat "
                            "again and again in the morning light"),
     ])
-    pairs = simhash_pairs(near, max_hamming=8).collect()
+    pairs = simhash_pairs(near, max_hamming=15).collect()
     assert [(r.id_a, r.id_b) for r in pairs] == [(1, 2)]
 
     import pytest
 
     with pytest.raises(ValueError, match="max_hamming"):
-        simhash_pairs(near, max_hamming=32).collect()
+        simhash_pairs(near, max_hamming=16).collect()
