@@ -1198,8 +1198,7 @@ DRIVER_PRIORITY = [
     "c1_c2_rename_format", "c4_rowwise_min_max",
     "c6_attach_sumeq",
     "c8_decision_column", "c9_c10_boundary_sentinel", "c11_c12_gold_record",
-    "j1_left_join_two_keys", "j3_spine_study",
-    "j4_qualified_join", "a1_groupby_summarise", "a4_unique_keep_first",
+    "j1_left_join_two_keys", "j3_spine_study", "a1_groupby_summarise", "a4_unique_keep_first",
     "w2_sort_slice_topn",
     # event-time analytics (§2.9 batch shapes)
     "e2_sessionize_gap30m",
@@ -1217,6 +1216,7 @@ DRIVER_PRIORITY = [
     "t13_sized_shards", "t14_bpe_bytes", "t15_bpe_gpt2",
     "t16_sized_shards_bytes", "t17_backoff_surprisal",
     "t18_perplexity_partition", "t19_gopher_line_rules",
+    "t20_chunk_documents",
     # LLM pipeline: multimodal plumbing
     "m1_multimodal_features",
     # LLM pipeline: mixture, sampling/splits, composed curation (r5 x15-x17
@@ -1257,7 +1257,10 @@ DRIVER_PRIORITY = [
 # late-r7 for the NEW t19 gopher-line-rules row), c5 (ATTACH family
 # machinery covered by the in-window c6 sumeq variant, same compiler
 # path as the demoted c7; demoted late-r7 for the NEW d13 simhash-pairs
-# row). Earlier rotations (r5): a5, f1,
+# row), j4 (qualified-condition join: the join compiler is covered by
+# the in-window j1/j3 and the condition expressions by p5's
+# hypothesis-tested filter grammar; demoted late-r7 for the NEW t20
+# chunk-documents row). Earlier rotations (r5): a5, f1,
 # e3, d4, d5, n2, t3, m2; t8's packing surface enters via t9 (same math
 # on real BPE counts).
 

@@ -2016,6 +2016,44 @@ def q_t19(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_line_rules(docs.select("doc_id", "text")).drop("text")
 
 
+_CHUNK_MAX_WORDS = 64
+
+
+_CHUNK_ORACLE = rf"""
+    WITH {{words}},
+    nz AS (SELECT doc_id, w FROM words WHERE len(w) > 0),
+    ch AS (
+      SELECT doc_id,
+             unnest(generate_series(0,
+               CAST(ceil(len(w) / {_CHUNK_MAX_WORDS}.0) AS INT) - 1))
+               AS chunk_idx,
+             w
+      FROM nz)
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           array_to_string(list_slice(w,
+             chunk_idx * {_CHUNK_MAX_WORDS} + 1,
+             (chunk_idx + 1) * {_CHUNK_MAX_WORDS}), ' ') AS chunk_text,
+           CAST(len(list_slice(w,
+             chunk_idx * {_CHUNK_MAX_WORDS} + 1,
+             (chunk_idx + 1) * {_CHUNK_MAX_WORDS})) AS BIGINT)
+             AS n_chunk_words
+    FROM ch
+    """.format(words=_words_sql().strip())
+
+
+@register("t20_chunk_documents", _CHUNK_ORACLE)
+def q_t20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking — the dual of pack_sequences: long docs
+    split into consecutive <= max_words chunks, one projection + one
+    generator, zero shuffles (the word array binds to a column before
+    the explode, per the bind-before-explode rule)."""
+    from .llm.text import chunk_documents
+
+    docs = spark.read.parquet(_pq(sf_dir, "documents"))
+    return chunk_documents(docs.select("doc_id", "text"),
+                           max_words=_CHUNK_MAX_WORDS)
+
+
 _PPL_ORACLE = (
     "WITH " + _surprisal_ctes("documents").strip()
     + """

@@ -13,6 +13,7 @@ from .text import (  # noqa: F401
     backoff_lm_table,
     backoff_surprisal,
     backoff_surprisal_stream,
+    chunk_documents,
     text_stats,
     language_id,
     language_id_ngram,

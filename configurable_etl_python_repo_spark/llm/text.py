@@ -1341,3 +1341,45 @@ def gopher_line_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
     for name in flags:
         keep = F.col(name) if keep is None else (keep & F.col(name))
     return out.withColumn("keep_lines", keep)
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_words: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split long documents into consecutive <= max_words-word chunks —
+    the context-window dual of pack_sequences (which packs SHORT docs
+    into fixed-length sequences; real pipelines chunk first, then pack):
+    every document becomes ceil(n_words / max_words) rows carrying
+    (chunk_idx, chunk_text, n_chunk_words), whitespace-normalized like
+    every word-level operator here. Wordless docs are absent (nothing
+    to chunk), documented like surprisal.
+
+    Plan shape: ONE projection builds the per-doc word array (bounded by
+    document length — the jaccard_for_pairs array-size argument), one
+    generator explodes chunk indices, and each chunk is a slice +
+    concat_ws — no shuffle at all; the array is built once per doc and
+    sliced per chunk (the bind-before-explode rule: feeding the
+    generator a raw expression would re-evaluate it per output row)."""
+    if max_words < 1:
+        raise ValueError(f"max_words must be >= 1, got {max_words}")
+    words = df.select(
+        F.col(id_col).alias("id"), _words(F.col(text_col)).alias("__w")
+    ).where(F.size("__w") > 0)
+    n_chunks = F.ceil(F.size("__w") / F.lit(max_words)).cast("int")
+    out = words.select(
+        "id",
+        "__w",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    piece = F.slice(
+        F.col("__w"), F.col("chunk_idx") * max_words + 1, max_words
+    )
+    return out.select(
+        F.col("id").alias(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).cast("long").alias("n_chunk_words"),
+    )

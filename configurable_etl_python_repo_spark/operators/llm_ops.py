@@ -390,6 +390,10 @@ LLM_OP_COMPILERS = {
                     "base_shard_column": "base_shard_col",
                     "output_column": "out_col"})
     ),
+    "CHUNK DOCUMENTS": _unary(
+        _rename_kw(T.chunk_documents,
+                   {"id_column": "id_col", "text_column": "text_col"})
+    ),
     "PACK SEQUENCES": _unary(
         _rename_kw(T.pack_sequences,
                    {"id_column": "id_col", "text_column": "text_col",

@@ -1004,3 +1004,40 @@ def test_gopher_line_rules_as_config_op(spark):
         [Row(doc_id=1, text="the cat and that dog have fun with it")]))
     out = eng.run_op(OpSpec("GOPHER LINE RULES", "g", ["docs"], {}))
     assert "keep_lines" in out.columns and out.count() == 1
+
+
+def test_chunk_documents_boundaries_and_reassembly(spark):
+    """Chunks cover the doc exactly in order (reassembly == normalized
+    text), the last chunk is the remainder, wordless docs vanish, and a
+    chunked-then-packed chain works (the chunk rows feed pack_sequences
+    via tokens_col=n_chunk_words)."""
+    import pytest
+    from pyspark.sql import Row
+
+    from configurable_etl_python_repo_spark.llm.text import (
+        chunk_documents,
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=" ".join(f"w{i}" for i in range(10))),
+        Row(doc_id=2, text="a b c"),
+        Row(doc_id=3, text="   "),
+    ])
+    out = sorted(((r.doc_id, r.chunk_idx, r.chunk_text, r.n_chunk_words)
+                  for r in chunk_documents(docs, max_words=4).collect()))
+    assert [x[:2] for x in out] == [(1, 0), (1, 1), (1, 2), (2, 0)]
+    assert out[0][2] == "w0 w1 w2 w3" and out[2][2] == "w8 w9"
+    assert [x[3] for x in out] == [4, 4, 2, 3]
+    rebuilt = " ".join(x[2] for x in out if x[0] == 1)
+    assert rebuilt == " ".join(f"w{i}" for i in range(10))
+    # chunk -> pack chain: 4+4+2+3 words into seq_len=8 per one shard
+    chunks = chunk_documents(docs, max_words=4).withColumn(
+        "src", F.lit("s")
+    )
+    packed = pack_sequences(chunks, seq_len=8, shard_col="src",
+                            id_col="chunk_text",
+                            tokens_col="n_chunk_words")
+    assert packed.count() == 4
+    with pytest.raises(ValueError, match="max_words"):
+        chunk_documents(docs, max_words=0).collect()
