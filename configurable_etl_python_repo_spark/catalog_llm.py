@@ -2020,8 +2020,12 @@ _CHUNK_MAX_WORDS = 64
 
 
 _CHUNK_ORACLE = rf"""
-    WITH {{words}},
-    nz AS (SELECT doc_id, w FROM words WHERE len(w) > 0),
+    WITH cased AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x != '') AS w
+      FROM documents),
+    nz AS (SELECT doc_id, w FROM cased WHERE len(w) > 0),
     ch AS (
       SELECT doc_id,
              unnest(generate_series(0,
@@ -2038,7 +2042,7 @@ _CHUNK_ORACLE = rf"""
              (chunk_idx + 1) * {_CHUNK_MAX_WORDS})) AS BIGINT)
              AS n_chunk_words
     FROM ch
-    """.format(words=_words_sql().strip())
+    """
 
 
 @register("t20_chunk_documents", _CHUNK_ORACLE)

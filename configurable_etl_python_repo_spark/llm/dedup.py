@@ -589,11 +589,22 @@ def simhash_pairs(
         raise ValueError(
             f"max_hamming must be in [0, 15], got {max_hamming}"
         )
-    fp = (
-        fingerprints
-        if fingerprints is not None
-        else simhash64(df, id_col, text_col)
-    )
+    if fingerprints is not None:
+        # Caller-keyed fingerprint frames (id_col, sh_hi, sh_lo) are the
+        # natural shape; normalize to the internal 'id' name.
+        fp = (
+            fingerprints.withColumnRenamed(id_col, "id")
+            if id_col != "id" and id_col in fingerprints.columns
+            else fingerprints
+        )
+        missing = {"id", "sh_hi", "sh_lo"} - set(fp.columns)
+        if missing:
+            raise ValueError(
+                f"fingerprints frame lacks columns {sorted(missing)} "
+                f"(id_col={id_col!r})"
+            )
+    else:
+        fp = simhash64(df, id_col, text_col)
     n_bands = max_hamming + 1
     bounds = [round(i * 16 / n_bands) for i in range(n_bands + 1)]
     hexs = F.format_string("%08x%08x", F.col("sh_hi"), F.col("sh_lo"))

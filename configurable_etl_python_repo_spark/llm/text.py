@@ -1233,10 +1233,14 @@ def perplexity_partition(
     fluent, tail = least. Downstream pipelines keep head+middle, or
     sample tail at a reduced rate.
 
-    Rank-based (ntile over a TOTAL order: score asc, id asc), not
-    threshold-based: exact equal-count buckets, deterministic under
-    ties, and bit-identical in any engine — no float cutoff to disagree
-    on. Labels map bucket 1..n; labels=None keeps the integer.
+    Rank-based (ntile over a TOTAL order: score asc NULLS LAST, id
+    asc), not threshold-based: exact equal-count buckets, deterministic
+    under ties, and bit-identical in any engine — no float cutoff to
+    disagree on. NULL scores (the stream scorers keep wordless docs
+    with NULL avg_surprisal) rank LAST — unscorable docs land in the
+    tail, never in head, and the order matches ANSI/DuckDB's
+    ASC-defaults-NULLS-LAST rather than Spark's nulls-first default.
+    Labels map bucket 1..n; labels=None keeps the integer.
 
     100 TB shape: one window sort per stratum — a full shuffle+sort of
     the (id, score) projection, the honest cost of exact global ranks.
@@ -1255,7 +1259,7 @@ def perplexity_partition(
         )
     part = [F.col(strata_col)] if strata_col is not None else [F.lit(1)]
     w = Window.partitionBy(*part).orderBy(
-        F.col(score_col).asc(), F.col(id_col).asc()
+        F.col(score_col).asc_nulls_last(), F.col(id_col).asc()
     )
     b = F.ntile(n_buckets).over(w)
     if labels is not None:
@@ -1353,9 +1357,12 @@ def chunk_documents(
     the context-window dual of pack_sequences (which packs SHORT docs
     into fixed-length sequences; real pipelines chunk first, then pack):
     every document becomes ceil(n_words / max_words) rows carrying
-    (chunk_idx, chunk_text, n_chunk_words), whitespace-normalized like
-    every word-level operator here. Wordless docs are absent (nothing
-    to chunk), documented like surprisal.
+    (chunk_idx, chunk_text, n_chunk_words). Unlike the word-level
+    ANALYSIS ops (which lowercase because they only measure), this op
+    RETURNS derived text for downstream training data, so the split is
+    case-PRESERVING — only whitespace runs are normalized to single
+    spaces. Wordless docs are absent (nothing to chunk), documented
+    like surprisal.
 
     Plan shape: ONE projection builds the per-doc word array (bounded by
     document length — the jaccard_for_pairs array-size argument), one
@@ -1365,8 +1372,11 @@ def chunk_documents(
     generator a raw expression would re-evaluate it per output row)."""
     if max_words < 1:
         raise ValueError(f"max_words must be >= 1, got {max_words}")
+    cased = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != F.lit("")
+    )
     words = df.select(
-        F.col(id_col).alias("id"), _words(F.col(text_col)).alias("__w")
+        F.col(id_col).alias("id"), cased.alias("__w")
     ).where(F.size("__w") > 0)
     n_chunks = F.ceil(F.size("__w") / F.lit(max_words)).cast("int")
     out = words.select(

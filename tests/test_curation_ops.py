@@ -946,6 +946,20 @@ def test_perplexity_partition_exact_terciles(spark):
         perplexity_partition(df, n_buckets=1).collect()
     with pytest.raises(ValueError, match="labels"):
         perplexity_partition(df, n_buckets=4).collect()
+    # NULL scores (stream scorers keep wordless docs with NULL
+    # avg_surprisal) rank LAST — unscorable docs go to the tail, never
+    # head, matching ANSI/DuckDB ASC NULLS LAST (not Spark nulls-first)
+    nulled = spark.createDataFrame(
+        [Row(doc_id=i, lang="en",
+             avg_surprisal=None if i >= 6 else float(i))
+         for i in range(9)],
+        "doc_id long, lang string, avg_surprisal double",
+    )
+    got = {r.doc_id: r.ppl_bucket
+           for r in perplexity_partition(nulled, strata_col="lang")
+           .collect()}
+    assert all(got[i] == "tail" for i in (6, 7, 8))
+    assert got[0] == "head" and got[5] == "middle"
 
 
 def test_perplexity_partition_as_config_op(spark):
@@ -1023,12 +1037,18 @@ def test_chunk_documents_boundaries_and_reassembly(spark):
         Row(doc_id=1, text=" ".join(f"w{i}" for i in range(10))),
         Row(doc_id=2, text="a b c"),
         Row(doc_id=3, text="   "),
+        Row(doc_id=4, text="  Hello   World.\tUSA GDP  rose. "),
     ])
     out = sorted(((r.doc_id, r.chunk_idx, r.chunk_text, r.n_chunk_words)
                   for r in chunk_documents(docs, max_words=4).collect()))
-    assert [x[:2] for x in out] == [(1, 0), (1, 1), (1, 2), (2, 0)]
+    assert [x[:2] for x in out] == [(1, 0), (1, 1), (1, 2), (2, 0), (4, 0),
+                                    (4, 1)]
     assert out[0][2] == "w0 w1 w2 w3" and out[2][2] == "w8 w9"
-    assert [x[3] for x in out] == [4, 4, 2, 3]
+    assert [x[3] for x in out] == [4, 4, 2, 3, 4, 1]
+    # chunk_text RETURNS training text: case preserved, whitespace runs
+    # (tab, doubled spaces) normalized to single spaces
+    assert out[4][2] == "Hello World. USA GDP"
+    assert out[5][2] == "rose."
     rebuilt = " ".join(x[2] for x in out if x[0] == 1)
     assert rebuilt == " ".join(f"w{i}" for i in range(10))
     # chunk -> pack chain: 4+4+2+3 words into seq_len=8 per one shard
@@ -1038,6 +1058,6 @@ def test_chunk_documents_boundaries_and_reassembly(spark):
     packed = pack_sequences(chunks, seq_len=8, shard_col="src",
                             id_col="chunk_text",
                             tokens_col="n_chunk_words")
-    assert packed.count() == 4
+    assert packed.count() == 6
     with pytest.raises(ValueError, match="max_words"):
         chunk_documents(docs, max_words=0).collect()

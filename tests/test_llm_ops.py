@@ -856,3 +856,11 @@ def test_simhash_pairs_matches_brute_force(spark, sf_dir):
 
     with pytest.raises(ValueError, match="max_hamming"):
         simhash_pairs(near, max_hamming=16).collect()
+    # caller-supplied fingerprints keyed by the caller's id_col (the
+    # natural shape) are normalized — and a wrong-shape frame errors
+    fps = simhash64(near).withColumnRenamed("id", "doc_id")
+    reused = simhash_pairs(near, id_col="doc_id", fingerprints=fps,
+                           max_hamming=15)
+    assert [(r.id_a, r.id_b) for r in reused.collect()] == [(1, 2)]
+    with pytest.raises(ValueError, match="sh_hi"):
+        simhash_pairs(near, fingerprints=fps.drop("sh_hi"))
