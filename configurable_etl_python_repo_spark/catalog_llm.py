@@ -1543,6 +1543,83 @@ def q_d10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_substrings(corpus, k=_SPAN_K)
 
 
+#: d14 corpus: sentence breaks become line breaks, and two boilerplate
+#: footers (one in MIXED CASE on odd ids so matching exercises the
+#: lower() normalization) are appended to overlapping doc subsets;
+#: shared by query and oracle
+_LINES_CORPUS_SQL = """
+    lcorp AS (
+      SELECT doc_id,
+             replace(text, '. ', '.' || chr(10))
+             || CASE WHEN doc_id % 3 = 0 THEN
+                  chr(10) || CASE WHEN doc_id % 2 = 0
+                    THEN 'Subscribe to our newsletter today'
+                    ELSE 'SUBSCRIBE TO OUR NEWSLETTER TODAY' END
+                ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                THEN chr(10) || 'All rights reserved.' ELSE '' END
+               AS text
+      FROM documents)
+"""
+
+_LINES_ORACLE = (
+    "WITH " + _LINES_CORPUS_SQL.strip()
+    + """,
+    ln AS (SELECT doc_id,
+                  unnest(string_split(text, chr(10))) AS raw,
+                  generate_subscripts(string_split(text, chr(10)), 1)
+                    AS pos
+           FROM lcorp),
+    nz AS (SELECT doc_id, pos, trim(raw) AS line,
+                  lower(trim(raw)) AS key
+           FROM ln WHERE trim(raw) != ''),
+    nl AS (SELECT doc_id, count(*) AS n_lines FROM nz GROUP BY doc_id),
+    common AS (SELECT key FROM (
+                 SELECT key, count(DISTINCT doc_id) AS nd
+                 FROM nz GROUP BY key) WHERE nd >= 2),
+    kept AS (SELECT * FROM nz
+             WHERE key NOT IN (SELECT key FROM common)),
+    outq AS (SELECT doc_id,
+                    string_agg(line, chr(10) ORDER BY pos)
+                      AS text_deduped,
+                    count(*) AS n_lines_kept
+             FROM kept GROUP BY doc_id)
+    SELECT o.doc_id, o.text_deduped,
+           CAST(nl.n_lines AS BIGINT) AS n_lines,
+           CAST(o.n_lines_kept AS BIGINT) AS n_lines_kept
+    FROM outq o JOIN nl USING (doc_id)
+    """
+)
+
+
+@register("d14_line_dedup", _LINES_ORACLE)
+def q_d14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style line-level boilerplate dedup: every occurrence
+    of a line appearing in >= 2 distinct docs is dropped (here two
+    injected footers — one mixed-case, exercising the lower()
+    matching — plus any sentence-line the corpus genuinely repeats),
+    docs reassembled from surviving lines in order."""
+    docs = spark.read.parquet(_pq(sf_dir, "documents"))
+    newsletter = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.lit("\nSubscribe to our newsletter today"),
+    ).otherwise(F.lit("\nSUBSCRIBE TO OUR NEWSLETTER TODAY"))
+    corpus = docs.select(
+        "doc_id",
+        F.concat(
+            F.replace(F.col("text"), F.lit(". "), F.lit(".\n")),
+            F.when(F.col("doc_id") % 3 == 0, newsletter).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit("\nAll rights reserved."),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return D.dedup_lines(corpus, min_docs=2)
+
+
 #: non-uniform target mixture over the documents' source domains
 _MIX_WEIGHTS = {f"src{i}": i % 3 + 1 for i in range(20)}
 _MIX_SEED = "mix"

@@ -972,3 +972,96 @@ def decontaminate_stream(
     return df.withColumn("n_contaminated_grams", hits).withColumn(
         "contaminated", F.col("n_contaminated_grams") > 0
     )
+
+
+def dedup_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Line-level boilerplate dedup (the RefinedWeb / Falcon line-dedup
+    shape, Penedo et al. 2023 §3.3): drop EVERY occurrence of any line
+    whose normalized form appears in >= min_docs DISTINCT documents —
+    navigation menus, cookie banners, licence headers, "subscribe"
+    footers — and reassemble each document from its surviving lines in
+    order. Complements dedup_spans/dedup_substrings (word-gram spans for
+    corpora WITHOUT line structure): here the line break is the
+    author's own span boundary, and removal is corpus-frequency-based
+    (a line repeated across the web is boilerplate) rather than
+    keep-first (the duplicated line carries no information for anyone).
+
+    Matching is on lower(trim(line)); surviving lines keep their
+    original (trimmed, case-preserved) text — this op RETURNS training
+    text, so content is never case-folded (the chunk_documents rule).
+    Blank lines are structure, not content: they are not counted and
+    not rebuilt. Documents whose every line is boilerplate vanish.
+
+    Plan shape, 100 TB posture: one shuffle by doc id (the reassembly
+    window, which also counts n_lines before anything is dropped), one
+    (id, key) DISTINCT + map-side-combinable count(*) to find common
+    keys (the distinct bounds a line repeated 1M times inside ONE doc
+    to one shuffled row per doc), and one LEFT ANTI join of lines
+    against the common-key set — the common set is at most
+    total_lines / min_docs rows and usually tiny, so AQE broadcasts it;
+    a genuinely hot boilerplate key concentrates only drop-work (AQE
+    skew-split handles the probe side). No all-pairs anywhere; linear
+    in corpus lines.
+
+    Output: (id_col, text_deduped, n_lines, n_lines_kept), one row per
+    document with >= 1 surviving line.
+
+    Reference parity: the reference has no sub-document dedup
+    (/root/reference/Configurable_ETL_Python.py drops whole-row
+    duplicates only, :243-252); this is part of the LLM-curation
+    extension surface.
+    """
+    from pyspark.sql import Window
+
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    lines = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias(
+                "pos", "__raw"
+            ),
+        )
+        .select(
+            "id",
+            "pos",
+            F.trim(F.col("__raw")).alias("line"),
+            F.lower(F.trim(F.col("__raw"))).alias("key"),
+        )
+        .where(F.col("key") != "")
+    )
+    per_doc = Window.partitionBy("id")
+    lines = lines.withColumn("__n_lines", F.count(F.lit(1)).over(per_doc))
+    common = (
+        lines.select("id", "key")
+        .distinct()
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("key")
+    )
+    kept = lines.join(common, "key", "left_anti")
+    doc = Window.partitionBy("id").orderBy("pos")
+    full = doc.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        kept.withColumn(
+            "text_deduped",
+            F.concat_ws("\n", F.collect_list("line").over(full)),
+        )
+        .withColumn("n_lines_kept", F.count(F.lit(1)).over(full))
+        .withColumn("__first", F.row_number().over(doc))
+        .where(F.col("__first") == 1)
+        .select(
+            F.col("id").alias(id_col),
+            "text_deduped",
+            F.col("__n_lines").cast("long").alias("n_lines"),
+            F.col("n_lines_kept").cast("long").alias("n_lines_kept"),
+        )
+    )

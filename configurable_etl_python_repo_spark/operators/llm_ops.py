@@ -383,6 +383,7 @@ LLM_OP_COMPILERS = {
                    {"id_column": "id_col", "text_column": "text_col"})
     ),
     "DEDUP SPANS": _unary(_rename_kw(D.dedup_spans, _ID_TEXT)),
+    "DEDUP LINES": _unary(_rename_kw(D.dedup_lines, _ID_TEXT)),
     "DEDUP SUBSTRINGS": _unary(_rename_kw(D.dedup_substrings, _ID_TEXT)),
     "DERIVE SHARD KEY": _unary(
         _rename_kw(T.derive_shard_key,

@@ -111,6 +111,53 @@ def test_dedup_spans_order_within_doc_preserved(spark):
     assert out[2]["text_deduped"] == "z0 z1 z2 z3 z4"
 
 
+def test_dedup_lines_boilerplate_removed_everywhere(spark):
+    """A line in >= min_docs distinct docs is dropped from ALL docs
+    (RefinedWeb drop-everywhere, not keep-first); matching is
+    case-insensitive on trimmed lines, output preserves original case;
+    blank lines are neither counted nor rebuilt; docs that are all
+    boilerplate vanish; per-doc repetition alone never triggers."""
+    import pytest
+
+    from configurable_etl_python_repo_spark.llm.dedup import dedup_lines
+
+    df = spark.createDataFrame(
+        [
+            (1, "Unique opening line.\n  Subscribe NOW  \n\nBody one."),
+            (2, "Another story.\nsubscribe now\nBody two."),
+            (3, "SUBSCRIBE NOW"),                 # all boilerplate
+            (4, "repeat me\nrepeat me\nrepeat me"),  # one doc only
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in dedup_lines(df).collect()}
+    assert set(out) == {1, 2, 4}
+    assert out[1]["text_deduped"] == "Unique opening line.\nBody one."
+    assert (out[1]["n_lines"], out[1]["n_lines_kept"]) == (3, 2)
+    assert out[2]["text_deduped"] == "Another story.\nBody two."
+    # within-doc repetition is NOT corpus boilerplate (1 distinct doc)
+    assert out[4]["text_deduped"] == "repeat me\nrepeat me\nrepeat me"
+    assert (out[4]["n_lines"], out[4]["n_lines_kept"]) == (3, 3)
+    # min_docs=4: nothing reaches 4 distinct docs, everything survives
+    all_kept = {r["doc_id"]: r
+                for r in dedup_lines(df, min_docs=4).collect()}
+    assert set(all_kept) == {1, 2, 3, 4}
+    assert all_kept[3]["text_deduped"] == "SUBSCRIBE NOW"
+    with pytest.raises(ValueError, match="min_docs"):
+        dedup_lines(df, min_docs=1)
+
+
+def test_dedup_lines_as_config_op(spark):
+    from configurable_etl_python_repo_spark.plans import Engine, OpSpec
+
+    eng = Engine(spark)
+    eng.bind("docs", spark.createDataFrame(
+        [(1, "keep\nshared"), (2, "also\nshared")], ["doc_id", "text"]))
+    out = eng.run_op(OpSpec("DEDUP LINES", "d", ["docs"], {}))
+    got = {r["doc_id"]: r["text_deduped"] for r in out.collect()}
+    assert got == {1: "keep", 2: "also"}
+
+
 def test_dedup_substrings_catches_shifted_duplicates(spark):
     """The aligned d8 pass misses a duplicated passage off the k-word
     alignment; dedup_substrings catches it at ANY shift and removes
