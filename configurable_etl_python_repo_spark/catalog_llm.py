@@ -2922,3 +2922,88 @@ def q_t16(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "source", "text"),
         target_bytes=_SHARD_TARGET_BYTES,
     ).select("doc_id", "source", "n_bytes", "shard")
+
+
+_HLL_B = 12
+
+
+def _hll_oracle(b: int = _HLL_B, seed: str = "hll") -> str:
+    """SQL replay of the full HLL pipeline (llm/sketch.py): md5-derived
+    register/rho bits, exact integer harmonic sum (2^(33-rho) terms),
+    the alpha_m*m^2 numerator folded to ONE repr()'d double literal,
+    6dp-rounded ln()s, single final round — bit-identical to Spark.
+    The oracle sketches the corpus in ONE pass; the Spark query merges
+    two half-corpus sketches, so the hash match also pins the
+    sketch(A)⊔sketch(B) == sketch(A∪B) merge identity in the gate."""
+    from .llm.sketch import _alpha_m
+
+    m = 1 << b
+    num = _alpha_m(m) * m * m * float(1 << 33)
+    e_raw = f"({num!r} / CAST(s_scaled AS DOUBLE))"
+    return f"""
+    WITH h AS (
+      SELECT md5('{seed}' || '|' || CAST(l_partkey AS VARCHAR)) AS hx
+      FROM lineitem),
+    r AS (
+      SELECT CAST(('0x' || substr(hx, 1, 8)) AS BIGINT) % {m} AS register,
+             CASE WHEN CAST(('0x' || substr(hx, 9, 8)) AS BIGINT) = 0
+                  THEN 33
+                  ELSE 33 - length(bin(
+                         CAST(('0x' || substr(hx, 9, 8)) AS BIGINT)))
+             END AS rho
+      FROM h),
+    sk AS (SELECT register, CAST(max(rho) AS INT) AS max_rho
+           FROM r GROUP BY register),
+    ag AS (SELECT count(*) AS used,
+                  coalesce(sum(CAST(power(2, 33 - max_rho) AS BIGINT)),
+                           0) AS s_present
+           FROM sk),
+    fin AS (SELECT CAST({m} - used AS BIGINT) AS v_zero,
+                   s_present + ({m} - used)
+                     * CAST({1 << 33} AS BIGINT) AS s_scaled
+            FROM ag),
+    ex AS (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT)
+                    AS exact_distinct
+           FROM lineitem)
+    SELECT CAST({m} AS BIGINT) AS m, f.v_zero,
+           CAST(round(CASE
+             WHEN {e_raw} <= {2.5 * m!r} AND f.v_zero > 0
+               THEN {float(m)!r}
+                    * round(ln({float(m)!r}
+                               / CAST(f.v_zero AS DOUBLE)), 6)
+             WHEN {e_raw} > {float(1 << 32) / 30.0!r}
+               THEN {-float(1 << 32)!r}
+                    * round(ln(1.0 - {e_raw} / {float(1 << 32)!r}), 6)
+             ELSE {e_raw}
+           END, 6) AS DOUBLE) AS est,
+           ex.exact_distinct
+    FROM fin f, ex
+    """
+
+
+@register("x20_hll_distinct_sketch", _hll_oracle())
+def q_x20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mergeable HLL distinct sketch: the Spark side
+    builds per-half-corpus sketches (even/odd orderkeys) and MERGES
+    them (register-wise max) before estimating; the oracle sketches in
+    one pass — the hash match proves the merge identity, the est column
+    the bit-determinism, and exact_distinct sits alongside for the
+    error to be read off (b=12 → ~1.6% standard error)."""
+    from .llm import sketch as SK
+
+    li = spark.read.parquet(_pq(sf_dir, "lineitem")).select(
+        "l_orderkey", "l_partkey"
+    )
+    halves = [
+        SK.distinct_sketch(
+            li.where(F.col("l_orderkey") % 2 == p).select("l_partkey"),
+            ["l_partkey"],
+            b=_HLL_B,
+        )
+        for p in (0, 1)
+    ]
+    est = SK.sketch_estimate(SK.merge_sketches(*halves), b=_HLL_B)
+    exact = li.agg(
+        F.countDistinct("l_partkey").cast("long").alias("exact_distinct")
+    )
+    return est.crossJoin(F.broadcast(exact))

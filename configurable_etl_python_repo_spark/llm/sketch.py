@@ -1,0 +1,172 @@
+"""Deterministic, mergeable distinct-count sketches (HyperLogLog family).
+
+At 100 TB "how many distinct URLs / documents / users" is a first-class
+pipeline question, and the exact answer (a full groupBy on the key) is
+a corpus-sized shuffle. A register sketch answers it with ONE
+map-side-combinable aggregation whose output is at most m = 2^b rows —
+and two sketches MERGE by register-wise max, so per-shard / per-day
+sketches roll up to the global count without touching the data again
+(the property exact counts fundamentally lack).
+
+Unlike Spark's builtin approx_count_distinct (HLL++ with
+implementation-defined hashing), this sketch is built from the repo's
+md5-derived hash family, so it is bit-deterministic, engine-portable,
+and fully replayable in ANSI SQL — the DuckDB oracle reproduces every
+register and the final estimate exactly. Bias behavior is the classic
+Flajolet et al. 2007 HLL (alpha_m constant, linear counting below
+2.5m, 32-bit large-range correction), not HLL++'s empirically
+bias-corrected variant: determinism and mergeability are the point
+here, the ~1.04/sqrt(m) error is the standard one.
+
+Determinism recipe (the repo-wide discipline): md5-derived register
+and rho bits; the harmonic sum kept EXACT by scaling 2^-rho to the
+integer 2^(33-rho) (BIGINT-safe for b <= 16); every ln() rounded to
+6dp FIRST; the alpha_m * m^2 numerator folded to one Python double
+literal; a single final round.
+
+Reference parity: the reference has no sketches (its distinct is
+pandas drop_duplicates, /root/reference/Configurable_ETL_Python.py
+:243-252); this is part of the LLM-curation extension surface.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: rho is counted in a 32-bit window; 2^-rho scaled by 2^33 stays integral
+_RHO_SCALE = 33
+
+
+def _check_b(b: int) -> None:
+    if not (7 <= b <= 16):
+        raise ValueError(
+            f"b must be in [7, 16] (m = 2^b registers, alpha_m constant "
+            f"valid from m >= 128, BIGINT-exact harmonic sum to m <= "
+            f"65536), got {b}"
+        )
+
+
+def distinct_sketch(
+    df: DataFrame,
+    cols: "list[str]",
+    b: int = 12,
+    seed: str = "hll",
+) -> DataFrame:
+    """Build the (register, max_rho) sketch of COUNT(DISTINCT cols).
+
+    Each row hashes to 64 md5 bits split in two independent 32-bit
+    halves: the low b bits of the first half pick the register, the
+    second half's leading-zero count + 1 is rho (a 0 half = rho 33,
+    the exhausted-window convention). The sketch is the per-register
+    MAX of rho — one hash-partitioned groupBy over at most 2^b groups,
+    map-side partial combine, so a 100 TB corpus ships <= 2^b rows per
+    map partition no matter how skewed the data.
+
+    NULLs in `cols` fold into the concat key the way the repo's other
+    md5 hashes do (concat_ws skips them) — distinct is over the
+    normalized key string.
+
+    Output: (register long, max_rho int), <= 2^b rows, mergeable with
+    merge_sketches."""
+    _check_b(b)
+    if not cols:
+        raise ValueError("cols must name at least one column")
+    key = F.concat_ws("|", F.lit(seed), *[F.col(c) for c in cols])
+    h = F.md5(key)
+    hi = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    register = F.pmod(hi, F.lit(1 << b))
+    # leading zeros in the 32-bit window: 32 - bitlen(lo); rho = lz + 1.
+    # length(bin(x)) is bitlen for x > 0 in Spark AND DuckDB (both
+    # print without leading zeros); lo = 0 exhausts the window.
+    rho = F.when(lo == 0, F.lit(_RHO_SCALE)).otherwise(
+        F.lit(_RHO_SCALE) - F.length(F.bin(lo))
+    )
+    return (
+        df.select(register.alias("register"), rho.alias("rho"))
+        .groupBy("register")
+        .agg(F.max("rho").cast("int").alias("max_rho"))
+    )
+
+
+def merge_sketches(*sketches: DataFrame) -> DataFrame:
+    """Union register sketches built with the SAME (b, seed, cols
+    schema) into one: register-wise max. sketch(A) ⊔ sketch(B) ==
+    sketch(A ∪ B) EXACTLY (max is associative/commutative/idempotent),
+    which is what makes per-shard sketches roll up lossless-ly."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("register").agg(
+        F.max("max_rho").cast("int").alias("max_rho")
+    )
+
+
+def _alpha_m(m: int) -> float:
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def sketch_estimate(sketch: DataFrame, b: int = 12) -> DataFrame:
+    """The HLL estimate from a (register, max_rho) sketch: one row
+    (m, v_zero, est) where v_zero counts empty registers.
+
+    est = alpha_m * m^2 / sum_j 2^(-rho_j) with the standard
+    corrections — linear counting m*ln(m/v_zero) when the raw estimate
+    is <= 2.5m and empty registers remain, and the 32-bit large-range
+    correction -2^32*ln(1 - E/2^32) at the top. The harmonic sum is
+    EXACT: each 2^(-rho) is scaled to the integer 2^(33-rho) (empty
+    registers contribute 2^33), summed as BIGINT, and divided once —
+    the only float ops are that single division, the pre-rounded
+    ln()s, and the final 6dp round, all bit-identical across engines."""
+    _check_b(b)
+    m = 1 << b
+    agg = sketch.groupBy().agg(
+        F.count(F.lit(1)).alias("__used"),
+        F.coalesce(
+            F.sum(
+                F.pow(F.lit(2.0), F.lit(_RHO_SCALE) - F.col("max_rho"))
+                .cast("long")
+            ),
+            F.lit(0).cast("long"),
+        ).alias("__s_present"),
+    )
+    v_zero = (F.lit(m) - F.col("__used")).cast("long")
+    s_scaled = (
+        F.col("__s_present") + v_zero * F.lit(1 << _RHO_SCALE).cast("long")
+    )
+    num = _alpha_m(m) * m * m * float(1 << _RHO_SCALE)
+    e_raw = F.lit(num) / s_scaled.cast("double")
+    two32 = float(1 << 32)
+    ln6 = lambda x: F.round(F.log(x), 6)  # noqa: E731 — the 6dp-first rule
+    est = (
+        F.when(
+            (e_raw <= F.lit(2.5 * m)) & (v_zero > 0),
+            F.lit(float(m)) * ln6(F.lit(float(m)) / v_zero.cast("double")),
+        )
+        .when(
+            e_raw > F.lit(two32 / 30.0),
+            F.lit(-two32) * ln6(F.lit(1.0) - e_raw / F.lit(two32)),
+        )
+        .otherwise(e_raw)
+    )
+    return agg.select(
+        F.lit(m).cast("long").alias("m"),
+        v_zero.alias("v_zero"),
+        F.round(est, 6).cast("double").alias("est"),
+    )
+
+
+def approx_distinct(
+    df: DataFrame,
+    cols: "list[str]",
+    b: int = 12,
+    seed: str = "hll",
+) -> DataFrame:
+    """distinct_sketch |> sketch_estimate: one-row approximate
+    COUNT(DISTINCT cols) with ~1.04/sqrt(2^b) standard error."""
+    return sketch_estimate(distinct_sketch(df, cols, b=b, seed=seed), b=b)

@@ -144,6 +144,15 @@ def _lazy_sampling(fn_name: str):
     return call
 
 
+def _lazy_sketch(fn_name: str):
+    def call(df, **kwargs):
+        from ..llm import sketch as SK
+
+        return getattr(SK, fn_name)(df, **kwargs)
+
+    return call
+
+
 def _lazy_windows(fn_name: str):
     """Event-time window rollups (streaming/windows.py) as config ops.
     The transforms take batch OR streaming inputs (unified model), so a
@@ -384,6 +393,13 @@ LLM_OP_COMPILERS = {
     ),
     "DEDUP SPANS": _unary(_rename_kw(D.dedup_spans, _ID_TEXT)),
     "DEDUP LINES": _unary(_rename_kw(D.dedup_lines, _ID_TEXT)),
+    "DISTINCT SKETCH": _unary(
+        _rename_kw(_lazy_sketch("distinct_sketch"), {"columns": "cols"})
+    ),
+    "SKETCH ESTIMATE": _unary(_lazy_sketch("sketch_estimate")),
+    "APPROX DISTINCT": _unary(
+        _rename_kw(_lazy_sketch("approx_distinct"), {"columns": "cols"})
+    ),
     "DEDUP SUBSTRINGS": _unary(_rename_kw(D.dedup_substrings, _ID_TEXT)),
     "DERIVE SHARD KEY": _unary(
         _rename_kw(T.derive_shard_key,
