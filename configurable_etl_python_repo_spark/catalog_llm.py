@@ -3007,3 +3007,61 @@ def q_x20(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_partkey").cast("long").alias("exact_distinct")
     )
     return est.crossJoin(F.broadcast(exact))
+
+
+_BM25_QUERY = "slow hash join merge"
+_BM25_K = 10
+
+
+def _bm25_oracle(query: str = _BM25_QUERY, k: int = _BM25_K,
+                 k1: float = 1.2, b: float = 0.75) -> str:
+    """SQL replay of llm/search.bm25_topk with the expression tree in
+    the SAME association order (idf ln 6dp-rounded first, per-term
+    score 6dp-rounded, per-doc DECIMAL(38,6) sums, one final double
+    cast) so both engines build identical floats."""
+    terms = sorted(set(query.lower().split()))
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+    WITH {_words_sql().strip()},
+    lens AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM words),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+              FROM lens),
+    post AS (SELECT doc_id, unnest(w) AS t FROM words),
+    tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+           FROM post WHERE t IN ({in_list}) GROUP BY doc_id, t),
+    dfreq AS (SELECT t, CAST(count(*) AS BIGINT) AS df_t
+              FROM tf GROUP BY t),
+    sc AS (SELECT f.doc_id,
+                  CAST(round(
+                    round(ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df_t
+                                    + 0.5) / (d.df_t + 0.5)), 6)
+                    * CAST(f.tf AS DOUBLE) * {k1 + 1.0!r}
+                    / (CAST(f.tf AS DOUBLE) + {k1!r}
+                       * ({1.0 - b!r} + {b!r}
+                          * CAST(l.dl AS DOUBLE) / s.avgdl)), 6)
+                    AS DECIMAL(38,6)) AS s6
+           FROM tf f JOIN dfreq d USING (t) CROSS JOIN stats s
+           JOIN lens l USING (doc_id)),
+    agg AS (SELECT doc_id, CAST(sum(s6) AS DOUBLE) AS score
+            FROM sc GROUP BY doc_id
+            ORDER BY score DESC, doc_id ASC LIMIT {k})
+    SELECT doc_id, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                AS BIGINT) AS rank
+    FROM agg
+    """
+
+
+@register("n5_bm25_topk", _bm25_oracle())
+def q_n5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical top-k retrieval — the keyword dual of the dense ANN
+    queries: the query's term set filters the corpus word stream BEFORE
+    any shuffle (inverted-index probe, isin pushed to the scan),
+    document frequencies + corpus stats broadcast back, top-k is
+    TakeOrderedAndProject."""
+    from .llm.search import bm25_topk
+
+    docs = spark.read.parquet(_pq(sf_dir, "documents"))
+    return bm25_topk(docs.select("doc_id", "text"), _BM25_QUERY,
+                     k=_BM25_K)

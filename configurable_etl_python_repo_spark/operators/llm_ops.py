@@ -153,6 +153,15 @@ def _lazy_sketch(fn_name: str):
     return call
 
 
+def _lazy_search(fn_name: str):
+    def call(df, **kwargs):
+        from ..llm import search as SR
+
+        return getattr(SR, fn_name)(df, **kwargs)
+
+    return call
+
+
 def _lazy_windows(fn_name: str):
     """Event-time window rollups (streaming/windows.py) as config ops.
     The transforms take batch OR streaming inputs (unified model), so a
@@ -393,6 +402,9 @@ LLM_OP_COMPILERS = {
     ),
     "DEDUP SPANS": _unary(_rename_kw(D.dedup_spans, _ID_TEXT)),
     "DEDUP LINES": _unary(_rename_kw(D.dedup_lines, _ID_TEXT)),
+    "BM25 TOPK": _unary(
+        _rename_kw(_lazy_search("bm25_topk"), _ID_TEXT)
+    ),
     "DISTINCT SKETCH": _unary(
         _rename_kw(_lazy_sketch("distinct_sketch"), {"columns": "cols"})
     ),

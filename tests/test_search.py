@@ -1,0 +1,101 @@
+"""BM25 top-k: hand-computed scores, ranking properties, plan shape."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from configurable_etl_python_repo_spark.llm.search import bm25_topk
+
+
+def _bm25_ref(docs, query, k1=1.2, b=0.75):
+    """Pure-Python replica with the operator's exact rounding rules."""
+    words = {i: t.lower().split() for i, t in docs.items()}
+    terms = sorted(set(query.lower().split()))
+    n = len(docs)
+    avgdl = sum(len(w) for w in words.values()) / n
+    dfreq = {
+        t: sum(1 for w in words.values() if t in w) for t in terms
+    }
+    out = {}
+    for i, w in words.items():
+        s = 0
+        for t in terms:
+            tf = w.count(t)
+            if not tf or not dfreq[t]:
+                continue
+            idf = round(math.log(1.0 + (n - dfreq[t] + 0.5)
+                                 / (dfreq[t] + 0.5)), 6)
+            den = tf + k1 * (1.0 - b + b * len(w) / avgdl)
+            s += round(idf * tf * (k1 + 1.0) / den, 6) * 1_000_000
+        if s:
+            out[i] = round(s) / 1_000_000
+    return out
+
+
+def test_bm25_hand_computed_scores_and_ranking(spark):
+    docs = {
+        1: "hash join hash join hash",      # tf-heavy, short
+        2: "hash join is one of many join strategies used here today",
+        3: "sort merge join",
+        4: "nothing relevant at all",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], ["doc_id", "text"]
+    )
+    got = {r.doc_id: (r.score, r.rank)
+           for r in bm25_topk(df, "hash join", k=10).collect()}
+    want = _bm25_ref(docs, "hash join")
+    assert set(got) == set(want)           # doc 4 never scores
+    for i, s in want.items():
+        assert got[i][0] == pytest.approx(s, abs=2e-6), i
+    # ranking: doc 1 (dense + short) > doc 2 > doc 3 (one term)
+    assert [i for i, _ in sorted(
+        got.items(), key=lambda kv: kv[1][1])] == [1, 2, 3]
+    # k truncates, ranks stay 1..k
+    top1 = bm25_topk(df, "hash join", k=1).collect()
+    assert [(r.doc_id, r.rank) for r in top1] == [(1, 1)]
+    with pytest.raises(ValueError, match="k must"):
+        bm25_topk(df, "hash", k=0)
+    with pytest.raises(ValueError, match="query"):
+        bm25_topk(df, "   ")
+
+
+def test_bm25_duplicate_query_terms_count_once(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha alpha")], ["doc_id", "text"]
+    )
+    once = bm25_topk(df, "alpha", k=5).collect()
+    twice = bm25_topk(df, "alpha alpha ALPHA", k=5).collect()
+    assert [(r.doc_id, r.score) for r in once] == [
+        (r.doc_id, r.score) for r in twice
+    ]
+
+
+def test_bm25_plan_filters_before_shuffle(spark):
+    """The inverted-index probe: the query-term isin() filter must sit
+    below the first exchange, so non-matching words never shuffle."""
+    df = spark.createDataFrame([(1, "x y z")], ["doc_id", "text"])
+    plan = bm25_topk(
+        df, "needle", k=3
+    )._jdf.queryExecution().executedPlan().toString()
+    filter_pos = plan.find("needle")
+    first_ex = plan.find("Exchange")
+    assert filter_pos != -1 and first_ex != -1
+    # deepest operators print LAST in the tree dump: the filter line
+    # must appear below (after) the exchange it feeds
+    assert filter_pos > first_ex
+    # the tiny dfreq/stats sides broadcast, never shuffle-join
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_bm25_config_op(spark):
+    from configurable_etl_python_repo_spark.plans import Engine, OpSpec
+
+    eng = Engine(spark)
+    eng.bind("docs", spark.createDataFrame(
+        [(1, "find this phrase"), (2, "other text")],
+        ["doc_id", "text"]))
+    out = eng.run_op(OpSpec(
+        "BM25 TOPK", "s", ["docs"], {"query": "phrase", "k": 1}))
+    assert [r.doc_id for r in out.collect()] == [1]
