@@ -1193,12 +1193,12 @@ from . import catalog_llm  # noqa: E402,F401
 DRIVER_PRIORITY = [
     # reference surface (SURVEY §2.1-§2.7)
     "flagship_earliest_event", "s1_bronze_nest_explode",
-    "p1_lenient_scan_distinct", "p2_p4_project_remove",
+    "p1_lenient_scan_distinct",
     "p5_filter_grammar", "p6_remove_rows_null",
     "c1_c2_rename_format", "c4_rowwise_min_max",
     "c6_attach_sumeq",
-    "c8_decision_column", "c9_c10_boundary_sentinel", "c11_c12_gold_record",
-    "j1_left_join_two_keys", "j3_spine_study", "a1_groupby_summarise", "a4_unique_keep_first",
+    "c8_decision_column", "c11_c12_gold_record",
+    "j1_left_join_two_keys", "a1_groupby_summarise", "a4_unique_keep_first",
     "w2_sort_slice_topn",
     # event-time analytics (§2.9 batch shapes)
     "e2_sessionize_gap30m",
@@ -1207,8 +1207,9 @@ DRIVER_PRIORITY = [
     "d7_dedup_clusters",
     "d9_decontaminate", "d10_substring_dedup",
     "d11_semantic_dedup", "d12_dedup_keep_best", "d13_simhash_pairs",
-    # LLM pipeline: similarity search
-    "n4_ann_ivf_kmeans",
+    "d14_line_dedup",
+    # LLM pipeline: similarity search + lexical retrieval
+    "n4_ann_ivf_kmeans", "n5_bm25_topk",
     # LLM pipeline: text analysis + curation (t10-t14 rotated in for r7)
     "t1_text_stats", "t2_language_id", "t5_winnowing_fingerprints",
     "t9_bpe_pack_sequences",
@@ -1224,6 +1225,7 @@ DRIVER_PRIORITY = [
     "x14_pretraining_pipeline",
     "x15_web_curation_pipeline", "x16_cluster_aware_splits",
     "x17_exact_k_sample", "x18_dsir_selection", "x19_targeted_pipeline",
+    "x20_hll_distinct_sketch",
     # engine showcase (COMPUTE COLUMN + broadcast joins + fused LIMIT)
     "tpch_q3_shaped",
 ]
@@ -1262,7 +1264,15 @@ DRIVER_PRIORITY = [
 # hypothesis-tested filter grammar; demoted late-r7 for the NEW t20
 # chunk-documents row). Earlier rotations (r5): a5, f1,
 # e3, d4, d5, n2, t3, m2; t8's packing surface enters via t9 (same math
-# on real BPE counts).
+# on real BPE counts). Second late-r7 batch — three more NEW operators
+# (d14 line dedup, x20 HLL sketch, n5 BM25) enter; the three demotions
+# again only touch rows with multiple past driver rows AND in-window
+# sibling coverage, never rows still waiting for their FIRST r7 driver
+# row: p2_p4 (SELECT/REMOVE COLUMNS is exercised by p1's lenient-scan
+# projection and every composed program's column ops), c9_c10 (boundary
+# sentinel + all-string cast ride the same sinks/boundary.py path as
+# the in-window c11_c12 gold record), j3 (the spine join runs INSIDE
+# the in-window flagship_earliest_event — same compiler path).
 
 
 def _curate() -> None:
