@@ -139,19 +139,39 @@ def main() -> None:
     spark.stop()
 
 
+def _current_round() -> "int | None":
+    """The round now RUNNING, from VERDICT.md's '# VERDICT — round N'
+    header (written at the END of round N, so current = N + 1). None
+    in round 1 / when VERDICT.md is absent."""
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "VERDICT.md")) as f:
+            m = re.search(r"round\s+(\d+)", f.readline())
+        return int(m.group(1)) + 1 if m else None
+    except OSError:
+        return None
+
+
 def _previous_round_minima(sf: str) -> dict[str, float]:
-    """queries_min from the newest BENCH_r*.json next to this script,
-    empty when none parse or the previous round ran at a DIFFERENT sf
-    (cross-sf comparison would flag every query)."""
+    """queries_min from the newest BENCH_r*.json STRICTLY BELOW the
+    current round (an in-round re-run must not compare against its own
+    recording — the >15% rule would then never fire), empty when none
+    parse or the previous round ran at a DIFFERENT sf (cross-sf
+    comparison would flag every query)."""
     import glob
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
+    cur = _current_round()
     best: tuple[int, str] | None = None
     for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)
         if m:
             n = int(m.group(1))
+            if cur is not None and n >= cur:
+                continue
             if best is None or n > best[0]:
                 best = (n, p)
     if not best:

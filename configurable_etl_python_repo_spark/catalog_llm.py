@@ -1566,9 +1566,9 @@ _LINES_ORACLE = (
     "WITH " + _LINES_CORPUS_SQL.strip()
     + """,
     ln AS (SELECT doc_id,
-                  unnest(string_split(text, chr(10))) AS raw,
-                  generate_subscripts(string_split(text, chr(10)), 1)
-                    AS pos
+                  unnest(string_split_regex(text, '\r?\n')) AS raw,
+                  generate_subscripts(
+                    string_split_regex(text, '\r?\n'), 1) AS pos
            FROM lcorp),
     nz AS (SELECT doc_id, pos, trim(raw) AS line,
                   lower(trim(raw)) AS key
@@ -2973,7 +2973,9 @@ def _hll_oracle(b: int = _HLL_B, seed: str = "hll") -> str:
                                / CAST(f.v_zero AS DOUBLE)), 6)
              WHEN {e_raw} > {float(1 << 32) / 30.0!r}
                THEN {-float(1 << 32)!r}
-                    * round(ln(1.0 - {e_raw} / {float(1 << 32)!r}), 6)
+                    * round(ln(1.0 - least({e_raw},
+                                           {float((1 << 32) - 1)!r})
+                               / {float(1 << 32)!r}), 6)
              ELSE {e_raw}
            END, 6) AS DOUBLE) AS est,
            ex.exact_distinct

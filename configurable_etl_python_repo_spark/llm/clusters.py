@@ -255,9 +255,11 @@ def dedup_clusters(
     corpus.
 
     Keeper policy: min doc_id (deterministic) by default; `score_col`
-    names a NON-NULL numeric column on `docs` and switches to
-    QUALITY-AWARE selection — the cluster's highest-scoring doc survives
-    (ties break to the smaller id), which is what a curation pipeline
+    names a numeric column on `docs` and switches to QUALITY-AWARE
+    selection — the cluster's highest-scoring doc survives (ties break
+    to the smaller id; NULL scores rank below every real score and can
+    never be the keeper unless the whole cluster is NULL-scored, which
+    falls back to min id), which is what a curation pipeline
     actually wants (keep the longest / highest-classifier-score copy,
     drop the truncated mirror). The argmax is a min(struct(-score, id))
     HashAggregate — map-side partial combine, so a million-doc
@@ -292,7 +294,14 @@ def dedup_clusters(
     keepers = labeled.groupBy("cluster_id").agg(
         F.min(
             F.struct(
-                (-F.col("__score").cast("double")).alias("ns"),
+                # NULL scores fold to ns = +inf so they can never win the
+                # keeper slot (a raw NULL negates to NULL, which sorts
+                # FIRST in min(struct) and would silently beat every
+                # scored doc); an all-NULL cluster falls back to min id
+                F.coalesce(
+                    -F.col("__score").cast("double"),
+                    F.lit(float("inf")),
+                ).alias("ns"),
                 F.col("doc_id").alias("kid"),
             )
         )["kid"].alias("__keeper_id")

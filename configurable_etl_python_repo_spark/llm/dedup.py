@@ -991,7 +991,8 @@ def dedup_lines(
     (a line repeated across the web is boilerplate) rather than
     keep-first (the duplicated line carries no information for anyone).
 
-    Matching is on lower(trim(line)); surviving lines keep their
+    Lines split on \\r?\\n (CRLF-safe — web corpora mix line endings);
+    matching is on lower(trim(line)); surviving lines keep their
     original (trimmed, case-preserved) text — this op RETURNS training
     text, so content is never case-folded (the chunk_documents rule).
     Blank lines are structure, not content: they are not counted and
@@ -1023,7 +1024,10 @@ def dedup_lines(
     lines = (
         df.select(
             F.col(id_col).alias("id"),
-            F.posexplode(F.split(F.col(text_col), "\n")).alias(
+            # \r?\n so CRLF corpora don't keep a trailing \r in the
+            # match key ('subscribe now\r' != 'subscribe now' would let
+            # mixed-line-ending boilerplate escape the >= min_docs bar)
+            F.posexplode(F.split(F.col(text_col), "\r?\n")).alias(
                 "pos", "__raw"
             ),
         )

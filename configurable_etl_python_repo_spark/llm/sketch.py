@@ -122,7 +122,15 @@ def sketch_estimate(sketch: DataFrame, b: int = 12) -> DataFrame:
     EXACT: each 2^(-rho) is scaled to the integer 2^(33-rho) (empty
     registers contribute 2^33), summed as BIGINT, and divided once —
     the only float ops are that single division, the pre-rounded
-    ln()s, and the final 6dp round, all bit-identical across engines."""
+    ln()s, and the final 6dp round, all bit-identical across engines.
+
+    Cardinality ceiling: rho lives in a 32-bit window, so the raw
+    estimate E can exceed 2^32 when registers saturate (up to
+    ~alpha_m*m*2^33). Inside the large-range branch E is clamped to
+    2^32 - 1 so ln(1 - E/2^32) stays defined; the resulting cap,
+    2^32 * 32*ln(2) ~ 9.5e10, is the sketch's saturation value — the
+    32-bit-rho design is honest to ~2^32 distincts and pins at the cap
+    beyond (use a 64-bit-rho variant past that, as HLL++ does)."""
     _check_b(b)
     m = 1 << b
     agg = sketch.groupBy().agg(
@@ -150,7 +158,13 @@ def sketch_estimate(sketch: DataFrame, b: int = 12) -> DataFrame:
         )
         .when(
             e_raw > F.lit(two32 / 30.0),
-            F.lit(-two32) * ln6(F.lit(1.0) - e_raw / F.lit(two32)),
+            # clamp below 2^32: saturated registers push e_raw past the
+            # 32-bit rho window's range and ln(1 - e/2^32) would go NaN
+            F.lit(-two32)
+            * ln6(
+                F.lit(1.0)
+                - F.least(e_raw, F.lit(two32 - 1.0)) / F.lit(two32)
+            ),
         )
         .otherwise(e_raw)
     )

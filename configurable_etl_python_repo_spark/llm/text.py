@@ -1295,9 +1295,13 @@ def gopher_line_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
     (>= 2 of Gopher's 8-word list). One boolean per rule plus the
     conjunction `keep_lines`.
 
-    Pure Column regexp/length math in the Java/RE2 common subset — zero
-    shuffles, composes with FILTER in a config program; ratios are exact
-    small-integer divisions, so both engines agree bit-for-bit."""
+    Pure Column regexp/length math — zero shuffles, composes with
+    FILTER in a config program; ratios are exact small-integer
+    divisions, so both engines agree bit-for-bit. NOTE: the alpha-word
+    and stopword counts use Java lookarounds ((?<=\\s)/(?=\\s)), which
+    RE2 does NOT support — these patterns are Spark/Java-only; the SQL
+    oracle mirrors the semantics with list-based word membership
+    instead of porting the patterns verbatim."""
     c = F.col(text_col)
     lt = F.lower(F.trim(c))
     r = GOPHER_LINE_RULES

@@ -198,3 +198,27 @@ def test_dedup_clusters_quality_aware_keeper(spark):
     base = {r.doc_id: r.is_keeper
             for r in dedup_clusters(docs, pairs).collect()}
     assert [d for d in sorted(base) if base[d]] == [0, 1, 4]
+
+
+def test_dedup_clusters_null_score_never_keeper(spark):
+    """A NULL score negates to NULL, which sorts FIRST in min(struct) —
+    without the coalesce-to-+inf guard a NULL-scored doc silently wins
+    the keeper slot. NULL ranks below every real score; an all-NULL
+    cluster falls back to the min-id keeper."""
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, n=None), Row(doc_id=2, n=0.5),
+         Row(doc_id=3, n=None), Row(doc_id=4, n=None),
+         Row(doc_id=5, n=None)],
+        "doc_id long, n double",
+    )
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=4, id_b=5)]
+    )
+    out = {r.doc_id: r for r in
+           dedup_clusters(docs, pairs, score_col="n").collect()}
+    # cluster {1,2}: scored doc 2 beats NULL-scored doc 1
+    assert not out[1].is_keeper and out[2].is_keeper
+    # all-NULL cluster {4,5}: min id 4 keeps
+    assert out[4].is_keeper and not out[5].is_keeper
+    # NULL-scored singleton still keeps itself
+    assert out[3].is_keeper

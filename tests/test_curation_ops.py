@@ -1108,3 +1108,22 @@ def test_chunk_documents_boundaries_and_reassembly(spark):
     assert packed.count() == 6
     with pytest.raises(ValueError, match="max_words"):
         chunk_documents(docs, max_words=0).collect()
+
+
+def test_dedup_lines_crlf_corpus(spark):
+    """CRLF corpora: lines split on \\r?\\n so 'subscribe now\\r' and
+    'subscribe now' share one match key — mixed-line-ending boilerplate
+    must not escape the >= min_docs bar (web corpora mix endings)."""
+    from configurable_etl_python_repo_spark.llm.dedup import dedup_lines
+
+    df = spark.createDataFrame(
+        [
+            (1, "Unique A.\r\nSubscribe now\r\nBody A."),
+            (2, "Unique B.\nsubscribe now\nBody B."),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in dedup_lines(df).collect()}
+    assert out[1]["text_deduped"] == "Unique A.\nBody A."
+    assert out[2]["text_deduped"] == "Unique B.\nBody B."
+    assert (out[1]["n_lines"], out[1]["n_lines_kept"]) == (3, 2)

@@ -95,3 +95,27 @@ def test_sketch_config_ops(spark):
     one = eng.run_op(OpSpec(
         "APPROX DISTINCT", "a", ["t"], {"columns": ["k"], "b": 10}))
     assert est.collect()[0]["est"] == one.collect()[0]["est"]
+
+
+def test_sketch_saturated_registers_finite_estimate(spark):
+    """Saturated registers push e_raw past 2^32 (up to ~alpha_m*m*2^33);
+    the large-range correction must CLAMP below 2^32 instead of feeding
+    ln() a negative argument (NaN/NULL est). The capped estimate is the
+    documented saturation ceiling 2^32 * 32*ln(2) ~ 9.5e10."""
+    import math
+
+    m = 1 << 7
+    saturated = spark.createDataFrame(
+        [(r, 33) for r in range(m)], "register long, max_rho int"
+    )
+    row = sketch_estimate(saturated, b=7).collect()[0]
+    assert row["est"] is not None and not math.isnan(row["est"])
+    cap = -float(1 << 32) * round(math.log(1.0 - (2**32 - 1) / 2**32), 6)
+    assert row["est"] == pytest.approx(cap, rel=1e-9)
+    # near-saturation (rho=20 everywhere): e_raw ~ alpha*m*2^20 > 2^32/30
+    # takes the branch too and must stay finite and monotone below cap
+    high = spark.createDataFrame(
+        [(r, 20) for r in range(m)], "register long, max_rho int"
+    )
+    est_high = sketch_estimate(high, b=7).collect()[0]["est"]
+    assert est_high is not None and 0 < est_high <= row["est"]
