@@ -45,6 +45,7 @@ HEADLINE = [
     "d11_semantic_dedup",        # SemDeDup, k-means-bounded pairwise (r5)
     "x18_dsir_selection",        # DSIR importance resampling (r7)
     "x19_targeted_pipeline",     # composed targeted-selection chain (r7)
+    "d15_dedup_against_index",   # incremental cross-corpus dedup probe (r8)
 ]
 
 

@@ -1207,11 +1207,11 @@ DRIVER_PRIORITY = [
     "d7_dedup_clusters",
     "d9_decontaminate", "d10_substring_dedup",
     "d11_semantic_dedup", "d12_dedup_keep_best", "d13_simhash_pairs",
-    "d14_line_dedup",
+    "d14_line_dedup", "d15_dedup_against_index",
     # LLM pipeline: similarity search + lexical retrieval
     "n4_ann_ivf_kmeans", "n5_bm25_topk",
     # LLM pipeline: text analysis + curation (t10-t14 rotated in for r7)
-    "t1_text_stats", "t2_language_id", "t5_winnowing_fingerprints",
+    "t1_text_stats", "t2_language_id",
     "t9_bpe_pack_sequences",
     "t10_unigram_surprisal", "t11_url_blocklist", "t12_quality_classifier",
     "t13_sized_shards", "t14_bpe_bytes", "t15_bpe_gpt2",
@@ -1273,6 +1273,11 @@ DRIVER_PRIORITY = [
 # sentinel + all-string cast ride the same sinks/boundary.py path as
 # the in-window c11_c12 gold record), j3 (the spine join runs INSIDE
 # the in-window flagship_earliest_event — same compiler path).
+# Round-8 rotation: the NEW d15 (incremental cross-corpus MinHash index
+# probe) enters; t5_winnowing_fingerprints demotes (five green driver
+# rows r3-r7; its posexplode+LEAD window-gram machinery is covered
+# in-window by d10's every-position gram stream and t17's gram windows,
+# and the full local sweep still hash-checks it).
 
 
 def _curate() -> None:

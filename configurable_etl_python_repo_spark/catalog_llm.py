@@ -1620,6 +1620,105 @@ def q_d14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_lines(corpus, min_docs=2)
 
 
+#: d15 two-fixture split: "yesterday's corpus" = even doc ids (indexed),
+#: "today's batch" = odd ids plus exact replicas of every doc_id % 10 == 0
+#: under a disjoint id namespace — guaranteed cross-corpus near-dups.
+_INCR_SQL = """
+    u AS (
+      SELECT doc_id, text, 0 AS side FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, text, 1 FROM documents WHERE doc_id % 2 = 1
+      UNION ALL
+      SELECT doc_id + 1000000, text, 1 FROM documents
+      WHERE doc_id % 10 = 0)
+"""
+
+
+def _incr_index_oracle() -> str:
+    """SQL replay of the persisted-index probe: the SAME md5 minhash
+    family as _lsh_ctes over the two-corpus union, candidates restricted
+    to cross-side (batch, index) collisions, verified at the exact
+    integer-math Jaccard. The parquet index is pure execution strategy —
+    relationally the probe IS this query, which is exactly what the
+    oracle pins."""
+    H = _LSH_BANDS * _LSH_ROWS
+    p, q = _LSH_P, _LSH_Q
+    mh_cols = ", ".join(
+        f"min(substr(md5(concat_ws('|', '{j // 4}', sh)), {1 + 8 * (j % 4)}, 8))"
+        f" AS mh{j}"
+        for j in range(H)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws('#', "
+        + ", ".join(f"mh{b * _LSH_ROWS + r}" for r in range(_LSH_ROWS))
+        + ") AS key FROM sig"
+        for b in range(_LSH_BANDS)
+    )
+    return f"""
+    WITH {_INCR_SQL.strip()},
+    sides AS (SELECT doc_id, side FROM u),
+    {_shingles_sql(_JACCARD_N, "u").strip()},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    sig AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
+    buckets AS ({band_selects}),
+    cand AS (
+      SELECT DISTINCT bb.doc_id AS id_a, ib.doc_id AS id_b
+      FROM buckets bb
+      JOIN sides sb ON sb.doc_id = bb.doc_id AND sb.side = 1
+      JOIN buckets ib ON ib.band = bb.band AND ib.key = bb.key
+      JOIN sides si ON si.doc_id = ib.doc_id AND si.side = 0),
+    cinter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS inter
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+      GROUP BY 1, 2)
+    SELECT i.id_a, i.id_b, i.inter,
+           sa.sz AS size_a, sb.sz AS size_b
+    FROM cinter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE {q} * i.inter >= {p} * (sa.sz + sb.sz - i.inter)
+    """
+
+
+@register("d15_dedup_against_index", _incr_index_oracle())
+def q_d15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-corpus dedup: build the persisted MinHash-LSH
+    index over "yesterday's corpus" (even doc ids), then probe it with
+    "today's batch" (odd ids + replicated evens under a shifted id
+    namespace) — signatures for the old corpus come from the parquet
+    index, only the batch is re-shingled, and the probe's bucket scan
+    partition-prunes to the batch's kb set. Verified pairs are
+    bit-equal to the cross-side subset of the one-shot LSH pass (the
+    relational statement the oracle replays)."""
+    import os
+    import tempfile
+
+    from .llm import dedup_index as DI
+
+    docs = spark.read.parquet(_pq(sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1).unionByName(
+        docs.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(
+        tempfile.gettempdir(), f"cfg_etl_d15_idx_{os.getpid()}_{tag}"
+    )
+    DI.minhash_build_index(
+        corpus, path, n=_JACCARD_N, bands=_LSH_BANDS,
+        rows_per_band=_LSH_ROWS,
+    )
+    return DI.dedup_against_index(
+        spark, path, batch, threshold=_LSH_P / _LSH_Q
+    )
+
+
 #: non-uniform target mixture over the documents' source domains
 _MIX_WEIGHTS = {f"src{i}": i % 3 + 1 for i in range(20)}
 _MIX_SEED = "mix"

@@ -36,6 +36,11 @@ from .dedup import (  # noqa: F401
     simhash64,
     simhash_pairs,
 )
+from .dedup_index import (  # noqa: F401
+    dedup_against_index,
+    minhash_build_index,
+    minhash_extend_index,
+)
 from .scrub import pii_scrub  # noqa: F401
 from .similarity import (  # noqa: F401
     brute_force_topk,

@@ -363,6 +363,56 @@ def minhash_signatures(
     )
 
 
+def minhash_sigarr(
+    df: DataFrame, id_col: str, text_col: str, n: int, num_hashes: int
+) -> DataFrame:
+    """The fused per-doc (arr, mh0..mh{H-1}) aggregate every MinHash
+    consumer shares: ONE groupBy(id) produces the signature AND the
+    per-doc shingle array the verify step needs — signature aggs and
+    collect_set ride the same shuffle. The input is the raw gram stream
+    (duplicates included): min() is duplicate-blind, collect_set
+    dedupes — so no separate per-doc distinct pass exists anywhere in
+    the MinHash pipelines, and the builder window's id-partitioning
+    makes this aggregation exchange-free. Shared by the one-shot
+    minhash_lsh_pairs and the persisted index (dedup_index.py), which
+    is what makes probe-vs-one-shot equality hold bit-for-bit."""
+    if n == 1:
+        grams = doc_shingles(df, id_col, text_col, n)
+    else:
+        grams = _doc_grams(df, id_col, text_col, n)
+    return grams.groupBy("id").agg(
+        F.collect_set("sh").alias("arr"),
+        *[_minhash_expr(j).alias(f"mh{j}") for j in range(num_hashes)],
+    )
+
+
+def explode_band_keys(
+    sigarr: DataFrame, bands: int, rows_per_band: int
+) -> DataFrame:
+    """(id, band, key) LSH bucket rows from a signature relation: band
+    b's key concatenates its rows_per_band minhashes — docs sharing any
+    (band, key) are LSH candidates. One generator over the signature
+    columns; the fat `arr` column never rides the explode."""
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "#",
+                    *[
+                        F.col(f"mh{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sigarr.select("id", F.explode(band_arr).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -380,44 +430,16 @@ def minhash_lsh_pairs(
     1-(1-j^r)^b for true jaccard j. With verify=True the output is exactly
     {LSH candidates} ∩ {jaccard >= threshold} — deterministic given the
     md5-derived hash family, so an oracle can reproduce it."""
-    H = bands * rows_per_band
-    # ONE groupBy(id) produces the signature AND the per-doc shingle array
-    # the verify step needs: signature aggs and collect_set ride the same
-    # shuffle, and every later branch (bucket join, both verify sides)
-    # reads this one cached relation. The input is the raw gram stream
-    # (duplicates included): min() is duplicate-blind, collect_set
-    # dedupes — so no separate per-doc distinct pass exists anywhere in
-    # this pipeline, and the builder window's id-partitioning makes this
-    # aggregation exchange-free.
-    if n == 1:
-        grams = doc_shingles(df, id_col, text_col, n)
-    else:
-        grams = _doc_grams(df, id_col, text_col, n)
-    sigarr = grams.groupBy("id").agg(
-        F.collect_set("sh").alias("arr"),
-        *[_minhash_expr(j).alias(f"mh{j}") for j in range(H)],
-    )
     # scoped (plan-aware) cache, NOT a clear+append: clearing here wiped
     # every cached relation — other queries' and this plan's own warm
     # twin — at PLAN CONSTRUCTION time, so a warm re-run always paid a
     # full signature recompute and neighbors randomly lost their caches
-    sigarr = _scope_cache(sigarr)
-    band_arr = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "#", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-                ).alias("key"),
-            )
-            for b in range(bands)
-        ]
+    sigarr = _scope_cache(
+        minhash_sigarr(df, id_col, text_col, n, bands * rows_per_band)
     )
     # arr is dropped BEFORE the bucket explode/join — only (id, band, key)
     # rides the candidate shuffle
-    buckets = sigarr.select("id", F.explode(band_arr).alias("bk")).select(
-        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
+    buckets = explode_band_keys(sigarr, bands, rows_per_band)
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (
@@ -460,16 +482,23 @@ def jaccard_for_pairs(
 
 
 def _jaccard_from_arrays(
-    pairs: DataFrame, arrays: DataFrame, threshold: float
+    pairs: DataFrame,
+    arrays: DataFrame,
+    threshold: float,
+    arrays_b: "DataFrame | None" = None,
 ) -> DataFrame:
     """jaccard_for_pairs core over an already-nested (id, arr) relation —
     callers that computed the per-doc arrays in an earlier aggregation
-    (minhash_lsh_pairs' fused signature groupBy) skip the extra shuffle."""
+    (minhash_lsh_pairs' fused signature groupBy) skip the extra shuffle.
+    arrays_b resolves id_b against a SEPARATE relation (the cross-corpus
+    index probe, where id_a is a batch doc and id_b an indexed doc whose
+    ids live in different namespaces)."""
     frac = Fraction(threshold).limit_denominator(10**6)
     p, q = frac.numerator, frac.denominator
+    b_side = arrays if arrays_b is None else arrays_b
     return (
         pairs.join(arrays.withColumnsRenamed({"id": "id_a", "arr": "arr_a"}), "id_a")
-        .join(arrays.withColumnsRenamed({"id": "id_b", "arr": "arr_b"}), "id_b")
+        .join(b_side.withColumnsRenamed({"id": "id_b", "arr": "arr_b"}), "id_b")
         .select(
             "id_a",
             "id_b",

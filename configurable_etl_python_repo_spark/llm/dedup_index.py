@@ -1,0 +1,241 @@
+"""Incremental cross-corpus near-duplicate detection: a PERSISTED
+MinHash-LSH signature index and a probe that deduplicates a new batch
+against it without recomputing the old corpus.
+
+The production shape of dedup at 100 TB is not "dedup the corpus once";
+it is "dedup TODAY'S batch against YESTERDAY'S corpus, every day". The
+one-shot operators (minhash_lsh_pairs) recompute every signature on
+every run — a daily ingest would re-shingle 100 TB to admit 100 GB.
+This module is the write-side dual, mirroring the IVF index pattern
+(similarity.py ivf_build_index/ivf_search_index):
+
+- ``minhash_build_index`` runs the fused signature aggregate ONCE and
+  persists two relations under ``path``: the LSH band buckets
+  (id, band, key), physically partitioned by a md5-derived bucket of
+  (band, key) so a probe can PARTITION-PRUNE its scan, and the per-doc
+  shingle arrays the exact-Jaccard verify step needs. Hash parameters
+  are stored alongside so a probe can never run with a mismatched
+  family.
+- ``dedup_against_index`` computes signatures for the NEW batch only,
+  collects its <= key_buckets distinct partition values (a constant-
+  bounded driver list, the ivf_search_index probe trick), scans only
+  those bucket partitions, joins on (band, key), and verifies
+  candidates with the same integer-math Jaccard as the one-shot path.
+  Probe cost scales with the BATCH, not the corpus: the corpus is
+  touched only through the pruned bucket partitions and the candidate
+  ids' array rows.
+- ``minhash_extend_index`` appends the batch's signatures after
+  admission, so tomorrow's probe sees today's docs — the daily
+  roll-forward.
+
+Because build and probe share minhash_sigarr (dedup.py) — the same
+md5-derived hash family, gram stream, and band keys — the probe's
+verified pairs are BIT-EQUAL to the cross-corpus subset of
+minhash_lsh_pairs on the union (pinned in tests), and the whole
+pipeline replays in ANSI SQL for the oracle gate.
+
+Reference parity: the reference has no persisted state between runs at
+all (/root/reference/Configurable_ETL_Python.py re-reads every source
+per execution); this is part of the LLM-curation extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import (
+    _jaccard_from_arrays,
+    _scope_cache,
+    explode_band_keys,
+    minhash_sigarr,
+)
+
+#: default physical partition count for the bucket store — small enough
+#: that a tiny probe prunes to a few directories, large enough that one
+#: partition of a 100 TB corpus's buckets stays executor-sized
+_DEFAULT_KEY_BUCKETS = 64
+
+
+def _kb_col(key_buckets: int):
+    """md5-derived physical partition of an LSH (band, key) bucket —
+    deterministic, so the build side and every later probe/extend
+    agree on the layout without coordination."""
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "#", F.col("band").cast("string"), F.col("key")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(key_buckets),
+    ).alias("kb")
+
+
+def _read_meta(spark: SparkSession, path: str):
+    rows = spark.read.parquet(path + "/_meta").collect()
+    if len(rows) != 1:
+        raise ValueError(
+            f"corrupt minhash index at {path}: _meta has {len(rows)} rows"
+        )
+    return rows[0]
+
+
+def _batch_buckets(
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    meta,
+) -> "tuple[DataFrame, DataFrame]":
+    """(cached signature relation, bucket rows) for a batch under the
+    index's stored hash parameters."""
+    sig = _scope_cache(
+        minhash_sigarr(
+            batch, id_col, text_col, int(meta.n),
+            int(meta.bands) * int(meta.rows_per_band),
+        )
+    )
+    buckets = explode_band_keys(
+        sig, int(meta.bands), int(meta.rows_per_band)
+    ).withColumn("kb", _kb_col(int(meta.key_buckets)))
+    return sig, buckets
+
+
+def minhash_build_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    key_buckets: int = _DEFAULT_KEY_BUCKETS,
+) -> None:
+    """WRITE-SIDE MinHash-LSH index: one pass over the corpus persists
+    everything a future probe needs under ``path``:
+
+    - ``buckets/`` — (id, band, key) LSH bucket rows, physically
+      partitioned by kb = md5(band#key) % key_buckets. The probe prunes
+      to its own kb set at the file listing, so un-probed partitions
+      cost zero I/O (the ivf_build_index property).
+    - ``arrays/`` — (id, arr) distinct shingle arrays for the exact-
+      Jaccard verify of candidates (bounded by document length per row).
+    - ``_meta/`` — the hash-family parameters (n, bands, rows_per_band,
+      key_buckets), read back by probe/extend so a family mismatch is
+      structurally impossible.
+
+    Build cost equals the one-shot minhash_lsh_pairs signature pass
+    (shared minhash_sigarr aggregate); every subsequent daily probe
+    amortizes it."""
+    if key_buckets < 1:
+        raise ValueError(f"key_buckets must be >= 1, got {key_buckets}")
+    sig = _scope_cache(
+        minhash_sigarr(corpus, id_col, text_col, n, bands * rows_per_band)
+    )
+    buckets = explode_band_keys(sig, bands, rows_per_band).withColumn(
+        "kb", _kb_col(key_buckets)
+    )
+    buckets.write.mode("overwrite").partitionBy("kb").parquet(
+        path + "/buckets"
+    )
+    sig.select("id", "arr").write.mode("overwrite").parquet(
+        path + "/arrays"
+    )
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(n, bands, rows_per_band, key_buckets)],
+        "n int, bands int, rows_per_band int, key_buckets int",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/_meta")
+
+
+def minhash_extend_index(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Roll the index forward: append the batch's bucket rows and
+    shingle arrays under the index's OWN stored hash parameters (read
+    from _meta — callers cannot desynchronize the family). Appended
+    bucket rows land in the same kb partition directories, so pruning
+    and probe semantics are identical to a fresh full build — pinned in
+    tests as probe(index(A) extended with B) == probe(index(A ∪ B)).
+
+    The caller decides WHAT to append (typically the admitted subset of
+    the batch, after dropping near-dups the probe found)."""
+    spark = batch.sparkSession
+    meta = _read_meta(spark, path)
+    sig, buckets = _batch_buckets(batch, id_col, text_col, meta)
+    buckets.write.mode("append").partitionBy("kb").parquet(
+        path + "/buckets"
+    )
+    sig.select("id", "arr").write.mode("append").parquet(path + "/arrays")
+
+
+def dedup_against_index(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    verify: bool = True,
+) -> DataFrame:
+    """Probe a persisted MinHash index with a NEW batch: near-duplicate
+    (batch doc, indexed doc) pairs without recomputing any corpus
+    signature.
+
+    Output: (id_a, id_b[, inter, size_a, size_b]) where id_a is the
+    BATCH doc and id_b the INDEXED doc — cross-corpus pairs only (the
+    two id namespaces are independent; an id present on both sides is
+    reported like any other match, which is what a re-ingest wants).
+    Batch-internal duplicates are a one-shot minhash_lsh_pairs over the
+    batch alone — a batch-sized job, not this one.
+
+    Plan shape, 100 TB posture: the batch pays one signature aggregate
+    (batch-sized). Its distinct kb values — at most key_buckets, a
+    constant — are collected driver-side and pushed as a partition
+    filter on the bucket store, so the corpus-side scan lists only the
+    probed directories and reads (id, band, key) rows, never text. The
+    (band, key) equi-join's batch side is batch-sized (AQE broadcasts a
+    small morning batch); verify joins the candidate ids against the
+    stored arrays — corpus rows are touched only for ids that actually
+    collided. With verify=True the output is exactly {LSH candidates}
+    ∩ {jaccard >= threshold}, same integer math as the one-shot path."""
+    meta = _read_meta(spark, path)
+    sig, b_buckets = _batch_buckets(batch, id_col, text_col, meta)
+    # constant-bounded probe set (<= key_buckets values): the only
+    # driver-side materialization in the pipeline, same trick as
+    # ivf_search_index's probed-centroid list
+    probed = sorted(
+        r[0] for r in b_buckets.select("kb").distinct().collect()
+    )
+    idx = (
+        spark.read.parquet(path + "/buckets")
+        .where(F.col("kb").isin(probed))
+        .withColumnsRenamed({"id": "__idx_id"})
+    )
+    cand = (
+        idx.join(
+            b_buckets.withColumnsRenamed({"id": "__batch_id"}),
+            ["band", "key"],
+        )
+        .select(
+            F.col("__batch_id").alias("id_a"),
+            F.col("__idx_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    if not verify:
+        return cand
+    idx_arrays = spark.read.parquet(path + "/arrays")
+    return _jaccard_from_arrays(
+        cand, sig.select("id", "arr"), threshold, arrays_b=idx_arrays
+    )

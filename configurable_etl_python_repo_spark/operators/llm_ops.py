@@ -234,6 +234,42 @@ def _backoff_stream(engine: "Engine", spec: OpSpec):
     return T.backoff_surprisal_stream(df, table, **kwargs), None
 
 
+def _minhash_index_write(fn_name: str):
+    """Write-side index ops forward their input unchanged (like a sink
+    stage): build/extend persist signatures under args['path'] and the
+    pipeline continues on the same relation."""
+
+    def compile_op(engine: "Engine", spec: OpSpec):
+        from ..llm import dedup_index as DI
+
+        df, _ = engine.peek(spec.inputs[0])
+        kwargs = dict(spec.args)
+        path = kwargs.pop("path")
+        for cfg, py in (("id_column", "id_col"),
+                        ("text_column", "text_col")):
+            if cfg in kwargs:
+                kwargs[py] = kwargs.pop(cfg)
+        getattr(DI, fn_name)(df, path, **kwargs)
+        return df, None
+
+    return compile_op
+
+
+def _dedup_against_index(engine: "Engine", spec: OpSpec):
+    """Probe a persisted MinHash index (args['path']) with the input
+    batch — the daily-ingest dedup stage; hash parameters come from the
+    index's own _meta, never from the program."""
+    from ..llm import dedup_index as DI
+
+    df, _ = engine.peek(spec.inputs[0])
+    kwargs = dict(spec.args)
+    path = kwargs.pop("path")
+    for cfg, py in (("id_column", "id_col"), ("text_column", "text_col")):
+        if cfg in kwargs:
+            kwargs[py] = kwargs.pop(cfg)
+    return DI.dedup_against_index(engine.spark, path, df, **kwargs), None
+
+
 def _decontaminate_stream(engine: "Engine", spec: OpSpec):
     """Streaming-legal decontamination as a config op. One input + an
     `eval_grams` list in args (a program ships the precomputed gram set,
@@ -440,6 +476,9 @@ LLM_OP_COMPILERS = {
         _rename_kw(_lazy_windows("sliding_rollup"),
                    {"timestamp_column": "ts_col"})
     ),
+    "MINHASH BUILD INDEX": _minhash_index_write("minhash_build_index"),
+    "MINHASH EXTEND INDEX": _minhash_index_write("minhash_extend_index"),
+    "DEDUP AGAINST INDEX": _dedup_against_index,
     "CONNECTED COMPONENTS": _connected_components,
     "DEDUP CLUSTERS": _dedup_clusters,
     "DECONTAMINATE": _decontaminate,

@@ -87,3 +87,44 @@ def test_write_kv_batched(spark, tmp_path):
     assert len(items) == 103
     assert {i["name"] for i in items} == {f"u{i}" for i in range(103)}
     assert len(glob.glob(f"{out_dir}/*.jsonl")) <= 4  # one writer per partition
+
+
+def test_minhash_index_ops_in_pipeline(spark, sf_dir, tmp_path):
+    """Declarative daily-ingest shape: MINHASH BUILD INDEX on yesterday's
+    corpus (pass-through write stage), DEDUP AGAINST INDEX on today's
+    batch, MINHASH EXTEND INDEX to roll forward — hash family parameters
+    travel via the index's _meta, never the program."""
+    idx = str(tmp_path / "mh")
+    eng = Engine(spark)
+    eng.run_scan(ScanSpec("docs", "parquet", f"{sf_dir}/documents.parquet"))
+    docs, _ = eng.peek("docs")
+    eng.bind("corpus", docs.where(F.col("doc_id") % 2 == 0))
+    eng.bind("batch", docs.where(F.col("doc_id") % 2 == 1).unionByName(
+        docs.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            *[c for c in docs.columns if c != "doc_id"],
+        )
+    ))
+    passthru = eng.run_op(OpSpec(
+        "MINHASH BUILD INDEX", "built", ["corpus"],
+        {"path": idx, "id_column": "doc_id", "text_column": "text",
+         "bands": 8, "rows_per_band": 2}))
+    assert passthru.columns == eng.peek("corpus")[0].columns  # forwards input
+    pairs = eng.run_op(OpSpec(
+        "DEDUP AGAINST INDEX", "pairs", ["batch"],
+        {"path": idx, "id_column": "doc_id", "text_column": "text",
+         "threshold": 0.1}))
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    replicas = {r[0] for r in eng.peek("batch")[0]
+                .where(F.col("doc_id") >= 1000000).select("doc_id").collect()}
+    assert {(rid, rid - 1000000) for rid in replicas} <= got
+    eng.run_op(OpSpec(
+        "MINHASH EXTEND INDEX", "ext", ["batch"],
+        {"path": idx, "id_column": "doc_id", "text_column": "text"}))
+    # after the roll-forward the batch finds itself in the index
+    again = eng.run_op(OpSpec(
+        "DEDUP AGAINST INDEX", "pairs2", ["batch"],
+        {"path": idx, "id_column": "doc_id", "text_column": "text",
+         "threshold": 0.1}))
+    self_hits = {(r.id_a, r.id_b) for r in again.collect()}
+    assert {(rid, rid) for rid in replicas} <= self_hits
