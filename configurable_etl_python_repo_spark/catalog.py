@@ -1205,7 +1205,7 @@ DRIVER_PRIORITY = [
     # LLM pipeline: dedup + decontamination (d11 rotated in for r7)
     "d2_ngram_jaccard_pairs", "d3_minhash_lsh_pairs",
     "d7_dedup_clusters",
-    "d9_decontaminate", "d10_substring_dedup",
+    "d9_decontaminate", "d16_substring_runs",
     "d11_semantic_dedup", "d12_dedup_keep_best", "d13_simhash_pairs",
     "d14_line_dedup", "d15_dedup_against_index",
     # LLM pipeline: similarity search + lexical retrieval
@@ -1276,8 +1276,13 @@ DRIVER_PRIORITY = [
 # Round-8 rotation: the NEW d15 (incremental cross-corpus MinHash index
 # probe) enters; t5_winnowing_fingerprints demotes (five green driver
 # rows r3-r7; its posexplode+LEAD window-gram machinery is covered
-# in-window by d10's every-position gram stream and t17's gram windows,
-# and the full local sweep still hash-checks it).
+# in-window by the substring-dedup gram stream and t17's gram windows,
+# and the full local sweep still hash-checks it). The NEW d16
+# (ExactSubstr run-length substring dedup) enters; d10 demotes (green
+# driver rows r5-r7; d16 runs the SAME gram/canonical/coverage chain
+# plus the run merge, and d10's default path additionally executes
+# INSIDE the in-window x15 pipeline, whose oracle chains d10's own
+# CTE generator).
 
 
 def _curate() -> None:

@@ -1471,12 +1471,36 @@ _SUBSTR_CORPUS_SQL = """
 """
 
 
-def _substr_dedup_ctes(src: str, k: int = _SPAN_K) -> str:
+def _substr_dedup_ctes(
+    src: str, k: int = _SPAN_K, min_match_words: "int | None" = None
+) -> str:
     """CTE chain for every-position k-gram substring dedup over relation
     `src`(doc_id, text); final CTE `ddout`(doc_id, text_deduped,
-    n_words, n_words_kept). Shared by d10 and the composed x15."""
+    n_words, n_words_kept). Shared by d10 and the composed x15;
+    min_match_words adds the d16 run-length threshold (gaps-and-islands
+    over the covered column, drop only runs >= the bar) — the SAME
+    optional parameter the operator takes, so the oracle variant can
+    never drift from the default chain."""
     lead_cols = ", ".join(
         f"lead(wrd, {j}) OVER dwin" for j in range(1, k)
+    )
+    if min_match_words is None:
+        kept_src, kept_where = "dcov", "covered = 0"
+    else:
+        kept_src = "dlen"
+        kept_where = f"covered = 0 OR run_len < {min_match_words}"
+    runs_ctes = (
+        ""
+        if min_match_words is None
+        else f""",
+    druns AS (SELECT doc_id, pos, wrd, covered,
+                     pos - row_number() OVER
+                       (PARTITION BY doc_id, covered ORDER BY pos) AS grp
+              FROM dcov),
+    dlen AS (SELECT doc_id, pos, wrd, covered,
+                    count(*) OVER (PARTITION BY doc_id, covered, grp)
+                      AS run_len
+             FROM druns)"""
     )
     return f"""
     dwords AS (
@@ -1502,13 +1526,14 @@ def _substr_dedup_ctes(src: str, k: int = _SPAN_K) -> str:
                        ROWS BETWEEN {k - 1} PRECEDING AND CURRENT ROW)
                       AS covered
              FROM dfl),
-    dnw AS (SELECT doc_id, count(*) AS n_words FROM dwd GROUP BY doc_id),
+    dnw AS (SELECT doc_id, count(*) AS n_words FROM dwd GROUP BY doc_id)
+    {runs_ctes},
     ddout AS (
       SELECT o.doc_id, o.text_deduped, dnw.n_words, o.n_words_kept
       FROM (SELECT doc_id,
                    string_agg(wrd, ' ' ORDER BY pos) AS text_deduped,
                    count(*) AS n_words_kept
-            FROM dcov WHERE covered = 0 GROUP BY doc_id) o
+            FROM {kept_src} WHERE {kept_where} GROUP BY doc_id) o
       JOIN dnw USING (doc_id))
     """
 
@@ -1716,6 +1741,61 @@ def q_d15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return DI.dedup_against_index(
         spark, path, batch, threshold=_LSH_P / _LSH_Q
+    )
+
+
+#: d16 fixture passages: a long lifted passage (>= the 25-word bar) on
+#: doc_id % 7 == 0 and a short quoted phrase (>= k=10 but < 25) on
+#: doc_id % 11 == 0 — % 77 docs carry both adjacent, pinning the
+#: run-merge; shared word lists between the Spark query and the oracle
+_RUNS_LONG = " ".join(f"lp{i}" for i in range(30))
+_RUNS_SHORT = " ".join(f"sp{i}" for i in range(12))
+_RUNS_MIN = 25
+
+
+def _substr_runs_oracle() -> str:
+    return (
+        f"""WITH rcorp AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 7 = 0 THEN ' {_RUNS_LONG}'
+                ELSE '' END
+             || CASE WHEN doc_id % 11 = 0 THEN ' {_RUNS_SHORT}'
+                ELSE '' END AS text
+      FROM documents), """
+        + _substr_dedup_ctes(
+            "rcorp", _SPAN_K, min_match_words=_RUNS_MIN
+        ).strip()
+        + "\n    SELECT doc_id, text_deduped, n_words, n_words_kept"
+        + " FROM ddout"
+    )
+
+
+@register("d16_substring_runs", _substr_runs_oracle())
+def q_d16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-semantics substring dedup (Lee et al. 2022): only
+    duplicated runs >= min_match_words=25 are removed — the injected
+    30-word lifted passage is dropped from every non-canonical doc
+    while the injected 12-word quoted phrase (a real duplicate, but
+    below the bar) survives everywhere; docs carrying both adjacently
+    pin the run-merge (42-word merged run, both dropped). Same gram /
+    canonical / coverage machinery as d10, plus the forward/backward
+    boundary-carry run merge on the same doc-id partition."""
+    docs = spark.read.parquet(_pq(sf_dir, "documents"))
+    corpus = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit(" " + _RUNS_LONG)
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0, F.lit(" " + _RUNS_SHORT)
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return D.dedup_substrings(
+        corpus, k=_SPAN_K, min_match_words=_RUNS_MIN
     )
 
 

@@ -759,6 +759,7 @@ def dedup_substrings(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 10,
+    min_match_words: "int | None" = None,
 ) -> DataFrame:
     """Shift-robust sub-document exact dedup: remove every word covered
     by a k-word gram whose text occurred EARLIER in the corpus (earlier =
@@ -792,10 +793,27 @@ def dedup_substrings(
     Docs shorter than k words carry no full gram and pass through
     verbatim; docs whose every word is covered disappear.
 
+    min_match_words (>= k) switches to the PUBLISHED ExactSubstr
+    semantics (Lee et al. 2022 drop only duplicated runs >= ~50
+    tokens): adjacent covered positions merge into maximal runs (every
+    run is >= k by construction — one dup gram covers k words) and only
+    words in runs >= min_match_words are removed, so a short quoted
+    phrase survives while a lifted passage is dropped. The run merge is
+    two extra window passes (forward/backward boundary carry) over the
+    SAME doc-id partition — no new exchange, linear cost.
+    min_match_words=k reproduces the default output exactly
+    (pytest-pinned); None skips the run machinery entirely.
+
     Output: (id, text_deduped, n_words, n_words_kept), one row per doc
     with >= 1 surviving word.
     """
     from pyspark.sql import Window
+
+    if min_match_words is not None and min_match_words < k:
+        raise ValueError(
+            f"min_match_words must be >= k={k} (a covered run is never "
+            f"shorter than one gram), got {min_match_words}"
+        )
 
     w0 = df.select(
         F.col(id_col).alias("id"),
@@ -833,11 +851,53 @@ def dedup_substrings(
     cov = (
         Window.partitionBy("id").orderBy("pos").rowsBetween(-(k - 1), 0)
     )
-    kept = (
-        flagged.withColumn("__n_words", F.count(F.lit(1)).over(doc))
-        .withColumn("__covered", F.max(F.col("__dup").cast("int")).over(cov))
-        .where(F.col("__covered") == 0)
-    )
+    marked = flagged.withColumn(
+        "__n_words", F.count(F.lit(1)).over(doc)
+    ).withColumn("__covered", F.max(F.col("__dup").cast("int")).over(cov))
+    if min_match_words is not None and min_match_words > k:
+        # merge adjacent covered positions into maximal runs and keep
+        # short runs: boundary markers carried forward (run start) and
+        # backward (run end) over the SAME id partition — Spark reuses
+        # the exchange and only adds the descending sort
+        asc = Window.partitionBy("id").orderBy("pos")
+        desc = Window.partitionBy("id").orderBy(F.col("pos").desc())
+        prev_cov = F.coalesce(F.lag("__covered").over(asc), F.lit(0))
+        next_cov = F.coalesce(F.lag("__covered").over(desc), F.lit(0))
+        marked = (
+            marked.withColumn(
+                "__rs",
+                F.when(
+                    (F.col("__covered") == 1) & (prev_cov == 0),
+                    F.col("pos"),
+                ),
+            )
+            .withColumn(
+                "__re",
+                F.when(
+                    (F.col("__covered") == 1) & (next_cov == 0),
+                    F.col("pos"),
+                ),
+            )
+            .withColumn(
+                "__run_start",
+                F.last("__rs", ignorenulls=True).over(
+                    asc.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+            )
+            .withColumn(
+                "__run_end",
+                F.last("__re", ignorenulls=True).over(
+                    desc.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+            )
+        )
+        drop = (F.col("__covered") == 1) & (
+            F.col("__run_end") - F.col("__run_start") + 1
+            >= F.lit(min_match_words)
+        )
+        kept = marked.where(~drop)
+    else:
+        kept = marked.where(F.col("__covered") == 0)
     ordered = Window.partitionBy("id").orderBy("pos")
     full = ordered.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing

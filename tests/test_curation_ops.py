@@ -1127,3 +1127,47 @@ def test_dedup_lines_crlf_corpus(spark):
     assert out[1]["text_deduped"] == "Unique A.\nBody A."
     assert out[2]["text_deduped"] == "Unique B.\nBody B."
     assert (out[1]["n_lines"], out[1]["n_lines_kept"]) == (3, 2)
+
+
+def test_dedup_substrings_min_match_words_runs(spark):
+    """ExactSubstr semantics (Lee et al. 2022): only duplicated runs
+    >= min_match_words are dropped — a short quoted phrase (>= k but
+    < threshold) survives, a lifted passage is removed; adjacent
+    covered stretches merge into ONE run before thresholding;
+    min_match_words=k reproduces the default output exactly."""
+    from configurable_etl_python_repo_spark.llm.dedup import (
+        dedup_substrings,
+    )
+
+    long_p = " ".join(f"lp{i}" for i in range(30))   # >= 25-word run
+    short_p = " ".join(f"sp{i}" for i in range(12))  # >= k, < 25
+    df = spark.createDataFrame(
+        [
+            (1, long_p + " mid0 mid1 " + short_p),   # canonical copies
+            (2, "b0 b1 " + long_p + " b2"),          # long run -> dropped
+            (3, "c0 c1 " + short_p + " c2"),         # short run -> KEPT
+            (4, "d0 " + long_p + " " + short_p),     # adjacent runs MERGE
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in
+           dedup_substrings(df, k=10, min_match_words=25).collect()}
+    assert out[1]["text_deduped"] == (long_p + " mid0 mid1 " + short_p)
+    assert out[2]["text_deduped"] == "b0 b1 b2"
+    # short duplicated phrase survives the 25-word bar
+    assert out[3]["text_deduped"] == "c0 c1 " + short_p + " c2"
+    # doc 4: long passage directly followed by short phrase -> one
+    # merged 42-word covered run >= 25, BOTH dropped
+    assert out[4]["text_deduped"] == "d0"
+    # under the default (no threshold) the short phrase is dropped too
+    plain = {r["doc_id"]: r for r in dedup_substrings(df, k=10).collect()}
+    assert plain[3]["text_deduped"] == "c0 c1 c2"
+    # min_match_words=k is EXACTLY the default output (every covered
+    # run is >= k by construction)
+    pinned = {r["doc_id"]: tuple(r) for r in
+              dedup_substrings(df, k=10, min_match_words=10).collect()}
+    assert pinned == {r["doc_id"]: tuple(r) for r in plain.values()}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_match_words"):
+        dedup_substrings(df, k=10, min_match_words=5)
