@@ -1198,7 +1198,7 @@ DRIVER_PRIORITY = [
     "c1_c2_rename_format", "c4_rowwise_min_max",
     "c6_attach_sumeq",
     "c8_decision_column", "c11_c12_gold_record",
-    "j1_left_join_two_keys", "a1_groupby_summarise", "a4_unique_keep_first",
+    "a1_groupby_summarise", "a4_unique_keep_first",
     "w2_sort_slice_topn",
     # event-time analytics (§2.9 batch shapes)
     "e2_sessionize_gap30m",
@@ -1225,7 +1225,7 @@ DRIVER_PRIORITY = [
     "x14_pretraining_pipeline",
     "x15_web_curation_pipeline", "x16_cluster_aware_splits",
     "x17_exact_k_sample", "x18_dsir_selection", "x19_targeted_pipeline",
-    "x20_hll_distinct_sketch",
+    "x20_hll_distinct_sketch", "x21_quantile_sketch",
     # engine showcase (COMPUTE COLUMN + broadcast joins + fused LIMIT)
     "tpch_q3_shaped",
 ]
@@ -1282,7 +1282,11 @@ DRIVER_PRIORITY = [
 # driver rows r5-r7; d16 runs the SAME gram/canonical/coverage chain
 # plus the run merge, and d10's default path additionally executes
 # INSIDE the in-window x15 pipeline, whose oracle chains d10's own
-# CTE generator).
+# CTE generator). The NEW x21 (HDR quantile sketch) enters; j1 demotes
+# (green driver rows r1-r7; the two-key equi-join surface is exercised
+# in-window by tpch_q3's three-table join, flagship's spine joins, and
+# c8's typed broadcast lookup — and the full local sweep still
+# hash-checks j1).
 
 
 def _curate() -> None:

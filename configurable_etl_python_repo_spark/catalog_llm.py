@@ -3190,6 +3190,78 @@ def q_x20(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.crossJoin(F.broadcast(exact))
 
 
+_QSK_S = 7
+_QSK_QS = [0.5, 0.95, 0.99]
+
+
+def _quantile_sketch_oracle(s: int = _QSK_S) -> str:
+    """SQL replay of the HDR log-bucket quantile sketch
+    (llm/sketch.value_sketch + sketch_quantiles): integer-only encode
+    (bitlen/shift), one cumulative walk, integer-only midpoint decode.
+    The oracle sketches the corpus in ONE pass; the Spark query merges
+    two half-corpus sketches, so the hash match also pins the
+    sketch(A)⊔sketch(B) == sketch(A∪B) merge identity — the x20
+    technique applied to the distribution dual."""
+    m = 1 << (s + 1)
+    q_list = ", ".join(repr(q) for q in _QSK_QS)
+    return f"""
+    WITH v AS (
+      SELECT CAST(length(text) AS BIGINT) AS sv FROM documents),
+    b AS (
+      SELECT CAST(greatest(length(bin(greatest(sv, 1))) - {1 + s}, 0)
+                  AS BIGINT) AS shift, sv
+      FROM v),
+    sk AS (
+      SELECT shift * {m} + (sv >> CAST(shift AS INT)) AS idx,
+             count(*) AS cnt
+      FROM b GROUP BY 1),
+    cum AS (SELECT idx, sum(cnt) OVER (ORDER BY idx) AS cum FROM sk),
+    tot AS (SELECT sum(cnt) AS n FROM sk),
+    qs AS (SELECT CAST(unnest([{q_list}]) AS DOUBLE) AS q),
+    rk AS (
+      SELECT q, tot.n,
+             least(greatest(CAST(ceil(q * tot.n) AS BIGINT), 1), tot.n)
+               AS r
+      FROM qs CROSS JOIN tot),
+    hit AS (
+      SELECT rk.q, rk.n, min(cum.idx) AS idx
+      FROM rk JOIN cum ON cum.cum >= rk.r
+      GROUP BY 1, 2)
+    SELECT q,
+           CAST(round(CAST((
+             ((idx % {m}) << CAST(idx >> {s + 1} AS INT))
+             + (((idx % {m}) + 1) << CAST(idx >> {s + 1} AS INT)) - 1
+           ) >> 1 AS DOUBLE) / 1.0, 6) AS DOUBLE) AS est,
+           CAST(n AS BIGINT) AS n
+    FROM hit
+    """
+
+
+@register("x21_quantile_sketch", _quantile_sketch_oracle())
+def q_x21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mergeable quantile sketch (x20's distribution
+    dual): p50/p95/p99 of document length from an HDR-style integer
+    log-bucket histogram — ONE bounded map-side-combinable aggregation
+    instead of t18's full per-stratum sort. The Spark side sketches the
+    two doc_id-parity halves separately and merges them, while the
+    oracle sketches once: the hash match pins the merge identity in the
+    gate, and every encode/decode step is integer shifts, bit-identical
+    across engines."""
+    from .llm import sketch as SK
+
+    docs = spark.read.parquet(_pq(sf_dir, "documents")).select(
+        "doc_id", F.length("text").alias("len")
+    )
+    halves = [
+        SK.value_sketch(
+            docs.where(F.col("doc_id") % 2 == p), "len", s=_QSK_S
+        )
+        for p in (0, 1)
+    ]
+    merged = SK.merge_value_sketches(*halves)
+    return SK.sketch_quantiles(merged, _QSK_QS, s=_QSK_S)
+
+
 _BM25_QUERY = "slow hash join merge"
 _BM25_K = 10
 

@@ -184,3 +184,178 @@ def approx_distinct(
     """distinct_sketch |> sketch_estimate: one-row approximate
     COUNT(DISTINCT cols) with ~1.04/sqrt(2^b) standard error."""
     return sketch_estimate(distinct_sketch(df, cols, b=b, seed=seed), b=b)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic mergeable quantile sketch (HDR-histogram log buckets)
+# ---------------------------------------------------------------------------
+#
+# The distribution dual of the distinct sketch above: "p50/p95/p99 of doc
+# length / score" without a global sort. Design follows the public
+# HdrHistogram technique (Tene; also the base-2 variant of DDSketch,
+# Masson et al. VLDB 2019): a value maps to a log-spaced bucket built
+# from INTEGER ops only — shift = max(bitlen(v) - 1 - s, 0) drops all
+# but the top s+1 significant bits, idx = shift * 2^(s+1) + (v >> shift).
+# idx is monotone in v, at most ~64 * 2^(s+1) buckets exist (s=7 ->
+# <= 16k rows, one map-side-combinable groupBy), two sketches merge by
+# idx-wise count sum (sketch(A) ⊔ sketch(B) == sketch(A ∪ B) exactly),
+# and every step is bit-identical in ANSI SQL — no ln()/pow() float
+# trees to keep in sync across engines (the reason this is HDR and not
+# gamma-bucket DDSketch: JVM Math.pow and C pow may differ in ULPs; bit
+# shifts cannot). Values below 2^(s+1) are EXACT (shift 0); above, the
+# bucket spans a <= 2^-s relative range, so quantile estimates (bucket
+# midpoints) carry <= ~2^-(s+1) relative error at any scale.
+#
+# Doubles ride the same machinery through a fixed decimal `scale`
+# (floor(v * scale)): the repo-wide 6dp discipline — scale=10**6
+# sketches scores at 6-decimal resolution.
+
+
+def _check_s(s: int) -> None:
+    if not (2 <= s <= 20):
+        raise ValueError(
+            f"s must be in [2, 20] (2^(s+1)-wide mantissa, <= 64*2^(s+1) "
+            f"buckets), got {s}"
+        )
+
+
+def _scaled(col, scale: int):
+    v = F.col(col) if isinstance(col, str) else col
+    if scale != 1:
+        v = F.floor(v.cast("double") * F.lit(float(scale)))
+    return v.cast("long")
+
+
+def value_sketch(
+    df: DataFrame,
+    col: str,
+    s: int = 7,
+    scale: int = 1,
+) -> DataFrame:
+    """Build the (idx, cnt) log-bucket histogram of a NON-NEGATIVE
+    numeric column. One hash aggregation over at most ~64 * 2^(s+1)
+    groups — map-side partial combine, so a 100 TB corpus ships a
+    bounded sketch per map partition regardless of skew. NULLs are
+    skipped (they have no place on the value axis); negative values
+    raise downstream of floor-scaling via an assert column.
+
+    scale: fixed decimal resolution for fractional inputs
+    (floor(v * scale) enters the integer machinery); keep the SAME
+    scale at estimate time. Output: (idx long, cnt long), mergeable
+    with merge_value_sketches."""
+    _check_s(s)
+    guard = F.assert_true(
+        F.col("__sv") >= 0,
+        F.lit(f"value_sketch({col}): negative value after scaling"),
+    )
+    # the Python shiftright/shiftleft wrappers take only int shift
+    # amounts; the SQL expressions accept a column — hence F.expr here
+    idx = F.expr(
+        f"cast(greatest(length(bin(greatest(__sv, 1))) - {1 + s}, 0) "
+        f"as int)"
+    ).alias("__shift")
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(_scaled(col, scale).alias("__sv"))
+        .select(F.when(guard.isNull(), F.col("__sv")).alias("__sv"))
+        .select("__sv", idx)
+        .select(
+            (
+                F.col("__shift").cast("long")
+                * F.lit(1 << (s + 1)).cast("long")
+                + F.expr("shiftright(__sv, __shift)")
+            ).alias("idx")
+        )
+        .groupBy("idx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_value_sketches(*sketches: DataFrame) -> DataFrame:
+    """Union (idx, cnt) sketches built with the SAME (s, scale) into
+    one: idx-wise count sum. sketch(A) ⊔ sketch(B) == sketch(A ∪ B)
+    EXACTLY (counts are additive), so per-shard / per-day sketches roll
+    up lossless-ly without re-touching the data."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    for sk in sketches[1:]:
+        out = out.unionByName(sk)
+    return out.groupBy("idx").agg(F.sum("cnt").alias("cnt"))
+
+
+def sketch_quantiles(
+    sketch: DataFrame,
+    qs: "list[float]",
+    s: int = 7,
+    scale: int = 1,
+) -> DataFrame:
+    """Type-1 quantile estimates from a (idx, cnt) sketch: for each q,
+    the midpoint of the bucket holding the rank-ceil(q*n) value (rank
+    clamped to [1, n]). The sketch is at most ~64 * 2^(s+1) rows, so
+    the cumulative walk is a single tiny unpartitioned window — driver-
+    bounded by construction, never data-sized. Estimates are exact for
+    values below 2^(s+1) and within ~2^-(s+1) relative error above.
+
+    Output: (q double, est double, n long), one row per requested q,
+    est on the ORIGINAL value scale (midpoint / scale, 6dp-rounded)."""
+    from pyspark.sql import Window
+
+    _check_s(s)
+    if not qs:
+        raise ValueError("qs must name at least one quantile")
+    for q in qs:
+        if not (0.0 < q <= 1.0):
+            raise ValueError(f"quantiles must be in (0, 1], got {q}")
+    w = Window.orderBy("idx").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = sketch.select(
+        "idx", F.sum("cnt").over(w).alias("cum")
+    )
+    total = sketch.groupBy().agg(F.sum("cnt").alias("n"))
+    qdf = sketch.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    ranks = qdf.crossJoin(total).select(
+        "q",
+        "n",
+        F.least(
+            F.greatest(F.ceil(F.col("q") * F.col("n")), F.lit(1)),
+            F.col("n"),
+        ).alias("r"),
+    )
+    hit = (
+        ranks.join(cum, F.col("cum") >= F.col("r"))
+        .groupBy("q", "n")
+        .agg(F.min("idx").alias("idx"))
+    )
+    # decode stays in integer ops end-to-end (shifts, never float
+    # division) — the same cross-engine-exactness rule as the encode
+    mid = F.expr(
+        f"shiftright(shiftleft(idx % {1 << (s + 1)}, "
+        f"cast(shiftright(idx, {s + 1}) as int)) "
+        f"+ shiftleft(idx % {1 << (s + 1)} + 1, "
+        f"cast(shiftright(idx, {s + 1}) as int)) - 1, 1)"
+    )
+    return hit.select(
+        "q",
+        F.round(mid.cast("double") / F.lit(float(scale)), 6).alias("est"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+def approx_quantiles(
+    df: DataFrame,
+    col: str,
+    qs: "list[float]",
+    s: int = 7,
+    scale: int = 1,
+) -> DataFrame:
+    """value_sketch |> sketch_quantiles: deterministic approximate
+    quantiles of a column in one bounded aggregation — the sort-free
+    distribution report (p50/p95/p99 of doc length, token counts,
+    scores) a 100 TB curation run wants next to approx_distinct."""
+    return sketch_quantiles(
+        value_sketch(df, col, s=s, scale=scale), qs, s=s, scale=scale
+    )

@@ -448,6 +448,13 @@ LLM_OP_COMPILERS = {
     "APPROX DISTINCT": _unary(
         _rename_kw(_lazy_sketch("approx_distinct"), {"columns": "cols"})
     ),
+    "VALUE SKETCH": _unary(
+        _rename_kw(_lazy_sketch("value_sketch"), {"column": "col"})
+    ),
+    "SKETCH QUANTILES": _unary(_lazy_sketch("sketch_quantiles")),
+    "APPROX QUANTILES": _unary(
+        _rename_kw(_lazy_sketch("approx_quantiles"), {"column": "col"})
+    ),
     "DEDUP SUBSTRINGS": _unary(_rename_kw(D.dedup_substrings, _ID_TEXT)),
     "DERIVE SHARD KEY": _unary(
         _rename_kw(T.derive_shard_key,

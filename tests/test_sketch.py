@@ -119,3 +119,122 @@ def test_sketch_saturated_registers_finite_estimate(spark):
     )
     est_high = sketch_estimate(high, b=7).collect()[0]["est"]
     assert est_high is not None and 0 < est_high <= row["est"]
+
+
+# ---------------------------------------------------------------------------
+# Quantile sketch (HDR log buckets)
+# ---------------------------------------------------------------------------
+
+from configurable_etl_python_repo_spark.llm.sketch import (  # noqa: E402
+    approx_quantiles,
+    merge_value_sketches,
+    sketch_quantiles,
+    value_sketch,
+)
+
+
+def _vals(spark, values):
+    return spark.createDataFrame([(v,) for v in values], "v long")
+
+
+def test_value_sketch_merge_identity(spark):
+    """sketch(A) ⊔ sketch(B) ⊔ sketch(C) == sketch(A ∪ B ∪ C) EXACTLY —
+    counts are additive per bucket, including duplicated values."""
+    whole = _vals(spark, list(range(0, 3000)) + [7] * 50)
+    parts = [_vals(spark, list(range(0, 1200)) + [7] * 50),
+             _vals(spark, list(range(1200, 2200))),
+             _vals(spark, list(range(2200, 3000)))]
+    merged = merge_value_sketches(
+        *[value_sketch(p, "v", s=5) for p in parts]
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, value_sketch(whole, "v", s=5).collect())
+    )
+
+
+def test_quantiles_relative_error_bound(spark):
+    """Estimates carry <= 2^-s relative error at any magnitude (bucket
+    midpoints of <= 2^-s-wide buckets); values below 2^(s+1) are EXACT."""
+    import random
+
+    rng = random.Random(8)
+    values = [rng.randrange(1, 10**9) for _ in range(5000)]
+    df = _vals(spark, values)
+    for s in (5, 7):
+        got = {r.q: r.est for r in
+               approx_quantiles(df, "v", [0.5, 0.95, 0.99], s=s).collect()}
+        sv = sorted(values)
+        import math
+        for q, est in got.items():
+            exact = sv[max(math.ceil(q * len(sv)), 1) - 1]
+            assert abs(est - exact) / exact <= 2 ** -s, (s, q, est, exact)
+    # small-value exactness: every value < 2^(s+1) sits in its own bucket
+    small = _vals(spark, [1, 2, 3, 4, 5, 6, 7, 8, 9, 10])
+    got = {r.q: (r.est, r.n) for r in
+           approx_quantiles(small, "v", [0.5, 1.0], s=7).collect()}
+    assert got[0.5] == (5.0, 10) and got[1.0] == (10.0, 10)
+
+
+def test_quantiles_determinism_partitioning_and_zero(spark):
+    """Bit-identical under any input partitioning (pure integer
+    bucketing, no RNG); zero values bucket exactly; NULLs skipped."""
+    values = [0, 0, 1, 17, 300, 4096, 10**12]
+    df = spark.createDataFrame(
+        [(v,) for v in values] + [(None,)], "v long"
+    )
+    a = sorted(map(tuple, value_sketch(df, "v").collect()))
+    b = sorted(map(tuple,
+                   value_sketch(df.repartition(13), "v").collect()))
+    assert a == b
+    got = {r.q: r for r in
+           sketch_quantiles(value_sketch(df, "v"), [0.25, 1.0]).collect()}
+    assert got[0.25].n == 7  # NULL skipped
+    assert got[0.25].est == 0.0  # rank-2 of 7 is the second zero
+
+
+def test_quantiles_scale_and_validation(spark):
+    """Fractional inputs ride a fixed decimal scale (floor(v*scale));
+    s and q ranges are validated; negatives raise."""
+    import pytest
+
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+    df = spark.createDataFrame(
+        [(0.001,), (0.5,), (2.75,), (1000.25,)], "v double"
+    )
+    got = {r.q: r.est for r in
+           approx_quantiles(df, "v", [0.5, 1.0], scale=10**6).collect()}
+    assert abs(got[0.5] - 0.5) / 0.5 <= 2 ** -7
+    assert abs(got[1.0] - 1000.25) / 1000.25 <= 2 ** -7
+    # at scale=100, 0.5 -> 50 < 2^8: exact (scale trades range for
+    # small-value exactness)
+    exact = {r.q: r.est for r in
+             approx_quantiles(df, "v", [0.5], scale=100).collect()}
+    assert exact[0.5] == 0.5
+    with pytest.raises(ValueError, match="s must be"):
+        value_sketch(df, "v", s=1)
+    with pytest.raises(ValueError, match="quantiles must be"):
+        sketch_quantiles(value_sketch(df, "v", scale=10), [0.0])
+    with pytest.raises(ValueError, match="at least one quantile"):
+        sketch_quantiles(value_sketch(df, "v", scale=10), [])
+    with pytest.raises(ValueError, match="at least one sketch"):
+        merge_value_sketches()
+    neg = spark.createDataFrame([(-3,)], "v long")
+    with pytest.raises(Exception, match="negative value"):
+        value_sketch(neg, "v").collect()
+
+
+def test_quantile_sketch_config_ops(spark):
+    from configurable_etl_python_repo_spark.plans import Engine, OpSpec
+
+    eng = Engine(spark)
+    eng.bind("t", _vals(spark, list(range(1, 101))))
+    sk = eng.run_op(OpSpec(
+        "VALUE SKETCH", "s", ["t"], {"column": "v", "s": 7}))
+    assert set(sk.columns) == {"idx", "cnt"}
+    eng.bind("sk", sk)
+    est = eng.run_op(OpSpec(
+        "SKETCH QUANTILES", "e", ["sk"], {"qs": [0.5], "s": 7}))
+    one = eng.run_op(OpSpec(
+        "APPROX QUANTILES", "a", ["t"], {"column": "v", "qs": [0.5]}))
+    assert est.collect()[0]["est"] == one.collect()[0]["est"] == 50.0
