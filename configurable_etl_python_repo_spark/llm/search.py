@@ -73,16 +73,67 @@ def bm25_topk(
             "avgdl"
         ),
     )
-    postings = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(_words(F.col(text_col))).alias("w"),
-    ).where(F.col("w").isin(terms))
-    tf = postings.groupBy("id", "w").agg(
-        F.count(F.lit(1)).cast("long").alias("tf")
-    )
+    # dl rides the posting rows from the SAME projection that explodes
+    # the words (size of the word array), so the scored path needs NO
+    # join back against a corpus-sized doc-length relation — the
+    # matched-doc tf aggregate picks dl up as max() for free. Before
+    # this, `.join(lens, "id")` shuffled the whole corpus's lengths to
+    # serve a handful of matched docs.
+    tf = _query_tf(df, terms, id_col, text_col)
     dfreq = tf.groupBy("w").agg(
         F.count(F.lit(1)).cast("long").alias("df_t")
     )
+    scored = _bm25_score(
+        tf, F.broadcast(dfreq), F.broadcast(stats), k, k1, b
+    )
+    from pyspark.sql import Window
+
+    rank = F.row_number().over(
+        Window.orderBy(F.col("score").desc(), F.col("id").asc())
+    )
+    return scored.select(
+        F.col("id").alias(id_col),
+        "score",
+        rank.cast("long").alias("rank"),
+    )
+
+
+def _query_tf(
+    df: DataFrame, terms: "list[str]", id_col: str, text_col: str
+) -> DataFrame:
+    """(id, w, tf, dl) for query-term postings only: ONE projection
+    builds the word array, measures dl, explodes, and filters to the
+    term literals — the isin() sits below the first exchange, so
+    non-matching words never shuffle (plan-guarded in tests)."""
+    arr = df.select(
+        F.col(id_col).alias("id"),
+        _words(F.col(text_col)).alias("__ws"),
+    )
+    postings = arr.select(
+        "id",
+        F.size("__ws").cast("long").alias("dl"),
+        F.explode("__ws").alias("w"),
+    ).where(F.col("w").isin(terms))
+    return postings.groupBy("id", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"),
+        F.max("dl").alias("dl"),
+    )
+
+
+def _bm25_score(
+    tf: DataFrame,
+    dfreq: DataFrame,
+    stats: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """Shared scoring tail: tf(id, w, tf, dl) x dfreq(w, df_t) x
+    stats(n_docs, avgdl) -> top-k (id, score). idf lns 6dp-rounded
+    first, per-term scores 6dp-rounded, per-doc DECIMAL(38,6) sums,
+    one final double cast; orderBy+limit compiles to
+    TakeOrderedAndProject. Shared by the one-shot bm25_topk and the
+    persisted-index search, which keeps the two bit-identical."""
     idf = F.round(
         F.log(
             F.lit(1.0)
@@ -98,16 +149,163 @@ def bm25_topk(
     term_score = F.round(
         idf * F.col("tf").cast("double") * F.lit(k1 + 1.0) / denom, 6
     )
-    scored = (
-        tf.join(F.broadcast(dfreq), "w")
-        .join(F.broadcast(stats))
-        .join(lens, "id")
+    return (
+        tf.join(dfreq, "w")
+        .join(stats)
         .select("id", term_score.cast("decimal(38,6)").alias("s6"))
         .groupBy("id")
         .agg(F.sum("s6").alias("s_sum"))
         .select("id", F.col("s_sum").cast("double").alias("score"))
         .orderBy(F.col("score").desc(), F.col("id").asc())
         .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted BM25 index (repeated-query workloads)
+# ---------------------------------------------------------------------------
+
+
+def _tb_col(w, buckets: int):
+    """md5-derived term bucket — the physical partition key of the
+    postings/df stores, deterministic so build and every probe agree."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"),
+        F.lit(buckets),
+    )
+
+
+def bm25_build_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    term_buckets: int = 64,
+) -> None:
+    """WRITE-SIDE BM25 index: one pass over the corpus persists under
+    ``path`` everything a query needs, so repeated retrieval stops
+    rescanning 100 TB of text per question (bm25_topk is the one-off
+    triage tool; this is the query-workload shape, mirroring
+    ivf_build_index / minhash_build_index):
+
+    - ``postings/`` — (id, w, tf, dl) term frequencies WITH the doc
+      length denormalized on, physically partitioned by
+      tb = md5(w) % term_buckets: a query's term set prunes the scan to
+      its own buckets at the file listing.
+    - ``df/`` — (w, df_t) document frequencies, same partitioning.
+    - ``_stats/`` — one row (n_docs, avgdl).
+    - ``_meta/`` — term_buckets, read back by the search so the layout
+      cannot desynchronize.
+
+    The postings store is vocabulary-wide (every word, not a query's),
+    which is what makes it reusable; its size is the corpus's distinct
+    (doc, word) pairs — the classic inverted index."""
+    if term_buckets < 1:
+        raise ValueError(
+            f"term_buckets must be >= 1, got {term_buckets}"
+        )
+    spark = corpus.sparkSession
+    arr = corpus.select(
+        F.col(id_col).alias("id"),
+        _words(F.col(text_col)).alias("__ws"),
+    )
+    postings = (
+        arr.select(
+            "id",
+            F.size("__ws").cast("long").alias("dl"),
+            F.explode("__ws").alias("w"),
+        )
+        .groupBy("id", "w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tf"),
+            F.max("dl").alias("dl"),
+        )
+        .withColumn("tb", _tb_col(F.col("w"), term_buckets))
+    )
+    postings.write.mode("overwrite").partitionBy("tb").parquet(
+        path + "/postings"
+    )
+    # df from the STORED postings (one cheap pass over the index, not a
+    # second corpus scan); partition layout matches so a query prunes
+    # both stores with the same bucket set
+    stored = spark.read.parquet(path + "/postings")
+    stored.groupBy("w", "tb").agg(
+        F.count(F.lit(1)).cast("long").alias("df_t")
+    ).write.mode("overwrite").partitionBy("tb").parquet(path + "/df")
+    # stats from the corpus directly: n_docs counts EVERY doc (a doc
+    # whose words never match a query still contributes to N and avgdl)
+    lens = corpus.select(
+        F.col(id_col).alias("id"),
+        F.regexp_count(
+            F.lower(F.trim(F.col(text_col))), F.lit(r"\S+")
+        ).cast("long").alias("dl"),
+    )
+    lens.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_dl"),
+    ).select(
+        "n_docs",
+        (F.col("total_dl").cast("double") / F.col("n_docs")).alias(
+            "avgdl"
+        ),
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/_stats")
+    spark.createDataFrame(
+        [(term_buckets,)], "term_buckets int"
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/_meta")
+
+
+def bm25_search_index(
+    spark,
+    path: str,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Query a persisted BM25 index: the query's terms map to their
+    md5 buckets, the postings/df scans prune to those partitions at the
+    file listing (un-probed buckets cost zero I/O), and the shared
+    scoring tail reproduces bm25_topk bit-for-bit (pytest-pinned) —
+    without touching the corpus text at all. Per-query cost is the
+    probed buckets' postings, not the corpus."""
+    if not (1 <= k):
+        raise ValueError(f"k must be >= 1, got {k}")
+    terms = sorted(set(query.lower().split()))
+    if not terms:
+        raise ValueError("query must contain at least one term")
+    meta = spark.read.parquet(path + "/_meta").collect()
+    if len(meta) != 1:
+        raise ValueError(
+            f"corrupt bm25 index at {path}: _meta has {len(meta)} rows"
+        )
+    # the probe's bucket set, computed driver-side with the SAME md5
+    # window _tb_col uses (hashlib.md5 == Spark md5; % of a non-negative
+    # == pmod) — |terms| hashes, no Spark job
+    import hashlib
+
+    tb = int(meta[0].term_buckets)
+    buckets = sorted(
+        {
+            int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16) % tb
+            for t in terms
+        }
+    )
+    tf = (
+        spark.read.parquet(path + "/postings")
+        .where(F.col("tb").isin(buckets))
+        .where(F.col("w").isin(terms))
+        .select("id", "w", "tf", "dl")
+    )
+    dfreq = (
+        spark.read.parquet(path + "/df")
+        .where(F.col("tb").isin(buckets))
+        .where(F.col("w").isin(terms))
+        .select("w", "df_t")
+    )
+    stats = spark.read.parquet(path + "/_stats")
+    scored = _bm25_score(
+        tf, F.broadcast(dfreq), F.broadcast(stats), k, k1, b
     )
     from pyspark.sql import Window
 

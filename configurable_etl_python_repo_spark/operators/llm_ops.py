@@ -270,6 +270,33 @@ def _dedup_against_index(engine: "Engine", spec: OpSpec):
     return DI.dedup_against_index(engine.spark, path, df, **kwargs), None
 
 
+def _bm25_build_index(engine: "Engine", spec: OpSpec):
+    """Write-side BM25 index (pass-through stage, like the MinHash
+    index build): persists postings/df/stats under args['path']."""
+    from ..llm import search as SR
+
+    df, _ = engine.peek(spec.inputs[0])
+    kwargs = dict(spec.args)
+    path = kwargs.pop("path")
+    for cfg, py in (("id_column", "id_col"), ("text_column", "text_col")):
+        if cfg in kwargs:
+            kwargs[py] = kwargs.pop(cfg)
+    SR.bm25_build_index(df, path, **kwargs)
+    return df, None
+
+
+def _bm25_search_index(engine: "Engine", spec: OpSpec):
+    """Query a persisted BM25 index — a ZERO-input op (the corpus lives
+    in the index at args['path'], not in a binding)."""
+    from ..llm import search as SR
+
+    kwargs = dict(spec.args)
+    path = kwargs.pop("path")
+    if "id_column" in kwargs:
+        kwargs["id_col"] = kwargs.pop("id_column")
+    return SR.bm25_search_index(engine.spark, path, **kwargs), None
+
+
 def _decontaminate_stream(engine: "Engine", spec: OpSpec):
     """Streaming-legal decontamination as a config op. One input + an
     `eval_grams` list in args (a program ships the precomputed gram set,
@@ -441,6 +468,8 @@ LLM_OP_COMPILERS = {
     "BM25 TOPK": _unary(
         _rename_kw(_lazy_search("bm25_topk"), _ID_TEXT)
     ),
+    "BM25 BUILD INDEX": _bm25_build_index,
+    "BM25 SEARCH INDEX": _bm25_search_index,
     "DISTINCT SKETCH": _unary(
         _rename_kw(_lazy_sketch("distinct_sketch"), {"columns": "cols"})
     ),

@@ -99,3 +99,89 @@ def test_bm25_config_op(spark):
     out = eng.run_op(OpSpec(
         "BM25 TOPK", "s", ["docs"], {"query": "phrase", "k": 1}))
     assert [r.doc_id for r in out.collect()] == [1]
+
+
+# ---------------------------------------------------------------------------
+# Persisted BM25 index
+# ---------------------------------------------------------------------------
+
+from configurable_etl_python_repo_spark.llm.search import (  # noqa: E402
+    bm25_build_index,
+    bm25_search_index,
+)
+
+
+def test_bm25_index_parity_with_one_shot(spark, sf_dir, tmp_path):
+    """bm25_search_index == bm25_topk bit-for-bit on the same corpus
+    (shared scoring tail + identical tf/df/stats), across several
+    queries from ONE build — the repeated-retrieval shape."""
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text"))
+    idx = str(tmp_path / "bm25")
+    bm25_build_index(docs, idx)
+    for query in ("slow hash join merge", "the", "xqzzy the"):
+        want = [tuple(r) for r in bm25_topk(docs, query, k=7).collect()]
+        got = [tuple(r) for r in
+               bm25_search_index(spark, idx, query, k=7).collect()]
+        assert got == want and got, query
+
+
+def test_bm25_index_scan_is_partition_pruned(spark, sf_dir, tmp_path):
+    """The query's term buckets must reach BOTH stores' file listings
+    as partition filters — un-probed vocabulary costs zero I/O, and no
+    corpus-sized relation appears anywhere in the probe plan."""
+    import re
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text"))
+    idx = str(tmp_path / "bm25")
+    bm25_build_index(docs, idx, term_buckets=16)
+    import glob
+    assert len(glob.glob(f"{idx}/postings/tb=*")) > 1
+    out = bm25_search_index(spark, idx, "needle", k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # postings AND df scans carry the tb partition filter (the one-row
+    # _stats scan prints an empty PartitionFilters — that's fine)
+    prunes = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert sum("tb" in p for p in prunes) >= 2, plan
+    assert all("tb" in p or p.strip() == "" for p in prunes), plan
+    # the probe never scans the corpus text
+    assert "documents.parquet" not in plan
+
+
+def test_bm25_one_shot_has_no_corpus_length_join(spark):
+    """dl rides the posting rows; the scored path must not join a
+    corpus-sized doc-length relation. Corpus subtrees in the plan:
+    stats aggregate + the filtered postings twice (tf and its dfreq
+    consumer each embed the subtree) = exactly three — the removed
+    lens equi-join was a FOURTH, shuffling every doc's length to serve
+    a handful of matched docs."""
+    df = spark.createDataFrame([(1, "x y z")], ["doc_id", "text"])
+    plan = bm25_topk(
+        df, "needle", k=3
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") + plan.count("LocalTableScan") <= 3
+    # and no shuffle join anywhere — every join side is broadcast
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_bm25_index_config_ops(spark, tmp_path):
+    from configurable_etl_python_repo_spark.plans import Engine, OpSpec
+
+    idx = str(tmp_path / "bm25")
+    eng = Engine(spark)
+    eng.bind("docs", spark.createDataFrame(
+        [(1, "find this phrase"), (2, "other text")],
+        ["doc_id", "text"]))
+    passthru = eng.run_op(OpSpec(
+        "BM25 BUILD INDEX", "built", ["docs"],
+        {"path": idx, "id_column": "doc_id", "text_column": "text"}))
+    assert passthru.columns == ["doc_id", "text"]
+    out = eng.run_op(OpSpec(
+        "BM25 SEARCH INDEX", "hits", [],
+        {"path": idx, "query": "phrase", "k": 1}))
+    assert [r.doc_id for r in out.collect()] == [1]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="term_buckets"):
+        bm25_build_index(eng.peek("docs")[0], str(tmp_path / "bad"),
+                         term_buckets=0)
