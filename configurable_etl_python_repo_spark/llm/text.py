@@ -1246,8 +1246,8 @@ def perplexity_partition(
     the (id, score) projection, the honest cost of exact global ranks.
     CCNet's strata are languages (dozens), so each sort is corpus/|langs|
     and AQE splits any dominant language; for cutoff-based streaming
-    admission precompute the cutoffs from a sample instead (documented
-    trade, not implemented here)."""
+    admission precompute the cutoffs from a sample instead
+    (perplexity_cutoffs + perplexity_partition_stream below)."""
     from pyspark.sql import Window
 
     if n_buckets < 2:
@@ -1268,6 +1268,138 @@ def perplexity_partition(
             expr = F.when(b == F.lit(i), F.lit(name)).otherwise(expr)
         b = expr
     return scored.withColumn(out_col, b)
+
+
+def perplexity_cutoffs(
+    scored: DataFrame,
+    score_col: str = "avg_surprisal",
+    id_col: str = "doc_id",
+    strata_col: "str | None" = None,
+    n_buckets: int = 3,
+    sample_num: int = 1,
+    sample_denom: int = 1,
+    seed: str = "pplcut",
+) -> DataFrame:
+    """Per-stratum score cutoffs for STREAMING perplexity admission:
+    the sample-based-cutoff trade perplexity_partition's docstring
+    documents. A deterministic md5 hash-sample of the scored corpus
+    (sample_num/sample_denom of rows by id — partitioning-invariant,
+    replayable) is exact-ranked per stratum, and each of the first
+    n_buckets-1 ntiles contributes its max score as that bucket's
+    upper cutoff. The result is a TINY static table — one row per
+    stratum, (strata?, cuts array<double>) — that a stream joins
+    against; only the sample pays the sort.
+
+    NULL scores are excluded from cutoff estimation (stream assignment
+    sends unscorable docs to the last bucket unconditionally, matching
+    the batch partition's NULLS LAST)."""
+    from pyspark.sql import Window
+
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    if not (1 <= sample_num <= sample_denom):
+        raise ValueError(
+            f"sample fraction must satisfy 1 <= num <= denom, got "
+            f"{sample_num}/{sample_denom}"
+        )
+    strata = (
+        [F.col(strata_col).alias("__st")]
+        if strata_col is not None
+        else [F.lit(1).alias("__st")]
+    )
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(sample_denom),
+    )
+    sample = scored.select(
+        *strata,
+        F.col(score_col).alias("__score"),
+        F.col(id_col).alias("__id"),
+    ).where(F.col("__score").isNotNull() & (bucket < sample_num))
+    w = Window.partitionBy("__st").orderBy(
+        F.col("__score").asc(), F.col("__id").asc()
+    )
+    tiled = sample.withColumn("__tile", F.ntile(n_buckets).over(w))
+    cuts = (
+        tiled.where(F.col("__tile") < n_buckets)
+        .groupBy("__st", "__tile")
+        .agg(F.max("__score").alias("__cut"))
+        .groupBy("__st")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("__tile", "__cut"))
+                ),
+                lambda x: x["__cut"].cast("double"),
+            ).alias("cuts")
+        )
+    )
+    if strata_col is not None:
+        return cuts.select(F.col("__st").alias(strata_col), "cuts")
+    return cuts.select("cuts")
+
+
+def perplexity_partition_stream(
+    df: DataFrame,
+    cutoffs: DataFrame,
+    score_col: str = "avg_surprisal",
+    strata_col: "str | None" = None,
+    n_buckets: int = 3,
+    labels: "tuple[str, ...] | None" = ("head", "middle", "tail"),
+    out_col: str = "ppl_bucket",
+) -> DataFrame:
+    """STREAM-LEGAL perplexity bucket assignment from precomputed
+    cutoffs (perplexity_cutoffs): a stream-static left join pulls each
+    row's stratum cutoffs in (broadcast — the table is one row per
+    stratum), and the bucket is 1 + |{cutoffs below the score}| as a
+    per-row expression. No window, no global sort, no state — legal
+    under readStream append mode, and usable in batch too (same
+    assignment, pinned against the exact-rank batch partition in
+    tests; agreement is exact at full sample on distinct scores and
+    degrades gracefully with the sample rate — boundary rows may land
+    one bucket off, which is the documented trade vs t18's exact
+    equal-count ranks).
+
+    Ties sit at or below their cutoff (score <= cut -> lower bucket).
+    NULL scores and strata missing from the cutoff table assign to the
+    LAST bucket (unscorable/unseen -> tail, the conservative choice,
+    matching batch NULLS LAST)."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    if labels is not None and len(labels) != n_buckets:
+        raise ValueError(
+            f"labels must have n_buckets={n_buckets} entries, got "
+            f"{len(labels)}"
+        )
+    if strata_col is not None:
+        joined = df.join(F.broadcast(cutoffs), [strata_col], "left")
+    else:
+        joined = df.crossJoin(F.broadcast(cutoffs))
+    score = F.col(score_col)
+    b = (
+        F.when(score.isNull() | F.col("cuts").isNull(), F.lit(n_buckets))
+        .otherwise(
+            F.lit(1)
+            + F.aggregate(
+                "cuts",
+                F.lit(0),
+                lambda acc, c: acc
+                + F.when(score > c, F.lit(1)).otherwise(F.lit(0)),
+            )
+        )
+    )
+    if labels is not None:
+        expr = F.lit(None).cast("string")
+        for i, name in reversed(list(enumerate(labels, start=1))):
+            expr = F.when(b == F.lit(i), F.lit(name)).otherwise(expr)
+        b = expr
+    return joined.withColumn(out_col, b).drop("cuts")
 
 
 #: the Gopher/MassiveText line-and-symbol rule thresholds (Rae et al.

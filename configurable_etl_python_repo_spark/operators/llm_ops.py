@@ -270,6 +270,27 @@ def _dedup_against_index(engine: "Engine", spec: OpSpec):
     return DI.dedup_against_index(engine.spark, path, df, **kwargs), None
 
 
+def _ppl_partition_stream(engine: "Engine", spec: OpSpec):
+    """Stream-legal perplexity admission as a config op: the second
+    input names the precomputed cutoff table (PERPLEXITY CUTOFFS on a
+    scored batch corpus)."""
+    df, _ = engine.peek(spec.inputs[0])
+    if len(spec.inputs) < 2:
+        raise ValueError(
+            "PERPLEXITY PARTITION STREAM needs a second input naming "
+            "the cutoff table (see PERPLEXITY CUTOFFS)"
+        )
+    cuts, _ = engine.peek(spec.inputs[1])
+    kwargs = dict(spec.args)
+    for cfg, py in (("score_column", "score_col"),
+                    ("strata_column", "strata_col")):
+        if cfg in kwargs:
+            kwargs[py] = kwargs.pop(cfg)
+    if "labels" in kwargs and kwargs["labels"] is not None:
+        kwargs["labels"] = tuple(kwargs["labels"])
+    return T.perplexity_partition_stream(df, cuts, **kwargs), None
+
+
 def _bm25_build_index(engine: "Engine", spec: OpSpec):
     """Write-side BM25 index (pass-through stage, like the MinHash
     index build): persists postings/df/stats under args['path']."""
@@ -515,6 +536,12 @@ LLM_OP_COMPILERS = {
     "MINHASH BUILD INDEX": _minhash_index_write("minhash_build_index"),
     "MINHASH EXTEND INDEX": _minhash_index_write("minhash_extend_index"),
     "DEDUP AGAINST INDEX": _dedup_against_index,
+    "PERPLEXITY CUTOFFS": _unary(
+        _rename_kw(T.perplexity_cutoffs,
+                   {"score_column": "score_col", "id_column": "id_col",
+                    "strata_column": "strata_col"})
+    ),
+    "PERPLEXITY PARTITION STREAM": _ppl_partition_stream,
     "CONNECTED COMPONENTS": _connected_components,
     "DEDUP CLUSTERS": _dedup_clusters,
     "DECONTAMINATE": _decontaminate,

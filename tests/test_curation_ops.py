@@ -1171,3 +1171,115 @@ def test_dedup_substrings_min_match_words_runs(spark):
 
     with _pytest.raises(ValueError, match="min_match_words"):
         dedup_substrings(df, k=10, min_match_words=5)
+
+
+def _ppl_scored(spark, n=300, strata=("en", "de", "fr")):
+    """Deterministic distinct scores across a few strata."""
+    import random
+
+    rng = random.Random(18)
+    rows = [(i, strata[i % len(strata)],
+             round(rng.uniform(1.0, 20.0), 6) + i * 1e-9)
+            for i in range(n)]
+    return spark.createDataFrame(
+        rows, "doc_id long, lang string, avg_surprisal double"
+    )
+
+
+def test_perplexity_stream_full_sample_is_exact(spark):
+    """With a FULL sample and distinct scores, cutoff assignment equals
+    the exact-rank batch partition row-for-row (tile max == upper
+    cutoff); the agreement degrades only with the sample rate."""
+    from configurable_etl_python_repo_spark.llm.text import (
+        perplexity_cutoffs,
+        perplexity_partition,
+        perplexity_partition_stream,
+    )
+
+    df = _ppl_scored(spark)
+    batch = {r.doc_id: r.ppl_bucket for r in
+             perplexity_partition(df, strata_col="lang").collect()}
+    cuts = perplexity_cutoffs(df, strata_col="lang")
+    stream_like = {r.doc_id: r.ppl_bucket for r in
+                   perplexity_partition_stream(
+                       df, cuts, strata_col="lang").collect()}
+    assert stream_like == batch
+    # half-rate hash sample: boundary rows may move one bucket; pin a
+    # >= 90% agreement tolerance on this fixture
+    half = perplexity_cutoffs(df, strata_col="lang",
+                              sample_num=1, sample_denom=2)
+    sampled = {r.doc_id: r.ppl_bucket for r in
+               perplexity_partition_stream(
+                   df, half, strata_col="lang").collect()}
+    agree = sum(sampled[d] == batch[d] for d in batch) / len(batch)
+    assert agree >= 0.9, agree
+
+
+def test_perplexity_stream_under_readstream(spark, tmp_path):
+    """The assignment is stream-legal: identical answers under
+    readStream append mode; NULL scores and strata missing from the
+    cutoff table land in the LAST bucket."""
+    from configurable_etl_python_repo_spark.llm.text import (
+        perplexity_cutoffs,
+        perplexity_partition_stream,
+    )
+
+    df = _ppl_scored(spark, n=90)
+    cuts = perplexity_cutoffs(df, strata_col="lang")
+    probe = df.unionByName(spark.createDataFrame(
+        [(9001, "en", None), (9002, "zz", 5.0)],
+        "doc_id long, lang string, avg_surprisal double",
+    ))
+    static = {(r.doc_id, r.ppl_bucket) for r in
+              perplexity_partition_stream(
+                  probe, cuts, strata_col="lang").collect()}
+    assert (9001, "tail") in static and (9002, "tail") in static
+    src = str(tmp_path / "ppl_src")
+    probe.write.parquet(src)
+    out = perplexity_partition_stream(
+        spark.readStream.format("parquet").schema(probe.schema).load(src),
+        cuts, strata_col="lang",
+    )
+    assert out.isStreaming
+    q = (out.select("doc_id", "ppl_bucket")
+         .writeStream.format("memory").queryName("ppl_stream")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck_ppl"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.table("ppl_stream").collect()}
+    want = {(d, b) for d, b in static}
+    assert got == want
+
+
+def test_perplexity_stream_config_ops_and_validation(spark):
+    from configurable_etl_python_repo_spark.llm.text import (
+        perplexity_cutoffs,
+        perplexity_partition_stream,
+    )
+    from configurable_etl_python_repo_spark.plans import Engine, OpSpec
+
+    import pytest
+
+    df = _ppl_scored(spark, n=60)
+    eng = Engine(spark)
+    eng.bind("scored", df)
+    cuts = eng.run_op(OpSpec(
+        "PERPLEXITY CUTOFFS", "cuts", ["scored"],
+        {"strata_column": "lang"}))
+    eng.bind("cuts", cuts)
+    out = eng.run_op(OpSpec(
+        "PERPLEXITY PARTITION STREAM", "p", ["scored", "cuts"],
+        {"strata_column": "lang", "labels": ["head", "middle", "tail"]}))
+    assert set(r.ppl_bucket for r in out.collect()) == {
+        "head", "middle", "tail"}
+    with pytest.raises(ValueError, match="second input"):
+        eng.run_op(OpSpec(
+            "PERPLEXITY PARTITION STREAM", "p2", ["scored"], {}))
+    with pytest.raises(ValueError, match="n_buckets"):
+        perplexity_cutoffs(df, n_buckets=1)
+    with pytest.raises(ValueError, match="sample fraction"):
+        perplexity_cutoffs(df, sample_num=3, sample_denom=2)
+    with pytest.raises(ValueError, match="labels"):
+        perplexity_partition_stream(df, cuts, n_buckets=4)
