@@ -141,15 +141,18 @@ def main() -> None:
 
 
 def _current_round() -> "int | None":
-    """The round now RUNNING, from VERDICT.md's '# VERDICT — round N'
-    header (written at the END of round N, so current = N + 1). None
-    in round 1 / when VERDICT.md is absent."""
+    """The round now RUNNING, from VERDICT.md's 'round N' header
+    (written at the END of round N, so current = N + 1). Searches the
+    whole file case-insensitively — a header-format change must not
+    silently disable the strictly-below filter (which would re-enable
+    the in-round self-comparison bug). None in round 1 / when
+    VERDICT.md is absent."""
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
     try:
         with open(os.path.join(here, "VERDICT.md")) as f:
-            m = re.search(r"round\s+(\d+)", f.readline())
+            m = re.search(r"round\s+(\d+)", f.read(), re.IGNORECASE)
         return int(m.group(1)) + 1 if m else None
     except OSError:
         return None

@@ -1731,10 +1731,11 @@ def q_d15(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") + 1000000).alias("doc_id"), "text"
         )
     )
+    # FIXED name per sf tag (no pid): mode('overwrite') reuses the same
+    # tree across runs instead of leaking one corpus-sized index per
+    # process into the temp filesystem (driver sweeps run sequentially)
     tag = sf_dir.strip("/").replace("/", "_")
-    path = os.path.join(
-        tempfile.gettempdir(), f"cfg_etl_d15_idx_{os.getpid()}_{tag}"
-    )
+    path = os.path.join(tempfile.gettempdir(), f"cfg_etl_d15_idx_{tag}")
     DI.minhash_build_index(
         corpus, path, n=_JACCARD_N, bands=_LSH_BANDS,
         rows_per_band=_LSH_ROWS,
@@ -3230,8 +3231,8 @@ def _quantile_sketch_oracle(s: int = _QSK_S) -> str:
     SELECT q,
            CAST(round(CAST((
              ((idx % {m}) << CAST(idx >> {s + 1} AS INT))
-             + (((idx % {m}) + 1) << CAST(idx >> {s + 1} AS INT)) - 1
-           ) >> 1 AS DOUBLE) / 1.0, 6) AS DOUBLE) AS est,
+             + (((1::BIGINT << CAST(idx >> {s + 1} AS INT)) - 1) >> 1)
+           ) AS DOUBLE) / 1.0, 6) AS DOUBLE) AS est,
            CAST(n AS BIGINT) AS n
     FROM hit
     """

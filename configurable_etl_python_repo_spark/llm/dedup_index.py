@@ -61,22 +61,22 @@ def _kb_col(key_buckets: int):
     """md5-derived physical partition of an LSH (band, key) bucket —
     deterministic, so the build side and every later probe/extend
     agree on the layout without coordination."""
-    return F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        "#", F.col("band").cast("string"), F.col("key")
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long"),
-        F.lit(key_buckets),
+    from .sampling import md5_mod
+
+    return md5_mod(
+        F.concat_ws("#", F.col("band").cast("string"), F.col("key")),
+        key_buckets,
     ).alias("kb")
+
+
+def _ab_col(id_expr, buckets: int):
+    """md5-derived physical partition of the arrays store BY DOC ID, so
+    the verify step can prune its scan to the candidate ids' buckets —
+    without this the probe's verify full-scanned the corpus-sized
+    shingle arrays and broke the batch-scaling contract."""
+    from .sampling import md5_mod
+
+    return md5_mod(id_expr.cast("string"), buckets).alias("ab")
 
 
 def _read_meta(spark: SparkSession, path: str):
@@ -126,7 +126,9 @@ def minhash_build_index(
       to its own kb set at the file listing, so un-probed partitions
       cost zero I/O (the ivf_build_index property).
     - ``arrays/`` — (id, arr) distinct shingle arrays for the exact-
-      Jaccard verify of candidates (bounded by document length per row).
+      Jaccard verify of candidates (bounded by document length per
+      row), physically partitioned by ab = md5(id) % key_buckets so
+      the verify scan prunes to the candidate ids' buckets.
     - ``_meta/`` — the hash-family parameters (n, bands, rows_per_band,
       key_buckets), read back by probe/extend so a family mismatch is
       structurally impossible.
@@ -145,9 +147,9 @@ def minhash_build_index(
     buckets.write.mode("overwrite").partitionBy("kb").parquet(
         path + "/buckets"
     )
-    sig.select("id", "arr").write.mode("overwrite").parquet(
-        path + "/arrays"
-    )
+    sig.select(
+        "id", "arr", _ab_col(F.col("id"), key_buckets)
+    ).write.mode("overwrite").partitionBy("ab").parquet(path + "/arrays")
     spark = corpus.sparkSession
     spark.createDataFrame(
         [(n, bands, rows_per_band, key_buckets)],
@@ -176,7 +178,9 @@ def minhash_extend_index(
     buckets.write.mode("append").partitionBy("kb").parquet(
         path + "/buckets"
     )
-    sig.select("id", "arr").write.mode("append").parquet(path + "/arrays")
+    sig.select(
+        "id", "arr", _ab_col(F.col("id"), int(meta.key_buckets))
+    ).write.mode("append").partitionBy("ab").parquet(path + "/arrays")
 
 
 def dedup_against_index(
@@ -205,10 +209,12 @@ def dedup_against_index(
     filter on the bucket store, so the corpus-side scan lists only the
     probed directories and reads (id, band, key) rows, never text. The
     (band, key) equi-join's batch side is batch-sized (AQE broadcasts a
-    small morning batch); verify joins the candidate ids against the
-    stored arrays — corpus rows are touched only for ids that actually
-    collided. With verify=True the output is exactly {LSH candidates}
-    ∩ {jaccard >= threshold}, same integer math as the one-shot path."""
+    small morning batch); the verify scan of the stored arrays prunes
+    to the candidate ids' ab partitions (a second constant-bounded
+    probe set), so corpus array rows are read only from directories
+    that can hold a matched doc. With verify=True the output is exactly
+    {LSH candidates} ∩ {jaccard >= threshold}, same integer math as the
+    one-shot path."""
     meta = _read_meta(spark, path)
     sig, b_buckets = _batch_buckets(batch, id_col, text_col, meta)
     # constant-bounded probe set (<= key_buckets values): the only
@@ -235,7 +241,23 @@ def dedup_against_index(
     )
     if not verify:
         return cand
-    idx_arrays = spark.read.parquet(path + "/arrays")
+    # the candidate set feeds two consumers (the ab probe-set collect
+    # and the verify join) — scope-cache it so the bucket join runs once
+    cand = _scope_cache(cand)
+    # second constant-bounded probe set: the candidates' index ids map
+    # to <= key_buckets array partitions, so the verify scan reads only
+    # the directories that can hold a matched doc's shingles — without
+    # this the verify full-scanned the corpus-sized arrays store and
+    # broke the "probe cost scales with the batch" contract
+    ab = _ab_col(F.col("id_b"), int(meta.key_buckets))
+    probed_ab = sorted(
+        r[0] for r in cand.select(ab).distinct().collect()
+    )
+    idx_arrays = (
+        spark.read.parquet(path + "/arrays")
+        .where(F.col("ab").isin(probed_ab))
+        .select("id", "arr")
+    )
     return _jaccard_from_arrays(
         cand, sig.select("id", "arr"), threshold, arrays_b=idx_arrays
     )

@@ -35,6 +35,20 @@ def _bucket(key_col, seed: str, hex_chars: int = 8):
     ).cast("long")
 
 
+def md5_mod(expr, denom: int):
+    """THE repo md5-partition idiom in one place: the first 8 hex chars
+    of md5(expr) as a 32-bit integer, mod `denom` — deterministic,
+    engine-portable (hashlib.md5 on the driver computes the identical
+    value), non-negative. Physical-layout keys (the MinHash index's kb,
+    the BM25 index's tb, the dedup-index arrays' ab) all route through
+    here so the derivation can never drift between modules; seeded
+    row-sampling keys use _bucket (same window, seed|key input)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(expr), 1, 8), 16, 10).cast("long"),
+        F.lit(denom),
+    )
+
+
 def _cutoff(fraction: float) -> int:
     if not (0.0 <= fraction <= 1.0):
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")

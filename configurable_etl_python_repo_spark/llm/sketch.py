@@ -331,11 +331,15 @@ def sketch_quantiles(
         .agg(F.min("idx").alias("idx"))
     )
     # decode stays in integer ops end-to-end (shifts, never float
-    # division) — the same cross-engine-exactness rule as the encode
+    # division) — the same cross-engine-exactness rule as the encode.
+    # mid = lo + (bucket_width - 1)/2, NOT (lo + hi)/2: summing lo and
+    # hi first overflows signed 64-bit for buckets above ~2^62 (Spark
+    # wraps negative, DuckDB raises — engine divergence); this form
+    # stays in range for any value the encode itself can represent
     mid = F.expr(
-        f"shiftright(shiftleft(idx % {1 << (s + 1)}, "
+        f"shiftleft(idx % {1 << (s + 1)}, "
         f"cast(shiftright(idx, {s + 1}) as int)) "
-        f"+ shiftleft(idx % {1 << (s + 1)} + 1, "
+        f"+ shiftright(shiftleft(1, "
         f"cast(shiftright(idx, {s + 1}) as int)) - 1, 1)"
     )
     return hit.select(

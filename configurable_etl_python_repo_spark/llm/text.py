@@ -1302,20 +1302,16 @@ def perplexity_cutoffs(
             f"sample fraction must satisfy 1 <= num <= denom, got "
             f"{sample_num}/{sample_denom}"
         )
+    from .sampling import _bucket
+
     strata = (
         [F.col(strata_col).alias("__st")]
         if strata_col is not None
         else [F.lit(1).alias("__st")]
     )
+    # the repo's seeded hash-sample key (sampling._bucket), mod denom
     bucket = F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("long"),
-        F.lit(sample_denom),
+        _bucket(F.col(id_col), seed), F.lit(sample_denom)
     )
     sample = scored.select(
         *strata,
@@ -1377,17 +1373,26 @@ def perplexity_partition_stream(
             f"labels must have n_buckets={n_buckets} entries, got "
             f"{len(labels)}"
         )
+    # the join side's 'cuts' is renamed to a __-prefixed internal so an
+    # input frame that already carries a 'cuts' column of its own never
+    # hits AMBIGUOUS_REFERENCE (and never loses its column to the drop)
+    cut_side = F.broadcast(
+        cutoffs.withColumnsRenamed({"cuts": "__ppl_cuts"})
+    )
     if strata_col is not None:
-        joined = df.join(F.broadcast(cutoffs), [strata_col], "left")
+        joined = df.join(cut_side, [strata_col], "left")
     else:
-        joined = df.crossJoin(F.broadcast(cutoffs))
+        joined = df.crossJoin(cut_side)
     score = F.col(score_col)
     b = (
-        F.when(score.isNull() | F.col("cuts").isNull(), F.lit(n_buckets))
+        F.when(
+            score.isNull() | F.col("__ppl_cuts").isNull(),
+            F.lit(n_buckets),
+        )
         .otherwise(
             F.lit(1)
             + F.aggregate(
-                "cuts",
+                "__ppl_cuts",
                 F.lit(0),
                 lambda acc, c: acc
                 + F.when(score > c, F.lit(1)).otherwise(F.lit(0)),
@@ -1399,7 +1404,7 @@ def perplexity_partition_stream(
         for i, name in reversed(list(enumerate(labels, start=1))):
             expr = F.when(b == F.lit(i), F.lit(name)).otherwise(expr)
         b = expr
-    return joined.withColumn(out_col, b).drop("cuts")
+    return joined.withColumn(out_col, b).drop("__ppl_cuts")
 
 
 #: the Gopher/MassiveText line-and-symbol rule thresholds (Rae et al.

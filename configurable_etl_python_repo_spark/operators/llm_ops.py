@@ -244,6 +244,10 @@ def _minhash_index_write(fn_name: str):
 
         df, _ = engine.peek(spec.inputs[0])
         kwargs = dict(spec.args)
+        if "path" not in kwargs:
+            raise ValueError(
+                f"{spec.op} needs a 'path' arg naming the index location"
+            )
         path = kwargs.pop("path")
         for cfg, py in (("id_column", "id_col"),
                         ("text_column", "text_col")):
@@ -263,6 +267,10 @@ def _dedup_against_index(engine: "Engine", spec: OpSpec):
 
     df, _ = engine.peek(spec.inputs[0])
     kwargs = dict(spec.args)
+    if "path" not in kwargs:
+        raise ValueError(
+            "DEDUP AGAINST INDEX needs a 'path' arg naming the index"
+        )
     path = kwargs.pop("path")
     for cfg, py in (("id_column", "id_col"), ("text_column", "text_col")):
         if cfg in kwargs:
@@ -298,6 +306,10 @@ def _bm25_build_index(engine: "Engine", spec: OpSpec):
 
     df, _ = engine.peek(spec.inputs[0])
     kwargs = dict(spec.args)
+    if "path" not in kwargs:
+        raise ValueError(
+            "BM25 BUILD INDEX needs a 'path' arg naming the index"
+        )
     path = kwargs.pop("path")
     for cfg, py in (("id_column", "id_col"), ("text_column", "text_col")):
         if cfg in kwargs:
@@ -312,6 +324,10 @@ def _bm25_search_index(engine: "Engine", spec: OpSpec):
     from ..llm import search as SR
 
     kwargs = dict(spec.args)
+    if "path" not in kwargs:
+        raise ValueError(
+            "BM25 SEARCH INDEX needs a 'path' arg naming the index"
+        )
     path = kwargs.pop("path")
     if "id_column" in kwargs:
         kwargs["id_col"] = kwargs.pop("id_column")

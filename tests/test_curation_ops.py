@@ -1283,3 +1283,22 @@ def test_perplexity_stream_config_ops_and_validation(spark):
         perplexity_cutoffs(df, sample_num=3, sample_denom=2)
     with pytest.raises(ValueError, match="labels"):
         perplexity_partition_stream(df, cuts, n_buckets=4)
+
+
+def test_perplexity_stream_tolerates_cuts_column(spark):
+    """An input frame that already carries its own 'cuts' column must
+    join cleanly (the cutoff side renames to an internal __ppl_cuts)
+    and keep its column."""
+    from pyspark.sql import functions as F
+
+    from configurable_etl_python_repo_spark.llm.text import (
+        perplexity_cutoffs,
+        perplexity_partition_stream,
+    )
+
+    df = _ppl_scored(spark, n=60).withColumn("cuts", F.lit("mine"))
+    cutoffs = perplexity_cutoffs(df, strata_col="lang")
+    out = perplexity_partition_stream(df, cutoffs, strata_col="lang")
+    rows = out.collect()
+    assert all(r.cuts == "mine" for r in rows)
+    assert {r.ppl_bucket for r in rows} == {"head", "middle", "tail"}

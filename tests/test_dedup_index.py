@@ -138,3 +138,29 @@ def test_meta_rides_the_index(spark, sf_dir, tmp_path):
     assert got == want and got
     with pytest.raises(ValueError, match="key_buckets"):
         minhash_build_index(corpus, str(tmp_path / "bad"), key_buckets=0)
+
+
+def test_verify_arrays_scan_is_partition_pruned(spark, sf_dir, tmp_path):
+    """The verify step's arrays scan must prune to the candidate ids'
+    ab partitions — without it every probe full-scanned the
+    corpus-sized shingle-array store, breaking the batch-scaling
+    contract (the bucket scan's kb pruning alone doesn't cover it)."""
+    corpus, _ = _corpus_and_batch(spark, sf_dir)
+    idx = str(tmp_path / "mh")
+    minhash_build_index(corpus, idx, key_buckets=16, **_LSH)
+    assert len(glob.glob(f"{idx}/arrays/ab=*")) > 1
+    tiny = _docs(spark, sf_dir).where(F.col("doc_id") == 2).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    out = dedup_against_index(spark, idx, tiny, threshold=_THRESH)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # identify the arrays scan by its arr column (the plan dump
+    # truncates file paths, so matching on '/arrays' is unreliable)
+    array_scans = [ln for ln in plan.splitlines()
+                   if "FileScan" in ln and "arr#" in ln]
+    assert array_scans and all(
+        re.search(r"PartitionFilters: \[[^\]]*ab#[^\]]*\]", ln)
+        for ln in array_scans
+    ), plan
+    # and it still finds the replica against its original
+    assert {(r.id_a, r.id_b) for r in out.collect()} == {(1000002, 2)}

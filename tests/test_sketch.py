@@ -238,3 +238,18 @@ def test_quantile_sketch_config_ops(spark):
     one = eng.run_op(OpSpec(
         "APPROX QUANTILES", "a", ["t"], {"column": "v", "qs": [0.5]}))
     assert est.collect()[0]["est"] == one.collect()[0]["est"] == 50.0
+
+
+def test_quantiles_top_bucket_no_overflow(spark):
+    """Buckets above ~2^62 must not overflow the midpoint decode
+    (lo + (width-1)/2, never (lo+hi)/2 — the summed form wraps
+    negative in Spark and raises in DuckDB): estimates stay positive
+    and within the relative-error bound for any representable long."""
+    big = [1 << 62, (1 << 62) + 12345, 9_223_372_036_854_775_000]
+    df = _vals(spark, big)
+    got = {r.q: r.est for r in
+           approx_quantiles(df, "v", [0.5, 1.0], s=7).collect()}
+    for q, est in got.items():
+        assert est > 0, (q, est)
+    exact = sorted(big)
+    assert abs(got[1.0] - exact[-1]) / exact[-1] <= 2 ** -7
