@@ -1198,7 +1198,7 @@ DRIVER_PRIORITY = [
     "c1_c2_rename_format", "c4_rowwise_min_max",
     "c6_attach_sumeq",
     "c8_decision_column", "c11_c12_gold_record",
-    "a1_groupby_summarise", "a4_unique_keep_first",
+    "a1_groupby_summarise",
     "w2_sort_slice_topn",
     # event-time analytics (§2.9 batch shapes)
     "e2_sessionize_gap30m",
@@ -1226,6 +1226,7 @@ DRIVER_PRIORITY = [
     "x15_web_curation_pipeline", "x16_cluster_aware_splits",
     "x17_exact_k_sample", "x18_dsir_selection", "x19_targeted_pipeline",
     "x20_hll_distinct_sketch", "x21_quantile_sketch",
+    "x22_incremental_ingest",
     # engine showcase (COMPUTE COLUMN + broadcast joins + fused LIMIT)
     "tpch_q3_shaped",
 ]
@@ -1286,7 +1287,12 @@ DRIVER_PRIORITY = [
 # (green driver rows r1-r7; the two-key equi-join surface is exercised
 # in-window by tpch_q3's three-table join, flagship's spine joins, and
 # c8's typed broadcast lookup — and the full local sweep still
-# hash-checks j1).
+# hash-checks j1). The NEW x22 (composed incremental-ingest pipeline:
+# build index -> probe -> anti-join -> extend, chaining d15's oracle
+# CTEs) enters; a4 demotes (green driver rows r1-r7; keep-first
+# distinct-under-sort is covered in-window by p1's project+distinct
+# and the w2 fused sort+slice window, and the full local sweep still
+# hash-checks a4).
 
 
 def _curate() -> None:
