@@ -152,7 +152,7 @@ def _current_round() -> "int | None":
     here = os.path.dirname(os.path.abspath(__file__))
     try:
         with open(os.path.join(here, "VERDICT.md")) as f:
-            m = re.search(r"round\s+(\d+)", f.read(), re.IGNORECASE)
+            m = re.search(r"\bround\s+(\d+)", f.read(), re.IGNORECASE)
         return int(m.group(1)) + 1 if m else None
     except OSError:
         return None

@@ -1865,10 +1865,10 @@ def q_x22(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"path": path, "n": _JACCARD_N, "bands": _LSH_BANDS,
          "rows_per_band": _LSH_ROWS},
     ))
-    eng.bind("pairs", run(OpSpec(
+    run(OpSpec(
         "DEDUP AGAINST INDEX", "pairs", ["batch"],
         {"path": path, "threshold": _LSH_P / _LSH_Q},
-    )))
+    ))  # run_op binds the target name itself
     eng.bind(
         "matched",
         eng.peek("pairs")[0].select(F.col("id_a").alias("doc_id")),

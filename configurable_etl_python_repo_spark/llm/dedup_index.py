@@ -56,6 +56,12 @@ from .dedup import (
 #: partition of a 100 TB corpus's buckets stays executor-sized
 _DEFAULT_KEY_BUCKETS = 64
 
+#: physical-layout version stamped into _meta: probe/extend REFUSE a
+#: tree written under a different layout instead of mis-reading it (an
+#: extend appending a new layout into an old tree would corrupt the
+#: store — 'Conflicting directory structures' on the next read)
+_LAYOUT = "kb-ab-v1"
+
 
 def _kb_col(key_buckets: int):
     """md5-derived physical partition of an LSH (band, key) bucket —
@@ -85,7 +91,16 @@ def _read_meta(spark: SparkSession, path: str):
         raise ValueError(
             f"corrupt minhash index at {path}: _meta has {len(rows)} rows"
         )
-    return rows[0]
+    meta = rows[0]
+    layout = getattr(meta, "layout", None)
+    if layout != _LAYOUT:
+        raise ValueError(
+            f"minhash index at {path} has layout {layout!r}; this code "
+            f"reads {_LAYOUT!r} — rebuild the index with "
+            f"minhash_build_index (extending a different layout would "
+            f"corrupt the store)"
+        )
+    return meta
 
 
 def _batch_buckets(
@@ -152,8 +167,9 @@ def minhash_build_index(
     ).write.mode("overwrite").partitionBy("ab").parquet(path + "/arrays")
     spark = corpus.sparkSession
     spark.createDataFrame(
-        [(n, bands, rows_per_band, key_buckets)],
-        "n int, bands int, rows_per_band int, key_buckets int",
+        [(n, bands, rows_per_band, key_buckets, _LAYOUT)],
+        "n int, bands int, rows_per_band int, key_buckets int, "
+        "layout string",
     ).coalesce(1).write.mode("overwrite").parquet(path + "/_meta")
 
 

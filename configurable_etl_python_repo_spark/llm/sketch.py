@@ -336,10 +336,13 @@ def sketch_quantiles(
     # hi first overflows signed 64-bit for buckets above ~2^62 (Spark
     # wraps negative, DuckDB raises — engine divergence); this form
     # stays in range for any value the encode itself can represent
+    # the 1 literal MUST be bigint: shiftleft on an int masks the shift
+    # amount to 5 bits (Java semantics), so exponents >= 31 crash under
+    # ANSI or silently wrap — bigint shifts use the full 6-bit window
     mid = F.expr(
         f"shiftleft(idx % {1 << (s + 1)}, "
         f"cast(shiftright(idx, {s + 1}) as int)) "
-        f"+ shiftright(shiftleft(1, "
+        f"+ shiftright(shiftleft(cast(1 as bigint), "
         f"cast(shiftright(idx, {s + 1}) as int)) - 1, 1)"
     )
     return hit.select(

@@ -164,3 +164,21 @@ def test_verify_arrays_scan_is_partition_pruned(spark, sf_dir, tmp_path):
     ), plan
     # and it still finds the replica against its original
     assert {(r.id_a, r.id_b) for r in out.collect()} == {(1000002, 2)}
+
+
+def test_layout_version_guard(spark, sf_dir, tmp_path):
+    """Probe/extend refuse an index whose _meta carries a different
+    physical layout instead of mis-reading (or corrupting, via append)
+    the tree."""
+    corpus, batch = _corpus_and_batch(spark, sf_dir)
+    idx = str(tmp_path / "mh")
+    minhash_build_index(corpus, idx, **_LSH)
+    spark.createDataFrame(
+        [(3, 8, 2, 64, "flat-v0")],
+        "n int, bands int, rows_per_band int, key_buckets int, "
+        "layout string",
+    ).coalesce(1).write.mode("overwrite").parquet(idx + "/_meta")
+    with pytest.raises(ValueError, match="layout"):
+        dedup_against_index(spark, idx, batch).collect()
+    with pytest.raises(ValueError, match="layout"):
+        minhash_extend_index(batch, idx)

@@ -245,11 +245,21 @@ def test_quantiles_top_bucket_no_overflow(spark):
     (lo + (width-1)/2, never (lo+hi)/2 — the summed form wraps
     negative in Spark and raises in DuckDB): estimates stay positive
     and within the relative-error bound for any representable long."""
-    big = [1 << 62, (1 << 62) + 12345, 9_223_372_036_854_775_000]
-    df = _vals(spark, big)
-    got = {r.q: r.est for r in
-           approx_quantiles(df, "v", [0.5, 1.0], s=7).collect()}
-    for q, est in got.items():
-        assert est > 0, (q, est)
-    exact = sorted(big)
-    assert abs(got[1.0] - exact[-1]) / exact[-1] <= 2 ** -7
+    import math
+
+    for big in (
+        # exponent 31: shiftleft(1, 31) on an INT literal is INT_MIN and
+        # the -1 overflows under ANSI — the masked-shift crash range
+        [(1 << 38) + 5, (1 << 39) - 7],
+        # exponent 55: int shifts wrap mod 32 and decode silently wrong
+        [1 << 62, (1 << 62) + 12345, 9_223_372_036_854_775_000],
+    ):
+        df = _vals(spark, big)
+        got = {r.q: r.est for r in
+               approx_quantiles(df, "v", [0.5, 1.0], s=7).collect()}
+        exact = sorted(big)
+        for q, est in got.items():
+            assert est > 0, (q, est)
+            want = exact[max(math.ceil(q * len(exact)), 1) - 1]
+            # the true midpoint bound is HALF the bucket width
+            assert abs(est - want) / want <= 2 ** -8, (q, est, want)
