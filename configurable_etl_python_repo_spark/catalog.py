@@ -1203,11 +1203,12 @@ DRIVER_PRIORITY = [
     # event-time analytics (§2.9 batch shapes)
     "e2_sessionize_gap30m",
     # LLM pipeline: dedup + decontamination (d11 rotated in for r7)
-    "d2_ngram_jaccard_pairs", "d3_minhash_lsh_pairs",
+    "d2_ngram_jaccard_pairs",
     "d7_dedup_clusters",
     "d9_decontaminate", "d16_substring_runs",
     "d11_semantic_dedup", "d12_dedup_keep_best", "d13_simhash_pairs",
     "d14_line_dedup", "d15_dedup_against_index",
+    "d17_simhash_against_index",
     # LLM pipeline: similarity search + lexical retrieval
     "n4_ann_ivf_kmeans", "n5_bm25_topk",
     # LLM pipeline: text analysis + curation (t10-t14 rotated in for r7)

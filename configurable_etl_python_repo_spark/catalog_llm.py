@@ -307,9 +307,10 @@ def q_d4(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIMHASH_K = 3
 
 
-def _simhash64_ctes() -> str:
-    """64-bit SimHash as two 32-bit halves; final CTE
-    `shfp64`(doc_id, sh_hi, sh_lo). Mirrors llm.dedup.simhash64."""
+def _simhash64_ctes(src: str = "documents") -> str:
+    """64-bit SimHash as two 32-bit halves over relation `src`; final
+    CTE `shfp64`(doc_id, sh_hi, sh_lo). Mirrors llm.dedup.simhash64.
+    Shared by d4, d13, and the d17 cross-corpus index probe."""
     parts = []
     for h, (lo_c, _) in {"hi": (1, 8), "lo": (9, 16)}.items():
         parts.append(
@@ -327,7 +328,7 @@ def _simhash64_ctes() -> str:
         f"CAST(CASE WHEN s{i} > 0 THEN {2 ** i} ELSE 0 END AS BIGINT)"
         for i in range(32)
     )
-    return f"""{_shingles_sql(1)},
+    return f"""{_shingles_sql(1, src)},
     {parts[0]},
     {parts[1]},
     s_hi AS (SELECT doc_id, {sums["hi"]} FROM v_hi GROUP BY doc_id),
@@ -1808,6 +1809,72 @@ def q_d16(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_substrings(
         corpus, k=_SPAN_K, min_match_words=_RUNS_MIN
     )
+
+
+def _simhash_incr_oracle() -> str:
+    """d17 = the d13 SimHash band machinery over the d15 two-corpus
+    union, candidates restricted to cross-side (batch, index)
+    collisions — the hamming-metric dual of the d15 probe. Reuses
+    _simhash64_ctes (d13's own generator) and the shared _INCR_SQL
+    fixture split, so neither the fingerprints nor the corpus split
+    can drift from their standalone rows."""
+    k = _SIMHASH_K
+    n_bands = k + 1
+    bounds = [round(i * 16 / n_bands) for i in range(n_bands + 1)]
+    band_sel = "\n      UNION ALL ".join(
+        f"SELECT doc_id, sh_hi, sh_lo, {b} AS band, "
+        f"substr(hexs, {bounds[b] + 1}, {bounds[b + 1] - bounds[b]})"
+        f" AS key FROM hexed"
+        for b in range(n_bands)
+    )
+    dist = ("(bit_count(xor(bb.sh_hi, ib.sh_hi)) "
+            "+ bit_count(xor(bb.sh_lo, ib.sh_lo)))")
+    return f"""
+    WITH {_INCR_SQL.strip()},
+    isides AS (SELECT doc_id, side FROM u),
+    {_simhash64_ctes("u").strip()},
+    hexed AS (SELECT doc_id, sh_hi, sh_lo,
+                     printf('%08x%08x', sh_hi, sh_lo) AS hexs
+              FROM shfp64),
+    sbands AS (
+      {band_sel})
+    SELECT DISTINCT bb.doc_id AS id_a, ib.doc_id AS id_b,
+           CAST({dist} AS BIGINT) AS hamming
+    FROM sbands bb
+    JOIN isides sb ON sb.doc_id = bb.doc_id AND sb.side = 1
+    JOIN sbands ib ON ib.band = bb.band AND ib.key = bb.key
+    JOIN isides si ON si.doc_id = ib.doc_id AND si.side = 0
+    WHERE {dist} <= {k}
+    """
+
+
+@register("d17_simhash_against_index", _simhash_incr_oracle())
+def q_d17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SimHash dedup: build the persisted band-row index
+    over "yesterday's corpus" (even doc ids), probe it with "today's
+    batch" (odd ids + replicated evens) — the hamming-metric dual of
+    d15. Fingerprints ride the stored band rows, so the probe verifies
+    hamming inside the pruned (band, key) join without a second store;
+    max_hamming comes from the index's _meta. Exact for the
+    fingerprint metric (pigeonhole bound)."""
+    import os
+    import tempfile
+
+    from .llm import dedup_index as DI
+
+    docs = spark.read.parquet(_pq(sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1).unionByName(
+        docs.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"cfg_etl_d17_idx_{tag}")
+    DI.simhash_build_index(corpus, path, max_hamming=_SIMHASH_K)
+    return DI.simhash_against_index(spark, path, batch)
 
 
 def _incr_ingest_oracle() -> str:

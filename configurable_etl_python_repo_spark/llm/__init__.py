@@ -40,6 +40,9 @@ from .dedup_index import (  # noqa: F401
     dedup_against_index,
     minhash_build_index,
     minhash_extend_index,
+    simhash_against_index,
+    simhash_build_index,
+    simhash_extend_index,
 )
 from .scrub import pii_scrub  # noqa: F401
 from .similarity import (  # noqa: F401

@@ -634,6 +634,36 @@ def simhash_pairs(
             )
     else:
         fp = simhash64(df, id_col, text_col)
+    exploded = simhash_band_rows(fp, max_hamming)
+    dist = simhash_distance("a", "b")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (dist <= max_hamming),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            dist.cast("long").alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+def simhash_band_rows(fp: DataFrame, max_hamming: int) -> DataFrame:
+    """(id, sh_hi, sh_lo, band, key) pigeonhole band rows of a 64-bit
+    fingerprint relation: max_hamming + 1 contiguous nibble-aligned
+    bands of the 16-hex-char fingerprint — two fingerprints within
+    hamming k agree on at least one (band, key). The fingerprint halves
+    ride every band row so a verify needs no join back to the
+    fingerprint table. Shared by the one-shot simhash_pairs and the
+    persisted index (dedup_index.py), which keeps probe == one-shot
+    bit-exact."""
     n_bands = max_hamming + 1
     bounds = [round(i * 16 / n_bands) for i in range(n_bands + 1)]
     hexs = F.format_string("%08x%08x", F.col("sh_hi"), F.col("sh_lo"))
@@ -648,26 +678,20 @@ def simhash_pairs(
             for b in range(n_bands)
         ]
     )
-    exploded = fp.select("id", "sh_hi", "sh_lo", F.explode(bands).alias("bk"))
-    dist = (
-        F.bit_count(F.col("a.sh_hi").bitwiseXOR(F.col("b.sh_hi")))
-        + F.bit_count(F.col("a.sh_lo").bitwiseXOR(F.col("b.sh_lo")))
+    return fp.select(
+        "id", "sh_hi", "sh_lo", F.explode(bands).alias("bk")
+    ).select(
+        "id", "sh_hi", "sh_lo",
+        F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
     )
-    a = exploded.alias("a")
-    b = exploded.alias("b")
+
+
+def simhash_distance(a: str, b: str):
+    """Exact 64-bit hamming distance between two aliased band-row /
+    fingerprint relations: per-half bit_count(xor) sum."""
     return (
-        a.join(
-            b,
-            (F.col("a.bk") == F.col("b.bk"))
-            & (F.col("a.id") < F.col("b.id"))
-            & (dist <= max_hamming),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            dist.cast("long").alias("hamming"),
-        )
-        .distinct()
+        F.bit_count(F.col(f"{a}.sh_hi").bitwiseXOR(F.col(f"{b}.sh_hi")))
+        + F.bit_count(F.col(f"{a}.sh_lo").bitwiseXOR(F.col(f"{b}.sh_lo")))
     )
 
 

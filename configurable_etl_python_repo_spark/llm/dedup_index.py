@@ -85,20 +85,21 @@ def _ab_col(id_expr, buckets: int):
     return md5_mod(id_expr.cast("string"), buckets).alias("ab")
 
 
-def _read_meta(spark: SparkSession, path: str):
+def _read_meta(spark: SparkSession, path: str, expected_layout: str = None):
+    expected = expected_layout or _LAYOUT
     rows = spark.read.parquet(path + "/_meta").collect()
     if len(rows) != 1:
         raise ValueError(
-            f"corrupt minhash index at {path}: _meta has {len(rows)} rows"
+            f"corrupt signature index at {path}: _meta has {len(rows)} "
+            f"rows"
         )
     meta = rows[0]
     layout = getattr(meta, "layout", None)
-    if layout != _LAYOUT:
+    if layout != expected:
         raise ValueError(
-            f"minhash index at {path} has layout {layout!r}; this code "
-            f"reads {_LAYOUT!r} — rebuild the index with "
-            f"minhash_build_index (extending a different layout would "
-            f"corrupt the store)"
+            f"signature index at {path} has layout {layout!r}; this "
+            f"code reads {expected!r} — rebuild the index (extending a "
+            f"different layout would corrupt the store)"
         )
     return meta
 
@@ -276,4 +277,127 @@ def dedup_against_index(
     )
     return _jaccard_from_arrays(
         cand, sig.select("id", "arr"), threshold, arrays_b=idx_arrays
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash incremental index (the hamming-metric dual of the MinHash index)
+# ---------------------------------------------------------------------------
+
+#: SimHash store layout version (bands/ partitioned by kb, fingerprint
+#: halves denormalized onto every band row)
+_SH_LAYOUT = "sh-kb-v1"
+
+
+def simhash_build_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    key_buckets: int = _DEFAULT_KEY_BUCKETS,
+) -> None:
+    """WRITE-SIDE SimHash index: one fingerprint pass persists the
+    Manku pigeonhole band rows (id, sh_hi, sh_lo, band, key) under
+    ``path``/bands, physically partitioned by kb = md5(band#key) %
+    key_buckets — the MinHash index's layout applied to the hamming
+    metric. The fingerprint halves ride every band row, so a probe
+    verifies hamming INSIDE the band join and needs no second store
+    (no arrays/ dual here). ``_meta`` pins (max_hamming, key_buckets,
+    layout); max_hamming is a BUILD-time parameter because it fixes
+    the band count — probing at a larger k than the index was built
+    for would miss pairs, so the probe reads k from the index."""
+    from .dedup import simhash64, simhash_band_rows
+
+    if key_buckets < 1:
+        raise ValueError(f"key_buckets must be >= 1, got {key_buckets}")
+    if not (0 <= max_hamming <= 15):
+        raise ValueError(
+            f"max_hamming must be in [0, 15], got {max_hamming}"
+        )
+    fp = simhash64(corpus, id_col, text_col)
+    rows = simhash_band_rows(fp, max_hamming).withColumn(
+        "kb", _kb_col(key_buckets)
+    )
+    rows.write.mode("overwrite").partitionBy("kb").parquet(
+        path + "/bands"
+    )
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(max_hamming, key_buckets, _SH_LAYOUT)],
+        "max_hamming int, key_buckets int, layout string",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/_meta")
+
+
+def simhash_extend_index(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Roll the SimHash index forward: append the batch's band rows
+    under the index's OWN stored (max_hamming, key_buckets) — pinned in
+    tests as probe(index(A) extended with B) == probe(index(A ∪ B))."""
+    from .dedup import simhash64, simhash_band_rows
+
+    spark = batch.sparkSession
+    meta = _read_meta(spark, path, _SH_LAYOUT)
+    fp = simhash64(batch, id_col, text_col)
+    rows = simhash_band_rows(fp, int(meta.max_hamming)).withColumn(
+        "kb", _kb_col(int(meta.key_buckets))
+    )
+    rows.write.mode("append").partitionBy("kb").parquet(path + "/bands")
+
+
+def simhash_against_index(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Probe a persisted SimHash index with a NEW batch: (batch doc,
+    indexed doc) pairs within the index's max_hamming — EXACT for the
+    fingerprint metric (pigeonhole bound) and bit-equal to the
+    cross-side subset of the one-shot simhash_pairs on the union
+    (pytest-pinned; shared simhash64 + band machinery).
+
+    Plan shape: the batch pays one fingerprint aggregate; its <=
+    key_buckets distinct kb values prune the band-store scan at the
+    file listing; the hamming verify runs INSIDE the (band, key)
+    equi-join on the denormalized fingerprint halves — the corpus text
+    and fingerprints are never recomputed, and no second store is
+    touched. Output: (id_a batch, id_b index, hamming)."""
+    from .dedup import simhash64, simhash_band_rows, simhash_distance
+
+    meta = _read_meta(spark, path, _SH_LAYOUT)
+    k = int(meta.max_hamming)
+    fp = _scope_cache(simhash64(batch, id_col, text_col))
+    b_rows = simhash_band_rows(fp, k).withColumn(
+        "kb", _kb_col(int(meta.key_buckets))
+    )
+    probed = sorted(
+        r[0] for r in b_rows.select("kb").distinct().collect()
+    )
+    idx = (
+        spark.read.parquet(path + "/bands")
+        .where(F.col("kb").isin(probed))
+        .select("id", "sh_hi", "sh_lo", "band", "key")
+    )
+    dist = simhash_distance("a", "b")
+    a = b_rows.alias("a")
+    b = idx.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (dist <= k),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            dist.cast("long").alias("hamming"),
+        )
+        .distinct()
     )

@@ -259,6 +259,24 @@ def _minhash_index_write(fn_name: str):
     return compile_op
 
 
+def _simhash_against_index(engine: "Engine", spec: OpSpec):
+    """Probe a persisted SimHash index (args['path']) with the input
+    batch; max_hamming comes from the index's own _meta."""
+    from ..llm import dedup_index as DI
+
+    df, _ = engine.peek(spec.inputs[0])
+    kwargs = dict(spec.args)
+    if "path" not in kwargs:
+        raise ValueError(
+            "SIMHASH AGAINST INDEX needs a 'path' arg naming the index"
+        )
+    path = kwargs.pop("path")
+    for cfg, py in (("id_column", "id_col"), ("text_column", "text_col")):
+        if cfg in kwargs:
+            kwargs[py] = kwargs.pop(cfg)
+    return DI.simhash_against_index(engine.spark, path, df, **kwargs), None
+
+
 def _dedup_against_index(engine: "Engine", spec: OpSpec):
     """Probe a persisted MinHash index (args['path']) with the input
     batch — the daily-ingest dedup stage; hash parameters come from the
@@ -552,6 +570,9 @@ LLM_OP_COMPILERS = {
     "MINHASH BUILD INDEX": _minhash_index_write("minhash_build_index"),
     "MINHASH EXTEND INDEX": _minhash_index_write("minhash_extend_index"),
     "DEDUP AGAINST INDEX": _dedup_against_index,
+    "SIMHASH BUILD INDEX": _minhash_index_write("simhash_build_index"),
+    "SIMHASH EXTEND INDEX": _minhash_index_write("simhash_extend_index"),
+    "SIMHASH AGAINST INDEX": _simhash_against_index,
     "PERPLEXITY CUTOFFS": _unary(
         _rename_kw(T.perplexity_cutoffs,
                    {"score_column": "score_col", "id_column": "id_col",

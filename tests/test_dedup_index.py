@@ -182,3 +182,107 @@ def test_layout_version_guard(spark, sf_dir, tmp_path):
         dedup_against_index(spark, idx, batch).collect()
     with pytest.raises(ValueError, match="layout"):
         minhash_extend_index(batch, idx)
+
+
+# ---------------------------------------------------------------------------
+# SimHash incremental index
+# ---------------------------------------------------------------------------
+
+from configurable_etl_python_repo_spark.llm.dedup import (  # noqa: E402
+    simhash_pairs,
+)
+from configurable_etl_python_repo_spark.llm.dedup_index import (  # noqa: E402
+    simhash_against_index,
+    simhash_build_index,
+    simhash_extend_index,
+)
+
+
+def test_simhash_probe_equals_one_shot_cross_pairs(spark, sf_dir, tmp_path):
+    """simhash_against_index == the cross-side subset of the one-shot
+    simhash_pairs on the union, including the exact hamming values
+    (shared simhash64 + band machinery)."""
+    corpus, batch = _corpus_and_batch(spark, sf_dir)
+    idx = str(tmp_path / "sh")
+    simhash_build_index(corpus, idx, max_hamming=3)
+    got = {(r.id_a, r.id_b, r.hamming) for r in
+           simhash_against_index(spark, idx, batch).collect()}
+    corpus_ids = {r[0] for r in corpus.select("doc_id").collect()}
+    want = set()
+    for r in simhash_pairs(
+        corpus.unionByName(batch), max_hamming=3
+    ).collect():
+        a_in, b_in = r.id_a in corpus_ids, r.id_b in corpus_ids
+        if a_in != b_in:
+            want.add((r.id_b, r.id_a, r.hamming) if a_in
+                     else (r.id_a, r.id_b, r.hamming))
+    assert got == want and got
+    # exact replicas have identical fingerprints -> hamming 0
+    replicas = {r[0] for r in batch.where(F.col("doc_id") >= 1000000)
+                .select("doc_id").collect()}
+    assert {(rid, rid - 1000000, 0) for rid in replicas} <= got
+
+
+def test_simhash_probe_pruned_and_extend(spark, sf_dir, tmp_path):
+    """Band-store scan prunes on kb; extend == full rebuild; layout
+    guard refuses a foreign tree; max_hamming rides _meta."""
+    docs = _docs(spark, sf_dir)
+    part_a = docs.where(F.col("doc_id") % 3 == 0)
+    part_b = docs.where(F.col("doc_id") % 3 == 1)
+    probe = docs.where(F.col("doc_id") % 3 == 2).unionByName(
+        part_b.where(F.col("doc_id") % 30 == 1).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    simhash_build_index(part_a, inc, max_hamming=2, key_buckets=16)
+    simhash_extend_index(part_b, inc)
+    simhash_build_index(part_a.unionByName(part_b), full,
+                        max_hamming=2, key_buckets=16)
+    got = {(r.id_a, r.id_b) for r in
+           simhash_against_index(spark, inc, probe).collect()}
+    want = {(r.id_a, r.id_b) for r in
+            simhash_against_index(spark, full, probe).collect()}
+    assert got == want and got
+    assert len(glob.glob(f"{inc}/bands/kb=*")) > 1
+    tiny = docs.where(F.col("doc_id") == 2).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    plan = simhash_against_index(
+        spark, inc, tiny
+    )._jdf.queryExecution().executedPlan().toString()
+    prunes = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("kb" in p for p in prunes), plan
+    # a minhash tree is refused by the simhash probe (layout guard)
+    mh = str(tmp_path / "mh")
+    minhash_build_index(part_a, mh, **_LSH)
+    with pytest.raises(ValueError, match="layout"):
+        simhash_against_index(spark, mh, probe).collect()
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_build_index(part_a, str(tmp_path / "bad"),
+                            max_hamming=16)
+
+
+def test_simhash_index_config_ops(spark, sf_dir, tmp_path):
+    from configurable_etl_python_repo_spark.plans import Engine, OpSpec
+
+    corpus, batch = _corpus_and_batch(spark, sf_dir)
+    idx = str(tmp_path / "sh")
+    eng = Engine(spark)
+    eng.bind("corpus", corpus)
+    eng.bind("batch", batch.where(F.col("doc_id") >= 1000000))
+    passthru = eng.run_op(OpSpec(
+        "SIMHASH BUILD INDEX", "built", ["corpus"],
+        {"path": idx, "max_hamming": 3}))
+    assert passthru.columns == corpus.columns
+    pairs = eng.run_op(OpSpec(
+        "SIMHASH AGAINST INDEX", "pairs", ["batch"], {"path": idx}))
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    replicas = {r[0] for r in eng.peek("batch")[0]
+                .select("doc_id").collect()}
+    assert {(rid, rid - 1000000) for rid in replicas} <= got
+    eng.run_op(OpSpec(
+        "SIMHASH EXTEND INDEX", "ext", ["batch"], {"path": idx}))
+    again = eng.run_op(OpSpec(
+        "SIMHASH AGAINST INDEX", "p2", ["batch"], {"path": idx}))
+    self_hits = {(r.id_a, r.id_b) for r in again.collect()}
+    assert {(rid, rid) for rid in replicas} <= self_hits
