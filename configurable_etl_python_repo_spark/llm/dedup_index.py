@@ -160,12 +160,18 @@ def minhash_build_index(
     buckets = explode_band_keys(sig, bands, rows_per_band).withColumn(
         "kb", _kb_col(key_buckets)
     )
-    buckets.write.mode("overwrite").partitionBy("kb").parquet(
-        path + "/buckets"
-    )
+    # repartition on the partition column BEFORE partitionBy: without
+    # it every shuffle task writes a sliver into every kb directory
+    # (tasks x key_buckets small files — measured dominating the build
+    # at sf0.1); aligned writers emit ~one file per directory
+    buckets.repartition("kb").write.mode("overwrite").partitionBy(
+        "kb"
+    ).parquet(path + "/buckets")
     sig.select(
         "id", "arr", _ab_col(F.col("id"), key_buckets)
-    ).write.mode("overwrite").partitionBy("ab").parquet(path + "/arrays")
+    ).repartition("ab").write.mode("overwrite").partitionBy(
+        "ab"
+    ).parquet(path + "/arrays")
     spark = corpus.sparkSession
     spark.createDataFrame(
         [(n, bands, rows_per_band, key_buckets, _LAYOUT)],
@@ -192,12 +198,14 @@ def minhash_extend_index(
     spark = batch.sparkSession
     meta = _read_meta(spark, path)
     sig, buckets = _batch_buckets(batch, id_col, text_col, meta)
-    buckets.write.mode("append").partitionBy("kb").parquet(
-        path + "/buckets"
-    )
+    buckets.repartition("kb").write.mode("append").partitionBy(
+        "kb"
+    ).parquet(path + "/buckets")
     sig.select(
         "id", "arr", _ab_col(F.col("id"), int(meta.key_buckets))
-    ).write.mode("append").partitionBy("ab").parquet(path + "/arrays")
+    ).repartition("ab").write.mode("append").partitionBy(
+        "ab"
+    ).parquet(path + "/arrays")
 
 
 def dedup_against_index(
@@ -319,9 +327,9 @@ def simhash_build_index(
     rows = simhash_band_rows(fp, max_hamming).withColumn(
         "kb", _kb_col(key_buckets)
     )
-    rows.write.mode("overwrite").partitionBy("kb").parquet(
-        path + "/bands"
-    )
+    rows.repartition("kb").write.mode("overwrite").partitionBy(
+        "kb"
+    ).parquet(path + "/bands")
     spark = corpus.sparkSession
     spark.createDataFrame(
         [(max_hamming, key_buckets, _SH_LAYOUT)],
@@ -346,7 +354,9 @@ def simhash_extend_index(
     rows = simhash_band_rows(fp, int(meta.max_hamming)).withColumn(
         "kb", _kb_col(int(meta.key_buckets))
     )
-    rows.write.mode("append").partitionBy("kb").parquet(path + "/bands")
+    rows.repartition("kb").write.mode("append").partitionBy(
+        "kb"
+    ).parquet(path + "/bands")
 
 
 def simhash_against_index(
