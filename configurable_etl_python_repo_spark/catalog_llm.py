@@ -339,12 +339,12 @@ def _simhash64_ctes(src: str = "documents") -> str:
                FROM fp_hi h JOIN fp_lo l USING (doc_id))"""
 
 
-def _simhash_pairs_oracle() -> str:
-    """d13 = the 64-bit SimHash CTEs + the Manku et al. pigeonhole band
-    join: k+1 contiguous nibble-aligned bands of the 16-hex-char
-    fingerprint, candidates agree on >= 1 band, verified per-half
-    bit_count(xor) sum <= k."""
-    k = _SIMHASH_K
+def _simhash_bands_sql(bands_cte: str = "bands", k: int = _SIMHASH_K) -> str:
+    """CTE fragment `hexed` + `{bands_cte}` = the Manku pigeonhole band
+    rows of `shfp64` (k+1 contiguous nibble-aligned bands of the
+    16-hex-char fingerprint). THE single source of the banding for the
+    d13 pair oracle and the d17 index-probe oracle — mirrors
+    llm.dedup.simhash_band_rows."""
     n_bands = k + 1
     bounds = [round(i * 16 / n_bands) for i in range(n_bands + 1)]
     band_sel = "\n      UNION ALL ".join(
@@ -353,15 +353,30 @@ def _simhash_pairs_oracle() -> str:
         f" AS key FROM hexed"
         for b in range(n_bands)
     )
-    dist = ("(bit_count(xor(a.sh_hi, b.sh_hi)) "
-            "+ bit_count(xor(a.sh_lo, b.sh_lo)))")
-    return f"""
-    WITH {_simhash64_ctes().strip()},
-    hexed AS (SELECT doc_id, sh_hi, sh_lo,
+    return f"""hexed AS (SELECT doc_id, sh_hi, sh_lo,
                      printf('%08x%08x', sh_hi, sh_lo) AS hexs
               FROM shfp64),
-    bands AS (
-      {band_sel}),
+    {bands_cte} AS (
+      {band_sel})"""
+
+
+def _simhash_dist_sql(a: str, b: str) -> str:
+    """Exact 64-bit hamming distance between two band-row aliases —
+    mirrors llm.dedup.simhash_distance."""
+    return (f"(bit_count(xor({a}.sh_hi, {b}.sh_hi)) "
+            f"+ bit_count(xor({a}.sh_lo, {b}.sh_lo)))")
+
+
+def _simhash_pairs_oracle() -> str:
+    """d13 = the 64-bit SimHash CTEs + the Manku et al. pigeonhole band
+    join: k+1 contiguous nibble-aligned bands of the 16-hex-char
+    fingerprint, candidates agree on >= 1 band, verified per-half
+    bit_count(xor) sum <= k."""
+    k = _SIMHASH_K
+    dist = _simhash_dist_sql("a", "b")
+    return f"""
+    WITH {_simhash64_ctes().strip()},
+    {_simhash_bands_sql()},
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
              CAST({dist} AS BIGINT) AS hamming
@@ -1718,21 +1733,11 @@ def _incr_index_oracle() -> str:
     )
 
 
-@register("d15_dedup_against_index", _incr_index_oracle())
-def q_d15(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental cross-corpus dedup: build the persisted MinHash-LSH
-    index over "yesterday's corpus" (even doc ids), then probe it with
-    "today's batch" (odd ids + replicated evens under a shifted id
-    namespace) — signatures for the old corpus come from the parquet
-    index, only the batch is re-shingled, and the probe's bucket scan
-    partition-prunes to the batch's kb set. Verified pairs are
-    bit-equal to the cross-side subset of the one-shot LSH pass (the
-    relational statement the oracle replays)."""
-    import os
-    import tempfile
-
-    from .llm import dedup_index as DI
-
+def _incr_split(spark: SparkSession, sf_dir: str):
+    """The shared d15/d17/x22 two-corpus fixture: "yesterday's corpus"
+    = even doc ids (indexed), "today's batch" = odd ids + replicas of
+    every doc_id % 10 == 0 under a shifted id namespace (guaranteed
+    cross-corpus near-dups). Mirrors _INCR_SQL exactly."""
     docs = spark.read.parquet(_pq(sf_dir, "documents")).select(
         "doc_id", "text"
     )
@@ -1742,23 +1747,59 @@ def q_d15(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") + 1000000).alias("doc_id"), "text"
         )
     )
-    # FIXED name per sf tag (no pid): reused across runs instead of
-    # leaking one corpus-sized index per process into /tmp. The build
-    # is ONCE per (tag, params) — a marker skips rebuilds, so repeated
-    # invocations (the bench warm-up + samples) measure the PROBE, the
-    # operation this row advertises; production amortizes the build the
-    # same way (yesterday's index already exists).
+    return corpus, batch
+
+
+def _build_once(name: str, sf_dir: str, stamp_suffix: str, build) -> str:
+    """Build-once marker protocol for a persisted /tmp index keyed by
+    (sf tag, fixture data fingerprint, params): repeated invocations —
+    the bench warm-up + samples — measure the PROBE, the operation the
+    catalog row advertises; production amortizes the build the same way
+    (yesterday's index already exists). The stamp folds the source
+    parquet's size+mtime in, so regenerating the fixture in place
+    invalidates the marker instead of silently probing signatures of
+    the OLD corpus. A FIXED per-tag path (no pid) bounds /tmp to one
+    tree per (name, sf). Code changes to the signature functions must
+    bump stamp_suffix (the 'vN' convention)."""
+    import os
+    import tempfile
+
     tag = sf_dir.strip("/").replace("/", "_")
-    path = os.path.join(tempfile.gettempdir(), f"cfg_etl_d15_idx_{tag}")
-    stamp = f"{tag} n={_JACCARD_N} b={_LSH_BANDS}x{_LSH_ROWS} v2"
+    src = _pq(sf_dir, "documents")
+    st = os.stat(src)
+    stamp = f"{tag} data={st.st_size}:{int(st.st_mtime)} {stamp_suffix}"
+    path = os.path.join(tempfile.gettempdir(), f"cfg_etl_{name}_{tag}")
     marker = os.path.join(path, "_CATALOG_BUILT")
     if not (os.path.exists(marker) and open(marker).read() == stamp):
-        DI.minhash_build_index(
-            corpus, path, n=_JACCARD_N, bands=_LSH_BANDS,
-            rows_per_band=_LSH_ROWS,
-        )
+        build(path)
         with open(marker, "w") as fh:
             fh.write(stamp)
+    return path
+
+
+@register("d15_dedup_against_index", _incr_index_oracle())
+def q_d15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-corpus dedup: build the persisted MinHash-LSH
+    index over "yesterday's corpus" (even doc ids), then probe it with
+    "today's batch" (odd ids + replicated evens under a shifted id
+    namespace) — signatures for the old corpus come from the parquet
+    index, only the batch is re-shingled, and the probe's bucket scan
+    partition-prunes to the batch's kb set. Verified pairs are
+    bit-equal to the cross-side subset of the one-shot LSH pass (the
+    relational statement the oracle replays). The index builds ONCE
+    per (sf, data, params) via _build_once; the measured work is the
+    daily probe."""
+    from .llm import dedup_index as DI
+
+    corpus, batch = _incr_split(spark, sf_dir)
+    path = _build_once(
+        "d15_idx", sf_dir,
+        f"n={_JACCARD_N} b={_LSH_BANDS}x{_LSH_ROWS} v3",
+        lambda p: DI.minhash_build_index(
+            corpus, p, n=_JACCARD_N, bands=_LSH_BANDS,
+            rows_per_band=_LSH_ROWS,
+        ),
+    )
     return DI.dedup_against_index(
         spark, path, batch, threshold=_LSH_P / _LSH_Q
     )
@@ -1827,25 +1868,12 @@ def _simhash_incr_oracle() -> str:
     fixture split, so neither the fingerprints nor the corpus split
     can drift from their standalone rows."""
     k = _SIMHASH_K
-    n_bands = k + 1
-    bounds = [round(i * 16 / n_bands) for i in range(n_bands + 1)]
-    band_sel = "\n      UNION ALL ".join(
-        f"SELECT doc_id, sh_hi, sh_lo, {b} AS band, "
-        f"substr(hexs, {bounds[b] + 1}, {bounds[b + 1] - bounds[b]})"
-        f" AS key FROM hexed"
-        for b in range(n_bands)
-    )
-    dist = ("(bit_count(xor(bb.sh_hi, ib.sh_hi)) "
-            "+ bit_count(xor(bb.sh_lo, ib.sh_lo)))")
+    dist = _simhash_dist_sql("bb", "ib")
     return f"""
     WITH {_INCR_SQL.strip()},
     isides AS (SELECT doc_id, side FROM u),
     {_simhash64_ctes("u").strip()},
-    hexed AS (SELECT doc_id, sh_hi, sh_lo,
-                     printf('%08x%08x', sh_hi, sh_lo) AS hexs
-              FROM shfp64),
-    sbands AS (
-      {band_sel})
+    {_simhash_bands_sql("sbands")}
     SELECT DISTINCT bb.doc_id AS id_a, ib.doc_id AS id_b,
            CAST({dist} AS BIGINT) AS hamming
     FROM sbands bb
@@ -1864,31 +1892,17 @@ def q_d17(spark: SparkSession, sf_dir: str) -> DataFrame:
     d15. Fingerprints ride the stored band rows, so the probe verifies
     hamming inside the pruned (band, key) join without a second store;
     max_hamming comes from the index's _meta. Exact for the
-    fingerprint metric (pigeonhole bound)."""
-    import os
-    import tempfile
-
+    fingerprint metric (pigeonhole bound). Builds ONCE per (sf, data,
+    params) via _build_once; the measured work is the daily probe."""
     from .llm import dedup_index as DI
 
-    docs = spark.read.parquet(_pq(sf_dir, "documents")).select(
-        "doc_id", "text"
+    corpus, batch = _incr_split(spark, sf_dir)
+    path = _build_once(
+        "d17_idx", sf_dir, f"k={_SIMHASH_K} v2",
+        lambda p: DI.simhash_build_index(
+            corpus, p, max_hamming=_SIMHASH_K
+        ),
     )
-    corpus = docs.where(F.col("doc_id") % 2 == 0)
-    batch = docs.where(F.col("doc_id") % 2 == 1).unionByName(
-        docs.where(F.col("doc_id") % 10 == 0).select(
-            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
-        )
-    )
-    # build-once marker, same scheme as d15: repeated invocations
-    # measure the probe against the persisted index
-    tag = sf_dir.strip("/").replace("/", "_")
-    path = os.path.join(tempfile.gettempdir(), f"cfg_etl_d17_idx_{tag}")
-    stamp = f"{tag} k={_SIMHASH_K} v1"
-    marker = os.path.join(path, "_CATALOG_BUILT")
-    if not (os.path.exists(marker) and open(marker).read() == stamp):
-        DI.simhash_build_index(corpus, path, max_hamming=_SIMHASH_K)
-        with open(marker, "w") as fh:
-            fh.write(stamp)
     return DI.simhash_against_index(spark, path, batch)
 
 
@@ -1923,24 +1937,15 @@ def q_x22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .plans import Engine, OpSpec
 
-    docs = spark.read.parquet(_pq(sf_dir, "documents")).select(
-        "doc_id", "text"
-    )
+    corpus, batch = _incr_split(spark, sf_dir)
     tag = sf_dir.strip("/").replace("/", "_")
     path = os.path.join(tempfile.gettempdir(), f"cfg_etl_x22_idx_{tag}")
     # extend APPENDS: start from a clean tree so a repeated invocation
     # (bench warm-up + samples) measures the same pipeline every time
     shutil.rmtree(path, ignore_errors=True)
     eng = Engine(spark)
-    eng.bind("corpus", docs.where(F.col("doc_id") % 2 == 0))
-    eng.bind(
-        "batch",
-        docs.where(F.col("doc_id") % 2 == 1).unionByName(
-            docs.where(F.col("doc_id") % 10 == 0).select(
-                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
-            )
-        ),
-    )
+    eng.bind("corpus", corpus)
+    eng.bind("batch", batch)
     run = eng.run_op
     run(OpSpec(
         "MINHASH BUILD INDEX", "built", ["corpus"],

@@ -259,41 +259,31 @@ def _minhash_index_write(fn_name: str):
     return compile_op
 
 
-def _simhash_against_index(engine: "Engine", spec: OpSpec):
-    """Probe a persisted SimHash index (args['path']) with the input
-    batch; max_hamming comes from the index's own _meta."""
-    from ..llm import dedup_index as DI
-
-    df, _ = engine.peek(spec.inputs[0])
-    kwargs = dict(spec.args)
-    if "path" not in kwargs:
-        raise ValueError(
-            "SIMHASH AGAINST INDEX needs a 'path' arg naming the index"
-        )
-    path = kwargs.pop("path")
-    for cfg, py in (("id_column", "id_col"), ("text_column", "text_col")):
-        if cfg in kwargs:
-            kwargs[py] = kwargs.pop(cfg)
-    return DI.simhash_against_index(engine.spark, path, df, **kwargs), None
-
-
-def _dedup_against_index(engine: "Engine", spec: OpSpec):
-    """Probe a persisted MinHash index (args['path']) with the input
+def _index_probe(fn_name: str):
+    """Probe a persisted signature index (args['path']) with the input
     batch — the daily-ingest dedup stage; hash parameters come from the
-    index's own _meta, never from the program."""
-    from ..llm import dedup_index as DI
+    index's own _meta, never from the program. One compiler for both
+    the MinHash and SimHash probe ops (same plumbing, different
+    dedup_index function)."""
 
-    df, _ = engine.peek(spec.inputs[0])
-    kwargs = dict(spec.args)
-    if "path" not in kwargs:
-        raise ValueError(
-            "DEDUP AGAINST INDEX needs a 'path' arg naming the index"
-        )
-    path = kwargs.pop("path")
-    for cfg, py in (("id_column", "id_col"), ("text_column", "text_col")):
-        if cfg in kwargs:
-            kwargs[py] = kwargs.pop(cfg)
-    return DI.dedup_against_index(engine.spark, path, df, **kwargs), None
+    def compile_op(engine: "Engine", spec: OpSpec):
+        from ..llm import dedup_index as DI
+
+        df, _ = engine.peek(spec.inputs[0])
+        kwargs = dict(spec.args)
+        if "path" not in kwargs:
+            raise ValueError(
+                f"{spec.op} needs a 'path' arg naming the index"
+            )
+        path = kwargs.pop("path")
+        for cfg, py in (("id_column", "id_col"),
+                        ("text_column", "text_col")):
+            if cfg in kwargs:
+                kwargs[py] = kwargs.pop(cfg)
+        probe = getattr(DI, fn_name)
+        return probe(engine.spark, path, df, **kwargs), None
+
+    return compile_op
 
 
 def _ppl_partition_stream(engine: "Engine", spec: OpSpec):
@@ -569,10 +559,10 @@ LLM_OP_COMPILERS = {
     ),
     "MINHASH BUILD INDEX": _minhash_index_write("minhash_build_index"),
     "MINHASH EXTEND INDEX": _minhash_index_write("minhash_extend_index"),
-    "DEDUP AGAINST INDEX": _dedup_against_index,
+    "DEDUP AGAINST INDEX": _index_probe("dedup_against_index"),
     "SIMHASH BUILD INDEX": _minhash_index_write("simhash_build_index"),
     "SIMHASH EXTEND INDEX": _minhash_index_write("simhash_extend_index"),
-    "SIMHASH AGAINST INDEX": _simhash_against_index,
+    "SIMHASH AGAINST INDEX": _index_probe("simhash_against_index"),
     "PERPLEXITY CUTOFFS": _unary(
         _rename_kw(T.perplexity_cutoffs,
                    {"score_column": "score_col", "id_column": "id_col",
