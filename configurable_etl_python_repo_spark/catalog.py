@@ -1210,10 +1210,9 @@ DRIVER_PRIORITY = [
     "d14_line_dedup", "d15_dedup_against_index",
     "d17_simhash_against_index",
     # LLM pipeline: similarity search + lexical retrieval
-    "n4_ann_ivf_kmeans", "n5_bm25_topk",
+    "n4_ann_ivf_kmeans", "n5_bm25_topk", "n6_hybrid_rrf",
     # LLM pipeline: text analysis + curation (t10-t14 rotated in for r7)
     "t1_text_stats", "t2_language_id",
-    "t9_bpe_pack_sequences",
     "t10_unigram_surprisal", "t11_url_blocklist", "t12_quality_classifier",
     "t13_sized_shards", "t14_bpe_bytes", "t15_bpe_gpt2",
     "t16_sized_shards_bytes", "t17_backoff_surprisal",

@@ -3443,16 +3443,18 @@ _BM25_QUERY = "slow hash join merge"
 _BM25_K = 10
 
 
-def _bm25_oracle(query: str = _BM25_QUERY, k: int = _BM25_K,
-                 k1: float = 1.2, b: float = 0.75) -> str:
+def _bm25_ctes(query: str = _BM25_QUERY, k: int = _BM25_K,
+               k1: float = 1.2, b: float = 0.75) -> str:
     """SQL replay of llm/search.bm25_topk with the expression tree in
     the SAME association order (idf ln 6dp-rounded first, per-term
     score 6dp-rounded, per-doc DECIMAL(38,6) sums, one final double
-    cast) so both engines build identical floats."""
+    cast) so both engines build identical floats. Final CTE
+    `bm25r`(doc_id, score, rank) — shared by the n5 oracle and the n6
+    hybrid-fusion oracle so the lexical leg can never drift."""
     terms = sorted(set(query.lower().split()))
     in_list = ", ".join(f"'{t}'" for t in terms)
     return f"""
-    WITH {_words_sql().strip()},
+    {_words_sql().strip()},
     lens AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM words),
     stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
                      CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
@@ -3475,12 +3477,21 @@ def _bm25_oracle(query: str = _BM25_QUERY, k: int = _BM25_K,
            JOIN lens l USING (doc_id)),
     agg AS (SELECT doc_id, CAST(sum(s6) AS DOUBLE) AS score
             FROM sc GROUP BY doc_id
-            ORDER BY score DESC, doc_id ASC LIMIT {k})
-    SELECT doc_id, score,
-           CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
-                AS BIGINT) AS rank
-    FROM agg
+            ORDER BY score DESC, doc_id ASC LIMIT {k}),
+    bm25r AS (
+      SELECT doc_id, score,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                  AS BIGINT) AS rank
+      FROM agg)
     """
+
+
+def _bm25_oracle(query: str = _BM25_QUERY, k: int = _BM25_K,
+                 k1: float = 1.2, b: float = 0.75) -> str:
+    return (
+        "WITH " + _bm25_ctes(query, k, k1, b).strip()
+        + "\n    SELECT doc_id, score, rank FROM bm25r"
+    )
 
 
 @register("n5_bm25_topk", _bm25_oracle())
@@ -3495,3 +3506,73 @@ def q_n5(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(_pq(sf_dir, "documents"))
     return bm25_topk(docs.select("doc_id", "text"), _BM25_QUERY,
                      k=_BM25_K)
+
+
+#: n6 hybrid retrieval: text query = the n5 keyword query; dense query
+#: = the embedding of doc _HYB_QID (doc_id == vec_id in the fixtures);
+#: each leg contributes its top _HYB_N ranks to the RRF fusion
+_HYB_QID, _HYB_N, _HYB_K, _RRF_K0 = 7, 50, 10, 60
+
+
+def _hybrid_rrf_oracle() -> str:
+    """n6 = reciprocal rank fusion of the n5 BM25 leg (chained from
+    _bm25_ctes — the lexical leg cannot drift from n5) and a
+    brute-force cosine leg over the query doc's embedding (the n1
+    formula via _cos_sql): each reciprocal 6dp-rounded first, exact
+    DECIMAL sums, ties to the smaller id."""
+    return f"""
+    WITH {_bm25_ctes(_BM25_QUERY, _HYB_N).strip()},
+    dq AS (SELECT embedding AS qv FROM embeddings
+           WHERE vec_id = {_HYB_QID}),
+    dsims AS (
+      SELECT c.vec_id AS doc_id, {_cos_sql('c.embedding', 'dq.qv')}
+               AS sim
+      FROM embeddings c, dq WHERE c.vec_id != {_HYB_QID}),
+    denser AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY sim DESC, doc_id ASC)
+                  AS BIGINT) AS rank
+      FROM dsims
+      QUALIFY row_number() OVER (ORDER BY sim DESC, doc_id ASC)
+              <= {_HYB_N}),
+    contrib AS (
+      SELECT doc_id, CAST(round(1.0 / ({float(_RRF_K0)!r} + rank), 6)
+                          AS DECIMAL(18,6)) AS c FROM bm25r
+      UNION ALL
+      SELECT doc_id, CAST(round(1.0 / ({float(_RRF_K0)!r} + rank), 6)
+                          AS DECIMAL(18,6)) AS c FROM denser),
+    fused AS (
+      SELECT doc_id, CAST(sum(c) AS DOUBLE) AS rrf_score
+      FROM contrib GROUP BY doc_id
+      ORDER BY rrf_score DESC, doc_id ASC LIMIT {_HYB_K})
+    SELECT doc_id, rrf_score,
+           CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC)
+                AS BIGINT) AS rank
+    FROM fused
+    """
+
+
+@register("n6_hybrid_rrf", _hybrid_rrf_oracle())
+def q_n6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical leg + exact-cosine dense leg
+    fused by Reciprocal Rank Fusion (Cormack et al. 2009) — the
+    standard production combiner, score-scale-free because only ranks
+    enter. Both legs are k-bounded, so the fusion's union+groupBy
+    shuffles at most 2k candidate rows (never corpus-sized); each
+    reciprocal is 6dp-rounded before exact DECIMAL sums, ties to the
+    smaller id — bit-exact vs the SQL replay, whose lexical leg chains
+    n5's own CTE generator."""
+    from .llm import similarity as S
+    from .llm.search import bm25_topk, rrf_fuse
+
+    docs = spark.read.parquet(_pq(sf_dir, "documents"))
+    emb = spark.read.parquet(_pq(sf_dir, "embeddings"))
+    lex = bm25_topk(docs.select("doc_id", "text"), _BM25_QUERY,
+                    k=_HYB_N)
+    dense = S.brute_force_topk(
+        emb, emb.where(F.col("vec_id") == _HYB_QID), k=_HYB_N
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse(
+        [lex.select("doc_id", "rank"), dense],
+        k=_HYB_K, k0=_RRF_K0,
+    )

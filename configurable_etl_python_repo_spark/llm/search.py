@@ -169,10 +169,9 @@ def _bm25_score(
 def _tb_col(w, buckets: int):
     """md5-derived term bucket — the physical partition key of the
     postings/df stores, deterministic so build and every probe agree."""
-    return F.pmod(
-        F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"),
-        F.lit(buckets),
-    )
+    from .sampling import md5_mod
+
+    return md5_mod(w, buckets)
 
 
 def bm25_build_index(
@@ -315,5 +314,71 @@ def bm25_search_index(
     return scored.select(
         F.col("id").alias(id_col),
         "score",
+        rank.cast("long").alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal rank fusion
+# ---------------------------------------------------------------------------
+
+
+def rrf_fuse(
+    rankings: "list[DataFrame]",
+    k: int = 10,
+    k0: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack/Clarke/Buettcher SIGIR 2009):
+    fuse N ranked lists into one by score(d) = sum over lists of
+    1 / (k0 + rank_d(list)) — the standard hybrid-retrieval combiner
+    (BM25 + dense ANN), score-scale-free because only RANKS enter.
+    k0 = 60 is the published default; larger k0 flattens the fusion.
+
+    Each input needs (id_col, rank_col); a doc absent from a list
+    contributes nothing for it. Determinism (the repo oracle
+    discipline): each reciprocal is rounded to 6dp FIRST, per-doc sums
+    are exact DECIMAL(18,6), final double cast, ties break to the
+    smaller id; the union+groupBy is one shuffle over the CANDIDATE
+    lists (k-bounded inputs, never corpus-sized), and the top-k is
+    TakeOrderedAndProject.
+
+    Output: (id_col, rrf_score, rank), rank 1..k."""
+    if not rankings:
+        raise ValueError("rankings must contain at least one list")
+    if not (1 <= k):
+        raise ValueError(f"k must be >= 1, got {k}")
+    if k0 < 1:
+        raise ValueError(f"k0 must be >= 1, got {k0}")
+    contribs = [
+        r.select(
+            F.col(id_col).alias("id"),
+            F.round(
+                F.lit(1.0)
+                / (F.lit(float(k0)) + F.col(rank_col).cast("double")),
+                6,
+            ).cast("decimal(18,6)").alias("c"),
+        )
+        for r in rankings
+    ]
+    allc = contribs[0]
+    for c in contribs[1:]:
+        allc = allc.unionByName(c)
+    fused = (
+        allc.groupBy("id")
+        .agg(F.sum("c").alias("c_sum"))
+        .select("id", F.col("c_sum").cast("double").alias("rrf_score"))
+        .orderBy(F.col("rrf_score").desc(), F.col("id").asc())
+        .limit(k)
+    )
+    from pyspark.sql import Window
+
+    rank = F.row_number().over(
+        Window.orderBy(F.col("rrf_score").desc(), F.col("id").asc())
+    )
+    return fused.select(
+        F.col("id").alias(id_col),
+        "rrf_score",
         rank.cast("long").alias("rank"),
     )

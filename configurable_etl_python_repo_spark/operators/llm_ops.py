@@ -307,6 +307,21 @@ def _ppl_partition_stream(engine: "Engine", spec: OpSpec):
     return T.perplexity_partition_stream(df, cuts, **kwargs), None
 
 
+def _rrf_fuse(engine: "Engine", spec: OpSpec):
+    """Reciprocal rank fusion of N ranked inputs (hybrid retrieval):
+    every input binding is a ranked list sharing the id/rank columns."""
+    from ..llm import search as SR
+
+    if not spec.inputs:
+        raise ValueError("RRF FUSE needs at least one ranked input")
+    rankings = [engine.peek(n)[0] for n in spec.inputs]
+    kwargs = dict(spec.args)
+    for cfg, py in (("id_column", "id_col"), ("rank_column", "rank_col")):
+        if cfg in kwargs:
+            kwargs[py] = kwargs.pop(cfg)
+    return SR.rrf_fuse(rankings, **kwargs), None
+
+
 def _bm25_build_index(engine: "Engine", spec: OpSpec):
     """Write-side BM25 index (pass-through stage, like the MinHash
     index build): persists postings/df/stats under args['path']."""
@@ -515,6 +530,7 @@ LLM_OP_COMPILERS = {
     ),
     "BM25 BUILD INDEX": _bm25_build_index,
     "BM25 SEARCH INDEX": _bm25_search_index,
+    "RRF FUSE": _rrf_fuse,
     "DISTINCT SKETCH": _unary(
         _rename_kw(_lazy_sketch("distinct_sketch"), {"columns": "cols"})
     ),

@@ -185,3 +185,51 @@ def test_bm25_index_config_ops(spark, tmp_path):
     with _pytest.raises(ValueError, match="term_buckets"):
         bm25_build_index(eng.peek("docs")[0], str(tmp_path / "bad"),
                          term_buckets=0)
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal rank fusion
+# ---------------------------------------------------------------------------
+
+from configurable_etl_python_repo_spark.llm.search import rrf_fuse  # noqa: E402
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """RRF (k0=60): score = sum over lists of round(1/(60+rank), 6);
+    docs missing from a list contribute nothing; ties break to the
+    smaller id; k truncates."""
+    a = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], ["doc_id", "rank"])
+    b = spark.createDataFrame(
+        [(3, 1), (1, 2), (4, 3)], ["doc_id", "rank"])
+    out = {r.doc_id: r for r in rrf_fuse([a, b], k=10).collect()}
+    r = lambda x: round(1.0 / (60.0 + x), 6)  # noqa: E731
+    assert out[1].rrf_score == pytest.approx(r(1) + r(2), abs=1e-12)
+    assert out[3].rrf_score == pytest.approx(r(3) + r(1), abs=1e-12)
+    assert out[2].rrf_score == pytest.approx(r(2), abs=1e-12)
+    assert out[4].rrf_score == pytest.approx(r(3), abs=1e-12)
+    # ordering: r(1)+r(2) > r(1)+r(3) > r(2) > r(3)
+    assert out[1].rrf_score > out[3].rrf_score
+    assert [d for d in sorted(out, key=lambda d: out[d].rank)] == [1, 3, 2, 4]
+    # k truncation
+    assert {r_.doc_id for r_ in rrf_fuse([a, b], k=2).collect()} == {1, 3}
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
+    with pytest.raises(ValueError, match="k0"):
+        rrf_fuse([a], k0=0)
+
+
+def test_rrf_fuse_config_op_and_single_list(spark):
+    from configurable_etl_python_repo_spark.plans import Engine, OpSpec
+
+    eng = Engine(spark)
+    eng.bind("lex", spark.createDataFrame(
+        [(1, 1), (2, 2)], ["doc_id", "rank"]))
+    eng.bind("dense", spark.createDataFrame(
+        [(2, 1), (1, 2)], ["doc_id", "rank"]))
+    out = eng.run_op(OpSpec("RRF FUSE", "f", ["lex", "dense"], {"k": 5}))
+    rows = {r.doc_id: r.rank for r in out.collect()}
+    assert rows == {1: 1, 2: 2}  # equal sums -> smaller id wins
+    # single-list fusion is a rank-preserving projection
+    solo = eng.run_op(OpSpec("RRF FUSE", "s", ["lex"], {"k": 5}))
+    assert [r.doc_id for r in solo.collect()] == [1, 2]
