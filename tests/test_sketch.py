@@ -263,3 +263,47 @@ def test_quantiles_top_bucket_no_overflow(spark):
             want = exact[max(math.ceil(q * len(exact)), 1) - 1]
             # the true midpoint bound is HALF the bucket width
             assert abs(est - want) / want <= 2 ** -8, (q, est, want)
+
+
+def test_sketches_are_streaming_legal(spark, sf_dir, tmp_path):
+    """Both sketches run UNCHANGED under readStream (complete mode —
+    register-max and count-sum are legal unwindowed streaming
+    aggregations) and converge to exactly the batch sketch: the
+    mergeability that makes per-day sketches roll up also makes them
+    valid incremental streaming state. Quantile/estimate decode then
+    runs as a tiny batch over the completed sketch table."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.length("text").alias("len")
+    )
+    src = str(tmp_path / "sketch_src")
+    docs.write.parquet(src)
+    stream = spark.readStream.format("parquet").schema(docs.schema).load(src)
+
+    dsk = distinct_sketch(stream, ["doc_id"], b=10)
+    assert dsk.isStreaming
+    q1 = (dsk.writeStream.format("memory").queryName("hll_stream")
+          .outputMode("complete")
+          .option("checkpointLocation", str(tmp_path / "ck1"))
+          .trigger(availableNow=True).start())
+    q1.awaitTermination(120)
+    got = sorted(map(tuple, spark.table("hll_stream").collect()))
+    want = sorted(map(tuple,
+                      distinct_sketch(docs, ["doc_id"], b=10).collect()))
+    assert got == want and got
+
+    vsk = value_sketch(stream, "len", s=7)
+    assert vsk.isStreaming
+    q2 = (vsk.writeStream.format("memory").queryName("vs_stream")
+          .outputMode("complete")
+          .option("checkpointLocation", str(tmp_path / "ck2"))
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    got_v = sorted(map(tuple, spark.table("vs_stream").collect()))
+    want_v = sorted(map(tuple, value_sketch(docs, "len", s=7).collect()))
+    assert got_v == want_v and got_v
+    # decode over the completed sketch table == batch end-to-end
+    stream_q = {r.q: r.est for r in sketch_quantiles(
+        spark.table("vs_stream"), [0.5, 0.95], s=7).collect()}
+    batch_q = {r.q: r.est for r in approx_quantiles(
+        docs, "len", [0.5, 0.95], s=7).collect()}
+    assert stream_q == batch_q
