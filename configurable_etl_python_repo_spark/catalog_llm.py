@@ -1767,7 +1767,9 @@ def _build_once(name: str, sf_dir: str, stamp_suffix: str, build) -> str:
     tag = sf_dir.strip("/").replace("/", "_")
     src = _pq(sf_dir, "documents")
     st = os.stat(src)
-    stamp = f"{tag} data={st.st_size}:{int(st.st_mtime)} {stamp_suffix}"
+    # nanosecond mtime: whole-second granularity could miss an in-place
+    # same-size regeneration landing within the same second
+    stamp = f"{tag} data={st.st_size}:{st.st_mtime_ns} {stamp_suffix}"
     path = os.path.join(tempfile.gettempdir(), f"cfg_etl_{name}_{tag}")
     marker = os.path.join(path, "_CATALOG_BUILT")
     if not (os.path.exists(marker) and open(marker).read() == stamp):

@@ -86,14 +86,22 @@ def bm25_topk(
     scored = _bm25_score(
         tf, F.broadcast(dfreq), F.broadcast(stats), k, k1, b
     )
+    return _rank_tail(scored, id_col, "score")
+
+
+def _rank_tail(scored, id_col: str, score_col: str):
+    """Shared ranking tail: (id, <score>) -> (id_col, <score>, rank)
+    with the repo-wide tie discipline (score desc, smaller id first).
+    One definition for bm25_topk, bm25_search_index, and rrf_fuse so
+    the rank/tie-break rules cannot diverge."""
     from pyspark.sql import Window
 
     rank = F.row_number().over(
-        Window.orderBy(F.col("score").desc(), F.col("id").asc())
+        Window.orderBy(F.col(score_col).desc(), F.col("id").asc())
     )
     return scored.select(
         F.col("id").alias(id_col),
-        "score",
+        score_col,
         rank.cast("long").alias("rank"),
     )
 
@@ -306,16 +314,7 @@ def bm25_search_index(
     scored = _bm25_score(
         tf, F.broadcast(dfreq), F.broadcast(stats), k, k1, b
     )
-    from pyspark.sql import Window
-
-    rank = F.row_number().over(
-        Window.orderBy(F.col("score").desc(), F.col("id").asc())
-    )
-    return scored.select(
-        F.col("id").alias(id_col),
-        "score",
-        rank.cast("long").alias("rank"),
-    )
+    return _rank_tail(scored, id_col, "score")
 
 
 # ---------------------------------------------------------------------------
@@ -372,13 +371,4 @@ def rrf_fuse(
         .orderBy(F.col("rrf_score").desc(), F.col("id").asc())
         .limit(k)
     )
-    from pyspark.sql import Window
-
-    rank = F.row_number().over(
-        Window.orderBy(F.col("rrf_score").desc(), F.col("id").asc())
-    )
-    return fused.select(
-        F.col("id").alias(id_col),
-        "rrf_score",
-        rank.cast("long").alias("rank"),
-    )
+    return _rank_tail(fused, id_col, "rrf_score")

@@ -1247,7 +1247,7 @@ def test_perplexity_stream_under_readstream(spark, tmp_path):
          .option("checkpointLocation", str(tmp_path / "ck_ppl"))
          .trigger(availableNow=True)
          .start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     got = {tuple(r) for r in spark.table("ppl_stream").collect()}
     want = {(d, b) for d, b in static}
     assert got == want

@@ -285,7 +285,7 @@ def test_sketches_are_streaming_legal(spark, sf_dir, tmp_path):
           .outputMode("complete")
           .option("checkpointLocation", str(tmp_path / "ck1"))
           .trigger(availableNow=True).start())
-    q1.awaitTermination(120)
+    assert q1.awaitTermination(120)
     got = sorted(map(tuple, spark.table("hll_stream").collect()))
     want = sorted(map(tuple,
                       distinct_sketch(docs, ["doc_id"], b=10).collect()))
@@ -297,7 +297,7 @@ def test_sketches_are_streaming_legal(spark, sf_dir, tmp_path):
           .outputMode("complete")
           .option("checkpointLocation", str(tmp_path / "ck2"))
           .trigger(availableNow=True).start())
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(120)
     got_v = sorted(map(tuple, spark.table("vs_stream").collect()))
     want_v = sorted(map(tuple, value_sketch(docs, "len", s=7).collect()))
     assert got_v == want_v and got_v
