@@ -411,3 +411,177 @@ def simhash_against_index(
         )
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding (cosine) incremental index — the vector-metric member of the
+# family: MinHash = shingle Jaccard, SimHash = hamming, this = cosine.
+# ---------------------------------------------------------------------------
+
+#: embedding store layout version (vectors/ partitioned by IVF centroid id,
+#: centroid table + params alongside)
+_EMB_LAYOUT = "emb-cid-v1"
+
+
+def embedding_build_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 64,
+) -> None:
+    """WRITE-SIDE embedding index for incremental SEMANTIC dedup: assign
+    every corpus vector to its nearest hash-order-sample centroid
+    (similarity.ivf_build_index's coarse quantizer — same deterministic
+    init, same 6dp/smaller-cid tiebreak the SQL oracles replay) and
+    persist under ``path``:
+
+    - ``vectors/`` — (id, vec) rows physically partitioned by cid, so a
+      probe's n_probe lists prune at the file listing (the IVF property:
+      un-probed lists cost zero I/O).
+    - ``_centroids/`` — the coarse quantizer itself (<= n_centroids rows).
+    - ``_meta/`` — (n_centroids, layout); probe/extend REFUSE a tree
+      with a different layout instead of mis-reading it.
+
+    Vectors are stored as array<double> (exact float->double widening)
+    so extend-appended batches can never fork the store's schema.
+
+    Like FAISS's IVF `add`, extending does NOT retrain the quantizer:
+    the centroid sample is fixed at build time, which is what makes a
+    probe against an extended index bit-equal to a probe against a
+    fresh build over the union UNDER THE SAME CENTROIDS (pinned in
+    tests). Rebuild when the corpus distribution drifts.
+
+    Reference parity: the reference persists no state between runs
+    (/root/reference/Configurable_ETL_Python.py re-reads every source per
+    execution); extension surface, same rationale as the MinHash index."""
+    from .similarity import _hash_order_sample, ivf_assignments_arrow
+
+    if n_centroids < 1:
+        raise ValueError(f"n_centroids must be >= 1, got {n_centroids}")
+    cents = _hash_order_sample(corpus, n_centroids, id_col, vec_col)
+    assign1 = ivf_assignments_arrow(cents, n_best=1)
+    rows = corpus.select(
+        F.col(id_col).alias("id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("vec"),
+    ).withColumn("cid", assign1(F.col("vec"))[0])
+    # repartition on the partition column BEFORE partitionBy (the
+    # MinHash-index lesson: unaligned writers emit tasks x lists files)
+    rows.repartition("cid").write.mode("overwrite").partitionBy(
+        "cid"
+    ).parquet(path + "/vectors")
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in cents],
+        "cid long, cvec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/_centroids")
+    spark.createDataFrame(
+        [(len(cents), _EMB_LAYOUT)], "n_centroids int, layout string"
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/_meta")
+
+
+def _stored_centroids(spark: SparkSession, path: str):
+    rows = spark.read.parquet(path + "/_centroids").collect()
+    return sorted((int(r.cid), list(r.cvec)) for r in rows)
+
+
+def embedding_extend_index(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Roll the embedding index forward: assign the batch under the
+    index's OWN stored centroids (read back — callers cannot
+    desynchronize the quantizer) and append into the same cid partition
+    directories. Pruning and probe semantics after an extend are
+    identical to a fresh build over the union with the original
+    centroid sample (pytest-pinned)."""
+    from .similarity import ivf_assignments_arrow
+
+    spark = batch.sparkSession
+    _read_meta(spark, path, _EMB_LAYOUT)
+    cents = _stored_centroids(spark, path)
+    assign1 = ivf_assignments_arrow(cents, n_best=1)
+    rows = batch.select(
+        F.col(id_col).alias("id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("vec"),
+    ).withColumn("cid", assign1(F.col("vec"))[0])
+    rows.repartition("cid").write.mode("append").partitionBy(
+        "cid"
+    ).parquet(path + "/vectors")
+
+
+def embedding_against_index(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_probe: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Probe a persisted embedding index with a NEW batch: (batch vec,
+    indexed vec) pairs with cosine >= threshold, without recomputing
+    any corpus-side state — incremental SemDeDup's candidate step, the
+    operation a daily multimodal/embedding ingest runs against
+    yesterday's corpus.
+
+    Output: (id_a, id_b, sim) where id_a is the BATCH vector and id_b
+    the INDEXED one; sim is the exact cosine rounded to round_digits
+    (the threshold compares against the rounded value, so the set is
+    engine-portable). Recall is the IVF trade: a pair is found iff the
+    indexed vector's list is among the batch vector's n_probe nearest
+    lists — EXACT duplicates are always found at any n_probe >= 1
+    (identical vectors share a top-1 list under the shared
+    deterministic tiebreak); n_probe = n_centroids is exhaustive and
+    equals the brute-force cross join (pytest-pinned).
+
+    Plan shape, 100 TB posture: the batch pays one Arrow quantizer pass
+    (batch-sized; the centroid table is a constant-bounded driver
+    list). Its distinct probed cids — at most n_centroids, a constant —
+    prune the vectors/ scan at the file listing. The cid equi-join's
+    batch side is batch-sized (AQE broadcasts a small morning batch and
+    skew-splits a hot list); norms are computed once per vector before
+    the join, and each (batch, indexed) pair is scored exactly once
+    (an indexed vector lives in exactly ONE list, so no post-join
+    distinct is needed)."""
+    from .similarity import _sim, _with_norm, ivf_assignments_arrow
+
+    _read_meta(spark, path, _EMB_LAYOUT)
+    cents = _stored_centroids(spark, path)
+    if not (1 <= n_probe <= len(cents)):
+        raise ValueError(
+            f"n_probe must be in [1, {len(cents)}], got {n_probe}"
+        )
+    probe = ivf_assignments_arrow(cents, n_best=n_probe)
+    q = batch.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("qv"),
+        F.explode(probe(F.col(vec_col))).alias("cid"),
+    )
+    q = _scope_cache(q)
+    # constant-bounded probe set (<= n_centroids values): the only
+    # data-dependent driver materialization, same trick as the MinHash
+    # probe's kb list
+    probed = sorted(
+        int(r[0]) for r in q.select("cid").distinct().collect()
+    )
+    stored = (
+        spark.read.parquet(path + "/vectors")
+        .where(F.col("cid").isin(probed))
+        .select("cid", F.col("id").alias("id_b"), F.col("vec").alias("cv"))
+    )
+    c = _with_norm(stored, "cv", "nc")
+    qn = _with_norm(q, "qv", "nq")
+    return (
+        c.join(qn, "cid")
+        .withColumn(
+            "sim",
+            _sim(F.col("qv"), F.col("cv"), F.col("nq"), F.col("nc"),
+                 round_digits),
+        )
+        .where(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )

@@ -250,7 +250,8 @@ def _minhash_index_write(fn_name: str):
             )
         path = kwargs.pop("path")
         for cfg, py in (("id_column", "id_col"),
-                        ("text_column", "text_col")):
+                        ("text_column", "text_col"),
+                        ("vector_column", "vec_col")):
             if cfg in kwargs:
                 kwargs[py] = kwargs.pop(cfg)
         getattr(DI, fn_name)(df, path, **kwargs)
@@ -277,7 +278,8 @@ def _index_probe(fn_name: str):
             )
         path = kwargs.pop("path")
         for cfg, py in (("id_column", "id_col"),
-                        ("text_column", "text_col")):
+                        ("text_column", "text_col"),
+                        ("vector_column", "vec_col")):
             if cfg in kwargs:
                 kwargs[py] = kwargs.pop(cfg)
         probe = getattr(DI, fn_name)
@@ -579,6 +581,9 @@ LLM_OP_COMPILERS = {
     "SIMHASH BUILD INDEX": _minhash_index_write("simhash_build_index"),
     "SIMHASH EXTEND INDEX": _minhash_index_write("simhash_extend_index"),
     "SIMHASH AGAINST INDEX": _index_probe("simhash_against_index"),
+    "EMBEDDING BUILD INDEX": _minhash_index_write("embedding_build_index"),
+    "EMBEDDING EXTEND INDEX": _minhash_index_write("embedding_extend_index"),
+    "EMBEDDING AGAINST INDEX": _index_probe("embedding_against_index"),
     "PERPLEXITY CUTOFFS": _unary(
         _rename_kw(T.perplexity_cutoffs,
                    {"score_column": "score_col", "id_column": "id_col",

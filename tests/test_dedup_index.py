@@ -286,3 +286,192 @@ def test_simhash_index_config_ops(spark, sf_dir, tmp_path):
         "SIMHASH AGAINST INDEX", "p2", ["batch"], {"path": idx}))
     self_hits = {(r.id_a, r.id_b) for r in again.collect()}
     assert {(rid, rid) for rid in replicas} <= self_hits
+
+
+# ---------------------------------------------------------------------------
+# Embedding (cosine) incremental index
+# ---------------------------------------------------------------------------
+
+from configurable_etl_python_repo_spark.llm.dedup_index import (  # noqa: E402
+    embedding_against_index,
+    embedding_build_index,
+    embedding_extend_index,
+)
+from configurable_etl_python_repo_spark.llm.similarity import (  # noqa: E402
+    _sim,
+    _with_norm,
+)
+
+_EMB_T = 0.2  # low enough that a few non-replica random pairs survive
+_EMB_NC = 8
+
+
+def _vecs(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+
+
+def _vec_corpus_and_batch(spark, sf_dir):
+    """Index corpus = even vec_ids; batch = odd ids plus exact replicas
+    of some even vectors (guaranteed cosine-1.0 cross-corpus dups)
+    under a disjoint id namespace."""
+    vecs = _vecs(spark, sf_dir)
+    corpus = vecs.where(F.col("vec_id") % 2 == 0)
+    batch = vecs.where(F.col("vec_id") % 2 == 1).unionByName(
+        vecs.where(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+        )
+    )
+    return corpus, batch
+
+
+def _brute_cross_pairs(corpus, batch, threshold):
+    """Exact cosine >= threshold over the full (batch x corpus) cross
+    join — the recall ceiling every probe is measured against."""
+    c = _with_norm(
+        corpus.select(F.col("vec_id").alias("id_b"),
+                      F.col("embedding").alias("cv")),
+        "cv", "nc",
+    )
+    q = _with_norm(
+        batch.select(F.col("vec_id").alias("id_a"),
+                     F.col("embedding").alias("qv")),
+        "qv", "nq",
+    )
+    rows = (
+        c.crossJoin(q)
+        .withColumn("sim", _sim(F.col("qv"), F.col("cv"),
+                                F.col("nq"), F.col("nc"), 6))
+        .where(F.col("sim") >= threshold)
+        .collect()
+    )
+    return {(r.id_a, r.id_b) for r in rows}
+
+
+def test_embedding_exhaustive_probe_equals_brute_force(
+    spark, sf_dir, tmp_path
+):
+    """n_probe = n_centroids probes every list, so the index answer
+    must equal the brute-force cross join exactly — the recall contract
+    smaller n_probe trades away is pinned as a SUBSET relation."""
+    corpus, batch = _vec_corpus_and_batch(spark, sf_dir)
+    idx = str(tmp_path / "emb")
+    embedding_build_index(corpus, idx, n_centroids=_EMB_NC)
+    full = embedding_against_index(
+        spark, idx, batch, threshold=_EMB_T, n_probe=_EMB_NC
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in full}
+    want = _brute_cross_pairs(corpus, batch, _EMB_T)
+    assert got == want and got
+    # replicas score exactly 1.0 after 6dp rounding
+    assert all(r.sim == 1.0 for r in full
+               if r.id_a >= 1000000 and r.id_b == r.id_a - 1000000)
+    # a narrower probe returns a subset that still has every exact dup
+    # (identical vectors share a top-1 list under the shared tiebreak)
+    narrow = embedding_against_index(
+        spark, idx, batch, threshold=_EMB_T, n_probe=1
+    )
+    sub = {(r.id_a, r.id_b) for r in narrow.collect()}
+    assert sub <= got
+    replicas = {r[0] for r in batch.where(F.col("vec_id") >= 1000000)
+                .select("vec_id").collect()}
+    assert {(rid, rid - 1000000) for rid in replicas} <= sub
+
+
+def test_embedding_probe_scan_is_partition_pruned(spark, sf_dir, tmp_path):
+    """The probed cid set must reach the vectors store's file listing
+    as a partition filter — un-probed lists cost zero I/O (the IVF
+    property the physical layout exists for)."""
+    corpus, _ = _vec_corpus_and_batch(spark, sf_dir)
+    idx = str(tmp_path / "emb")
+    embedding_build_index(corpus, idx, n_centroids=_EMB_NC)
+    assert len(glob.glob(f"{idx}/vectors/cid=*")) > 1
+    tiny = _vecs(spark, sf_dir).where(F.col("vec_id") == 1)
+    out = embedding_against_index(spark, idx, tiny, threshold=_EMB_T,
+                                  n_probe=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    vec_scans = [ln for ln in plan.splitlines()
+                 if "FileScan" in ln and "vec#" in ln]
+    assert vec_scans and all(
+        re.search(r"PartitionFilters: \[[^\]]*cid#[^\]]*\]", ln)
+        for ln in vec_scans
+    ), plan
+
+
+def test_embedding_extend_and_guards(spark, sf_dir, tmp_path):
+    """Extend appends under the index's OWN stored centroids; an
+    exhaustive probe after extend equals brute force over the union
+    (probing every list makes the answer quantizer-independent — the
+    strongest append-correctness pin available without retraining).
+    Layout/meta/n_probe guards refuse misuse."""
+    vecs = _vecs(spark, sf_dir)
+    part_a = vecs.where(F.col("vec_id") % 3 == 0)
+    part_b = vecs.where(F.col("vec_id") % 3 == 1)
+    probe = vecs.where(F.col("vec_id") % 3 == 2).unionByName(
+        part_b.where(F.col("vec_id") % 30 == 1).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+        )
+    )
+    idx = str(tmp_path / "emb")
+    embedding_build_index(part_a, idx, n_centroids=_EMB_NC)
+    embedding_extend_index(part_b, idx)
+    got = {(r.id_a, r.id_b) for r in embedding_against_index(
+        spark, idx, probe, threshold=_EMB_T, n_probe=_EMB_NC
+    ).collect()}
+    want = _brute_cross_pairs(part_a.unionByName(part_b), probe, _EMB_T)
+    assert got == want and got
+    # replicas of part_b vectors are found even at n_probe=1: the
+    # appended twin was assigned under the same quantizer
+    sub = {(r.id_a, r.id_b) for r in embedding_against_index(
+        spark, idx, probe, threshold=_EMB_T, n_probe=1
+    ).collect()}
+    replicas = {r[0] for r in probe.where(F.col("vec_id") >= 1000000)
+                .select("vec_id").collect()}
+    assert replicas and {(rid, rid - 1000000) for rid in replicas} <= sub
+    # guards: foreign layout refused by probe AND extend; n_probe range
+    mh = str(tmp_path / "mh")
+    minhash_build_index(_docs(spark, sf_dir).where(F.col("doc_id") % 3 == 0),
+                        mh, **_LSH)
+    with pytest.raises(ValueError, match="layout"):
+        embedding_against_index(spark, mh, probe).collect()
+    with pytest.raises(ValueError, match="layout"):
+        embedding_extend_index(probe, mh)
+    with pytest.raises(ValueError, match="n_probe"):
+        embedding_against_index(spark, idx, probe, n_probe=0)
+    with pytest.raises(ValueError, match="n_centroids"):
+        embedding_build_index(part_a, str(tmp_path / "bad"), n_centroids=0)
+
+
+def test_embedding_index_config_ops(spark, sf_dir, tmp_path):
+    from configurable_etl_python_repo_spark.plans import Engine, OpSpec
+
+    corpus, batch = _vec_corpus_and_batch(spark, sf_dir)
+    idx = str(tmp_path / "emb")
+    eng = Engine(spark)
+    eng.bind("corpus", corpus)
+    eng.bind("batch", batch.where(F.col("vec_id") >= 1000000))
+    passthru = eng.run_op(OpSpec(
+        "EMBEDDING BUILD INDEX", "built", ["corpus"],
+        {"path": idx, "n_centroids": _EMB_NC,
+         "id_column": "vec_id", "vector_column": "embedding"}))
+    assert passthru.columns == corpus.columns
+    pairs = eng.run_op(OpSpec(
+        "EMBEDDING AGAINST INDEX", "pairs", ["batch"],
+        {"path": idx, "threshold": 0.9,
+         "id_column": "vec_id", "vector_column": "embedding"}))
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    replicas = {r[0] for r in eng.peek("batch")[0]
+                .select("vec_id").collect()}
+    assert {(rid, rid - 1000000) for rid in replicas} <= got
+    eng.run_op(OpSpec(
+        "EMBEDDING EXTEND INDEX", "ext", ["batch"],
+        {"path": idx, "id_column": "vec_id",
+         "vector_column": "embedding"}))
+    again = eng.run_op(OpSpec(
+        "EMBEDDING AGAINST INDEX", "p2", ["batch"],
+        {"path": idx, "threshold": 0.9,
+         "id_column": "vec_id", "vector_column": "embedding"}))
+    self_hits = {(r.id_a, r.id_b) for r in again.collect()}
+    assert {(rid, rid) for rid in replicas} <= self_hits
