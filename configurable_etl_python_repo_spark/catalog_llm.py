@@ -1661,6 +1661,72 @@ def q_d14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_lines(corpus, min_docs=2)
 
 
+#: t21 corpus: sentence breaks become line breaks, then the doc's own
+#: FIRST line is re-appended on doc_id % 4 == 0 (exact repeat) and in
+#: UPPER case on doc_id % 6 == 0 (exercises the lower() matching);
+#: % 12 docs carry both. Shared construction, Spark and SQL.
+_T21_ORACLE = """
+    WITH rl AS (
+      SELECT doc_id,
+             replace(text, '. ', '.' || chr(10)) AS base
+      FROM documents),
+    rcorp AS (
+      SELECT doc_id,
+             base
+             || CASE WHEN doc_id % 4 = 0
+                THEN chr(10) || split_part(base, chr(10), 1)
+                ELSE '' END
+             || CASE WHEN doc_id % 6 = 0
+                THEN chr(10) || upper(split_part(base, chr(10), 1))
+                ELSE '' END AS text
+      FROM rl),
+    ln AS (SELECT doc_id,
+                  unnest(string_split_regex(text, '\r?\n')) AS raw,
+                  generate_subscripts(
+                    string_split_regex(text, '\r?\n'), 1) AS pos
+           FROM rcorp),
+    nz AS (SELECT doc_id, pos, trim(raw) AS line,
+                  lower(trim(raw)) AS key
+           FROM ln WHERE trim(raw) != ''),
+    keep AS (SELECT doc_id, key,
+                    arg_min(line, pos) AS line,
+                    min(pos) AS pos,
+                    count(*) AS c
+             FROM nz GROUP BY doc_id, key)
+    SELECT doc_id,
+           string_agg(line, chr(10) ORDER BY pos) AS text_deduped,
+           CAST(sum(c) AS BIGINT) AS n_lines,
+           CAST(count(*) AS BIGINT) AS n_lines_kept
+    FROM keep GROUP BY doc_id
+"""
+
+
+@register("t21_dedup_repeated_lines", _T21_ORACLE)
+def q_t21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-line removal: keep the first occurrence
+    of each normalized line inside a doc, drop its later repeats (the
+    repair dual of t7's duplicate-line-fraction gate; d14 handles the
+    ACROSS-docs case). Keep-first rides a min(struct) hash aggregate —
+    no windows, no joins, two map-side-combinable shuffles."""
+    docs = spark.read.parquet(_pq(sf_dir, "documents"))
+    base = F.replace(F.col("text"), F.lit(". "), F.lit(".\n"))
+    first = F.substring_index(base, "\n", 1)
+    corpus = docs.select(
+        "doc_id",
+        F.concat(
+            base,
+            F.when(
+                F.col("doc_id") % 4 == 0, F.concat(F.lit("\n"), first)
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 6 == 0,
+                F.concat(F.lit("\n"), F.upper(first)),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return D.dedup_repeated_lines(corpus)
+
+
 #: d15 two-fixture split: "yesterday's corpus" = even doc ids (indexed),
 #: "today's batch" = odd ids plus exact replicas of every doc_id % 10 == 0
 #: under a disjoint id namespace — guaranteed cross-corpus near-dups.

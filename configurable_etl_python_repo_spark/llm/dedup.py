@@ -1182,3 +1182,82 @@ def dedup_lines(
             F.col("n_lines_kept").cast("long").alias("n_lines_kept"),
         )
     )
+
+
+def dedup_repeated_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """WITHIN-document repeated-line removal — the intra-doc dual of
+    dedup_lines (which drops lines common ACROSS >= min_docs docs):
+    keep only the FIRST occurrence of each normalized line inside a
+    document and drop its later repeats — scraped pages duplicate their
+    own nav/footer/heading lines many times, and Rae et al. 2021 §A1.1
+    gates on exactly this signal (duplicate line fraction; t7 measures
+    it, this op repairs it instead of dropping the whole doc).
+
+    Same line conventions as dedup_lines: split on \\r?\\n (CRLF-safe),
+    match on lower(trim(line)), surviving lines keep their original
+    trimmed case (the first occurrence's case wins), blank lines are
+    neither counted nor rebuilt.
+
+    Plan shape, 100 TB posture: NO windows and no joins — two hash
+    aggregates, both map-side combinable: (id, key) -> min(struct(pos,
+    line)) + count(*) (keep-first as an argmin aggregate, the d8/d12
+    pattern — a line repeated 1M times inside one doc partial-combines
+    to one row per map task, where a row_number window would sort the
+    hot key), then id -> ordered reassembly. Linear in corpus lines.
+
+    Output: (id_col, text_deduped, n_lines, n_lines_kept), one row per
+    document with >= 1 surviving (non-blank) line; n_lines counts the
+    doc's non-blank lines before the drop.
+
+    Reference parity: the reference has no sub-document dedup
+    (/root/reference/Configurable_ETL_Python.py drops whole-row
+    duplicates only, :243-252); LLM-curation extension surface.
+    """
+    lines = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), "\r?\n")).alias(
+                "pos", "__raw"
+            ),
+        )
+        .select(
+            "id",
+            "pos",
+            F.trim(F.col("__raw")).alias("line"),
+            F.lower(F.trim(F.col("__raw"))).alias("key"),
+        )
+        .where(F.col("key") != "")
+    )
+    first = lines.groupBy("id", "key").agg(
+        F.min(F.struct("pos", "line")).alias("__f"),
+        F.count(F.lit(1)).alias("__c"),
+    )
+    return (
+        first.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("__f.pos").alias("pos"),
+                                F.col("__f.line").alias("line"),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("text_deduped"),
+            F.sum("__c").cast("long").alias("n_lines"),
+            F.count(F.lit(1)).cast("long").alias("n_lines_kept"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "text_deduped", "n_lines", "n_lines_kept",
+        )
+    )

@@ -527,6 +527,9 @@ LLM_OP_COMPILERS = {
     ),
     "DEDUP SPANS": _unary(_rename_kw(D.dedup_spans, _ID_TEXT)),
     "DEDUP LINES": _unary(_rename_kw(D.dedup_lines, _ID_TEXT)),
+    "DEDUP REPEATED LINES": _unary(
+        _rename_kw(D.dedup_repeated_lines, _ID_TEXT)
+    ),
     "BM25 TOPK": _unary(
         _rename_kw(_lazy_search("bm25_topk"), _ID_TEXT)
     ),

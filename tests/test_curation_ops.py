@@ -158,6 +158,46 @@ def test_dedup_lines_as_config_op(spark):
     assert got == {1: "keep", 2: "also"}
 
 
+def test_dedup_repeated_lines_keep_first_within_doc(spark):
+    """Within-doc repeats keep ONLY the first occurrence (its original
+    case), matching is case-insensitive on trimmed lines, blank lines
+    are neither counted nor rebuilt, cross-doc sharing alone never
+    triggers, and a doc of only blank lines vanishes."""
+    from configurable_etl_python_repo_spark.llm.dedup import (
+        dedup_repeated_lines,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "Menu Home\nStory begins.\n  menu home \n\nMENU HOME"),
+            (2, "Menu Home\nDifferent doc."),   # cross-doc only: kept
+            (3, "solo line"),
+            (4, "\n  \n"),                      # all blank -> vanishes
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in dedup_repeated_lines(df).collect()}
+    assert set(out) == {1, 2, 3}
+    # first occurrence's case wins; repeats (any case/padding) dropped
+    assert out[1]["text_deduped"] == "Menu Home\nStory begins."
+    assert (out[1]["n_lines"], out[1]["n_lines_kept"]) == (4, 2)
+    # the same line in another doc is untouched (intra-doc scope)
+    assert out[2]["text_deduped"] == "Menu Home\nDifferent doc."
+    assert (out[2]["n_lines"], out[2]["n_lines_kept"]) == (2, 2)
+    assert out[3]["text_deduped"] == "solo line"
+
+
+def test_dedup_repeated_lines_as_config_op(spark):
+    from configurable_etl_python_repo_spark.plans import Engine, OpSpec
+
+    eng = Engine(spark)
+    eng.bind("docs", spark.createDataFrame(
+        [(1, "twice\nbody\ntwice")], ["doc_id", "text"]))
+    out = eng.run_op(OpSpec("DEDUP REPEATED LINES", "d", ["docs"], {}))
+    got = {r["doc_id"]: r["text_deduped"] for r in out.collect()}
+    assert got == {1: "twice\nbody"}
+
+
 def test_dedup_substrings_catches_shifted_duplicates(spark):
     """The aligned d8 pass misses a duplicated passage off the k-word
     alignment; dedup_substrings catches it at ANY shift and removes
