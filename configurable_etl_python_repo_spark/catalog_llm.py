@@ -3599,6 +3599,164 @@ def q_x21(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.sketch_quantiles(merged, _QSK_QS, s=_QSK_S)
 
 
+def _grouped_hll_oracle(b: int = _HLL_B, seed: str = "hll") -> str:
+    """x23 = the x20 HLL replay with a group key threaded through
+    every stage: per-language register sketches, per-language harmonic
+    sums and corrections, exact distinct alongside. Same md5 family,
+    same single-rounding discipline."""
+    from .llm.sketch import _alpha_m
+
+    m = 1 << b
+    num = _alpha_m(m) * m * m * float(1 << 33)
+    e_raw = f"({num!r} / CAST(s_scaled AS DOUBLE))"
+    return f"""
+    WITH h AS (
+      SELECT lang, md5('{seed}' || '|' || text) AS hx FROM documents),
+    r AS (
+      SELECT lang,
+             CAST(('0x' || substr(hx, 1, 8)) AS BIGINT) % {m} AS register,
+             CASE WHEN CAST(('0x' || substr(hx, 9, 8)) AS BIGINT) = 0
+                  THEN 33
+                  ELSE 33 - length(bin(
+                         CAST(('0x' || substr(hx, 9, 8)) AS BIGINT)))
+             END AS rho
+      FROM h),
+    sk AS (SELECT lang, register, CAST(max(rho) AS INT) AS max_rho
+           FROM r GROUP BY lang, register),
+    ag AS (SELECT lang, count(*) AS used,
+                  coalesce(sum(CAST(power(2, 33 - max_rho) AS BIGINT)),
+                           0) AS s_present
+           FROM sk GROUP BY lang),
+    fin AS (SELECT lang, CAST({m} - used AS BIGINT) AS v_zero,
+                   s_present + ({m} - used)
+                     * CAST({1 << 33} AS BIGINT) AS s_scaled
+            FROM ag),
+    ex AS (SELECT lang, CAST(count(DISTINCT text) AS BIGINT)
+                    AS exact_distinct
+           FROM documents GROUP BY lang)
+    SELECT f.lang, CAST({m} AS BIGINT) AS m, f.v_zero,
+           CAST(round(CASE
+             WHEN {e_raw} <= {2.5 * m!r} AND f.v_zero > 0
+               THEN {float(m)!r}
+                    * round(ln({float(m)!r}
+                               / CAST(f.v_zero AS DOUBLE)), 6)
+             WHEN {e_raw} > {float(1 << 32) / 30.0!r}
+               THEN {-float(1 << 32)!r}
+                    * round(ln(1.0 - least({e_raw},
+                                           {float((1 << 32) - 1)!r})
+                               / {float(1 << 32)!r}), 6)
+             ELSE {e_raw}
+           END, 6) AS DOUBLE) AS est,
+           ex.exact_distinct
+    FROM fin f JOIN ex ON ex.lang = f.lang
+    """
+
+
+@register("x23_grouped_distinct_sketch", _grouped_hll_oracle())
+def q_x23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP HLL distinct sketches in one pass: distinct texts per
+    language — the per-domain corpus report, still one bounded
+    map-side-combinable aggregation (<= 2^b rows per group, never one
+    job per group). The Spark side merges two half-corpus GROUPED
+    sketches (doc_id parity) group-wise before estimating while the
+    oracle sketches once, so the hash match pins the grouped merge
+    identity; exact distinct rides alongside per group."""
+    from .llm import sketch as SK
+
+    docs = spark.read.parquet(_pq(sf_dir, "documents")).select(
+        "doc_id", "lang", "text"
+    )
+    halves = [
+        SK.distinct_sketch(
+            docs.where(F.col("doc_id") % 2 == p),
+            ["text"],
+            b=_HLL_B,
+            group_cols=["lang"],
+        )
+        for p in (0, 1)
+    ]
+    est = SK.sketch_estimate(
+        SK.merge_sketches(*halves, group_cols=["lang"]),
+        b=_HLL_B,
+        group_cols=["lang"],
+    )
+    exact = docs.groupBy("lang").agg(
+        F.countDistinct("text").cast("long").alias("exact_distinct")
+    )
+    return est.join(exact, "lang")
+
+
+def _grouped_quantile_oracle(s: int = _QSK_S) -> str:
+    """x24 = the x21 HDR replay with the language key threaded through
+    encode, cumulative walk (PARTITION BY lang), rank selection, and
+    decode — t18's per-language distribution report without its
+    per-stratum sorts."""
+    m = 1 << (s + 1)
+    q_list = ", ".join(repr(q) for q in _QSK_QS)
+    return f"""
+    WITH v AS (
+      SELECT lang, CAST(length(text) AS BIGINT) AS sv FROM documents),
+    b AS (
+      SELECT lang,
+             CAST(greatest(length(bin(greatest(sv, 1))) - {1 + s}, 0)
+                  AS BIGINT) AS shift, sv
+      FROM v),
+    sk AS (
+      SELECT lang, shift * {m} + (sv >> CAST(shift AS INT)) AS idx,
+             count(*) AS cnt
+      FROM b GROUP BY 1, 2),
+    cum AS (SELECT lang, idx,
+                   sum(cnt) OVER (PARTITION BY lang ORDER BY idx) AS cum
+            FROM sk),
+    tot AS (SELECT lang, sum(cnt) AS n FROM sk GROUP BY lang),
+    qs AS (SELECT CAST(unnest([{q_list}]) AS DOUBLE) AS q),
+    rk AS (
+      SELECT tot.lang, q, tot.n,
+             least(greatest(CAST(ceil(q * tot.n) AS BIGINT), 1), tot.n)
+               AS r
+      FROM tot CROSS JOIN qs),
+    hit AS (
+      SELECT rk.lang, rk.q, rk.n, min(cum.idx) AS idx
+      FROM rk JOIN cum ON cum.lang = rk.lang AND cum.cum >= rk.r
+      GROUP BY 1, 2, 3)
+    SELECT lang, q,
+           CAST(round(CAST((
+             ((idx % {m}) << CAST(idx >> {s + 1} AS INT))
+             + (((1::BIGINT << CAST(idx >> {s + 1} AS INT)) - 1) >> 1)
+           ) AS DOUBLE) / 1.0, 6) AS DOUBLE) AS est,
+           CAST(n AS BIGINT) AS n
+    FROM hit
+    """
+
+
+@register("x24_grouped_quantile_sketch", _grouped_quantile_oracle())
+def q_x24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP quantile sketches: p50/p95/p99 of document length PER
+    LANGUAGE from one grouped HDR histogram pass — the distribution
+    dual of x23 and the sketch answer to t18's per-language strata
+    (whose exact ranks pay a full sort per language). Spark merges the
+    two doc_id-parity halves group-wise; the oracle sketches once —
+    the grouped merge identity rides the hash match."""
+    from .llm import sketch as SK
+
+    docs = spark.read.parquet(_pq(sf_dir, "documents")).select(
+        "doc_id", "lang", F.length("text").alias("len")
+    )
+    halves = [
+        SK.value_sketch(
+            docs.where(F.col("doc_id") % 2 == p),
+            "len",
+            s=_QSK_S,
+            group_cols=["lang"],
+        )
+        for p in (0, 1)
+    ]
+    merged = SK.merge_value_sketches(*halves, group_cols=["lang"])
+    return SK.sketch_quantiles(
+        merged, _QSK_QS, s=_QSK_S, group_cols=["lang"]
+    )
+
+
 _BM25_QUERY = "slow hash join merge"
 _BM25_K = 10
 

@@ -49,11 +49,20 @@ def _check_b(b: int) -> None:
         )
 
 
+def _gcols(group_cols) -> "list[str]":
+    """Normalized per-group sketch key (empty = one global sketch).
+    Grouped sketches bound state at <= groups * sketch_size rows and
+    keep the map-side partial combine — the per-domain / per-language
+    corpus report shape."""
+    return list(group_cols) if group_cols else []
+
+
 def distinct_sketch(
     df: DataFrame,
     cols: "list[str]",
     b: int = 12,
     seed: str = "hll",
+    group_cols: "list[str] | None" = None,
 ) -> DataFrame:
     """Build the (register, max_rho) sketch of COUNT(DISTINCT cols).
 
@@ -70,10 +79,14 @@ def distinct_sketch(
     normalized key string.
 
     Output: (register long, max_rho int), <= 2^b rows, mergeable with
-    merge_sketches."""
+    merge_sketches. With group_cols, one independent sketch per group
+    — (group_cols..., register, max_rho), <= 2^b rows per group — so a
+    single pass answers "distinct X per domain/language" without one
+    job per group."""
     _check_b(b)
     if not cols:
         raise ValueError("cols must name at least one column")
+    g = _gcols(group_cols)
     key = F.concat_ws("|", F.lit(seed), *[F.col(c) for c in cols])
     h = F.md5(key)
     hi = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
@@ -86,23 +99,31 @@ def distinct_sketch(
         F.lit(_RHO_SCALE) - F.length(F.bin(lo))
     )
     return (
-        df.select(register.alias("register"), rho.alias("rho"))
-        .groupBy("register")
+        df.select(
+            *[F.col(c) for c in g],
+            register.alias("register"),
+            rho.alias("rho"),
+        )
+        .groupBy(*g, "register")
         .agg(F.max("rho").cast("int").alias("max_rho"))
     )
 
 
-def merge_sketches(*sketches: DataFrame) -> DataFrame:
+def merge_sketches(
+    *sketches: DataFrame, group_cols: "list[str] | None" = None
+) -> DataFrame:
     """Union register sketches built with the SAME (b, seed, cols
     schema) into one: register-wise max. sketch(A) ⊔ sketch(B) ==
     sketch(A ∪ B) EXACTLY (max is associative/commutative/idempotent),
-    which is what makes per-shard sketches roll up lossless-ly."""
+    which is what makes per-shard sketches roll up lossless-ly.
+    Grouped sketches merge group-wise (pass the same group_cols)."""
     if not sketches:
         raise ValueError("need at least one sketch")
+    g = _gcols(group_cols)
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    return out.groupBy("register").agg(
+    return out.groupBy(*g, "register").agg(
         F.max("max_rho").cast("int").alias("max_rho")
     )
 
@@ -111,9 +132,15 @@ def _alpha_m(m: int) -> float:
     return 0.7213 / (1.0 + 1.079 / m)
 
 
-def sketch_estimate(sketch: DataFrame, b: int = 12) -> DataFrame:
+def sketch_estimate(
+    sketch: DataFrame,
+    b: int = 12,
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
     """The HLL estimate from a (register, max_rho) sketch: one row
-    (m, v_zero, est) where v_zero counts empty registers.
+    (m, v_zero, est) where v_zero counts empty registers — or one row
+    PER GROUP (group_cols..., m, v_zero, est) for a grouped sketch
+    (v_zero counts that group's empty registers).
 
     est = alpha_m * m^2 / sum_j 2^(-rho_j) with the standard
     corrections — linear counting m*ln(m/v_zero) when the raw estimate
@@ -132,8 +159,9 @@ def sketch_estimate(sketch: DataFrame, b: int = 12) -> DataFrame:
     32-bit-rho design is honest to ~2^32 distincts and pins at the cap
     beyond (use a 64-bit-rho variant past that, as HLL++ does)."""
     _check_b(b)
+    g = _gcols(group_cols)
     m = 1 << b
-    agg = sketch.groupBy().agg(
+    agg = sketch.groupBy(*g).agg(
         F.count(F.lit(1)).alias("__used"),
         F.coalesce(
             F.sum(
@@ -169,6 +197,7 @@ def sketch_estimate(sketch: DataFrame, b: int = 12) -> DataFrame:
         .otherwise(e_raw)
     )
     return agg.select(
+        *[F.col(c) for c in g],
         F.lit(m).cast("long").alias("m"),
         v_zero.alias("v_zero"),
         F.round(est, 6).cast("double").alias("est"),
@@ -180,10 +209,16 @@ def approx_distinct(
     cols: "list[str]",
     b: int = 12,
     seed: str = "hll",
+    group_cols: "list[str] | None" = None,
 ) -> DataFrame:
     """distinct_sketch |> sketch_estimate: one-row approximate
-    COUNT(DISTINCT cols) with ~1.04/sqrt(2^b) standard error."""
-    return sketch_estimate(distinct_sketch(df, cols, b=b, seed=seed), b=b)
+    COUNT(DISTINCT cols) with ~1.04/sqrt(2^b) standard error — one row
+    per group with group_cols (the per-domain corpus report)."""
+    return sketch_estimate(
+        distinct_sketch(df, cols, b=b, seed=seed, group_cols=group_cols),
+        b=b,
+        group_cols=group_cols,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -231,6 +266,7 @@ def value_sketch(
     col: str,
     s: int = 7,
     scale: int = 1,
+    group_cols: "list[str] | None" = None,
 ) -> DataFrame:
     """Build the (idx, cnt) log-bucket histogram of a NON-NEGATIVE
     numeric column. One hash aggregation over at most ~64 * 2^(s+1)
@@ -242,8 +278,11 @@ def value_sketch(
     scale: fixed decimal resolution for fractional inputs
     (floor(v * scale) enters the integer machinery); keep the SAME
     scale at estimate time. Output: (idx long, cnt long), mergeable
-    with merge_value_sketches."""
+    with merge_value_sketches. With group_cols, one independent
+    histogram per group — (group_cols..., idx, cnt), bounded per
+    group."""
     _check_s(s)
+    g = _gcols(group_cols)
     guard = F.assert_true(
         F.col("__sv") >= 0,
         F.lit(f"value_sketch({col}): negative value after scaling"),
@@ -254,34 +293,40 @@ def value_sketch(
         f"cast(greatest(length(bin(greatest(__sv, 1))) - {1 + s}, 0) "
         f"as int)"
     ).alias("__shift")
+    gsel = [F.col(c) for c in g]
     return (
         df.where(F.col(col).isNotNull())
-        .select(_scaled(col, scale).alias("__sv"))
-        .select(F.when(guard.isNull(), F.col("__sv")).alias("__sv"))
-        .select("__sv", idx)
+        .select(*gsel, _scaled(col, scale).alias("__sv"))
+        .select(*gsel, F.when(guard.isNull(), F.col("__sv")).alias("__sv"))
+        .select(*gsel, "__sv", idx)
         .select(
+            *gsel,
             (
                 F.col("__shift").cast("long")
                 * F.lit(1 << (s + 1)).cast("long")
                 + F.expr("shiftright(__sv, __shift)")
-            ).alias("idx")
+            ).alias("idx"),
         )
-        .groupBy("idx")
+        .groupBy(*g, "idx")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
 
-def merge_value_sketches(*sketches: DataFrame) -> DataFrame:
+def merge_value_sketches(
+    *sketches: DataFrame, group_cols: "list[str] | None" = None
+) -> DataFrame:
     """Union (idx, cnt) sketches built with the SAME (s, scale) into
     one: idx-wise count sum. sketch(A) ⊔ sketch(B) == sketch(A ∪ B)
     EXACTLY (counts are additive), so per-shard / per-day sketches roll
-    up lossless-ly without re-touching the data."""
+    up lossless-ly without re-touching the data. Grouped sketches merge
+    group-wise (pass the same group_cols)."""
     if not sketches:
         raise ValueError("need at least one sketch")
+    g = _gcols(group_cols)
     out = sketches[0]
     for sk in sketches[1:]:
         out = out.unionByName(sk)
-    return out.groupBy("idx").agg(F.sum("cnt").alias("cnt"))
+    return out.groupBy(*g, "idx").agg(F.sum("cnt").alias("cnt"))
 
 
 def sketch_quantiles(
@@ -289,6 +334,7 @@ def sketch_quantiles(
     qs: "list[float]",
     s: int = 7,
     scale: int = 1,
+    group_cols: "list[str] | None" = None,
 ) -> DataFrame:
     """Type-1 quantile estimates from a (idx, cnt) sketch: for each q,
     the midpoint of the bucket holding the rank-ceil(q*n) value (rank
@@ -298,26 +344,33 @@ def sketch_quantiles(
     values below 2^(s+1) and within ~2^-(s+1) relative error above.
 
     Output: (q double, est double, n long), one row per requested q,
-    est on the ORIGINAL value scale (midpoint / scale, 6dp-rounded)."""
+    est on the ORIGINAL value scale (midpoint / scale, 6dp-rounded).
+    For a grouped sketch pass the same group_cols: one row per (group,
+    q), the cumulative walk partitioned per group (still bounded — each
+    group's sketch is <= ~64 * 2^(s+1) rows)."""
     from pyspark.sql import Window
 
     _check_s(s)
+    g = _gcols(group_cols)
     if not qs:
         raise ValueError("qs must name at least one quantile")
     for q in qs:
         if not (0.0 < q <= 1.0):
             raise ValueError(f"quantiles must be in (0, 1], got {q}")
-    w = Window.orderBy("idx").rowsBetween(
-        Window.unboundedPreceding, 0
+    w = (
+        Window.partitionBy(*[F.col(c) for c in g])
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     cum = sketch.select(
-        "idx", F.sum("cnt").over(w).alias("cum")
+        *[F.col(c) for c in g], "idx", F.sum("cnt").over(w).alias("cum")
     )
-    total = sketch.groupBy().agg(F.sum("cnt").alias("n"))
+    total = sketch.groupBy(*g).agg(F.sum("cnt").alias("n"))
     qdf = sketch.sparkSession.createDataFrame(
         [(float(q),) for q in qs], "q double"
     )
-    ranks = qdf.crossJoin(total).select(
+    ranks = total.crossJoin(qdf).select(
+        *[F.col(c) for c in g],
         "q",
         "n",
         F.least(
@@ -325,9 +378,20 @@ def sketch_quantiles(
             F.col("n"),
         ).alias("r"),
     )
+    rk, cm = ranks.alias("rk"), cum.alias("cm")
+    cond = F.col("cm.cum") >= F.col("rk.r")
+    for c in g:
+        # eqNullSafe: a NULL group key is a real group (e.g. lang NULL)
+        cond = F.col(f"rk.{c}").eqNullSafe(F.col(f"cm.{c}")) & cond
     hit = (
-        ranks.join(cum, F.col("cum") >= F.col("r"))
-        .groupBy("q", "n")
+        rk.join(cm, cond)
+        .select(
+            *[F.col(f"rk.{c}").alias(c) for c in g],
+            F.col("rk.q").alias("q"),
+            F.col("rk.n").alias("n"),
+            F.col("cm.idx").alias("idx"),
+        )
+        .groupBy(*g, "q", "n")
         .agg(F.min("idx").alias("idx"))
     )
     # decode stays in integer ops end-to-end (shifts, never float
@@ -346,6 +410,7 @@ def sketch_quantiles(
         f"cast(shiftright(idx, {s + 1}) as int)) - 1, 1)"
     )
     return hit.select(
+        *[F.col(c) for c in g],
         "q",
         F.round(mid.cast("double") / F.lit(float(scale)), 6).alias("est"),
         F.col("n").cast("long").alias("n"),
@@ -358,11 +423,18 @@ def approx_quantiles(
     qs: "list[float]",
     s: int = 7,
     scale: int = 1,
+    group_cols: "list[str] | None" = None,
 ) -> DataFrame:
     """value_sketch |> sketch_quantiles: deterministic approximate
     quantiles of a column in one bounded aggregation — the sort-free
     distribution report (p50/p95/p99 of doc length, token counts,
-    scores) a 100 TB curation run wants next to approx_distinct."""
+    scores) a 100 TB curation run wants next to approx_distinct; one
+    row per (group, q) with group_cols (t18's per-language report
+    without its per-stratum sorts)."""
     return sketch_quantiles(
-        value_sketch(df, col, s=s, scale=scale), qs, s=s, scale=scale
+        value_sketch(df, col, s=s, scale=scale, group_cols=group_cols),
+        qs,
+        s=s,
+        scale=scale,
+        group_cols=group_cols,
     )

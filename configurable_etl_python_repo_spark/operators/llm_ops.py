@@ -537,18 +537,28 @@ LLM_OP_COMPILERS = {
     "BM25 SEARCH INDEX": _bm25_search_index,
     "RRF FUSE": _rrf_fuse,
     "DISTINCT SKETCH": _unary(
-        _rename_kw(_lazy_sketch("distinct_sketch"), {"columns": "cols"})
+        _rename_kw(_lazy_sketch("distinct_sketch"),
+                   {"columns": "cols", "group_columns": "group_cols"})
     ),
-    "SKETCH ESTIMATE": _unary(_lazy_sketch("sketch_estimate")),
+    "SKETCH ESTIMATE": _unary(
+        _rename_kw(_lazy_sketch("sketch_estimate"),
+                   {"group_columns": "group_cols"})
+    ),
     "APPROX DISTINCT": _unary(
-        _rename_kw(_lazy_sketch("approx_distinct"), {"columns": "cols"})
+        _rename_kw(_lazy_sketch("approx_distinct"),
+                   {"columns": "cols", "group_columns": "group_cols"})
     ),
     "VALUE SKETCH": _unary(
-        _rename_kw(_lazy_sketch("value_sketch"), {"column": "col"})
+        _rename_kw(_lazy_sketch("value_sketch"),
+                   {"column": "col", "group_columns": "group_cols"})
     ),
-    "SKETCH QUANTILES": _unary(_lazy_sketch("sketch_quantiles")),
+    "SKETCH QUANTILES": _unary(
+        _rename_kw(_lazy_sketch("sketch_quantiles"),
+                   {"group_columns": "group_cols"})
+    ),
     "APPROX QUANTILES": _unary(
-        _rename_kw(_lazy_sketch("approx_quantiles"), {"column": "col"})
+        _rename_kw(_lazy_sketch("approx_quantiles"),
+                   {"column": "col", "group_columns": "group_cols"})
     ),
     "DEDUP SUBSTRINGS": _unary(_rename_kw(D.dedup_substrings, _ID_TEXT)),
     "DERIVE SHARD KEY": _unary(

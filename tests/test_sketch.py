@@ -307,3 +307,94 @@ def test_sketches_are_streaming_legal(spark, sf_dir, tmp_path):
     batch_q = {r.q: r.est for r in approx_quantiles(
         docs, "len", [0.5, 0.95], s=7).collect()}
     assert stream_q == batch_q
+
+
+def test_grouped_sketches_equal_per_group_runs(spark):
+    """group_cols threads one independent sketch per group through the
+    whole family: the grouped run must equal filtering each group and
+    running ungrouped — for the distinct sketch, its estimate, the
+    value sketch, and the quantiles (incl. a NULL group key, which is
+    a real group via eqNullSafe)."""
+    from configurable_etl_python_repo_spark.llm.sketch import (
+        approx_quantiles,
+        merge_value_sketches,
+        sketch_quantiles,
+        value_sketch,
+    )
+
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 3 == 0, F.lit("a"))
+        .when(F.col("id") % 3 == 1, F.lit("b"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("g"),
+        (F.col("id") % 97 + 1).alias("v"),
+    )
+    groups = [("a",), ("b",), (None,)]
+    # distinct sketch + estimate
+    grouped = sketch_estimate(
+        distinct_sketch(df, ["k"], b=8, group_cols=["g"]),
+        b=8, group_cols=["g"],
+    ).collect()
+    assert len(grouped) == 3
+    for (gv,) in groups:
+        part = df.where(F.col("g").eqNullSafe(F.lit(gv)))
+        want = sketch_estimate(distinct_sketch(part, ["k"], b=8), b=8)
+        wrow = want.collect()[0]
+        grow = next(r for r in grouped
+                    if (r.g == gv if gv is not None else r.g is None))
+        assert (grow.m, grow.v_zero, grow.est) == (
+            wrow.m, wrow.v_zero, wrow.est)
+    # grouped merge identity (both families)
+    halves = [df.where(F.col("k") % 2 == p) for p in (0, 1)]
+    nkey = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    m1 = merge_sketches(
+        *[distinct_sketch(h, ["k"], b=8, group_cols=["g"])
+          for h in halves],
+        group_cols=["g"],
+    )
+    assert sorted(map(tuple, m1.collect()), key=nkey) == sorted(
+        map(tuple,
+            distinct_sketch(df, ["k"], b=8, group_cols=["g"]).collect()),
+        key=nkey,
+    )
+    m2 = merge_value_sketches(
+        *[value_sketch(h, "v", s=4, group_cols=["g"]) for h in halves],
+        group_cols=["g"],
+    )
+    assert sorted(map(tuple, m2.collect()), key=nkey) == sorted(
+        map(tuple,
+            value_sketch(df, "v", s=4, group_cols=["g"]).collect()),
+        key=nkey,
+    )
+    # grouped quantiles == per-group ungrouped quantiles
+    qs = [0.5, 0.95]
+    gq = sketch_quantiles(m2, qs, s=4, group_cols=["g"]).collect()
+    assert len(gq) == 6
+    for (gv,) in groups:
+        part = df.where(F.col("g").eqNullSafe(F.lit(gv)))
+        want = {(r.q, r.est, r.n)
+                for r in approx_quantiles(part, "v", qs, s=4).collect()}
+        got = {(r.q, r.est, r.n) for r in gq
+               if (r.g == gv if gv is not None else r.g is None)}
+        assert got == want
+
+
+def test_grouped_sketch_config_ops(spark):
+    from configurable_etl_python_repo_spark.plans import Engine, OpSpec
+
+    eng = Engine(spark)
+    eng.bind("t", spark.range(0, 400).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("string").alias("g"),
+        (F.col("id") % 10 + 1).alias("v"),
+    ))
+    est = eng.run_op(OpSpec(
+        "APPROX DISTINCT", "e", ["t"],
+        {"columns": ["k"], "b": 8, "group_columns": ["g"]}))
+    assert {r.g for r in est.collect()} == {"0", "1"}
+    qq = eng.run_op(OpSpec(
+        "APPROX QUANTILES", "q", ["t"],
+        {"column": "v", "qs": [0.5], "s": 4, "group_columns": ["g"]}))
+    rows = qq.collect()
+    assert len(rows) == 2 and all(r.n == 200 for r in rows)
