@@ -1992,16 +1992,19 @@ _EMB_INCR_SQL = """
 """
 
 
-def _emb_incr_oracle() -> str:
-    """d18 = the n3 IVF coarse-quantizer machinery over a two-corpus
-    embedding split: centroids are the corpus side's hash-order sample
-    (the shared `ORDER BY md5(id) LIMIT n` init), the corpus assigns
-    top-1, the batch probes top-n_probe, and surviving (batch, corpus)
-    pairs keep exact cosine >= threshold. The parquet index is pure
-    execution strategy — relationally the probe IS this chain (the d15
-    statement, cosine metric)."""
+def _emb_incr_ctes() -> str:
+    """CTE chain ending in `edup` = the thresholded (batch, corpus)
+    cosine pairs a persisted embedding-index probe returns: the n3 IVF
+    coarse-quantizer machinery over a two-corpus embedding split —
+    centroids are the corpus side's hash-order sample (the shared
+    `ORDER BY md5(id) LIMIT n` init), the corpus assigns top-1, the
+    batch probes top-n_probe, survivors keep exact cosine >= threshold.
+    The parquet index is pure execution strategy — relationally the
+    probe IS this chain (the d15 statement, cosine metric); the
+    composed x25 ingest oracle reuses it so the pipeline can never
+    drift from the standalone probe."""
     return f"""
-    WITH {_EMB_INCR_SQL.strip()},
+    {_EMB_INCR_SQL.strip()},
     cent AS (
       SELECT vec_id AS cid, embedding AS cv FROM ecorp
       ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {_D18_NC}),
@@ -2026,9 +2029,16 @@ def _emb_incr_oracle() -> str:
       FROM bprobe bp
       JOIN cassign ca ON ca.cid = bp.cid
       JOIN ebat eq ON eq.vec_id = bp.id
-      JOIN embeddings ec ON ec.vec_id = ca.id)
-    SELECT id_a, id_b, sim FROM epairs WHERE sim >= {_D18_T}
+      JOIN embeddings ec ON ec.vec_id = ca.id),
+    edup AS (SELECT id_a, id_b, sim FROM epairs WHERE sim >= {_D18_T})
     """
+
+
+def _emb_incr_oracle() -> str:
+    return (
+        "WITH " + _emb_incr_ctes().strip()
+        + "\n    SELECT id_a, id_b, sim FROM edup"
+    )
 
 
 @register("d18_embedding_against_index", _emb_incr_oracle())
@@ -2064,6 +2074,82 @@ def q_d18(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DI.embedding_against_index(
         spark, path, batch, threshold=_D18_T, n_probe=_D18_PROBE
     )
+
+
+def _emb_ingest_oracle() -> str:
+    """x25 = the daily embedding-ingest COMPOSITION: admitted batch
+    vectors are the batch minus anything the index probe matched.
+    Chains the SAME `edup` CTE generator as the standalone d18 oracle
+    — the pipeline cannot drift from its probe stage (the x22/d15
+    relationship, vector modality)."""
+    return (
+        "WITH " + _emb_incr_ctes().strip()
+        + """
+    SELECT vec_id FROM ebat
+    WHERE vec_id NOT IN (SELECT id_a FROM edup)
+    """
+    )
+
+
+@register("x25_embedding_ingest", _emb_ingest_oracle())
+def q_x25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily embedding ingest as a pure config program: EMBEDDING
+    BUILD INDEX over yesterday's corpus, EMBEDDING AGAINST INDEX with
+    today's batch, ANTI JOIN to drop batch vectors that semantically
+    duplicate the corpus, EMBEDDING EXTEND INDEX with the admitted
+    vectors so tomorrow's probe sees them — incremental SemDeDup
+    end-to-end, every stage a registered op. Returns the admitted
+    batch ids; the admitted set is EAGERLY checkpointed before the
+    extend (the probe subtree reads the index parquet lazily — the x22
+    write-then-extend ordering lesson)."""
+    import os
+    import shutil
+    import tempfile
+
+    from .plans import Engine, OpSpec
+
+    emb = spark.read.parquet(_pq(sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") % 2 == 0)
+    batch = emb.where(F.col("vec_id") % 2 == 1).unionByName(
+        emb.where(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+        )
+    )
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"cfg_etl_x25_idx_{tag}")
+    # extend APPENDS: start from a clean tree so a repeated invocation
+    # measures the same pipeline every time
+    shutil.rmtree(path, ignore_errors=True)
+    eng = Engine(spark)
+    eng.bind("corpus", corpus)
+    eng.bind("batch", batch)
+    run = eng.run_op
+    run(OpSpec(
+        "EMBEDDING BUILD INDEX", "built", ["corpus"],
+        {"path": path, "n_centroids": _D18_NC,
+         "id_column": "vec_id", "vector_column": "embedding"},
+    ))
+    run(OpSpec(
+        "EMBEDDING AGAINST INDEX", "pairs", ["batch"],
+        {"path": path, "threshold": _D18_T, "n_probe": _D18_PROBE,
+         "id_column": "vec_id", "vector_column": "embedding"},
+    ))
+    eng.bind(
+        "matched",
+        eng.peek("pairs")[0].select(F.col("id_a").alias("vec_id")),
+    )
+    eng.bind("admitted", run(OpSpec(
+        "ANTI JOIN", "admitted", ["batch", "matched"],
+        {"on": ["vec_id"]},
+    )).localCheckpoint(eager=True))
+    run(OpSpec(
+        "EMBEDDING EXTEND INDEX", "ext", ["admitted"],
+        {"path": path, "id_column": "vec_id",
+         "vector_column": "embedding"},
+    ))
+    return eng.peek("admitted")[0].select("vec_id")
 
 
 def _incr_ingest_oracle() -> str:
