@@ -1194,39 +1194,38 @@ DRIVER_PRIORITY = [
     # reference surface (SURVEY §2.1-§2.7)
     "flagship_earliest_event", "s1_bronze_nest_explode",
     "p1_lenient_scan_distinct",
-    "p5_filter_grammar", "p6_remove_rows_null",
-    "c1_c2_rename_format", "c4_rowwise_min_max",
+    "p5_filter_grammar",
+    "c1_c2_rename_format",
     "c6_attach_sumeq",
     "c8_decision_column", "c11_c12_gold_record",
     "a1_groupby_summarise",
     "w2_sort_slice_topn",
     # event-time analytics (§2.9 batch shapes)
     "e2_sessionize_gap30m",
-    # LLM pipeline: dedup + decontamination (d11 rotated in for r7)
-    "d2_ngram_jaccard_pairs",
-    "d7_dedup_clusters",
+    # LLM pipeline: dedup + decontamination (d18 rotated in for r8)
     "d9_decontaminate", "d16_substring_runs",
     "d11_semantic_dedup", "d12_dedup_keep_best", "d13_simhash_pairs",
     "d14_line_dedup", "d15_dedup_against_index",
-    "d17_simhash_against_index",
+    "d17_simhash_against_index", "d18_embedding_against_index",
     # LLM pipeline: similarity search + lexical retrieval
     "n4_ann_ivf_kmeans", "n5_bm25_topk", "n6_hybrid_rrf",
-    # LLM pipeline: text analysis + curation (t10-t14 rotated in for r7)
-    "t1_text_stats", "t2_language_id",
+    # LLM pipeline: text analysis + curation (t21 rotated in for r8)
+    "t2_language_id",
     "t10_unigram_surprisal", "t11_url_blocklist", "t12_quality_classifier",
     "t13_sized_shards", "t14_bpe_bytes", "t15_bpe_gpt2",
     "t16_sized_shards_bytes", "t17_backoff_surprisal",
     "t18_perplexity_partition", "t19_gopher_line_rules",
-    "t20_chunk_documents",
+    "t20_chunk_documents", "t21_dedup_repeated_lines",
     # LLM pipeline: multimodal plumbing
     "m1_multimodal_features",
-    # LLM pipeline: mixture, sampling/splits, composed curation (r5 x15-x17
-    # rotated in for r7)
+    # LLM pipeline: mixture, sampling/splits, composed curation
+    # (x23-x25 rotated in for r8)
     "x14_pretraining_pipeline",
     "x15_web_curation_pipeline", "x16_cluster_aware_splits",
     "x17_exact_k_sample", "x18_dsir_selection", "x19_targeted_pipeline",
     "x20_hll_distinct_sketch", "x21_quantile_sketch",
-    "x22_incremental_ingest",
+    "x22_incremental_ingest", "x23_grouped_distinct_sketch",
+    "x24_grouped_quantile_sketch", "x25_embedding_ingest",
     # engine showcase (COMPUTE COLUMN + broadcast joins + fused LIMIT)
     "tpch_q3_shaped",
 ]
@@ -1293,6 +1292,22 @@ DRIVER_PRIORITY = [
 # distinct-under-sort is covered in-window by p1's project+distinct
 # and the w2 fused sort+slice window, and the full local sweep still
 # hash-checks a4).
+# Second round-8 batch — five more NEW operators (d18 embedding
+# incremental index, t21 within-doc line dedup, x23/x24 grouped
+# sketches, x25 composed embedding ingest) enter; the five demotions
+# again only touch rows with multiple green driver rows (r1-r7) AND
+# in-window sibling coverage, never rows still waiting for their first
+# r8 driver row: p6 (REMOVE ROWS rides the same compiled-predicate
+# path as the in-window p5 filter grammar, hypothesis-tested there),
+# c4 (the row-wise least/greatest mutate compiles through the same
+# op path as the in-window c1_c2/c6/c8 mutate family), d2 (the exact
+# integer-math Jaccard verify and the shingle stream are shared
+# verbatim with the in-window d15 index probe — _jaccard_from_arrays
+# and minhash_sigarr — and d16's gram chain), d7 (the in-window d12
+# keeper chains d7's OWN clustering CTEs, and x16 runs
+# connected_components end-to-end), t1 (the in-window t12 classifier
+# composes on text_stats' features and t19 exercises the same
+# regexp-count machinery). All five remain in the full local sweep.
 
 
 def _curate() -> None:
