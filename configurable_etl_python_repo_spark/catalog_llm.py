@@ -1992,6 +1992,24 @@ _EMB_INCR_SQL = """
 """
 
 
+def _emb_incr_split(spark: SparkSession, sf_dir: str):
+    """The shared d18/x25 two-corpus embedding fixture: "yesterday's
+    corpus" = even vec_ids (indexed), "today's batch" = odd vec_ids +
+    replicas of every vec_id % 10 == 0 vector under a shifted id
+    namespace. Mirrors _EMB_INCR_SQL exactly (the _incr_split pattern,
+    vector modality)."""
+    emb = spark.read.parquet(_pq(sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") % 2 == 0)
+    batch = emb.where(F.col("vec_id") % 2 == 1).unionByName(
+        emb.where(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+        )
+    )
+    return corpus, batch
+
+
 def _emb_incr_ctes() -> str:
     """CTE chain ending in `edup` = the thresholded (batch, corpus)
     cosine pairs a persisted embedding-index probe returns: the n3 IVF
@@ -2055,15 +2073,7 @@ def q_d18(spark: SparkSession, sf_dir: str) -> DataFrame:
     params) via _build_once; the measured work is the daily probe."""
     from .llm import dedup_index as DI
 
-    emb = spark.read.parquet(_pq(sf_dir, "embeddings")).select(
-        "vec_id", "embedding"
-    )
-    corpus = emb.where(F.col("vec_id") % 2 == 0)
-    batch = emb.where(F.col("vec_id") % 2 == 1).unionByName(
-        emb.where(F.col("vec_id") % 10 == 0).select(
-            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
-        )
-    )
+    corpus, batch = _emb_incr_split(spark, sf_dir)
     path = _build_once(
         "d18_idx", sf_dir, f"nc={_D18_NC} v1",
         lambda p: DI.embedding_build_index(
@@ -2108,15 +2118,7 @@ def q_x25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .plans import Engine, OpSpec
 
-    emb = spark.read.parquet(_pq(sf_dir, "embeddings")).select(
-        "vec_id", "embedding"
-    )
-    corpus = emb.where(F.col("vec_id") % 2 == 0)
-    batch = emb.where(F.col("vec_id") % 2 == 1).unionByName(
-        emb.where(F.col("vec_id") % 10 == 0).select(
-            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
-        )
-    )
+    corpus, batch = _emb_incr_split(spark, sf_dir)
     tag = sf_dir.strip("/").replace("/", "_")
     path = os.path.join(tempfile.gettempdir(), f"cfg_etl_x25_idx_{tag}")
     # extend APPENDS: start from a clean tree so a repeated invocation
@@ -3529,45 +3531,65 @@ def q_t16(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HLL_B = 12
 
 
-def _hll_oracle(b: int = _HLL_B, seed: str = "hll") -> str:
+def _hll_oracle(
+    b: int = _HLL_B,
+    seed: str = "hll",
+    src: str = "lineitem",
+    key_sql: str = "CAST(l_partkey AS VARCHAR)",
+    exact_sql: str = "l_partkey",
+    group: "str | None" = None,
+) -> str:
     """SQL replay of the full HLL pipeline (llm/sketch.py): md5-derived
     register/rho bits, exact integer harmonic sum (2^(33-rho) terms),
     the alpha_m*m^2 numerator folded to ONE repr()'d double literal,
     6dp-rounded ln()s, single final round — bit-identical to Spark.
-    The oracle sketches the corpus in ONE pass; the Spark query merges
-    two half-corpus sketches, so the hash match also pins the
-    sketch(A)⊔sketch(B) == sketch(A∪B) merge identity in the gate."""
+    The oracle sketches the corpus in ONE pass; the Spark queries merge
+    half-corpus sketches, so the hash match also pins the
+    sketch(A)⊔sketch(B) == sketch(A∪B) merge identity in the gate.
+    ONE generator for the global (x20) and grouped (x23) rows — the
+    `group` key threads through every stage (the exact join is
+    null-safe: a NULL group is a real group), so the intricate
+    correction CASE can never drift between the two."""
     from .llm.sketch import _alpha_m
 
     m = 1 << b
     num = _alpha_m(m) * m * m * float(1 << 33)
     e_raw = f"({num!r} / CAST(s_scaled AS DOUBLE))"
+    g = f"{group}, " if group else ""
+    gf = f"f.{group}, " if group else ""
+    gb = f" GROUP BY {group}" if group else ""
+    exact_from = (
+        f"FROM fin f JOIN ex ON ex.{group} IS NOT DISTINCT FROM f.{group}"
+        if group
+        else "FROM fin f, ex"
+    )
     return f"""
     WITH h AS (
-      SELECT md5('{seed}' || '|' || CAST(l_partkey AS VARCHAR)) AS hx
-      FROM lineitem),
+      SELECT {g}md5('{seed}' || '|' || {key_sql}) AS hx
+      FROM {src}),
     r AS (
-      SELECT CAST(('0x' || substr(hx, 1, 8)) AS BIGINT) % {m} AS register,
+      SELECT {g}CAST(('0x' || substr(hx, 1, 8)) AS BIGINT) % {m}
+               AS register,
              CASE WHEN CAST(('0x' || substr(hx, 9, 8)) AS BIGINT) = 0
                   THEN 33
                   ELSE 33 - length(bin(
                          CAST(('0x' || substr(hx, 9, 8)) AS BIGINT)))
              END AS rho
       FROM h),
-    sk AS (SELECT register, CAST(max(rho) AS INT) AS max_rho
-           FROM r GROUP BY register),
-    ag AS (SELECT count(*) AS used,
+    sk AS (SELECT {g}register, CAST(max(rho) AS INT) AS max_rho
+           FROM r GROUP BY {g}register),
+    ag AS (SELECT {g}count(*) AS used,
                   coalesce(sum(CAST(power(2, 33 - max_rho) AS BIGINT)),
                            0) AS s_present
-           FROM sk),
-    fin AS (SELECT CAST({m} - used AS BIGINT) AS v_zero,
+           FROM sk{gb}),
+    fin AS (SELECT {g}CAST({m} - used AS BIGINT) AS v_zero,
                    s_present + ({m} - used)
                      * CAST({1 << 33} AS BIGINT) AS s_scaled
             FROM ag),
-    ex AS (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT)
+    ex AS (SELECT {g}CAST(count(DISTINCT {exact_sql}) AS BIGINT)
                     AS exact_distinct
-           FROM lineitem)
-    SELECT CAST({m} AS BIGINT) AS m, f.v_zero,
+           FROM {src}{gb})
+    SELECT {gf}CAST({m} AS BIGINT) AS m, f.v_zero,
            CAST(round(CASE
              WHEN {e_raw} <= {2.5 * m!r} AND f.v_zero > 0
                THEN {float(m)!r}
@@ -3581,7 +3603,7 @@ def _hll_oracle(b: int = _HLL_B, seed: str = "hll") -> str:
              ELSE {e_raw}
            END, 6) AS DOUBLE) AS est,
            ex.exact_distinct
-    FROM fin f, ex
+    {exact_from}
     """
 
 
@@ -3617,40 +3639,65 @@ _QSK_S = 7
 _QSK_QS = [0.5, 0.95, 0.99]
 
 
-def _quantile_sketch_oracle(s: int = _QSK_S) -> str:
+def _quantile_sketch_oracle(
+    s: int = _QSK_S,
+    src: str = "documents",
+    val_sql: str = "length(text)",
+    group: "str | None" = None,
+) -> str:
     """SQL replay of the HDR log-bucket quantile sketch
     (llm/sketch.value_sketch + sketch_quantiles): integer-only encode
     (bitlen/shift), one cumulative walk, integer-only midpoint decode.
-    The oracle sketches the corpus in ONE pass; the Spark query merges
-    two half-corpus sketches, so the hash match also pins the
+    The oracle sketches the corpus in ONE pass; the Spark queries merge
+    half-corpus sketches, so the hash match also pins the
     sketch(A)⊔sketch(B) == sketch(A∪B) merge identity — the x20
-    technique applied to the distribution dual."""
+    technique applied to the distribution dual. ONE generator for the
+    global (x21) and grouped (x24) rows; with `group` the walk
+    partitions per group and the rank-hit join is null-safe (IS NOT
+    DISTINCT FROM) to mirror sketch_quantiles' eqNullSafe — a NULL
+    group is a real group on both engines."""
     m = 1 << (s + 1)
     q_list = ", ".join(repr(q) for q in _QSK_QS)
+    g = f"{group}, " if group else ""
+    grk = f"rk.{group}, " if group else ""
+    gtot = f"tot.{group}, " if group else ""
+    gb = f" GROUP BY {group}" if group else ""
+    over = (
+        f"OVER (PARTITION BY {group} ORDER BY idx)"
+        if group
+        else "OVER (ORDER BY idx)"
+    )
+    hit_on = (
+        f"ON cum.{group} IS NOT DISTINCT FROM rk.{group} "
+        f"AND cum.cum >= rk.r"
+        if group
+        else "ON cum.cum >= rk.r"
+    )
+    hit_gb = "GROUP BY 1, 2, 3" if group else "GROUP BY 1, 2"
     return f"""
     WITH v AS (
-      SELECT CAST(length(text) AS BIGINT) AS sv FROM documents),
+      SELECT {g}CAST({val_sql} AS BIGINT) AS sv FROM {src}),
     b AS (
-      SELECT CAST(greatest(length(bin(greatest(sv, 1))) - {1 + s}, 0)
+      SELECT {g}CAST(greatest(length(bin(greatest(sv, 1))) - {1 + s}, 0)
                   AS BIGINT) AS shift, sv
       FROM v),
     sk AS (
-      SELECT shift * {m} + (sv >> CAST(shift AS INT)) AS idx,
+      SELECT {g}shift * {m} + (sv >> CAST(shift AS INT)) AS idx,
              count(*) AS cnt
-      FROM b GROUP BY 1),
-    cum AS (SELECT idx, sum(cnt) OVER (ORDER BY idx) AS cum FROM sk),
-    tot AS (SELECT sum(cnt) AS n FROM sk),
+      FROM b GROUP BY {"1, 2" if group else "1"}),
+    cum AS (SELECT {g}idx, sum(cnt) {over} AS cum FROM sk),
+    tot AS (SELECT {g}sum(cnt) AS n FROM sk{gb}),
     qs AS (SELECT CAST(unnest([{q_list}]) AS DOUBLE) AS q),
     rk AS (
-      SELECT q, tot.n,
+      SELECT {gtot}q, tot.n,
              least(greatest(CAST(ceil(q * tot.n) AS BIGINT), 1), tot.n)
                AS r
-      FROM qs CROSS JOIN tot),
+      FROM tot CROSS JOIN qs),
     hit AS (
-      SELECT rk.q, rk.n, min(cum.idx) AS idx
-      FROM rk JOIN cum ON cum.cum >= rk.r
-      GROUP BY 1, 2)
-    SELECT q,
+      SELECT {grk}rk.q, rk.n, min(cum.idx) AS idx
+      FROM rk JOIN cum {hit_on}
+      {hit_gb})
+    SELECT {g}q,
            CAST(round(CAST((
              ((idx % {m}) << CAST(idx >> {s + 1} AS INT))
              + (((1::BIGINT << CAST(idx >> {s + 1} AS INT)) - 1) >> 1)
@@ -3685,60 +3732,11 @@ def q_x21(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.sketch_quantiles(merged, _QSK_QS, s=_QSK_S)
 
 
-def _grouped_hll_oracle(b: int = _HLL_B, seed: str = "hll") -> str:
-    """x23 = the x20 HLL replay with a group key threaded through
-    every stage: per-language register sketches, per-language harmonic
-    sums and corrections, exact distinct alongside. Same md5 family,
-    same single-rounding discipline."""
-    from .llm.sketch import _alpha_m
-
-    m = 1 << b
-    num = _alpha_m(m) * m * m * float(1 << 33)
-    e_raw = f"({num!r} / CAST(s_scaled AS DOUBLE))"
-    return f"""
-    WITH h AS (
-      SELECT lang, md5('{seed}' || '|' || text) AS hx FROM documents),
-    r AS (
-      SELECT lang,
-             CAST(('0x' || substr(hx, 1, 8)) AS BIGINT) % {m} AS register,
-             CASE WHEN CAST(('0x' || substr(hx, 9, 8)) AS BIGINT) = 0
-                  THEN 33
-                  ELSE 33 - length(bin(
-                         CAST(('0x' || substr(hx, 9, 8)) AS BIGINT)))
-             END AS rho
-      FROM h),
-    sk AS (SELECT lang, register, CAST(max(rho) AS INT) AS max_rho
-           FROM r GROUP BY lang, register),
-    ag AS (SELECT lang, count(*) AS used,
-                  coalesce(sum(CAST(power(2, 33 - max_rho) AS BIGINT)),
-                           0) AS s_present
-           FROM sk GROUP BY lang),
-    fin AS (SELECT lang, CAST({m} - used AS BIGINT) AS v_zero,
-                   s_present + ({m} - used)
-                     * CAST({1 << 33} AS BIGINT) AS s_scaled
-            FROM ag),
-    ex AS (SELECT lang, CAST(count(DISTINCT text) AS BIGINT)
-                    AS exact_distinct
-           FROM documents GROUP BY lang)
-    SELECT f.lang, CAST({m} AS BIGINT) AS m, f.v_zero,
-           CAST(round(CASE
-             WHEN {e_raw} <= {2.5 * m!r} AND f.v_zero > 0
-               THEN {float(m)!r}
-                    * round(ln({float(m)!r}
-                               / CAST(f.v_zero AS DOUBLE)), 6)
-             WHEN {e_raw} > {float(1 << 32) / 30.0!r}
-               THEN {-float(1 << 32)!r}
-                    * round(ln(1.0 - least({e_raw},
-                                           {float((1 << 32) - 1)!r})
-                               / {float(1 << 32)!r}), 6)
-             ELSE {e_raw}
-           END, 6) AS DOUBLE) AS est,
-           ex.exact_distinct
-    FROM fin f JOIN ex ON ex.lang = f.lang
-    """
-
-
-@register("x23_grouped_distinct_sketch", _grouped_hll_oracle())
+@register(
+    "x23_grouped_distinct_sketch",
+    _hll_oracle(src="documents", key_sql="text", exact_sql="text",
+                group="lang"),
+)
 def q_x23(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-GROUP HLL distinct sketches in one pass: distinct texts per
     language — the per-domain corpus report, still one bounded
@@ -3768,54 +3766,16 @@ def q_x23(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = docs.groupBy("lang").agg(
         F.countDistinct("text").cast("long").alias("exact_distinct")
-    )
-    return est.join(exact, "lang")
+    ).withColumnRenamed("lang", "__lang")
+    # eqNullSafe like the oracle's IS NOT DISTINCT FROM: a NULL lang
+    # would be a real group on both sides
+    return est.join(
+        exact, F.col("lang").eqNullSafe(F.col("__lang"))
+    ).drop("__lang")
 
 
-def _grouped_quantile_oracle(s: int = _QSK_S) -> str:
-    """x24 = the x21 HDR replay with the language key threaded through
-    encode, cumulative walk (PARTITION BY lang), rank selection, and
-    decode — t18's per-language distribution report without its
-    per-stratum sorts."""
-    m = 1 << (s + 1)
-    q_list = ", ".join(repr(q) for q in _QSK_QS)
-    return f"""
-    WITH v AS (
-      SELECT lang, CAST(length(text) AS BIGINT) AS sv FROM documents),
-    b AS (
-      SELECT lang,
-             CAST(greatest(length(bin(greatest(sv, 1))) - {1 + s}, 0)
-                  AS BIGINT) AS shift, sv
-      FROM v),
-    sk AS (
-      SELECT lang, shift * {m} + (sv >> CAST(shift AS INT)) AS idx,
-             count(*) AS cnt
-      FROM b GROUP BY 1, 2),
-    cum AS (SELECT lang, idx,
-                   sum(cnt) OVER (PARTITION BY lang ORDER BY idx) AS cum
-            FROM sk),
-    tot AS (SELECT lang, sum(cnt) AS n FROM sk GROUP BY lang),
-    qs AS (SELECT CAST(unnest([{q_list}]) AS DOUBLE) AS q),
-    rk AS (
-      SELECT tot.lang, q, tot.n,
-             least(greatest(CAST(ceil(q * tot.n) AS BIGINT), 1), tot.n)
-               AS r
-      FROM tot CROSS JOIN qs),
-    hit AS (
-      SELECT rk.lang, rk.q, rk.n, min(cum.idx) AS idx
-      FROM rk JOIN cum ON cum.lang = rk.lang AND cum.cum >= rk.r
-      GROUP BY 1, 2, 3)
-    SELECT lang, q,
-           CAST(round(CAST((
-             ((idx % {m}) << CAST(idx >> {s + 1} AS INT))
-             + (((1::BIGINT << CAST(idx >> {s + 1} AS INT)) - 1) >> 1)
-           ) AS DOUBLE) / 1.0, 6) AS DOUBLE) AS est,
-           CAST(n AS BIGINT) AS n
-    FROM hit
-    """
-
-
-@register("x24_grouped_quantile_sketch", _grouped_quantile_oracle())
+@register("x24_grouped_quantile_sketch",
+          _quantile_sketch_oracle(group="lang"))
 def q_x24(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-GROUP quantile sketches: p50/p95/p99 of document length PER
     LANGUAGE from one grouped HDR histogram pass — the distribution

@@ -1087,6 +1087,32 @@ def decontaminate_stream(
     )
 
 
+def _doc_lines(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The line-extraction contract the line-dedup family shares
+    (dedup_lines / dedup_repeated_lines, replayed by the d14 and t21
+    oracles): split on \\r?\\n so CRLF corpora don't keep a trailing \\r
+    in the match key ('subscribe now\\r' != 'subscribe now' would let
+    mixed-line-ending boilerplate escape), match on lower(trim(line)),
+    keep the trimmed original-case line, exclude blanks. ONE definition
+    on purpose — a change here must move both operators AND both
+    oracles together."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), "\r?\n")).alias(
+                "pos", "__raw"
+            ),
+        )
+        .select(
+            "id",
+            "pos",
+            F.trim(F.col("__raw")).alias("line"),
+            F.lower(F.trim(F.col("__raw"))).alias("key"),
+        )
+        .where(F.col("key") != "")
+    )
+
+
 def dedup_lines(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1134,24 +1160,7 @@ def dedup_lines(
 
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
-    lines = (
-        df.select(
-            F.col(id_col).alias("id"),
-            # \r?\n so CRLF corpora don't keep a trailing \r in the
-            # match key ('subscribe now\r' != 'subscribe now' would let
-            # mixed-line-ending boilerplate escape the >= min_docs bar)
-            F.posexplode(F.split(F.col(text_col), "\r?\n")).alias(
-                "pos", "__raw"
-            ),
-        )
-        .select(
-            "id",
-            "pos",
-            F.trim(F.col("__raw")).alias("line"),
-            F.lower(F.trim(F.col("__raw"))).alias("key"),
-        )
-        .where(F.col("key") != "")
-    )
+    lines = _doc_lines(df, id_col, text_col)
     per_doc = Window.partitionBy("id")
     lines = lines.withColumn("__n_lines", F.count(F.lit(1)).over(per_doc))
     common = (
@@ -1217,22 +1226,7 @@ def dedup_repeated_lines(
     (/root/reference/Configurable_ETL_Python.py drops whole-row
     duplicates only, :243-252); LLM-curation extension surface.
     """
-    lines = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.posexplode(F.split(F.col(text_col), "\r?\n")).alias(
-                "pos", "__raw"
-            ),
-        )
-        .select(
-            "id",
-            "pos",
-            F.trim(F.col("__raw")).alias("line"),
-            F.lower(F.trim(F.col("__raw"))).alias("key"),
-        )
-        .where(F.col("key") != "")
-    )
-    first = lines.groupBy("id", "key").agg(
+    first = _doc_lines(df, id_col, text_col).groupBy("id", "key").agg(
         F.min(F.struct("pos", "line")).alias("__f"),
         F.count(F.lit(1)).alias("__c"),
     )
