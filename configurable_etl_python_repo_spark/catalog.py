@@ -1198,7 +1198,6 @@ DRIVER_PRIORITY = [
     "c1_c2_rename_format",
     "c6_attach_sumeq",
     "c8_decision_column", "c11_c12_gold_record",
-    "a1_groupby_summarise",
     "w2_sort_slice_topn",
     # event-time analytics (§2.9 batch shapes)
     "e2_sessionize_gap30m",
@@ -1226,6 +1225,7 @@ DRIVER_PRIORITY = [
     "x20_hll_distinct_sketch", "x21_quantile_sketch",
     "x22_incremental_ingest", "x23_grouped_distinct_sketch",
     "x24_grouped_quantile_sketch", "x25_embedding_ingest",
+    "x26_mixture_upsample",
     # engine showcase (COMPUTE COLUMN + broadcast joins + fused LIMIT)
     "tpch_q3_shaped",
 ]
@@ -1308,6 +1308,12 @@ DRIVER_PRIORITY = [
 # connected_components end-to-end), t1 (the in-window t12 classifier
 # composes on text_stats' features and t19 exercises the same
 # regexp-count machinery). All five remain in the full local sweep.
+# Plus x26 (epoch-capped mixture upsampling) enters; a1 demotes (seven
+# green driver rows r1-r7; the HashAggregate machinery is the single
+# most exercised path in the window — c6's scalar aggregate, e2's
+# sessionize rollup, x20/x23's register-max sketches, and w2's partial
+# aggregates all ride it — and the full local sweep still hash-checks
+# a1).
 
 
 def _curate() -> None:

@@ -2283,6 +2283,66 @@ def q_x13(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: x26: total sized so weight-3 domains need > max_epochs copies (the
+#: cap binds and the achieved mixture honestly undershoots) while
+#: weight-1 domains land on full-copies + md5 remainder — both branches
+#: of the epoch math in one fixture
+_UP_T, _UP_E, _UP_SEED = 2000, 4, "mixup"
+
+
+def _upsample_oracle() -> str:
+    """SQL replay of mixture_upsample's integer math: W over present
+    strata, q_s = floor(w_s*T/W), full copies min(floor(q_s/n_s), E),
+    20-bit md5 remainder cutoff, constant-bounded epoch series."""
+    whens = " ".join(
+        f"WHEN '{v}' THEN {w}" for v, w in sorted(_MIX_WEIGHTS.items())
+    )
+    in_list = ", ".join(f"'{v}'" for v in sorted(_MIX_WEIGHTS))
+    return f"""
+    WITH c AS (
+      SELECT source, count(*) AS n, CASE source {whens} END AS w
+      FROM documents WHERE source IN ({in_list}) GROUP BY source),
+    t1 AS (SELECT sum(w) AS wtot FROM c),
+    p AS (SELECT c.source, c.n, c.w * {_UP_T} // t1.wtot AS q
+          FROM c, t1),
+    e AS (SELECT source, n,
+                 CASE WHEN q // n >= {_UP_E} THEN {_UP_E}
+                      ELSE q // n END AS fe,
+                 CASE WHEN q // n >= {_UP_E} THEN 0
+                      ELSE (q - (q // n) * n) * {1 << 20} // n
+                 END AS cutoff
+          FROM p),
+    s AS (SELECT unnest(generate_series(0, {_UP_E})) AS epoch),
+    g AS (SELECT d.doc_id, d.source, d.lang, e.fe, e.cutoff, s.epoch
+          FROM documents d JOIN e ON e.source = d.source CROSS JOIN s)
+    SELECT doc_id, source, lang, CAST(epoch AS BIGINT) AS epoch
+    FROM g
+    WHERE epoch < fe
+       OR (epoch = fe AND CAST(('0x' || substr(md5('{_UP_SEED}' || '|'
+           || CAST(doc_id AS STRING)), 1, 5)) AS BIGINT) < cutoff)
+    """
+
+
+@register("x26_mixture_upsample", _upsample_oracle())
+def q_x26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-capped mixture UPSAMPLING (x13's dual): scarce domains are
+    repeated — full copies plus a deterministic md5 remainder, capped
+    at max_epochs full passes (the published-practice repetition cap) —
+    so the corpus reaches a target SIZE at the requested ratios instead
+    of shrinking to the binding stratum. Exact BIGINT math end to end;
+    rows carry a 0-based epoch so (doc_id, epoch) stays a unique
+    identity for downstream packing."""
+    from .llm.sampling import mixture_upsample
+
+    docs = spark.read.parquet(_pq(sf_dir, "documents")).select(
+        "doc_id", "source", "lang"
+    )
+    return mixture_upsample(
+        docs, _MIX_WEIGHTS, total_rows=_UP_T, max_epochs=_UP_E,
+        seed=_UP_SEED,
+    )
+
+
 _DECONTAM_N = 13
 #: eval-set membership predicate, shared by query and oracle: the
 #: "benchmark" is a copy of every 17th document (an external eval set

@@ -126,6 +126,93 @@ def mixture_sample(
     )
 
 
+def mixture_upsample(
+    df: DataFrame,
+    weights: dict[str, int],
+    total_rows: int,
+    max_epochs: int = 4,
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    seed: str = "mixup",
+) -> DataFrame:
+    """Resample to a target mixture WITH REPETITION, small domains
+    repeated up to `max_epochs` — the upsampling dual of
+    mixture_sample (which only keeps the largest achievable corpus at
+    the exact ratios). Published mixtures repeat scarce high-quality
+    domains for several epochs while web text sees less than one
+    (Gao et al. 2020 §2 report per-set epochs for The Pile; Touvron et
+    al. 2023 Table 1 lists per-dataset epochs for LLaMA); the cap
+    bounds memorization-prone over-repetition.
+
+    Each stratum targets q_s = floor(w_s * total_rows / W) rows (W =
+    Σw over strata PRESENT): it contributes floor(q_s / n_s) full
+    copies (capped at max_epochs — when the cap binds the stratum
+    delivers exactly max_epochs * n_s rows and the achieved mixture
+    honestly undershoots the target) plus a deterministic md5-bucket
+    remainder, so every count is exact BIGINT math and the output
+    replays row-for-row in SQL. Output rows carry an `epoch` column
+    (0-based; the remainder rides epoch = floor(q_s / n_s)) so a
+    downstream shuffle/pack can interleave copies, and (key, epoch) is
+    a unique row identity.
+
+    Plan shape: ONE counting pass (#strata rows collected — the
+    mixture_sample pattern), then per-stratum (full, cutoff) fold into
+    literal CASEs and the output is a single constant-bounded
+    generator (sequence(0, max_epochs), at most max_epochs + 1 rows
+    per input row before the admit filter) — no joins, no shuffles,
+    lineage appears once."""
+    if not weights:
+        raise ValueError("weights must be a non-empty {stratum: int} map")
+    for v, w in weights.items():
+        if not isinstance(w, int) or w <= 0:
+            raise ValueError(
+                f"weight for {v!r} must be a positive int, got {w!r}"
+            )
+    if not isinstance(total_rows, int) or total_rows <= 0:
+        raise ValueError(f"total_rows must be a positive int, got {total_rows}")
+    if not isinstance(max_epochs, int) or max_epochs < 1:
+        raise ValueError(f"max_epochs must be an int >= 1, got {max_epochs}")
+
+    strata = F.col(strata_col)
+    in_mix = df.where(strata.isin(*weights))
+    n = {
+        r[0]: r[1]
+        for r in in_mix.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    }
+    if not n:
+        return in_mix.where(F.lit(False)).withColumn(
+            "epoch", F.lit(0).cast("long")
+        )
+    wtot = sum(weights[s] for s in n)
+    full_c, cut_c = None, None
+    for s, cnt in sorted(n.items()):
+        q = weights[s] * total_rows // wtot
+        full = q // cnt
+        if full >= max_epochs:
+            full, cut = max_epochs, 0
+        else:
+            cut = ((q - full * cnt) << 20) // cnt
+        cond = strata == F.lit(s)
+        fv, cv = F.lit(full).cast("long"), F.lit(cut).cast("long")
+        full_c = F.when(cond, fv) if full_c is None else full_c.when(cond, fv)
+        cut_c = F.when(cond, cv) if cut_c is None else cut_c.when(cond, cv)
+    out = in_mix.withColumn(
+        "epoch",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"), F.lit(max_epochs).cast("long")
+            )
+        ),
+    )
+    admit = (F.col("epoch") < full_c) | (
+        (F.col("epoch") == full_c)
+        & (_bucket(F.col(key_col), seed, hex_chars=5) < cut_c)
+    )
+    return out.where(admit)
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -494,6 +494,10 @@ LLM_OP_COMPILERS = {
         _rename_kw(_lazy_sampling("mixture_sample"),
                    {"key_column": "key_col", "strata_column": "strata_col"})
     ),
+    "UPSAMPLE MIXTURE": _unary(
+        _rename_kw(_lazy_sampling("mixture_upsample"),
+                   {"key_column": "key_col", "strata_column": "strata_col"})
+    ),
     "SPLIT ASSIGN": _unary(
         _rename_kw(_lazy_sampling("split_assign"),
                    {"key_column": "key_col", "group_column": "group_col"})

@@ -333,3 +333,83 @@ def test_dsir_validation(spark):
         dsir_weights(docs, docs, buckets=1).collect()
     with pytest.raises(ValueError, match="k"):
         dsir_select(docs, docs, k=0).collect()
+
+
+def test_mixture_upsample_epochs_and_cap(spark):
+    """Full copies are exact (floor(q/n) whole passes of every row),
+    the remainder is a deterministic md5 subset at the next epoch, the
+    max_epochs cap binds with exactly cap*n rows (honest undershoot),
+    and (key, epoch) is unique."""
+    from configurable_etl_python_repo_spark.llm.sampling import (
+        mixture_upsample,
+    )
+
+    # scarce: 10 rows, weight 3; plenty: 40 rows, weight 1. W=4.
+    rows = [(i, "scarce") for i in range(10)] + [
+        (100 + i, "plenty") for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = mixture_upsample(
+        df, {"scarce": 3, "plenty": 1}, total_rows=100, max_epochs=4,
+        key_col="doc_id",
+    ).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    # scarce: q = 3*100//4 = 75 -> 75//10 = 7 full epochs > cap 4
+    # -> cap binds: exactly 4 full copies, no remainder epoch
+    sc = by_src["scarce"]
+    assert len(sc) == 40
+    assert {r.epoch for r in sc} == {0, 1, 2, 3}
+    for ep in range(4):
+        assert sorted(r.doc_id for r in sc if r.epoch == ep) == list(
+            range(10)
+        )
+    # plenty: q = 25 -> 0 full copies + md5 remainder at epoch 0 with
+    # cutoff (25<<20)//40 — a strict deterministic subset
+    pl = by_src["plenty"]
+    assert {r.epoch for r in pl} == {0} and 0 < len(pl) < 40
+    again = mixture_upsample(
+        df, {"scarce": 3, "plenty": 1}, total_rows=100, max_epochs=4,
+        key_col="doc_id",
+    ).collect()
+    assert sorted((r.doc_id, r.epoch) for r in again) == sorted(
+        (r.doc_id, r.epoch) for r in out
+    )
+    # (key, epoch) unique
+    assert len({(r.doc_id, r.epoch) for r in out}) == len(out)
+    # raising the cap releases the bind: scarce reaches its 75-row q
+    hi = mixture_upsample(
+        df, {"scarce": 3, "plenty": 1}, total_rows=100, max_epochs=10,
+        key_col="doc_id",
+    ).where("source = 'scarce'").collect()
+    # q = 75 -> 7 exact full copies (epochs 0-6, 70 rows) + an
+    # md5-bucket remainder at epoch 7 (approximately 5 of 10 rows —
+    # bucket admission is the documented mixture approximation)
+    for ep in range(7):
+        assert sorted(r.doc_id for r in hi if r.epoch == ep) == list(
+            range(10)
+        )
+    rem = [r.doc_id for r in hi if r.epoch == 7]
+    assert 0 < len(rem) < 10 and max(r.epoch for r in hi) == 7
+    import pytest
+
+    with pytest.raises(ValueError, match="max_epochs"):
+        mixture_upsample(df, {"scarce": 1}, total_rows=10, max_epochs=0)
+    with pytest.raises(ValueError, match="total_rows"):
+        mixture_upsample(df, {"scarce": 1}, total_rows=0)
+
+
+def test_mixture_upsample_as_config_op(spark):
+    from configurable_etl_python_repo_spark.plans import Engine, OpSpec
+
+    eng = Engine(spark)
+    eng.bind("docs", spark.createDataFrame(
+        [(i, "a") for i in range(5)], ["doc_id", "source"]))
+    out = eng.run_op(OpSpec(
+        "UPSAMPLE MIXTURE", "u", ["docs"],
+        {"weights": {"a": 1}, "total_rows": 10, "max_epochs": 3,
+         "key_column": "doc_id"}))
+    rows = out.collect()
+    # q = 10 -> 2 full copies of 5 rows, no remainder
+    assert len(rows) == 10 and {r.epoch for r in rows} == {0, 1}
