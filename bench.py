@@ -46,6 +46,9 @@ HEADLINE = [
     "x18_dsir_selection",        # DSIR importance resampling (r7)
     "x19_targeted_pipeline",     # composed targeted-selection chain (r7)
     "d15_dedup_against_index",   # incremental cross-corpus dedup probe (r8)
+    "d18_embedding_against_index",  # incremental embedding-dedup probe (r8)
+    "t21_dedup_repeated_lines",  # within-doc line dedup (r8)
+    "x26_mixture_upsample",      # epoch-capped mixture upsampling (r8)
 ]
 
 

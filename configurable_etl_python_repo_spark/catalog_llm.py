@@ -2229,11 +2229,11 @@ _MIX_WEIGHTS = {f"src{i}": i % 3 + 1 for i in range(20)}
 _MIX_SEED = "mix"
 
 
-def _mixture_ctes(src: str) -> str:
-    """c/t1/t2/cut CTE chain: mixture_sample's integer math (W, binding
-    total T* = min_s floor(n_s*W/w_s), target q_s = floor(w_s*T*/W),
-    cutoff floor(q_s*2^20/n_s)) over the `src` relation — shared by the
-    x13 oracle and the x14 pipeline oracle."""
+def _mix_counts_ctes(src: str) -> str:
+    """c/t1 prefix every mixture oracle shares (x13/x14 downsample AND
+    the x26 upsample): per-stratum counts with their weights, W over
+    strata PRESENT. ONE definition on purpose — the weight CASE/IN
+    construction must never drift between the duals."""
     whens = " ".join(
         f"WHEN '{v}' THEN {w}" for v, w in sorted(_MIX_WEIGHTS.items())
     )
@@ -2242,7 +2242,15 @@ def _mixture_ctes(src: str) -> str:
     c AS (
       SELECT source, count(*) AS n, CASE source {whens} END AS w
       FROM {src} WHERE source IN ({in_list}) GROUP BY source),
-    t1 AS (SELECT sum(w) AS wtot FROM c),
+    t1 AS (SELECT sum(w) AS wtot FROM c)"""
+
+
+def _mixture_ctes(src: str) -> str:
+    """c/t1/t2/cut CTE chain: mixture_sample's integer math (W, binding
+    total T* = min_s floor(n_s*W/w_s), target q_s = floor(w_s*T*/W),
+    cutoff floor(q_s*2^20/n_s)) over the `src` relation — shared by the
+    x13 oracle and the x14 pipeline oracle."""
+    return f"""{_mix_counts_ctes(src)},
     t2 AS (SELECT max(t1.wtot) AS wtot,
                   min(c.n * t1.wtot // c.w) AS tstar
            FROM c, t1),
@@ -2251,12 +2259,15 @@ def _mixture_ctes(src: str) -> str:
             FROM c, t2)"""
 
 
-def _mix_admit_sql(alias: str) -> str:
-    """WHERE fragment admitting `alias` rows under cut.cutoff by the
-    20-bit md5 bucket."""
+def _mix_admit_sql(
+    key_sql: str, seed: str = _MIX_SEED, cutoff_sql: str = "cut.cutoff"
+) -> str:
+    """WHERE fragment admitting rows whose 20-bit md5(seed|key) bucket
+    falls under `cutoff_sql` — the one md5-admit idiom every mixture
+    oracle uses."""
     return (
-        f"CAST(('0x' || substr(md5('{_MIX_SEED}' || '|' || "
-        f"CAST({alias}.doc_id AS STRING)), 1, 5)) AS BIGINT) < cut.cutoff"
+        f"CAST(('0x' || substr(md5('{seed}' || '|' || "
+        f"CAST({key_sql} AS STRING)), 1, 5)) AS BIGINT) < {cutoff_sql}"
     )
 
 
@@ -2265,7 +2276,7 @@ def _mixture_oracle() -> str:
     WITH {_mixture_ctes("documents")}
     SELECT d.doc_id, d.source, d.lang
     FROM documents d JOIN cut ON d.source = cut.source
-    WHERE {_mix_admit_sql("d")}
+    WHERE {_mix_admit_sql("d.doc_id")}
     """
 
 
@@ -2294,15 +2305,8 @@ def _upsample_oracle() -> str:
     """SQL replay of mixture_upsample's integer math: W over present
     strata, q_s = floor(w_s*T/W), full copies min(floor(q_s/n_s), E),
     20-bit md5 remainder cutoff, constant-bounded epoch series."""
-    whens = " ".join(
-        f"WHEN '{v}' THEN {w}" for v, w in sorted(_MIX_WEIGHTS.items())
-    )
-    in_list = ", ".join(f"'{v}'" for v in sorted(_MIX_WEIGHTS))
     return f"""
-    WITH c AS (
-      SELECT source, count(*) AS n, CASE source {whens} END AS w
-      FROM documents WHERE source IN ({in_list}) GROUP BY source),
-    t1 AS (SELECT sum(w) AS wtot FROM c),
+    WITH {_mix_counts_ctes("documents").strip()},
     p AS (SELECT c.source, c.n, c.w * {_UP_T} // t1.wtot AS q
           FROM c, t1),
     e AS (SELECT source, n,
@@ -2318,8 +2322,9 @@ def _upsample_oracle() -> str:
     SELECT doc_id, source, lang, CAST(epoch AS BIGINT) AS epoch
     FROM g
     WHERE epoch < fe
-       OR (epoch = fe AND CAST(('0x' || substr(md5('{_UP_SEED}' || '|'
-           || CAST(doc_id AS STRING)), 1, 5)) AS BIGINT) < cutoff)
+       OR (epoch = fe
+           AND {_mix_admit_sql("doc_id", seed=_UP_SEED,
+                               cutoff_sql="cutoff")})
     """
 
 
@@ -2460,7 +2465,7 @@ def _pipeline_oracle() -> str:
     SELECT k.doc_id, k.source, k.lang, k.n_words, k.pii_total,
            k.top_ngram_frac, k.text_scrubbed
     FROM kept k JOIN cut ON k.source = cut.source
-    WHERE {_mix_admit_sql("k")}
+    WHERE {_mix_admit_sql("k.doc_id")}
     """
 
 

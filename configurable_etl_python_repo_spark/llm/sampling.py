@@ -172,6 +172,13 @@ def mixture_upsample(
         raise ValueError(f"total_rows must be a positive int, got {total_rows}")
     if not isinstance(max_epochs, int) or max_epochs < 1:
         raise ValueError(f"max_epochs must be an int >= 1, got {max_epochs}")
+    if "epoch" in df.columns:
+        raise ValueError(
+            "input already has an 'epoch' column — mixture_upsample "
+            "emits the copy index under that name (rename the input "
+            "column; silently overwriting it would corrupt the "
+            "(key, epoch) identity contract)"
+        )
 
     strata = F.col(strata_col)
     in_mix = df.where(strata.isin(*weights))
