@@ -452,6 +452,14 @@ def embedding_build_index(
     fresh build over the union UNDER THE SAME CENTROIDS (pinned in
     tests). Rebuild when the corpus distribution drifts.
 
+    SCALE POLICY (the d11/SemDeDup rule): size n_centroids WITH the
+    corpus — n_centroids ~ N / target_list_size — so per-list size
+    stays constant; a PINNED n_centroids makes every probe score
+    batch x N/n_centroids pairs, quadratic as both sides grow
+    (measured at sf1: pinned-8 probe exponent 0.85 vs 0.04 under the
+    policy, BENCH_sf1_r08.json). The catalog fixture pins 8 only to
+    share the n3 oracle's centroid math.
+
     Reference parity: the reference persists no state between runs
     (/root/reference/Configurable_ETL_Python.py re-reads every source per
     execution); extension surface, same rationale as the MinHash index."""
