@@ -378,21 +378,23 @@ def sketch_quantiles(
             F.col("n"),
         ).alias("r"),
     )
-    rk, cm = ranks.alias("rk"), cum.alias("cm")
-    cond = F.col("cm.cum") >= F.col("rk.r")
+    # rename the cum side instead of DataFrame aliases: both sides can
+    # derive from the SAME relation (a memory-sink view, a cached
+    # sketch), where alias-qualified attributes hit Spark's self-join
+    # ambiguity; distinct names cannot
+    cum2 = cum.select(
+        *[F.col(c).alias(f"__sq_{c}") for c in g],
+        F.col("idx").alias("__sq_idx"),
+        F.col("cum").alias("__sq_cum"),
+    )
+    cond = F.col("__sq_cum") >= F.col("r")
     for c in g:
         # eqNullSafe: a NULL group key is a real group (e.g. lang NULL)
-        cond = F.col(f"rk.{c}").eqNullSafe(F.col(f"cm.{c}")) & cond
+        cond = F.col(c).eqNullSafe(F.col(f"__sq_{c}")) & cond
     hit = (
-        rk.join(cm, cond)
-        .select(
-            *[F.col(f"rk.{c}").alias(c) for c in g],
-            F.col("rk.q").alias("q"),
-            F.col("rk.n").alias("n"),
-            F.col("cm.idx").alias("idx"),
-        )
+        ranks.join(cum2, cond)
         .groupBy(*g, "q", "n")
-        .agg(F.min("idx").alias("idx"))
+        .agg(F.min("__sq_idx").alias("idx"))
     )
     # decode stays in integer ops end-to-end (shifts, never float
     # division) — the same cross-engine-exactness rule as the encode.

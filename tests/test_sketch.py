@@ -398,3 +398,51 @@ def test_grouped_sketch_config_ops(spark):
         {"column": "v", "qs": [0.5], "s": 4, "group_columns": ["g"]}))
     rows = qq.collect()
     assert len(rows) == 2 and all(r.n == 200 for r in rows)
+
+
+def test_grouped_sketches_are_streaming_legal(spark, sf_dir, tmp_path):
+    """The grouped variants stay streaming-legal: groupBy(group, key)
+    max/sum are still unwindowed streaming aggregations, so one stream
+    maintains a live per-domain sketch; the grouped quantile decode
+    then runs as a tiny batch over the completed sketch table."""
+    from configurable_etl_python_repo_spark.llm.sketch import (
+        merge_value_sketches,
+        value_sketch,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", F.length("text").alias("len")
+    )
+    src = str(tmp_path / "gsketch_src")
+    docs.write.parquet(src)
+    stream = spark.readStream.format("parquet").schema(docs.schema).load(src)
+
+    vsk = value_sketch(stream, "len", s=6, group_cols=["lang"])
+    assert vsk.isStreaming
+    q = (vsk.writeStream.format("memory").queryName("gvs_stream")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "gck"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    got = sorted(map(tuple, spark.table("gvs_stream").collect()))
+    want = sorted(map(tuple, value_sketch(
+        docs, "len", s=6, group_cols=["lang"]).collect()))
+    assert got == want and got
+    # grouped decode over the completed stream table == grouped batch
+    stream_q = {(r.lang, r.q): r.est for r in sketch_quantiles(
+        spark.table("gvs_stream"), [0.5], s=6, group_cols=["lang"]
+    ).collect()}
+    batch_q = {(r.lang, r.q): r.est for r in approx_quantiles(
+        docs, "len", [0.5], s=6, group_cols=["lang"]).collect()}
+    assert stream_q == batch_q and len(stream_q) == 5
+    # grouped stream sketch merges with a batch sketch group-wise
+    # grouped stream sketch merges with a batch sketch group-wise:
+    # counts are ADDITIVE, so self-merge exactly doubles every bucket
+    merged = merge_value_sketches(
+        spark.table("gvs_stream"),
+        value_sketch(docs, "len", s=6, group_cols=["lang"]),
+        group_cols=["lang"],
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        (lang, idx, 2 * cnt) for lang, idx, cnt in want
+    )
