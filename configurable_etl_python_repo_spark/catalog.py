@@ -1202,7 +1202,7 @@ DRIVER_PRIORITY = [
     # event-time analytics (§2.9 batch shapes)
     "e2_sessionize_gap30m",
     # LLM pipeline: dedup + decontamination (d18 rotated in for r8)
-    "d9_decontaminate", "d16_substring_runs",
+    "d16_substring_runs",
     "d11_semantic_dedup", "d12_dedup_keep_best", "d13_simhash_pairs",
     "d14_line_dedup", "d15_dedup_against_index",
     "d17_simhash_against_index", "d18_embedding_against_index",
@@ -1225,7 +1225,7 @@ DRIVER_PRIORITY = [
     "x20_hll_distinct_sketch", "x21_quantile_sketch",
     "x22_incremental_ingest", "x23_grouped_distinct_sketch",
     "x24_grouped_quantile_sketch", "x25_embedding_ingest",
-    "x26_mixture_upsample",
+    "x26_mixture_upsample", "x27_corpus_report",
     # engine showcase (COMPUTE COLUMN + broadcast joins + fused LIMIT)
     "tpch_q3_shaped",
 ]
@@ -1313,7 +1313,12 @@ DRIVER_PRIORITY = [
 # most exercised path in the window — c6's scalar aggregate, e2's
 # sessionize rollup, x20/x23's register-max sketches, and w2's partial
 # aggregates all ride it — and the full local sweep still hash-checks
-# a1).
+# a1). And x27 (per-source corpus report, chaining the x23/x24
+# generators) enters; d9 demotes (seven green driver rows r1-r7; the
+# in-window x19 targeted pipeline runs 13-gram decontamination as a
+# stage whose oracle CTEs are CHAINED from d9's own generator, and the
+# broadcast gram-probe machinery also rides the in-window d15/d16 gram
+# streams — full local sweep still hash-checks d9).
 
 
 def _curate() -> None:

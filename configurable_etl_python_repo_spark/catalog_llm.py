@@ -3839,6 +3839,55 @@ def q_x23(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("__lang")
 
 
+def _corpus_report_oracle() -> str:
+    """x27 = the dataset-card report assembled from the SAME
+    parametrized generators as its stages: _hll_oracle and
+    _quantile_sketch_oracle embedded as subqueries (group='source'),
+    plus plain per-source stats — the composition cannot drift from
+    the standalone x23/x24 machinery."""
+    hll = _hll_oracle(
+        src="documents", key_sql="text", exact_sql="text", group="source"
+    )
+    qnt = _quantile_sketch_oracle(group="source")
+    return f"""
+    WITH base AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(length(text)) AS BIGINT) AS value_sum
+      FROM documents GROUP BY source),
+    hll AS (SELECT source, est AS distinct_est FROM ({hll}) h),
+    qrows AS (SELECT source, q, est FROM ({qnt}) v),
+    piv AS (SELECT source,
+                   max(CASE WHEN q = 0.5 THEN est END) AS p50,
+                   max(CASE WHEN q = 0.95 THEN est END) AS p95,
+                   max(CASE WHEN q = 0.99 THEN est END) AS p99
+            FROM qrows GROUP BY source)
+    SELECT b.source, b.n_rows, b.value_sum, h.distinct_est,
+           p.p50, p.p95, p.p99
+    FROM base b
+    JOIN hll h ON h.source IS NOT DISTINCT FROM b.source
+    JOIN piv p ON p.source IS NOT DISTINCT FROM b.source
+    """
+
+
+@register("x27_corpus_report", _corpus_report_oracle())
+def q_x27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-domain dataset card in one operator: docs, total chars,
+    HLL distinct-text estimate, and HDR length quantiles PER SOURCE —
+    the corpus report a curation run publishes, three bounded
+    map-side-combinable passes and group-sized null-safe joins, no
+    global sort, no per-domain jobs. Oracle embeds the same
+    parametrized generators as the standalone x23/x24 rows."""
+    from .llm import sketch as SK
+
+    docs = spark.read.parquet(_pq(sf_dir, "documents")).select(
+        "source", "text", F.length("text").alias("len")
+    )
+    return SK.corpus_report(
+        docs, group_cols=["source"], distinct_cols=["text"],
+        value_col="len", qs=list(_QSK_QS), b=_HLL_B, s=_QSK_S,
+    )
+
+
 @register("x24_grouped_quantile_sketch",
           _quantile_sketch_oracle(group="lang"))
 def q_x24(spark: SparkSession, sf_dir: str) -> DataFrame:

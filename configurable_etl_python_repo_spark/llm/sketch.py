@@ -440,3 +440,74 @@ def approx_quantiles(
         scale=scale,
         group_cols=group_cols,
     )
+
+
+def corpus_report(
+    df: DataFrame,
+    group_cols: "list[str]",
+    distinct_cols: "list[str]",
+    value_col: str,
+    qs: "list[float]" = (0.5, 0.95, 0.99),
+    b: int = 12,
+    s: int = 7,
+    scale: int = 1,
+) -> DataFrame:
+    """The per-domain corpus report in one operator: for each group,
+    row count, sum of `value_col`, the HLL distinct estimate of
+    `distinct_cols`, and the HDR quantiles of `value_col` — the
+    "dataset card" table (docs / bytes / distinct texts / length
+    distribution per source) a 100 TB curation run publishes, without
+    a global sort or one job per domain.
+
+    Output: (group_cols..., n_rows, value_sum, distinct_est,
+    p<q>...) — quantile columns named p50/p95/p99 for the default qs.
+
+    Plan shape: three map-side-combinable aggregation passes over the
+    input (plain stats, register sketch, bucket histogram — different
+    grouping shapes, so they cannot fuse), each reading only its own
+    columns (column pruning applies per branch); every branch is
+    bounded per group and the final assembly joins <= groups-sized
+    relations with null-safe keys (a NULL group is a real group).
+    NULL `value_col` rows count in n_rows but not in the histogram
+    (the value_sketch convention)."""
+    if not group_cols:
+        raise ValueError("group_cols must name at least one column")
+    g = list(group_cols)
+    base = df.groupBy(*g).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col(value_col)).cast("long").alias("value_sum"),
+    )
+    est = sketch_estimate(
+        distinct_sketch(df, distinct_cols, b=b, group_cols=g),
+        b=b,
+        group_cols=g,
+    ).select(*g, F.col("est").alias("distinct_est"))
+    qrows = sketch_quantiles(
+        value_sketch(df, value_col, s=s, scale=scale, group_cols=g),
+        list(qs),
+        s=s,
+        scale=scale,
+        group_cols=g,
+    )
+    def _pname(q: float) -> str:
+        return "p" + format(q * 100, "g").replace(".", "_")
+
+    piv = qrows.groupBy(*g).agg(
+        *[
+            F.max(F.when(F.col("q") == float(q), F.col("est"))).alias(
+                _pname(q)
+            )
+            for q in qs
+        ]
+    )
+    def _nsjoin(left: DataFrame, right: DataFrame) -> DataFrame:
+        r = right
+        for c in g:
+            r = r.withColumnRenamed(c, f"__cr_{c}")
+        cond = None
+        for c in g:
+            e = F.col(c).eqNullSafe(F.col(f"__cr_{c}"))
+            cond = e if cond is None else (cond & e)
+        return left.join(r, cond).drop(*[f"__cr_{c}" for c in g])
+
+    return _nsjoin(_nsjoin(base, est), piv)

@@ -564,6 +564,12 @@ LLM_OP_COMPILERS = {
         _rename_kw(_lazy_sketch("approx_quantiles"),
                    {"column": "col", "group_columns": "group_cols"})
     ),
+    "CORPUS REPORT": _unary(
+        _rename_kw(_lazy_sketch("corpus_report"),
+                   {"group_columns": "group_cols",
+                    "distinct_columns": "distinct_cols",
+                    "value_column": "value_col"})
+    ),
     "DEDUP SUBSTRINGS": _unary(_rename_kw(D.dedup_substrings, _ID_TEXT)),
     "DERIVE SHARD KEY": _unary(
         _rename_kw(T.derive_shard_key,

@@ -446,3 +446,63 @@ def test_grouped_sketches_are_streaming_legal(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, merged.collect())) == sorted(
         (lang, idx, 2 * cnt) for lang, idx, cnt in want
     )
+
+
+def test_corpus_report_equals_its_stages(spark):
+    """The report row for each group must equal the standalone stages
+    run per group (count/sum, grouped approx_distinct, grouped
+    approx_quantiles), including a NULL group; validation rejects an
+    empty group list."""
+    from configurable_etl_python_repo_spark.llm.sketch import (
+        approx_distinct,
+        approx_quantiles,
+        corpus_report,
+    )
+
+    df = spark.range(0, 900).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 3 == 0, F.lit("a"))
+        .when(F.col("id") % 3 == 1, F.lit("b"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("g"),
+        (F.col("id") % 50 + 1).alias("v"),
+    )
+    rep = {r.g: r for r in corpus_report(
+        df, group_cols=["g"], distinct_cols=["k"], value_col="v",
+        qs=[0.5, 0.95], b=8, s=4,
+    ).collect()}
+    assert set(rep) == {"a", "b", None}
+    dist = {r.g: r.est for r in approx_distinct(
+        df, ["k"], b=8, group_cols=["g"]).collect()}
+    qnt = {(r.g, r.q): r.est for r in approx_quantiles(
+        df, "v", [0.5, 0.95], s=4, group_cols=["g"]).collect()}
+    for gv in ("a", "b", None):
+        row = rep[gv]
+        assert row.n_rows == 300 and row.value_sum > 0
+        assert row.distinct_est == dist[gv]
+        assert row.p50 == qnt[(gv, 0.5)]
+        assert row.p95 == qnt[(gv, 0.95)]
+    import pytest
+
+    with pytest.raises(ValueError, match="group_cols"):
+        corpus_report(df, group_cols=[], distinct_cols=["k"],
+                      value_col="v")
+
+
+def test_corpus_report_as_config_op(spark):
+    from configurable_etl_python_repo_spark.plans import Engine, OpSpec
+
+    eng = Engine(spark)
+    eng.bind("t", spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("string").alias("g"),
+        (F.col("id") % 7 + 1).alias("v"),
+    ))
+    out = eng.run_op(OpSpec(
+        "CORPUS REPORT", "r", ["t"],
+        {"group_columns": ["g"], "distinct_columns": ["k"],
+         "value_column": "v", "qs": [0.5], "b": 8, "s": 4}))
+    rows = {r.g: r for r in out.collect()}
+    assert set(rows) == {"0", "1"}
+    assert all(r.n_rows == 50 and r.p50 is not None
+               for r in rows.values())
