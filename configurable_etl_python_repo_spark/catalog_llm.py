@@ -3845,10 +3845,20 @@ def _corpus_report_oracle() -> str:
     _quantile_sketch_oracle embedded as subqueries (group='source'),
     plus plain per-source stats — the composition cannot drift from
     the standalone x23/x24 machinery."""
+    from .llm.sketch import quantile_col_name
+
     hll = _hll_oracle(
         src="documents", key_sql="text", exact_sql="text", group="source"
     )
     qnt = _quantile_sketch_oracle(group="source")
+    # pivot arms derived from the SAME _QSK_QS + quantile_col_name the
+    # Spark side uses — changing the quantile list moves both engines
+    piv_cols = ",\n                   ".join(
+        f"max(CASE WHEN q = {q!r} THEN est END)"
+        f" AS {quantile_col_name(q)}"
+        for q in _QSK_QS
+    )
+    piv_out = ", ".join(f"p.{quantile_col_name(q)}" for q in _QSK_QS)
     return f"""
     WITH base AS (
       SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
@@ -3857,15 +3867,13 @@ def _corpus_report_oracle() -> str:
     hll AS (SELECT source, est AS distinct_est FROM ({hll}) h),
     qrows AS (SELECT source, q, est FROM ({qnt}) v),
     piv AS (SELECT source,
-                   max(CASE WHEN q = 0.5 THEN est END) AS p50,
-                   max(CASE WHEN q = 0.95 THEN est END) AS p95,
-                   max(CASE WHEN q = 0.99 THEN est END) AS p99
+                   {piv_cols}
             FROM qrows GROUP BY source)
     SELECT b.source, b.n_rows, b.value_sum, h.distinct_est,
-           p.p50, p.p95, p.p99
+           {piv_out}
     FROM base b
-    JOIN hll h ON h.source IS NOT DISTINCT FROM b.source
-    JOIN piv p ON p.source IS NOT DISTINCT FROM b.source
+    LEFT JOIN hll h ON h.source IS NOT DISTINCT FROM b.source
+    LEFT JOIN piv p ON p.source IS NOT DISTINCT FROM b.source
     """
 
 

@@ -57,6 +57,25 @@ def _gcols(group_cols) -> "list[str]":
     return list(group_cols) if group_cols else []
 
 
+def _prefix_group_cols(df: DataFrame, g: "list[str]", prefix: str) -> DataFrame:
+    """Rename a relation's group columns with a prefix before a
+    null-safe group join. ONE definition for every such join here:
+    renamed columns cannot hit Spark's self-join attribute ambiguity
+    (both sides of these joins can derive from the SAME relation),
+    where DataFrame aliases do."""
+    out = df
+    for c in g:
+        out = out.withColumnRenamed(c, f"{prefix}{c}")
+    return out
+
+
+def quantile_col_name(q: float) -> str:
+    """Column name for a quantile estimate: p50 / p95 / p99 / p99_9 —
+    shared by corpus_report and its SQL oracle generator so the pivot
+    names cannot drift."""
+    return "p" + format(q * 100, "g").replace(".", "_")
+
+
 def distinct_sketch(
     df: DataFrame,
     cols: "list[str]",
@@ -382,10 +401,8 @@ def sketch_quantiles(
     # derive from the SAME relation (a memory-sink view, a cached
     # sketch), where alias-qualified attributes hit Spark's self-join
     # ambiguity; distinct names cannot
-    cum2 = cum.select(
-        *[F.col(c).alias(f"__sq_{c}") for c in g],
-        F.col("idx").alias("__sq_idx"),
-        F.col("cum").alias("__sq_cum"),
+    cum2 = _prefix_group_cols(cum, g, "__sq_").withColumnsRenamed(
+        {"idx": "__sq_idx", "cum": "__sq_cum"}
     )
     cond = F.col("__sq_cum") >= F.col("r")
     for c in g:
@@ -469,13 +486,16 @@ def corpus_report(
     bounded per group and the final assembly joins <= groups-sized
     relations with null-safe keys (a NULL group is a real group).
     NULL `value_col` rows count in n_rows but not in the histogram
-    (the value_sketch convention)."""
+    (the value_sketch convention) — a group whose values are ALL NULL
+    still reports, with NULL value_sum and quantile columns.
+    `value_sum` keeps the native sum type (a long column sums to long,
+    a double column to double — never truncated)."""
     if not group_cols:
         raise ValueError("group_cols must name at least one column")
     g = list(group_cols)
     base = df.groupBy(*g).agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
-        F.sum(F.col(value_col)).cast("long").alias("value_sum"),
+        F.sum(F.col(value_col)).alias("value_sum"),
     )
     est = sketch_estimate(
         distinct_sketch(df, distinct_cols, b=b, group_cols=g),
@@ -489,25 +509,25 @@ def corpus_report(
         scale=scale,
         group_cols=g,
     )
-    def _pname(q: float) -> str:
-        return "p" + format(q * 100, "g").replace(".", "_")
-
     piv = qrows.groupBy(*g).agg(
         *[
             F.max(F.when(F.col("q") == float(q), F.col("est"))).alias(
-                _pname(q)
+                quantile_col_name(q)
             )
             for q in qs
         ]
     )
+
     def _nsjoin(left: DataFrame, right: DataFrame) -> DataFrame:
-        r = right
-        for c in g:
-            r = r.withColumnRenamed(c, f"__cr_{c}")
+        # left join: a group can be missing from a sketch branch (all
+        # its values NULL -> no histogram rows) but must still report
+        r = _prefix_group_cols(right, g, "__cr_")
         cond = None
         for c in g:
             e = F.col(c).eqNullSafe(F.col(f"__cr_{c}"))
             cond = e if cond is None else (cond & e)
-        return left.join(r, cond).drop(*[f"__cr_{c}" for c in g])
+        return left.join(r, cond, "left").drop(
+            *[f"__cr_{c}" for c in g]
+        )
 
     return _nsjoin(_nsjoin(base, est), piv)

@@ -435,7 +435,6 @@ def test_grouped_sketches_are_streaming_legal(spark, sf_dir, tmp_path):
     batch_q = {(r.lang, r.q): r.est for r in approx_quantiles(
         docs, "len", [0.5], s=6, group_cols=["lang"]).collect()}
     assert stream_q == batch_q and len(stream_q) == 5
-    # grouped stream sketch merges with a batch sketch group-wise
     # grouped stream sketch merges with a batch sketch group-wise:
     # counts are ADDITIVE, so self-merge exactly doubles every bucket
     merged = merge_value_sketches(
@@ -482,6 +481,17 @@ def test_corpus_report_equals_its_stages(spark):
         assert row.distinct_est == dist[gv]
         assert row.p50 == qnt[(gv, 0.5)]
         assert row.p95 == qnt[(gv, 0.95)]
+    # a group whose values are ALL NULL still reports: n_rows counts,
+    # value_sum and every quantile column NULL (left-join semantics)
+    withnull = df.unionByName(spark.createDataFrame(
+        [(9001, "z", None), (9002, "z", None)],
+        "k long, g string, v long"))
+    zrow = {r.g: r for r in corpus_report(
+        withnull, group_cols=["g"], distinct_cols=["k"], value_col="v",
+        qs=[0.5], b=8, s=4,
+    ).collect()}["z"]
+    assert zrow.n_rows == 2 and zrow.value_sum is None
+    assert zrow.p50 is None and zrow.distinct_est is not None
     import pytest
 
     with pytest.raises(ValueError, match="group_cols"):
