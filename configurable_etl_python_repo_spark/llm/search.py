@@ -182,36 +182,40 @@ def _tb_col(w, buckets: int):
     return md5_mod(w, buckets)
 
 
-def bm25_build_index(
-    corpus: DataFrame,
-    path: str,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    term_buckets: int = 64,
-) -> None:
-    """WRITE-SIDE BM25 index: one pass over the corpus persists under
-    ``path`` everything a query needs, so repeated retrieval stops
-    rescanning 100 TB of text per question (bm25_topk is the one-off
-    triage tool; this is the query-workload shape, mirroring
-    ivf_build_index / minhash_build_index):
+#: BM25 store layout version: SEGMENT design — postings/df rows append
+#: per batch and the per-segment _stats rows (n_docs, total_dl) SUM at
+#: read time, so the index rolls forward with pure appends (no
+#: read-modify-write anywhere). A tree without this stamp (the pre-
+#: segment avgdl layout) is refused — rebuild it.
+_BM25_LAYOUT = "bm25-seg-v1"
 
-    - ``postings/`` — (id, w, tf, dl) term frequencies WITH the doc
-      length denormalized on, physically partitioned by
-      tb = md5(w) % term_buckets: a query's term set prunes the scan to
-      its own buckets at the file listing.
-    - ``df/`` — (w, df_t) document frequencies, same partitioning.
-    - ``_stats/`` — one row (n_docs, avgdl).
-    - ``_meta/`` — term_buckets, read back by the search so the layout
-      cannot desynchronize.
 
-    The postings store is vocabulary-wide (every word, not a query's),
-    which is what makes it reusable; its size is the corpus's distinct
-    (doc, word) pairs — the classic inverted index."""
-    if term_buckets < 1:
+def _bm25_meta(spark, path: str):
+    rows = spark.read.parquet(path + "/_meta").collect()
+    if len(rows) != 1:
         raise ValueError(
-            f"term_buckets must be >= 1, got {term_buckets}"
+            f"corrupt bm25 index at {path}: _meta has {len(rows)} rows"
         )
-    spark = corpus.sparkSession
+    meta = rows[0]
+    layout = getattr(meta, "layout", None)
+    if layout != _BM25_LAYOUT:
+        raise ValueError(
+            f"bm25 index at {path} has layout {layout!r}; this code "
+            f"reads {_BM25_LAYOUT!r} — rebuild the index (appending a "
+            f"different layout would corrupt the store)"
+        )
+    return meta
+
+
+def _bm25_segment(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    term_buckets: int,
+):
+    """(postings, df, stats) relations for one corpus segment under the
+    shared tokenization — build writes the first segment, extend
+    appends later ones; identical construction on purpose."""
     arr = corpus.select(
         F.col(id_col).alias("id"),
         _words(F.col(text_col)).alias("__ws"),
@@ -229,36 +233,101 @@ def bm25_build_index(
         )
         .withColumn("tb", _tb_col(F.col("w"), term_buckets))
     )
+    dfreq = postings.groupBy("w", "tb").agg(
+        F.count(F.lit(1)).cast("long").alias("df_t")
+    )
+    # stats from the corpus directly: n_docs counts EVERY doc (a doc
+    # whose words never match a query still contributes to N and avgdl)
+    stats = corpus.select(
+        F.regexp_count(
+            F.lower(F.trim(F.col(text_col))), F.lit(r"\S+")
+        ).cast("long").alias("dl"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_dl"),
+    )
+    return postings, dfreq, stats
+
+
+def bm25_build_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    term_buckets: int = 64,
+) -> None:
+    """WRITE-SIDE BM25 index: one pass over the corpus persists under
+    ``path`` everything a query needs, so repeated retrieval stops
+    rescanning 100 TB of text per question (bm25_topk is the one-off
+    triage tool; this is the query-workload shape, mirroring
+    ivf_build_index / minhash_build_index):
+
+    - ``postings/`` — (id, w, tf, dl) term frequencies WITH the doc
+      length denormalized on, physically partitioned by
+      tb = md5(w) % term_buckets: a query's term set prunes the scan to
+      its own buckets at the file listing.
+    - ``df/`` — (w, df_t) PER-SEGMENT document frequencies, same
+      partitioning; a term's global df is the SUM over segments (df is
+      additive, so extends are pure appends).
+    - ``_stats/`` — one (n_docs, total_dl) row PER SEGMENT; the search
+      sums them and derives avgdl (a ratio doesn't merge; the sums do).
+    - ``_meta/`` — (term_buckets, layout), read back by search/extend
+      so the layout and hash family cannot desynchronize.
+
+    The postings store is vocabulary-wide (every word, not a query's),
+    which is what makes it reusable; its size is the corpus's distinct
+    (doc, word) pairs — the classic inverted index. Roll it forward
+    with bm25_extend_index; the caller owns doc-id uniqueness across
+    segments (re-adding a doc id double-counts it, as in any inverted
+    index without a delete log)."""
+    if term_buckets < 1:
+        raise ValueError(
+            f"term_buckets must be >= 1, got {term_buckets}"
+        )
+    spark = corpus.sparkSession
+    postings, _, stats = _bm25_segment(
+        corpus, id_col, text_col, term_buckets
+    )
     postings.write.mode("overwrite").partitionBy("tb").parquet(
         path + "/postings"
     )
     # df from the STORED postings (one cheap pass over the index, not a
-    # second corpus scan); partition layout matches so a query prunes
-    # both stores with the same bucket set
-    stored = spark.read.parquet(path + "/postings")
-    stored.groupBy("w", "tb").agg(
+    # second corpus scan); extend can't do this (a read-back would
+    # include older segments) and counts from its own batch relation
+    spark.read.parquet(path + "/postings").groupBy("w", "tb").agg(
         F.count(F.lit(1)).cast("long").alias("df_t")
     ).write.mode("overwrite").partitionBy("tb").parquet(path + "/df")
-    # stats from the corpus directly: n_docs counts EVERY doc (a doc
-    # whose words never match a query still contributes to N and avgdl)
-    lens = corpus.select(
-        F.col(id_col).alias("id"),
-        F.regexp_count(
-            F.lower(F.trim(F.col(text_col))), F.lit(r"\S+")
-        ).cast("long").alias("dl"),
-    )
-    lens.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("dl").cast("long").alias("total_dl"),
-    ).select(
-        "n_docs",
-        (F.col("total_dl").cast("double") / F.col("n_docs")).alias(
-            "avgdl"
-        ),
-    ).coalesce(1).write.mode("overwrite").parquet(path + "/_stats")
+    stats.coalesce(1).write.mode("overwrite").parquet(path + "/_stats")
     spark.createDataFrame(
-        [(term_buckets,)], "term_buckets int"
+        [(term_buckets, _BM25_LAYOUT)], "term_buckets int, layout string"
     ).coalesce(1).write.mode("overwrite").parquet(path + "/_meta")
+
+
+def bm25_extend_index(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Roll the BM25 index forward: append the batch's postings, its
+    per-segment df rows, and its (n_docs, total_dl) stats row under the
+    index's OWN stored term_buckets (read from _meta — callers cannot
+    desynchronize the bucket layout). Everything in the segment design
+    is additive, so the extend is append-only — no read-modify-write,
+    no compaction required for correctness (search sums df/stats across
+    segments; a heavily-extended index can be rebuilt to re-compact).
+    Pinned in tests: search(index(A) extended with B) ==
+    search(index(A ∪ B)) bit-for-bit."""
+    spark = batch.sparkSession
+    meta = _bm25_meta(spark, path)
+    postings, dfreq, stats = _bm25_segment(
+        batch, id_col, text_col, int(meta.term_buckets)
+    )
+    postings.write.mode("append").partitionBy("tb").parquet(
+        path + "/postings"
+    )
+    dfreq.write.mode("append").partitionBy("tb").parquet(path + "/df")
+    stats.coalesce(1).write.mode("append").parquet(path + "/_stats")
 
 
 def bm25_search_index(
@@ -281,17 +350,13 @@ def bm25_search_index(
     terms = sorted(set(query.lower().split()))
     if not terms:
         raise ValueError("query must contain at least one term")
-    meta = spark.read.parquet(path + "/_meta").collect()
-    if len(meta) != 1:
-        raise ValueError(
-            f"corrupt bm25 index at {path}: _meta has {len(meta)} rows"
-        )
+    meta = _bm25_meta(spark, path)
     # the probe's bucket set, computed driver-side with the SAME md5
     # window _tb_col uses (hashlib.md5 == Spark md5; % of a non-negative
     # == pmod) — |terms| hashes, no Spark job
     import hashlib
 
-    tb = int(meta[0].term_buckets)
+    tb = int(meta.term_buckets)
     buckets = sorted(
         {
             int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16) % tb
@@ -304,13 +369,29 @@ def bm25_search_index(
         .where(F.col("w").isin(terms))
         .select("id", "w", "tf", "dl")
     )
+    # df/stats SUM across segments (the append-only extend design):
+    # both aggregations are bounded — <= |terms| x segments df rows,
+    # one stats row per segment
     dfreq = (
         spark.read.parquet(path + "/df")
         .where(F.col("tb").isin(buckets))
         .where(F.col("w").isin(terms))
-        .select("w", "df_t")
+        .groupBy("w")
+        .agg(F.sum("df_t").cast("long").alias("df_t"))
     )
-    stats = spark.read.parquet(path + "/_stats")
+    stats = (
+        spark.read.parquet(path + "/_stats")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("total_dl").cast("long").alias("total_dl"),
+        )
+        .select(
+            "n_docs",
+            (
+                F.col("total_dl").cast("double") / F.col("n_docs")
+            ).alias("avgdl"),
+        )
+    )
     scored = _bm25_score(
         tf, F.broadcast(dfreq), F.broadcast(stats), k, k1, b
     )

@@ -343,6 +343,26 @@ def _bm25_build_index(engine: "Engine", spec: OpSpec):
     return df, None
 
 
+def _bm25_extend_index(engine: "Engine", spec: OpSpec):
+    """Roll a persisted BM25 index forward (pass-through stage, like
+    the build): appends the input's postings/df/stats segment under
+    args['path'] with the index's own stored term_buckets."""
+    from ..llm import search as SR
+
+    df, _ = engine.peek(spec.inputs[0])
+    kwargs = dict(spec.args)
+    if "path" not in kwargs:
+        raise ValueError(
+            "BM25 EXTEND INDEX needs a 'path' arg naming the index"
+        )
+    path = kwargs.pop("path")
+    for cfg, py in (("id_column", "id_col"), ("text_column", "text_col")):
+        if cfg in kwargs:
+            kwargs[py] = kwargs.pop(cfg)
+    SR.bm25_extend_index(df, path, **kwargs)
+    return df, None
+
+
 def _bm25_search_index(engine: "Engine", spec: OpSpec):
     """Query a persisted BM25 index — a ZERO-input op (the corpus lives
     in the index at args['path'], not in a binding)."""
@@ -538,6 +558,7 @@ LLM_OP_COMPILERS = {
         _rename_kw(_lazy_search("bm25_topk"), _ID_TEXT)
     ),
     "BM25 BUILD INDEX": _bm25_build_index,
+    "BM25 EXTEND INDEX": _bm25_extend_index,
     "BM25 SEARCH INDEX": _bm25_search_index,
     "RRF FUSE": _rrf_fuse,
     "DISTINCT SKETCH": _unary(

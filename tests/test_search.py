@@ -233,3 +233,68 @@ def test_rrf_fuse_config_op_and_single_list(spark):
     # single-list fusion is a rank-preserving projection
     solo = eng.run_op(OpSpec("RRF FUSE", "s", ["lex"], {"k": 5}))
     assert [r.doc_id for r in solo.collect()] == [1, 2]
+
+
+def test_bm25_extend_matches_full_rebuild(spark, sf_dir, tmp_path):
+    """index(A) + extend(B) answers every query identically to
+    index(A ∪ B): postings append, per-segment df rows and stats rows
+    SUM at read time — the append-only segment design."""
+    from configurable_etl_python_repo_spark.llm.search import (
+        bm25_extend_index,
+    )
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text"))
+    part_a = docs.where(F.col("doc_id") % 3 != 2)
+    part_b = docs.where(F.col("doc_id") % 3 == 2)
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    bm25_build_index(part_a, inc, term_buckets=16)
+    bm25_extend_index(part_b, inc)
+    bm25_build_index(docs, full, term_buckets=16)
+    for query in ("slow hash join merge", "the"):
+        got = [tuple(r) for r in
+               bm25_search_index(spark, inc, query, k=7).collect()]
+        want = [tuple(r) for r in
+                bm25_search_index(spark, full, query, k=7).collect()]
+        assert got == want and got, query
+    # and the extended index still equals the one-shot on the union
+    want1 = [tuple(r) for r in bm25_topk(docs, "the", k=7).collect()]
+    got1 = [tuple(r) for r in
+            bm25_search_index(spark, inc, "the", k=7).collect()]
+    assert got1 == want1
+
+
+def test_bm25_layout_guard_and_extend_config_op(spark, tmp_path):
+    """A pre-segment tree (no layout stamp) is refused by search AND
+    extend; the extend config op appends under the stored layout."""
+    import pytest
+    from configurable_etl_python_repo_spark.llm.search import (
+        bm25_extend_index,
+    )
+    from configurable_etl_python_repo_spark.plans import Engine, OpSpec
+
+    docs = spark.createDataFrame(
+        [(1, "find this phrase"), (2, "other text")],
+        ["doc_id", "text"])
+    idx = str(tmp_path / "bm25")
+    bm25_build_index(docs, idx)
+    # forge an old-layout _meta (term_buckets only)
+    spark.createDataFrame([(64,)], "term_buckets int").coalesce(
+        1
+    ).write.mode("overwrite").parquet(idx + "/_meta")
+    with pytest.raises(ValueError, match="layout"):
+        bm25_search_index(spark, idx, "phrase").collect()
+    with pytest.raises(ValueError, match="layout"):
+        bm25_extend_index(docs, idx)
+    # restore and extend through the config op
+    spark.createDataFrame(
+        [(64, "bm25-seg-v1")], "term_buckets int, layout string"
+    ).coalesce(1).write.mode("overwrite").parquet(idx + "/_meta")
+    eng = Engine(spark)
+    eng.bind("more", spark.createDataFrame(
+        [(3, "phrase again")], ["doc_id", "text"]))
+    out = eng.run_op(OpSpec(
+        "BM25 EXTEND INDEX", "ext", ["more"], {"path": idx}))
+    assert out.columns == ["doc_id", "text"]
+    hits = bm25_search_index(spark, idx, "phrase", k=3).collect()
+    assert {r.doc_id for r in hits} == {1, 3}
