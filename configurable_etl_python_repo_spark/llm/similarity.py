@@ -540,8 +540,64 @@ def ivf_build_index(
     quantize=True stores int8 codes + per-vector scale instead of the
     float vectors (~4x smaller index; assignment still computes on the
     full-precision input, search reranks on dequantized codes —
-    recall-tested)."""
+    recall-tested).
+
+    Roll the index forward with ivf_extend_index (FAISS-add semantics:
+    the quantizer is fixed at build time; rebuild when the corpus
+    distribution drifts). `_meta` pins (n_centroids, quantize, layout)
+    so search/extend refuse a mismatched tree."""
     centroids = _hash_order_sample(corpus, n_centroids, id_col, vec_col)
+    rows = _ivf_rows(corpus, centroids, id_col, vec_col, quantize)
+    # repartition on the partition column BEFORE partitionBy: aligned
+    # writers emit ~one file per list instead of tasks x lists slivers
+    (
+        rows.repartition("cid").write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(path)
+    )
+    cent_df = [(int(c), list(map(float, v))) for c, v in centroids]
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        cent_df, "cid long, cvec array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/_centroids")
+    spark.createDataFrame(
+        [(len(centroids), bool(quantize), _IVF_LAYOUT)],
+        "n_centroids int, quantize boolean, layout string",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/_meta")
+    return centroids
+
+
+#: ANN store layout version (vectors at the root partitioned by cid,
+#: _centroids + _meta alongside); search/extend refuse other trees
+_IVF_LAYOUT = "ivf-cid-v1"
+
+
+def _ivf_meta(spark, path: str):
+    rows = spark.read.parquet(path + "/_meta").collect()
+    if len(rows) != 1:
+        raise ValueError(
+            f"corrupt ivf index at {path}: _meta has {len(rows)} rows"
+        )
+    meta = rows[0]
+    if getattr(meta, "layout", None) != _IVF_LAYOUT:
+        raise ValueError(
+            f"ivf index at {path} has layout "
+            f"{getattr(meta, 'layout', None)!r}; this code reads "
+            f"{_IVF_LAYOUT!r} — rebuild the index"
+        )
+    return meta
+
+
+def _ivf_rows(
+    corpus: DataFrame,
+    centroids,
+    id_col: str,
+    vec_col: str,
+    quantize: bool,
+) -> DataFrame:
+    """One segment of the ANN store: vectors (or int8 codes) with their
+    top-1 list assignment — identical construction for build and
+    extend, on purpose."""
     assign1 = ivf_assignments_arrow(centroids, n_best=1)
     rows = corpus.withColumn("cid", assign1(F.col(vec_col))[0])
     if quantize:
@@ -555,17 +611,32 @@ def ivf_build_index(
                 "cid",
             )
         )
-    (
-        rows.write.mode("overwrite")
-        .partitionBy("cid")
-        .parquet(path)
+    return rows
+
+
+def ivf_extend_index(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Roll the ANN index forward: assign the batch under the index's
+    OWN stored centroids and quantization mode (read back — callers
+    cannot desynchronize either) and append into the same cid
+    partition directories. FAISS-add semantics: the coarse quantizer is
+    never retrained; an exhaustive search (n_probe = n_centroids) after
+    an extend equals brute force over the union (pytest-pinned), and
+    pruning behaves as if the rows were present at build time."""
+    spark = batch.sparkSession
+    meta = _ivf_meta(spark, path)
+    cent_rows = spark.read.parquet(path + "/_centroids").collect()
+    centroids = sorted((int(r.cid), list(r.cvec)) for r in cent_rows)
+    rows = _ivf_rows(
+        batch, centroids, id_col, vec_col, bool(meta.quantize)
     )
-    cent_df = [(int(c), list(map(float, v))) for c, v in centroids]
-    spark = corpus.sparkSession
-    spark.createDataFrame(
-        cent_df, "cid long, cvec array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(path + "/_centroids")
-    return centroids
+    rows.repartition("cid").write.mode("append").partitionBy(
+        "cid"
+    ).parquet(path)
 
 
 def ivf_search_index(
@@ -582,6 +653,7 @@ def ivf_search_index(
     each query's n_probe nearest lists, and scan ONLY those partitions of
     the indexed corpus — `cid IN (...)` prunes at the file listing, so
     I/O scales with the probed fraction. Rerank is the exact cosine."""
+    _ivf_meta(spark, path)
     cent_rows = spark.read.parquet(path + "/_centroids").collect()
     centroids = sorted((int(r.cid), list(r.cvec)) for r in cent_rows)
     probe = ivf_assignments_arrow(centroids, n_best=n_probe)

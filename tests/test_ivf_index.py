@@ -77,3 +77,52 @@ def test_ivf_index_scan_is_partition_pruned(spark, sf_dir, tmp_path):
     import glob
     lists = glob.glob(f"{idx}/cid=*")
     assert len(lists) == 8
+
+
+def test_ivf_extend_and_layout_guard(spark, sf_dir, tmp_path):
+    """Extend appends under the index's OWN stored centroids and
+    quantization mode; an exhaustive search (n_probe = n_centroids)
+    after the extend equals brute force over the union — the
+    quantizer-independent append pin. A tree without the layout stamp
+    is refused by search AND extend."""
+    import pytest
+
+    from configurable_etl_python_repo_spark.llm.similarity import (
+        brute_force_topk,
+        ivf_extend_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    part_a = emb.where(F.col("vec_id") % 3 != 2)
+    part_b = emb.where(F.col("vec_id") % 3 == 2)
+    queries = emb.where(F.col("vec_id") < 8)
+    idx = str(tmp_path / "ivf")
+    ivf_build_index(part_a, idx, n_centroids=8)
+    ivf_extend_index(part_b, idx)
+    got = {(r.query_id, r.neighbor_id, r.rank, r.sim)
+           for r in ivf_search_index(spark, idx, queries, k=5,
+                                     n_probe=8).collect()}
+    want = {(r.query_id, r.neighbor_id, r.rank, r.sim)
+            for r in brute_force_topk(emb, queries, k=5).collect()}
+    assert got == want and got
+    # quantized store: extend respects the stored mode (qvec schema)
+    qidx = str(tmp_path / "ivf_q")
+    ivf_build_index(part_a, qidx, n_centroids=8, quantize=True)
+    ivf_extend_index(part_b, qidx)
+    schema = spark.read.parquet(qidx).schema
+    assert "qvec" in schema.names
+    quant = {(r.query_id, r.neighbor_id)
+             for r in ivf_search_index(spark, qidx, queries, k=5,
+                                       n_probe=8).collect()}
+    want_ids = {(a, b) for a, b, _, _ in want}
+    assert len(quant & want_ids) / len(want_ids) >= 0.8
+    # layout guard: forge a meta-less tree shape (old layout)
+    spark.createDataFrame([(8,)], "n_centroids int").coalesce(
+        1
+    ).write.mode("overwrite").parquet(idx + "/_meta")
+    with pytest.raises(ValueError, match="layout"):
+        ivf_search_index(spark, idx, queries, k=5).collect()
+    with pytest.raises(ValueError, match="layout"):
+        ivf_extend_index(part_b, idx)
