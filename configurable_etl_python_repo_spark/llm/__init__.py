@@ -38,6 +38,9 @@ from .dedup import (  # noqa: F401
 )
 from .dedup_index import (  # noqa: F401
     dedup_against_index,
+    embedding_against_index,
+    embedding_build_index,
+    embedding_extend_index,
     minhash_build_index,
     minhash_extend_index,
     simhash_against_index,
@@ -49,6 +52,7 @@ from .similarity import (  # noqa: F401
     brute_force_topk,
     embedding_cosine_pairs,
     ivf_build_index,
+    ivf_extend_index,
     ivf_search_index,
     ivf_topk,
     ivf_topk_kmeans,

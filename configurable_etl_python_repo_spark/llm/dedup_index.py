@@ -86,22 +86,11 @@ def _ab_col(id_expr, buckets: int):
 
 
 def _read_meta(spark: SparkSession, path: str, expected_layout: str = None):
-    expected = expected_layout or _LAYOUT
-    rows = spark.read.parquet(path + "/_meta").collect()
-    if len(rows) != 1:
-        raise ValueError(
-            f"corrupt signature index at {path}: _meta has {len(rows)} "
-            f"rows"
-        )
-    meta = rows[0]
-    layout = getattr(meta, "layout", None)
-    if layout != expected:
-        raise ValueError(
-            f"signature index at {path} has layout {layout!r}; this "
-            f"code reads {expected!r} — rebuild the index (extending a "
-            f"different layout would corrupt the store)"
-        )
-    return meta
+    from ._store import read_meta
+
+    return read_meta(
+        spark, path, expected_layout or _LAYOUT, kind="signature index"
+    )
 
 
 def _batch_buckets(
@@ -194,7 +183,9 @@ def minhash_extend_index(
     tests as probe(index(A) extended with B) == probe(index(A ∪ B)).
 
     The caller decides WHAT to append (typically the admitted subset of
-    the batch, after dropping near-dups the probe found)."""
+    the batch, after dropping near-dups the probe found). NOT atomic on
+    failure (see llm/_store.py's durability contract): rebuild on a
+    partial extend."""
     spark = batch.sparkSession
     meta = _read_meta(spark, path)
     sig, buckets = _batch_buckets(batch, id_col, text_col, meta)
@@ -345,7 +336,9 @@ def simhash_extend_index(
 ) -> None:
     """Roll the SimHash index forward: append the batch's band rows
     under the index's OWN stored (max_hamming, key_buckets) — pinned in
-    tests as probe(index(A) extended with B) == probe(index(A ∪ B))."""
+    tests as probe(index(A) extended with B) == probe(index(A ∪ B)). NOT atomic on
+    failure (see llm/_store.py's durability contract): rebuild on a
+    partial extend."""
     from .dedup import simhash64, simhash_band_rows
 
     spark = batch.sparkSession
@@ -504,7 +497,9 @@ def embedding_extend_index(
     desynchronize the quantizer) and append into the same cid partition
     directories. Pruning and probe semantics after an extend are
     identical to a fresh build over the union with the original
-    centroid sample (pytest-pinned)."""
+    centroid sample (pytest-pinned). NOT atomic on
+    failure (see llm/_store.py's durability contract): rebuild on a
+    partial extend."""
     from .similarity import ivf_assignments_arrow
 
     spark = batch.sparkSession

@@ -191,20 +191,9 @@ _BM25_LAYOUT = "bm25-seg-v1"
 
 
 def _bm25_meta(spark, path: str):
-    rows = spark.read.parquet(path + "/_meta").collect()
-    if len(rows) != 1:
-        raise ValueError(
-            f"corrupt bm25 index at {path}: _meta has {len(rows)} rows"
-        )
-    meta = rows[0]
-    layout = getattr(meta, "layout", None)
-    if layout != _BM25_LAYOUT:
-        raise ValueError(
-            f"bm25 index at {path} has layout {layout!r}; this code "
-            f"reads {_BM25_LAYOUT!r} — rebuild the index (appending a "
-            f"different layout would corrupt the store)"
-        )
-    return meta
+    from ._store import read_meta
+
+    return read_meta(spark, path, _BM25_LAYOUT, kind="bm25 index")
 
 
 def _bm25_segment(
@@ -213,9 +202,12 @@ def _bm25_segment(
     text_col: str,
     term_buckets: int,
 ):
-    """(postings, df, stats) relations for one corpus segment under the
+    """(postings, stats) relations for one corpus segment under the
     shared tokenization — build writes the first segment, extend
-    appends later ones; identical construction on purpose."""
+    appends later ones; identical construction on purpose. Both
+    callers derive the segment's df rows from the postings they
+    actually materialized (build: the stored parquet; extend: the
+    persisted relation), never from a re-evaluated DAG."""
     arr = corpus.select(
         F.col(id_col).alias("id"),
         _words(F.col(text_col)).alias("__ws"),
@@ -233,9 +225,6 @@ def _bm25_segment(
         )
         .withColumn("tb", _tb_col(F.col("w"), term_buckets))
     )
-    dfreq = postings.groupBy("w", "tb").agg(
-        F.count(F.lit(1)).cast("long").alias("df_t")
-    )
     # stats from the corpus directly: n_docs counts EVERY doc (a doc
     # whose words never match a query still contributes to N and avgdl)
     stats = corpus.select(
@@ -246,7 +235,7 @@ def _bm25_segment(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("total_dl"),
     )
-    return postings, dfreq, stats
+    return postings, stats
 
 
 def bm25_build_index(
@@ -285,7 +274,7 @@ def bm25_build_index(
             f"term_buckets must be >= 1, got {term_buckets}"
         )
     spark = corpus.sparkSession
-    postings, _, stats = _bm25_segment(
+    postings, stats = _bm25_segment(
         corpus, id_col, text_col, term_buckets
     )
     postings.write.mode("overwrite").partitionBy("tb").parquet(
@@ -317,17 +306,33 @@ def bm25_extend_index(
     no compaction required for correctness (search sums df/stats across
     segments; a heavily-extended index can be rebuilt to re-compact).
     Pinned in tests: search(index(A) extended with B) ==
-    search(index(A ∪ B)) bit-for-bit."""
+    search(index(A ∪ B)) bit-for-bit.
+
+    NOT atomic across the three appends (see llm/_store.py's
+    durability contract): a job that dies mid-extend leaves a partial
+    segment, and a retry double-appends — rebuild on a failed
+    extend."""
     spark = batch.sparkSession
     meta = _bm25_meta(spark, path)
-    postings, dfreq, stats = _bm25_segment(
+    postings, stats = _bm25_segment(
         batch, id_col, text_col, int(meta.term_buckets)
     )
-    postings.write.mode("append").partitionBy("tb").parquet(
-        path + "/postings"
-    )
-    dfreq.write.mode("append").partitionBy("tb").parquet(path + "/df")
-    stats.coalesce(1).write.mode("append").parquet(path + "/_stats")
+    # persist the segment postings: the df rows MUST count exactly the
+    # posting rows that were stored (re-evaluating the tokenize DAG for
+    # the df write would both pay a second batch pass and, for a
+    # non-value-deterministic source, silently skew idf), and the
+    # append below consumes the same materialization
+    postings = postings.persist()
+    try:
+        postings.write.mode("append").partitionBy("tb").parquet(
+            path + "/postings"
+        )
+        postings.groupBy("w", "tb").agg(
+            F.count(F.lit(1)).cast("long").alias("df_t")
+        ).write.mode("append").partitionBy("tb").parquet(path + "/df")
+        stats.coalesce(1).write.mode("append").parquet(path + "/_stats")
+    finally:
+        postings.unpersist()
 
 
 def bm25_search_index(

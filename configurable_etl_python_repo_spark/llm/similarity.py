@@ -573,19 +573,9 @@ _IVF_LAYOUT = "ivf-cid-v1"
 
 
 def _ivf_meta(spark, path: str):
-    rows = spark.read.parquet(path + "/_meta").collect()
-    if len(rows) != 1:
-        raise ValueError(
-            f"corrupt ivf index at {path}: _meta has {len(rows)} rows"
-        )
-    meta = rows[0]
-    if getattr(meta, "layout", None) != _IVF_LAYOUT:
-        raise ValueError(
-            f"ivf index at {path} has layout "
-            f"{getattr(meta, 'layout', None)!r}; this code reads "
-            f"{_IVF_LAYOUT!r} — rebuild the index"
-        )
-    return meta
+    from ._store import read_meta
+
+    return read_meta(spark, path, _IVF_LAYOUT, kind="ivf index")
 
 
 def _ivf_rows(
@@ -626,7 +616,9 @@ def ivf_extend_index(
     partition directories. FAISS-add semantics: the coarse quantizer is
     never retrained; an exhaustive search (n_probe = n_centroids) after
     an extend equals brute force over the union (pytest-pinned), and
-    pruning behaves as if the rows were present at build time."""
+    pruning behaves as if the rows were present at build time. NOT atomic on
+    failure (see llm/_store.py's durability contract): rebuild on a
+    partial extend."""
     spark = batch.sparkSession
     meta = _ivf_meta(spark, path)
     cent_rows = spark.read.parquet(path + "/_centroids").collect()

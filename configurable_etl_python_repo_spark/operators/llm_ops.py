@@ -324,43 +324,29 @@ def _rrf_fuse(engine: "Engine", spec: OpSpec):
     return SR.rrf_fuse(rankings, **kwargs), None
 
 
-def _bm25_build_index(engine: "Engine", spec: OpSpec):
-    """Write-side BM25 index (pass-through stage, like the MinHash
-    index build): persists postings/df/stats under args['path']."""
-    from ..llm import search as SR
+def _bm25_index_write(op_name: str, fn_name: str):
+    """Write-side BM25 index ops (build persists the first segment,
+    extend appends one): pass-through stages, like the MinHash index
+    writers — one compiler for both."""
 
-    df, _ = engine.peek(spec.inputs[0])
-    kwargs = dict(spec.args)
-    if "path" not in kwargs:
-        raise ValueError(
-            "BM25 BUILD INDEX needs a 'path' arg naming the index"
-        )
-    path = kwargs.pop("path")
-    for cfg, py in (("id_column", "id_col"), ("text_column", "text_col")):
-        if cfg in kwargs:
-            kwargs[py] = kwargs.pop(cfg)
-    SR.bm25_build_index(df, path, **kwargs)
-    return df, None
+    def compile_op(engine: "Engine", spec: OpSpec):
+        from ..llm import search as SR
 
+        df, _ = engine.peek(spec.inputs[0])
+        kwargs = dict(spec.args)
+        if "path" not in kwargs:
+            raise ValueError(
+                f"{op_name} needs a 'path' arg naming the index"
+            )
+        path = kwargs.pop("path")
+        for cfg, py in (("id_column", "id_col"),
+                        ("text_column", "text_col")):
+            if cfg in kwargs:
+                kwargs[py] = kwargs.pop(cfg)
+        getattr(SR, fn_name)(df, path, **kwargs)
+        return df, None
 
-def _bm25_extend_index(engine: "Engine", spec: OpSpec):
-    """Roll a persisted BM25 index forward (pass-through stage, like
-    the build): appends the input's postings/df/stats segment under
-    args['path'] with the index's own stored term_buckets."""
-    from ..llm import search as SR
-
-    df, _ = engine.peek(spec.inputs[0])
-    kwargs = dict(spec.args)
-    if "path" not in kwargs:
-        raise ValueError(
-            "BM25 EXTEND INDEX needs a 'path' arg naming the index"
-        )
-    path = kwargs.pop("path")
-    for cfg, py in (("id_column", "id_col"), ("text_column", "text_col")):
-        if cfg in kwargs:
-            kwargs[py] = kwargs.pop(cfg)
-    SR.bm25_extend_index(df, path, **kwargs)
-    return df, None
+    return compile_op
 
 
 def _bm25_search_index(engine: "Engine", spec: OpSpec):
@@ -557,8 +543,12 @@ LLM_OP_COMPILERS = {
     "BM25 TOPK": _unary(
         _rename_kw(_lazy_search("bm25_topk"), _ID_TEXT)
     ),
-    "BM25 BUILD INDEX": _bm25_build_index,
-    "BM25 EXTEND INDEX": _bm25_extend_index,
+    "BM25 BUILD INDEX": _bm25_index_write(
+        "BM25 BUILD INDEX", "bm25_build_index"
+    ),
+    "BM25 EXTEND INDEX": _bm25_index_write(
+        "BM25 EXTEND INDEX", "bm25_extend_index"
+    ),
     "BM25 SEARCH INDEX": _bm25_search_index,
     "RRF FUSE": _rrf_fuse,
     "DISTINCT SKETCH": _unary(
