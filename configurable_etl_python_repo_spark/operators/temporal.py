@@ -85,9 +85,14 @@ def asof_join(
     ).withColumn(_SIDE, F.lit(0))
     u = l_side.unionByName(r_side, allowMissingColumns=True)
 
-    ts_ord = F.col("__asof_ts")
+    # nulls FIRST under either direction: a left row with a NULL time
+    # matches nothing. The asc default already sorts nulls first, but
+    # desc defaults to nulls LAST — which would seat every NULL-ts left
+    # row after the whole right side and hand it the min-ts payload
+    # (regression-pinned in tests)
+    ts_ord = F.col("__asof_ts").asc_nulls_first()
     if direction == "forward":
-        ts_ord = ts_ord.desc()
+        ts_ord = F.col("__asof_ts").desc_nulls_first()
     # right rows (side 0) sort before left rows at equal ts → inclusive
     w = (
         Window.partitionBy(*on)

@@ -251,3 +251,90 @@ def test_engine_asof_and_range_ops(spark):
                       args={"on": ["key"], "ts": "ts", "start": "w_start",
                             "end": "w_end", "bin_width_s": 3600}))
     assert eng.resolve("r").collect()[0].ivid == 1
+
+
+def test_asof_null_left_ts_matches_nothing(spark, quotes):
+    """A left row with a NULL timestamp matches nothing under EITHER
+    direction — desc ordering defaults to nulls LAST, which seated
+    NULL-ts rows after the whole right side and handed them the min-ts
+    payload under direction='forward' (regression)."""
+    left = spark.createDataFrame(
+        [Row(key="a", ts=None, qty=1), Row(key="a", ts=_ts(10), qty=2)],
+        "key string, ts timestamp, qty int",
+    )
+    for direction in ("backward", "forward"):
+        got = {r.qty: r.px for r in asof_join(
+            left, quotes, on=["key"], direction=direction
+        ).collect()}
+        assert got[1] is None, direction
+    # and the non-null row still matches normally both ways
+    fwd = {r.qty: r.px for r in asof_join(
+        left, quotes, on=["key"], direction="forward").collect()}
+    bwd = {r.qty: r.px for r in asof_join(
+        left, quotes, on=["key"], direction="backward").collect()}
+    assert bwd[2] == 1.0 and fwd[2] == 2.0
+
+
+def test_asof_join_matches_reference_model(spark):
+    """Property test: asof_join == a pure-Python per-row argmin/argmax
+    reference over randomized inputs — keys, duplicate left times,
+    NULL left times, boundary-inclusive matches, both directions, with
+    and without tolerance. Right rows are unique per (key, ts), the
+    operator's documented determinism precondition."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    rights = st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 20)),
+        min_size=0, max_size=8, unique=True,
+    )
+    lefts = st.lists(
+        st.tuples(st.integers(0, 2),
+                  st.one_of(st.none(), st.integers(0, 20))),
+        min_size=1, max_size=8,
+    )
+
+    def reference(lrows, rrows, direction, tol):
+        out = []
+        for i, (k, lt) in enumerate(lrows):
+            best = None
+            if lt is not None:
+                for rk, rt in rrows:
+                    if rk != k:
+                        continue
+                    if direction == "backward" and rt <= lt:
+                        if best is None or rt > best:
+                            best = rt
+                    if direction == "forward" and rt >= lt:
+                        if best is None or rt < best:
+                            best = rt
+            if best is not None and tol is not None and abs(
+                lt - best
+            ) > tol:
+                best = None
+            out.append((i, None if best is None else float(best * 10)))
+        return sorted(out)
+
+    @settings(max_examples=25, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(lefts, rights, st.sampled_from(["backward", "forward"]),
+           st.sampled_from([None, 3]))
+    def check(lrows, rrows, direction, tol):
+        left = spark.createDataFrame(
+            [(i, k, lt) for i, (k, lt) in enumerate(lrows)],
+            "i int, key int, ts int",
+        )
+        right = spark.createDataFrame(
+            [(k, rt, float(rt * 10)) for k, rt in rrows],
+            "key int, ts int, px double",
+        )
+        got = sorted(
+            (r.i, r.px)
+            for r in asof_join(
+                left, right, on=["key"], direction=direction,
+                tolerance_s=tol,
+            ).collect()
+        )
+        assert got == reference(lrows, rrows, direction, tol)
+
+    check()
