@@ -338,3 +338,52 @@ def test_asof_join_matches_reference_model(spark):
         assert got == reference(lrows, rrows, direction, tol)
 
     check()
+
+
+def test_range_join_matches_reference_model(spark):
+    """Property test: range_join == a pure-Python half-open interval
+    reference over randomized inputs, for the plain key-join path AND
+    the binned scale path (several bin widths) — the two plans must be
+    semantically identical by construction."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    events_s = st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 20)),
+        min_size=1, max_size=8,
+    )
+    ivals_s = st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 20),
+                  st.integers(0, 8)),
+        min_size=0, max_size=6,
+    )
+
+    def reference(evs, ivs):
+        out = []
+        for i, (k, t) in enumerate(evs):
+            for j, (ik, s0, w) in enumerate(ivs):
+                if ik == k and s0 <= t < s0 + w:
+                    out.append((i, j))
+        return sorted(out)
+
+    @settings(max_examples=20, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(events_s, ivals_s, st.sampled_from([None, 2, 7]))
+    def check(evs, ivs, bin_w):
+        events = spark.createDataFrame(
+            [(i, k, t) for i, (k, t) in enumerate(evs)],
+            "i int, key int, ts int",
+        )
+        intervals = spark.createDataFrame(
+            [(j, k, s0, s0 + w) for j, (k, s0, w) in enumerate(ivs)],
+            "j int, key int, start int, end int",
+        )
+        got = sorted(
+            (r.i, r.j)
+            for r in range_join(
+                events, intervals, on=["key"], bin_width_s=bin_w
+            ).collect()
+        )
+        assert got == reference(evs, ivs)
+
+    check()
