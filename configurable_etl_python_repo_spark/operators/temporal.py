@@ -82,7 +82,13 @@ def asof_join(
             F.col(right_ts).alias(_RTS),
             *[F.col(c).alias(renames[c]) for c in payload],
         ).alias(_PAY),
-    ).withColumn(_SIDE, F.lit(0))
+    ).withColumn(_SIDE, F.lit(0)).where(
+        # a NULL-time right row can never legitimately match — and its
+        # payload STRUCT is non-null, so if it stayed it would sort to
+        # the head of every window (nulls first) and become a universal
+        # fallback match for every otherwise-unmatched left row
+        F.col("__asof_ts").isNotNull()
+    )
     u = l_side.unionByName(r_side, allowMissingColumns=True)
 
     # nulls FIRST under either direction: a left row with a NULL time

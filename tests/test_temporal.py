@@ -253,26 +253,39 @@ def test_engine_asof_and_range_ops(spark):
     assert eng.resolve("r").collect()[0].ivid == 1
 
 
-def test_asof_null_left_ts_matches_nothing(spark, quotes):
-    """A left row with a NULL timestamp matches nothing under EITHER
-    direction — desc ordering defaults to nulls LAST, which seated
-    NULL-ts rows after the whole right side and handed them the min-ts
-    payload under direction='forward' (regression)."""
+def test_asof_null_ts_matches_nothing_either_side(spark):
+    """NULL timestamps match nothing on EITHER side, both directions:
+    a NULL-ts LEFT row gets no payload (desc ordering defaults to
+    nulls LAST, which seated such rows after the whole right side and
+    handed them the min-ts payload under direction='forward'), and a
+    NULL-ts RIGHT row is dropped before the sort (its non-null payload
+    STRUCT would otherwise sort to the head of every window under
+    nulls-first and become a universal fallback match for every
+    otherwise-unmatched left row — both regressions live-reproduced)."""
     left = spark.createDataFrame(
-        [Row(key="a", ts=None, qty=1), Row(key="a", ts=_ts(10), qty=2)],
+        [Row(key="a", ts=None, qty=1), Row(key="a", ts=_ts(10), qty=2),
+         Row(key="a", ts=_ts(1), qty=3)],
         "key string, ts timestamp, qty int",
     )
+    right = spark.createDataFrame(
+        [Row(key="a", ts=None, px=99.0), Row(key="a", ts=_ts(5), px=1.0)],
+        "key string, ts timestamp, px double",
+    )
+    results = {}
     for direction in ("backward", "forward"):
-        got = {r.qty: r.px for r in asof_join(
-            left, quotes, on=["key"], direction=direction
+        results[direction] = {r.qty: r.px for r in asof_join(
+            left, right, on=["key"], direction=direction
         ).collect()}
-        assert got[1] is None, direction
-    # and the non-null row still matches normally both ways
-    fwd = {r.qty: r.px for r in asof_join(
-        left, quotes, on=["key"], direction="forward").collect()}
-    bwd = {r.qty: r.px for r in asof_join(
-        left, quotes, on=["key"], direction="backward").collect()}
-    assert bwd[2] == 1.0 and fwd[2] == 2.0
+    # NULL-ts left row: no match either way
+    assert results["backward"][1] is None
+    assert results["forward"][1] is None
+    # the NULL-ts right row is never the fallback: qty=2 (ts 10:00)
+    # has no forward match, qty=3 (ts 01:00) no backward match
+    assert results["forward"][2] is None
+    assert results["backward"][3] is None
+    # and the real quote still matches normally
+    assert results["backward"][2] == 1.0
+    assert results["forward"][3] == 1.0
 
 
 def test_asof_join_matches_reference_model(spark):
@@ -285,7 +298,8 @@ def test_asof_join_matches_reference_model(spark):
     from hypothesis import strategies as st
 
     rights = st.lists(
-        st.tuples(st.integers(0, 2), st.integers(0, 20)),
+        st.tuples(st.integers(0, 2),
+                  st.one_of(st.none(), st.integers(0, 20))),
         min_size=0, max_size=8, unique=True,
     )
     lefts = st.lists(
@@ -300,7 +314,7 @@ def test_asof_join_matches_reference_model(spark):
             best = None
             if lt is not None:
                 for rk, rt in rrows:
-                    if rk != k:
+                    if rk != k or rt is None:
                         continue
                     if direction == "backward" and rt <= lt:
                         if best is None or rt > best:
@@ -325,7 +339,8 @@ def test_asof_join_matches_reference_model(spark):
             "i int, key int, ts int",
         )
         right = spark.createDataFrame(
-            [(k, rt, float(rt * 10)) for k, rt in rrows],
+            [(k, rt, 99.0 if rt is None else float(rt * 10))
+             for k, rt in rrows],
             "key int, ts int, px double",
         )
         got = sorted(
