@@ -3630,7 +3630,9 @@ def _hll_oracle(
     )
     return f"""
     WITH h AS (
-      SELECT {g}md5('{seed}' || '|' || {key_sql}) AS hx
+      SELECT {g}md5('{seed}' || '|'
+                    || coalesce(CAST(({key_sql}) AS VARCHAR), chr(1)))
+             AS hx
       FROM {src}),
     r AS (
       SELECT {g}CAST(('0x' || substr(hx, 1, 8)) AS BIGINT) % {m}

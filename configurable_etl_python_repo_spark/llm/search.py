@@ -277,6 +277,15 @@ def bm25_build_index(
     postings, stats = _bm25_segment(
         corpus, id_col, text_col, term_buckets
     )
+    # one-row validation: an empty corpus would persist an index whose
+    # summed n_docs is 0 (every later search scores NULL) AND whose
+    # empty postings tree can't even be re-read for df — refuse now
+    stats_row = stats.collect()[0]
+    if not stats_row.n_docs:
+        raise ValueError(
+            "bm25_build_index: corpus is empty — refusing to persist "
+            "an index with n_docs = 0 (searches would score NULL)"
+        )
     postings.write.mode("overwrite").partitionBy("tb").parquet(
         path + "/postings"
     )
@@ -286,7 +295,11 @@ def bm25_build_index(
     spark.read.parquet(path + "/postings").groupBy("w", "tb").agg(
         F.count(F.lit(1)).cast("long").alias("df_t")
     ).write.mode("overwrite").partitionBy("tb").parquet(path + "/df")
-    stats.coalesce(1).write.mode("overwrite").parquet(path + "/_stats")
+    # write the already-collected row (no second corpus pass)
+    spark.createDataFrame(
+        [(int(stats_row.n_docs), int(stats_row.total_dl))],
+        "n_docs long, total_dl long",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/_stats")
     spark.createDataFrame(
         [(term_buckets, _BM25_LAYOUT)], "term_buckets int, layout string"
     ).coalesce(1).write.mode("overwrite").parquet(path + "/_meta")
@@ -384,18 +397,29 @@ def bm25_search_index(
         .groupBy("w")
         .agg(F.sum("df_t").cast("long").alias("df_t"))
     )
-    stats = (
+    sums = (
         spark.read.parquet(path + "/_stats")
         .agg(
             F.sum("n_docs").cast("long").alias("n_docs"),
             F.sum("total_dl").cast("long").alias("total_dl"),
         )
-        .select(
-            "n_docs",
-            (
-                F.col("total_dl").cast("double") / F.col("n_docs")
-            ).alias("avgdl"),
+    )
+    # one-row validation read (bounded: _stats is one row per segment):
+    # an index built/extended over an EMPTY corpus has n_docs = 0, and
+    # avgdl = total_dl/0 would NULL every score downstream — refuse it
+    # loudly instead, mirroring the _store.read_meta guard style
+    n_docs_row = sums.collect()[0]
+    if not n_docs_row.n_docs:
+        raise ValueError(
+            f"bm25 index at {path} covers 0 documents (built or "
+            f"compacted over an empty corpus) — scores would be NULL; "
+            f"rebuild the index over a non-empty corpus"
         )
+    stats = sums.select(
+        "n_docs",
+        (
+            F.col("total_dl").cast("double") / F.col("n_docs")
+        ).alias("avgdl"),
     )
     scored = _bm25_score(
         tf, F.broadcast(dfreq), F.broadcast(stats), k, k1, b

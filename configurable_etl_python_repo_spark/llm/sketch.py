@@ -93,9 +93,12 @@ def distinct_sketch(
     map-side partial combine, so a 100 TB corpus ships <= 2^b rows per
     map partition no matter how skewed the data.
 
-    NULLs in `cols` fold into the concat key the way the repo's other
-    md5 hashes do (concat_ws skips them) — distinct is over the
-    normalized key string.
+    NULL values in `cols` coalesce to a chr(1) sentinel BEFORE the
+    concat (distinct is over the normalized key string, and NULL is a
+    distinct value). The sentinel — not concat_ws's skip-NULLs — keeps
+    the Spark key bit-identical to the SQL oracle's `||` concatenation,
+    where a NULL operand would nullify the whole key; non-NULL values
+    hash exactly as before.
 
     Output: (register long, max_rho int), <= 2^b rows, mergeable with
     merge_sketches. With group_cols, one independent sketch per group
@@ -106,7 +109,14 @@ def distinct_sketch(
     if not cols:
         raise ValueError("cols must name at least one column")
     g = _gcols(group_cols)
-    key = F.concat_ws("|", F.lit(seed), *[F.col(c) for c in cols])
+    key = F.concat_ws(
+        "|",
+        F.lit(seed),
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x01"))
+            for c in cols
+        ],
+    )
     h = F.md5(key)
     hi = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
     lo = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")

@@ -1382,7 +1382,19 @@ def perplexity_partition_stream(
     if strata_col is not None:
         joined = df.join(cut_side, [strata_col], "left")
     else:
-        joined = df.crossJoin(cut_side)
+        # LEFT join on a constant key, not a crossJoin: an EMPTY cutoff
+        # table (empty calibration sample, all-NULL scores) must degrade
+        # to the documented NULL-cuts path — every row to the last
+        # bucket — not silently drop the whole stream
+        joined = (
+            df.withColumn("__ppl_one", F.lit(1))
+            .join(
+                cut_side.withColumn("__ppl_one", F.lit(1)),
+                ["__ppl_one"],
+                "left",
+            )
+            .drop("__ppl_one")
+        )
     score = F.col(score_col)
     b = (
         F.when(

@@ -1293,6 +1293,32 @@ def test_perplexity_stream_under_readstream(spark, tmp_path):
     assert got == want
 
 
+def test_perplexity_stream_empty_cutoffs_assigns_tail(spark):
+    """An EMPTY cutoff table (empty calibration sample / all-NULL
+    scores) must degrade to the documented NULL-cuts path — every row
+    to the LAST bucket — on BOTH the stratified and unstratified paths.
+    Regression: the unstratified path used a crossJoin, which silently
+    dropped every stream row against an empty table."""
+    from configurable_etl_python_repo_spark.llm.text import (
+        perplexity_cutoffs,
+        perplexity_partition_stream,
+    )
+
+    df = _ppl_scored(spark, n=30)
+    empty = perplexity_cutoffs(df.where(F.lit(False)))
+    out = perplexity_partition_stream(df, empty).collect()
+    assert len(out) == df.count()
+    assert {r.ppl_bucket for r in out} == {"tail"}
+    empty_s = perplexity_cutoffs(
+        df.where(F.lit(False)), strata_col="lang"
+    )
+    out_s = perplexity_partition_stream(
+        df, empty_s, strata_col="lang"
+    ).collect()
+    assert len(out_s) == df.count()
+    assert {r.ppl_bucket for r in out_s} == {"tail"}
+
+
 def test_perplexity_stream_config_ops_and_validation(spark):
     from configurable_etl_python_repo_spark.llm.text import (
         perplexity_cutoffs,

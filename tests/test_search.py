@@ -187,6 +187,27 @@ def test_bm25_index_config_ops(spark, tmp_path):
                          term_buckets=0)
 
 
+def test_bm25_empty_index_raises(spark, tmp_path):
+    """An index built over an EMPTY corpus has n_docs = 0; avgdl would
+    be NULL and every score NULL — the search must refuse loudly
+    (round-8 ADVICE), mirroring the read_meta layout-guard style."""
+    import pytest as _pytest
+
+    idx = str(tmp_path / "bm25_empty")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="corpus is empty"):
+        bm25_build_index(empty, idx)
+    # defense-in-depth: a tree whose _stats sums to 0 anyway (manual
+    # surgery / foreign writer) is refused at search time too
+    docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    bm25_build_index(docs, idx)
+    spark.createDataFrame(
+        [(0, 0)], "n_docs long, total_dl long"
+    ).coalesce(1).write.mode("overwrite").parquet(idx + "/_stats")
+    with _pytest.raises(ValueError, match="0 documents"):
+        bm25_search_index(spark, idx, "anything", k=3)
+
+
 # ---------------------------------------------------------------------------
 # Reciprocal rank fusion
 # ---------------------------------------------------------------------------

@@ -82,6 +82,32 @@ def test_sketch_validation_and_multi_column(spark):
         merge_sketches()
 
 
+def test_sketch_null_key_is_a_distinct_value(spark):
+    """NULL values in distinct_cols coalesce to a chr(1) sentinel, so a
+    NULL is ONE distinct value (not silently folded into the seed-only
+    key) and the Spark key matches the SQL oracle's `||` concat, which
+    would nullify on NULL. Regression for the Spark/oracle divergence
+    flagged in round-8 ADVICE; also pins the duckdb replay on a
+    NULL-carrying fixture."""
+    import duckdb
+
+    df = spark.createDataFrame(
+        [(None,), (None,), ("x",), ("y",)], "k string"
+    )
+    est = approx_distinct(df, ["k"], b=12).collect()[0]
+    # 3 distinct values: NULL, x, y (b=12 linear counting is ~exact at
+    # this size; the pre-fix key would have estimated 2-ish, folding
+    # both NULLs and the seed-only key together)
+    assert abs(est["est"] - 3) < 0.1, est["est"]
+    # the oracle generator's coalesce(…, chr(1)) replays the same key
+    pdf = df.toPandas()
+    got = duckdb.sql(
+        "SELECT count(DISTINCT md5('hll' || '|' || "
+        "coalesce(k, chr(1)))) FROM pdf"
+    ).fetchone()[0]
+    assert got == 3
+
+
 def test_sketch_config_ops(spark):
     from configurable_etl_python_repo_spark.plans import Engine, OpSpec
 
