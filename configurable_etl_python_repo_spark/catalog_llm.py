@@ -1831,6 +1831,8 @@ def _build_once(name: str, sf_dir: str, stamp_suffix: str, build,
     import os
     import tempfile
 
+    import shutil
+
     tag = sf_dir.strip("/").replace("/", "_")
     src = _pq(sf_dir, src_table)
     st = os.stat(src)
@@ -1840,6 +1842,10 @@ def _build_once(name: str, sf_dir: str, stamp_suffix: str, build,
     path = os.path.join(tempfile.gettempdir(), f"cfg_etl_{name}_{tag}")
     marker = os.path.join(path, "_CATALOG_BUILT")
     if not (os.path.exists(marker) and open(marker).read() == stamp):
+        # a stale tree may be a DIFFERENT physical layout (a bumped
+        # stamp_suffix is exactly how layout changes invalidate it);
+        # building over it would mix directory structures — start clean
+        shutil.rmtree(path, ignore_errors=True)
         build(path)
         with open(marker, "w") as fh:
             fh.write(stamp)
@@ -1863,7 +1869,7 @@ def q_d15(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, batch = _incr_split(spark, sf_dir)
     path = _build_once(
         "d15_idx", sf_dir,
-        f"n={_JACCARD_N} b={_LSH_BANDS}x{_LSH_ROWS} v3",
+        f"n={_JACCARD_N} b={_LSH_BANDS}x{_LSH_ROWS} v4",
         lambda p: DI.minhash_build_index(
             corpus, p, n=_JACCARD_N, bands=_LSH_BANDS,
             rows_per_band=_LSH_ROWS,
@@ -1967,7 +1973,7 @@ def q_d17(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus, batch = _incr_split(spark, sf_dir)
     path = _build_once(
-        "d17_idx", sf_dir, f"k={_SIMHASH_K} v2",
+        "d17_idx", sf_dir, f"k={_SIMHASH_K} v3",
         lambda p: DI.simhash_build_index(
             corpus, p, max_hamming=_SIMHASH_K
         ),
@@ -2075,7 +2081,7 @@ def q_d18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus, batch = _emb_incr_split(spark, sf_dir)
     path = _build_once(
-        "d18_idx", sf_dir, f"nc={_D18_NC} v1",
+        "d18_idx", sf_dir, f"nc={_D18_NC} v2",
         lambda p: DI.embedding_build_index(
             corpus, p, n_centroids=_D18_NC
         ),

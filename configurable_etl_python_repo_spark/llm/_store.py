@@ -1,22 +1,70 @@
 """Shared plumbing for the persisted index stores (MinHash, SimHash,
 embedding, BM25, ANN IVF): the `_meta` read + layout guard every
-probe/search/extend runs first. ONE definition on purpose — a
-load-bearing guard duplicated per store could drift (one copy gaining
-a check the others miss).
+probe/search/extend runs first, and the SEGMENT-MANIFEST commit
+protocol that makes build/extend/compact ATOMIC. ONE definition on
+purpose — a load-bearing guard duplicated per store could drift (one
+copy gaining a check the others miss).
 
-Durability contract, stated once for every store: build is
-mode=overwrite and safely re-runnable; EXTEND is append-only and NOT
-atomic across a store's relations — a job that dies mid-extend leaves
-a partial segment (and re-running double-appends what already landed).
-On a failed extend, rebuild the index; the transactional write surface
-in this repo is the txlog gold store (sinks/txlog.py), and a
-segment-manifest commit for the index families is a recorded ROADMAP
-candidate.
-"""
+Durability contract, stated once for every store (the txlog
+manifest-create-IS-commit protocol, sinks/txlog.py, applied to the
+index families):
+
+  <path>/
+    _segments/v{N}.json  immutable manifests: committed segment ids
+                         (+ extend tags, + the _meta generation id)
+    _segments/LATEST     best-effort pointer hint (probed forward)
+    <rel>/seg=<id>/...   each relation's data, one directory per
+                         committed segment, sub-partitioned by the
+                         store's own key (kb/ab/cid/tb)
+
+- A BUILD writes fresh segment directories for every relation, writes
+  `_meta` (stamped with a fresh `meta_id`), then commits by creating
+  the next manifest with an ATOMIC create-if-absent — the manifest IS
+  the commit. The manifest names ONLY the new segment, so a rebuild
+  atomically replaces the whole index; old segments become invisible
+  orphans (vacuum_index removes them).
+- An EXTEND writes new segment directories, then commits a manifest
+  appending the segment id. A job that dies mid-extend leaves only
+  orphan directories NO reader ever lists into its DataFrame (probes
+  filter to committed segments), and a RETRY writes a fresh segment
+  and commits that one — a partial extend is invisible and cannot
+  double-append. Optional `tag` (e.g. a streaming batch id) makes the
+  retry IDEMPOTENT: a tag already present in the manifest means the
+  extend committed, and the retry becomes a no-op.
+- Readers resolve the newest manifest once and filter every relation
+  scan to its segment list — snapshot isolation; a concurrent extend
+  never tears a probe.
+- The manifest carries the `meta_id` of the `_meta` it was built
+  against; readers cross-check, so a crash between a rebuild's _meta
+  overwrite and its manifest commit is DETECTED (torn rebuild) instead
+  of probing new parameters against old segments.
+- COMPACTION rewrites N committed segments as one (folding additive
+  relations like BM25's df/stats) and commits a manifest that swaps
+  them atomically; a concurrent extend's segment committed in between
+  is preserved untouched.
+
+Storage for manifests is pluggable via sinks/logstore.LogStore
+(default LocalLogStore — os.link create-if-absent, atomic on POSIX;
+S3LogStore's conditional put for object stores)."""
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sinks.logstore import LocalLogStore, LogStore
+from ..sinks.txlog import ConcurrentWriteError
+
+#: bounded optimistic-retry budget for manifest commits: each loss to a
+#: concurrent writer re-reads the new snapshot and re-publishes (the
+#: segment data does not depend on the base version, so retrying the
+#: COMMIT alone is safe); a store hot enough to lose 20 straight races
+#: deserves the loud error
+_MAX_COMMIT_RETRIES = 20
 
 
 def read_meta(
@@ -42,3 +90,365 @@ def read_meta(
             f"layout would corrupt the store)"
         )
     return meta
+
+
+# ---------------------------------------------------------------------------
+# Segment manifest log
+# ---------------------------------------------------------------------------
+
+
+def new_segment_id() -> str:
+    """Fresh segment id — 's'-prefixed so the seg= partition column
+    always infers as STRING regardless of the hex draw."""
+    return "s" + uuid.uuid4().hex
+
+
+def new_meta_id() -> str:
+    """Fresh _meta generation id, stamped into _meta AND the manifest
+    so a torn rebuild (new _meta, old manifest) is detected."""
+    return uuid.uuid4().hex
+
+
+def _seg_store(path: str, store: LogStore | None = None) -> LogStore:
+    return store if store is not None else LocalLogStore(
+        os.path.join(path, "_segments")
+    )
+
+
+def _mname(version: int) -> str:
+    return f"v{version:08d}.json"
+
+
+def _latest_version(st: LogStore) -> int:
+    """True current version: the LATEST hint probed FORWARD (a crash
+    between manifest-create and hint-update leaves the hint behind by a
+    bounded number of commits), degrading a torn or dangling hint to a
+    probe from 0 — the txlog._latest_version contract."""
+    hint = st.read("LATEST")
+    try:
+        version = int(hint.decode().strip()) if hint is not None else 0
+    except ValueError:
+        version = 0
+    if version < 0:
+        version = 0
+    while st.exists(_mname(version + 1)):
+        version += 1
+    if version > 0 and not st.exists(_mname(version)):
+        version = 0
+        while st.exists(_mname(version + 1)):
+            version += 1
+    return version
+
+
+def read_manifest(
+    path: str, store: LogStore | None = None
+) -> "tuple[int, dict]":
+    """(version, manifest) of the newest committed snapshot; (0, empty)
+    for a store no build has ever committed."""
+    st = _seg_store(path, store)
+    version = _latest_version(st)
+    if version == 0:
+        return 0, {"segments": [], "tags": {}, "meta_id": None}
+    return version, json.loads(st.read(_mname(version)))
+
+
+def committed_tags(path: str, store: LogStore | None = None) -> "dict":
+    """tag -> segment id of every committed tagged extend — the
+    idempotence check a retrying batch job runs FIRST (a present tag
+    means the whole extend committed; skip it)."""
+    return dict(read_manifest(path, store)[1].get("tags") or {})
+
+
+def committed_state(
+    spark: SparkSession,
+    path: str,
+    expected_layout: str,
+    kind: str = "index",
+    store: LogStore | None = None,
+):
+    """The read-side entrypoint: (meta, committed segment ids, tags),
+    with the layout guard AND the torn-rebuild cross-check (manifest
+    meta_id == _meta meta_id) applied."""
+    meta = read_meta(spark, path, expected_layout, kind)
+    version, man = read_manifest(path, store)
+    if version == 0 or not man["segments"]:
+        raise ValueError(
+            f"{kind} at {path} has no committed segments — no build "
+            f"ever completed (a crashed build leaves only invisible "
+            f"orphans); re-run the build"
+        )
+    if getattr(meta, "meta_id", None) != man.get("meta_id"):
+        raise ValueError(
+            f"{kind} at {path} is torn: _meta generation "
+            f"{getattr(meta, 'meta_id', None)!r} does not match the "
+            f"committed manifest's {man.get('meta_id')!r} — a rebuild "
+            f"crashed between its _meta write and its commit; re-run "
+            f"the build"
+        )
+    return meta, list(man["segments"]), dict(man.get("tags") or {})
+
+
+def _publish(st: LogStore, base: int, payload: dict) -> int:
+    data = json.dumps(payload).encode()
+    if not st.put_if_absent(_mname(base + 1), data):
+        raise ConcurrentWriteError(
+            f"concurrent writer already published v{base + 1}"
+        )
+    # best-effort hint AFTER the commit (failure loses nothing: readers
+    # probe forward)
+    st.write("LATEST", str(base + 1).encode())
+    return base + 1
+
+
+def commit_build(
+    path: str, seg: str, meta_id: str, store: LogStore | None = None
+) -> int:
+    """THE build commit: publish a manifest naming ONLY the fresh
+    segment — an atomic whole-index replace. Tags reset: a rebuild is a
+    new corpus generation, and idempotence markers from the old one
+    must not suppress re-admission into it. Retries commit races (the
+    loser of each race re-reads and re-publishes; its segment data is
+    version-independent)."""
+    st = _seg_store(path, store)
+    for _ in range(_MAX_COMMIT_RETRIES):
+        version = _latest_version(st)
+        try:
+            return _publish(st, version, {
+                "version": version + 1,
+                "segments": [seg],
+                "tags": {},
+                "meta_id": meta_id,
+            })
+        except ConcurrentWriteError:
+            continue
+    raise ConcurrentWriteError(
+        f"build commit at {path} lost {_MAX_COMMIT_RETRIES} straight "
+        f"races — aborting"
+    )
+
+
+def commit_extend(
+    path: str,
+    seg: str,
+    meta_id: str,
+    tag: "str | None" = None,
+    store: LogStore | None = None,
+) -> bool:
+    """THE extend commit: append `seg` to the committed list. Returns
+    False (and publishes nothing) if `tag` is already committed — the
+    retry-idempotence contract: the caller's freshly written segment
+    stays an invisible orphan instead of double-appending. Raises
+    ConcurrentWriteError if the index was REBUILT underneath (meta_id
+    changed): the segment was computed under dead parameters."""
+    st = _seg_store(path, store)
+    for _ in range(_MAX_COMMIT_RETRIES):
+        version, man = read_manifest(path, st)
+        if version == 0:
+            raise ValueError(
+                f"cannot extend {path}: no committed build"
+            )
+        if man.get("meta_id") != meta_id:
+            raise ConcurrentWriteError(
+                f"index at {path} was rebuilt during this extend "
+                f"(meta generation changed) — re-run the extend "
+                f"against the new tree"
+            )
+        tags = dict(man.get("tags") or {})
+        if tag is not None:
+            if tag in tags:
+                return False
+            tags[tag] = seg
+        try:
+            _publish(st, version, {
+                "version": version + 1,
+                "segments": man["segments"] + [seg],
+                "tags": tags,
+                "meta_id": meta_id,
+            })
+            return True
+        except ConcurrentWriteError:
+            continue
+    raise ConcurrentWriteError(
+        f"extend commit at {path} lost {_MAX_COMMIT_RETRIES} straight "
+        f"races — aborting"
+    )
+
+
+def commit_replace(
+    path: str,
+    new_seg: str,
+    replaced: "list[str]",
+    meta_id: str,
+    store: LogStore | None = None,
+) -> int:
+    """THE compaction commit: swap `replaced` for `new_seg` atomically.
+    Segments committed by a concurrent extend AFTER the compactor read
+    its snapshot are preserved untouched (their data was not folded
+    into new_seg); tags are carried forward — only tag MEMBERSHIP
+    matters for idempotence, and the admitted batches' rows now live in
+    the compacted segment."""
+    st = _seg_store(path, store)
+    for _ in range(_MAX_COMMIT_RETRIES):
+        version, man = read_manifest(path, st)
+        if man.get("meta_id") != meta_id:
+            raise ConcurrentWriteError(
+                f"index at {path} was rebuilt during this compaction "
+                f"— the compacted segment is stale; re-run"
+            )
+        kept = [s for s in man["segments"] if s not in set(replaced)]
+        try:
+            return _publish(st, version, {
+                "version": version + 1,
+                "segments": [new_seg] + kept,
+                "tags": dict(man.get("tags") or {}),
+                "meta_id": meta_id,
+            })
+        except ConcurrentWriteError:
+            continue
+    raise ConcurrentWriteError(
+        f"compaction commit at {path} lost {_MAX_COMMIT_RETRIES} "
+        f"straight races — aborting"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Segment-aware relation I/O
+# ---------------------------------------------------------------------------
+
+
+def _rel_root(path: str, rel: str) -> str:
+    return f"{path}/{rel}" if rel else path
+
+
+def write_segment(
+    df: DataFrame,
+    path: str,
+    rel: str,
+    seg: str,
+    partition_col: "str | None",
+) -> None:
+    """Write one relation's rows into its seg=<id> directory,
+    sub-partitioned by the store's key. Repartition on the partition
+    column BEFORE partitionBy (the round-7 lesson: unaligned writers
+    emit tasks x buckets sliver files); key-less relations (BM25
+    _stats) coalesce to one file."""
+    target = f"{_rel_root(path, rel)}/seg={seg}"
+    if partition_col is None:
+        df.coalesce(1).write.mode("overwrite").parquet(target)
+    else:
+        df.repartition(partition_col).write.mode("overwrite").partitionBy(
+            partition_col
+        ).parquet(target)
+
+
+def read_committed(
+    spark: SparkSession, path: str, rel: str, segments: "list[str]"
+) -> DataFrame:
+    """One relation filtered to the committed segments — the ONLY way
+    any probe/search reads store data. seg is a discovered partition
+    column, so orphans from crashed writers are pruned at the file
+    listing, exactly like the stores' kb/cid/tb filters."""
+    return (
+        spark.read.parquet(_rel_root(path, rel))
+        .where(F.col("seg").isin(list(segments)))
+        .drop("seg")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Compaction + vacuum (segment retention)
+# ---------------------------------------------------------------------------
+
+#: layout -> [(relation subdir, partition col or None, fold or None)].
+#: Populated by each store module at import; fold re-aggregates an
+#: ADDITIVE relation (BM25 df/stats) so N segments' rows collapse to
+#: one segment's worth — everything else rewrites verbatim.
+COMPACT_SPECS: "dict[str, list[tuple]]" = {}
+
+
+def _ensure_specs() -> None:
+    # importing the store modules runs their COMPACT_SPECS registration
+    from . import dedup_index, search, similarity  # noqa: F401
+
+
+def compact_index(spark: SparkSession, path: str) -> int:
+    """Rewrite every committed segment of an index as ONE segment,
+    folding additive relations (BM25's per-segment df/stats), and
+    commit the swap atomically — readers never see a half-compacted
+    tree, and a concurrent extend's freshly committed segment survives
+    untouched. After a year of daily extends this is what collapses
+    365 segments of read amplification back to one. Returns the
+    committed version (or the current one if <= 1 segment — nothing to
+    do). Old segment dirs become invisible orphans: vacuum_index
+    reclaims the space."""
+    _ensure_specs()
+    rows = spark.read.parquet(path + "/_meta").collect()
+    if len(rows) != 1:
+        raise ValueError(f"corrupt index at {path}: _meta has {len(rows)} rows")
+    meta = rows[0]
+    spec = COMPACT_SPECS.get(getattr(meta, "layout", None))
+    if spec is None:
+        raise ValueError(
+            f"index at {path} has layout {getattr(meta, 'layout', None)!r} "
+            f"— not a segment-manifest store this code can compact"
+        )
+    meta_id = getattr(meta, "meta_id", None)
+    version, man = read_manifest(path)
+    if man.get("meta_id") != meta_id:
+        raise ValueError(
+            f"index at {path} is torn (see committed_state) — re-run "
+            f"the build before compacting"
+        )
+    segs = list(man["segments"])
+    if len(segs) <= 1:
+        return version
+    new_seg = new_segment_id()
+    for rel, pcol, fold in spec:
+        df = read_committed(spark, path, rel, segs)
+        if fold is not None:
+            df = fold(df)
+        write_segment(df, path, rel, new_seg, pcol)
+    return commit_replace(path, new_seg, segs, meta_id)
+
+
+def vacuum_index(
+    path: str, retention_s: float = 24 * 3600.0
+) -> "list[str]":
+    """Delete segment directories the CURRENT manifest does not
+    reference: crashed builds/extends' orphans and compacted-away
+    segments. Like txlog's vacuum, a dir is only removed once older
+    than `retention_s` (default 24h) — a younger unreferenced dir may
+    be a concurrent writer's not-yet-committed segment, and deleting it
+    would commit a manifest pointing at missing files. Pass
+    retention_s=0 only when no writer can be running. Older manifests'
+    snapshots stop being readable once their segments go (the index
+    stores promise no time travel). Returns the removed dirs."""
+    import shutil
+    import time
+
+    _ensure_specs()
+    # layout from _meta read as plain json-less parquet is overkill
+    # driver-side; glob every rel the specs know plus the root
+    _, man = read_manifest(path)
+    live = set(man["segments"])
+    removed: "list[str]" = []
+    rel_roots = {path}
+    for spec in COMPACT_SPECS.values():
+        for rel, _, _ in spec:
+            rel_roots.add(_rel_root(path, rel))
+    now = time.time()
+    for root in sorted(rel_roots):
+        if not os.path.isdir(root):
+            continue
+        for name in os.listdir(root):
+            if not name.startswith("seg="):
+                continue
+            seg = name.split("=", 1)[1]
+            full = os.path.join(root, name)
+            if seg in live:
+                continue
+            if now - os.stat(full).st_mtime < retention_s:
+                continue
+            shutil.rmtree(full)
+            removed.append(full)
+    return removed

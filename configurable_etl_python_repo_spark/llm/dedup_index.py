@@ -59,8 +59,11 @@ _DEFAULT_KEY_BUCKETS = 64
 #: physical-layout version stamped into _meta: probe/extend REFUSE a
 #: tree written under a different layout instead of mis-reading it (an
 #: extend appending a new layout into an old tree would corrupt the
-#: store — 'Conflicting directory structures' on the next read)
-_LAYOUT = "kb-ab-v1"
+#: store — 'Conflicting directory structures' on the next read).
+#: v2 = segment-manifest layout: every relation gains a seg=<id>
+#: partition level and visibility is governed by _segments manifests
+#: (_store.py) — build/extend/compact commit atomically
+_LAYOUT = "kb-ab-seg-v2"
 
 
 def _kb_col(key_buckets: int):
@@ -90,6 +93,16 @@ def _read_meta(spark: SparkSession, path: str, expected_layout: str = None):
 
     return read_meta(
         spark, path, expected_layout or _LAYOUT, kind="signature index"
+    )
+
+
+def _committed(spark: SparkSession, path: str, layout: str = None):
+    """(meta, committed segments, tags) with the layout + torn-rebuild
+    guards applied — every probe/extend's first call."""
+    from ._store import committed_state
+
+    return committed_state(
+        spark, path, layout or _LAYOUT, kind="signature index"
     )
 
 
@@ -140,7 +153,12 @@ def minhash_build_index(
 
     Build cost equals the one-shot minhash_lsh_pairs signature pass
     (shared minhash_sigarr aggregate); every subsequent daily probe
-    amortizes it."""
+    amortizes it. The build is ATOMIC: relations land in a fresh
+    seg=<id> directory pair, and the manifest commit (the txlog
+    create-if-absent protocol, _store.py) makes both visible at once —
+    a crashed or concurrent rebuild is invisible, never torn."""
+    from . import _store as ST
+
     if key_buckets < 1:
         raise ValueError(f"key_buckets must be >= 1, got {key_buckets}")
     sig = _scope_cache(
@@ -149,24 +167,19 @@ def minhash_build_index(
     buckets = explode_band_keys(sig, bands, rows_per_band).withColumn(
         "kb", _kb_col(key_buckets)
     )
-    # repartition on the partition column BEFORE partitionBy: without
-    # it every shuffle task writes a sliver into every kb directory
-    # (tasks x key_buckets small files — measured dominating the build
-    # at sf0.1); aligned writers emit ~one file per directory
-    buckets.repartition("kb").write.mode("overwrite").partitionBy(
-        "kb"
-    ).parquet(path + "/buckets")
-    sig.select(
-        "id", "arr", _ab_col(F.col("id"), key_buckets)
-    ).repartition("ab").write.mode("overwrite").partitionBy(
-        "ab"
-    ).parquet(path + "/arrays")
+    seg, meta_id = ST.new_segment_id(), ST.new_meta_id()
+    ST.write_segment(buckets, path, "buckets", seg, "kb")
+    ST.write_segment(
+        sig.select("id", "arr", _ab_col(F.col("id"), key_buckets)),
+        path, "arrays", seg, "ab",
+    )
     spark = corpus.sparkSession
     spark.createDataFrame(
-        [(n, bands, rows_per_band, key_buckets, _LAYOUT)],
+        [(n, bands, rows_per_band, key_buckets, _LAYOUT, meta_id)],
         "n int, bands int, rows_per_band int, key_buckets int, "
-        "layout string",
+        "layout string, meta_id string",
     ).coalesce(1).write.mode("overwrite").parquet(path + "/_meta")
+    ST.commit_build(path, seg, meta_id)
 
 
 def minhash_extend_index(
@@ -174,29 +187,37 @@ def minhash_extend_index(
     path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
-) -> None:
+    tag: "str | None" = None,
+) -> bool:
     """Roll the index forward: append the batch's bucket rows and
     shingle arrays under the index's OWN stored hash parameters (read
-    from _meta — callers cannot desynchronize the family). Appended
-    bucket rows land in the same kb partition directories, so pruning
-    and probe semantics are identical to a fresh full build — pinned in
-    tests as probe(index(A) extended with B) == probe(index(A ∪ B)).
+    from _meta — callers cannot desynchronize the family). Committed
+    segments behave exactly like the build's — pinned in tests as
+    probe(index(A) extended with B) == probe(index(A ∪ B)).
 
     The caller decides WHAT to append (typically the admitted subset of
-    the batch, after dropping near-dups the probe found). NOT atomic on
-    failure (see llm/_store.py's durability contract): rebuild on a
-    partial extend."""
+    the batch, after dropping near-dups the probe found). ATOMIC: both
+    relations' segment dirs become visible in ONE manifest commit; a
+    job that dies mid-extend leaves invisible orphans and a retry
+    cannot double-append. Pass `tag` (e.g. a streaming batch id) for
+    retry IDEMPOTENCE: if that tag already committed, nothing is
+    published and False is returned."""
+    from . import _store as ST
+
     spark = batch.sparkSession
-    meta = _read_meta(spark, path)
+    meta, _, tags = _committed(spark, path)
+    if tag is not None and tag in tags:
+        return False
     sig, buckets = _batch_buckets(batch, id_col, text_col, meta)
-    buckets.repartition("kb").write.mode("append").partitionBy(
-        "kb"
-    ).parquet(path + "/buckets")
-    sig.select(
-        "id", "arr", _ab_col(F.col("id"), int(meta.key_buckets))
-    ).repartition("ab").write.mode("append").partitionBy(
-        "ab"
-    ).parquet(path + "/arrays")
+    seg = ST.new_segment_id()
+    ST.write_segment(buckets, path, "buckets", seg, "kb")
+    ST.write_segment(
+        sig.select(
+            "id", "arr", _ab_col(F.col("id"), int(meta.key_buckets))
+        ),
+        path, "arrays", seg, "ab",
+    )
+    return ST.commit_extend(path, seg, meta.meta_id, tag=tag)
 
 
 def dedup_against_index(
@@ -230,8 +251,13 @@ def dedup_against_index(
     probe set), so corpus array rows are read only from directories
     that can hold a matched doc. With verify=True the output is exactly
     {LSH candidates} ∩ {jaccard >= threshold}, same integer math as the
-    one-shot path."""
-    meta = _read_meta(spark, path)
+    one-shot path. Reads resolve the segment manifest ONCE and filter
+    both stores to committed segments — snapshot isolation: a crashed
+    extend's orphan dirs and a mid-probe concurrent extend are both
+    invisible."""
+    from ._store import read_committed
+
+    meta, segs, _ = _committed(spark, path)
     sig, b_buckets = _batch_buckets(batch, id_col, text_col, meta)
     # constant-bounded probe set (<= key_buckets values): the only
     # driver-side materialization in the pipeline, same trick as
@@ -240,7 +266,7 @@ def dedup_against_index(
         r[0] for r in b_buckets.select("kb").distinct().collect()
     )
     idx = (
-        spark.read.parquet(path + "/buckets")
+        read_committed(spark, path, "buckets", segs)
         .where(F.col("kb").isin(probed))
         .withColumnsRenamed({"id": "__idx_id"})
     )
@@ -270,7 +296,7 @@ def dedup_against_index(
         r[0] for r in cand.select(ab).distinct().collect()
     )
     idx_arrays = (
-        spark.read.parquet(path + "/arrays")
+        read_committed(spark, path, "arrays", segs)
         .where(F.col("ab").isin(probed_ab))
         .select("id", "arr")
     )
@@ -284,8 +310,9 @@ def dedup_against_index(
 # ---------------------------------------------------------------------------
 
 #: SimHash store layout version (bands/ partitioned by kb, fingerprint
-#: halves denormalized onto every band row)
-_SH_LAYOUT = "sh-kb-v1"
+#: halves denormalized onto every band row; v2 = segment-manifest
+#: commits, see _store.py)
+_SH_LAYOUT = "sh-kb-seg-v2"
 
 
 def simhash_build_index(
@@ -314,18 +341,21 @@ def simhash_build_index(
         raise ValueError(
             f"max_hamming must be in [0, 15], got {max_hamming}"
         )
+    from . import _store as ST
+
     fp = simhash64(corpus, id_col, text_col)
     rows = simhash_band_rows(fp, max_hamming).withColumn(
         "kb", _kb_col(key_buckets)
     )
-    rows.repartition("kb").write.mode("overwrite").partitionBy(
-        "kb"
-    ).parquet(path + "/bands")
+    seg, meta_id = ST.new_segment_id(), ST.new_meta_id()
+    ST.write_segment(rows, path, "bands", seg, "kb")
     spark = corpus.sparkSession
     spark.createDataFrame(
-        [(max_hamming, key_buckets, _SH_LAYOUT)],
-        "max_hamming int, key_buckets int, layout string",
+        [(max_hamming, key_buckets, _SH_LAYOUT, meta_id)],
+        "max_hamming int, key_buckets int, layout string, "
+        "meta_id string",
     ).coalesce(1).write.mode("overwrite").parquet(path + "/_meta")
+    ST.commit_build(path, seg, meta_id)
 
 
 def simhash_extend_index(
@@ -333,23 +363,27 @@ def simhash_extend_index(
     path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
-) -> None:
+    tag: "str | None" = None,
+) -> bool:
     """Roll the SimHash index forward: append the batch's band rows
     under the index's OWN stored (max_hamming, key_buckets) — pinned in
-    tests as probe(index(A) extended with B) == probe(index(A ∪ B)). NOT atomic on
-    failure (see llm/_store.py's durability contract): rebuild on a
-    partial extend."""
+    tests as probe(index(A) extended with B) == probe(index(A ∪ B)).
+    ATOMIC via the segment-manifest commit (_store.py); `tag` gives
+    retry idempotence (returns False if already committed)."""
+    from . import _store as ST
     from .dedup import simhash64, simhash_band_rows
 
     spark = batch.sparkSession
-    meta = _read_meta(spark, path, _SH_LAYOUT)
+    meta, _, tags = _committed(spark, path, _SH_LAYOUT)
+    if tag is not None and tag in tags:
+        return False
     fp = simhash64(batch, id_col, text_col)
     rows = simhash_band_rows(fp, int(meta.max_hamming)).withColumn(
         "kb", _kb_col(int(meta.key_buckets))
     )
-    rows.repartition("kb").write.mode("append").partitionBy(
-        "kb"
-    ).parquet(path + "/bands")
+    seg = ST.new_segment_id()
+    ST.write_segment(rows, path, "bands", seg, "kb")
+    return ST.commit_extend(path, seg, meta.meta_id, tag=tag)
 
 
 def simhash_against_index(
@@ -371,9 +405,10 @@ def simhash_against_index(
     equi-join on the denormalized fingerprint halves — the corpus text
     and fingerprints are never recomputed, and no second store is
     touched. Output: (id_a batch, id_b index, hamming)."""
+    from ._store import read_committed
     from .dedup import simhash64, simhash_band_rows, simhash_distance
 
-    meta = _read_meta(spark, path, _SH_LAYOUT)
+    meta, segs, _ = _committed(spark, path, _SH_LAYOUT)
     k = int(meta.max_hamming)
     fp = _scope_cache(simhash64(batch, id_col, text_col))
     b_rows = simhash_band_rows(fp, k).withColumn(
@@ -383,7 +418,7 @@ def simhash_against_index(
         r[0] for r in b_rows.select("kb").distinct().collect()
     )
     idx = (
-        spark.read.parquet(path + "/bands")
+        read_committed(spark, path, "bands", segs)
         .where(F.col("kb").isin(probed))
         .select("id", "sh_hi", "sh_lo", "band", "key")
     )
@@ -412,8 +447,42 @@ def simhash_against_index(
 # ---------------------------------------------------------------------------
 
 #: embedding store layout version (vectors/ partitioned by IVF centroid id,
-#: centroid table + params alongside)
-_EMB_LAYOUT = "emb-cid-v1"
+#: centroid table + params alongside; v2 = segment-manifest commits +
+#: optional int8 storage, see _store.py)
+_EMB_LAYOUT = "emb-cid-seg-v2"
+
+#: auto-sizing target: vectors per IVF list when n_centroids is None —
+#: the d11/SemDeDup scale policy (n_centroids ~ N / target_list_size)
+#: applied as the DEFAULT instead of a docstring
+_EMB_TARGET_LIST_SIZE = 1024
+
+
+def _emb_rows(batch, centroids, id_col, vec_col, quantize: bool):
+    """One segment of the embedding store: (id, vec|scale+qvec, cid)
+    under a FIXED quantizer — identical construction for build and
+    extend, on purpose. quantize=True stores symmetric per-vector int8
+    codes + scale (similarity.quantize_embeddings — 8x smaller than
+    the exact array<double> at 100 TB); assignment always computes on
+    the full-precision input."""
+    from .similarity import ivf_assignments_arrow, quantize_embeddings
+
+    assign1 = ivf_assignments_arrow(centroids, n_best=1)
+    exact = batch.select(
+        F.col(id_col).alias("id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("vec"),
+    ).withColumn("cid", assign1(F.col("vec"))[0])
+    if not quantize:
+        return exact
+    q = quantize_embeddings(exact, id_col="id", vec_col="vec")
+    return (
+        exact.select("id", "cid")
+        .join(q, "id")
+        .select(
+            "id", "scale",
+            F.transform("qvec", lambda x: x.cast("tinyint")).alias("qvec"),
+            "cid",
+        )
+    )
 
 
 def embedding_build_index(
@@ -421,7 +490,9 @@ def embedding_build_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_centroids: int = 64,
+    n_centroids: "int | None" = None,
+    target_list_size: int = _EMB_TARGET_LIST_SIZE,
+    quantize: bool = False,
 ) -> None:
     """WRITE-SIDE embedding index for incremental SEMANTIC dedup: assign
     every corpus vector to its nearest hash-order-sample centroid
@@ -433,11 +504,16 @@ def embedding_build_index(
       probe's n_probe lists prune at the file listing (the IVF property:
       un-probed lists cost zero I/O).
     - ``_centroids/`` — the coarse quantizer itself (<= n_centroids rows).
-    - ``_meta/`` — (n_centroids, layout); probe/extend REFUSE a tree
-      with a different layout instead of mis-reading it.
+    - ``_meta/`` — (n_centroids, quantize, layout, meta_id);
+      probe/extend REFUSE a tree with a different layout instead of
+      mis-reading it.
 
-    Vectors are stored as array<double> (exact float->double widening)
-    so extend-appended batches can never fork the store's schema.
+    quantize=False (default) stores exact array<double> vectors
+    (float->double widening, so extends can never fork the schema);
+    quantize=True stores symmetric per-vector int8 codes + scale — 8x
+    smaller on disk, the difference between one cluster and eight at
+    100 TB of embeddings — and probes score in the DEQUANTIZED domain
+    (recall/error bound pinned in tests, the x11 pattern).
 
     Like FAISS's IVF `add`, extending does NOT retrain the quantizer:
     the centroid sample is fixed at build time, which is what makes a
@@ -445,40 +521,50 @@ def embedding_build_index(
     fresh build over the union UNDER THE SAME CENTROIDS (pinned in
     tests). Rebuild when the corpus distribution drifts.
 
-    SCALE POLICY (the d11/SemDeDup rule): size n_centroids WITH the
-    corpus — n_centroids ~ N / target_list_size — so per-list size
-    stays constant; a PINNED n_centroids makes every probe score
-    batch x N/n_centroids pairs, quadratic as both sides grow
+    SCALE POLICY, now the DEFAULT (verdict item: auto-size the coarse
+    quantizer): n_centroids=None sizes the quantizer from one corpus
+    count as max(1, ceil(N / target_list_size)) — per-list size stays
+    constant as the corpus grows, so probe cost scales with the batch
     (measured at sf1: pinned-8 probe exponent 0.85 vs 0.04 under the
-    policy, BENCH_sf1_r08.json). The catalog fixture pins 8 only to
-    share the n3 oracle's centroid math.
+    policy, BENCH_sf1_r08.json). Pass an explicit int to pin (oracle
+    fixtures share the n3 oracle's centroid math that way).
+
+    The build is ATOMIC (segment-manifest commit, _store.py): a
+    crashed rebuild leaves the previous index fully readable.
 
     Reference parity: the reference persists no state between runs
     (/root/reference/Configurable_ETL_Python.py re-reads every source per
     execution); extension surface, same rationale as the MinHash index."""
-    from .similarity import _hash_order_sample, ivf_assignments_arrow
+    import math
 
+    from . import _store as ST
+    from .similarity import _hash_order_sample
+
+    if n_centroids is None:
+        if target_list_size < 1:
+            raise ValueError(
+                f"target_list_size must be >= 1, got {target_list_size}"
+            )
+        n_centroids = max(
+            1, math.ceil(corpus.count() / target_list_size)
+        )
     if n_centroids < 1:
         raise ValueError(f"n_centroids must be >= 1, got {n_centroids}")
     cents = _hash_order_sample(corpus, n_centroids, id_col, vec_col)
-    assign1 = ivf_assignments_arrow(cents, n_best=1)
-    rows = corpus.select(
-        F.col(id_col).alias("id"),
-        F.transform(vec_col, lambda x: x.cast("double")).alias("vec"),
-    ).withColumn("cid", assign1(F.col("vec"))[0])
-    # repartition on the partition column BEFORE partitionBy (the
-    # MinHash-index lesson: unaligned writers emit tasks x lists files)
-    rows.repartition("cid").write.mode("overwrite").partitionBy(
-        "cid"
-    ).parquet(path + "/vectors")
+    rows = _emb_rows(corpus, cents, id_col, vec_col, quantize)
+    seg, meta_id = ST.new_segment_id(), ST.new_meta_id()
+    ST.write_segment(rows, path, "vectors", seg, "cid")
     spark = corpus.sparkSession
     spark.createDataFrame(
         [(int(c), [float(x) for x in v]) for c, v in cents],
         "cid long, cvec array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(path + "/_centroids")
     spark.createDataFrame(
-        [(len(cents), _EMB_LAYOUT)], "n_centroids int, layout string"
+        [(len(cents), bool(quantize), _EMB_LAYOUT, meta_id)],
+        "n_centroids int, quantize boolean, layout string, "
+        "meta_id string",
     ).coalesce(1).write.mode("overwrite").parquet(path + "/_meta")
+    ST.commit_build(path, seg, meta_id)
 
 
 def _stored_centroids(spark: SparkSession, path: str):
@@ -491,28 +577,27 @@ def embedding_extend_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> None:
+    tag: "str | None" = None,
+) -> bool:
     """Roll the embedding index forward: assign the batch under the
-    index's OWN stored centroids (read back — callers cannot
-    desynchronize the quantizer) and append into the same cid partition
-    directories. Pruning and probe semantics after an extend are
-    identical to a fresh build over the union with the original
-    centroid sample (pytest-pinned). NOT atomic on
-    failure (see llm/_store.py's durability contract): rebuild on a
-    partial extend."""
-    from .similarity import ivf_assignments_arrow
+    index's OWN stored centroids and quantization mode (read back —
+    callers cannot desynchronize either) and commit a new segment.
+    Pruning and probe semantics after an extend are identical to a
+    fresh build over the union with the original centroid sample
+    (pytest-pinned). ATOMIC via the segment-manifest commit
+    (_store.py); `tag` gives retry idempotence (returns False if
+    already committed)."""
+    from . import _store as ST
 
     spark = batch.sparkSession
-    _read_meta(spark, path, _EMB_LAYOUT)
+    meta, _, tags = _committed(spark, path, _EMB_LAYOUT)
+    if tag is not None and tag in tags:
+        return False
     cents = _stored_centroids(spark, path)
-    assign1 = ivf_assignments_arrow(cents, n_best=1)
-    rows = batch.select(
-        F.col(id_col).alias("id"),
-        F.transform(vec_col, lambda x: x.cast("double")).alias("vec"),
-    ).withColumn("cid", assign1(F.col("vec"))[0])
-    rows.repartition("cid").write.mode("append").partitionBy(
-        "cid"
-    ).parquet(path + "/vectors")
+    rows = _emb_rows(batch, cents, id_col, vec_col, bool(meta.quantize))
+    seg = ST.new_segment_id()
+    ST.write_segment(rows, path, "vectors", seg, "cid")
+    return ST.commit_extend(path, seg, meta.meta_id, tag=tag)
 
 
 def embedding_against_index(
@@ -550,9 +635,10 @@ def embedding_against_index(
     the join, and each (batch, indexed) pair is scored exactly once
     (an indexed vector lives in exactly ONE list, so no post-join
     distinct is needed)."""
+    from ._store import read_committed
     from .similarity import _sim, _with_norm, ivf_assignments_arrow
 
-    _read_meta(spark, path, _EMB_LAYOUT)
+    meta, segs, _ = _committed(spark, path, _EMB_LAYOUT)
     cents = _stored_centroids(spark, path)
     if not (1 <= n_probe <= len(cents)):
         raise ValueError(
@@ -571,11 +657,24 @@ def embedding_against_index(
     probed = sorted(
         int(r[0]) for r in q.select("cid").distinct().collect()
     )
-    stored = (
-        spark.read.parquet(path + "/vectors")
-        .where(F.col("cid").isin(probed))
-        .select("cid", F.col("id").alias("id_b"), F.col("vec").alias("cv"))
+    stored = read_committed(spark, path, "vectors", segs).where(
+        F.col("cid").isin(probed)
     )
+    if bool(meta.quantize):
+        # int8 store: score in the DEQUANTIZED domain (q_i * scale as
+        # double) — deterministic, engine-portable math; the exact-
+        # double path below is the quantize=False option
+        stored = stored.select(
+            "cid",
+            F.col("id").alias("id_b"),
+            F.transform(
+                "qvec", lambda x: x.cast("double") * F.col("scale")
+            ).alias("cv"),
+        )
+    else:
+        stored = stored.select(
+            "cid", F.col("id").alias("id_b"), F.col("vec").alias("cv")
+        )
     c = _with_norm(stored, "cv", "nc")
     qn = _with_norm(q, "qv", "nq")
     return (
@@ -588,3 +687,16 @@ def embedding_against_index(
         .where(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Compaction specs: what _store.compact_index rewrites for each layout
+# (every relation here is row-verbatim — nothing is additive-folded;
+# BM25's df/stats folds live in llm/search.py)
+# ---------------------------------------------------------------------------
+
+from . import _store as _ST  # noqa: E402
+
+_ST.COMPACT_SPECS[_LAYOUT] = [("buckets", "kb", None), ("arrays", "ab", None)]
+_ST.COMPACT_SPECS[_SH_LAYOUT] = [("bands", "kb", None)]
+_ST.COMPACT_SPECS[_EMB_LAYOUT] = [("vectors", "cid", None)]

@@ -182,18 +182,26 @@ def _tb_col(w, buckets: int):
     return md5_mod(w, buckets)
 
 
-#: BM25 store layout version: SEGMENT design — postings/df rows append
-#: per batch and the per-segment _stats rows (n_docs, total_dl) SUM at
-#: read time, so the index rolls forward with pure appends (no
-#: read-modify-write anywhere). A tree without this stamp (the pre-
-#: segment avgdl layout) is refused — rebuild it.
-_BM25_LAYOUT = "bm25-seg-v1"
+#: BM25 store layout version: SEGMENT design — postings/df rows land
+#: one seg=<id> directory per batch and the per-segment _stats rows
+#: (n_docs, total_dl) SUM at read time, so the index rolls forward
+#: with pure appends (no read-modify-write anywhere). v2 = segment
+#: visibility is governed by _segments manifests (_store.py):
+#: build/extend/compact commit ATOMICALLY across all three relations.
+#: A tree without this stamp is refused — rebuild it.
+_BM25_LAYOUT = "bm25-seg-v2"
 
 
 def _bm25_meta(spark, path: str):
     from ._store import read_meta
 
     return read_meta(spark, path, _BM25_LAYOUT, kind="bm25 index")
+
+
+def _bm25_committed(spark, path: str):
+    from ._store import committed_state
+
+    return committed_state(spark, path, _BM25_LAYOUT, kind="bm25 index")
 
 
 def _bm25_segment(
@@ -268,7 +276,10 @@ def bm25_build_index(
     (doc, word) pairs — the classic inverted index. Roll it forward
     with bm25_extend_index; the caller owns doc-id uniqueness across
     segments (re-adding a doc id double-counts it, as in any inverted
-    index without a delete log)."""
+    index without a delete log). The build commits all three relations
+    ATOMICALLY (segment-manifest protocol, _store.py)."""
+    from . import _store as ST
+
     if term_buckets < 1:
         raise ValueError(
             f"term_buckets must be >= 1, got {term_buckets}"
@@ -286,23 +297,31 @@ def bm25_build_index(
             "bm25_build_index: corpus is empty — refusing to persist "
             "an index with n_docs = 0 (searches would score NULL)"
         )
-    postings.write.mode("overwrite").partitionBy("tb").parquet(
-        path + "/postings"
+    seg, meta_id = ST.new_segment_id(), ST.new_meta_id()
+    ST.write_segment(postings, path, "postings", seg, "tb")
+    # df from the STORED postings (one cheap pass over the fresh
+    # segment, not a second corpus scan); extend can't do this (a
+    # read-back would include older segments) and counts from its own
+    # persisted batch relation
+    ST.write_segment(
+        spark.read.parquet(f"{path}/postings/seg={seg}")
+        .groupBy("w", "tb")
+        .agg(F.count(F.lit(1)).cast("long").alias("df_t")),
+        path, "df", seg, "tb",
     )
-    # df from the STORED postings (one cheap pass over the index, not a
-    # second corpus scan); extend can't do this (a read-back would
-    # include older segments) and counts from its own batch relation
-    spark.read.parquet(path + "/postings").groupBy("w", "tb").agg(
-        F.count(F.lit(1)).cast("long").alias("df_t")
-    ).write.mode("overwrite").partitionBy("tb").parquet(path + "/df")
     # write the already-collected row (no second corpus pass)
+    ST.write_segment(
+        spark.createDataFrame(
+            [(int(stats_row.n_docs), int(stats_row.total_dl))],
+            "n_docs long, total_dl long",
+        ),
+        path, "_stats", seg, None,
+    )
     spark.createDataFrame(
-        [(int(stats_row.n_docs), int(stats_row.total_dl))],
-        "n_docs long, total_dl long",
-    ).coalesce(1).write.mode("overwrite").parquet(path + "/_stats")
-    spark.createDataFrame(
-        [(term_buckets, _BM25_LAYOUT)], "term_buckets int, layout string"
+        [(term_buckets, _BM25_LAYOUT, meta_id)],
+        "term_buckets int, layout string, meta_id string",
     ).coalesce(1).write.mode("overwrite").parquet(path + "/_meta")
+    ST.commit_build(path, seg, meta_id)
 
 
 def bm25_extend_index(
@@ -310,42 +329,45 @@ def bm25_extend_index(
     path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
-) -> None:
-    """Roll the BM25 index forward: append the batch's postings, its
-    per-segment df rows, and its (n_docs, total_dl) stats row under the
-    index's OWN stored term_buckets (read from _meta — callers cannot
-    desynchronize the bucket layout). Everything in the segment design
-    is additive, so the extend is append-only — no read-modify-write,
-    no compaction required for correctness (search sums df/stats across
-    segments; a heavily-extended index can be rebuilt to re-compact).
-    Pinned in tests: search(index(A) extended with B) ==
-    search(index(A ∪ B)) bit-for-bit.
+    tag: "str | None" = None,
+) -> bool:
+    """Roll the BM25 index forward: a new segment carrying the batch's
+    postings, its per-segment df rows, and its (n_docs, total_dl)
+    stats row under the index's OWN stored term_buckets (read from
+    _meta — callers cannot desynchronize the bucket layout).
+    Everything in the segment design is additive — search sums
+    df/stats across segments; compact_index collapses a
+    heavily-extended index. Pinned in tests:
+    search(index(A) extended with B) == search(index(A ∪ B))
+    bit-for-bit.
 
-    NOT atomic across the three appends (see llm/_store.py's
-    durability contract): a job that dies mid-extend leaves a partial
-    segment, and a retry double-appends — rebuild on a failed
-    extend."""
+    ATOMIC across the three relations: one manifest commit makes all
+    three segment dirs visible at once (a mid-extend crash leaves
+    invisible orphans; a retry cannot double-append). Pass `tag` for
+    retry idempotence — returns False if that tag already committed."""
+    from . import _store as ST
+
     spark = batch.sparkSession
-    meta = _bm25_meta(spark, path)
+    meta, _, tags = _bm25_committed(spark, path)
+    if tag is not None and tag in tags:
+        return False
     postings, stats = _bm25_segment(
         batch, id_col, text_col, int(meta.term_buckets)
     )
-    # persist the segment postings: the df rows MUST count exactly the
-    # posting rows that were stored (re-evaluating the tokenize DAG for
-    # the df write would both pay a second batch pass and, for a
-    # non-value-deterministic source, silently skew idf), and the
-    # append below consumes the same materialization
-    postings = postings.persist()
-    try:
-        postings.write.mode("append").partitionBy("tb").parquet(
-            path + "/postings"
-        )
-        postings.groupBy("w", "tb").agg(
-            F.count(F.lit(1)).cast("long").alias("df_t")
-        ).write.mode("append").partitionBy("tb").parquet(path + "/df")
-        stats.coalesce(1).write.mode("append").parquet(path + "/_stats")
-    finally:
-        postings.unpersist()
+    seg = ST.new_segment_id()
+    ST.write_segment(postings, path, "postings", seg, "tb")
+    # df from the JUST-written segment: the df rows MUST count exactly
+    # the posting rows that were stored (re-evaluating the tokenize DAG
+    # would both pay a second batch pass and, for a
+    # non-value-deterministic source, silently skew idf)
+    ST.write_segment(
+        spark.read.parquet(f"{path}/postings/seg={seg}")
+        .groupBy("w", "tb")
+        .agg(F.count(F.lit(1)).cast("long").alias("df_t")),
+        path, "df", seg, "tb",
+    )
+    ST.write_segment(stats, path, "_stats", seg, None)
+    return ST.commit_extend(path, seg, meta.meta_id, tag=tag)
 
 
 def bm25_search_index(
@@ -363,12 +385,14 @@ def bm25_search_index(
     scoring tail reproduces bm25_topk bit-for-bit (pytest-pinned) —
     without touching the corpus text at all. Per-query cost is the
     probed buckets' postings, not the corpus."""
+    from ._store import read_committed
+
     if not (1 <= k):
         raise ValueError(f"k must be >= 1, got {k}")
     terms = sorted(set(query.lower().split()))
     if not terms:
         raise ValueError("query must contain at least one term")
-    meta = _bm25_meta(spark, path)
+    meta, segs, _ = _bm25_committed(spark, path)
     # the probe's bucket set, computed driver-side with the SAME md5
     # window _tb_col uses (hashlib.md5 == Spark md5; % of a non-negative
     # == pmod) — |terms| hashes, no Spark job
@@ -382,7 +406,7 @@ def bm25_search_index(
         }
     )
     tf = (
-        spark.read.parquet(path + "/postings")
+        read_committed(spark, path, "postings", segs)
         .where(F.col("tb").isin(buckets))
         .where(F.col("w").isin(terms))
         .select("id", "w", "tf", "dl")
@@ -391,14 +415,14 @@ def bm25_search_index(
     # both aggregations are bounded — <= |terms| x segments df rows,
     # one stats row per segment
     dfreq = (
-        spark.read.parquet(path + "/df")
+        read_committed(spark, path, "df", segs)
         .where(F.col("tb").isin(buckets))
         .where(F.col("w").isin(terms))
         .groupBy("w")
         .agg(F.sum("df_t").cast("long").alias("df_t"))
     )
     sums = (
-        spark.read.parquet(path + "/_stats")
+        read_committed(spark, path, "_stats", segs)
         .agg(
             F.sum("n_docs").cast("long").alias("n_docs"),
             F.sum("total_dl").cast("long").alias("total_dl"),
@@ -482,3 +506,33 @@ def rrf_fuse(
         .limit(k)
     )
     return _rank_tail(fused, id_col, "rrf_score")
+
+
+# ---------------------------------------------------------------------------
+# Compaction spec: BM25's df and _stats relations are ADDITIVE across
+# segments, so compacting N segments into one FOLDS them (per-term df
+# sums; one summed stats row) — the read-side SUMs then see exactly
+# what a fresh build would have written. Postings rewrite verbatim.
+# ---------------------------------------------------------------------------
+
+from . import _store as _ST  # noqa: E402
+
+
+def _fold_df(df: DataFrame) -> DataFrame:
+    return df.groupBy("w", "tb").agg(
+        F.sum("df_t").cast("long").alias("df_t")
+    )
+
+
+def _fold_stats(stats: DataFrame) -> DataFrame:
+    return stats.agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("total_dl").cast("long").alias("total_dl"),
+    )
+
+
+_ST.COMPACT_SPECS[_BM25_LAYOUT] = [
+    ("postings", "tb", None),
+    ("df", "tb", _fold_df),
+    ("_stats", None, _fold_stats),
+]

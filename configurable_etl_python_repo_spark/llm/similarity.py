@@ -524,10 +524,11 @@ def dequantize_embeddings(
 def ivf_build_index(
     corpus: DataFrame,
     path: str,
-    n_centroids: int = 256,
+    n_centroids: "int | None" = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     quantize: bool = False,
+    target_list_size: int = 1024,
 ) -> "list[tuple[int, list[float]]]":
     """WRITE-SIDE IVF index: assign every corpus vector to its nearest
     centroid and store the corpus PHYSICALLY PARTITIONED by centroid id
@@ -544,38 +545,61 @@ def ivf_build_index(
 
     Roll the index forward with ivf_extend_index (FAISS-add semantics:
     the quantizer is fixed at build time; rebuild when the corpus
-    distribution drifts). `_meta` pins (n_centroids, quantize, layout)
-    so search/extend refuse a mismatched tree."""
+    distribution drifts). `_meta` pins (n_centroids, quantize, layout,
+    meta_id) so search/extend refuse a mismatched tree.
+
+    n_centroids=None (the default) AUTO-SIZES the coarse quantizer
+    from one corpus count as max(1, ceil(N / target_list_size)) — the
+    scale policy (per-list size constant as the corpus grows) applied
+    as the default instead of a docstring; pass an explicit int to pin
+    (oracle fixtures do). The build commits ATOMICALLY via the
+    segment-manifest protocol (_store.py): a crashed rebuild leaves
+    the previous index fully readable."""
+    import math
+
+    from . import _store as ST
+
+    if n_centroids is None:
+        if target_list_size < 1:
+            raise ValueError(
+                f"target_list_size must be >= 1, got {target_list_size}"
+            )
+        n_centroids = max(1, math.ceil(corpus.count() / target_list_size))
     centroids = _hash_order_sample(corpus, n_centroids, id_col, vec_col)
     rows = _ivf_rows(corpus, centroids, id_col, vec_col, quantize)
-    # repartition on the partition column BEFORE partitionBy: aligned
-    # writers emit ~one file per list instead of tasks x lists slivers
-    (
-        rows.repartition("cid").write.mode("overwrite")
-        .partitionBy("cid")
-        .parquet(path)
-    )
+    seg, meta_id = ST.new_segment_id(), ST.new_meta_id()
+    ST.write_segment(rows, path, "", seg, "cid")
     cent_df = [(int(c), list(map(float, v))) for c, v in centroids]
     spark = corpus.sparkSession
     spark.createDataFrame(
         cent_df, "cid long, cvec array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(path + "/_centroids")
     spark.createDataFrame(
-        [(len(centroids), bool(quantize), _IVF_LAYOUT)],
-        "n_centroids int, quantize boolean, layout string",
+        [(len(centroids), bool(quantize), _IVF_LAYOUT, meta_id)],
+        "n_centroids int, quantize boolean, layout string, "
+        "meta_id string",
     ).coalesce(1).write.mode("overwrite").parquet(path + "/_meta")
+    ST.commit_build(path, seg, meta_id)
     return centroids
 
 
-#: ANN store layout version (vectors at the root partitioned by cid,
-#: _centroids + _meta alongside); search/extend refuse other trees
-_IVF_LAYOUT = "ivf-cid-v1"
+#: ANN store layout version (vectors under seg=<id> dirs at the root,
+#: partitioned by cid; _centroids + _meta + _segments manifests
+#: alongside — v2 = atomic segment-manifest commits, _store.py);
+#: search/extend refuse other trees
+_IVF_LAYOUT = "ivf-cid-seg-v2"
 
 
 def _ivf_meta(spark, path: str):
     from ._store import read_meta
 
     return read_meta(spark, path, _IVF_LAYOUT, kind="ivf index")
+
+
+def _ivf_committed(spark, path: str):
+    from ._store import committed_state
+
+    return committed_state(spark, path, _IVF_LAYOUT, kind="ivf index")
 
 
 def _ivf_rows(
@@ -609,26 +633,31 @@ def ivf_extend_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> None:
+    tag: "str | None" = None,
+) -> bool:
     """Roll the ANN index forward: assign the batch under the index's
     OWN stored centroids and quantization mode (read back — callers
-    cannot desynchronize either) and append into the same cid
-    partition directories. FAISS-add semantics: the coarse quantizer is
-    never retrained; an exhaustive search (n_probe = n_centroids) after
-    an extend equals brute force over the union (pytest-pinned), and
-    pruning behaves as if the rows were present at build time. NOT atomic on
-    failure (see llm/_store.py's durability contract): rebuild on a
-    partial extend."""
+    cannot desynchronize either) and commit a new segment. FAISS-add
+    semantics: the coarse quantizer is never retrained; an exhaustive
+    search (n_probe = n_centroids) after an extend equals brute force
+    over the union (pytest-pinned), and pruning behaves as if the rows
+    were present at build time. ATOMIC via the segment-manifest commit
+    (_store.py); `tag` gives retry idempotence (returns False if
+    already committed)."""
+    from . import _store as ST
+
     spark = batch.sparkSession
-    meta = _ivf_meta(spark, path)
+    meta, _, tags = _ivf_committed(spark, path)
+    if tag is not None and tag in tags:
+        return False
     cent_rows = spark.read.parquet(path + "/_centroids").collect()
     centroids = sorted((int(r.cid), list(r.cvec)) for r in cent_rows)
     rows = _ivf_rows(
         batch, centroids, id_col, vec_col, bool(meta.quantize)
     )
-    rows.repartition("cid").write.mode("append").partitionBy(
-        "cid"
-    ).parquet(path)
+    seg = ST.new_segment_id()
+    ST.write_segment(rows, path, "", seg, "cid")
+    return ST.commit_extend(path, seg, meta.meta_id, tag=tag)
 
 
 def ivf_search_index(
@@ -645,7 +674,9 @@ def ivf_search_index(
     each query's n_probe nearest lists, and scan ONLY those partitions of
     the indexed corpus — `cid IN (...)` prunes at the file listing, so
     I/O scales with the probed fraction. Rerank is the exact cosine."""
-    _ivf_meta(spark, path)
+    from ._store import read_committed
+
+    _, segs, _ = _ivf_committed(spark, path)
     cent_rows = spark.read.parquet(path + "/_centroids").collect()
     centroids = sorted((int(r.cid), list(r.cvec)) for r in cent_rows)
     probe = ivf_assignments_arrow(centroids, n_best=n_probe)
@@ -657,8 +688,11 @@ def ivf_search_index(
     probed = sorted({
         int(r[0]) for r in q.select("cid").distinct().collect()
     })
-    # partition filter: only the probed lists' files are ever listed/read
-    stored = spark.read.parquet(path).where(F.col("cid").isin(probed))
+    # partition filter: only committed segments' probed lists are ever
+    # listed/read (crashed extends' orphans are invisible)
+    stored = read_committed(spark, path, "", segs).where(
+        F.col("cid").isin(probed)
+    )
     if "qvec" in stored.columns:  # quantized index: dequantize at rerank
         stored = stored.select(
             "cid",
@@ -1043,3 +1077,12 @@ def semantic_dedup_table(
             F.col("dup_of").isNull().alias("kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Compaction spec: the IVF store is one verbatim relation at the root
+# ---------------------------------------------------------------------------
+
+from . import _store as _ST  # noqa: E402
+
+_ST.COMPACT_SPECS[_IVF_LAYOUT] = [("", "cid", None)]

@@ -82,7 +82,7 @@ def test_probe_scan_is_partition_pruned(spark, sf_dir, tmp_path):
     corpus, _ = _corpus_and_batch(spark, sf_dir)
     idx = str(tmp_path / "mh")
     minhash_build_index(corpus, idx, key_buckets=16, **_LSH)
-    assert len(glob.glob(f"{idx}/buckets/kb=*")) > 1
+    assert len(glob.glob(f"{idx}/buckets/seg=*/kb=*")) > 1
     tiny = _docs(spark, sf_dir).where(F.col("doc_id") == 1)
     out = dedup_against_index(spark, idx, tiny, verify=False)
     plan = out._jdf.queryExecution().executedPlan().toString()
@@ -148,7 +148,7 @@ def test_verify_arrays_scan_is_partition_pruned(spark, sf_dir, tmp_path):
     corpus, _ = _corpus_and_batch(spark, sf_dir)
     idx = str(tmp_path / "mh")
     minhash_build_index(corpus, idx, key_buckets=16, **_LSH)
-    assert len(glob.glob(f"{idx}/arrays/ab=*")) > 1
+    assert len(glob.glob(f"{idx}/arrays/seg=*/ab=*")) > 1
     tiny = _docs(spark, sf_dir).where(F.col("doc_id") == 2).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
@@ -244,7 +244,7 @@ def test_simhash_probe_pruned_and_extend(spark, sf_dir, tmp_path):
     want = {(r.id_a, r.id_b) for r in
             simhash_against_index(spark, full, probe).collect()}
     assert got == want and got
-    assert len(glob.glob(f"{inc}/bands/kb=*")) > 1
+    assert len(glob.glob(f"{inc}/bands/seg=*/kb=*")) > 1
     tiny = docs.where(F.col("doc_id") == 2).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text")
     plan = simhash_against_index(
@@ -387,7 +387,7 @@ def test_embedding_probe_scan_is_partition_pruned(spark, sf_dir, tmp_path):
     corpus, _ = _vec_corpus_and_batch(spark, sf_dir)
     idx = str(tmp_path / "emb")
     embedding_build_index(corpus, idx, n_centroids=_EMB_NC)
-    assert len(glob.glob(f"{idx}/vectors/cid=*")) > 1
+    assert len(glob.glob(f"{idx}/vectors/seg=*/cid=*")) > 1
     tiny = _vecs(spark, sf_dir).where(F.col("vec_id") == 1)
     out = embedding_against_index(spark, idx, tiny, threshold=_EMB_T,
                                   n_probe=1)

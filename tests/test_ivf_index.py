@@ -42,7 +42,7 @@ def test_ivf_index_quantized_recall_and_size(spark, sf_dir, tmp_path):
     ivf_build_index(emb, q_idx, n_centroids=8, quantize=True)
 
     sz = lambda p: sum(  # noqa: E731
-        os.path.getsize(f) for f in glob.glob(f"{p}/cid=*/*.parquet")
+        os.path.getsize(f) for f in glob.glob(f"{p}/seg=*/cid=*/*.parquet")
     )
     assert sz(q_idx) < sz(full_idx) * 0.5  # int8 + scale vs float32
 
@@ -75,7 +75,7 @@ def test_ivf_index_scan_is_partition_pruned(spark, sf_dir, tmp_path):
     assert m and "cid" in m.group(1), plan
     # and the layout really is one directory per inverted list
     import glob
-    lists = glob.glob(f"{idx}/cid=*")
+    lists = glob.glob(f"{idx}/seg=*/cid=*")
     assert len(lists) == 8
 
 

@@ -137,14 +137,16 @@ def test_bm25_index_scan_is_partition_pruned(spark, sf_dir, tmp_path):
     idx = str(tmp_path / "bm25")
     bm25_build_index(docs, idx, term_buckets=16)
     import glob
-    assert len(glob.glob(f"{idx}/postings/tb=*")) > 1
+    assert len(glob.glob(f"{idx}/postings/seg=*/tb=*")) > 1
     out = bm25_search_index(spark, idx, "needle", k=3)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    # postings AND df scans carry the tb partition filter (the one-row
-    # _stats scan prints an empty PartitionFilters — that's fine)
+    # postings AND df scans carry the tb partition filter; EVERY store
+    # scan (including the per-segment _stats rows) carries the
+    # committed-segment filter — orphans from crashed writers are
+    # pruned at the file listing
     prunes = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
-    assert sum("tb" in p for p in prunes) >= 2, plan
-    assert all("tb" in p or p.strip() == "" for p in prunes), plan
+    assert sum("tb" in p and "seg" in p for p in prunes) >= 2, plan
+    assert all("seg" in p or p.strip() == "" for p in prunes), plan
     # the probe never scans the corpus text
     assert "documents.parquet" not in plan
 
@@ -199,11 +201,16 @@ def test_bm25_empty_index_raises(spark, tmp_path):
         bm25_build_index(empty, idx)
     # defense-in-depth: a tree whose _stats sums to 0 anyway (manual
     # surgery / foreign writer) is refused at search time too
+    from configurable_etl_python_repo_spark.llm._store import read_manifest
+
     docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
     bm25_build_index(docs, idx)
+    seg = read_manifest(idx)[1]["segments"][0]
     spark.createDataFrame(
         [(0, 0)], "n_docs long, total_dl long"
-    ).coalesce(1).write.mode("overwrite").parquet(idx + "/_stats")
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{idx}/_stats/seg={seg}"
+    )
     with _pytest.raises(ValueError, match="0 documents"):
         bm25_search_index(spark, idx, "anything", k=3)
 
@@ -299,6 +306,8 @@ def test_bm25_layout_guard_and_extend_config_op(spark, tmp_path):
         ["doc_id", "text"])
     idx = str(tmp_path / "bm25")
     bm25_build_index(docs, idx)
+    original_meta = spark.read.parquet(idx + "/_meta")
+    original_rows = original_meta.collect()
     # forge an old-layout _meta (term_buckets only)
     spark.createDataFrame([(64,)], "term_buckets int").coalesce(
         1
@@ -307,9 +316,18 @@ def test_bm25_layout_guard_and_extend_config_op(spark, tmp_path):
         bm25_search_index(spark, idx, "phrase").collect()
     with pytest.raises(ValueError, match="layout"):
         bm25_extend_index(docs, idx)
+    # a TORN tree (right layout, wrong meta generation vs the committed
+    # manifest — a rebuild that crashed between _meta and its commit)
+    # is refused too
+    spark.createDataFrame(
+        [(64, "bm25-seg-v2", "not-the-committed-generation")],
+        "term_buckets int, layout string, meta_id string",
+    ).coalesce(1).write.mode("overwrite").parquet(idx + "/_meta")
+    with pytest.raises(ValueError, match="torn"):
+        bm25_search_index(spark, idx, "phrase").collect()
     # restore and extend through the config op
     spark.createDataFrame(
-        [(64, "bm25-seg-v1")], "term_buckets int, layout string"
+        original_rows, original_meta.schema
     ).coalesce(1).write.mode("overwrite").parquet(idx + "/_meta")
     eng = Engine(spark)
     eng.bind("more", spark.createDataFrame(
