@@ -2081,7 +2081,7 @@ def q_d18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus, batch = _emb_incr_split(spark, sf_dir)
     path = _build_once(
-        "d18_idx", sf_dir, f"nc={_D18_NC} v2",
+        "d18_idx", sf_dir, f"nc={_D18_NC} v3",
         lambda p: DI.embedding_build_index(
             corpus, p, n_centroids=_D18_NC
         ),

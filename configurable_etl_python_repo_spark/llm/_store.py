@@ -54,7 +54,6 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from ..sinks.logstore import LocalLogStore, LogStore
 from ..sinks.txlog import ConcurrentWriteError
@@ -286,7 +285,14 @@ def commit_replace(
     its snapshot are preserved untouched (their data was not folded
     into new_seg); tags are carried forward — only tag MEMBERSHIP
     matters for idempotence, and the admitted batches' rows now live in
-    the compacted segment."""
+    the compacted segment.
+
+    Raises ConcurrentWriteError if any `replaced` segment is no longer
+    in the current manifest: the snapshot this compaction folded was
+    already swapped out (a concurrent compaction won). Retrying the
+    publish anyway would commit [new_seg, winner_seg] where BOTH
+    contain the folded rows — every compacted row visible twice
+    (duplicate candidate pairs, doubled BM25 df/n_docs), silently."""
     st = _seg_store(path, store)
     for _ in range(_MAX_COMMIT_RETRIES):
         version, man = read_manifest(path, st)
@@ -294,6 +300,14 @@ def commit_replace(
             raise ConcurrentWriteError(
                 f"index at {path} was rebuilt during this compaction "
                 f"— the compacted segment is stale; re-run"
+            )
+        missing = set(replaced) - set(man["segments"])
+        if missing:
+            raise ConcurrentWriteError(
+                f"compaction at {path} folded segments "
+                f"{sorted(missing)} that a concurrent compaction "
+                f"already replaced — publishing would double their "
+                f"rows; discard this compacted segment and re-run"
             )
         kept = [s for s in man["segments"] if s not in set(replaced)]
         try:
@@ -309,6 +323,59 @@ def commit_replace(
         f"compaction commit at {path} lost {_MAX_COMMIT_RETRIES} "
         f"straight races — aborting"
     )
+
+
+# ---------------------------------------------------------------------------
+# Sidecar relations (_centroids)
+# ---------------------------------------------------------------------------
+#
+# The coarse-quantizer table is a SIDECAR like _meta: rewritten in place
+# by rebuilds, outside the segment protocol. A rebuild is therefore NOT
+# fully atomic — a crash between the sidecar overwrites and commit_build
+# leaves the previous index UNREADABLE (the torn-rebuild guard fires)
+# rather than readable; what the protocol guarantees is that the tear is
+# DETECTED, never silently probed. Stamping meta_id into every centroid
+# row extends that detection to _centroids: a probe that resolved
+# committed_state and then read a mid-rebuild-swapped centroid table
+# fails loudly instead of assigning the batch under new centroids
+# against old segments.
+
+
+def write_centroids(
+    spark: SparkSession,
+    path: str,
+    centroids: "list[tuple[int, list[float]]]",
+    meta_id: str,
+) -> None:
+    """Persist the coarse quantizer with the build's meta_id stamped on
+    every row, so readers can cross-check it against the committed
+    manifest's generation exactly like _meta."""
+    spark.createDataFrame(
+        [(int(c), [float(x) for x in v], meta_id) for c, v in centroids],
+        "cid long, cvec array<double>, meta_id string",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/_centroids")
+
+
+def read_centroids(
+    spark: SparkSession,
+    path: str,
+    meta_id: str,
+    kind: str = "index",
+) -> "list[tuple[int, list[float]]]":
+    """The ONLY way probes/extends read the quantizer: sorted
+    (cid, cvec) rows, refused loudly if any row's generation differs
+    from the committed manifest's meta_id (torn rebuild, or a rebuild
+    completing underneath a running probe)."""
+    rows = spark.read.parquet(path + "/_centroids").collect()
+    bad = {getattr(r, "meta_id", None) for r in rows} - {meta_id}
+    if bad:
+        raise ValueError(
+            f"{kind} at {path} is torn: _centroids generation(s) "
+            f"{sorted(map(repr, bad))} do not match the committed "
+            f"manifest's {meta_id!r} — a rebuild crashed or completed "
+            f"mid-read; re-run the build (or the probe)"
+        )
+    return sorted((int(r.cid), list(r.cvec)) for r in rows)
 
 
 # ---------------------------------------------------------------------------
@@ -344,14 +411,19 @@ def write_segment(
 def read_committed(
     spark: SparkSession, path: str, rel: str, segments: "list[str]"
 ) -> DataFrame:
-    """One relation filtered to the committed segments — the ONLY way
-    any probe/search reads store data. seg is a discovered partition
-    column, so orphans from crashed writers are pruned at the file
-    listing, exactly like the stores' kb/cid/tb filters."""
+    """One relation restricted to the committed segments — the ONLY way
+    any probe/search reads store data. The committed seg=<id> dirs are
+    passed to the reader EXPLICITLY (with basePath, so the store's own
+    kb/cid/tb partition level keeps pruning): orphan directories from
+    crashed writers are never even LISTED, so they can neither leak
+    rows nor poison parquet schema inference — a crashed opposite-mode
+    rebuild's orphans may carry a different schema (vec vs scale+qvec),
+    and a root-scan-then-filter read could sample an orphan's footer
+    first."""
+    root = _rel_root(path, rel)
+    dirs = [f"{root}/seg={s}" for s in segments]
     return (
-        spark.read.parquet(_rel_root(path, rel))
-        .where(F.col("seg").isin(list(segments)))
-        .drop("seg")
+        spark.read.option("basePath", root).parquet(*dirs).drop("seg")
     )
 
 

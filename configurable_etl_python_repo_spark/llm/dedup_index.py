@@ -448,8 +448,9 @@ def simhash_against_index(
 
 #: embedding store layout version (vectors/ partitioned by IVF centroid id,
 #: centroid table + params alongside; v2 = segment-manifest commits +
-#: optional int8 storage, see _store.py)
-_EMB_LAYOUT = "emb-cid-seg-v2"
+#: optional int8 storage; v3 = meta_id stamped into _centroids rows so a
+#: torn/mid-probe-swapped quantizer fails loudly, see _store.py)
+_EMB_LAYOUT = "emb-cid-seg-v3"
 
 #: auto-sizing target: vectors per IVF list when n_centroids is None —
 #: the d11/SemDeDup scale policy (n_centroids ~ N / target_list_size)
@@ -529,8 +530,13 @@ def embedding_build_index(
     policy, BENCH_sf1_r08.json). Pass an explicit int to pin (oracle
     fixtures share the n3 oracle's centroid math that way).
 
-    The build is ATOMIC (segment-manifest commit, _store.py): a
-    crashed rebuild leaves the previous index fully readable.
+    The build COMMITS atomically (segment-manifest commit, _store.py):
+    readers never see a half-written segment, and a crashed FIRST build
+    leaves only invisible orphans. A crashed REbuild is weaker — _meta
+    and _centroids are in-place sidecars, so dying between their
+    overwrite and commit_build leaves the previous index DETECTABLY
+    torn (probes raise the torn-rebuild error; meta_id is cross-checked
+    in both sidecars) rather than readable. Re-run the build to heal.
 
     Reference parity: the reference persists no state between runs
     (/root/reference/Configurable_ETL_Python.py re-reads every source per
@@ -555,10 +561,7 @@ def embedding_build_index(
     seg, meta_id = ST.new_segment_id(), ST.new_meta_id()
     ST.write_segment(rows, path, "vectors", seg, "cid")
     spark = corpus.sparkSession
-    spark.createDataFrame(
-        [(int(c), [float(x) for x in v]) for c, v in cents],
-        "cid long, cvec array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(path + "/_centroids")
+    ST.write_centroids(spark, path, cents, meta_id)
     spark.createDataFrame(
         [(len(cents), bool(quantize), _EMB_LAYOUT, meta_id)],
         "n_centroids int, quantize boolean, layout string, "
@@ -567,9 +570,12 @@ def embedding_build_index(
     ST.commit_build(path, seg, meta_id)
 
 
-def _stored_centroids(spark: SparkSession, path: str):
-    rows = spark.read.parquet(path + "/_centroids").collect()
-    return sorted((int(r.cid), list(r.cvec)) for r in rows)
+def _stored_centroids(spark: SparkSession, path: str, meta_id: str):
+    from ._store import read_centroids
+
+    return read_centroids(
+        spark, path, meta_id, kind="embedding index"
+    )
 
 
 def embedding_extend_index(
@@ -593,7 +599,7 @@ def embedding_extend_index(
     meta, _, tags = _committed(spark, path, _EMB_LAYOUT)
     if tag is not None and tag in tags:
         return False
-    cents = _stored_centroids(spark, path)
+    cents = _stored_centroids(spark, path, meta.meta_id)
     rows = _emb_rows(batch, cents, id_col, vec_col, bool(meta.quantize))
     seg = ST.new_segment_id()
     ST.write_segment(rows, path, "vectors", seg, "cid")
@@ -639,7 +645,7 @@ def embedding_against_index(
     from .similarity import _sim, _with_norm, ivf_assignments_arrow
 
     meta, segs, _ = _committed(spark, path, _EMB_LAYOUT)
-    cents = _stored_centroids(spark, path)
+    cents = _stored_centroids(spark, path, meta.meta_id)
     if not (1 <= n_probe <= len(cents)):
         raise ValueError(
             f"n_probe must be in [1, {len(cents)}], got {n_probe}"

@@ -552,9 +552,12 @@ def ivf_build_index(
     from one corpus count as max(1, ceil(N / target_list_size)) — the
     scale policy (per-list size constant as the corpus grows) applied
     as the default instead of a docstring; pass an explicit int to pin
-    (oracle fixtures do). The build commits ATOMICALLY via the
-    segment-manifest protocol (_store.py): a crashed rebuild leaves
-    the previous index fully readable."""
+    (oracle fixtures do). The build COMMITS atomically via the
+    segment-manifest protocol (_store.py): readers never see a
+    half-written segment. A crashed REbuild is weaker — _meta and
+    _centroids are in-place sidecars, so dying between their overwrite
+    and commit_build leaves the previous index DETECTABLY torn (the
+    meta_id cross-check raises) rather than readable; re-run to heal."""
     import math
 
     from . import _store as ST
@@ -569,11 +572,8 @@ def ivf_build_index(
     rows = _ivf_rows(corpus, centroids, id_col, vec_col, quantize)
     seg, meta_id = ST.new_segment_id(), ST.new_meta_id()
     ST.write_segment(rows, path, "", seg, "cid")
-    cent_df = [(int(c), list(map(float, v))) for c, v in centroids]
     spark = corpus.sparkSession
-    spark.createDataFrame(
-        cent_df, "cid long, cvec array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(path + "/_centroids")
+    ST.write_centroids(spark, path, centroids, meta_id)
     spark.createDataFrame(
         [(len(centroids), bool(quantize), _IVF_LAYOUT, meta_id)],
         "n_centroids int, quantize boolean, layout string, "
@@ -585,9 +585,10 @@ def ivf_build_index(
 
 #: ANN store layout version (vectors under seg=<id> dirs at the root,
 #: partitioned by cid; _centroids + _meta + _segments manifests
-#: alongside — v2 = atomic segment-manifest commits, _store.py);
-#: search/extend refuse other trees
-_IVF_LAYOUT = "ivf-cid-seg-v2"
+#: alongside — v2 = atomic segment-manifest commits; v3 = meta_id
+#: stamped into _centroids rows so a torn/mid-probe-swapped quantizer
+#: fails loudly, _store.py); search/extend refuse other trees
+_IVF_LAYOUT = "ivf-cid-seg-v3"
 
 
 def _ivf_meta(spark, path: str):
@@ -650,8 +651,9 @@ def ivf_extend_index(
     meta, _, tags = _ivf_committed(spark, path)
     if tag is not None and tag in tags:
         return False
-    cent_rows = spark.read.parquet(path + "/_centroids").collect()
-    centroids = sorted((int(r.cid), list(r.cvec)) for r in cent_rows)
+    centroids = ST.read_centroids(
+        spark, path, meta.meta_id, kind="ivf index"
+    )
     rows = _ivf_rows(
         batch, centroids, id_col, vec_col, bool(meta.quantize)
     )
@@ -674,11 +676,12 @@ def ivf_search_index(
     each query's n_probe nearest lists, and scan ONLY those partitions of
     the indexed corpus — `cid IN (...)` prunes at the file listing, so
     I/O scales with the probed fraction. Rerank is the exact cosine."""
-    from ._store import read_committed
+    from ._store import read_centroids, read_committed
 
-    _, segs, _ = _ivf_committed(spark, path)
-    cent_rows = spark.read.parquet(path + "/_centroids").collect()
-    centroids = sorted((int(r.cid), list(r.cvec)) for r in cent_rows)
+    meta, segs, _ = _ivf_committed(spark, path)
+    centroids = read_centroids(
+        spark, path, meta.meta_id, kind="ivf index"
+    )
     probe = ivf_assignments_arrow(centroids, n_best=n_probe)
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -693,7 +696,10 @@ def ivf_search_index(
     stored = read_committed(spark, path, "", segs).where(
         F.col("cid").isin(probed)
     )
-    if "qvec" in stored.columns:  # quantized index: dequantize at rerank
+    # branch on the COMMITTED meta.quantize, never on schema sniffing:
+    # orphan segments from a crashed opposite-mode rebuild can flip
+    # Spark's parquet schema inference (ADVICE r9) — meta is the truth
+    if bool(meta.quantize):  # quantized index: dequantize at rerank
         stored = stored.select(
             "cid",
             F.col(id_col),
