@@ -475,3 +475,105 @@ def test_embedding_index_config_ops(spark, sf_dir, tmp_path):
          "id_column": "vec_id", "vector_column": "embedding"}))
     self_hits = {(r.id_a, r.id_b) for r in again.collect()}
     assert {(rid, rid) for rid in replicas} <= self_hits
+
+
+def test_embedding_auto_centroids_default_matches_explicit_pin(
+    spark, sf_dir, tmp_path
+):
+    """n_centroids=None (the DEFAULT) sizes the coarse quantizer as
+    ceil(N / target_list_size) — per-list size stays constant as the
+    corpus grows, the policy that keeps probe cost batch-scaled at
+    100 TB. The auto-sized index must be indistinguishable from an
+    explicit pin of the same value: same meta, same probe answers."""
+    import math
+
+    corpus, batch = _vec_corpus_and_batch(spark, sf_dir)
+    n = corpus.count()
+    tls = max(1, n // 4)  # force several lists even on the tiny fixture
+    want_nc = max(1, math.ceil(n / tls))
+    assert want_nc > 1
+
+    auto = str(tmp_path / "emb_auto")
+    pinned = str(tmp_path / "emb_pin")
+    embedding_build_index(corpus, auto, n_centroids=None,
+                          target_list_size=tls)
+    embedding_build_index(corpus, pinned, n_centroids=want_nc)
+
+    meta = spark.read.parquet(auto + "/_meta").collect()[0]
+    assert meta.n_centroids == want_nc
+    got_auto = {
+        (r.id_a, r.id_b, r.sim)
+        for r in embedding_against_index(
+            spark, auto, batch, threshold=_EMB_T, n_probe=want_nc
+        ).collect()
+    }
+    got_pin = {
+        (r.id_a, r.id_b, r.sim)
+        for r in embedding_against_index(
+            spark, pinned, batch, threshold=_EMB_T, n_probe=want_nc
+        ).collect()
+    }
+    assert got_auto == got_pin and got_auto
+
+    with pytest.raises(ValueError, match="target_list_size"):
+        embedding_build_index(corpus, str(tmp_path / "bad"),
+                              n_centroids=None, target_list_size=0)
+
+
+def test_embedding_quantized_store_parity_recall_and_size(
+    spark, sf_dir, tmp_path
+):
+    """quantize=True stores int8 codes + per-vector scale and probes in
+    the DEQUANTIZED domain (the ivf-index recall pattern applied to
+    embedding_against_index): at threshold 0.9 every exact replica is
+    still found at sim ~1.0, recall vs the exact store is >= 0.9, sims
+    agree within quantization error, and the vectors relation is at
+    least 2x smaller on disk."""
+    import glob as _glob
+    import os as _os
+
+    corpus, batch = _vec_corpus_and_batch(spark, sf_dir)
+    exact_idx = str(tmp_path / "emb_exact")
+    q_idx = str(tmp_path / "emb_q8")
+    embedding_build_index(corpus, exact_idx, n_centroids=_EMB_NC)
+    embedding_build_index(corpus, q_idx, n_centroids=_EMB_NC,
+                          quantize=True)
+
+    # physical claims: tinyint codes, >= 2x smaller than array<double>
+    schema = spark.read.parquet(
+        _glob.glob(f"{q_idx}/vectors/seg=*")[0]
+    ).schema
+    assert schema["qvec"].dataType.elementType.typeName() == "byte"
+    sz = lambda p: sum(  # noqa: E731
+        _os.path.getsize(f)
+        for f in _glob.glob(f"{p}/vectors/seg=*/cid=*/*.parquet")
+    )
+    assert sz(q_idx) < sz(exact_idx) * 0.5
+
+    kw = dict(threshold=0.9, n_probe=_EMB_NC)
+    exact = {(r.id_a, r.id_b): r.sim
+             for r in embedding_against_index(
+                 spark, exact_idx, batch, **kw).collect()}
+    quant = {(r.id_a, r.id_b): r.sim
+             for r in embedding_against_index(
+                 spark, q_idx, batch, **kw).collect()}
+    # every exact replica found, scored within quantization error of 1
+    replicas = {r[0] for r in batch.where(F.col("vec_id") >= 1000000)
+                .select("vec_id").collect()}
+    assert replicas
+    for rid in replicas:
+        assert quant[(rid, rid - 1000000)] >= 0.999
+    # recall + numeric agreement on the shared pairs
+    assert len(set(quant) & set(exact)) / len(exact) >= 0.9
+    for pair in set(quant) & set(exact):
+        assert abs(quant[pair] - exact[pair]) <= 0.005
+
+    # extend inherits the committed quantize mode: rows land as codes
+    assert embedding_extend_index(
+        batch.where(F.col("vec_id") >= 1000000), q_idx) is True
+    import configurable_etl_python_repo_spark.llm._store as ST
+    _, man = ST.read_manifest(q_idx)
+    newest = man["segments"][-1]
+    ext_schema = spark.read.parquet(
+        f"{q_idx}/vectors/seg={newest}").schema.names
+    assert "qvec" in ext_schema and "vec" not in ext_schema

@@ -1,0 +1,558 @@
+"""Durability protocol of the segment-manifest index stores
+(llm/_store.py): crash-point invisibility at every write boundary,
+two-writer races, tagged-retry idempotence, compaction == fresh
+rebuild, vacuum retention, and the torn-sidecar guards — the
+tests/test_txlog.py treatment applied to the five index families.
+
+The protocol these tests pin (docstring of llm/_store.py): the
+manifest create IS the commit; everything written before it is an
+invisible orphan; a crashed REbuild is detectably torn (sidecars are
+in-place), never silently probed; compaction that lost its snapshot
+refuses to publish instead of doubling rows."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import configurable_etl_python_repo_spark.llm._store as ST
+from configurable_etl_python_repo_spark.llm.dedup_index import (
+    dedup_against_index,
+    embedding_against_index,
+    embedding_build_index,
+    embedding_extend_index,
+    minhash_build_index,
+    minhash_extend_index,
+)
+from configurable_etl_python_repo_spark.llm.search import (
+    bm25_build_index,
+    bm25_extend_index,
+    bm25_search_index,
+)
+from configurable_etl_python_repo_spark.sinks.txlog import (
+    ConcurrentWriteError,
+)
+
+_LSH = dict(n=3, bands=4, rows_per_band=2)
+_T = 0.1
+
+
+class _Crash(RuntimeError):
+    """Injected failure standing in for a killed executor/driver."""
+
+
+def _docs(spark, sf_dir, lo, hi):
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+    )
+
+
+def _vecs(spark, sf_dir, lo, hi):
+    return (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .where((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+    )
+
+
+def _probe_set(spark, idx, batch):
+    return {
+        (r.id_a, r.id_b)
+        for r in dedup_against_index(
+            spark, idx, batch, threshold=_T
+        ).collect()
+    }
+
+
+def _search_rows(spark, idx, query, k=10):
+    return sorted(
+        (r.doc_id, r.rank, r.score)
+        for r in bm25_search_index(spark, idx, query, k=k).collect()
+    )
+
+
+def _corpus_query(docs):
+    """A query of real corpus terms, so searches score non-trivially."""
+    words = docs.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+    ).where(F.length("w") > 3).limit(3).collect()
+    return " ".join(sorted({r.w for r in words}))
+
+
+# ---------------------------------------------------------------------------
+# Crash points: everything before the manifest commit is invisible
+# ---------------------------------------------------------------------------
+
+
+def test_first_build_crash_before_commit_is_invisible_and_retryable(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """A build killed between its segment writes and commit_build
+    leaves a tree NO reader accepts (loud 'no committed segments'),
+    and a straight retry on the same path succeeds."""
+    corpus = _docs(spark, sf_dir, 0, 30)
+    batch = _docs(spark, sf_dir, 0, 10).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    idx = str(tmp_path / "mh")
+    real = ST.commit_build
+    monkeypatch.setattr(ST, "commit_build", lambda *a, **k: (_ for _ in ()).throw(_Crash()))
+    with pytest.raises(_Crash):
+        minhash_build_index(corpus, idx, **_LSH)
+    # debris exists, but the store is refused loudly, not misread
+    assert glob.glob(f"{idx}/buckets/seg=*")
+    with pytest.raises(ValueError, match="no committed segments"):
+        dedup_against_index(spark, idx, batch, threshold=_T)
+    monkeypatch.setattr(ST, "commit_build", real)
+    minhash_build_index(corpus, idx, **_LSH)
+    got = _probe_set(spark, idx, batch)
+    assert {(d + 1000000, d) for d in range(0, 10, 2)} <= got
+
+
+def test_extend_crash_before_commit_then_retry_minhash(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """An extend killed after writing BOTH its relations' segment dirs
+    but before commit_extend changes nothing a probe can see; the
+    retried extend lands exactly once (probe == fresh rebuild over the
+    union)."""
+    part_a = _docs(spark, sf_dir, 0, 30)
+    part_b = _docs(spark, sf_dir, 30, 50)
+    batch = part_a.unionByName(part_b).where(
+        F.col("doc_id") % 5 == 0
+    ).select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    idx = str(tmp_path / "mh")
+    minhash_build_index(part_a, idx, **_LSH)
+    before = _probe_set(spark, idx, batch)
+
+    real = ST.commit_extend
+    monkeypatch.setattr(ST, "commit_extend", lambda *a, **k: (_ for _ in ()).throw(_Crash()))
+    with pytest.raises(_Crash):
+        minhash_extend_index(part_b, idx)
+    # orphan segment dirs exist in both relations...
+    _, man = ST.read_manifest(idx)
+    orphans = {
+        p.split("seg=")[1].split("/")[0]
+        for p in glob.glob(f"{idx}/*/seg=*")
+    } - set(man["segments"])
+    assert orphans
+    # ...and are invisible: the probe answers exactly as before
+    assert _probe_set(spark, idx, batch) == before
+
+    monkeypatch.setattr(ST, "commit_extend", real)
+    assert minhash_extend_index(part_b, idx) is True
+    fresh = str(tmp_path / "mh_union")
+    minhash_build_index(part_a.unionByName(part_b), fresh, **_LSH)
+    assert _probe_set(spark, idx, batch) == _probe_set(
+        spark, fresh, batch
+    )
+
+
+def test_rebuild_crash_after_meta_is_detectably_torn_then_heals(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """A REbuild killed between its sidecar (_meta) overwrite and
+    commit_build leaves the previous index TORN — probes refuse loudly
+    (meta_id cross-check) instead of probing new parameters against old
+    segments — and re-running the build heals the store."""
+    corpus = _docs(spark, sf_dir, 0, 30)
+    batch = _docs(spark, sf_dir, 0, 10).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    idx = str(tmp_path / "mh")
+    minhash_build_index(corpus, idx, **_LSH)
+
+    real = ST.commit_build
+    monkeypatch.setattr(ST, "commit_build", lambda *a, **k: (_ for _ in ()).throw(_Crash()))
+    with pytest.raises(_Crash):
+        minhash_build_index(corpus, idx, **_LSH)  # rebuild, same path
+    with pytest.raises(ValueError, match="torn"):
+        dedup_against_index(spark, idx, batch, threshold=_T)
+    monkeypatch.setattr(ST, "commit_build", real)
+    minhash_build_index(corpus, idx, **_LSH)
+    got = _probe_set(spark, idx, batch)
+    assert {(d + 1000000, d) for d in range(0, 10, 2)} <= got
+
+
+def test_bm25_extend_crash_then_retry_matches_rebuild(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """BM25's three-relation extend (postings + df + _stats) is one
+    atomic commit: a crash before it changes no score; the retry lands
+    once and searches bit-equal a fresh build over the union."""
+    part_a = _docs(spark, sf_dir, 0, 30)
+    part_b = _docs(spark, sf_dir, 30, 50)
+    idx = str(tmp_path / "bm")
+    bm25_build_index(part_a, idx, term_buckets=8)
+    q = _corpus_query(part_a)
+    before = _search_rows(spark, idx, q)
+
+    real = ST.commit_extend
+    monkeypatch.setattr(ST, "commit_extend", lambda *a, **k: (_ for _ in ()).throw(_Crash()))
+    with pytest.raises(_Crash):
+        bm25_extend_index(part_b, idx)
+    # the torn extend wrote orphan dirs for ALL THREE relations —
+    # none is visible: scores (incl. idf/avgdl, which sum _stats/df
+    # across committed segments only) are bit-identical
+    assert _search_rows(spark, idx, q) == before
+
+    monkeypatch.setattr(ST, "commit_extend", real)
+    assert bm25_extend_index(part_b, idx) is True
+    fresh = str(tmp_path / "bm_union")
+    bm25_build_index(part_a.unionByName(part_b), fresh, term_buckets=8)
+    assert _search_rows(spark, idx, q) == _search_rows(spark, fresh, q)
+
+
+def test_quantize_rebuild_crash_orphan_cannot_poison_schema(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The ADVICE/verdict hazard: a crashed quantize=True rebuild over
+    a quantize=False store leaves orphan segments whose schema
+    (scale, qvec) differs from the committed ones (vec). Probes must
+    stay bit-identical — read_committed lists only committed seg=
+    dirs, so the orphan can neither leak rows nor steer parquet
+    schema inference."""
+    corpus = _vecs(spark, sf_dir, 0, 60).where(F.col("vec_id") % 2 == 0)
+    batch = _vecs(spark, sf_dir, 0, 60).where(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "emb")
+    embedding_build_index(corpus, idx, n_centroids=4)
+    before = {
+        (r.id_a, r.id_b, r.sim)
+        for r in embedding_against_index(
+            spark, idx, batch, threshold=0.2, n_probe=4
+        ).collect()
+    }
+    assert before
+
+    # rebuild with the OPPOSITE storage mode, killed right after the
+    # vectors segment lands (before sidecars + commit)
+    real = ST.write_centroids
+    monkeypatch.setattr(ST, "write_centroids", lambda *a, **k: (_ for _ in ()).throw(_Crash()))
+    with pytest.raises(_Crash):
+        embedding_build_index(corpus, idx, n_centroids=4, quantize=True)
+    monkeypatch.setattr(ST, "write_centroids", real)
+
+    # the orphan dir exists and carries the conflicting schema
+    _, man = ST.read_manifest(idx)
+    orphan_dirs = [
+        p for p in glob.glob(f"{idx}/vectors/seg=*")
+        if p.split("seg=")[1] not in set(man["segments"])
+    ]
+    assert orphan_dirs
+    orphan_schema = spark.read.parquet(orphan_dirs[0]).schema.names
+    assert "qvec" in orphan_schema and "vec" not in orphan_schema
+
+    after = {
+        (r.id_a, r.id_b, r.sim)
+        for r in embedding_against_index(
+            spark, idx, batch, threshold=0.2, n_probe=4
+        ).collect()
+    }
+    assert after == before
+
+
+def test_compact_crash_before_commit_replace_changes_nothing(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """compact_index killed after rewriting every relation but before
+    commit_replace leaves the manifest — and every search — untouched;
+    the retried compaction succeeds."""
+    part_a = _docs(spark, sf_dir, 0, 30)
+    part_b = _docs(spark, sf_dir, 30, 50)
+    idx = str(tmp_path / "bm")
+    bm25_build_index(part_a, idx, term_buckets=8)
+    bm25_extend_index(part_b, idx)
+    q = _corpus_query(part_a)
+    before = _search_rows(spark, idx, q)
+    v_before, man_before = ST.read_manifest(idx)
+
+    real = ST.commit_replace
+    monkeypatch.setattr(ST, "commit_replace", lambda *a, **k: (_ for _ in ()).throw(_Crash()))
+    with pytest.raises(_Crash):
+        ST.compact_index(spark, idx)
+    assert ST.read_manifest(idx) == (v_before, man_before)
+    assert _search_rows(spark, idx, q) == before
+
+    monkeypatch.setattr(ST, "commit_replace", real)
+    ST.compact_index(spark, idx)
+    _, man = ST.read_manifest(idx)
+    assert len(man["segments"]) == 1
+    assert _search_rows(spark, idx, q) == before
+
+
+# ---------------------------------------------------------------------------
+# Races and idempotence
+# ---------------------------------------------------------------------------
+
+
+def test_two_writer_extend_race_both_segments_commit(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Two concurrent extends: the loser of the manifest create re-reads
+    the winner's snapshot and re-publishes — BOTH segments end up
+    committed, and the probe sees both batches' docs."""
+    part_a = _docs(spark, sf_dir, 0, 30)
+    part_b = _docs(spark, sf_dir, 30, 40)
+    part_c = _docs(spark, sf_dir, 40, 50)
+    idx = str(tmp_path / "mh")
+    minhash_build_index(part_a, idx, **_LSH)
+
+    # pre-write the competitor's segment (writer C), to be committed by
+    # a racing publish injected UNDER writer B's first commit attempt
+    meta = spark.read.parquet(idx + "/_meta").collect()[0]
+    from configurable_etl_python_repo_spark.llm.dedup_index import (
+        _ab_col,
+        _batch_buckets,
+    )
+
+    sig_c, buckets_c = _batch_buckets(part_c, "doc_id", "text", meta)
+
+    seg_c = ST.new_segment_id()
+    ST.write_segment(buckets_c, idx, "buckets", seg_c, "kb")
+    ST.write_segment(
+        sig_c.select("id", "arr",
+                     _ab_col(F.col("id"), int(meta.key_buckets))),
+        idx, "arrays", seg_c, "ab",
+    )
+
+    real_publish = ST._publish
+    state = {"raced": False}
+
+    def racy_publish(st, base, payload):
+        if not state["raced"]:
+            state["raced"] = True
+            _, man = ST.read_manifest(idx)
+            real_publish(st, base, {
+                "version": base + 1,
+                "segments": man["segments"] + [seg_c],
+                "tags": dict(man.get("tags") or {}),
+                "meta_id": man["meta_id"],
+            })  # competitor wins v(base+1)...
+            return real_publish(st, base, payload)  # ...B loses, raises
+        return real_publish(st, base, payload)
+
+    monkeypatch.setattr(ST, "_publish", racy_publish)
+    assert minhash_extend_index(part_b, idx) is True
+    monkeypatch.setattr(ST, "_publish", real_publish)
+
+    version, man = ST.read_manifest(idx)
+    assert version == 3 and len(man["segments"]) == 3  # build + C + B
+    batch = part_b.unionByName(part_c).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    got = _probe_set(spark, idx, batch)
+    want_ids = {r.doc_id for r in batch.collect()}
+    assert {(i, i - 1000000) for i in want_ids} <= got
+
+
+def test_tagged_extend_retry_is_noop(spark, sf_dir, tmp_path):
+    """The streaming-batch idempotence contract: a retried extend with
+    the same tag returns False, appends no segment, and leaves the
+    probe bit-identical — its freshly written data stays an orphan."""
+    part_a = _docs(spark, sf_dir, 0, 30)
+    part_b = _docs(spark, sf_dir, 30, 50)
+    batch = _docs(spark, sf_dir, 30, 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    idx = str(tmp_path / "mh")
+    minhash_build_index(part_a, idx, **_LSH)
+    assert minhash_extend_index(part_b, idx, tag="batch-0007") is True
+    after_first = _probe_set(spark, idx, batch)
+    v1, man1 = ST.read_manifest(idx)
+    assert man1["tags"] == {"batch-0007": man1["segments"][-1]}
+
+    assert minhash_extend_index(part_b, idx, tag="batch-0007") is False
+    v2, man2 = ST.read_manifest(idx)
+    assert (v2, man2["segments"]) == (v1, man1["segments"])
+    assert _probe_set(spark, idx, batch) == after_first
+    # a DIFFERENT tag still extends
+    assert minhash_extend_index(part_b.limit(0), idx,
+                                tag="batch-0008") is True
+    assert ST.read_manifest(idx)[0] == v1 + 1
+
+
+def test_rebuild_resets_tags(spark, sf_dir, tmp_path):
+    """A rebuild is a new corpus generation: old idempotence markers
+    must not suppress re-admission into it."""
+    part_a = _docs(spark, sf_dir, 0, 30)
+    part_b = _docs(spark, sf_dir, 30, 50)
+    idx = str(tmp_path / "mh")
+    minhash_build_index(part_a, idx, **_LSH)
+    assert minhash_extend_index(part_b, idx, tag="day-1") is True
+    minhash_build_index(part_a, idx, **_LSH)  # rebuild
+    assert ST.read_manifest(idx)[1]["tags"] == {}
+    assert minhash_extend_index(part_b, idx, tag="day-1") is True
+
+
+def test_extend_during_rebuild_refuses_stale_generation(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """An extend whose index was REBUILT underneath (meta_id changed
+    between its read and its commit) must refuse — its segment was
+    computed under dead parameters."""
+    part_a = _docs(spark, sf_dir, 0, 30)
+    part_b = _docs(spark, sf_dir, 30, 50)
+    idx = str(tmp_path / "mh")
+    minhash_build_index(part_a, idx, **_LSH)
+    meta = spark.read.parquet(idx + "/_meta").collect()[0]
+
+    seg = ST.new_segment_id()  # stand-in for the extend's written data
+    with pytest.raises(ConcurrentWriteError, match="rebuilt"):
+        ST.commit_extend(idx, seg, "not-the-live-generation")
+    # the real generation still commits
+    assert ST.commit_extend(idx, seg, meta.meta_id) is True
+
+
+def test_compaction_loser_refuses_to_double_rows(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r10 (medium): two concurrent compactions fold the same
+    snapshot; the winner swaps [a, b] for X. The loser's commit_replace
+    must raise instead of publishing [Y, X] — both contain the folded
+    rows, and every compacted row would become visible twice (duplicate
+    candidate pairs, doubled BM25 df/n_docs), silently."""
+    part_a = _docs(spark, sf_dir, 0, 30)
+    part_b = _docs(spark, sf_dir, 30, 50)
+    idx = str(tmp_path / "bm")
+    bm25_build_index(part_a, idx, term_buckets=8)
+    bm25_extend_index(part_b, idx)
+    _, man = ST.read_manifest(idx)
+    snapshot = list(man["segments"])
+    meta_id = man["meta_id"]
+
+    ST.compact_index(spark, idx)  # compactor X wins
+    with pytest.raises(ConcurrentWriteError, match="double"):
+        ST.commit_replace(idx, "s" + "f" * 32, snapshot, meta_id)
+    # and the index still answers exactly one copy of each doc
+    q = _corpus_query(part_a)
+    fresh = str(tmp_path / "bm_fresh")
+    bm25_build_index(part_a.unionByName(part_b), fresh, term_buckets=8)
+    assert _search_rows(spark, idx, q) == _search_rows(spark, fresh, q)
+
+
+def test_torn_centroids_detected(spark, sf_dir, tmp_path):
+    """ADVICE r10 (low): _centroids is an in-place sidecar; a probe
+    that reads a mid-rebuild-swapped (or torn) centroid table must fail
+    loudly via the meta_id stamp, like _meta does — never silently
+    assign the batch under new centroids against old segments."""
+    corpus = _vecs(spark, sf_dir, 0, 40)
+    batch = _vecs(spark, sf_dir, 40, 50)
+    idx = str(tmp_path / "emb")
+    embedding_build_index(corpus, idx, n_centroids=4)
+    # simulate the racing rebuild's centroid overwrite
+    cents = ST.read_centroids(
+        spark, idx, spark.read.parquet(idx + "/_meta").collect()[0].meta_id
+    )
+    ST.write_centroids(spark, idx, cents, "a-newer-generation")
+    with pytest.raises(ValueError, match="torn"):
+        embedding_against_index(spark, idx, batch, threshold=0.2)
+    with pytest.raises(ValueError, match="torn"):
+        embedding_extend_index(batch, idx)
+
+
+# ---------------------------------------------------------------------------
+# Compaction == fresh rebuild; vacuum retention
+# ---------------------------------------------------------------------------
+
+
+def test_compact_minhash_equals_rebuild_and_probe_unchanged(
+    spark, sf_dir, tmp_path
+):
+    """build + extend x3, then compact: ONE committed segment whose
+    probe answers are bit-equal both to the pre-compaction index and to
+    a fresh build over the union."""
+    docs = _docs(spark, sf_dir, 0, 60)
+    parts = [docs.where(F.col("doc_id") % 4 == i) for i in range(4)]
+    batch = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    idx = str(tmp_path / "mh")
+    minhash_build_index(parts[0], idx, **_LSH)
+    for p in parts[1:]:
+        minhash_extend_index(p, idx)
+    before = _probe_set(spark, idx, batch)
+    assert len(ST.read_manifest(idx)[1]["segments"]) == 4
+
+    ST.compact_index(spark, idx)
+    _, man = ST.read_manifest(idx)
+    assert len(man["segments"]) == 1
+    assert _probe_set(spark, idx, batch) == before
+    fresh = str(tmp_path / "mh_fresh")
+    minhash_build_index(docs, fresh, **_LSH)
+    assert _probe_set(spark, idx, batch) == _probe_set(
+        spark, fresh, batch
+    )
+    # compacting a single-segment index is a no-op, not an error
+    v = ST.read_manifest(idx)[0]
+    assert ST.compact_index(spark, idx) == v
+
+
+def test_compact_bm25_folds_df_and_stats_exactly(
+    spark, sf_dir, tmp_path
+):
+    """BM25 is the store with ADDITIVE relations: compaction must SUM
+    per-segment df/_stats rows, not concatenate them — scores after
+    compaction are bit-equal to the pre-compaction index and to a
+    fresh build over the union."""
+    docs = _docs(spark, sf_dir, 0, 60)
+    parts = [docs.where(F.col("doc_id") % 3 == i) for i in range(3)]
+    idx = str(tmp_path / "bm")
+    bm25_build_index(parts[0], idx, term_buckets=8)
+    for p in parts[1:]:
+        bm25_extend_index(p, idx)
+    q = _corpus_query(docs)
+    before = _search_rows(spark, idx, q)
+
+    ST.compact_index(spark, idx)
+    _, man = ST.read_manifest(idx)
+    assert len(man["segments"]) == 1
+    # exactly one folded stats row whose sums cover every doc
+    stats = ST.read_committed(
+        spark, idx, "_stats", man["segments"]
+    ).collect()
+    assert len(stats) == 1 and stats[0].n_docs == docs.count()
+    assert _search_rows(spark, idx, q) == before
+    fresh = str(tmp_path / "bm_fresh")
+    bm25_build_index(docs, fresh, term_buckets=8)
+    assert _search_rows(spark, idx, q) == _search_rows(spark, fresh, q)
+
+
+def test_vacuum_removes_only_expired_unreferenced_dirs(
+    spark, sf_dir, tmp_path
+):
+    """vacuum_index deletes exactly the unreferenced segment dirs older
+    than retention: compacted-away segments go (retention 0), a FRESH
+    orphan survives the default retention (it may belong to a writer
+    mid-commit), and committed reads are untouched throughout."""
+    part_a = _docs(spark, sf_dir, 0, 30)
+    part_b = _docs(spark, sf_dir, 30, 50)
+    batch = _docs(spark, sf_dir, 0, 50).where(
+        F.col("doc_id") % 6 == 0
+    ).select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    idx = str(tmp_path / "mh")
+    minhash_build_index(part_a, idx, **_LSH)
+    minhash_extend_index(part_b, idx)
+    old_segs = set(ST.read_manifest(idx)[1]["segments"])
+    ST.compact_index(spark, idx)
+    live = set(ST.read_manifest(idx)[1]["segments"])
+    before = _probe_set(spark, idx, batch)
+
+    # a fresh orphan: a concurrent writer's not-yet-committed segment
+    fresh_orphan = os.path.join(idx, "buckets", "seg=sfreshorphan")
+    os.makedirs(fresh_orphan)
+
+    # default retention spares EVERYTHING younger than 24h — including
+    # the just-compacted-away segments
+    assert ST.vacuum_index(idx) == []
+
+    removed = ST.vacuum_index(idx, retention_s=0.0)
+    removed_segs = {p.split("seg=")[1] for p in removed}
+    assert removed_segs == old_segs | {"sfreshorphan"}
+    on_disk = {
+        p.split("seg=")[1] for p in glob.glob(f"{idx}/*/seg=*")
+    }
+    assert on_disk == live
+    assert _probe_set(spark, idx, batch) == before
