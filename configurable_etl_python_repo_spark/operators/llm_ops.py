@@ -349,6 +349,63 @@ def _bm25_index_write(op_name: str, fn_name: str):
     return compile_op
 
 
+def _compact_index(engine: "Engine", spec: OpSpec):
+    """Maintenance stage a scheduled pipeline runs after N daily
+    extends: rewrite every committed segment of the index at
+    args['path'] as ONE (folding BM25's additive df/_stats), committed
+    atomically — collapses a year of extend read-amplification back to
+    a single segment (llm/_store.compact_index). Zero- or one-input:
+    with an input it passes the relation through unchanged (so it
+    chains inside an ingest program after the EXTEND stage); with none
+    it returns a one-row receipt (path, version)."""
+    from ..llm import _store as ST
+
+    kwargs = dict(spec.args)
+    if "path" not in kwargs:
+        raise ValueError(
+            "COMPACT INDEX needs a 'path' arg naming the index"
+        )
+    path = kwargs.pop("path")
+    if kwargs:
+        raise ValueError(
+            f"COMPACT INDEX got unknown args {sorted(kwargs)}"
+        )
+    version = ST.compact_index(engine.spark, path)
+    if spec.inputs:
+        return engine.peek(spec.inputs[0])[0], None
+    return engine.spark.createDataFrame(
+        [(path, int(version))], "path string, version long"
+    ), None
+
+
+def _vacuum_index(engine: "Engine", spec: OpSpec):
+    """Maintenance stage: delete segment directories the current
+    manifest does not reference (crashed writers' orphans,
+    compacted-away segments) once older than retention_seconds —
+    default 24h, so a concurrent writer's not-yet-committed segment is
+    never pulled out from under it (llm/_store.vacuum_index). Same
+    pass-through/receipt contract as COMPACT INDEX."""
+    from ..llm import _store as ST
+
+    kwargs = dict(spec.args)
+    if "path" not in kwargs:
+        raise ValueError(
+            "VACUUM INDEX needs a 'path' arg naming the index"
+        )
+    path = kwargs.pop("path")
+    retention = float(kwargs.pop("retention_seconds", 24 * 3600.0))
+    if kwargs:
+        raise ValueError(
+            f"VACUUM INDEX got unknown args {sorted(kwargs)}"
+        )
+    removed = ST.vacuum_index(path, retention_s=retention)
+    if spec.inputs:
+        return engine.peek(spec.inputs[0])[0], None
+    return engine.spark.createDataFrame(
+        [(path, len(removed))], "path string, removed_dirs long"
+    ), None
+
+
 def _bm25_search_index(engine: "Engine", spec: OpSpec):
     """Query a persisted BM25 index — a ZERO-input op (the corpus lives
     in the index at args['path'], not in a binding)."""
@@ -550,6 +607,8 @@ LLM_OP_COMPILERS = {
         "BM25 EXTEND INDEX", "bm25_extend_index"
     ),
     "BM25 SEARCH INDEX": _bm25_search_index,
+    "COMPACT INDEX": _compact_index,
+    "VACUUM INDEX": _vacuum_index,
     "RRF FUSE": _rrf_fuse,
     "DISTINCT SKETCH": _unary(
         _rename_kw(_lazy_sketch("distinct_sketch"),

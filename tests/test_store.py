@@ -556,3 +556,50 @@ def test_vacuum_removes_only_expired_unreferenced_dirs(
     }
     assert on_disk == live
     assert _probe_set(spark, idx, batch) == before
+
+
+def test_compact_and_vacuum_config_ops(spark, sf_dir, tmp_path):
+    """COMPACT INDEX / VACUUM INDEX as registered config op types, so a
+    scheduled ingest program can fold its own segments: pass-through
+    with an input (chains after the EXTEND stage), one-row receipt
+    without; searches bit-identical across the maintenance pass."""
+    from configurable_etl_python_repo_spark.plans import Engine, OpSpec
+
+    part_a = _docs(spark, sf_dir, 0, 30)
+    part_b = _docs(spark, sf_dir, 30, 50)
+    idx = str(tmp_path / "bm")
+    q = _corpus_query(part_a)
+
+    eng = Engine(spark)
+    eng.bind("corpus", part_a)
+    eng.bind("batch", part_b)
+    eng.run_op(OpSpec("BM25 BUILD INDEX", "built", ["corpus"],
+                      {"path": idx, "term_buckets": 8}))
+    eng.run_op(OpSpec("BM25 EXTEND INDEX", "ext", ["batch"],
+                      {"path": idx}))
+    before = _search_rows(spark, idx, q)
+    old_segs = set(ST.read_manifest(idx)[1]["segments"])
+
+    passthru = eng.run_op(OpSpec("COMPACT INDEX", "cmp", ["batch"],
+                                 {"path": idx}))
+    assert passthru.columns == ["doc_id", "text"]  # pass-through
+    assert len(ST.read_manifest(idx)[1]["segments"]) == 1
+    assert _search_rows(spark, idx, q) == before
+
+    receipt = eng.run_op(OpSpec(
+        "VACUUM INDEX", "vac", [],
+        {"path": idx, "retention_seconds": 0}))
+    row = receipt.collect()[0]
+    assert row.path == idx and row.removed_dirs == len(old_segs) * 3
+    assert _search_rows(spark, idx, q) == before
+
+    cmp_receipt = eng.run_op(OpSpec("COMPACT INDEX", "cmp2", [],
+                                    {"path": idx}))
+    assert cmp_receipt.collect()[0].path == idx  # no-op receipt
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="path"):
+        eng.run_op(OpSpec("COMPACT INDEX", "bad", [], {}))
+    with _pytest.raises(ValueError, match="unknown args"):
+        eng.run_op(OpSpec("VACUUM INDEX", "bad2", [],
+                          {"path": idx, "nope": 1}))
