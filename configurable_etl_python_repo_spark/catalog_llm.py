@@ -142,9 +142,9 @@ def q_e3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # shared SQL fragments -------------------------------------------------------
 
-def _words_sql(src: str = "documents") -> str:
+def _words_sql(src: str = "documents", prefix: str = "") -> str:
     return rf"""
-  words AS (
+  {prefix}words AS (
     SELECT doc_id,
            list_filter(string_split_regex(lower(trim(text)), '\s+'),
                        x -> x != '') AS w
@@ -155,21 +155,22 @@ def _words_sql(src: str = "documents") -> str:
 _WORDS_SQL = _words_sql()
 
 
-def _shingles_sql(n: int, src: str = "documents") -> str:
+def _shingles_sql(n: int, src: str = "documents", prefix: str = "") -> str:
     if n == 1:
         return (
-            _words_sql(src)
-            + ", sh AS (SELECT DISTINCT doc_id, unnest(w) AS sh FROM words)"
+            _words_sql(src, prefix)
+            + f", {prefix}sh AS (SELECT DISTINCT doc_id, unnest(w) AS sh"
+            f" FROM {prefix}words)"
         )
     return (
-        _words_sql(src)
+        _words_sql(src, prefix)
         + f""",
-  sh AS (
+  {prefix}sh AS (
     SELECT DISTINCT doc_id,
            unnest(list_transform(
              generate_series(1, greatest(len(w) - {n - 1}, 0)),
              i -> array_to_string(list_slice(w, i, i + {n - 1}), ' '))) AS sh
-    FROM words)"""
+    FROM {prefix}words)"""
     )
 
 
@@ -1741,17 +1742,18 @@ _INCR_SQL = """
 """
 
 
-def _incr_pairs_ctes() -> str:
-    """CTE chain ending in `ipairs` = the verified cross-corpus pairs a
-    persisted-index probe returns: the SAME md5 minhash family as
-    _lsh_ctes over the two-corpus union, candidates restricted to
-    cross-side (batch, index) collisions, verified at the exact
-    integer-math Jaccard. The parquet index is pure execution strategy —
-    relationally the probe IS this chain, which is exactly what the d15
-    oracle pins; the composed x22 ingest oracle reuses it so the
-    pipeline can never drift from the standalone probe."""
+def _cross_pairs_ctes(u_cte: str, prefix: str = "") -> str:
+    """CTE chain ending in `{prefix}ipairs` = the verified cross-corpus
+    pairs a persisted-index probe returns over ANY (doc_id, text, side)
+    relation named `u_cte` (side 0 = indexed corpus, side 1 = probing
+    batch): the SAME md5 minhash family as _lsh_ctes, candidates
+    restricted to cross-side collisions, verified at the exact
+    integer-math Jaccard. `prefix` namespaces every intermediate CTE so
+    SEQUENTIAL probes chain in one query — x28's epoch-2 admission runs
+    this a second time against corpus ∪ epoch-1 admissions."""
     H = _LSH_BANDS * _LSH_ROWS
     p, q = _LSH_P, _LSH_Q
+    P = prefix
     mh_cols = ", ".join(
         f"min(substr(md5(concat_ws('|', '{j // 4}', sh)), {1 + 8 * (j % 4)}, 8))"
         f" AS mh{j}"
@@ -1760,36 +1762,44 @@ def _incr_pairs_ctes() -> str:
     band_selects = "\n      UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, concat_ws('#', "
         + ", ".join(f"mh{b * _LSH_ROWS + r}" for r in range(_LSH_ROWS))
-        + ") AS key FROM sig"
+        + f") AS key FROM {P}sig"
         for b in range(_LSH_BANDS)
     )
     return f"""
-    {_INCR_SQL.strip()},
-    sides AS (SELECT doc_id, side FROM u),
-    {_shingles_sql(_JACCARD_N, "u").strip()},
-    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-    sig AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
-    buckets AS ({band_selects}),
-    cand AS (
+    {P}sides AS (SELECT doc_id, side FROM {u_cte}),
+    {_shingles_sql(_JACCARD_N, u_cte, P).strip()},
+    {P}sizes AS (SELECT doc_id, COUNT(*) AS sz FROM {P}sh GROUP BY doc_id),
+    {P}sig AS (SELECT doc_id, {mh_cols} FROM {P}sh GROUP BY doc_id),
+    {P}buckets AS ({band_selects}),
+    {P}cand AS (
       SELECT DISTINCT bb.doc_id AS id_a, ib.doc_id AS id_b
-      FROM buckets bb
-      JOIN sides sb ON sb.doc_id = bb.doc_id AND sb.side = 1
-      JOIN buckets ib ON ib.band = bb.band AND ib.key = bb.key
-      JOIN sides si ON si.doc_id = ib.doc_id AND si.side = 0),
-    cinter AS (
+      FROM {P}buckets bb
+      JOIN {P}sides sb ON sb.doc_id = bb.doc_id AND sb.side = 1
+      JOIN {P}buckets ib ON ib.band = bb.band AND ib.key = bb.key
+      JOIN {P}sides si ON si.doc_id = ib.doc_id AND si.side = 0),
+    {P}cinter AS (
       SELECT c.id_a, c.id_b, COUNT(*) AS inter
-      FROM cand c
-      JOIN sh a ON a.doc_id = c.id_a
-      JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+      FROM {P}cand c
+      JOIN {P}sh a ON a.doc_id = c.id_a
+      JOIN {P}sh b ON b.doc_id = c.id_b AND b.sh = a.sh
       GROUP BY 1, 2),
-    ipairs AS (
+    {P}ipairs AS (
       SELECT i.id_a, i.id_b, i.inter,
              sa.sz AS size_a, sb.sz AS size_b
-      FROM cinter i
-      JOIN sizes sa ON sa.doc_id = i.id_a
-      JOIN sizes sb ON sb.doc_id = i.id_b
+      FROM {P}cinter i
+      JOIN {P}sizes sa ON sa.doc_id = i.id_a
+      JOIN {P}sizes sb ON sb.doc_id = i.id_b
       WHERE {q} * i.inter >= {p} * (sa.sz + sb.sz - i.inter))
     """
+
+
+def _incr_pairs_ctes() -> str:
+    """The d15 fixture's instance of _cross_pairs_ctes: chain over the
+    shared two-corpus union `u` (_INCR_SQL), unprefixed, ending in
+    `ipairs` — reused verbatim by the d15 and x22 oracles so the
+    composed ingest can never drift from the standalone probe."""
+    return f"""
+    {_INCR_SQL.strip()},{_cross_pairs_ctes("u")}"""
 
 
 def _incr_index_oracle() -> str:
@@ -2228,6 +2238,110 @@ def q_x22(spark: SparkSession, sf_dir: str) -> DataFrame:
         "MINHASH EXTEND INDEX", "ext", ["admitted"], {"path": path},
     ))
     return eng.peek("admitted")[0]
+
+
+def _stream_admission_oracle() -> str:
+    """x28 = TWO SEQUENTIAL admission epochs: epoch 1 probes the corpus
+    index; epoch 2 probes corpus ∪ epoch-1 ADMISSIONS (the extend
+    landed in between). Each probe is one _cross_pairs_ctes instance —
+    the same generator the d15/x22 oracles use, chained under distinct
+    prefixes, so the streaming composition is pinned to the standalone
+    probe twice over."""
+    return f"""
+    WITH e1 AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 4 = 1
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+    e2 AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 4 = 3
+      UNION ALL
+      SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 20 = 1),
+    u1 AS (
+      SELECT doc_id, text, 0 AS side FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, text, 1 AS side FROM e1),{_cross_pairs_ctes("u1", "a_").rstrip()},
+    adm1 AS (
+      SELECT doc_id, text FROM e1
+      WHERE doc_id NOT IN (SELECT id_a FROM a_ipairs)),
+    u2 AS (
+      SELECT doc_id, text, 0 AS side FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, text, 0 AS side FROM adm1
+      UNION ALL
+      SELECT doc_id, text, 1 AS side FROM e2),{_cross_pairs_ctes("u2", "b_").rstrip()},
+    adm2 AS (
+      SELECT doc_id, text FROM e2
+      WHERE doc_id NOT IN (SELECT id_a FROM b_ipairs))
+    SELECT doc_id, text, 0 AS epoch FROM adm1
+    UNION ALL
+    SELECT doc_id, text, 1 AS epoch FROM adm2
+    """
+
+
+@register("x28_streaming_admission", _stream_admission_oracle())
+def q_x28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental-dedup admission, run as a REAL Structured
+    Streaming query (file source, availableNow, maxFilesPerTrigger=1):
+    two ingest epochs drain through foreachBatch(admission_batch) —
+    each micro-batch probes the persisted MinHash index, drops
+    near-duplicates, overwrites its own epoch output partition, and
+    TAGGED-extends the index so the next epoch dedups against this
+    one's admissions (streaming/admission.py; retry idempotence and
+    crash-point safety pinned in tests/test_streaming_admission.py).
+    Epoch file order is pinned via mtimes (the file source orders by
+    timestamp). The oracle chains the d15 probe CTEs twice — epoch 2
+    against corpus ∪ epoch-1 admissions — so stream == relational
+    statement end-to-end. Reference parity: the reference ingest is one
+    Lambda per file with no dedup or persisted state
+    (/root/reference/Data_Ingestion_Python.py:111-194)."""
+    import os
+    import shutil
+    import tempfile
+
+    from .llm.dedup_index import minhash_build_index
+    from .streaming.admission import start_index_admission
+
+    docs = spark.read.parquet(_pq(sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    e1 = docs.where(F.col("doc_id") % 4 == 1).unionByName(
+        docs.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    e2 = docs.where(F.col("doc_id") % 4 == 3).unionByName(
+        docs.where(F.col("doc_id") % 20 == 1).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+        )
+    )
+    tag = sf_dir.strip("/").replace("/", "_")
+    root = os.path.join(tempfile.gettempdir(), f"cfg_etl_x28_{tag}")
+    # extend APPENDS and the checkpoint records epochs: start clean so
+    # a repeated invocation measures the same pipeline every time
+    shutil.rmtree(root, ignore_errors=True)
+    idx, out = os.path.join(root, "idx"), os.path.join(root, "out")
+    src = os.path.join(root, "incoming")
+    e1.coalesce(1).write.parquet(src + "/batch=0")
+    e2.coalesce(1).write.parquet(src + "/batch=1")
+    # deterministic epoch order: the file source sorts by mtime
+    now = os.path.getmtime(src + "/batch=0")
+    for i in (0, 1):
+        for f in os.listdir(f"{src}/batch={i}"):
+            os.utime(f"{src}/batch={i}/{f}", (now + 10 * i, now + 10 * i))
+    minhash_build_index(
+        corpus, idx, n=_JACCARD_N, bands=_LSH_BANDS,
+        rows_per_band=_LSH_ROWS,
+    )
+    q = start_index_admission(
+        spark, src + "/batch=*", e1.schema, idx, out,
+        checkpoint=os.path.join(root, "ckpt"),
+        threshold=_LSH_P / _LSH_Q, max_files_per_trigger=1,
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(out).select(
+        "doc_id", "text", F.col("epoch").cast("int").alias("epoch")
+    )
 
 
 #: non-uniform target mixture over the documents' source domains

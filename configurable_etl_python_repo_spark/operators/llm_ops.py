@@ -349,6 +349,31 @@ def _bm25_index_write(op_name: str, fn_name: str):
     return compile_op
 
 
+def _admit_against_index(engine: "Engine", spec: OpSpec):
+    """The x22 ingest composition as ONE op: probe the persisted
+    MinHash index at args['path'] with the input batch and return the
+    docs that near-duplicate nothing in it (probe + anti-join,
+    streaming/admission.admit_against_index — the same function the
+    streaming foreachBatch runs, so batch and stream cannot drift).
+    Does NOT extend the index; chain MINHASH EXTEND INDEX after it (or
+    use the streaming wrapper, which tags epochs for retry
+    idempotence)."""
+    from ..streaming.admission import admit_against_index
+
+    df, _ = engine.peek(spec.inputs[0])
+    kwargs = dict(spec.args)
+    if "path" not in kwargs:
+        raise ValueError(
+            "ADMIT AGAINST INDEX needs a 'path' arg naming the index"
+        )
+    path = kwargs.pop("path")
+    for cfg, py in (("id_column", "id_col"),
+                    ("text_column", "text_col")):
+        if cfg in kwargs:
+            kwargs[py] = kwargs.pop(cfg)
+    return admit_against_index(engine.spark, path, df, **kwargs), None
+
+
 def _compact_index(engine: "Engine", spec: OpSpec):
     """Maintenance stage a scheduled pipeline runs after N daily
     extends: rewrite every committed segment of the index at
@@ -671,6 +696,7 @@ LLM_OP_COMPILERS = {
     "MINHASH BUILD INDEX": _minhash_index_write("minhash_build_index"),
     "MINHASH EXTEND INDEX": _minhash_index_write("minhash_extend_index"),
     "DEDUP AGAINST INDEX": _index_probe("dedup_against_index"),
+    "ADMIT AGAINST INDEX": _admit_against_index,
     "SIMHASH BUILD INDEX": _minhash_index_write("simhash_build_index"),
     "SIMHASH EXTEND INDEX": _minhash_index_write("simhash_extend_index"),
     "SIMHASH AGAINST INDEX": _index_probe("simhash_against_index"),

@@ -1,0 +1,209 @@
+"""Streaming incremental-dedup admission (streaming/admission.py):
+availableNow stream == sequential batch admissions, epoch tags make
+at-least-once redelivery exactly-once (no double-admit, no
+double-extend), and every crash point inside the epoch body is safe."""
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+import configurable_etl_python_repo_spark.llm._store as ST
+from configurable_etl_python_repo_spark.llm.dedup_index import (
+    minhash_build_index,
+)
+from configurable_etl_python_repo_spark.streaming.admission import (
+    admission_batch,
+    admit_against_index,
+    start_index_admission,
+)
+
+_LSH = dict(n=3, bands=4, rows_per_band=2)
+_T = 0.2
+
+
+def _docs(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+    )
+
+
+def _fixture(spark, sf_dir):
+    """corpus = even ids (indexed); two ingest epochs:
+    e1 = ids % 4 == 1 plus replicas of % 10 == 0 evens (cross-corpus
+    dups -> must be REJECTED); e2 = ids % 4 == 3 plus replicas of e1's
+    % 20 == 1 docs under another namespace (dups of EPOCH-1 ADMISSIONS
+    -> must be rejected only because e1's admitted docs were extended
+    into the index: the sequential-extend semantics)."""
+    docs = _docs(spark, sf_dir)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    e1 = docs.where(F.col("doc_id") % 4 == 1).unionByName(
+        docs.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    e2 = docs.where(F.col("doc_id") % 4 == 3).unionByName(
+        docs.where(F.col("doc_id") % 20 == 1).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+        )
+    )
+    return corpus, e1, e2
+
+
+def _run_sequential(spark, corpus, epochs, idx, out):
+    minhash_build_index(corpus, idx, **_LSH)
+    for i, e in enumerate(epochs):
+        admission_batch(e, i, idx, out, threshold=_T)
+    return {
+        (r.doc_id, r.epoch)
+        for r in spark.read.parquet(out).select("doc_id", "epoch")
+        .collect()
+    }
+
+
+def test_two_epoch_sequential_admission_semantics(
+    spark, sf_dir, tmp_path
+):
+    """Epoch 2 probes an index ALREADY extended with epoch 1's
+    admissions: replicas of corpus docs are rejected in epoch 1,
+    replicas of epoch-1 admissions are rejected in epoch 2."""
+    corpus, e1, e2 = _fixture(spark, sf_dir)
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    got = _run_sequential(spark, corpus, [e1, e2], idx, out)
+
+    # corpus replicas (1000000-namespace) all rejected in epoch 1
+    assert not {d for d, ep in got if d >= 1000000 and d < 2000000}
+    # epoch-2 replicas of epoch-1 docs (2000000-namespace) all rejected
+    # — ONLY possible because e1's admissions were extended in between
+    assert not {d for d, ep in got if d >= 2000000}
+    # non-duplicate docs flow through with their epoch stamp
+    e1_clean = {r.doc_id for r in e1.where(
+        (F.col("doc_id") % 4 == 1)).collect()}
+    admitted1 = {d for d, ep in got if ep == 0}
+    assert admitted1 <= e1_clean and len(admitted1) > 0
+    # every admitted doc is in the index now: re-admitting epoch 1
+    # under a new epoch id admits NOTHING
+    again = admission_batch(e1, 7, idx, out, threshold=_T)
+    assert again is not None and again.count() == 0
+
+
+def test_stream_equals_sequential_batches(spark, sf_dir, tmp_path):
+    """availableNow + maxFilesPerTrigger=1 over two epoch files ==
+    the sequential admission_batch loop, bit-for-bit (modulo the
+    epoch column: the stream numbers epochs by micro-batch id)."""
+    corpus, e1, e2 = _fixture(spark, sf_dir)
+
+    seq_idx, seq_out = str(tmp_path / "sidx"), str(tmp_path / "sout")
+    want = _run_sequential(spark, corpus, [e1, e2], seq_idx, seq_out)
+
+    src = str(tmp_path / "src")
+    # one file per epoch, named so the file source discovers e1 first
+    e1.coalesce(1).write.parquet(src + "/batch=0")
+    e2.coalesce(1).write.parquet(src + "/batch=1")
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    minhash_build_index(corpus, idx, **_LSH)
+    q = start_index_admission(
+        spark, src + "/batch=*", e1.schema, idx, out,
+        checkpoint=str(tmp_path / "ckpt"), threshold=_T,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.doc_id, r.epoch)
+        for r in spark.read.parquet(out).select("doc_id", "epoch")
+        .collect()
+    }
+    assert {d for d, _ in got} == {d for d, _ in want}
+    assert got == want  # file order == epoch order on this source
+    # index state converged too: probing either index with a replica
+    # of an admitted doc matches identically
+    probe = e1.limit(5).select(
+        (F.col("doc_id") + 9000000).alias("doc_id"), "text"
+    )
+    a = {r.doc_id for r in admit_against_index(
+        spark, idx, probe, threshold=_T).collect()}
+    b = {r.doc_id for r in admit_against_index(
+        spark, seq_idx, probe, threshold=_T).collect()}
+    assert a == b
+
+
+def test_epoch_retry_after_commit_is_full_noop(spark, sf_dir, tmp_path):
+    """At-least-once redelivery of a COMMITTED epoch: the tag check
+    short-circuits the whole body — no probe, no output rewrite, no
+    second segment; output and index byte-stable."""
+    corpus, e1, _ = _fixture(spark, sf_dir)
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    minhash_build_index(corpus, idx, **_LSH)
+    first = admission_batch(e1, 0, idx, out, threshold=_T)
+    assert first is not None
+    v1, man1 = ST.read_manifest(idx)
+    files1 = sorted(glob.glob(out + "/epoch=0/*.parquet"))
+
+    assert admission_batch(e1, 0, idx, out, threshold=_T) is None
+    assert ST.read_manifest(idx) == (v1, man1)  # no double-extend
+    assert sorted(glob.glob(out + "/epoch=0/*.parquet")) == files1
+    rows = spark.read.parquet(out).groupBy("doc_id").count()
+    assert rows.where(F.col("count") > 1).count() == 0  # no dup docs
+
+
+class _Crash(RuntimeError):
+    pass
+
+
+def test_crash_between_output_and_extend_then_retry(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The dangerous crash point: output written, extend not
+    committed. The retry re-probes the unchanged index, overwrites the
+    same partition (no double rows), and commits exactly one
+    segment."""
+    corpus, e1, e2 = _fixture(spark, sf_dir)
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    minhash_build_index(corpus, idx, **_LSH)
+
+    real = ST.commit_extend
+    monkeypatch.setattr(
+        ST, "commit_extend",
+        lambda *a, **k: (_ for _ in ()).throw(_Crash()),
+    )
+    with pytest.raises(_Crash):
+        admission_batch(e1, 0, idx, out, threshold=_T)
+    # output partition exists (it precedes the extend), index unchanged
+    assert glob.glob(out + "/epoch=0/*.parquet")
+    assert len(ST.read_manifest(idx)[1]["segments"]) == 1
+    monkeypatch.setattr(ST, "commit_extend", real)
+
+    retried = admission_batch(e1, 0, idx, out, threshold=_T)
+    assert retried is not None
+    _, man = ST.read_manifest(idx)
+    assert len(man["segments"]) == 2  # build + exactly ONE extend
+    assert man["tags"] == {"admit-0": man["segments"][-1]}
+    rows = spark.read.parquet(out).groupBy("doc_id").count()
+    assert rows.where(F.col("count") > 1).count() == 0
+    # and the next epoch sees epoch 1's admissions exactly once
+    admission_batch(e2, 1, idx, out, threshold=_T)
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert not {d for d in got if d >= 2000000}
+
+
+def test_admit_config_op_matches_library(spark, sf_dir, tmp_path):
+    """ADMIT AGAINST INDEX as a config op == the library transform
+    (same function body); chains with MINHASH EXTEND INDEX."""
+    from configurable_etl_python_repo_spark.plans import Engine, OpSpec
+
+    corpus, e1, _ = _fixture(spark, sf_dir)
+    idx = str(tmp_path / "idx")
+    minhash_build_index(corpus, idx, **_LSH)
+    want = {r.doc_id for r in admit_against_index(
+        spark, idx, e1, threshold=_T).collect()}
+
+    eng = Engine(spark)
+    eng.bind("batch", e1)
+    out = eng.run_op(OpSpec(
+        "ADMIT AGAINST INDEX", "adm", ["batch"],
+        {"path": idx, "threshold": _T, "id_column": "doc_id",
+         "text_column": "text"}))
+    assert {r.doc_id for r in out.collect()} == want
+    with pytest.raises(ValueError, match="path"):
+        eng.run_op(OpSpec("ADMIT AGAINST INDEX", "bad", ["batch"], {}))
