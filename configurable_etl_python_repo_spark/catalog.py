@@ -1191,41 +1191,43 @@ from . import catalog_llm  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 DRIVER_PRIORITY = [
-    # reference surface (SURVEY §2.1-§2.7)
+    # reference surface (SURVEY §2.1-§2.7) — the r10 rotation
+    # re-promotes every longest-out §2 row (p2_p4, p3, c3, c5, c7,
+    # c9_c10, j1, j2, j4, a4, w3, u1, f1, f2 — none driver-checked
+    # since r6)
     "flagship_earliest_event", "s1_bronze_nest_explode",
-    "p1_lenient_scan_distinct",
-    "p5_filter_grammar",
-    "c1_c2_rename_format",
-    "c6_attach_sumeq",
-    "c8_decision_column", "c11_c12_gold_record",
-    "w2_sort_slice_topn",
-    # event-time analytics (§2.9 batch shapes)
-    "e2_sessionize_gap30m",
-    # LLM pipeline: dedup + decontamination (d18 rotated in for r8)
-    "d16_substring_runs",
-    "d11_semantic_dedup", "d12_dedup_keep_best", "d13_simhash_pairs",
-    "d14_line_dedup", "d15_dedup_against_index",
-    "d17_simhash_against_index", "d18_embedding_against_index",
-    # LLM pipeline: similarity search + lexical retrieval
-    "n4_ann_ivf_kmeans", "n5_bm25_topk", "n6_hybrid_rrf",
-    # LLM pipeline: text analysis + curation (t21 rotated in for r8)
-    "t2_language_id",
-    "t10_unigram_surprisal", "t11_url_blocklist", "t12_quality_classifier",
-    "t13_sized_shards", "t14_bpe_bytes", "t15_bpe_gpt2",
-    "t16_sized_shards_bytes", "t17_backoff_surprisal",
+    "p2_p4_project_remove", "p3_select_distinct", "p5_filter_grammar",
+    "c3_add_column", "c5_attach_notnull", "c7_attach_null_coalesce",
+    "c9_c10_boundary_sentinel", "c11_c12_gold_record",
+    "j1_left_join_two_keys", "j2_outer_join_counts", "j4_qualified_join",
+    "a4_unique_keep_first", "w3_last_per_group", "u1_bind_rows",
+    "f1_scalar_functions", "f2_datetime_functions",
+    # event-time analytics (§2.9 batch shape) + the REAL stream row
+    # (x28: availableNow foreachBatch admission, new r10)
+    "e2_sessionize_gap30m", "x28_streaming_admission",
+    # LLM pipeline: dedup + persisted indexes
+    "d12_dedup_keep_best", "d17_simhash_against_index",
+    "d18_embedding_against_index",
+    # LLM pipeline: similarity search + retrieval
+    "n4_ann_ivf_kmeans", "n6_hybrid_rrf",
+    # LLM pipeline: text analysis + curation (t8 gets its FIRST-EVER
+    # driver row in r10)
+    "t8_pack_sequences", "t11_url_blocklist", "t12_quality_classifier",
+    "t15_bpe_gpt2", "t16_sized_shards_bytes", "t17_backoff_surprisal",
     "t18_perplexity_partition", "t19_gopher_line_rules",
-    "t20_chunk_documents", "t21_dedup_repeated_lines",
+    "t21_dedup_repeated_lines",
     # LLM pipeline: multimodal plumbing
     "m1_multimodal_features",
-    # LLM pipeline: mixture, sampling/splits, composed curation
-    # (x23-x25 rotated in for r8)
-    "x14_pretraining_pipeline",
-    "x15_web_curation_pipeline", "x16_cluster_aware_splits",
-    "x17_exact_k_sample", "x18_dsir_selection", "x19_targeted_pipeline",
-    "x20_hll_distinct_sketch", "x21_quantile_sketch",
-    "x22_incremental_ingest", "x23_grouped_distinct_sketch",
-    "x24_grouped_quantile_sketch", "x25_embedding_ingest",
-    "x26_mixture_upsample", "x27_corpus_report",
+    # temporal joins, sampling, rolling windows, quantization, n-grams —
+    # FIRST-EVER driver rows for the x6-x12 family (r10)
+    "x6_asof_join", "x7_range_join", "x8_stratified_sample",
+    "x9_curation_pipeline", "x10_rolling_window",
+    "x11_quantize_embeddings", "x12_top_ngrams",
+    # mixture, sketches, composed curation
+    "x15_web_curation_pipeline", "x18_dsir_selection",
+    "x19_targeted_pipeline", "x23_grouped_distinct_sketch",
+    "x24_grouped_quantile_sketch", "x26_mixture_upsample",
+    "x27_corpus_report",
     # engine showcase (COMPUTE COLUMN + broadcast joins + fused LIMIT)
     "tpch_q3_shaped",
 ]
@@ -1319,6 +1321,62 @@ DRIVER_PRIORITY = [
 # stage whose oracle CTEs are CHAINED from d9's own generator, and the
 # broadcast gram-probe machinery also rides the in-window d15/d16 gram
 # streams — full local sweep still hash-checks d9).
+# Round-10 rotation (the full-window refresh the r8/r9 verdicts
+# ordered): 23 in, 23 out. IN: the fourteen longest-out §2 rows
+# (p2_p4, p3, c3, c5, c7, c9_c10, j1, j2, j4, a4, w3, u1, f1, f2 —
+# none driver-checked since r6), first-ever driver rows for the eight
+# never-windowed queries (t8_pack_sequences, x6_asof_join,
+# x7_range_join, x8_stratified_sample, x9_curation_pipeline,
+# x10_rolling_window, x11_quantize_embeddings, x12_top_ngrams), and
+# the NEW x28 streaming admission. OUT — every demotion has >= 2
+# green driver rows (r8 AND r9, most also r1-r7) and an in-window
+# sibling exercising the same machinery:
+# p1 (project+distinct now checked directly by the re-promoted
+#   p2_p4 + p3 + a4 — the very rows p1 stood in for);
+# c1_c2 (the strftime->Java format surface is the re-promoted f1/f2's
+#   whole job; the mutate compile path rides c3 and the rename-aware
+#   boundary rides the in-window c11_c12);
+# c6 (the ATTACH family returns via the re-promoted c5 + c7 — same
+#   compiler path c6 stood in for since r7);
+# c8 (typed broadcast lookup = J5; the join family returns via the
+#   re-promoted j1/j2/j4 and stays via tpch_q3 + flagship's spines);
+# w2 (fused sort+slice: keep-first-under-sort returns via a4, the
+#   window family via w3, TakeOrderedAndProject rides tpch_q3);
+# d11 (cluster-bounded pairwise cosine: the shared quantizer/_sim
+#   machinery is in-window via d18's probe and n4's kmeans IVF);
+# d13 (simhash64 + Manku bands are shared VERBATIM with the in-window
+#   d17 index probe, which verifies hamming in-join on top);
+# d14 (line normalization + keep-first ride the in-window t21; the
+#   gopher line machinery rides t19);
+# d15 (the probe runs TWICE inside the in-window x28, whose oracle
+#   chains d15's own _cross_pairs_ctes generator twice);
+# d16 (the gram/canonical/coverage chain is d10's, whose generator
+#   the in-window x15 oracle chains; the run merge is pytest-pinned);
+# n5 (the in-window n6 RRF oracle chains n5's own _bm25_ctes; the
+#   BM25 store protocol is crash/race/compact-pinned in
+#   tests/test_store.py);
+# t2 (nine green rows r1-r9; regexp-count machinery rides the
+#   in-window t19 + t12 feature composition);
+# t10 (the in-window t17 backoff surprisal strictly extends t10's LM
+#   table machinery);
+# t13 (the in-window t16 runs the same shard math on byte counts);
+# t14 (the in-window t15 runs the same BPE learn loop under the GPT-2
+#   pretokenizer);
+# t20 (chunk length math rides the in-window t16 + x15's packing
+#   stage);
+# x14 (composed-pipeline surface stays via the in-window x15/x19/x9;
+#   its mixture stage's integer math rides the in-window x26);
+# x16 (the in-window d12 chains d7's clustering CTEs — the same
+#   connected-components machinery; md5 split buckets ride x8);
+# x17 (exact-k via the same md5 order: the in-window x8 stratified
+#   sample and x26's md5 remainder run the same bucket machinery);
+# x20/x21 (the in-window x23/x24 grouped sketches are strict
+#   supersets of the global ones, and x27 embeds both generators);
+# x22 (the in-window x28 is the same composition run as a REAL
+#   stream, chaining the same probe CTEs — twice);
+# x25 (the in-window d18 probe is x25's core stage and its oracle's
+#   CTE source). All 23 demoted rows remain in the full local sweep
+# (scripts/check_oracle.py, 110 queries) and their operator pytests.
 
 
 def _curate() -> None:
