@@ -2338,7 +2338,13 @@ def q_x28(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint=os.path.join(root, "ckpt"),
         threshold=_LSH_P / _LSH_Q, max_files_per_trigger=1,
     )
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        # never read a half-drained output: stop the stream and fail
+        # loudly instead of hash-mismatching nondeterministically
+        q.stop()
+        raise TimeoutError(
+            "x28 availableNow drain did not finish within 600s"
+        )
     return spark.read.parquet(out).select(
         "doc_id", "text", F.col("epoch").cast("int").alias("epoch")
     )

@@ -443,7 +443,9 @@ def _ensure_specs() -> None:
     from . import dedup_index, search, similarity  # noqa: F401
 
 
-def compact_index(spark: SparkSession, path: str) -> int:
+def compact_index(
+    spark: SparkSession, path: str, store: LogStore | None = None
+) -> int:
     """Rewrite every committed segment of an index as ONE segment,
     folding additive relations (BM25's per-segment df/stats), and
     commit the swap atomically — readers never see a half-compacted
@@ -465,7 +467,7 @@ def compact_index(spark: SparkSession, path: str) -> int:
             f"— not a segment-manifest store this code can compact"
         )
     meta_id = getattr(meta, "meta_id", None)
-    version, man = read_manifest(path)
+    version, man = read_manifest(path, store)
     if man.get("meta_id") != meta_id:
         raise ValueError(
             f"index at {path} is torn (see committed_state) — re-run "
@@ -480,11 +482,13 @@ def compact_index(spark: SparkSession, path: str) -> int:
         if fold is not None:
             df = fold(df)
         write_segment(df, path, rel, new_seg, pcol)
-    return commit_replace(path, new_seg, segs, meta_id)
+    return commit_replace(path, new_seg, segs, meta_id, store=store)
 
 
 def vacuum_index(
-    path: str, retention_s: float = 24 * 3600.0
+    path: str,
+    retention_s: float = 24 * 3600.0,
+    store: LogStore | None = None,
 ) -> "list[str]":
     """Delete segment directories the CURRENT manifest does not
     reference: crashed builds/extends' orphans and compacted-away
@@ -492,16 +496,31 @@ def vacuum_index(
     than `retention_s` (default 24h) — a younger unreferenced dir may
     be a concurrent writer's not-yet-committed segment, and deleting it
     would commit a manifest pointing at missing files. Pass
-    retention_s=0 only when no writer can be running. Older manifests'
-    snapshots stop being readable once their segments go (the index
-    stores promise no time travel). Returns the removed dirs."""
+    retention_s=0 only when no writer can be running AND no lazy
+    DataFrame still referencing pre-compaction segments remains
+    unmaterialized (a compiled-but-not-yet-executed probe plan lists
+    concrete seg= dirs). Older manifests' snapshots stop being readable
+    once their segments go (the index stores promise no time travel).
+    Returns the removed dirs.
+
+    Refuses a store with NO committed manifest: an empty `live` set
+    there almost certainly means the manifests are elsewhere (wrong
+    path, or a non-default LogStore not passed via `store`), and
+    proceeding would classify every committed segment as an orphan and
+    mass-delete the index."""
     import shutil
     import time
 
     _ensure_specs()
     # layout from _meta read as plain json-less parquet is overkill
     # driver-side; glob every rel the specs know plus the root
-    _, man = read_manifest(path)
+    version, man = read_manifest(path, store)
+    if version == 0:
+        raise ValueError(
+            f"refusing to vacuum {path}: no committed manifest found "
+            f"— wrong path or wrong LogStore would make EVERY segment "
+            f"look like an orphan and delete the whole index"
+        )
     live = set(man["segments"])
     removed: "list[str]" = []
     rel_roots = {path}

@@ -374,61 +374,55 @@ def _admit_against_index(engine: "Engine", spec: OpSpec):
     return admit_against_index(engine.spark, path, df, **kwargs), None
 
 
-def _compact_index(engine: "Engine", spec: OpSpec):
-    """Maintenance stage a scheduled pipeline runs after N daily
-    extends: rewrite every committed segment of the index at
-    args['path'] as ONE (folding BM25's additive df/_stats), committed
-    atomically — collapses a year of extend read-amplification back to
-    a single segment (llm/_store.compact_index). Zero- or one-input:
-    with an input it passes the relation through unchanged (so it
-    chains inside an ingest program after the EXTEND stage); with none
-    it returns a one-row receipt (path, version)."""
+def _index_maintenance(op_name: str, run, receipt_schema: str):
+    """One compiler for the maintenance op pair (COMPACT INDEX /
+    VACUUM INDEX): both take args['path'], pass an input relation
+    through unchanged (so they chain inside an ingest program after
+    the EXTEND stage), or — zero-input — return a one-row receipt.
+    `run(engine, path, kwargs)` performs the maintenance and returns
+    the receipt value; kwargs left over after it pops its own args are
+    rejected."""
+
+    def compile_op(engine: "Engine", spec: OpSpec):
+        kwargs = dict(spec.args)
+        if "path" not in kwargs:
+            raise ValueError(
+                f"{op_name} needs a 'path' arg naming the index"
+            )
+        path = kwargs.pop("path")
+        value = run(engine, path, kwargs)
+        if kwargs:
+            raise ValueError(
+                f"{op_name} got unknown args {sorted(kwargs)}"
+            )
+        if spec.inputs:
+            return engine.peek(spec.inputs[0])[0], None
+        return engine.spark.createDataFrame(
+            [(path, value)], receipt_schema
+        ), None
+
+    return compile_op
+
+
+def _run_compact(engine: "Engine", path: str, kwargs: dict) -> int:
+    """Rewrite every committed segment of the index as ONE (folding
+    BM25's additive df/_stats), committed atomically — collapses a
+    year of extend read-amplification back to a single segment
+    (llm/_store.compact_index)."""
     from ..llm import _store as ST
 
-    kwargs = dict(spec.args)
-    if "path" not in kwargs:
-        raise ValueError(
-            "COMPACT INDEX needs a 'path' arg naming the index"
-        )
-    path = kwargs.pop("path")
-    if kwargs:
-        raise ValueError(
-            f"COMPACT INDEX got unknown args {sorted(kwargs)}"
-        )
-    version = ST.compact_index(engine.spark, path)
-    if spec.inputs:
-        return engine.peek(spec.inputs[0])[0], None
-    return engine.spark.createDataFrame(
-        [(path, int(version))], "path string, version long"
-    ), None
+    return int(ST.compact_index(engine.spark, path))
 
 
-def _vacuum_index(engine: "Engine", spec: OpSpec):
-    """Maintenance stage: delete segment directories the current
-    manifest does not reference (crashed writers' orphans,
-    compacted-away segments) once older than retention_seconds —
-    default 24h, so a concurrent writer's not-yet-committed segment is
-    never pulled out from under it (llm/_store.vacuum_index). Same
-    pass-through/receipt contract as COMPACT INDEX."""
+def _run_vacuum(engine: "Engine", path: str, kwargs: dict) -> int:
+    """Delete segment dirs the current manifest does not reference
+    once older than retention_seconds (default 24h — spares concurrent
+    writers' not-yet-committed segments; see llm/_store.vacuum_index
+    for the retention_seconds=0 caveats)."""
     from ..llm import _store as ST
 
-    kwargs = dict(spec.args)
-    if "path" not in kwargs:
-        raise ValueError(
-            "VACUUM INDEX needs a 'path' arg naming the index"
-        )
-    path = kwargs.pop("path")
     retention = float(kwargs.pop("retention_seconds", 24 * 3600.0))
-    if kwargs:
-        raise ValueError(
-            f"VACUUM INDEX got unknown args {sorted(kwargs)}"
-        )
-    removed = ST.vacuum_index(path, retention_s=retention)
-    if spec.inputs:
-        return engine.peek(spec.inputs[0])[0], None
-    return engine.spark.createDataFrame(
-        [(path, len(removed))], "path string, removed_dirs long"
-    ), None
+    return len(ST.vacuum_index(path, retention_s=retention))
 
 
 def _bm25_search_index(engine: "Engine", spec: OpSpec):
@@ -632,8 +626,12 @@ LLM_OP_COMPILERS = {
         "BM25 EXTEND INDEX", "bm25_extend_index"
     ),
     "BM25 SEARCH INDEX": _bm25_search_index,
-    "COMPACT INDEX": _compact_index,
-    "VACUUM INDEX": _vacuum_index,
+    "COMPACT INDEX": _index_maintenance(
+        "COMPACT INDEX", _run_compact, "path string, version long"
+    ),
+    "VACUUM INDEX": _index_maintenance(
+        "VACUUM INDEX", _run_vacuum, "path string, removed_dirs long"
+    ),
     "RRF FUSE": _rrf_fuse,
     "DISTINCT SKETCH": _unary(
         _rename_kw(_lazy_sketch("distinct_sketch"),

@@ -112,12 +112,14 @@ def admission_batch(
     # re-read (the eager-write-then-lazy-read hazard), and before the
     # output write so probe work isn't paid twice
     admitted = admitted.localCheckpoint(eager=True)
-    spark.conf.set(
-        "spark.sql.sources.partitionOverwriteMode", "dynamic"
-    )
+    # per-WRITER dynamic overwrite: scoping it to this write (not
+    # spark.conf) keeps the session's default intact — a later
+    # full-table overwrite elsewhere must not silently become partial
     (
         admitted.withColumn("epoch", F.lit(int(epoch_id)))
-        .write.mode("overwrite").partitionBy("epoch").parquet(out_path)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch").parquet(out_path)
     )
     minhash_extend_index(
         admitted, index_path, id_col=id_col, text_col=text_col, tag=tag
@@ -138,12 +140,29 @@ def start_index_admission(
     fmt: str = "parquet",
     max_files_per_trigger: "int | None" = None,
     trigger_available_now: bool = True,
+    tag_prefix: "str | None" = None,
 ):
     """The streaming wrapper: file source → foreachBatch(
     admission_batch). availableNow=True drains the backlog then stops
     (batch-like test mode); at scale drop it for a processingTime
     trigger. max_files_per_trigger bounds epoch size (and makes
-    multi-epoch runs deterministic in tests)."""
+    multi-epoch runs deterministic in tests).
+
+    tag_prefix defaults to a digest of the CHECKPOINT path: a restart
+    from the same checkpoint resumes the same epoch numbering, so its
+    redeliveries must hit the same tags (idempotence) — but a NEW
+    stream incarnation (fresh checkpoint, epoch ids restart at 0)
+    against the same index must NOT collide with a previous
+    incarnation's tags, or its early epochs of brand-new documents
+    would be silently skipped as already-committed."""
+    if tag_prefix is None:
+        import hashlib
+        import os as _os
+
+        digest = hashlib.md5(
+            _os.path.abspath(checkpoint).encode("utf-8")
+        ).hexdigest()[:8]
+        tag_prefix = f"admit-{digest}-"
     reader = spark.readStream.format(fmt).schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option(
@@ -155,6 +174,7 @@ def start_index_admission(
             lambda bdf, epoch: admission_batch(
                 bdf, epoch, index_path, out_path,
                 id_col=id_col, text_col=text_col, threshold=threshold,
+                tag_prefix=tag_prefix,
             )
         )
         .option("checkpointLocation", checkpoint)

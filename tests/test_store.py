@@ -603,3 +603,15 @@ def test_compact_and_vacuum_config_ops(spark, sf_dir, tmp_path):
     with _pytest.raises(ValueError, match="unknown args"):
         eng.run_op(OpSpec("VACUUM INDEX", "bad2", [],
                           {"path": idx, "nope": 1}))
+
+
+def test_vacuum_refuses_store_with_no_committed_manifest(tmp_path):
+    """A wrong path (or a non-default LogStore not passed through)
+    yields an empty live set — vacuuming would classify every
+    committed segment as an orphan and mass-delete the index; refuse
+    loudly instead."""
+    bogus = str(tmp_path / "not_an_index")
+    os.makedirs(os.path.join(bogus, "buckets", "seg=sdead"))
+    with pytest.raises(ValueError, match="refusing to vacuum"):
+        ST.vacuum_index(bogus, retention_s=0.0)
+    assert os.path.isdir(os.path.join(bogus, "buckets", "seg=sdead"))

@@ -207,3 +207,41 @@ def test_admit_config_op_matches_library(spark, sf_dir, tmp_path):
     assert {r.doc_id for r in out.collect()} == want
     with pytest.raises(ValueError, match="path"):
         eng.run_op(OpSpec("ADMIT AGAINST INDEX", "bad", ["batch"], {}))
+
+
+def test_new_stream_incarnation_does_not_collide_with_old_tags(
+    spark, sf_dir, tmp_path
+):
+    """Epoch ids restart at 0 for every fresh checkpoint; the default
+    tag prefix is derived from the checkpoint path, so a SECOND stream
+    incarnation against the same index must still admit its own epoch
+    0 instead of skipping it as the first incarnation's committed
+    tag."""
+    corpus, e1, e2 = _fixture(spark, sf_dir)
+    idx = str(tmp_path / "idx")
+    minhash_build_index(corpus, idx, **_LSH)
+
+    def run(src_df, name):
+        src = str(tmp_path / f"src_{name}")
+        src_df.coalesce(1).write.parquet(src + "/batch=0")
+        out = str(tmp_path / f"out_{name}")
+        q = start_index_admission(
+            spark, src + "/batch=*", src_df.schema, idx, out,
+            checkpoint=str(tmp_path / f"ckpt_{name}"), threshold=_T,
+        )
+        q.awaitTermination(180)
+        return {r.doc_id
+                for r in spark.read.parquet(out).select("doc_id")
+                .collect()}
+
+    first = run(e1, "one")
+    assert first
+    # a NEW incarnation (fresh checkpoint + source) reuses epoch id 0:
+    # with a shared bare prefix its epoch 0 would be silently skipped
+    second = run(e2, "two")
+    clean_e2 = {r.doc_id for r in e2.where(
+        F.col("doc_id") % 4 == 3).collect()}
+    assert second and second <= clean_e2
+    # both incarnations' tags coexist in the manifest
+    _, man = ST.read_manifest(idx)
+    assert len(man["tags"]) == 2 and len(set(man["tags"])) == 2
