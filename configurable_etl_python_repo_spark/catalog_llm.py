@@ -2026,46 +2026,63 @@ def _emb_incr_split(spark: SparkSession, sf_dir: str):
     return corpus, batch
 
 
-def _emb_incr_ctes() -> str:
-    """CTE chain ending in `edup` = the thresholded (batch, corpus)
-    cosine pairs a persisted embedding-index probe returns: the n3 IVF
-    coarse-quantizer machinery over a two-corpus embedding split —
-    centroids are the corpus side's hash-order sample (the shared
-    `ORDER BY md5(id) LIMIT n` init), the corpus assigns top-1, the
-    batch probes top-n_probe, survivors keep exact cosine >= threshold.
-    The parquet index is pure execution strategy — relationally the
-    probe IS this chain (the d15 statement, cosine metric); the
-    composed x25 ingest oracle reuses it so the pipeline can never
-    drift from the standalone probe."""
+def _emb_pairs_ctes(
+    corp_cte: str,
+    bat_cte: str,
+    cent_src: "str | None" = None,
+    prefix: str = "",
+) -> str:
+    """CTE chain ending in `{prefix}edup` = the thresholded (batch,
+    corpus) cosine pairs a persisted embedding-index probe returns,
+    over ANY (vec_id, embedding) corpus/batch CTE pair: the n3 IVF
+    coarse-quantizer machinery — centroids are `cent_src`'s hash-order
+    sample (the shared `ORDER BY md5(id) LIMIT n` init), the corpus
+    assigns top-1, the batch probes top-n_probe, survivors keep exact
+    cosine >= threshold. `cent_src` defaults to the corpus CTE (a
+    fresh build); pass the ORIGINAL corpus when modelling a probe
+    against an EXTENDED index — extends never retrain the quantizer,
+    so later epochs still assign under the build-time sample. `prefix`
+    namespaces the chain so SEQUENTIAL probes compose (x29)."""
+    P = prefix
+    cs = cent_src or corp_cte
     return f"""
-    {_EMB_INCR_SQL.strip()},
-    cent AS (
-      SELECT vec_id AS cid, embedding AS cv FROM ecorp
+    {P}cent AS (
+      SELECT vec_id AS cid, embedding AS cv FROM {cs}
       ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {_D18_NC}),
-    cscored AS (
+    {P}cscored AS (
       SELECT e.vec_id AS id, c.cid,
              {_cos_sql('e.embedding', 'c.cv')} AS s
-      FROM ecorp e, cent c),
-    cassign AS (
-      SELECT id, cid FROM cscored
+      FROM {corp_cte} e, {P}cent c),
+    {P}cassign AS (
+      SELECT id, cid FROM {P}cscored
       QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY s DESC, cid) = 1),
-    bscored AS (
+    {P}bscored AS (
       SELECT b.vec_id AS id, c.cid,
              {_cos_sql('b.embedding', 'c.cv')} AS s
-      FROM ebat b, cent c),
-    bprobe AS (
-      SELECT id, cid FROM bscored
+      FROM {bat_cte} b, {P}cent c),
+    {P}bprobe AS (
+      SELECT id, cid FROM {P}bscored
       QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY s DESC, cid)
               <= {_D18_PROBE}),
-    epairs AS (
+    {P}epairs AS (
       SELECT bp.id AS id_a, ca.id AS id_b,
              {_cos_sql('eq.embedding', 'ec.embedding')} AS sim
-      FROM bprobe bp
-      JOIN cassign ca ON ca.cid = bp.cid
-      JOIN ebat eq ON eq.vec_id = bp.id
-      JOIN embeddings ec ON ec.vec_id = ca.id),
-    edup AS (SELECT id_a, id_b, sim FROM epairs WHERE sim >= {_D18_T})
+      FROM {P}bprobe bp
+      JOIN {P}cassign ca ON ca.cid = bp.cid
+      JOIN {bat_cte} eq ON eq.vec_id = bp.id
+      JOIN {corp_cte} ec ON ec.vec_id = ca.id),
+    {P}edup AS (
+      SELECT id_a, id_b, sim FROM {P}epairs WHERE sim >= {_D18_T})
     """
+
+
+def _emb_incr_ctes() -> str:
+    """The d18 fixture's instance of _emb_pairs_ctes: chain over the
+    shared two-corpus embedding split (ecorp/ebat), unprefixed, ending
+    in `edup` — reused verbatim by the d18 and x25 oracles so the
+    composed ingest can never drift from the standalone probe."""
+    return f"""
+    {_EMB_INCR_SQL.strip()},{_emb_pairs_ctes("ecorp", "ebat")}"""
 
 
 def _emb_incr_oracle() -> str:
@@ -2347,6 +2364,104 @@ def q_x28(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return spark.read.parquet(out).select(
         "doc_id", "text", F.col("epoch").cast("int").alias("epoch")
+    )
+
+
+def _emb_stream_admission_oracle() -> str:
+    """x29 = x28's statement in the VECTOR modality: two sequential
+    embedding-admission epochs, each one _emb_pairs_ctes instance —
+    epoch 2 probes corpus ∪ epoch-1 admissions, but assigns under the
+    ORIGINAL corpus's centroid sample (extends never retrain the
+    quantizer; cent_src pins that)."""
+    return f"""
+    WITH ecorp AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+    ee1 AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 1
+      UNION ALL
+      SELECT vec_id + 1000000, embedding FROM embeddings
+      WHERE vec_id % 10 = 0),
+    ee2 AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 3
+      UNION ALL
+      SELECT vec_id + 2000000, embedding FROM embeddings
+      WHERE vec_id % 20 = 1),{_emb_pairs_ctes("ecorp", "ee1", prefix="a_").rstrip()},
+    adm1 AS (
+      SELECT vec_id, embedding FROM ee1
+      WHERE vec_id NOT IN (SELECT id_a FROM a_edup)),
+    corp2 AS (
+      SELECT vec_id, embedding FROM ecorp
+      UNION ALL
+      SELECT vec_id, embedding FROM adm1),{_emb_pairs_ctes("corp2", "ee2", cent_src="ecorp", prefix="b_").rstrip()},
+    adm2 AS (
+      SELECT vec_id FROM ee2
+      WHERE vec_id NOT IN (SELECT id_a FROM b_edup))
+    SELECT vec_id, 0 AS epoch FROM adm1
+    UNION ALL
+    SELECT vec_id, 1 AS epoch FROM adm2
+    """
+
+
+@register("x29_streaming_embedding_admission", _emb_stream_admission_oracle())
+def q_x29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental SEMANTIC-dedup admission — x28's
+    composition in the vector modality (family='embedding'), run as a
+    REAL availableNow stream: each micro-batch of new vectors probes
+    the persisted IVF-partitioned embedding index, drops cosine
+    near-duplicates, overwrites its epoch output partition, and
+    TAGGED-extends the index so the next epoch dedups against this
+    one's admissions under the ORIGINAL centroid sample (FAISS-add
+    semantics — extends never retrain). The oracle chains
+    _emb_pairs_ctes twice, with epoch 2's quantizer pinned to the
+    original corpus sample, exactly what the extended index stores.
+    Shares streaming/admission.py with x28 — one admission composition
+    for every probe-returning index family."""
+    import os
+    import shutil
+    import tempfile
+
+    from .llm.dedup_index import embedding_build_index
+    from .streaming.admission import start_index_admission
+
+    emb = spark.read.parquet(_pq(sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") % 2 == 0)
+    e1 = emb.where(F.col("vec_id") % 4 == 1).unionByName(
+        emb.where(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+        )
+    )
+    e2 = emb.where(F.col("vec_id") % 4 == 3).unionByName(
+        emb.where(F.col("vec_id") % 20 == 1).select(
+            (F.col("vec_id") + 2000000).alias("vec_id"), "embedding"
+        )
+    )
+    tag = sf_dir.strip("/").replace("/", "_")
+    root = os.path.join(tempfile.gettempdir(), f"cfg_etl_x29_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    idx, out = os.path.join(root, "idx"), os.path.join(root, "out")
+    src = os.path.join(root, "incoming")
+    e1.coalesce(1).write.parquet(src + "/batch=0")
+    e2.coalesce(1).write.parquet(src + "/batch=1")
+    now = os.path.getmtime(src + "/batch=0")
+    for i in (0, 1):
+        for f in os.listdir(f"{src}/batch={i}"):
+            os.utime(f"{src}/batch={i}/{f}", (now + 10 * i, now + 10 * i))
+    embedding_build_index(corpus, idx, n_centroids=_D18_NC)
+    q = start_index_admission(
+        spark, src + "/batch=*", e1.schema, idx, out,
+        checkpoint=os.path.join(root, "ckpt"),
+        family="embedding", threshold=_D18_T, n_probe=_D18_PROBE,
+        max_files_per_trigger=1,
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "x29 availableNow drain did not finish within 600s"
+        )
+    return spark.read.parquet(out).select(
+        "vec_id", F.col("epoch").cast("int").alias("epoch")
     )
 
 

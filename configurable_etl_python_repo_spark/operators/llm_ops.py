@@ -350,14 +350,15 @@ def _bm25_index_write(op_name: str, fn_name: str):
 
 
 def _admit_against_index(engine: "Engine", spec: OpSpec):
-    """The x22 ingest composition as ONE op: probe the persisted
-    MinHash index at args['path'] with the input batch and return the
-    docs that near-duplicate nothing in it (probe + anti-join,
+    """The x22/x25 ingest composition as ONE op: probe the persisted
+    index at args['path'] with the input batch and return the rows
+    that near-duplicate nothing in it (probe + anti-join,
     streaming/admission.admit_against_index — the same function the
     streaming foreachBatch runs, so batch and stream cannot drift).
-    Does NOT extend the index; chain MINHASH EXTEND INDEX after it (or
-    use the streaming wrapper, which tags epochs for retry
-    idempotence)."""
+    args['family'] picks the index: 'minhash' (default; text) or
+    'embedding' (IVF cosine; 'n_probe' applies). Does NOT extend the
+    index; chain the family's EXTEND INDEX op after it (or use the
+    streaming wrapper, which tags epochs for retry idempotence)."""
     from ..streaming.admission import admit_against_index
 
     df, _ = engine.peek(spec.inputs[0])
@@ -368,7 +369,8 @@ def _admit_against_index(engine: "Engine", spec: OpSpec):
         )
     path = kwargs.pop("path")
     for cfg, py in (("id_column", "id_col"),
-                    ("text_column", "text_col")):
+                    ("text_column", "text_col"),
+                    ("vector_column", "value_col")):
         if cfg in kwargs:
             kwargs[py] = kwargs.pop(cfg)
     return admit_against_index(engine.spark, path, df, **kwargs), None

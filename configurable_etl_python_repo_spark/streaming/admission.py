@@ -1,11 +1,14 @@
 """Streaming incremental-dedup admission: the daily-ingest composition
-(probe the persisted MinHash index → drop near-duplicates → tagged
-extend) run continuously under Structured Streaming.
+(probe a persisted dedup index → drop near-duplicates → tagged extend)
+run continuously under Structured Streaming, for EVERY index family
+whose probe emits (id_a = batch, id_b = indexed) pairs: MinHash (text
+shingle Jaccard, the x22 shape) and embedding (IVF cosine, the x25
+shape) — see FAMILIES.
 
-This is the x22 batch ingest re-founded as a stream: every micro-batch
-of new documents is probed against the PERSISTED index
-(llm/dedup_index.py — corpus signatures are never recomputed), the
-matched docs are dropped, the admitted remainder is written to the
+This is the x22/x25 batch ingest re-founded as a stream: every
+micro-batch of new rows is probed against the PERSISTED index
+(llm/dedup_index.py — corpus-side state is never recomputed), the
+matched rows are dropped, the admitted remainder is written to the
 output table AND appended to the index so the NEXT micro-batch
 deduplicates against it. Exactly-once admission over an at-least-once
 stream comes from two idempotence mechanisms working together:
@@ -51,25 +54,90 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _minhash_probe(spark, path, batch, id_col, value_col, threshold,
+                   n_probe):
+    from ..llm.dedup_index import dedup_against_index
+
+    return dedup_against_index(
+        spark, path, batch, id_col=id_col, text_col=value_col,
+        threshold=threshold,
+    )
+
+
+def _minhash_extend(batch, path, id_col, value_col, tag):
+    from ..llm.dedup_index import minhash_extend_index
+
+    return minhash_extend_index(
+        batch, path, id_col=id_col, text_col=value_col, tag=tag
+    )
+
+
+def _embedding_probe(spark, path, batch, id_col, value_col, threshold,
+                     n_probe):
+    from ..llm.dedup_index import embedding_against_index
+
+    return embedding_against_index(
+        spark, path, batch, id_col=id_col, vec_col=value_col,
+        threshold=threshold, n_probe=n_probe,
+    )
+
+
+def _embedding_extend(batch, path, id_col, value_col, tag):
+    from ..llm.dedup_index import embedding_extend_index
+
+    return embedding_extend_index(
+        batch, path, id_col=id_col, vec_col=value_col, tag=tag
+    )
+
+
+#: family -> (probe, extend, default id col, default value col,
+#: default threshold). One admission composition serves every
+#: incremental index whose probe returns (id_a=batch, id_b=indexed)
+#: pairs — MinHash for text near-dups, embedding for semantic dups.
+FAMILIES = {
+    "minhash": (_minhash_probe, _minhash_extend, "doc_id", "text", 0.5),
+    "embedding": (
+        _embedding_probe, _embedding_extend, "vec_id", "embedding", 0.9
+    ),
+}
+
+
+def _family(name: str):
+    try:
+        return FAMILIES[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown admission family {name!r}; one of "
+            f"{sorted(FAMILIES)}"
+        ) from None
+
+
 def admit_against_index(
     spark: SparkSession,
     path: str,
     batch: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    threshold: float = 0.5,
+    id_col: "str | None" = None,
+    value_col: "str | None" = None,
+    threshold: "float | None" = None,
+    family: str = "minhash",
+    n_probe: int = 2,
+    text_col: "str | None" = None,
 ) -> DataFrame:
-    """The admission TRANSFORM: batch docs that near-duplicate nothing
-    in the persisted MinHash index at ``path`` (probe + anti-join, the
-    x22 composition as one call). Pure DataFrame-in/DataFrame-out, so
-    it is the shared body of the batch config op and the streaming
-    foreachBatch — the duals cannot drift."""
-    from ..llm.dedup_index import dedup_against_index
-
-    pairs = dedup_against_index(
-        spark, path, batch, id_col=id_col, text_col=text_col,
-        threshold=threshold,
-    )
+    """The admission TRANSFORM: batch rows that near-duplicate nothing
+    in the persisted index at ``path`` (probe + anti-join, the x22/x25
+    composition as one call). `family` picks the index: "minhash"
+    (text shingle Jaccard) or "embedding" (IVF cosine; `n_probe`
+    applies). Pure DataFrame-in/DataFrame-out, so it is the shared
+    body of the batch config op and the streaming foreachBatch — the
+    duals cannot drift. `text_col` is an accepted alias for
+    `value_col` (the minhash-only signature this function started
+    with)."""
+    probe, _, did, dval, dthr = _family(family)
+    id_col = id_col or did
+    value_col = value_col or text_col or dval
+    threshold = dthr if threshold is None else threshold
+    pairs = probe(spark, path, batch, id_col, value_col, threshold,
+                  n_probe)
     matched = pairs.select(F.col("id_a").alias(id_col)).distinct()
     return batch.join(matched, [id_col], "left_anti")
 
@@ -79,10 +147,13 @@ def admission_batch(
     epoch_id: int,
     index_path: str,
     out_path: str,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    threshold: float = 0.5,
+    id_col: "str | None" = None,
+    text_col: "str | None" = None,
+    threshold: "float | None" = None,
     tag_prefix: str = "admit-",
+    family: str = "minhash",
+    value_col: "str | None" = None,
+    n_probe: int = 2,
 ) -> DataFrame | None:
     """One micro-batch of the admission stream (the foreachBatch body,
     unit-testable without a stream): probe, anti-join, overwrite the
@@ -101,12 +172,14 @@ def admission_batch(
         return None
     if batch_df.isEmpty():
         return None
-    from ..llm.dedup_index import minhash_extend_index
-
+    _, extend, did, dval, _ = _family(family)
+    id_col = id_col or did
+    value_col = value_col or text_col or dval
     spark = batch_df.sparkSession
     admitted = admit_against_index(
-        spark, index_path, batch_df, id_col=id_col, text_col=text_col,
-        threshold=threshold,
+        spark, index_path, batch_df, id_col=id_col,
+        value_col=value_col, threshold=threshold, family=family,
+        n_probe=n_probe,
     )
     # materialize BEFORE the extend mutates the store a retry would
     # re-read (the eager-write-then-lazy-read hazard), and before the
@@ -121,9 +194,7 @@ def admission_batch(
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("epoch").parquet(out_path)
     )
-    minhash_extend_index(
-        admitted, index_path, id_col=id_col, text_col=text_col, tag=tag
-    )
+    extend(admitted, index_path, id_col, value_col, tag)
     return admitted
 
 
@@ -134,13 +205,16 @@ def start_index_admission(
     index_path: str,
     out_path: str,
     checkpoint: str,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    threshold: float = 0.5,
+    id_col: "str | None" = None,
+    text_col: "str | None" = None,
+    threshold: "float | None" = None,
     fmt: str = "parquet",
     max_files_per_trigger: "int | None" = None,
     trigger_available_now: bool = True,
     tag_prefix: "str | None" = None,
+    family: str = "minhash",
+    value_col: "str | None" = None,
+    n_probe: int = 2,
 ):
     """The streaming wrapper: file source → foreachBatch(
     admission_batch). availableNow=True drains the backlog then stops
@@ -174,7 +248,8 @@ def start_index_admission(
             lambda bdf, epoch: admission_batch(
                 bdf, epoch, index_path, out_path,
                 id_col=id_col, text_col=text_col, threshold=threshold,
-                tag_prefix=tag_prefix,
+                tag_prefix=tag_prefix, family=family,
+                value_col=value_col, n_probe=n_probe,
             )
         )
         .option("checkpointLocation", checkpoint)

@@ -245,3 +245,92 @@ def test_new_stream_incarnation_does_not_collide_with_old_tags(
     # both incarnations' tags coexist in the manifest
     _, man = ST.read_manifest(idx)
     assert len(man["tags"]) == 2 and len(set(man["tags"])) == 2
+
+
+# ---------------------------------------------------------------------------
+# Embedding family (the x25/x29 modality) through the same composition
+# ---------------------------------------------------------------------------
+
+from configurable_etl_python_repo_spark.llm.dedup_index import (  # noqa: E402
+    embedding_build_index,
+)
+
+_ENC, _ET, _EP = 8, 0.9, 2
+
+
+def _vec_fixture(spark, sf_dir):
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id", "embedding"))
+    corpus = emb.where(F.col("vec_id") % 2 == 0)
+    e1 = emb.where(F.col("vec_id") % 4 == 1).unionByName(
+        emb.where(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"))
+    e2 = emb.where(F.col("vec_id") % 4 == 3).unionByName(
+        emb.where(F.col("vec_id") % 20 == 1).select(
+            (F.col("vec_id") + 2000000).alias("vec_id"), "embedding"))
+    return corpus, e1, e2
+
+
+def test_embedding_stream_equals_sequential_batches(
+    spark, sf_dir, tmp_path
+):
+    """family='embedding' through the SAME admission composition:
+    availableNow stream == sequential admission_batch loop; epoch-2
+    replicas of epoch-1 admissions rejected (the extend landed in
+    between, assigned under the ORIGINAL centroids)."""
+    corpus, e1, e2 = _vec_fixture(spark, sf_dir)
+    kw = dict(family="embedding", threshold=_ET, n_probe=_EP)
+
+    seq_idx = str(tmp_path / "sidx")
+    seq_out = str(tmp_path / "sout")
+    embedding_build_index(corpus, seq_idx, n_centroids=_ENC)
+    for i, e in enumerate([e1, e2]):
+        admission_batch(e, i, seq_idx, seq_out, **kw)
+    want = {(r.vec_id, r.epoch)
+            for r in spark.read.parquet(seq_out)
+            .select("vec_id", "epoch").collect()}
+    # corpus replicas rejected in epoch 1; epoch-1-admission replicas
+    # rejected in epoch 2
+    assert not {v for v, ep in want if 1000000 <= v < 2000000}
+    assert not {v for v, ep in want if v >= 2000000}
+    assert {v for v, ep in want if ep == 0}
+
+    src = str(tmp_path / "src")
+    e1.coalesce(1).write.parquet(src + "/batch=0")
+    e2.coalesce(1).write.parquet(src + "/batch=1")
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    embedding_build_index(corpus, idx, n_centroids=_ENC)
+    q = start_index_admission(
+        spark, src + "/batch=*", e1.schema, idx, out,
+        checkpoint=str(tmp_path / "ckpt"), max_files_per_trigger=1,
+        **kw,
+    )
+    assert q.awaitTermination(180)
+    got = {(r.vec_id, r.epoch)
+           for r in spark.read.parquet(out)
+           .select("vec_id", "epoch").collect()}
+    assert got == want
+
+
+def test_admission_family_validation(spark, sf_dir, tmp_path):
+    corpus, e1, _ = _vec_fixture(spark, sf_dir)
+    idx = str(tmp_path / "idx")
+    embedding_build_index(corpus, idx, n_centroids=_ENC)
+    with pytest.raises(ValueError, match="unknown admission family"):
+        admit_against_index(spark, idx, e1, family="simhash")
+    # family defaults resolve id/value columns per store
+    out = admit_against_index(spark, idx, e1, family="embedding",
+                              threshold=_ET, n_probe=_EP)
+    assert set(out.columns) == {"vec_id", "embedding"}
+    # and the config op threads family + vector_column
+    from configurable_etl_python_repo_spark.plans import Engine, OpSpec
+
+    eng = Engine(spark)
+    eng.bind("batch", e1)
+    got = eng.run_op(OpSpec(
+        "ADMIT AGAINST INDEX", "adm", ["batch"],
+        {"path": idx, "family": "embedding", "threshold": _ET,
+         "n_probe": _EP, "id_column": "vec_id",
+         "vector_column": "embedding"}))
+    assert ({r.vec_id for r in got.collect()}
+            == {r.vec_id for r in out.collect()})
