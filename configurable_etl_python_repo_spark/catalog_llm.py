@@ -2367,6 +2367,62 @@ def q_x28(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _index_deletion_oracle() -> str:
+    """x30 = d15's probe statement minus the tombstoned ids:
+    relationally, deletion is `id_b NOT IN deleted` — the parquet
+    tombstone segments are pure execution strategy. Chains the SAME
+    _cross_pairs_ctes generator as d15/x22/x28, so deletion semantics
+    are pinned against the standalone probe."""
+    return (
+        "WITH " + _incr_pairs_ctes().strip()
+        + """,
+    deleted AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id % 2 = 0 AND doc_id % 3 = 0)
+    SELECT id_a, id_b, inter, size_a, size_b FROM ipairs
+    WHERE id_b NOT IN (SELECT doc_id FROM deleted)
+    """
+    )
+
+
+@register("x30_index_deletion", _index_deletion_oracle())
+def q_x30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten on a persisted index WITHOUT a rebuild
+    (llm/_store.delete_from_index): tombstone a third of the indexed
+    corpus, then probe — deleted ids vanish from results immediately
+    (the tombstone anti-join runs before the candidate verify), while
+    the rows are physically purged later by COMPACT INDEX (Lucene's
+    delete-until-merge model; compact == fresh-rebuild-minus-deleted
+    is pinned bit-for-bit in tests/test_store.py). The oracle is d15's
+    own chain filtered by the deleted set — deletion cannot drift from
+    the probe it wraps."""
+    import os
+    import shutil
+    import tempfile
+
+    from .llm import dedup_index as DI
+    from .llm._store import delete_from_index
+
+    corpus, batch = _incr_split(spark, sf_dir)
+    tag = sf_dir.strip("/").replace("/", "_")
+    # deletes MUTATE the store: start clean so repeated invocations
+    # (bench warm-up + samples) measure the same pipeline every time
+    path = os.path.join(tempfile.gettempdir(), f"cfg_etl_x30_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    DI.minhash_build_index(
+        corpus, path, n=_JACCARD_N, bands=_LSH_BANDS,
+        rows_per_band=_LSH_ROWS,
+    )
+    delete_from_index(
+        corpus.where(F.col("doc_id") % 3 == 0)
+        .select(F.col("doc_id").alias("id")),
+        path, tag="takedown-x30",
+    )
+    return DI.dedup_against_index(
+        spark, path, batch, threshold=_LSH_P / _LSH_Q
+    )
+
+
 def _emb_stream_admission_oracle() -> str:
     """x29 = x28's statement in the VECTOR modality: two sequential
     embedding-admission epochs, each one _emb_pairs_ctes instance —

@@ -54,6 +54,7 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..sinks.logstore import LocalLogStore, LogStore
 from ..sinks.txlog import ConcurrentWriteError
@@ -421,9 +422,109 @@ def read_committed(
     and a root-scan-then-filter read could sample an orphan's footer
     first."""
     root = _rel_root(path, rel)
-    dirs = [f"{root}/seg={s}" for s in segments]
+    # existence filter: a DELETE-only segment writes just its
+    # _deletes/ dir, so data relations legitimately have no directory
+    # for it (and vice versa) — skip, never error
+    dirs = [
+        d for d in (f"{root}/seg={s}" for s in segments)
+        if os.path.isdir(d)
+    ]
+    if not dirs:
+        raise ValueError(
+            f"no committed data for relation {rel!r} at {path} — the "
+            f"store was emptied (all rows deleted then compacted?); "
+            f"rebuild or drop the index"
+        )
     return (
         spark.read.option("basePath", root).parquet(*dirs).drop("seg")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tombstone deletes (right-to-be-forgotten without a rebuild)
+# ---------------------------------------------------------------------------
+#
+# Lucene's delete model, applied to the index families: a delete writes
+# a tombstone segment (`_deletes/seg=<id>`, just ids) committed through
+# the SAME manifest protocol — atomic, taggable, invisible if crashed.
+# Probes/searches anti-join their indexed-side ids against the
+# committed tombstones, so deleted docs vanish from RESULTS
+# immediately; corpus-level statistics (BM25 df / n_docs / avgdl)
+# continue to include them until a COMPACTION physically purges the
+# rows and drops the tombstones — exactly Lucene's
+# deleted-docs-count-until-merge semantics, and the honest contract at
+# 100 TB (recomputing global stats on every delete would rescan the
+# corpus). Contract notes:
+# - an id is an identity: deleting it suppresses EVERY row with that
+#   id, including rows appended by LATER extends, until a compaction
+#   purges both the rows and the tombstone. Re-using a deleted id
+#   before that compaction keeps it suppressed — re-ingest under a
+#   fresh id (or compact first).
+# - a REBUILD starts a new corpus generation: the fresh manifest names
+#   only the new segment, so old tombstones (like old data) vanish.
+
+
+def delete_from_index(
+    ids: DataFrame,
+    path: str,
+    id_col: str = "id",
+    tag: "str | None" = None,
+    store: LogStore | None = None,
+) -> bool:
+    """Tombstone the given ids in ANY segment-manifest index store
+    (family-agnostic: the tombstone relation only holds ids). ATOMIC
+    via the extend commit; `tag` gives retry idempotence (returns
+    False if already committed). Deleted ids disappear from
+    probe/search results at the next read; run compact_index to
+    physically purge the rows (and reclaim the stats, for BM25)."""
+    spark = ids.sparkSession
+    rows = spark.read.parquet(path + "/_meta").collect()
+    if len(rows) != 1:
+        raise ValueError(
+            f"corrupt index at {path}: _meta has {len(rows)} rows"
+        )
+    meta_id = getattr(rows[0], "meta_id", None)
+    _, man = read_manifest(path, store)
+    if tag is not None and tag in (man.get("tags") or {}):
+        return False
+    seg = new_segment_id()
+    write_segment(
+        ids.select(F.col(id_col).alias("id")).distinct(),
+        path, "_deletes", seg, None,
+    )
+    return commit_extend(path, seg, meta_id, tag=tag, store=store)
+
+
+def read_deletes(
+    spark: SparkSession, path: str, segments: "list[str]"
+) -> "DataFrame | None":
+    """The committed tombstone ids, or None when no committed segment
+    carries any — the common no-deletes case costs probes NOTHING (no
+    extra plan node, no listing)."""
+    root = _rel_root(path, "_deletes")
+    dirs = [
+        d for d in (f"{root}/seg={s}" for s in segments)
+        if os.path.isdir(d)
+    ]
+    if not dirs:
+        return None
+    return (
+        spark.read.option("basePath", root).parquet(*dirs)
+        .drop("seg").select("id").distinct()
+    )
+
+
+def apply_deletes(
+    result: DataFrame, deletes: "DataFrame | None", id_col: str
+) -> DataFrame:
+    """Anti-join a probe/search result's indexed-side id column against
+    the tombstones (no-op when deletes is None). ONE definition so
+    every store's read path drops deleted ids the same way."""
+    if deletes is None:
+        return result
+    return result.join(
+        deletes.withColumnsRenamed({"id": id_col}), [id_col],
+        "left_anti",
     )
 
 
@@ -431,11 +532,17 @@ def read_committed(
 # Compaction + vacuum (segment retention)
 # ---------------------------------------------------------------------------
 
-#: layout -> [(relation subdir, partition col or None, fold or None)].
-#: Populated by each store module at import; fold re-aggregates an
-#: ADDITIVE relation (BM25 df/stats) so N segments' rows collapse to
-#: one segment's worth — everything else rewrites verbatim.
-COMPACT_SPECS: "dict[str, list[tuple]]" = {}
+#: layout -> {"rels": [(relation subdir, partition col or None,
+#: id col | resolver | None)], "derived": [(relation, partition col)],
+#: "finalize": callable | None}. Populated by each store module at
+#: import. "rels" are PRIMARY relations rewritten verbatim minus any
+#: tombstoned rows (id col names the column the tombstones match; a
+#: callable resolves it from the DataFrame for stores whose id column
+#: is caller-named). "derived" relations are RECOMPUTED from the
+#: filtered primaries by "finalize" (filtered: dict rel->df -> dict
+#: rel->df) — BM25's df/_stats, which stop being a simple per-segment
+#: sum once deleted rows are purged.
+COMPACT_SPECS: "dict[str, dict]" = {}
 
 
 def _ensure_specs() -> None:
@@ -447,14 +554,16 @@ def compact_index(
     spark: SparkSession, path: str, store: LogStore | None = None
 ) -> int:
     """Rewrite every committed segment of an index as ONE segment,
-    folding additive relations (BM25's per-segment df/stats), and
-    commit the swap atomically — readers never see a half-compacted
-    tree, and a concurrent extend's freshly committed segment survives
-    untouched. After a year of daily extends this is what collapses
-    365 segments of read amplification back to one. Returns the
-    committed version (or the current one if <= 1 segment — nothing to
-    do). Old segment dirs become invisible orphans: vacuum_index
-    reclaims the space."""
+    recomputing derived relations (BM25's df/_stats), PHYSICALLY
+    PURGING tombstoned rows (and the tombstones themselves — after
+    compaction the deleted docs are gone from stats too, the Lucene
+    merge semantics), and commit the swap atomically — readers never
+    see a half-compacted tree, and a concurrent extend's freshly
+    committed segment survives untouched. After a year of daily
+    extends this is what collapses 365 segments of read amplification
+    back to one. Returns the committed version (or the current one if
+    <= 1 segment and no tombstones — nothing to do). Old segment dirs
+    become invisible orphans: vacuum_index reclaims the space."""
     _ensure_specs()
     rows = spark.read.parquet(path + "/_meta").collect()
     if len(rows) != 1:
@@ -474,14 +583,29 @@ def compact_index(
             f"the build before compacting"
         )
     segs = list(man["segments"])
-    if len(segs) <= 1:
+    deletes = read_deletes(spark, path, segs)
+    if len(segs) <= 1 and deletes is None:
         return version
     new_seg = new_segment_id()
-    for rel, pcol, fold in spec:
+    filtered: "dict[str, DataFrame]" = {}
+    for rel, pcol, idc in spec["rels"]:
         df = read_committed(spark, path, rel, segs)
-        if fold is not None:
-            df = fold(df)
-        write_segment(df, path, rel, new_seg, pcol)
+        if deletes is not None and idc is not None:
+            id_col = idc(df) if callable(idc) else idc
+            df = apply_deletes(df, deletes, id_col)
+        filtered[rel] = df
+    if deletes is not None and filtered[spec["rels"][0][0]].isEmpty():
+        raise ValueError(
+            f"compaction of {path} would empty the store (every row "
+            f"tombstoned) — drop or rebuild the index instead"
+        )
+    for rel, pcol, _ in spec["rels"]:
+        write_segment(filtered[rel], path, rel, new_seg, pcol)
+    derived = spec.get("finalize")
+    if derived is not None:
+        for rel, df in derived(filtered).items():
+            pcol = dict(spec.get("derived") or []).get(rel)
+            write_segment(df, path, rel, new_seg, pcol)
     return commit_replace(path, new_seg, segs, meta_id, store=store)
 
 
@@ -523,9 +647,11 @@ def vacuum_index(
         )
     live = set(man["segments"])
     removed: "list[str]" = []
-    rel_roots = {path}
+    rel_roots = {path, _rel_root(path, "_deletes")}
     for spec in COMPACT_SPECS.values():
-        for rel, _, _ in spec:
+        for rel, _, _ in spec["rels"]:
+            rel_roots.add(_rel_root(path, rel))
+        for rel, _ in spec.get("derived") or []:
             rel_roots.add(_rel_root(path, rel))
     now = time.time()
     for root in sorted(rel_roots):

@@ -254,8 +254,11 @@ def dedup_against_index(
     one-shot path. Reads resolve the segment manifest ONCE and filter
     both stores to committed segments — snapshot isolation: a crashed
     extend's orphan dirs and a mid-probe concurrent extend are both
-    invisible."""
-    from ._store import read_committed
+    invisible. Tombstoned ids (_store.delete_from_index) never appear
+    as id_b: the bucket relation is anti-joined against the committed
+    tombstones BEFORE the candidate join (zero cost when no deletes
+    exist)."""
+    from ._store import apply_deletes, read_committed, read_deletes
 
     meta, segs, _ = _committed(spark, path)
     sig, b_buckets = _batch_buckets(batch, id_col, text_col, meta)
@@ -266,7 +269,10 @@ def dedup_against_index(
         r[0] for r in b_buckets.select("kb").distinct().collect()
     )
     idx = (
-        read_committed(spark, path, "buckets", segs)
+        apply_deletes(
+            read_committed(spark, path, "buckets", segs),
+            read_deletes(spark, path, segs), "id",
+        )
         .where(F.col("kb").isin(probed))
         .withColumnsRenamed({"id": "__idx_id"})
     )
@@ -404,8 +410,9 @@ def simhash_against_index(
     file listing; the hamming verify runs INSIDE the (band, key)
     equi-join on the denormalized fingerprint halves — the corpus text
     and fingerprints are never recomputed, and no second store is
-    touched. Output: (id_a batch, id_b index, hamming)."""
-    from ._store import read_committed
+    touched. Output: (id_a batch, id_b index, hamming). Tombstoned ids
+    never appear as id_b."""
+    from ._store import apply_deletes, read_committed, read_deletes
     from .dedup import simhash64, simhash_band_rows, simhash_distance
 
     meta, segs, _ = _committed(spark, path, _SH_LAYOUT)
@@ -418,7 +425,10 @@ def simhash_against_index(
         r[0] for r in b_rows.select("kb").distinct().collect()
     )
     idx = (
-        read_committed(spark, path, "bands", segs)
+        apply_deletes(
+            read_committed(spark, path, "bands", segs),
+            read_deletes(spark, path, segs), "id",
+        )
         .where(F.col("kb").isin(probed))
         .select("id", "sh_hi", "sh_lo", "band", "key")
     )
@@ -640,8 +650,8 @@ def embedding_against_index(
     skew-splits a hot list); norms are computed once per vector before
     the join, and each (batch, indexed) pair is scored exactly once
     (an indexed vector lives in exactly ONE list, so no post-join
-    distinct is needed)."""
-    from ._store import read_committed
+    distinct is needed). Tombstoned ids never appear as id_b."""
+    from ._store import apply_deletes, read_committed, read_deletes
     from .similarity import _sim, _with_norm, ivf_assignments_arrow
 
     meta, segs, _ = _committed(spark, path, _EMB_LAYOUT)
@@ -663,9 +673,10 @@ def embedding_against_index(
     probed = sorted(
         int(r[0]) for r in q.select("cid").distinct().collect()
     )
-    stored = read_committed(spark, path, "vectors", segs).where(
-        F.col("cid").isin(probed)
-    )
+    stored = apply_deletes(
+        read_committed(spark, path, "vectors", segs),
+        read_deletes(spark, path, segs), "id",
+    ).where(F.col("cid").isin(probed))
     if bool(meta.quantize):
         # int8 store: score in the DEQUANTIZED domain (q_i * scale as
         # double) — deterministic, engine-portable math; the exact-
@@ -703,6 +714,13 @@ def embedding_against_index(
 
 from . import _store as _ST  # noqa: E402
 
-_ST.COMPACT_SPECS[_LAYOUT] = [("buckets", "kb", None), ("arrays", "ab", None)]
-_ST.COMPACT_SPECS[_SH_LAYOUT] = [("bands", "kb", None)]
-_ST.COMPACT_SPECS[_EMB_LAYOUT] = [("vectors", "cid", None)]
+_ST.COMPACT_SPECS[_LAYOUT] = {
+    "rels": [("buckets", "kb", "id"), ("arrays", "ab", "id")],
+    "derived": [], "finalize": None,
+}
+_ST.COMPACT_SPECS[_SH_LAYOUT] = {
+    "rels": [("bands", "kb", "id")], "derived": [], "finalize": None,
+}
+_ST.COMPACT_SPECS[_EMB_LAYOUT] = {
+    "rels": [("vectors", "cid", "id")], "derived": [], "finalize": None,
+}

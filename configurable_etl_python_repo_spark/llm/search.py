@@ -187,9 +187,28 @@ def _tb_col(w, buckets: int):
 #: (n_docs, total_dl) SUM at read time, so the index rolls forward
 #: with pure appends (no read-modify-write anywhere). v2 = segment
 #: visibility is governed by _segments manifests (_store.py):
-#: build/extend/compact commit ATOMICALLY across all three relations.
-#: A tree without this stamp is refused — rebuild it.
-_BM25_LAYOUT = "bm25-seg-v2"
+#: build/extend/compact commit ATOMICALLY across the relations.
+#: v3 = a per-segment `doclens` relation (id, dl — one row per doc,
+#: INCLUDING zero-word docs) rides along so a compaction that purges
+#: tombstoned docs can recompute _stats EXACTLY (a zero-word doc has
+#: no posting rows, so postings alone cannot reproduce its n_docs
+#: contribution). A tree without this stamp is refused — rebuild it.
+_BM25_LAYOUT = "bm25-seg-v3"
+
+
+def _doclens(corpus: DataFrame, id_col: str, text_col: str,
+             term_buckets: int) -> DataFrame:
+    """Per-doc (id, dl) rows — the _stats PRIMARY (stats are its
+    count/sum), physically bucketed like the other relations. Only
+    compaction scans it; searches keep reading the summed _stats."""
+    from .sampling import md5_mod
+
+    return corpus.select(
+        F.col(id_col).alias("id"),
+        F.regexp_count(
+            F.lower(F.trim(F.col(text_col))), F.lit(r"\S+")
+        ).cast("long").alias("dl"),
+    ).withColumn("db", md5_mod(F.col("id").cast("string"), term_buckets))
 
 
 def _bm25_meta(spark, path: str):
@@ -233,17 +252,14 @@ def _bm25_segment(
         )
         .withColumn("tb", _tb_col(F.col("w"), term_buckets))
     )
-    # stats from the corpus directly: n_docs counts EVERY doc (a doc
-    # whose words never match a query still contributes to N and avgdl)
-    stats = corpus.select(
-        F.regexp_count(
-            F.lower(F.trim(F.col(text_col))), F.lit(r"\S+")
-        ).cast("long").alias("dl"),
-    ).agg(
+    # stats derive from doclens, which counts EVERY doc (a doc whose
+    # words never match a query still contributes to N and avgdl)
+    doclens = _doclens(corpus, id_col, text_col, term_buckets)
+    stats = doclens.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("dl").cast("long").alias("total_dl"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("total_dl"),
     )
-    return postings, stats
+    return postings, doclens, stats
 
 
 def bm25_build_index(
@@ -285,7 +301,7 @@ def bm25_build_index(
             f"term_buckets must be >= 1, got {term_buckets}"
         )
     spark = corpus.sparkSession
-    postings, stats = _bm25_segment(
+    postings, doclens, stats = _bm25_segment(
         corpus, id_col, text_col, term_buckets
     )
     # one-row validation: an empty corpus would persist an index whose
@@ -309,6 +325,7 @@ def bm25_build_index(
         .agg(F.count(F.lit(1)).cast("long").alias("df_t")),
         path, "df", seg, "tb",
     )
+    ST.write_segment(doclens, path, "doclens", seg, "db")
     # write the already-collected row (no second corpus pass)
     ST.write_segment(
         spark.createDataFrame(
@@ -351,7 +368,7 @@ def bm25_extend_index(
     meta, _, tags = _bm25_committed(spark, path)
     if tag is not None and tag in tags:
         return False
-    postings, stats = _bm25_segment(
+    postings, doclens, stats = _bm25_segment(
         batch, id_col, text_col, int(meta.term_buckets)
     )
     seg = ST.new_segment_id()
@@ -366,6 +383,7 @@ def bm25_extend_index(
         .agg(F.count(F.lit(1)).cast("long").alias("df_t")),
         path, "df", seg, "tb",
     )
+    ST.write_segment(doclens, path, "doclens", seg, "db")
     ST.write_segment(stats, path, "_stats", seg, None)
     return ST.commit_extend(path, seg, meta.meta_id, tag=tag)
 
@@ -384,8 +402,15 @@ def bm25_search_index(
     file listing (un-probed buckets cost zero I/O), and the shared
     scoring tail reproduces bm25_topk bit-for-bit (pytest-pinned) —
     without touching the corpus text at all. Per-query cost is the
-    probed buckets' postings, not the corpus."""
-    from ._store import read_committed
+    probed buckets' postings, not the corpus.
+
+    Tombstoned docs (_store.delete_from_index) are excluded from the
+    RESULTS immediately (their postings are anti-joined away before
+    scoring); the df/n_docs/avgdl statistics continue to include them
+    until compact_index physically purges the rows — Lucene's
+    deleted-docs-count-until-merge semantics, the honest contract when
+    recomputing global stats per delete would rescan the corpus."""
+    from ._store import apply_deletes, read_committed, read_deletes
 
     if not (1 <= k):
         raise ValueError(f"k must be >= 1, got {k}")
@@ -405,11 +430,12 @@ def bm25_search_index(
             for t in terms
         }
     )
-    tf = (
+    tf = apply_deletes(
         read_committed(spark, path, "postings", segs)
         .where(F.col("tb").isin(buckets))
         .where(F.col("w").isin(terms))
-        .select("id", "w", "tf", "dl")
+        .select("id", "w", "tf", "dl"),
+        read_deletes(spark, path, segs), "id",
     )
     # df/stats SUM across segments (the append-only extend design):
     # both aggregations are bounded — <= |terms| x segments df rows,
@@ -518,21 +544,25 @@ def rrf_fuse(
 from . import _store as _ST  # noqa: E402
 
 
-def _fold_df(df: DataFrame) -> DataFrame:
-    return df.groupBy("w", "tb").agg(
-        F.sum("df_t").cast("long").alias("df_t")
+def _bm25_finalize(filtered: "dict[str, DataFrame]") -> "dict[str, DataFrame]":
+    """Recompute the derived relations from the (delete-filtered)
+    primaries: df from the surviving postings, _stats from the
+    surviving doclens — exact whether or not tombstones were purged,
+    so compact(delete(X)) == fresh build over corpus-minus-X
+    bit-for-bit (a per-segment SUM fold would be cheaper but cannot
+    subtract deleted docs)."""
+    df = filtered["postings"].groupBy("w", "tb").agg(
+        F.count(F.lit(1)).cast("long").alias("df_t")
     )
-
-
-def _fold_stats(stats: DataFrame) -> DataFrame:
-    return stats.agg(
-        F.sum("n_docs").cast("long").alias("n_docs"),
-        F.sum("total_dl").cast("long").alias("total_dl"),
+    stats = filtered["doclens"].agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("total_dl"),
     )
+    return {"df": df, "_stats": stats}
 
 
-_ST.COMPACT_SPECS[_BM25_LAYOUT] = [
-    ("postings", "tb", None),
-    ("df", "tb", _fold_df),
-    ("_stats", None, _fold_stats),
-]
+_ST.COMPACT_SPECS[_BM25_LAYOUT] = {
+    "rels": [("postings", "tb", "id"), ("doclens", "db", "id")],
+    "derived": [("df", "tb"), ("_stats", None)],
+    "finalize": _bm25_finalize,
+}

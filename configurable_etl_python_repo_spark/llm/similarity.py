@@ -675,8 +675,15 @@ def ivf_search_index(
     """Query a write-side IVF index: load the (tiny) centroid table, find
     each query's n_probe nearest lists, and scan ONLY those partitions of
     the indexed corpus — `cid IN (...)` prunes at the file listing, so
-    I/O scales with the probed fraction. Rerank is the exact cosine."""
-    from ._store import read_centroids, read_committed
+    I/O scales with the probed fraction. Rerank is the exact cosine.
+    Tombstoned ids (_store.delete_from_index) never appear as
+    neighbors."""
+    from ._store import (
+        apply_deletes,
+        read_centroids,
+        read_committed,
+        read_deletes,
+    )
 
     meta, segs, _ = _ivf_committed(spark, path)
     centroids = read_centroids(
@@ -693,9 +700,10 @@ def ivf_search_index(
     })
     # partition filter: only committed segments' probed lists are ever
     # listed/read (crashed extends' orphans are invisible)
-    stored = read_committed(spark, path, "", segs).where(
-        F.col("cid").isin(probed)
-    )
+    stored = apply_deletes(
+        read_committed(spark, path, "", segs),
+        read_deletes(spark, path, segs), id_col,
+    ).where(F.col("cid").isin(probed))
     # branch on the COMMITTED meta.quantize, never on schema sniffing:
     # orphan segments from a crashed opposite-mode rebuild can flip
     # Spark's parquet schema inference (ADVICE r9) — meta is the truth
@@ -1091,4 +1099,30 @@ def semantic_dedup_table(
 
 from . import _store as _ST  # noqa: E402
 
-_ST.COMPACT_SPECS[_IVF_LAYOUT] = [("", "cid", None)]
+
+def _ivf_id_col(df) -> str:
+    """The ANN store keeps the CALLER's id column name (ivf_search_index
+    selects it back by that name), so the tombstone filter resolves it
+    structurally: the one column that is neither the list assignment
+    (cid) nor vector payload (vec-typed array, or the int8 pair
+    scale/qvec). Deterministic given the store's own schema invariants
+    (_ivf_rows writes exactly id + payload + cid)."""
+    from pyspark.sql.types import ArrayType
+
+    candidates = [
+        f.name for f in df.schema.fields
+        if f.name not in ("cid", "scale", "qvec")
+        and not isinstance(f.dataType, ArrayType)
+    ]
+    if len(candidates) != 1:
+        raise ValueError(
+            f"cannot resolve the id column of the ivf store from "
+            f"schema {df.columns} — expected exactly one non-vector, "
+            f"non-cid column, found {candidates}"
+        )
+    return candidates[0]
+
+
+_ST.COMPACT_SPECS[_IVF_LAYOUT] = {
+    "rels": [("", "cid", _ivf_id_col)], "derived": [], "finalize": None,
+}

@@ -376,6 +376,30 @@ def _admit_against_index(engine: "Engine", spec: OpSpec):
     return admit_against_index(engine.spark, path, df, **kwargs), None
 
 
+def _delete_from_index(engine: "Engine", spec: OpSpec):
+    """Tombstone the input relation's ids in the index at args['path']
+    (right-to-be-forgotten without a rebuild, llm/_store.
+    delete_from_index): deleted ids vanish from probe/search results
+    immediately; corpus statistics reflect them after the next COMPACT
+    INDEX physically purges the rows — Lucene's delete-until-merge
+    model. Pass-through (the ids relation continues downstream);
+    args: path, id_column (default 'id'), optional tag for retry
+    idempotence."""
+    from ..llm._store import delete_from_index
+
+    df, _ = engine.peek(spec.inputs[0])
+    kwargs = dict(spec.args)
+    if "path" not in kwargs:
+        raise ValueError(
+            "DELETE FROM INDEX needs a 'path' arg naming the index"
+        )
+    path = kwargs.pop("path")
+    if "id_column" in kwargs:
+        kwargs["id_col"] = kwargs.pop("id_column")
+    delete_from_index(df, path, **kwargs)
+    return df, None
+
+
 def _index_maintenance(op_name: str, run, receipt_schema: str):
     """One compiler for the maintenance op pair (COMPACT INDEX /
     VACUUM INDEX): both take args['path'], pass an input relation
@@ -628,6 +652,7 @@ LLM_OP_COMPILERS = {
         "BM25 EXTEND INDEX", "bm25_extend_index"
     ),
     "BM25 SEARCH INDEX": _bm25_search_index,
+    "DELETE FROM INDEX": _delete_from_index,
     "COMPACT INDEX": _index_maintenance(
         "COMPACT INDEX", _run_compact, "path string, version long"
     ),

@@ -320,7 +320,7 @@ def test_bm25_layout_guard_and_extend_config_op(spark, tmp_path):
     # manifest — a rebuild that crashed between _meta and its commit)
     # is refused too
     spark.createDataFrame(
-        [(64, "bm25-seg-v2", "not-the-committed-generation")],
+        [(64, "bm25-seg-v3", "not-the-committed-generation")],
         "term_buckets int, layout string, meta_id string",
     ).coalesce(1).write.mode("overwrite").parquet(idx + "/_meta")
     with pytest.raises(ValueError, match="torn"):

@@ -590,7 +590,7 @@ def test_compact_and_vacuum_config_ops(spark, sf_dir, tmp_path):
         "VACUUM INDEX", "vac", [],
         {"path": idx, "retention_seconds": 0}))
     row = receipt.collect()[0]
-    assert row.path == idx and row.removed_dirs == len(old_segs) * 3
+    assert row.path == idx and row.removed_dirs == len(old_segs) * 4  # 4 BM25 relations
     assert _search_rows(spark, idx, q) == before
 
     cmp_receipt = eng.run_op(OpSpec("COMPACT INDEX", "cmp2", [],
@@ -615,3 +615,181 @@ def test_vacuum_refuses_store_with_no_committed_manifest(tmp_path):
     with pytest.raises(ValueError, match="refusing to vacuum"):
         ST.vacuum_index(bogus, retention_s=0.0)
     assert os.path.isdir(os.path.join(bogus, "buckets", "seg=sdead"))
+
+
+# ---------------------------------------------------------------------------
+# Tombstone deletes (right-to-be-forgotten; Lucene delete-until-merge)
+# ---------------------------------------------------------------------------
+
+
+def _ids_df(spark, ids):
+    return spark.createDataFrame([(int(i),) for i in ids], "id long")
+
+
+def test_delete_hides_ids_from_minhash_probe_and_is_idempotent(
+    spark, sf_dir, tmp_path
+):
+    """delete_from_index: tombstoned ids vanish from probe results
+    immediately; every other pair is untouched; a tagged retry is a
+    no-op."""
+    corpus = _docs(spark, sf_dir, 0, 40)
+    batch = corpus.where(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    idx = str(tmp_path / "mh")
+    minhash_build_index(corpus, idx, **_LSH)
+    before = _probe_set(spark, idx, batch)
+    victims = sorted({b for _, b in before})[:2]
+    assert victims
+
+    assert ST.delete_from_index(
+        _ids_df(spark, victims), idx, tag="takedown-1") is True
+    after = _probe_set(spark, idx, batch)
+    assert after == {p for p in before if p[1] not in set(victims)}
+    # tagged retry: no second tombstone segment, result stable
+    v1 = ST.read_manifest(idx)[0]
+    assert ST.delete_from_index(
+        _ids_df(spark, victims), idx, tag="takedown-1") is False
+    assert ST.read_manifest(idx)[0] == v1
+    assert _probe_set(spark, idx, batch) == after
+
+
+def test_bm25_delete_lucene_stats_until_compact(
+    spark, sf_dir, tmp_path
+):
+    """The Lucene contract, pinned end-to-end: a deleted doc vanishes
+    from RESULTS immediately while every surviving doc's SCORE is
+    bit-unchanged (df/n_docs/avgdl still include it); after
+    compact_index the index is bit-equal to a fresh build over
+    corpus-minus-deleted (stats reclaimed exactly — doclens makes the
+    n_docs/total_dl subtraction exact even for zero-word docs)."""
+    docs = _docs(spark, sf_dir, 0, 40)
+    # a zero-word doc: the n_docs contribution postings cannot see
+    docs = docs.unionByName(spark.createDataFrame(
+        [(999, "   ")], ["doc_id", "text"]))
+    idx = str(tmp_path / "bm")
+    bm25_build_index(docs, idx, term_buckets=8)
+    q = _corpus_query(docs)
+    before = {r[0]: r[2] for r in _search_rows(spark, idx, q, k=50)}
+    victim = sorted(before)[0]
+
+    ST.delete_from_index(_ids_df(spark, [victim, 999]), idx)
+    mid = {r[0]: r[2] for r in _search_rows(spark, idx, q, k=50)}
+    assert victim not in mid
+    # Lucene semantics: survivors' scores unchanged pre-compaction
+    assert mid == {d: s for d, s in before.items() if d != victim}
+
+    ST.compact_index(spark, idx)
+    fresh = str(tmp_path / "bm_fresh")
+    bm25_build_index(
+        docs.where(~F.col("doc_id").isin([victim, 999])), fresh,
+        term_buckets=8,
+    )
+    assert _search_rows(spark, idx, q, k=50) == _search_rows(
+        spark, fresh, q, k=50
+    )
+
+
+def test_compact_purges_rows_and_tombstones_id_identity(
+    spark, sf_dir, tmp_path
+):
+    """An id is an identity: rows re-added AFTER the delete stay
+    suppressed until a compaction purges rows + tombstones; after that
+    compaction a re-added id is visible again."""
+    corpus = _docs(spark, sf_dir, 0, 30)
+    victim = 6
+    victim_docs = corpus.where(F.col("doc_id") == victim)
+    batch = victim_docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    idx = str(tmp_path / "mh")
+    minhash_build_index(corpus, idx, **_LSH)
+    hit = (victim + 1000000, victim)
+    assert hit in _probe_set(spark, idx, batch)
+
+    ST.delete_from_index(_ids_df(spark, [victim]), idx)
+    assert hit not in _probe_set(spark, idx, batch)
+    # re-add the same id BEFORE compaction: still suppressed
+    minhash_extend_index(victim_docs, idx)
+    assert hit not in _probe_set(spark, idx, batch)
+
+    ST.compact_index(spark, idx)
+    # tombstones purged with the rows: nothing suppressed any more...
+    assert ST.read_deletes(spark, idx, ST.read_manifest(idx)[1]["segments"]) is None
+    assert hit not in _probe_set(spark, idx, batch)  # rows are GONE
+    # ...so a fresh extend of the same id is visible again
+    minhash_extend_index(victim_docs, idx)
+    assert hit in _probe_set(spark, idx, batch)
+
+
+def test_delete_embedding_and_compact_all_deleted_refused(
+    spark, sf_dir, tmp_path
+):
+    """Deletes work on the embedding store (id_b excluded); compacting
+    a store whose every row is tombstoned refuses loudly instead of
+    writing an unreadable empty tree."""
+    corpus = _vecs(spark, sf_dir, 0, 40).where(F.col("vec_id") % 2 == 0)
+    batch = corpus.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    idx = str(tmp_path / "emb")
+    embedding_build_index(corpus, idx, n_centroids=4)
+    before = {
+        (r.id_a, r.id_b)
+        for r in embedding_against_index(
+            spark, idx, batch, threshold=0.99, n_probe=4
+        ).collect()
+    }
+    assert before
+    victim = sorted(before)[0][1]
+    ST.delete_from_index(
+        _ids_df(spark, [victim]), idx, id_col="id")
+    after = {
+        (r.id_a, r.id_b)
+        for r in embedding_against_index(
+            spark, idx, batch, threshold=0.99, n_probe=4
+        ).collect()
+    }
+    assert after == {p for p in before if p[1] != victim}
+
+    all_ids = [r.vec_id for r in corpus.select("vec_id").collect()]
+    ST.delete_from_index(_ids_df(spark, all_ids), idx)
+    with pytest.raises(ValueError, match="empty the store"):
+        ST.compact_index(spark, idx)
+
+
+def test_delete_config_op_chain(spark, sf_dir, tmp_path):
+    """DELETE FROM INDEX as a config op, chained with COMPACT INDEX —
+    the takedown pipeline a 100 TB operator schedules."""
+    from configurable_etl_python_repo_spark.plans import Engine, OpSpec
+
+    corpus = _docs(spark, sf_dir, 0, 30)
+    batch = corpus.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    idx = str(tmp_path / "mh")
+    minhash_build_index(corpus, idx, **_LSH)
+    before = _probe_set(spark, idx, batch)
+    victims = sorted({b for _, b in before})[:3]
+
+    eng = Engine(spark)
+    eng.bind("takedown", spark.createDataFrame(
+        [(int(v),) for v in victims], ["doc_id"]))
+    passthru = eng.run_op(OpSpec(
+        "DELETE FROM INDEX", "del", ["takedown"],
+        {"path": idx, "id_column": "doc_id", "tag": "req-42"}))
+    assert passthru.columns == ["doc_id"]
+    assert _probe_set(spark, idx, batch) == {
+        p for p in before if p[1] not in set(victims)
+    }
+    eng.run_op(OpSpec("COMPACT INDEX", "cmp", [], {"path": idx}))
+    fresh = str(tmp_path / "mh_fresh")
+    minhash_build_index(
+        corpus.where(~F.col("doc_id").isin([int(v) for v in victims])),
+        fresh, **_LSH,
+    )
+    assert _probe_set(spark, idx, batch) == _probe_set(
+        spark, fresh, batch
+    )
+    with pytest.raises(ValueError, match="path"):
+        eng.run_op(OpSpec("DELETE FROM INDEX", "bad", ["takedown"], {}))
