@@ -1225,9 +1225,9 @@ DRIVER_PRIORITY = [
     "x11_quantize_embeddings", "x12_top_ngrams",
     # mixture, sketches, composed curation
     "x15_web_curation_pipeline", "x18_dsir_selection",
-    "x19_targeted_pipeline", "x23_grouped_distinct_sketch",
-    "x24_grouped_quantile_sketch", "x26_mixture_upsample",
-    "x27_corpus_report",
+    "x19_targeted_pipeline", "x26_mixture_upsample",
+    "x27_corpus_report", "x29_streaming_embedding_admission",
+    "x30_index_deletion",
     # engine showcase (COMPUTE COLUMN + broadcast joins + fused LIMIT)
     "tpch_q3_shaped",
 ]
@@ -1376,7 +1376,14 @@ DRIVER_PRIORITY = [
 #   stream, chaining the same probe CTEs — twice);
 # x25 (the in-window d18 probe is x25's core stage and its oracle's
 #   CTE source). All 23 demoted rows remain in the full local sweep
-# (scripts/check_oracle.py, 110 queries) and their operator pytests.
+# (scripts/check_oracle.py) and their operator pytests.
+# Late-r10 batch: the two operators built AFTER the rotation enter —
+# x29 (streaming embedding admission; the vector dual of in-window
+# x28, sharing streaming/admission.py) and x30 (tombstone deletion,
+# the only deletion row). Demotions: x23/x24 (green r8+r9; the
+# in-window x27 corpus report EMBEDS both grouped-sketch oracle
+# generators as subqueries — the same argument that demoted x20/x21
+# one level down — and grouped==per-group stays pytest-pinned).
 
 
 def _curate() -> None:
