@@ -144,12 +144,20 @@ def read_manifest(
     path: str, store: LogStore | None = None
 ) -> "tuple[int, dict]":
     """(version, manifest) of the newest committed snapshot; (0, empty)
-    for a store no build has ever committed."""
+    for a store no build has ever committed. Manifest keys: segments
+    (committed, in commit order), tags (extend idempotence markers),
+    meta_id (the _meta generation), tombstones (the subset of segments
+    that carry ONLY a _deletes relation — recorded here so readers
+    know which segments have data dirs without probing any
+    filesystem)."""
     st = _seg_store(path, store)
     version = _latest_version(st)
     if version == 0:
-        return 0, {"segments": [], "tags": {}, "meta_id": None}
-    return version, json.loads(st.read(_mname(version)))
+        return 0, {"segments": [], "tags": {}, "meta_id": None,
+                   "tombstones": []}
+    man = json.loads(st.read(_mname(version)))
+    man.setdefault("tombstones", [])
+    return version, man
 
 
 def committed_tags(path: str, store: LogStore | None = None) -> "dict":
@@ -166,9 +174,12 @@ def committed_state(
     kind: str = "index",
     store: LogStore | None = None,
 ):
-    """The read-side entrypoint: (meta, committed segment ids, tags),
-    with the layout guard AND the torn-rebuild cross-check (manifest
-    meta_id == _meta meta_id) applied."""
+    """The read-side entrypoint: (meta, committed DATA segment ids,
+    tags, manifest), with the layout guard AND the torn-rebuild
+    cross-check (manifest meta_id == _meta meta_id) applied. The
+    second element EXCLUDES tombstone-only segments (they have no data
+    dirs); pass the returned manifest to read_deletes for the
+    tombstones of the SAME snapshot."""
     meta = read_meta(spark, path, expected_layout, kind)
     version, man = read_manifest(path, store)
     if version == 0 or not man["segments"]:
@@ -185,7 +196,9 @@ def committed_state(
             f"crashed between its _meta write and its commit; re-run "
             f"the build"
         )
-    return meta, list(man["segments"]), dict(man.get("tags") or {})
+    tomb = set(man.get("tombstones") or [])
+    data_segs = [s for s in man["segments"] if s not in tomb]
+    return meta, data_segs, dict(man.get("tags") or {}), man
 
 
 def _publish(st: LogStore, base: int, payload: dict) -> int:
@@ -218,6 +231,7 @@ def commit_build(
                 "segments": [seg],
                 "tags": {},
                 "meta_id": meta_id,
+                "tombstones": [],
             })
         except ConcurrentWriteError:
             continue
@@ -233,6 +247,7 @@ def commit_extend(
     meta_id: str,
     tag: "str | None" = None,
     store: LogStore | None = None,
+    tombstone: bool = False,
 ) -> bool:
     """THE extend commit: append `seg` to the committed list. Returns
     False (and publishes nothing) if `tag` is already committed — the
@@ -258,12 +273,16 @@ def commit_extend(
             if tag in tags:
                 return False
             tags[tag] = seg
+        tombstones = list(man.get("tombstones") or [])
+        if tombstone:
+            tombstones = tombstones + [seg]
         try:
             _publish(st, version, {
                 "version": version + 1,
                 "segments": man["segments"] + [seg],
                 "tags": tags,
                 "meta_id": meta_id,
+                "tombstones": tombstones,
             })
             return True
         except ConcurrentWriteError:
@@ -311,12 +330,28 @@ def commit_replace(
                 f"rows; discard this compacted segment and re-run"
             )
         kept = [s for s in man["segments"] if s not in set(replaced)]
+        tomb = set(man.get("tombstones") or [])
+        kept_tombstones = [s for s in kept if s in tomb]
+        # tombstone retention under concurrency: the compactor PURGED
+        # the snapshotted tombstones' ids from its own data — but a
+        # DATA segment committed after the snapshot (kept) may carry
+        # rows for those very ids, which probes currently suppress.
+        # Dropping the tombstone would resurrect them silently, so it
+        # stays live whenever any concurrent data segment exists; the
+        # NEXT compaction (whose snapshot covers that segment) retires
+        # it. In the serial case (no concurrent commits) it drops with
+        # the rows, as the id-identity contract documents.
+        kept_data = [s for s in kept if s not in tomb]
+        snapshot_tombstones = (
+            [s for s in replaced if s in tomb] if kept_data else []
+        )
         try:
             return _publish(st, version, {
                 "version": version + 1,
-                "segments": [new_seg] + kept,
+                "segments": [new_seg] + kept + snapshot_tombstones,
                 "tags": dict(man.get("tags") or {}),
                 "meta_id": meta_id,
+                "tombstones": kept_tombstones + snapshot_tombstones,
             })
         except ConcurrentWriteError:
             continue
@@ -422,19 +457,13 @@ def read_committed(
     and a root-scan-then-filter read could sample an orphan's footer
     first."""
     root = _rel_root(path, rel)
-    # existence filter: a DELETE-only segment writes just its
-    # _deletes/ dir, so data relations legitimately have no directory
-    # for it (and vice versa) — skip, never error
-    dirs = [
-        d for d in (f"{root}/seg={s}" for s in segments)
-        if os.path.isdir(d)
-    ]
-    if not dirs:
-        raise ValueError(
-            f"no committed data for relation {rel!r} at {path} — the "
-            f"store was emptied (all rows deleted then compacted?); "
-            f"rebuild or drop the index"
-        )
+    # the caller passes DATA segments only (committed_state excludes
+    # manifest-flagged tombstone-only segments), so every listed dir
+    # must exist: a missing one is corruption (bad vacuum, foreign
+    # delete) and Spark fails LOUDLY on it — no silent row loss, and
+    # no local-filesystem probing that an object-store path would
+    # defeat
+    dirs = [f"{root}/seg={s}" for s in segments]
     return (
         spark.read.option("basePath", root).parquet(*dirs).drop("seg")
     )
@@ -476,7 +505,11 @@ def delete_from_index(
     via the extend commit; `tag` gives retry idempotence (returns
     False if already committed). Deleted ids disappear from
     probe/search results at the next read; run compact_index to
-    physically purge the rows (and reclaim the stats, for BM25)."""
+    physically purge the rows (and reclaim the stats, for BM25).
+    Returns False without committing anything when the ids relation is
+    EMPTY (a takedown filter that matched nothing must not tax every
+    future probe with a pointless tombstone scan) or when the tag is
+    already committed."""
     spark = ids.sparkSession
     rows = spark.read.parquet(path + "/_meta").collect()
     if len(rows) != 1:
@@ -487,27 +520,29 @@ def delete_from_index(
     _, man = read_manifest(path, store)
     if tag is not None and tag in (man.get("tags") or {}):
         return False
+    tombstones = ids.select(F.col(id_col).alias("id")).distinct()
+    if tombstones.isEmpty():
+        return False
     seg = new_segment_id()
-    write_segment(
-        ids.select(F.col(id_col).alias("id")).distinct(),
-        path, "_deletes", seg, None,
+    write_segment(tombstones, path, "_deletes", seg, None)
+    return commit_extend(
+        path, seg, meta_id, tag=tag, store=store, tombstone=True
     )
-    return commit_extend(path, seg, meta_id, tag=tag, store=store)
 
 
 def read_deletes(
-    spark: SparkSession, path: str, segments: "list[str]"
+    spark: SparkSession, path: str, manifest: dict
 ) -> "DataFrame | None":
-    """The committed tombstone ids, or None when no committed segment
-    carries any — the common no-deletes case costs probes NOTHING (no
-    extra plan node, no listing)."""
-    root = _rel_root(path, "_deletes")
-    dirs = [
-        d for d in (f"{root}/seg={s}" for s in segments)
-        if os.path.isdir(d)
-    ]
-    if not dirs:
+    """The committed tombstone ids of the given manifest SNAPSHOT (the
+    one the caller's data reads resolved — pass committed_state's
+    manifest, never re-read), or None when it flags no tombstone
+    segments — the common no-deletes case costs probes NOTHING (no
+    extra plan node, no listing, no filesystem probing)."""
+    tomb = list(manifest.get("tombstones") or [])
+    if not tomb:
         return None
+    root = _rel_root(path, "_deletes")
+    dirs = [f"{root}/seg={s}" for s in tomb]
     return (
         spark.read.option("basePath", root).parquet(*dirs)
         .drop("seg").select("id").distinct()
@@ -583,27 +618,56 @@ def compact_index(
             f"the build before compacting"
         )
     segs = list(man["segments"])
-    deletes = read_deletes(spark, path, segs)
+    tomb = set(man.get("tombstones") or [])
+    data_segs = [s for s in segs if s not in tomb]
+    deletes = read_deletes(spark, path, man)
     if len(segs) <= 1 and deletes is None:
         return version
     new_seg = new_segment_id()
     filtered: "dict[str, DataFrame]" = {}
-    for rel, pcol, idc in spec["rels"]:
-        df = read_committed(spark, path, rel, segs)
-        if deletes is not None and idc is not None:
-            id_col = idc(df) if callable(idc) else idc
-            df = apply_deletes(df, deletes, id_col)
-        filtered[rel] = df
-    if deletes is not None and filtered[spec["rels"][0][0]].isEmpty():
-        raise ValueError(
-            f"compaction of {path} would empty the store (every row "
-            f"tombstoned) — drop or rebuild the index instead"
-        )
-    for rel, pcol, _ in spec["rels"]:
-        write_segment(filtered[rel], path, rel, new_seg, pcol)
-    derived = spec.get("finalize")
-    if derived is not None:
-        for rel, df in derived(filtered).items():
+    persisted: "list[DataFrame]" = []
+    try:
+        for rel, pcol, idc in spec["rels"]:
+            df = read_committed(spark, path, rel, data_segs)
+            if deletes is not None and idc is not None:
+                id_col = (
+                    idc(df, meta) if callable(idc) else idc
+                )
+                # persist: the filtered scan feeds the emptiness
+                # guard AND the write — never pay the corpus-sized
+                # anti-join twice
+                df = apply_deletes(df, deletes, id_col).persist()
+                persisted.append(df)
+            filtered[rel] = df
+        if deletes is not None:
+            empty = [
+                rel for rel, _, _ in spec["rels"]
+                if filtered[rel].isEmpty()
+            ]
+            if empty:
+                raise ValueError(
+                    f"compaction of {path} would leave relation(s) "
+                    f"{empty} empty (every row tombstoned) — the "
+                    f"store would be unreadable; drop or rebuild the "
+                    f"index instead"
+                )
+        for rel, pcol, _ in spec["rels"]:
+            write_segment(filtered[rel], path, rel, new_seg, pcol)
+    finally:
+        for df in persisted:
+            df.unpersist()
+    finalize = spec.get("finalize")
+    if finalize is not None:
+        # derive from the freshly WRITTEN primaries (the build/extend
+        # pattern): counts exactly what was stored, and the expensive
+        # filtered scans run zero additional times
+        written = {
+            rel: spark.read.parquet(
+                f"{_rel_root(path, rel)}/seg={new_seg}"
+            )
+            for rel, _, _ in spec["rels"]
+        }
+        for rel, df in finalize(written).items():
             pcol = dict(spec.get("derived") or []).get(rel)
             write_segment(df, path, rel, new_seg, pcol)
     return commit_replace(path, new_seg, segs, meta_id, store=store)

@@ -205,7 +205,7 @@ def minhash_extend_index(
     from . import _store as ST
 
     spark = batch.sparkSession
-    meta, _, tags = _committed(spark, path)
+    meta, _, tags, _ = _committed(spark, path)
     if tag is not None and tag in tags:
         return False
     sig, buckets = _batch_buckets(batch, id_col, text_col, meta)
@@ -260,7 +260,7 @@ def dedup_against_index(
     exist)."""
     from ._store import apply_deletes, read_committed, read_deletes
 
-    meta, segs, _ = _committed(spark, path)
+    meta, segs, _, man = _committed(spark, path)
     sig, b_buckets = _batch_buckets(batch, id_col, text_col, meta)
     # constant-bounded probe set (<= key_buckets values): the only
     # driver-side materialization in the pipeline, same trick as
@@ -271,7 +271,7 @@ def dedup_against_index(
     idx = (
         apply_deletes(
             read_committed(spark, path, "buckets", segs),
-            read_deletes(spark, path, segs), "id",
+            read_deletes(spark, path, man), "id",
         )
         .where(F.col("kb").isin(probed))
         .withColumnsRenamed({"id": "__idx_id"})
@@ -380,7 +380,7 @@ def simhash_extend_index(
     from .dedup import simhash64, simhash_band_rows
 
     spark = batch.sparkSession
-    meta, _, tags = _committed(spark, path, _SH_LAYOUT)
+    meta, _, tags, _ = _committed(spark, path, _SH_LAYOUT)
     if tag is not None and tag in tags:
         return False
     fp = simhash64(batch, id_col, text_col)
@@ -415,7 +415,7 @@ def simhash_against_index(
     from ._store import apply_deletes, read_committed, read_deletes
     from .dedup import simhash64, simhash_band_rows, simhash_distance
 
-    meta, segs, _ = _committed(spark, path, _SH_LAYOUT)
+    meta, segs, _, man = _committed(spark, path, _SH_LAYOUT)
     k = int(meta.max_hamming)
     fp = _scope_cache(simhash64(batch, id_col, text_col))
     b_rows = simhash_band_rows(fp, k).withColumn(
@@ -427,7 +427,7 @@ def simhash_against_index(
     idx = (
         apply_deletes(
             read_committed(spark, path, "bands", segs),
-            read_deletes(spark, path, segs), "id",
+            read_deletes(spark, path, man), "id",
         )
         .where(F.col("kb").isin(probed))
         .select("id", "sh_hi", "sh_lo", "band", "key")
@@ -606,7 +606,7 @@ def embedding_extend_index(
     from . import _store as ST
 
     spark = batch.sparkSession
-    meta, _, tags = _committed(spark, path, _EMB_LAYOUT)
+    meta, _, tags, _ = _committed(spark, path, _EMB_LAYOUT)
     if tag is not None and tag in tags:
         return False
     cents = _stored_centroids(spark, path, meta.meta_id)
@@ -654,7 +654,7 @@ def embedding_against_index(
     from ._store import apply_deletes, read_committed, read_deletes
     from .similarity import _sim, _with_norm, ivf_assignments_arrow
 
-    meta, segs, _ = _committed(spark, path, _EMB_LAYOUT)
+    meta, segs, _, man = _committed(spark, path, _EMB_LAYOUT)
     cents = _stored_centroids(spark, path, meta.meta_id)
     if not (1 <= n_probe <= len(cents)):
         raise ValueError(
@@ -675,7 +675,7 @@ def embedding_against_index(
     )
     stored = apply_deletes(
         read_committed(spark, path, "vectors", segs),
-        read_deletes(spark, path, segs), "id",
+        read_deletes(spark, path, man), "id",
     ).where(F.col("cid").isin(probed))
     if bool(meta.quantize):
         # int8 store: score in the DEQUANTIZED domain (q_i * scale as
@@ -708,8 +708,9 @@ def embedding_against_index(
 
 # ---------------------------------------------------------------------------
 # Compaction specs: what _store.compact_index rewrites for each layout
-# (every relation here is row-verbatim — nothing is additive-folded;
-# BM25's df/stats folds live in llm/search.py)
+# (every relation here is a PRIMARY rewritten verbatim minus
+# tombstoned ids; no derived relations — BM25's df/_stats recompute
+# lives in llm/search.py's finalize)
 # ---------------------------------------------------------------------------
 
 from . import _store as _ST  # noqa: E402

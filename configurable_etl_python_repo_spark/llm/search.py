@@ -229,9 +229,9 @@ def _bm25_segment(
     text_col: str,
     term_buckets: int,
 ):
-    """(postings, stats) relations for one corpus segment under the
-    shared tokenization — build writes the first segment, extend
-    appends later ones; identical construction on purpose. Both
+    """(postings, doclens, stats) relations for one corpus segment
+    under the shared tokenization — build writes the first segment,
+    extend appends later ones; identical construction on purpose. Both
     callers derive the segment's df rows from the postings they
     actually materialized (build: the stored parquet; extend: the
     persisted relation), never from a re-evaluated DAG."""
@@ -365,7 +365,7 @@ def bm25_extend_index(
     from . import _store as ST
 
     spark = batch.sparkSession
-    meta, _, tags = _bm25_committed(spark, path)
+    meta, _, tags, _ = _bm25_committed(spark, path)
     if tag is not None and tag in tags:
         return False
     postings, doclens, stats = _bm25_segment(
@@ -417,7 +417,7 @@ def bm25_search_index(
     terms = sorted(set(query.lower().split()))
     if not terms:
         raise ValueError("query must contain at least one term")
-    meta, segs, _ = _bm25_committed(spark, path)
+    meta, segs, _, man = _bm25_committed(spark, path)
     # the probe's bucket set, computed driver-side with the SAME md5
     # window _tb_col uses (hashlib.md5 == Spark md5; % of a non-negative
     # == pmod) — |terms| hashes, no Spark job
@@ -435,7 +435,7 @@ def bm25_search_index(
         .where(F.col("tb").isin(buckets))
         .where(F.col("w").isin(terms))
         .select("id", "w", "tf", "dl"),
-        read_deletes(spark, path, segs), "id",
+        read_deletes(spark, path, man), "id",
     )
     # df/stats SUM across segments (the append-only extend design):
     # both aggregations are bounded — <= |terms| x segments df rows,

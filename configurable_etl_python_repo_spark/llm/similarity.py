@@ -575,9 +575,9 @@ def ivf_build_index(
     spark = corpus.sparkSession
     ST.write_centroids(spark, path, centroids, meta_id)
     spark.createDataFrame(
-        [(len(centroids), bool(quantize), _IVF_LAYOUT, meta_id)],
-        "n_centroids int, quantize boolean, layout string, "
-        "meta_id string",
+        [(len(centroids), bool(quantize), id_col, _IVF_LAYOUT, meta_id)],
+        "n_centroids int, quantize boolean, id_col string, "
+        "layout string, meta_id string",
     ).coalesce(1).write.mode("overwrite").parquet(path + "/_meta")
     ST.commit_build(path, seg, meta_id)
     return centroids
@@ -648,7 +648,7 @@ def ivf_extend_index(
     from . import _store as ST
 
     spark = batch.sparkSession
-    meta, _, tags = _ivf_committed(spark, path)
+    meta, _, tags, _ = _ivf_committed(spark, path)
     if tag is not None and tag in tags:
         return False
     centroids = ST.read_centroids(
@@ -685,7 +685,7 @@ def ivf_search_index(
         read_deletes,
     )
 
-    meta, segs, _ = _ivf_committed(spark, path)
+    meta, segs, _, man = _ivf_committed(spark, path)
     centroids = read_centroids(
         spark, path, meta.meta_id, kind="ivf index"
     )
@@ -702,7 +702,7 @@ def ivf_search_index(
     # listed/read (crashed extends' orphans are invisible)
     stored = apply_deletes(
         read_committed(spark, path, "", segs),
-        read_deletes(spark, path, segs), id_col,
+        read_deletes(spark, path, man), id_col,
     ).where(F.col("cid").isin(probed))
     # branch on the COMMITTED meta.quantize, never on schema sniffing:
     # orphan segments from a crashed opposite-mode rebuild can flip
@@ -1100,13 +1100,18 @@ def semantic_dedup_table(
 from . import _store as _ST  # noqa: E402
 
 
-def _ivf_id_col(df) -> str:
+def _ivf_id_col(df, meta) -> str:
     """The ANN store keeps the CALLER's id column name (ivf_search_index
-    selects it back by that name), so the tombstone filter resolves it
-    structurally: the one column that is neither the list assignment
-    (cid) nor vector payload (vec-typed array, or the int8 pair
-    scale/qvec). Deterministic given the store's own schema invariants
-    (_ivf_rows writes exactly id + payload + cid)."""
+    selects it back by that name), so the tombstone filter reads it
+    from _meta (stamped at build since seg-v3). Structural fallback for
+    stores whose _meta predates the stamp: the one non-array column
+    that is neither the list assignment (cid) nor the int8 pair
+    (scale/qvec) — but quantize=False stores keep EVERY corpus column,
+    so with extra non-vector columns the fallback is ambiguous and
+    raises; rebuild (which stamps id_col) to unblock compaction."""
+    stamped = getattr(meta, "id_col", None)
+    if stamped:
+        return stamped
     from pyspark.sql.types import ArrayType
 
     candidates = [
@@ -1118,7 +1123,8 @@ def _ivf_id_col(df) -> str:
         raise ValueError(
             f"cannot resolve the id column of the ivf store from "
             f"schema {df.columns} — expected exactly one non-vector, "
-            f"non-cid column, found {candidates}"
+            f"non-cid column, found {candidates}; rebuild the index "
+            f"(newer builds stamp id_col into _meta)"
         )
     return candidates[0]
 

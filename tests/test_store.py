@@ -715,7 +715,7 @@ def test_compact_purges_rows_and_tombstones_id_identity(
 
     ST.compact_index(spark, idx)
     # tombstones purged with the rows: nothing suppressed any more...
-    assert ST.read_deletes(spark, idx, ST.read_manifest(idx)[1]["segments"]) is None
+    assert ST.read_deletes(spark, idx, ST.read_manifest(idx)[1]) is None
     assert hit not in _probe_set(spark, idx, batch)  # rows are GONE
     # ...so a fresh extend of the same id is visible again
     minhash_extend_index(victim_docs, idx)
@@ -754,7 +754,7 @@ def test_delete_embedding_and_compact_all_deleted_refused(
 
     all_ids = [r.vec_id for r in corpus.select("vec_id").collect()]
     ST.delete_from_index(_ids_df(spark, all_ids), idx)
-    with pytest.raises(ValueError, match="empty the store"):
+    with pytest.raises(ValueError, match="would leave relation"):
         ST.compact_index(spark, idx)
 
 
@@ -793,3 +793,122 @@ def test_delete_config_op_chain(spark, sf_dir, tmp_path):
     )
     with pytest.raises(ValueError, match="path"):
         eng.run_op(OpSpec("DELETE FROM INDEX", "bad", ["takedown"], {}))
+
+
+def test_concurrent_extend_during_compaction_keeps_tombstone(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The delete/extend/compact race (r10 review): a data segment
+    committed AFTER the compactor's snapshot may carry rows for a
+    tombstoned id. Dropping the tombstone with the snapshot would
+    silently resurrect them — commit_replace must keep the snapshotted
+    tombstone live whenever concurrent data segments exist; the NEXT
+    compaction retires it."""
+    corpus = _docs(spark, sf_dir, 0, 30)
+    victim = 6
+    victim_docs = corpus.where(F.col("doc_id") == victim)
+    batch = victim_docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    hit = (victim + 1000000, victim)
+    idx = str(tmp_path / "mh")
+    minhash_build_index(corpus, idx, **_LSH)
+    ST.delete_from_index(_ids_df(spark, [victim]), idx)
+    assert hit not in _probe_set(spark, idx, batch)
+
+    real_replace = ST.commit_replace
+    state = {"raced": False}
+
+    def racing_replace(path, new_seg, replaced, meta_id, store=None):
+        if not state["raced"]:
+            state["raced"] = True
+            # a concurrent extend re-adds the deleted id's doc between
+            # the compactor's snapshot and its commit
+            minhash_extend_index(victim_docs, idx)
+        return real_replace(path, new_seg, replaced, meta_id,
+                            store=store)
+
+    monkeypatch.setattr(ST, "commit_replace", racing_replace)
+    ST.compact_index(spark, idx)
+    monkeypatch.setattr(ST, "commit_replace", real_replace)
+
+    # the tombstone survived the swap: the concurrent segment's rows
+    # for the deleted id stay suppressed
+    _, man = ST.read_manifest(idx)
+    assert man["tombstones"]
+    assert hit not in _probe_set(spark, idx, batch)
+    # the NEXT compaction's snapshot covers the concurrent segment:
+    # rows purged, tombstone retired
+    ST.compact_index(spark, idx)
+    _, man2 = ST.read_manifest(idx)
+    assert man2["tombstones"] == []
+    assert hit not in _probe_set(spark, idx, batch)
+
+
+def test_empty_delete_is_a_noop(spark, sf_dir, tmp_path):
+    """A takedown filter that matched nothing must not commit a
+    tombstone segment (every future probe would pay the anti-join for
+    nothing)."""
+    corpus = _docs(spark, sf_dir, 0, 20)
+    idx = str(tmp_path / "mh")
+    minhash_build_index(corpus, idx, **_LSH)
+    v1 = ST.read_manifest(idx)[0]
+    assert ST.delete_from_index(
+        _ids_df(spark, []), idx, tag="empty-1") is False
+    assert ST.read_manifest(idx)[0] == v1
+    assert ST.read_deletes(spark, idx, ST.read_manifest(idx)[1]) is None
+
+
+def test_ivf_delete_and_compact_with_extra_corpus_columns(
+    spark, sf_dir, tmp_path
+):
+    """quantize=False IVF stores keep EVERY corpus column; the
+    tombstone filter resolves the id column from _meta (stamped at
+    build), so delete + compact work on a store with extra non-vector
+    columns (r10 review finding)."""
+    from configurable_etl_python_repo_spark.llm.similarity import (
+        ivf_build_index,
+        ivf_search_index,
+    )
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .withColumn("src_domain", (F.col("vec_id") % 3).cast("string"))
+    )
+    queries = emb.where(F.col("vec_id") < 8)
+    idx = str(tmp_path / "ivf")
+    ivf_build_index(emb, idx, n_centroids=4)
+    before = {(r.query_id, r.neighbor_id)
+              for r in ivf_search_index(spark, idx, queries, k=3,
+                                        n_probe=4).collect()}
+    victim = sorted({n for _, n in before})[0]
+    ST.delete_from_index(_ids_df(spark, [victim]), idx)
+    after = {(r.query_id, r.neighbor_id)
+             for r in ivf_search_index(spark, idx, queries, k=3,
+                                       n_probe=4).collect()}
+    assert victim not in {n for _, n in after}
+    ST.compact_index(spark, idx)  # resolves id col from meta.id_col
+    assert ST.read_manifest(idx)[1]["tombstones"] == []
+    again = {(r.query_id, r.neighbor_id)
+             for r in ivf_search_index(spark, idx, queries, k=3,
+                                       n_probe=4).collect()}
+    assert again == after
+
+
+def test_compact_refuses_when_any_relation_would_empty(
+    spark, sf_dir, tmp_path
+):
+    """BM25 with only zero-word docs surviving: postings would be
+    empty (unreadable) even though doclens survives — refuse, naming
+    the relation."""
+    docs = _docs(spark, sf_dir, 0, 10).unionByName(
+        spark.createDataFrame([(901, " "), (902, "  ")],
+                              ["doc_id", "text"]))
+    idx = str(tmp_path / "bm")
+    bm25_build_index(docs, idx, term_buckets=4)
+    wordful = [r.doc_id for r in docs.where(
+        F.col("doc_id") < 900).select("doc_id").collect()]
+    ST.delete_from_index(_ids_df(spark, wordful), idx)
+    with pytest.raises(ValueError, match="postings"):
+        ST.compact_index(spark, idx)
