@@ -1205,9 +1205,13 @@ DRIVER_PRIORITY = [
     # event-time analytics (§2.9 batch shape) + the REAL stream row
     # (x28: availableNow foreachBatch admission, new r10)
     "e2_sessionize_gap30m", "x28_streaming_admission",
-    # LLM pipeline: dedup + persisted indexes
+    # LLM pipeline: dedup + persisted indexes (d18 demoted late-r10
+    # for the NEW x31 snapshot-read row: d18 has green driver rows
+    # r8+r9 and the in-window x29 literally chains its probe/extend
+    # machinery — embedding_against_index + embedding_extend_index —
+    # and reuses its _emb_pairs_ctes oracle generator)
     "d12_dedup_keep_best", "d17_simhash_against_index",
-    "d18_embedding_against_index",
+    "x31_index_time_travel",
     # LLM pipeline: similarity search + retrieval
     "n4_ann_ivf_kmeans", "n6_hybrid_rrf",
     # LLM pipeline: text analysis + curation (t8 gets its FIRST-EVER

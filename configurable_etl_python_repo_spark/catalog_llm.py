@@ -2423,6 +2423,53 @@ def q_x30(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("x31_index_time_travel", _incr_index_oracle())
+def q_x31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta/Iceberg-style SNAPSHOT READ on a persisted index
+    (as_of_version): build (v1), tombstone a third of the corpus (v2),
+    extend with replica docs (v3) — then probe AS OF v1. The manifest
+    log makes every committed version a queryable snapshot within the
+    build generation, valid until VACUUM removes superseded segments
+    (Delta's VACUUM bound), so the as-of-v1 answer is bit-equal to the
+    standalone d15 probe's — its EXACT oracle — even though the latest
+    tree answers differently (x30 pins the post-delete answer; the two
+    rows bracket the mutation). Time travel never spans a rebuild: the
+    _meta/_centroids sidecars are in-place, and the meta_id cross-check
+    refuses loudly (tests/test_store.py pins that plus the vacuum
+    horizon)."""
+    import os
+    import shutil
+    import tempfile
+
+    from .llm import dedup_index as DI
+    from .llm._store import delete_from_index
+
+    corpus, batch = _incr_split(spark, sf_dir)
+    tag = sf_dir.strip("/").replace("/", "_")
+    # deletes/extends MUTATE the store: start clean so repeated
+    # invocations measure the same pipeline every time
+    path = os.path.join(tempfile.gettempdir(), f"cfg_etl_x31_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    DI.minhash_build_index(
+        corpus, path, n=_JACCARD_N, bands=_LSH_BANDS,
+        rows_per_band=_LSH_ROWS,
+    )
+    delete_from_index(
+        corpus.where(F.col("doc_id") % 3 == 0)
+        .select(F.col("doc_id").alias("id")),
+        path, tag="takedown-x31",
+    )
+    DI.minhash_extend_index(
+        corpus.where(F.col("doc_id") % 6 == 0).select(
+            (F.col("doc_id") + 3000000).alias("doc_id"), "text"
+        ),
+        path,
+    )
+    return DI.dedup_against_index(
+        spark, path, batch, threshold=_LSH_P / _LSH_Q, as_of_version=1
+    )
+
+
 def _emb_stream_admission_oracle() -> str:
     """x29 = x28's statement in the VECTOR modality: two sequential
     embedding-admission epochs, each one _emb_pairs_ctes instance —

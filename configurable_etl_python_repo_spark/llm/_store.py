@@ -141,21 +141,39 @@ def _latest_version(st: LogStore) -> int:
 
 
 def read_manifest(
-    path: str, store: LogStore | None = None
+    path: str, store: LogStore | None = None,
+    version: "int | None" = None,
 ) -> "tuple[int, dict]":
-    """(version, manifest) of the newest committed snapshot; (0, empty)
-    for a store no build has ever committed. Manifest keys: segments
-    (committed, in commit order), tags (extend idempotence markers),
-    meta_id (the _meta generation), tombstones (the subset of segments
-    that carry ONLY a _deletes relation — recorded here so readers
-    know which segments have data dirs without probing any
-    filesystem)."""
+    """(version, manifest) of the newest committed snapshot — or of the
+    EXPLICIT `version` (a snapshot read: raises if that manifest was
+    never committed). (0, empty) for a store no build has ever
+    committed. Manifest keys: segments (committed, in commit order),
+    tags (extend idempotence markers), meta_id (the _meta generation),
+    tombstones (the subset of segments that carry ONLY a _deletes
+    relation — recorded here so readers know which segments have data
+    dirs without probing any filesystem)."""
     st = _seg_store(path, store)
-    version = _latest_version(st)
-    if version == 0:
-        return 0, {"segments": [], "tags": {}, "meta_id": None,
-                   "tombstones": []}
-    man = json.loads(st.read(_mname(version)))
+    if version is None:
+        version = _latest_version(st)
+        if version == 0:
+            return 0, {"segments": [], "tags": {}, "meta_id": None,
+                       "tombstones": []}
+        raw = st.read(_mname(version))
+    else:
+        version = int(version)
+        if version < 1:
+            raise ValueError(
+                f"snapshot versions start at 1 (got {version}); the "
+                f"first committed build publishes v1"
+            )
+        raw = st.read(_mname(version))
+        if raw is None:
+            raise ValueError(
+                f"index at {path} has no committed manifest "
+                f"v{version} — the version was never committed (or "
+                f"the store lives at another path/LogStore)"
+            )
+    man = json.loads(raw)
     man.setdefault("tombstones", [])
     return version, man
 
@@ -173,15 +191,25 @@ def committed_state(
     expected_layout: str,
     kind: str = "index",
     store: LogStore | None = None,
+    version: "int | None" = None,
 ):
     """The read-side entrypoint: (meta, committed DATA segment ids,
     tags, manifest), with the layout guard AND the torn-rebuild
     cross-check (manifest meta_id == _meta meta_id) applied. The
     second element EXCLUDES tombstone-only segments (they have no data
     dirs); pass the returned manifest to read_deletes for the
-    tombstones of the SAME snapshot."""
+    tombstones of the SAME snapshot.
+
+    `version` pins an EXPLICIT snapshot (time travel): the probe runs
+    against manifest vN exactly as it ran when vN was latest. Spans
+    extends, deletes, and compactions WITHIN one build generation —
+    never a rebuild (the _meta/_centroids sidecars are overwritten in
+    place, so an older generation's parameters are gone) — and lasts
+    until vacuum_index physically removes segments the CURRENT
+    manifest no longer references (the Delta-style VACUUM bound; a
+    vacuumed snapshot read fails loudly on the missing directory)."""
     meta = read_meta(spark, path, expected_layout, kind)
-    version, man = read_manifest(path, store)
+    version, man = read_manifest(path, store, version=version)
     if version == 0 or not man["segments"]:
         raise ValueError(
             f"{kind} at {path} has no committed segments — no build "
@@ -192,9 +220,12 @@ def committed_state(
         raise ValueError(
             f"{kind} at {path} is torn: _meta generation "
             f"{getattr(meta, 'meta_id', None)!r} does not match the "
-            f"committed manifest's {man.get('meta_id')!r} — a rebuild "
-            f"crashed between its _meta write and its commit; re-run "
-            f"the build"
+            f"committed manifest's v{version} {man.get('meta_id')!r} — "
+            f"either a rebuild crashed between its _meta write and its "
+            f"commit (re-run the build), or this is a snapshot read of "
+            f"a version from an earlier build generation (time travel "
+            f"does not span rebuilds: the _meta/_centroids sidecars "
+            f"are overwritten in place)"
         )
     tomb = set(man.get("tombstones") or [])
     data_segs = [s for s in man["segments"] if s not in tomb]
@@ -687,8 +718,10 @@ def vacuum_index(
     retention_s=0 only when no writer can be running AND no lazy
     DataFrame still referencing pre-compaction segments remains
     unmaterialized (a compiled-but-not-yet-executed probe plan lists
-    concrete seg= dirs). Older manifests' snapshots stop being readable
-    once their segments go (the index stores promise no time travel).
+    concrete seg= dirs). Older manifests' snapshots (`as_of_version`
+    probes) stop being readable once their compacted-away segments go
+    — vacuum is the time-travel horizon, exactly Delta's VACUUM bound;
+    a vacuumed snapshot read fails loudly on the missing directory.
     Returns the removed dirs.
 
     Refuses a store with NO committed manifest: an empty `live` set

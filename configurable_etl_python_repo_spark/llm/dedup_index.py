@@ -96,13 +96,17 @@ def _read_meta(spark: SparkSession, path: str, expected_layout: str = None):
     )
 
 
-def _committed(spark: SparkSession, path: str, layout: str = None):
-    """(meta, committed segments, tags) with the layout + torn-rebuild
-    guards applied — every probe/extend's first call."""
+def _committed(spark: SparkSession, path: str, layout: str = None,
+               version: "int | None" = None):
+    """(meta, committed segments, tags, manifest) with the layout +
+    torn-rebuild guards applied — every probe/extend's first call.
+    `version` pins an explicit manifest snapshot (time travel within
+    the current build generation; see _store.committed_state)."""
     from ._store import committed_state
 
     return committed_state(
-        spark, path, layout or _LAYOUT, kind="signature index"
+        spark, path, layout or _LAYOUT, kind="signature index",
+        version=version,
     )
 
 
@@ -228,6 +232,7 @@ def dedup_against_index(
     text_col: str = "text",
     threshold: float = 0.5,
     verify: bool = True,
+    as_of_version: "int | None" = None,
 ) -> DataFrame:
     """Probe a persisted MinHash index with a NEW batch: near-duplicate
     (batch doc, indexed doc) pairs without recomputing any corpus
@@ -257,10 +262,14 @@ def dedup_against_index(
     invisible. Tombstoned ids (_store.delete_from_index) never appear
     as id_b: the bucket relation is anti-joined against the committed
     tombstones BEFORE the candidate join (zero cost when no deletes
-    exist)."""
+    exist). `as_of_version` pins the probe to an explicit manifest
+    snapshot — the answer the store gave when vN was latest, spanning
+    extends/deletes/compactions within the build generation, valid
+    until vacuum_index removes the superseded segments (see
+    _store.committed_state)."""
     from ._store import apply_deletes, read_committed, read_deletes
 
-    meta, segs, _, man = _committed(spark, path)
+    meta, segs, _, man = _committed(spark, path, version=as_of_version)
     sig, b_buckets = _batch_buckets(batch, id_col, text_col, meta)
     # constant-bounded probe set (<= key_buckets values): the only
     # driver-side materialization in the pipeline, same trick as
@@ -398,6 +407,7 @@ def simhash_against_index(
     batch: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    as_of_version: "int | None" = None,
 ) -> DataFrame:
     """Probe a persisted SimHash index with a NEW batch: (batch doc,
     indexed doc) pairs within the index's max_hamming — EXACT for the
@@ -415,7 +425,9 @@ def simhash_against_index(
     from ._store import apply_deletes, read_committed, read_deletes
     from .dedup import simhash64, simhash_band_rows, simhash_distance
 
-    meta, segs, _, man = _committed(spark, path, _SH_LAYOUT)
+    meta, segs, _, man = _committed(
+        spark, path, _SH_LAYOUT, version=as_of_version
+    )
     k = int(meta.max_hamming)
     fp = _scope_cache(simhash64(batch, id_col, text_col))
     b_rows = simhash_band_rows(fp, k).withColumn(
@@ -625,6 +637,7 @@ def embedding_against_index(
     threshold: float = 0.9,
     n_probe: int = 2,
     round_digits: int = 6,
+    as_of_version: "int | None" = None,
 ) -> DataFrame:
     """Probe a persisted embedding index with a NEW batch: (batch vec,
     indexed vec) pairs with cosine >= threshold, without recomputing
@@ -654,7 +667,9 @@ def embedding_against_index(
     from ._store import apply_deletes, read_committed, read_deletes
     from .similarity import _sim, _with_norm, ivf_assignments_arrow
 
-    meta, segs, _, man = _committed(spark, path, _EMB_LAYOUT)
+    meta, segs, _, man = _committed(
+        spark, path, _EMB_LAYOUT, version=as_of_version
+    )
     cents = _stored_centroids(spark, path, meta.meta_id)
     if not (1 <= n_probe <= len(cents)):
         raise ValueError(

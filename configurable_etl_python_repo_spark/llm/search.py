@@ -217,10 +217,12 @@ def _bm25_meta(spark, path: str):
     return read_meta(spark, path, _BM25_LAYOUT, kind="bm25 index")
 
 
-def _bm25_committed(spark, path: str):
+def _bm25_committed(spark, path: str, version: "int | None" = None):
     from ._store import committed_state
 
-    return committed_state(spark, path, _BM25_LAYOUT, kind="bm25 index")
+    return committed_state(
+        spark, path, _BM25_LAYOUT, kind="bm25 index", version=version
+    )
 
 
 def _bm25_segment(
@@ -396,6 +398,7 @@ def bm25_search_index(
     k1: float = 1.2,
     b: float = 0.75,
     id_col: str = "doc_id",
+    as_of_version: "int | None" = None,
 ) -> DataFrame:
     """Query a persisted BM25 index: the query's terms map to their
     md5 buckets, the postings/df scans prune to those partitions at the
@@ -417,7 +420,9 @@ def bm25_search_index(
     terms = sorted(set(query.lower().split()))
     if not terms:
         raise ValueError("query must contain at least one term")
-    meta, segs, _, man = _bm25_committed(spark, path)
+    meta, segs, _, man = _bm25_committed(
+        spark, path, version=as_of_version
+    )
     # the probe's bucket set, computed driver-side with the SAME md5
     # window _tb_col uses (hashlib.md5 == Spark md5; % of a non-negative
     # == pmod) — |terms| hashes, no Spark job

@@ -597,10 +597,12 @@ def _ivf_meta(spark, path: str):
     return read_meta(spark, path, _IVF_LAYOUT, kind="ivf index")
 
 
-def _ivf_committed(spark, path: str):
+def _ivf_committed(spark, path: str, version: "int | None" = None):
     from ._store import committed_state
 
-    return committed_state(spark, path, _IVF_LAYOUT, kind="ivf index")
+    return committed_state(
+        spark, path, _IVF_LAYOUT, kind="ivf index", version=version
+    )
 
 
 def _ivf_rows(
@@ -671,6 +673,7 @@ def ivf_search_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    as_of_version: "int | None" = None,
 ) -> DataFrame:
     """Query a write-side IVF index: load the (tiny) centroid table, find
     each query's n_probe nearest lists, and scan ONLY those partitions of
@@ -685,7 +688,9 @@ def ivf_search_index(
         read_deletes,
     )
 
-    meta, segs, _, man = _ivf_committed(spark, path)
+    meta, segs, _, man = _ivf_committed(
+        spark, path, version=as_of_version
+    )
     centroids = read_centroids(
         spark, path, meta.meta_id, kind="ivf index"
     )

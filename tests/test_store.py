@@ -912,3 +912,148 @@ def test_compact_refuses_when_any_relation_would_empty(
     ST.delete_from_index(_ids_df(spark, wordful), idx)
     with pytest.raises(ValueError, match="postings"):
         ST.compact_index(spark, idx)
+
+
+# ---------------------------------------------------------------------------
+# Snapshot reads (as_of_version): Delta-style time travel on the
+# manifest log, within one build generation, until vacuum
+# ---------------------------------------------------------------------------
+
+
+def test_as_of_version_probe_is_the_historical_answer(
+    spark, sf_dir, tmp_path
+):
+    """Every manifest version stays queryable: probe(as_of_version=N)
+    == the probe taken when vN WAS latest, across a delete (v2) and an
+    extend (v3) — and as_of the newest version == the plain probe."""
+    corpus = _docs(spark, sf_dir, 0, 30)
+    batch = _docs(spark, sf_dir, 0, 10).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    victim = 6
+    idx = str(tmp_path / "mh")
+
+    minhash_build_index(corpus, idx, **_LSH)            # v1
+    p1 = _probe_set(spark, idx, batch)
+    assert (1000000 + victim, victim) in p1
+
+    ST.delete_from_index(_ids_df(spark, [victim]), idx)  # v2
+    p2 = _probe_set(spark, idx, batch)
+    assert p2 == p1 - {(1000000 + victim, victim)}
+
+    # v3: replicas of the batch's own targets under a third namespace
+    minhash_extend_index(
+        _docs(spark, sf_dir, 0, 10).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+        ),
+        idx,
+    )
+    p3 = _probe_set(spark, idx, batch)
+    assert {(d + 1000000, d + 2000000) for d in range(0, 10)
+            if d != victim} <= p3 - p2
+
+    def asof(v):
+        return {
+            (r.id_a, r.id_b)
+            for r in dedup_against_index(
+                spark, idx, batch, threshold=_T, as_of_version=v
+            ).collect()
+        }
+
+    assert asof(1) == p1   # pre-delete snapshot: victim visible again
+    assert asof(2) == p2   # post-delete, pre-extend
+    assert asof(3) == p3   # newest version == plain probe
+
+
+def test_as_of_version_bounds(spark, sf_dir, tmp_path):
+    corpus = _docs(spark, sf_dir, 0, 20)
+    batch = corpus.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    idx = str(tmp_path / "mh")
+    minhash_build_index(corpus, idx, **_LSH)
+    with pytest.raises(ValueError, match="start at 1"):
+        dedup_against_index(
+            spark, idx, batch, threshold=_T, as_of_version=0
+        )
+    with pytest.raises(ValueError, match="no committed manifest"):
+        dedup_against_index(
+            spark, idx, batch, threshold=_T, as_of_version=99
+        )
+
+
+def test_as_of_version_across_rebuild_refused(spark, sf_dir, tmp_path):
+    """A rebuild overwrites the _meta/_centroids sidecars in place, so
+    an older generation's snapshot is gone — the meta_id cross-check
+    refuses the read with the time-travel message instead of probing
+    new parameters against old segments."""
+    corpus = _docs(spark, sf_dir, 0, 20)
+    batch = corpus.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    idx = str(tmp_path / "mh")
+    minhash_build_index(corpus, idx, **_LSH)             # v1, gen A
+    minhash_build_index(corpus, idx, **_LSH)             # v2, gen B
+    with pytest.raises(ValueError, match="time travel does not span"):
+        dedup_against_index(
+            spark, idx, batch, threshold=_T, as_of_version=1
+        )
+    # the current version is unaffected
+    assert _probe_set(spark, idx, batch)
+
+
+def test_as_of_version_survives_compaction_until_vacuum(
+    spark, sf_dir, tmp_path
+):
+    """Compaction supersedes segments but does not remove them, so the
+    pre-compaction snapshot keeps answering (bit-equal); vacuum is the
+    time-travel horizon — after it, the snapshot read fails loudly on
+    the missing directory rather than returning partial rows."""
+    part_a = _docs(spark, sf_dir, 0, 30)
+    part_b = _docs(spark, sf_dir, 30, 50)
+    batch = part_a.unionByName(part_b).where(
+        F.col("doc_id") % 5 == 0
+    ).select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    idx = str(tmp_path / "mh")
+    minhash_build_index(part_a, idx, **_LSH)             # v1
+    minhash_extend_index(part_b, idx)                    # v2
+    p2 = _probe_set(spark, idx, batch)
+    ST.compact_index(spark, idx)                         # v3
+
+    def asof(v):
+        return {
+            (r.id_a, r.id_b)
+            for r in dedup_against_index(
+                spark, idx, batch, threshold=_T, as_of_version=v
+            ).collect()
+        }
+
+    assert asof(2) == p2                 # superseded segs still on disk
+    assert ST.vacuum_index(idx, retention_s=0.0)
+    with pytest.raises(Exception, match="(?i)path|exist"):
+        asof(2)                          # horizon: vacuumed snapshot
+    assert _probe_set(spark, idx, batch) == p2   # latest unaffected
+
+
+def test_as_of_version_bm25_scores_use_the_snapshot_stats(
+    spark, sf_dir, tmp_path
+):
+    """BM25's df/n_docs/avgdl aggregate over the SNAPSHOT's segments,
+    so an as-of search is bit-equal to the search run before the
+    extend — global stats time-travel with the data."""
+    part_a = _docs(spark, sf_dir, 0, 25)
+    part_b = _docs(spark, sf_dir, 25, 60)
+    idx = str(tmp_path / "bm")
+    bm25_build_index(part_a, idx, term_buckets=4)        # v1
+    q = _corpus_query(part_a)
+    before = _search_rows(spark, idx, q)
+    bm25_extend_index(part_b, idx)                       # v2
+    after = _search_rows(spark, idx, q)
+    asof1 = sorted(
+        (r.doc_id, r.rank, r.score)
+        for r in bm25_search_index(
+            spark, idx, q, k=10, as_of_version=1
+        ).collect()
+    )
+    assert asof1 == before
+    assert after != before  # the extend really changed stats/results
