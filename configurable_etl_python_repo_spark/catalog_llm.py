@@ -2385,6 +2385,36 @@ def _index_deletion_oracle() -> str:
     )
 
 
+def _deleted_minhash_store(spark: SparkSession, sf_dir: str, name: str):
+    """The shared x30/x31 fixture — ONE point of truth so the two rows
+    really bracket the same mutation: a fresh MinHash index over the
+    d15 corpus with every doc_id % 3 == 0 tombstoned (v1 = build,
+    v2 = delete). Returns (path, batch). Fresh /tmp store per
+    invocation: deletes MUTATE, and bench warm-ups must measure the
+    same pipeline every time."""
+    import os
+    import shutil
+    import tempfile
+
+    from .llm import dedup_index as DI
+    from .llm._store import delete_from_index
+
+    corpus, batch = _incr_split(spark, sf_dir)
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"cfg_etl_{name}_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    DI.minhash_build_index(
+        corpus, path, n=_JACCARD_N, bands=_LSH_BANDS,
+        rows_per_band=_LSH_ROWS,
+    )
+    delete_from_index(
+        corpus.where(F.col("doc_id") % 3 == 0)
+        .select(F.col("doc_id").alias("id")),
+        path, tag=f"takedown-{name}",
+    )
+    return path, batch
+
+
 @register("x30_index_deletion", _index_deletion_oracle())
 def q_x30(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Right-to-be-forgotten on a persisted index WITHOUT a rebuild
@@ -2395,29 +2425,10 @@ def q_x30(spark: SparkSession, sf_dir: str) -> DataFrame:
     delete-until-merge model; compact == fresh-rebuild-minus-deleted
     is pinned bit-for-bit in tests/test_store.py). The oracle is d15's
     own chain filtered by the deleted set — deletion cannot drift from
-    the probe it wraps."""
-    import os
-    import shutil
-    import tempfile
-
+    the probe it wraps (and x31 probes the SAME fixture's v1)."""
     from .llm import dedup_index as DI
-    from .llm._store import delete_from_index
 
-    corpus, batch = _incr_split(spark, sf_dir)
-    tag = sf_dir.strip("/").replace("/", "_")
-    # deletes MUTATE the store: start clean so repeated invocations
-    # (bench warm-up + samples) measure the same pipeline every time
-    path = os.path.join(tempfile.gettempdir(), f"cfg_etl_x30_{tag}")
-    shutil.rmtree(path, ignore_errors=True)
-    DI.minhash_build_index(
-        corpus, path, n=_JACCARD_N, bands=_LSH_BANDS,
-        rows_per_band=_LSH_ROWS,
-    )
-    delete_from_index(
-        corpus.where(F.col("doc_id") % 3 == 0)
-        .select(F.col("doc_id").alias("id")),
-        path, tag="takedown-x30",
-    )
+    path, batch = _deleted_minhash_store(spark, sf_dir, "x30")
     return DI.dedup_against_index(
         spark, path, batch, threshold=_LSH_P / _LSH_Q
     )
@@ -2437,28 +2448,13 @@ def q_x31(spark: SparkSession, sf_dir: str) -> DataFrame:
     _meta/_centroids sidecars are in-place, and the meta_id cross-check
     refuses loudly (tests/test_store.py pins that plus the vacuum
     horizon)."""
-    import os
-    import shutil
-    import tempfile
-
     from .llm import dedup_index as DI
-    from .llm._store import delete_from_index
 
-    corpus, batch = _incr_split(spark, sf_dir)
-    tag = sf_dir.strip("/").replace("/", "_")
-    # deletes/extends MUTATE the store: start clean so repeated
-    # invocations measure the same pipeline every time
-    path = os.path.join(tempfile.gettempdir(), f"cfg_etl_x31_{tag}")
-    shutil.rmtree(path, ignore_errors=True)
-    DI.minhash_build_index(
-        corpus, path, n=_JACCARD_N, bands=_LSH_BANDS,
-        rows_per_band=_LSH_ROWS,
-    )
-    delete_from_index(
-        corpus.where(F.col("doc_id") % 3 == 0)
-        .select(F.col("doc_id").alias("id")),
-        path, tag="takedown-x31",
-    )
+    # the SAME build+delete fixture as x30 (shared helper — the
+    # bracketing claim depends on the mutation being identical) ...
+    path, batch = _deleted_minhash_store(spark, sf_dir, "x31")
+    # ... plus a v3 extend the snapshot must also ignore
+    corpus, _ = _incr_split(spark, sf_dir)
     DI.minhash_extend_index(
         corpus.where(F.col("doc_id") % 6 == 0).select(
             (F.col("doc_id") + 3000000).alias("doc_id"), "text"
