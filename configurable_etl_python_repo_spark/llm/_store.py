@@ -119,11 +119,27 @@ def _mname(version: int) -> str:
     return f"v{version:08d}.json"
 
 
+def _floor_version(st: LogStore) -> int:
+    """The pruning floor: vacuum's manifest retention writes FIRST (the
+    oldest RETAINED version) BEFORE deleting older manifests, so a torn
+    or dangling LATEST hint can still recover by probing forward from
+    here instead of from v1 (which may be pruned). 0 when no pruning
+    ever happened (or the hint is unreadable — the pre-pruning
+    behavior)."""
+    hint = st.read("FIRST")
+    try:
+        floor = int(hint.decode().strip()) if hint is not None else 1
+    except ValueError:
+        floor = 1
+    return max(floor - 1, 0)
+
+
 def _latest_version(st: LogStore) -> int:
     """True current version: the LATEST hint probed FORWARD (a crash
     between manifest-create and hint-update leaves the hint behind by a
     bounded number of commits), degrading a torn or dangling hint to a
-    probe from 0 — the txlog._latest_version contract."""
+    probe from the pruning floor (_floor_version; 0 when manifests were
+    never pruned) — the txlog._latest_version contract."""
     hint = st.read("LATEST")
     try:
         version = int(hint.decode().strip()) if hint is not None else 0
@@ -131,10 +147,12 @@ def _latest_version(st: LogStore) -> int:
         version = 0
     if version < 0:
         version = 0
+    if version == 0:
+        version = _floor_version(st)
     while st.exists(_mname(version + 1)):
         version += 1
     if version > 0 and not st.exists(_mname(version)):
-        version = 0
+        version = _floor_version(st)
         while st.exists(_mname(version + 1)):
             version += 1
     return version
@@ -168,6 +186,13 @@ def read_manifest(
             )
         raw = st.read(_mname(version))
         if raw is None:
+            if version < _latest_version(st):
+                raise ValueError(
+                    f"manifest v{version} of the index at {path} was "
+                    f"pruned by vacuum's manifest retention "
+                    f"(manifest_keep_last) — this snapshot is no "
+                    f"longer readable"
+                )
             raise ValueError(
                 f"index at {path} has no committed manifest "
                 f"v{version} — the version was never committed (or "
@@ -708,6 +733,7 @@ def vacuum_index(
     path: str,
     retention_s: float = 24 * 3600.0,
     store: LogStore | None = None,
+    manifest_keep_last: "int | None" = None,
 ) -> "list[str]":
     """Delete segment directories the CURRENT manifest does not
     reference: crashed builds/extends' orphans and compacted-away
@@ -728,7 +754,19 @@ def vacuum_index(
     there almost certainly means the manifests are elsewhere (wrong
     path, or a non-default LogStore not passed via `store`), and
     proceeding would classify every committed segment as an orphan and
-    mass-delete the index."""
+    mass-delete the index.
+
+    `manifest_keep_last` (Iceberg-style count retention, default None =
+    keep every manifest) additionally prunes the manifest LOG: only the
+    newest N manifests survive, bounding metadata growth after years of
+    daily commits. The current manifest always survives (N is clamped
+    to >= 1's effect of keeping it); pruned versions stop being
+    `as_of_version`-readable and fail with an explicit 'pruned' message
+    (never 'never committed'). The FIRST floor hint is written BEFORE
+    any manifest is deleted — a torn LATEST hint after pruning recovers
+    by probing forward from FIRST instead of from the (pruned) v1; a
+    crash between the FIRST write and the deletes just leaves a
+    conservative floor, every manifest still readable."""
     import shutil
     import time
 
@@ -765,4 +803,26 @@ def vacuum_index(
                 continue
             shutil.rmtree(full)
             removed.append(full)
+    if manifest_keep_last is not None:
+        if int(manifest_keep_last) < 1:
+            raise ValueError(
+                f"manifest_keep_last must be >= 1 (the current "
+                f"manifest is never pruned); got {manifest_keep_last}"
+            )
+        st = _seg_store(path, store)
+        cutoff = version - int(manifest_keep_last) + 1
+        if cutoff > 1:
+            # floor FIRST, then delete: a crash in between leaves a
+            # conservative floor with every manifest still readable.
+            # FIRST only ever moves FORWARD — a later vacuum with a
+            # larger keep_last must not point the floor back into
+            # already-pruned territory (the degraded LATEST recovery
+            # probes forward from FIRST, and a stale-low floor would
+            # strand it on deleted manifests)
+            if cutoff > _floor_version(st) + 1:
+                st.write("FIRST", str(cutoff).encode())
+            for v in range(1, cutoff):
+                if st.exists(_mname(v)):
+                    st.delete(_mname(v))
+                    removed.append(f"{path}/_segments/{_mname(v)}")
     return removed

@@ -444,11 +444,17 @@ def _run_vacuum(engine: "Engine", path: str, kwargs: dict) -> int:
     """Delete segment dirs the current manifest does not reference
     once older than retention_seconds (default 24h — spares concurrent
     writers' not-yet-committed segments; see llm/_store.vacuum_index
-    for the retention_seconds=0 caveats)."""
+    for the retention_seconds=0 caveats). manifest_keep_last
+    additionally prunes the manifest log to the newest N versions
+    (pruned versions stop being as_of_version-readable)."""
     from ..llm import _store as ST
 
     retention = float(kwargs.pop("retention_seconds", 24 * 3600.0))
-    return len(ST.vacuum_index(path, retention_s=retention))
+    keep = kwargs.pop("manifest_keep_last", None)
+    return len(ST.vacuum_index(
+        path, retention_s=retention,
+        manifest_keep_last=None if keep is None else int(keep),
+    ))
 
 
 def _bm25_search_index(engine: "Engine", spec: OpSpec):

@@ -12,6 +12,14 @@ sf0.1 (run ALONE — timing):
    fixture, and exact (array<double>) vs quantize=True (int8+scale)
    store size on disk + probe time in the dequantized domain.
 
+3. TOMBSTONE + SNAPSHOT COST (late-r10): probe time with 0 / 1 / 20
+   accumulated tombstone segments (daily takedowns before the next
+   compaction) and after the compaction that purges them — the number
+   that justifies 'compact after takedown bursts'; and an
+   as_of_version=1 snapshot probe vs the latest-version probe on the
+   same mutated store (the snapshot resolves ONE pinned manifest, so
+   it should cost the same or less — fewer segments).
+
 Output: one JSON object on stdout (recorded into BENCH_sf1_r10.json
 alongside the scale_smoke exponents).
 
@@ -192,6 +200,53 @@ def main() -> None:
         "exact_bytes": sz(auto),
         "quantized_bytes": sz(quant),
         "size_ratio": round(sz(auto) / max(sz(quant), 1), 2),
+    }
+
+    # --- 3. Tombstone + snapshot cost ------------------------------------
+    tomb = os.path.join(root, "mh_tomb")
+    minhash_build_index(docs, tomb, **_LSH)                      # v1
+    t_clean = _best(
+        lambda: _noop(dedup_against_index(spark, tomb, batch,
+                                          threshold=0.5)),
+        args.samples,
+    )
+    ids = docs.select(F.col("doc_id").alias("id"))
+    ST.delete_from_index(ids.where(F.col("id") % 101 == 0), tomb)  # v2
+    t_1seg = _best(
+        lambda: _noop(dedup_against_index(spark, tomb, batch,
+                                          threshold=0.5)),
+        args.samples,
+    )
+    for i in range(1, 20):  # 19 more daily takedown batches
+        ST.delete_from_index(
+            ids.where(F.col("id") % 2011 == i), tomb
+        )
+    t_20seg = _best(
+        lambda: _noop(dedup_against_index(spark, tomb, batch,
+                                          threshold=0.5)),
+        args.samples,
+    )
+    t_asof1 = _best(
+        lambda: _noop(dedup_against_index(spark, tomb, batch,
+                                          threshold=0.5,
+                                          as_of_version=1)),
+        args.samples,
+    )
+    ST.compact_index(spark, tomb)
+    t_purged = _best(
+        lambda: _noop(dedup_against_index(spark, tomb, batch,
+                                          threshold=0.5)),
+        args.samples,
+    )
+    report["tombstone_and_snapshot"] = {
+        "probe_no_deletes_s": t_clean,
+        "probe_1_tombstone_seg_s": t_1seg,
+        "probe_20_tombstone_segs_s": t_20seg,
+        "probe_as_of_v1_s": t_asof1,
+        "probe_after_compaction_s": t_purged,
+        "tombstone20_penalty": round(t_20seg / max(t_clean, 1e-3), 2),
+        "asof_vs_latest": round(t_asof1 / max(t_20seg, 1e-3), 2),
+        "compact_recovery": round(t_purged / max(t_clean, 1e-3), 2),
     }
 
     print(json.dumps(report, indent=1))

@@ -588,10 +588,15 @@ def test_compact_and_vacuum_config_ops(spark, sf_dir, tmp_path):
 
     receipt = eng.run_op(OpSpec(
         "VACUUM INDEX", "vac", [],
-        {"path": idx, "retention_seconds": 0}))
+        {"path": idx, "retention_seconds": 0,
+         "manifest_keep_last": 1}))
     row = receipt.collect()[0]
-    assert row.path == idx and row.removed_dirs == len(old_segs) * 4  # 4 BM25 relations
+    # 4 BM25 relation seg dirs per old segment + the 2 pruned
+    # manifests (v1 build, v2 extend; v3 = the compaction survives)
+    assert row.path == idx
+    assert row.removed_dirs == len(old_segs) * 4 + 2
     assert _search_rows(spark, idx, q) == before
+    assert ST.read_manifest(idx)[0] == 3  # current manifest retained
 
     cmp_receipt = eng.run_op(OpSpec("COMPACT INDEX", "cmp2", [],
                                     {"path": idx}))
@@ -1057,3 +1062,101 @@ def test_as_of_version_bm25_scores_use_the_snapshot_stats(
     )
     assert asof1 == before
     assert after != before  # the extend really changed stats/results
+
+
+# ---------------------------------------------------------------------------
+# Manifest-log retention (vacuum manifest_keep_last): bounded metadata
+# after years of commits, with the FIRST floor hint protecting the
+# torn-LATEST recovery path
+# ---------------------------------------------------------------------------
+
+
+def _mh_versions(spark, sf_dir, tmp_path, n_extends=4):
+    corpus = _docs(spark, sf_dir, 0, 30)
+    idx = str(tmp_path / "mh")
+    minhash_build_index(corpus, idx, **_LSH)               # v1
+    for i in range(n_extends):                             # v2..v(1+n)
+        minhash_extend_index(
+            _docs(spark, sf_dir, 30 + 5 * i, 35 + 5 * i), idx
+        )
+    return idx
+
+
+def test_manifest_retention_prunes_old_keeps_current(
+    spark, sf_dir, tmp_path
+):
+    idx = _mh_versions(spark, sf_dir, tmp_path)            # v1..v5
+    batch = _docs(spark, sf_dir, 0, 10).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    p5 = _probe_set(spark, idx, batch)
+    removed = ST.vacuum_index(idx, manifest_keep_last=2)
+    names = {os.path.basename(r) for r in removed}
+    assert names == {"v00000001.json", "v00000002.json",
+                     "v00000003.json"}
+    # latest unaffected; retained snapshot still answers
+    assert ST.read_manifest(idx)[0] == 5
+    assert _probe_set(spark, idx, batch) == p5
+    assert {
+        (r.id_a, r.id_b)
+        for r in dedup_against_index(
+            spark, idx, batch, threshold=_T, as_of_version=4
+        ).collect()
+    }
+    # pruned snapshot fails with the PRUNED message, never
+    # 'never committed'
+    with pytest.raises(ValueError, match="pruned by vacuum"):
+        dedup_against_index(
+            spark, idx, batch, threshold=_T, as_of_version=2
+        )
+    # keep_last larger than the log: no-op
+    assert ST.vacuum_index(idx, manifest_keep_last=10) == []
+    with pytest.raises(ValueError, match="must be >= 1"):
+        ST.vacuum_index(idx, manifest_keep_last=0)
+
+
+def test_manifest_retention_survives_torn_latest_hint(
+    spark, sf_dir, tmp_path
+):
+    """The degraded LATEST recovery used to probe forward from v1 —
+    pruned after retention. FIRST (written BEFORE any delete) is the
+    floor it probes from instead."""
+    idx = _mh_versions(spark, sf_dir, tmp_path)            # v1..v5
+    ST.vacuum_index(idx, manifest_keep_last=2)             # keep v4,v5
+    seg_dir = os.path.join(idx, "_segments")
+    os.remove(os.path.join(seg_dir, "LATEST"))             # torn hint
+    assert ST.read_manifest(idx)[0] == 5
+    # dangling hint (points past the end) also recovers
+    with open(os.path.join(seg_dir, "LATEST"), "w") as f:
+        f.write("99")
+    assert ST.read_manifest(idx)[0] == 5
+    # and a later vacuum with a LARGER keep_last must not move the
+    # floor backward into pruned territory
+    ST.vacuum_index(idx, manifest_keep_last=4)
+    with open(os.path.join(seg_dir, "FIRST")) as f:
+        assert int(f.read().strip()) == 4
+    os.remove(os.path.join(seg_dir, "LATEST"))
+    assert ST.read_manifest(idx)[0] == 5
+
+
+def test_manifest_retention_crash_between_first_and_deletes(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """A vacuum killed after writing FIRST but before deleting any
+    manifest leaves a conservative floor: every manifest still
+    readable, latest still resolvable, and the retry completes."""
+    idx = _mh_versions(spark, sf_dir, tmp_path)            # v1..v5
+    real_delete = ST.LocalLogStore.delete
+    monkeypatch.setattr(
+        ST.LocalLogStore, "delete",
+        lambda self, name: (_ for _ in ()).throw(_Crash()),
+    )
+    with pytest.raises(_Crash):
+        ST.vacuum_index(idx, manifest_keep_last=2)
+    monkeypatch.setattr(ST.LocalLogStore, "delete", real_delete)
+    # conservative floor, nothing pruned yet: everything still works
+    assert ST.read_manifest(idx)[0] == 5
+    assert ST.read_manifest(idx, version=1)[0] == 1
+    removed = ST.vacuum_index(idx, manifest_keep_last=2)   # retry
+    assert len(removed) == 3
+    assert ST.read_manifest(idx)[0] == 5
