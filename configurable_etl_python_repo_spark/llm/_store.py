@@ -119,27 +119,31 @@ def _mname(version: int) -> str:
     return f"v{version:08d}.json"
 
 
-def _floor_version(st: LogStore) -> int:
-    """The pruning floor: vacuum's manifest retention writes FIRST (the
-    oldest RETAINED version) BEFORE deleting older manifests, so a torn
-    or dangling LATEST hint can still recover by probing forward from
-    here instead of from v1 (which may be pruned). 0 when no pruning
-    ever happened (or the hint is unreadable — the pre-pruning
-    behavior)."""
-    hint = st.read("FIRST")
-    try:
-        floor = int(hint.decode().strip()) if hint is not None else 1
-    except ValueError:
-        floor = 1
-    return max(floor - 1, 0)
+def _listed_versions(st: LogStore) -> "list[int]":
+    """Every committed manifest version the store can LIST — the
+    recovery primitive (rare path), not the hot path."""
+    out: "list[int]" = []
+    for n in st.list_names():
+        if n.startswith("v") and n.endswith(".json"):
+            try:
+                out.append(int(n[1:-5]))
+            except ValueError:
+                continue
+    return out
 
 
 def _latest_version(st: LogStore) -> int:
     """True current version: the LATEST hint probed FORWARD (a crash
     between manifest-create and hint-update leaves the hint behind by a
-    bounded number of commits), degrading a torn or dangling hint to a
-    probe from the pruning floor (_floor_version; 0 when manifests were
-    never pruned) — the txlog._latest_version contract."""
+    bounded number of commits — O(drift) exists() calls, the hot path).
+    A torn, dangling, or pruned-past hint falls back to LISTING the
+    manifest log and taking the max — the Delta checkpoint-then-list
+    design. Recovery therefore never depends on v1 existing (manifest
+    retention prunes old versions), and a returned version > 0 always
+    had an existing manifest at probe time: committing into a PRUNED
+    low slot (which put_if_absent would happily win — a forked log) is
+    impossible, because version 0 is only ever returned for a
+    genuinely EMPTY log."""
     hint = st.read("LATEST")
     try:
         version = int(hint.decode().strip()) if hint is not None else 0
@@ -147,15 +151,11 @@ def _latest_version(st: LogStore) -> int:
         version = 0
     if version < 0:
         version = 0
-    if version == 0:
-        version = _floor_version(st)
     while st.exists(_mname(version + 1)):
         version += 1
-    if version > 0 and not st.exists(_mname(version)):
-        version = _floor_version(st)
-        while st.exists(_mname(version + 1)):
-            version += 1
-    return version
+    if version > 0 and st.exists(_mname(version)):
+        return version
+    return max(_listed_versions(st), default=0)
 
 
 def read_manifest(
@@ -172,11 +172,24 @@ def read_manifest(
     dirs without probing any filesystem)."""
     st = _seg_store(path, store)
     if version is None:
-        version = _latest_version(st)
-        if version == 0:
-            return 0, {"segments": [], "tags": {}, "meta_id": None,
-                       "tombstones": []}
-        raw = st.read(_mname(version))
+        raw = None
+        for _ in range(2):
+            version = _latest_version(st)
+            if version == 0:
+                return 0, {"segments": [], "tags": {}, "meta_id": None,
+                           "tombstones": []}
+            raw = st.read(_mname(version))
+            if raw is not None:
+                break
+            # the resolved newest vanished between probe and read: a
+            # concurrent commit advanced the log AND a concurrent
+            # vacuum pruned past our snapshot — re-resolve once
+        if raw is None:
+            raise ValueError(
+                f"manifest v{version} of {path} vanished while being "
+                f"read (a racing vacuum pruned the log past it twice) "
+                f"— retry the read"
+            )
     else:
         version = int(version)
         if version < 1:
@@ -759,14 +772,16 @@ def vacuum_index(
     `manifest_keep_last` (Iceberg-style count retention, default None =
     keep every manifest) additionally prunes the manifest LOG: only the
     newest N manifests survive, bounding metadata growth after years of
-    daily commits. The current manifest always survives (N is clamped
-    to >= 1's effect of keeping it); pruned versions stop being
-    `as_of_version`-readable and fail with an explicit 'pruned' message
-    (never 'never committed'). The FIRST floor hint is written BEFORE
-    any manifest is deleted — a torn LATEST hint after pruning recovers
-    by probing forward from FIRST instead of from the (pruned) v1; a
-    crash between the FIRST write and the deletes just leaves a
-    conservative floor, every manifest still readable."""
+    daily commits. The current manifest never qualifies (N >= 1
+    enforced); pruned versions stop being `as_of_version`-readable and
+    fail with an explicit 'pruned' message (never 'never committed').
+    Pruning is crash/concurrency-safe by construction: readers recover
+    a lost LATEST hint by LISTING the manifest log (never by probing
+    from v1), deletes are idempotent, and a commit can never land in a
+    pruned low slot because version 0 is only resolved for a genuinely
+    empty log. Returns removed segment dirs (paths) plus pruned
+    manifests (bare names — they live in the LogStore, which need not
+    be a local path)."""
     import shutil
     import time
 
@@ -811,18 +826,15 @@ def vacuum_index(
             )
         st = _seg_store(path, store)
         cutoff = version - int(manifest_keep_last) + 1
-        if cutoff > 1:
-            # floor FIRST, then delete: a crash in between leaves a
-            # conservative floor with every manifest still readable.
-            # FIRST only ever moves FORWARD — a later vacuum with a
-            # larger keep_last must not point the floor back into
-            # already-pruned territory (the degraded LATEST recovery
-            # probes forward from FIRST, and a stale-low floor would
-            # strand it on deleted manifests)
-            if cutoff > _floor_version(st) + 1:
-                st.write("FIRST", str(cutoff).encode())
-            for v in range(1, cutoff):
-                if st.exists(_mname(v)):
-                    st.delete(_mname(v))
-                    removed.append(f"{path}/_segments/{_mname(v)}")
+        # list, then delete exactly what exists below the cutoff —
+        # O(newly pruned), never a v1..cutoff exists() sweep over
+        # versions pruned years ago; deletes are idempotent, so
+        # concurrent vacuums (or a crashed one retried) are safe, and
+        # readers never depended on low manifests existing (recovery
+        # LISTS the log, it does not probe from v1). Pruned entries are
+        # reported by bare manifest NAME (they live in the LogStore,
+        # which need not be a local path), segment entries by dir path.
+        for v in sorted(x for x in _listed_versions(st) if x < cutoff):
+            st.delete(_mname(v))
+            removed.append(_mname(v))
     return removed

@@ -55,6 +55,16 @@ class LogStore:
     def delete(self, name: str) -> None:
         raise NotImplementedError
 
+    def list_names(self) -> "list[str]":
+        """Every name in the store (unordered). The RECOVERY primitive,
+        not a hot-path one: readers resolve the newest manifest from
+        the LATEST hint + a forward probe; only a lost/garbled hint
+        falls back to listing (the Delta-style checkpoint-then-list
+        design). Must reflect committed state — a name returned by a
+        completed put_if_absent/write appears, a deleted one does
+        not."""
+        raise NotImplementedError
+
 
 class LocalLogStore(LogStore):
     """Hard-link create-if-absent on a POSIX filesystem (local, NFS,
@@ -111,6 +121,14 @@ class LocalLogStore(LogStore):
             os.remove(self._path(name))
         except FileNotFoundError:
             pass
+
+    def list_names(self) -> "list[str]":
+        try:
+            names = os.listdir(self.root)
+        except FileNotFoundError:
+            return []
+        # in-flight put_if_absent temp files are not committed names
+        return [n for n in names if not n.startswith(".tmp.")]
 
 
 class S3LogStore(LogStore):
@@ -186,6 +204,23 @@ class S3LogStore(LogStore):
 
     def delete(self, name: str) -> None:
         self._c.delete_object(Bucket=self.bucket, Key=self._key(name))
+
+    def list_names(self) -> "list[str]":
+        prefix = self.prefix + "/"
+        names: "list[str]" = []
+        token = None
+        while True:
+            kwargs = dict(Bucket=self.bucket, Prefix=prefix)
+            if token:
+                kwargs["ContinuationToken"] = token
+            page = self._c.list_objects_v2(**kwargs)
+            for obj in page.get("Contents") or []:
+                key = obj["Key"]
+                if key.startswith(prefix):
+                    names.append(key[len(prefix):])
+            token = page.get("NextContinuationToken")
+            if not token:
+                return names
 
 
 # ---------------------------------------------------------------------------

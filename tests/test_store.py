@@ -1118,45 +1118,63 @@ def test_manifest_retention_prunes_old_keeps_current(
 def test_manifest_retention_survives_torn_latest_hint(
     spark, sf_dir, tmp_path
 ):
-    """The degraded LATEST recovery used to probe forward from v1 —
-    pruned after retention. FIRST (written BEFORE any delete) is the
-    floor it probes from instead."""
+    """The degraded LATEST recovery must not depend on v1 existing
+    (retention prunes it): a torn/dangling/lost hint falls back to
+    LISTING the manifest log. Crucially, a COMMIT in that state lands
+    at v6 — never in the pruned v1 slot, which put_if_absent would
+    happily win and fork the log (split brain)."""
     idx = _mh_versions(spark, sf_dir, tmp_path)            # v1..v5
     ST.vacuum_index(idx, manifest_keep_last=2)             # keep v4,v5
     seg_dir = os.path.join(idx, "_segments")
-    os.remove(os.path.join(seg_dir, "LATEST"))             # torn hint
+    os.remove(os.path.join(seg_dir, "LATEST"))             # lost hint
     assert ST.read_manifest(idx)[0] == 5
     # dangling hint (points past the end) also recovers
     with open(os.path.join(seg_dir, "LATEST"), "w") as f:
         f.write("99")
     assert ST.read_manifest(idx)[0] == 5
-    # and a later vacuum with a LARGER keep_last must not move the
-    # floor backward into pruned territory
-    ST.vacuum_index(idx, manifest_keep_last=4)
-    with open(os.path.join(seg_dir, "FIRST")) as f:
-        assert int(f.read().strip()) == 4
-    os.remove(os.path.join(seg_dir, "LATEST"))
+    # garbled hint too
+    with open(os.path.join(seg_dir, "LATEST"), "w") as f:
+        f.write("not-a-version")
     assert ST.read_manifest(idx)[0] == 5
+    # a later vacuum with a LARGER keep_last deletes nothing extra
+    assert ST.vacuum_index(idx, manifest_keep_last=4) == []
+    # the split-brain guard: extend with the hint LOST commits v6 on
+    # the true chain (v1's slot is free — a fork would land there)
+    os.remove(os.path.join(seg_dir, "LATEST"))
+    minhash_extend_index(_docs(spark, sf_dir, 50, 55), idx)
+    version, man = ST.read_manifest(idx)
+    assert version == 6
+    assert len(man["segments"]) == 6
+    assert not os.path.exists(os.path.join(seg_dir, "v00000001.json"))
 
 
-def test_manifest_retention_crash_between_first_and_deletes(
+def test_manifest_retention_crash_mid_prune_then_retry(
     spark, sf_dir, tmp_path, monkeypatch
 ):
-    """A vacuum killed after writing FIRST but before deleting any
-    manifest leaves a conservative floor: every manifest still
-    readable, latest still resolvable, and the retry completes."""
+    """A vacuum killed halfway through its manifest deletes leaves a
+    gap-free READABLE store (recovery lists, it never walks from v1):
+    latest resolves, retained snapshots answer, and the retried vacuum
+    removes exactly the remainder."""
     idx = _mh_versions(spark, sf_dir, tmp_path)            # v1..v5
     real_delete = ST.LocalLogStore.delete
-    monkeypatch.setattr(
-        ST.LocalLogStore, "delete",
-        lambda self, name: (_ for _ in ()).throw(_Crash()),
-    )
+    state = {"n": 0}
+
+    def crash_after_one(self, name):
+        state["n"] += 1
+        if state["n"] > 1:
+            raise _Crash()
+        real_delete(self, name)
+
+    monkeypatch.setattr(ST.LocalLogStore, "delete", crash_after_one)
     with pytest.raises(_Crash):
         ST.vacuum_index(idx, manifest_keep_last=2)
     monkeypatch.setattr(ST.LocalLogStore, "delete", real_delete)
-    # conservative floor, nothing pruned yet: everything still works
+    # v1 pruned, v2..v5 intact: everything still works, with and
+    # without the LATEST hint
     assert ST.read_manifest(idx)[0] == 5
-    assert ST.read_manifest(idx, version=1)[0] == 1
+    assert ST.read_manifest(idx, version=2)[0] == 2
+    os.remove(os.path.join(idx, "_segments", "LATEST"))
+    assert ST.read_manifest(idx)[0] == 5
     removed = ST.vacuum_index(idx, manifest_keep_last=2)   # retry
-    assert len(removed) == 3
+    assert sorted(removed) == ["v00000002.json", "v00000003.json"]
     assert ST.read_manifest(idx)[0] == 5

@@ -679,3 +679,18 @@ def test_garbled_latest_hint_degrades_to_probe(spark, tmp_path):
     upd = spark.createDataFrame([Row(study_code="A", subject="s1", val="v1")])
     assert tx_merge_upsert(spark, gold, upd,
                            key_cols=["study_code", "subject"]) == 2
+
+
+def test_s3_logstore_list_names_paginates():
+    """list_names is the index stores' manifest-log RECOVERY primitive
+    (lost LATEST hint after manifest pruning) — it must walk every
+    ContinuationToken page (the stub serves MaxKeys=2) and strip the
+    prefix back to bare names."""
+    store, _ = _s3_store()
+    names = [f"v{v:08d}.json" for v in range(1, 8)]
+    for n in names:
+        assert store.put_if_absent(n, b'{"v": "%s"}' % n.encode())
+    store.write("LATEST", b"7")
+    assert sorted(store.list_names()) == sorted(names + ["LATEST"])
+    store.delete(names[0])
+    assert sorted(store.list_names()) == sorted(names[1:] + ["LATEST"])
