@@ -136,26 +136,40 @@ def _latest_version(st: LogStore) -> int:
     """True current version: the LATEST hint probed FORWARD (a crash
     between manifest-create and hint-update leaves the hint behind by a
     bounded number of commits — O(drift) exists() calls, the hot path).
-    A torn, dangling, or pruned-past hint falls back to LISTING the
+    A torn, dangling, or garbled hint falls back to LISTING the
     manifest log and taking the max — the Delta checkpoint-then-list
-    design. Recovery therefore never depends on v1 existing (manifest
-    retention prunes old versions), and a returned version > 0 always
-    had an existing manifest at probe time: committing into a PRUNED
-    low slot (which put_if_absent would happily win — a forked log) is
-    impossible, because version 0 is only ever returned for a
-    genuinely EMPTY log."""
+    design — then repairs the hint so the next read is O(1) again.
+    Manifest retention never deletes a version's NAME (pruning
+    overwrites the content with a tiny marker), so the forward probe
+    climbs straight through pruned versions, a returned version > 0
+    always has an existing manifest, and a stale writer can never win
+    put_if_absent on a recycled low slot (no slot is ever recycled —
+    the fork-proofing the commit protocol rests on)."""
     hint = st.read("LATEST")
     try:
-        version = int(hint.decode().strip()) if hint is not None else 0
+        start = int(hint.decode().strip()) if hint is not None else 0
     except ValueError:
-        version = 0
-    if version < 0:
-        version = 0
+        start = 0
+    if start < 0:
+        start = 0
+    version = start
     while st.exists(_mname(version + 1)):
         version += 1
-    if version > 0 and st.exists(_mname(version)):
-        return version
-    return max(_listed_versions(st), default=0)
+    fell_back = version == 0 or not st.exists(_mname(version))
+    if fell_back:
+        version = max(_listed_versions(st), default=0)
+    if version > 0 and (start == 0 or fell_back):
+        try:
+            # best-effort hint repair, mirroring _publish: a LOST or
+            # garbled hint otherwise makes every read re-walk the
+            # whole chain (climb from v0 through years of marker
+            # names) or re-LIST the log until the next commit happens
+            # to rewrite it. Best-effort for real (pure readers may
+            # lack write permission)
+            st.write("LATEST", str(version).encode())
+        except Exception:
+            pass
+    return version
 
 
 def read_manifest(
@@ -172,23 +186,19 @@ def read_manifest(
     dirs without probing any filesystem)."""
     st = _seg_store(path, store)
     if version is None:
-        raw = None
-        for _ in range(2):
-            version = _latest_version(st)
-            if version == 0:
-                return 0, {"segments": [], "tags": {}, "meta_id": None,
-                           "tombstones": []}
-            raw = st.read(_mname(version))
-            if raw is not None:
-                break
-            # the resolved newest vanished between probe and read: a
-            # concurrent commit advanced the log AND a concurrent
-            # vacuum pruned past our snapshot — re-resolve once
+        version = _latest_version(st)
+        if version == 0:
+            return 0, {"segments": [], "tags": {}, "meta_id": None,
+                       "tombstones": []}
+        raw = st.read(_mname(version))
         if raw is None:
+            # manifest NAMES are never deleted (pruning overwrites
+            # content with a marker), so a vanished newest means the
+            # log was modified outside the protocol
             raise ValueError(
                 f"manifest v{version} of {path} vanished while being "
-                f"read (a racing vacuum pruned the log past it twice) "
-                f"— retry the read"
+                f"read — the manifest log was modified outside the "
+                f"protocol (foreign delete?); restore it or rebuild"
             )
     else:
         version = int(version)
@@ -212,6 +222,12 @@ def read_manifest(
                 f"the store lives at another path/LogStore)"
             )
     man = json.loads(raw)
+    if man.get("pruned"):
+        raise ValueError(
+            f"manifest v{version} of the index at {path} was pruned "
+            f"by vacuum's manifest retention (manifest_keep_last) — "
+            f"this snapshot is no longer readable"
+        )
     man.setdefault("tombstones", [])
     return version, man
 
@@ -769,17 +785,19 @@ def vacuum_index(
     proceeding would classify every committed segment as an orphan and
     mass-delete the index.
 
-    `manifest_keep_last` (Iceberg-style count retention, default None =
-    keep every manifest) additionally prunes the manifest LOG: only the
-    newest N manifests survive, bounding metadata growth after years of
-    daily commits. The current manifest never qualifies (N >= 1
-    enforced); pruned versions stop being `as_of_version`-readable and
-    fail with an explicit 'pruned' message (never 'never committed').
-    Pruning is crash/concurrency-safe by construction: readers recover
-    a lost LATEST hint by LISTING the manifest log (never by probing
-    from v1), deletes are idempotent, and a commit can never land in a
-    pruned low slot because version 0 is only resolved for a genuinely
-    empty log. Returns removed segment dirs (paths) plus pruned
+    `manifest_keep_last` (count retention, default None = keep every
+    manifest in full) additionally prunes the manifest LOG: only the
+    newest N manifests keep their payload; older ones are OVERWRITTEN
+    with a ~20-byte pruned marker — the name survives forever so a
+    stale writer can never win put_if_absent on a recycled version
+    slot and fork the log, while the actual growth term (segments/tags
+    lists that scale with the store) is reclaimed. The current
+    manifest never qualifies (N >= 1 enforced); pruned versions stop
+    being `as_of_version`-readable and fail with an explicit 'pruned'
+    message (never 'never committed'). Marker writes are idempotent —
+    concurrent or crashed-and-retried vacuums are safe — and readers
+    recover a lost LATEST hint by LISTING the log, never by probing
+    from v1. Returns removed segment dirs (paths) plus pruned
     manifests (bare names — they live in the LogStore, which need not
     be a local path)."""
     import shutil
@@ -826,15 +844,28 @@ def vacuum_index(
             )
         st = _seg_store(path, store)
         cutoff = version - int(manifest_keep_last) + 1
-        # list, then delete exactly what exists below the cutoff —
-        # O(newly pruned), never a v1..cutoff exists() sweep over
-        # versions pruned years ago; deletes are idempotent, so
-        # concurrent vacuums (or a crashed one retried) are safe, and
-        # readers never depended on low manifests existing (recovery
-        # LISTS the log, it does not probe from v1). Pruned entries are
-        # reported by bare manifest NAME (they live in the LogStore,
-        # which need not be a local path), segment entries by dir path.
+        # prune = OVERWRITE the manifest with a ~20-byte marker, never
+        # delete the name: a deleted name's put_if_absent slot becomes
+        # winnable again, and a writer whose resolved snapshot went
+        # stale across the pruned range could fork the log by
+        # committing into it (silent lost extend + corrupted as-of
+        # history). Occupied-forever names keep the commit protocol's
+        # version-uniqueness absolute; what retention bounds is the
+        # manifest PAYLOAD (segments/tags lists that grow with the
+        # store), which is the actual metadata-growth term. Marker
+        # writes are idempotent, so concurrent or crashed-and-retried
+        # vacuums are safe; only newly pruned versions are reported
+        # (by bare NAME — manifests live in the LogStore, which need
+        # not be a local path; segment entries are dir paths).
+        marker = json.dumps({"pruned": True}).encode()
         for v in sorted(x for x in _listed_versions(st) if x < cutoff):
-            st.delete(_mname(v))
+            raw = st.read(_mname(v))
+            if raw is None or raw == marker:
+                continue
+            st.write(_mname(v), marker)
             removed.append(_mname(v))
+        # legacy cleanup: the short-lived FIRST floor hint (superseded
+        # by list-based recovery) must not misstate the pruning floor
+        # to older readers
+        st.delete("FIRST")
     return removed

@@ -1066,8 +1066,10 @@ def test_as_of_version_bm25_scores_use_the_snapshot_stats(
 
 # ---------------------------------------------------------------------------
 # Manifest-log retention (vacuum manifest_keep_last): bounded metadata
-# after years of commits, with the FIRST floor hint protecting the
-# torn-LATEST recovery path
+# after years of commits. Pruning OVERWRITES old manifests with a tiny
+# marker — names survive forever (no put_if_absent slot is ever
+# recycled, so a stale writer cannot fork the log), and a lost LATEST
+# hint recovers by LISTING the log, never by probing from v1.
 # ---------------------------------------------------------------------------
 
 
@@ -1109,6 +1111,13 @@ def test_manifest_retention_prunes_old_keeps_current(
         dedup_against_index(
             spark, idx, batch, threshold=_T, as_of_version=2
         )
+    # the pruned NAME survives as a marker, so the slot can never be
+    # re-won by a stale writer's put_if_absent — THE fork guard
+    st = ST._seg_store(idx)
+    assert st.exists("v00000001.json")
+    assert st.put_if_absent("v00000001.json", b'{"forged": 1}') is False
+    # re-vacuum: markers are already pruned, nothing re-reported
+    assert ST.vacuum_index(idx, manifest_keep_last=2) == []
     # keep_last larger than the log: no-op
     assert ST.vacuum_index(idx, manifest_keep_last=10) == []
     with pytest.raises(ValueError, match="must be >= 1"):
@@ -1118,16 +1127,19 @@ def test_manifest_retention_prunes_old_keeps_current(
 def test_manifest_retention_survives_torn_latest_hint(
     spark, sf_dir, tmp_path
 ):
-    """The degraded LATEST recovery must not depend on v1 existing
-    (retention prunes it): a torn/dangling/lost hint falls back to
-    LISTING the manifest log. Crucially, a COMMIT in that state lands
-    at v6 — never in the pruned v1 slot, which put_if_absent would
-    happily win and fork the log (split brain)."""
+    """The degraded LATEST recovery must not depend on low manifests
+    carrying payloads (retention markers them): a torn/dangling/lost
+    hint falls back to LISTING the manifest log — and then REPAIRS the
+    hint, so the next read is O(1) again. A commit in that state lands
+    at v6 on the true chain."""
     idx = _mh_versions(spark, sf_dir, tmp_path)            # v1..v5
     ST.vacuum_index(idx, manifest_keep_last=2)             # keep v4,v5
     seg_dir = os.path.join(idx, "_segments")
     os.remove(os.path.join(seg_dir, "LATEST"))             # lost hint
     assert ST.read_manifest(idx)[0] == 5
+    # ...and the recovery repaired the hint
+    with open(os.path.join(seg_dir, "LATEST")) as f:
+        assert f.read().strip() == "5"
     # dangling hint (points past the end) also recovers
     with open(os.path.join(seg_dir, "LATEST"), "w") as f:
         f.write("99")
@@ -1136,45 +1148,42 @@ def test_manifest_retention_survives_torn_latest_hint(
     with open(os.path.join(seg_dir, "LATEST"), "w") as f:
         f.write("not-a-version")
     assert ST.read_manifest(idx)[0] == 5
-    # a later vacuum with a LARGER keep_last deletes nothing extra
+    # a later vacuum with a LARGER keep_last prunes nothing extra
     assert ST.vacuum_index(idx, manifest_keep_last=4) == []
-    # the split-brain guard: extend with the hint LOST commits v6 on
-    # the true chain (v1's slot is free — a fork would land there)
+    # extend with the hint LOST commits v6 on the true chain
     os.remove(os.path.join(seg_dir, "LATEST"))
     minhash_extend_index(_docs(spark, sf_dir, 50, 55), idx)
     version, man = ST.read_manifest(idx)
     assert version == 6
     assert len(man["segments"]) == 6
-    assert not os.path.exists(os.path.join(seg_dir, "v00000001.json"))
 
 
 def test_manifest_retention_crash_mid_prune_then_retry(
     spark, sf_dir, tmp_path, monkeypatch
 ):
-    """A vacuum killed halfway through its manifest deletes leaves a
-    gap-free READABLE store (recovery lists, it never walks from v1):
-    latest resolves, retained snapshots answer, and the retried vacuum
-    removes exactly the remainder."""
+    """A vacuum killed halfway through its marker writes leaves a
+    fully READABLE store: latest resolves, retained snapshots answer,
+    un-markered old versions still answer, and the retried vacuum
+    prunes exactly the remainder (marker writes are idempotent)."""
     idx = _mh_versions(spark, sf_dir, tmp_path)            # v1..v5
-    real_delete = ST.LocalLogStore.delete
+    real_write = ST.LocalLogStore.write
     state = {"n": 0}
 
-    def crash_after_one(self, name):
+    def crash_after_one(self, name, data):
         state["n"] += 1
         if state["n"] > 1:
             raise _Crash()
-        real_delete(self, name)
+        real_write(self, name, data)
 
-    monkeypatch.setattr(ST.LocalLogStore, "delete", crash_after_one)
+    monkeypatch.setattr(ST.LocalLogStore, "write", crash_after_one)
     with pytest.raises(_Crash):
         ST.vacuum_index(idx, manifest_keep_last=2)
-    monkeypatch.setattr(ST.LocalLogStore, "delete", real_delete)
-    # v1 pruned, v2..v5 intact: everything still works, with and
-    # without the LATEST hint
+    monkeypatch.setattr(ST.LocalLogStore, "write", real_write)
+    # v1 markered, v2..v5 intact: everything still works
     assert ST.read_manifest(idx)[0] == 5
     assert ST.read_manifest(idx, version=2)[0] == 2
-    os.remove(os.path.join(idx, "_segments", "LATEST"))
-    assert ST.read_manifest(idx)[0] == 5
+    with pytest.raises(ValueError, match="pruned by vacuum"):
+        ST.read_manifest(idx, version=1)
     removed = ST.vacuum_index(idx, manifest_keep_last=2)   # retry
     assert sorted(removed) == ["v00000002.json", "v00000003.json"]
     assert ST.read_manifest(idx)[0] == 5
