@@ -1216,7 +1216,12 @@ DRIVER_PRIORITY = [
     "n4_ann_ivf_kmeans", "n6_hybrid_rrf",
     # LLM pipeline: text analysis + curation (t8 gets its FIRST-EVER
     # driver row in r10)
-    "t8_pack_sequences", "t11_url_blocklist", "t12_quality_classifier",
+    # t11 demoted late-r10 for the NEW d19 within-group LSH row: t11
+    # has green r8+r9 driver rows and the in-window x15 curation
+    # pipeline chains the url-blocklist op as its FIRST stage (same
+    # code path, CTE-shared oracle)
+    "t8_pack_sequences", "d19_grouped_lsh_pairs",
+    "t12_quality_classifier",
     "t15_bpe_gpt2", "t16_sized_shards_bytes", "t17_backoff_surprisal",
     "t18_perplexity_partition", "t19_gopher_line_rules",
     "t21_dedup_repeated_lines",

@@ -275,6 +275,39 @@ def q_d3(spark: SparkSession, sf_dir: str) -> DataFrame:
                                threshold=_LSH_P / _LSH_Q)
 
 
+def _grouped_lsh_oracle() -> str:
+    """d19 = d3's EXACT chain filtered to same-group pairs: prepending
+    an equal group string to equal band keys collides iff the original
+    keys collide, so within-group dedup is relationally the ungrouped
+    pair set ∩ group equality (null-safe — NULL is a real group). The
+    CTEs are d3's own generator, so the grouped op can never drift
+    from the standalone one."""
+    return (
+        _lsh_ctes()
+        + """SELECT p.id_a, p.id_b, p.inter, p.size_a, p.size_b
+    FROM lsh_pairs p
+    JOIN documents da ON p.id_a = da.doc_id
+    JOIN documents db ON p.id_b = db.doc_id
+    WHERE da.lang IS NOT DISTINCT FROM db.lang"""
+    )
+
+
+@register("d19_grouped_lsh_pairs", _grouped_lsh_oracle())
+def q_d19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-GROUP MinHash-LSH dedup (group_cols=['lang']): a French
+    translation must not dedupe against its English source. The group
+    value is folded INTO the band key before the candidate self-join —
+    cross-group collisions are pruned inside the join's hash buckets
+    (hot band keys SPLIT per group, shrinking the worst buckets — a
+    skew win at 100 TB), not post-filtered from a wider candidate set.
+    Oracle: d3's own CTE chain ∩ null-safe group equality."""
+    docs = spark.read.parquet(_pq(sf_dir, "documents"))
+    return D.minhash_lsh_pairs(
+        docs, n=_JACCARD_N, bands=_LSH_BANDS, rows_per_band=_LSH_ROWS,
+        threshold=_LSH_P / _LSH_Q, group_cols=["lang"],
+    )
+
+
 def _simhash_ctes() -> str:
     """SimHash fingerprint CTE chain; final CTE `shfp`(doc_id, simhash).
     Shared by d4 and the d13 hamming-banded pair join."""

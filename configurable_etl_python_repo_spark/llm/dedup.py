@@ -422,6 +422,7 @@ def minhash_lsh_pairs(
     rows_per_band: int = 4,
     threshold: float = 0.5,
     verify: bool = True,
+    group_cols: "list[str] | str | None" = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash banding, optionally
     verified with exact n-gram Jaccard (integer math).
@@ -429,7 +430,20 @@ def minhash_lsh_pairs(
     Two docs collide if any band's row minhashes all agree — probability
     1-(1-j^r)^b for true jaccard j. With verify=True the output is exactly
     {LSH candidates} ∩ {jaccard >= threshold} — deterministic given the
-    md5-derived hash family, so an oracle can reproduce it."""
+    md5-derived hash family, so an oracle can reproduce it.
+
+    `group_cols` scopes dedup WITHIN groups (per language, per domain:
+    a French translation must not dedupe against its English source) —
+    pairs whose docs differ on any group column never appear. NULL is a
+    real group (NULL == NULL pairs up, the eqNullSafe convention).
+    Scale shape: the group value is FOLDED INTO the band key before the
+    candidate self-join, so cross-group collisions are pruned inside
+    the join's hash buckets — the buckets SHRINK (hot band keys split
+    per group); no extra join condition, no post-filter on a wider
+    candidate set. Prepending equal group strings to equal keys
+    collides iff the original keys collide, so for same-group pairs
+    the output is bit-identical to the ungrouped op's — the oracle (and
+    the pytest pin) states grouped == ungrouped ∩ same-group."""
     # scoped (plan-aware) cache, NOT a clear+append: clearing here wiped
     # every cached relation — other queries' and this plan's own warm
     # twin — at PLAN CONSTRUCTION time, so a warm re-run always paid a
@@ -440,6 +454,30 @@ def minhash_lsh_pairs(
     # arr is dropped BEFORE the bucket explode/join — only (id, band, key)
     # rides the candidate shuffle
     buckets = explode_band_keys(sigarr, bands, rows_per_band)
+    if group_cols:
+        cols = ([group_cols] if isinstance(group_cols, str)
+                else list(group_cols))
+        # deterministic doc -> group map (min-agg: duplicate-id inputs
+        # collapse the same way sigarr's groupBy collapsed them, never
+        # by partition order); O(docs) skinny rows — the group string
+        # deliberately does NOT ride the per-gram explode
+        gmap = df.groupBy(F.col(id_col).alias("id")).agg(
+            *[F.min(F.col(c).cast("string")).alias(c) for c in cols]
+        )
+        # null-safe fold: \x00 sentinel makes NULL a real group, \x1f
+        # separators keep multi-column groups and the group/key
+        # boundary unambiguous for any real-world value
+        gkey = F.concat_ws(
+            "\x1f",
+            *[F.coalesce(F.col(c), F.lit("\x00")) for c in cols],
+        )
+        buckets = (
+            buckets.join(gmap, "id")
+            .select(
+                "id", "band",
+                F.concat_ws("\x1f", gkey, F.col("key")).alias("key"),
+            )
+        )
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (

@@ -559,7 +559,9 @@ def _lazy_multimodal(fn_name: str):
 LLM_OP_COMPILERS = {
     "DEDUP EXACT": _unary(_rename_kw(D.dedup_exact, _ID_TEXT)),
     "NGRAM JACCARD": _unary(_rename_kw(D.ngram_jaccard_pairs, _ID_TEXT)),
-    "MINHASH LSH": _unary(_rename_kw(D.minhash_lsh_pairs, _ID_TEXT)),
+    "MINHASH LSH": _unary(_rename_kw(
+        D.minhash_lsh_pairs, {**_ID_TEXT, "group_columns": "group_cols"}
+    )),
     "SIMHASH": _unary(_rename_kw(D.simhash32, _ID_TEXT)),
     "SIMHASH PAIRS": _unary(_rename_kw(D.simhash_pairs, _ID_TEXT)),
     "TEXT STATS": _unary(_rename_kw(T.text_stats, {"text_column": "text_col"})),

@@ -128,3 +128,26 @@ def test_minhash_index_ops_in_pipeline(spark, sf_dir, tmp_path):
          "threshold": 0.1}))
     self_hits = {(r.id_a, r.id_b) for r in again.collect()}
     assert {(rid, rid) for rid in replicas} <= self_hits
+
+
+def test_minhash_lsh_group_columns_op(spark, sf_dir):
+    """The config surface threads group_columns -> group_cols: the op's
+    within-lang pairs equal the function's (the d19 catalog fixture)."""
+    from configurable_etl_python_repo_spark.llm.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    eng = Engine(spark)
+    eng.run_scan(ScanSpec("docs", "parquet", f"{sf_dir}/documents.parquet"))
+    out = eng.run_op(OpSpec(
+        "MINHASH LSH", "pairs", ["docs"],
+        {"id_column": "doc_id", "text_column": "text",
+         "bands": 8, "rows_per_band": 2, "threshold": 0.1,
+         "group_columns": ["lang"]}))
+    direct = minhash_lsh_pairs(
+        eng.peek("docs")[0], bands=8, rows_per_band=2, threshold=0.1,
+        group_cols=["lang"],
+    )
+    assert {tuple(r) for r in out.collect()} == {
+        tuple(r) for r in direct.collect()
+    }

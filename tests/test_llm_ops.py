@@ -864,3 +864,45 @@ def test_simhash_pairs_matches_brute_force(spark, sf_dir):
     assert [(r.id_a, r.id_b) for r in reused.collect()] == [(1, 2)]
     with pytest.raises(ValueError, match="sh_hi"):
         simhash_pairs(near, fingerprints=fps.drop("sh_hi"))
+
+
+def test_minhash_grouped_equals_same_group_subset(spark):
+    """group_cols pins (memory of the grouped-op recipe): grouped ==
+    ungrouped ∩ same-group (null-safe: NULL is a real group), and
+    grouped == union of per-group ungrouped runs — the two identities
+    the band-key fold must preserve."""
+    rows = [
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog", g="en"),
+        Row(doc_id=2, text="the quick brown fox jumps over the lazy cat", g="en"),
+        Row(doc_id=3, text="the quick brown fox jumps over the lazy dog", g="fr"),
+        Row(doc_id=4, text="the quick brown fox jumps over the lazy dog", g=None),
+        Row(doc_id=5, text="the quick brown fox jumps over the lazy dog", g=None),
+        Row(doc_id=6, text="completely different content about spark engines", g="en"),
+    ]
+    df = spark.createDataFrame(rows)
+    kw = dict(n=3, bands=8, rows_per_band=2, threshold=0.3)
+
+    def pairs(frame, **extra):
+        return {(r.id_a, r.id_b, r.inter, r.size_a, r.size_b)
+                for r in minhash_lsh_pairs(frame, **kw, **extra).collect()}
+
+    ungrouped = pairs(df)
+    grouped = pairs(df, group_cols=["g"])
+    # identity 1: ungrouped ∩ same-group (None == None pairs up)
+    gmap = {r.doc_id: r.g for r in rows}
+    assert grouped == {p for p in ungrouped if gmap[p[0]] == gmap[p[1]]}
+    # the cross-group near-dups really existed (the test isn't vacuous)
+    assert (1, 3) in {(a, b) for a, b, *_ in ungrouped}
+    assert (1, 3) not in {(a, b) for a, b, *_ in grouped}
+    # NULL group pairs within itself, never with a real group
+    flat = {(a, b) for a, b, *_ in grouped}
+    assert (4, 5) in flat
+    assert not {(1, 4), (3, 4)} & flat
+    # identity 2: grouped == union of per-group ungrouped runs
+    per_group = set()
+    for g in {"en", "fr", None}:
+        sub = df.where(F.col("g").eqNullSafe(F.lit(g)))
+        per_group |= pairs(sub)
+    assert grouped == per_group
+    # string form of group_cols and the config op spell it the same
+    assert pairs(df, group_cols="g") == grouped
