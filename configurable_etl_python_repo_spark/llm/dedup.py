@@ -471,7 +471,11 @@ def minhash_lsh_pairs(
             "\x1f",
             *[F.coalesce(F.col(c), F.lit("\x00")) for c in cols],
         )
-        buckets = (
+        # scope-cache the folded buckets: the candidate self-join reads
+        # this relation TWICE (aliases a and b), and without the cache
+        # each side re-embeds the gmap aggregate+join subtree (+4
+        # exchanges, measured in the executed plan)
+        buckets = _scope_cache(
             buckets.join(gmap, "id")
             .select(
                 "id", "band",
