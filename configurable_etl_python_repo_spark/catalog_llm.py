@@ -401,13 +401,24 @@ def _simhash_dist_sql(a: str, b: str) -> str:
             f"+ bit_count(xor({a}.sh_lo, {b}.sh_lo)))")
 
 
-def _simhash_pairs_oracle() -> str:
+def _simhash_pairs_oracle(group_col: "str | None" = None) -> str:
     """d13 = the 64-bit SimHash CTEs + the Manku et al. pigeonhole band
     join: k+1 contiguous nibble-aligned bands of the 16-hex-char
     fingerprint, candidates agree on >= 1 band, verified per-half
-    bit_count(xor) sum <= k."""
+    bit_count(xor) sum <= k. With `group_col`, d20's within-group
+    variant = the SAME chain ∩ null-safe group equality (the d19
+    argument: equal group strings prepended to equal band keys collide
+    iff the originals collide)."""
     k = _SIMHASH_K
     dist = _simhash_dist_sql("a", "b")
+    tail = (
+        "SELECT id_a, id_b, hamming FROM cand"
+        if group_col is None
+        else f"""SELECT c.id_a, c.id_b, c.hamming FROM cand c
+    JOIN documents da ON c.id_a = da.doc_id
+    JOIN documents db ON c.id_b = db.doc_id
+    WHERE da.{group_col} IS NOT DISTINCT FROM db.{group_col}"""
+    )
     return f"""
     WITH {_simhash64_ctes().strip()},
     {_simhash_bands_sql()},
@@ -417,7 +428,7 @@ def _simhash_pairs_oracle() -> str:
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
       WHERE {dist} <= {k})
-    SELECT id_a, id_b, hamming FROM cand
+    {tail}
     """
 
 
@@ -429,6 +440,21 @@ def q_d13(spark: SparkSession, sf_dir: str) -> DataFrame:
     family's pair-join counterpart to d4's fingerprints."""
     docs = spark.read.parquet(_pq(sf_dir, "documents"))
     return D.simhash_pairs(docs, max_hamming=_SIMHASH_K)
+
+
+@register("d20_grouped_simhash_pairs", _simhash_pairs_oracle("source"))
+def q_d20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-GROUP SimHash pairs (group_cols=['source']) — d19's
+    band-key group fold applied to the Manku pigeonhole join via the
+    shared _fold_group_keys: near-dups are only reported within the
+    same source (dedup per crawl/provider without cross-provider
+    suppression). Oracle: d13's own generator parameterized with the
+    null-safe source-equality tail — the grouped op cannot drift from
+    the standalone one."""
+    docs = spark.read.parquet(_pq(sf_dir, "documents"))
+    return D.simhash_pairs(
+        docs, max_hamming=_SIMHASH_K, group_cols=["source"]
+    )
 
 
 def _components_ctes() -> str:

@@ -413,6 +413,51 @@ def explode_band_keys(
     )
 
 
+def _fold_group_keys(
+    buckets: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    group_cols: "list[str] | str",
+) -> DataFrame:
+    """Fold a doc's group value INTO its banding key so cross-group
+    collisions are pruned inside the candidate self-join's hash buckets
+    (hot band keys SPLIT per group — the skew win), never post-filtered
+    from a wider candidate set. Shared by the MinHash and SimHash pair
+    joins. Semantics: prepending equal group strings to equal keys
+    collides iff the original keys collide, so for same-group pairs the
+    grouped op is bit-identical to the ungrouped one.
+
+    - deterministic doc -> group map (min-agg: duplicate-id inputs
+      collapse the same way the signature groupBys collapse them, never
+      by partition order); O(docs) skinny rows — the group string never
+      rides the per-gram/per-band explode;
+    - null-safe fold: \\x00 sentinel makes NULL a real group, \\x1f
+      separators keep multi-column groups and the group/key boundary
+      unambiguous for any real-world value;
+    - scope-cached: the candidate self-join reads the folded relation
+      TWICE (aliases a and b), and without the cache each side would
+      re-embed the gmap aggregate+join subtree (+4 exchanges, measured
+      in the executed plan)."""
+    cols = ([group_cols] if isinstance(group_cols, str)
+            else list(group_cols))
+    gmap = df.groupBy(F.col(id_col).alias("id")).agg(
+        *[F.min(F.col(c).cast("string")).alias(f"__g_{c}")
+          for c in cols]
+    )
+    gkey = F.concat_ws(
+        "\x1f",
+        *[F.coalesce(F.col(f"__g_{c}"), F.lit("\x00")) for c in cols],
+    )
+    keep = [c for c in buckets.columns if c != "key"]
+    return _scope_cache(
+        buckets.join(gmap, "id")
+        .select(
+            *keep,
+            F.concat_ws("\x1f", gkey, F.col("key")).alias("key"),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -455,33 +500,7 @@ def minhash_lsh_pairs(
     # rides the candidate shuffle
     buckets = explode_band_keys(sigarr, bands, rows_per_band)
     if group_cols:
-        cols = ([group_cols] if isinstance(group_cols, str)
-                else list(group_cols))
-        # deterministic doc -> group map (min-agg: duplicate-id inputs
-        # collapse the same way sigarr's groupBy collapsed them, never
-        # by partition order); O(docs) skinny rows — the group string
-        # deliberately does NOT ride the per-gram explode
-        gmap = df.groupBy(F.col(id_col).alias("id")).agg(
-            *[F.min(F.col(c).cast("string")).alias(c) for c in cols]
-        )
-        # null-safe fold: \x00 sentinel makes NULL a real group, \x1f
-        # separators keep multi-column groups and the group/key
-        # boundary unambiguous for any real-world value
-        gkey = F.concat_ws(
-            "\x1f",
-            *[F.coalesce(F.col(c), F.lit("\x00")) for c in cols],
-        )
-        # scope-cache the folded buckets: the candidate self-join reads
-        # this relation TWICE (aliases a and b), and without the cache
-        # each side re-embeds the gmap aggregate+join subtree (+4
-        # exchanges, measured in the executed plan)
-        buckets = _scope_cache(
-            buckets.join(gmap, "id")
-            .select(
-                "id", "band",
-                F.concat_ws("\x1f", gkey, F.col("key")).alias("key"),
-            )
-        )
+        buckets = _fold_group_keys(buckets, df, id_col, group_cols)
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (
@@ -634,6 +653,7 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     fingerprints: DataFrame | None = None,
+    group_cols: "list[str] | str | None" = None,
 ) -> DataFrame:
     """EXACT near-duplicate pairs by 64-bit SimHash hamming distance <=
     max_hamming — the Manku/Jain/Sarma WWW'07 multi-index pigeonhole
@@ -655,7 +675,14 @@ def simhash_pairs(
     keep a 500k-doc corpus in the millions where the 32-bit
     fingerprint's 8-bit bands measured ~2e9; the verify filter runs
     INSIDE the join before the distinct shuffles anything. Output:
-    (id_a < id_b, hamming)."""
+    (id_a < id_b, hamming).
+
+    `group_cols` scopes pairs WITHIN groups exactly like
+    minhash_lsh_pairs' (shared _fold_group_keys: the group value folds
+    into the band key, NULL is a real group, grouped == ungrouped ∩
+    same-group). The doc -> group map is read from `df` — when a
+    caller-provided `fingerprints` frame is used, its ids must be
+    df's ids (the existing contract)."""
     if not (0 <= max_hamming <= 15):
         raise ValueError(
             f"max_hamming must be in [0, 15], got {max_hamming}"
@@ -677,6 +704,8 @@ def simhash_pairs(
     else:
         fp = simhash64(df, id_col, text_col)
     exploded = simhash_band_rows(fp, max_hamming)
+    if group_cols:
+        exploded = _fold_group_keys(exploded, df, id_col, group_cols)
     dist = simhash_distance("a", "b")
     a = exploded.alias("a")
     b = exploded.alias("b")

@@ -563,7 +563,9 @@ LLM_OP_COMPILERS = {
         D.minhash_lsh_pairs, {**_ID_TEXT, "group_columns": "group_cols"}
     )),
     "SIMHASH": _unary(_rename_kw(D.simhash32, _ID_TEXT)),
-    "SIMHASH PAIRS": _unary(_rename_kw(D.simhash_pairs, _ID_TEXT)),
+    "SIMHASH PAIRS": _unary(_rename_kw(
+        D.simhash_pairs, {**_ID_TEXT, "group_columns": "group_cols"}
+    )),
     "TEXT STATS": _unary(_rename_kw(T.text_stats, {"text_column": "text_col"})),
     "LANGUAGE ID": _unary(
         _rename_kw(T.language_id,

@@ -906,3 +906,37 @@ def test_minhash_grouped_equals_same_group_subset(spark):
     assert grouped == per_group
     # string form of group_cols and the config op spell it the same
     assert pairs(df, group_cols="g") == grouped
+
+
+def test_simhash_grouped_equals_same_group_subset(spark):
+    """d20's identity, same pins as the minhash variant (shared
+    _fold_group_keys): grouped == ungrouped ∩ same-group with NULL a
+    real group, and == union of per-group runs."""
+    from configurable_etl_python_repo_spark.llm.dedup import (
+        simhash_pairs,
+    )
+
+    rows = [
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog", g="a"),
+        Row(doc_id=2, text="the quick brown fox jumps over the lazy cat", g="a"),
+        Row(doc_id=3, text="the quick brown fox jumps over the lazy dog", g="b"),
+        Row(doc_id=4, text="the quick brown fox jumps over the lazy dog", g=None),
+        Row(doc_id=5, text="the quick brown fox jumps over the lazy dog", g=None),
+    ]
+    df = spark.createDataFrame(rows)
+
+    def pairs(frame, **extra):
+        return {(r.id_a, r.id_b, r.hamming)
+                for r in simhash_pairs(frame, max_hamming=3,
+                                       **extra).collect()}
+
+    ungrouped = pairs(df)
+    grouped = pairs(df, group_cols="g")
+    gmap = {r.doc_id: r.g for r in rows}
+    assert grouped == {p for p in ungrouped if gmap[p[0]] == gmap[p[1]]}
+    flat = {(a, b) for a, b, _ in grouped}
+    assert (1, 3) not in flat and (4, 5) in flat  # cross-group out, NULL pairs
+    per_group = set()
+    for g in {"a", "b", None}:
+        per_group |= pairs(df.where(F.col("g").eqNullSafe(F.lit(g))))
+    assert grouped == per_group
