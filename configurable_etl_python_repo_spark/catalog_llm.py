@@ -2391,7 +2391,11 @@ def q_x28(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") + 2000000).alias("doc_id"), "text"
         )
     )
-    tag = sf_dir.strip("/").replace("/", "_")
+    # pid in the path: this fixture rmtrees at entry (unlike the
+    # _build_once marker trees), so two concurrent processes — the
+    # driver and a sweep — over the same sf_dir must not share it or
+    # each deletes the other's live index mid-run
+    tag = f"{sf_dir.strip('/').replace('/', '_')}_{os.getpid()}"
     root = os.path.join(tempfile.gettempdir(), f"cfg_etl_x28_{tag}")
     # extend APPENDS and the checkpoint records epochs: start clean so
     # a repeated invocation measures the same pipeline every time
@@ -2459,7 +2463,10 @@ def _deleted_minhash_store(spark: SparkSession, sf_dir: str, name: str):
     from .llm._store import delete_from_index
 
     corpus, batch = _incr_split(spark, sf_dir)
-    tag = sf_dir.strip("/").replace("/", "_")
+    # pid in the path: rmtree-at-entry fixtures must be per-process
+    # (see q_x28) — concurrent driver + sweep would otherwise delete
+    # each other's live store mid-run
+    tag = f"{sf_dir.strip('/').replace('/', '_')}_{os.getpid()}"
     path = os.path.join(tempfile.gettempdir(), f"cfg_etl_{name}_{tag}")
     shutil.rmtree(path, ignore_errors=True)
     DI.minhash_build_index(
@@ -2595,7 +2602,8 @@ def q_x29(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("vec_id") + 2000000).alias("vec_id"), "embedding"
         )
     )
-    tag = sf_dir.strip("/").replace("/", "_")
+    # pid in the path: rmtree-at-entry fixture, per-process (see q_x28)
+    tag = f"{sf_dir.strip('/').replace('/', '_')}_{os.getpid()}"
     root = os.path.join(tempfile.gettempdir(), f"cfg_etl_x29_{tag}")
     shutil.rmtree(root, ignore_errors=True)
     idx, out = os.path.join(root, "idx"), os.path.join(root, "out")

@@ -431,9 +431,17 @@ def _fold_group_keys(
       collapse the same way the signature groupBys collapse them, never
       by partition order); O(docs) skinny rows — the group string never
       rides the per-gram/per-band explode;
-    - null-safe fold: \\x00 sentinel makes NULL a real group, \\x1f
-      separators keep multi-column groups and the group/key boundary
-      unambiguous for any real-world value;
+    - null-safe, injection-proof fold: each group value is folded as
+      md5(value) — 32 hex chars that can never contain the \\x1f
+      separator or the \\x00 NULL sentinel — so a value that IS the
+      sentinel, or contains the separator, cannot conflate groups
+      (('a\\x1fb','c') vs ('a','b\\x1fc') fold to different keys, and
+      only genuine NULL folds to the sentinel). Grouping is enforced
+      inside the band key with no post-filter, so this is what makes
+      the grouped == ungrouped ∩ same-group contract hold for
+      arbitrary byte strings (equal values -> equal digests exactly;
+      distinct values collide only at md5-collision odds, the same
+      acceptance every md5-derived bucket in this package makes);
     - scope-cached: the candidate self-join reads the folded relation
       TWICE (aliases a and b), and without the cache each side would
       re-embed the gmap aggregate+join subtree (+4 exchanges, measured
@@ -446,7 +454,8 @@ def _fold_group_keys(
     )
     gkey = F.concat_ws(
         "\x1f",
-        *[F.coalesce(F.col(f"__g_{c}"), F.lit("\x00")) for c in cols],
+        *[F.coalesce(F.md5(F.col(f"__g_{c}")), F.lit("\x00"))
+          for c in cols],
     )
     keep = [c for c in buckets.columns if c != "key"]
     return _scope_cache(

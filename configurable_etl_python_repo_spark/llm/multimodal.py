@@ -1,15 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque BINARY columns
 with typed metadata.
 
-Real codecs ride an IMPORT-TRY seam (`_image_codec` = PIL, `_video_codec`
-= PyAV): when the library is installed, strict mode (fake_decode=False)
-decodes for real; when it is not (this container), strict mode raises
-`NotImplementedError` naming the missing codec, and the deterministic
-fake keeps tests and oracles running. The swap is zero-diff — installing
-the codec changes behavior of strict mode only. The Spark-side plumbing
-is real and tested either way: schemas, Arrow batch shape, partition
-sizing, and the mapInPandas UDF signatures are exactly what a production
-decode uses.
+Real codecs ride an injectable seam (see resolve_image_codec): strict
+mode (fake_decode=False) decodes via Pillow when installed, and via the
+package's own dependency-free stdlib PNG codec (llm/png.py) otherwise —
+real zlib decode of real PNG bytes with no image library at all.
+Formats neither can handle fail loudly naming the gap (ValueError /
+NotImplementedError); video stays import-try on PyAV
+(`_video_codec`). The deterministic fake keeps SQL oracles running for
+arbitrary payloads. The Spark-side plumbing is identical on every
+path: schemas, Arrow batch shape, partition sizing, and the
+mapInPandas UDF signatures are exactly what a production decode uses.
 
 Scale notes: binary payloads dominate partition size — repartition by a
 size-aware key before decode (`target_rows_per_batch`), keep
@@ -91,23 +92,64 @@ def _video_codec():
         return None
 
 
+def resolve_image_codec(codec):
+    """The codec REGISTRY of the seam: ``codec`` may be a PIL.Image-
+    shaped module (injected), one of the registered names, or None.
+
+    - ``"png_stdlib"`` — the dependency-free PNG codec that ships with
+      this package (llm/png.py): real zlib decode of real PNG bytes,
+      raising loudly for anything else. Always available.
+    - ``"pil"`` — Pillow, when installed (raises NotImplementedError
+      here otherwise, naming the missing library).
+    - ``None`` — import-try Pillow, else fall back to png_stdlib: a
+      strict-mode decode of PNG bytes works out of the box in a
+      container with no image libraries, and non-PNG payloads still
+      fail loudly (ValueError names the format gap) instead of the old
+      blanket NotImplementedError.
+
+    Resolution happens INSIDE the Arrow UDF (executor-side), so the
+    string form serializes cheaply into the closure."""
+    if codec is None:
+        pil = _image_codec()
+        if pil is not None:
+            return pil
+        from . import png
+
+        return png
+    if codec == "png_stdlib":
+        from . import png
+
+        return png
+    if codec == "pil":
+        pil = _image_codec()
+        if pil is None:
+            raise NotImplementedError(
+                "codec='pil' requires Pillow, which is not installed; "
+                "use codec='png_stdlib' for dependency-free PNG decode"
+            )
+        return pil
+    if isinstance(codec, str):
+        raise ValueError(
+            f"unknown image codec {codec!r}; one of 'png_stdlib', "
+            f"'pil', or an injected PIL.Image-shaped module"
+        )
+    return codec
+
+
 def _decode_payload(payload: bytes, fake: bool, codec=None) -> list[float]:
     """THE codec boundary for feature extraction.
 
     fake=True → deterministic 8-dim feature vector derived from payload
     bytes (so tests and SQL oracles exercise the full Arrow round-trip).
-    fake=False → real decode via PIL when installed: 8 dims =
-    [n_bytes, width, height, w*h, 4 px of a 2×2 grayscale thumbnail];
-    without a codec, NotImplementedError names the missing library.
-    `codec` injects a PIL.Image-shaped module (tests drive the strict
-    path without Pillow; None = import-try the real library)."""
+    fake=False → real decode: 8 dims = [n_bytes, width, height, w*h,
+    4 px of a 2×2 grayscale thumbnail]. `codec` is a PIL.Image-shaped
+    module, a registered name ("png_stdlib", "pil"), or None =
+    Pillow-if-installed else the stdlib PNG codec (see
+    resolve_image_codec) — so strict mode decodes real PNG bytes even
+    in a container with no image libraries, and non-PNG payloads fail
+    loudly naming the gap."""
     if not fake:
-        Image = codec if codec is not None else _image_codec()
-        if Image is None:
-            raise NotImplementedError(
-                "media decode requires a codec library not present in this "
-                "container; install Pillow (PIL) to enable strict mode"
-            )
+        Image = resolve_image_codec(codec)
         import io
 
         img = Image.open(io.BytesIO(payload))
@@ -220,9 +262,10 @@ def resize_images(
 
     fake_decode=True derives source dims from the content hash and tags
     the 'resized' payload by hash (the real implementation replaces only
-    the decode/encode calls: PIL.open → thumbnail → tobytes). `codec`
-    injects a PIL.Image-shaped module for the strict path (None =
-    import-try Pillow)."""
+    the decode/encode calls: open → resize → save). `codec` is a
+    PIL.Image-shaped module, a registered name ("png_stdlib", "pil"),
+    or None = Pillow-if-installed else the stdlib PNG codec (see
+    resolve_image_codec)."""
     import hashlib
 
     src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
@@ -234,12 +277,7 @@ def resize_images(
                 rows = []
                 for doc_id, payload in zip(chunk["doc_id"], chunk["payload"]):
                     if not fake_decode:
-                        Image = codec if codec is not None else _image_codec()
-                        if Image is None:
-                            raise NotImplementedError(
-                                "image decode requires a codec not in this "
-                                "container; install Pillow (PIL) for strict mode"
-                            )
+                        Image = resolve_image_codec(codec)
                         import io
 
                         img = Image.open(io.BytesIO(bytes(payload)))

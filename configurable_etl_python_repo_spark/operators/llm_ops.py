@@ -400,14 +400,17 @@ def _delete_from_index(engine: "Engine", spec: OpSpec):
     return df, None
 
 
-def _index_maintenance(op_name: str, run, receipt_schema: str):
-    """One compiler for the maintenance op pair (COMPACT INDEX /
-    VACUUM INDEX): both take args['path'], pass an input relation
-    through unchanged (so they chain inside an ingest program after
-    the EXTEND stage), or — zero-input — return a one-row receipt.
-    `run(engine, path, kwargs)` performs the maintenance and returns
-    the receipt value; kwargs left over after it pops its own args are
-    rejected."""
+def _index_maintenance(op_name: str, run, receipt_schema: str,
+                       allowed: "tuple[str, ...]" = ()):
+    """One compiler for the maintenance op trio (COMPACT INDEX /
+    VACUUM INDEX / MAINTAIN INDEX): all take args['path'], pass an
+    input relation through unchanged (so they chain inside an ingest
+    program after the EXTEND stage), or — zero-input — return a
+    one-row receipt. `allowed` declares every arg `run` may consume;
+    unknown args are rejected BEFORE `run` executes — maintenance is
+    destructive (vacuum deletes segment dirs, compact rewrites and
+    commits), so a config with a typo'd arg must fail without having
+    mutated the store."""
 
     def compile_op(engine: "Engine", spec: OpSpec):
         kwargs = dict(spec.args)
@@ -416,15 +419,19 @@ def _index_maintenance(op_name: str, run, receipt_schema: str):
                 f"{op_name} needs a 'path' arg naming the index"
             )
         path = kwargs.pop("path")
-        value = run(engine, path, kwargs)
-        if kwargs:
+        unknown = sorted(set(kwargs) - set(allowed))
+        if unknown:
             raise ValueError(
-                f"{op_name} got unknown args {sorted(kwargs)}"
+                f"{op_name} got unknown args {unknown}"
             )
+        value = run(engine, path, kwargs)
         if spec.inputs:
             return engine.peek(spec.inputs[0])[0], None
+        row = (path, *value) if isinstance(value, tuple) else (
+            path, value
+        )
         return engine.spark.createDataFrame(
-            [(path, value)], receipt_schema
+            [row], receipt_schema
         ), None
 
     return compile_op
@@ -455,6 +462,29 @@ def _run_vacuum(engine: "Engine", path: str, kwargs: dict) -> int:
         path, retention_s=retention,
         manifest_keep_last=None if keep is None else int(keep),
     ))
+
+
+def _run_maintain(engine: "Engine", path: str, kwargs: dict):
+    """The MAINTAIN INDEX policy: compact when the committed manifest
+    shows segment sprawl (max_segments, default 16) or tombstone
+    accumulation (max_tombstone_share of segments, default 0.2), then
+    vacuum — one idempotent call a scheduler or the admission stream's
+    maintain_every_n_epochs can invoke forever (llm/_store.
+    maintain_index). No trigger -> no-op receipt."""
+    from ..llm import _store as ST
+
+    max_segments = kwargs.pop("max_segments", 16)
+    share = kwargs.pop("max_tombstone_share", 0.2)
+    retention = float(kwargs.pop("retention_seconds", 24 * 3600.0))
+    keep = kwargs.pop("manifest_keep_last", None)
+    receipt = ST.maintain_index(
+        engine.spark, path,
+        max_segments=None if max_segments is None else int(max_segments),
+        max_tombstone_share=None if share is None else float(share),
+        retention_s=retention,
+        manifest_keep_last=None if keep is None else int(keep),
+    )
+    return (bool(receipt["compacted"]), int(receipt["vacuumed_dirs"]))
 
 
 def _bm25_search_index(engine: "Engine", spec: OpSpec):
@@ -667,7 +697,14 @@ LLM_OP_COMPILERS = {
         "COMPACT INDEX", _run_compact, "path string, version long"
     ),
     "VACUUM INDEX": _index_maintenance(
-        "VACUUM INDEX", _run_vacuum, "path string, removed_dirs long"
+        "VACUUM INDEX", _run_vacuum, "path string, removed_dirs long",
+        allowed=("retention_seconds", "manifest_keep_last"),
+    ),
+    "MAINTAIN INDEX": _index_maintenance(
+        "MAINTAIN INDEX", _run_maintain,
+        "path string, compacted boolean, vacuumed_dirs long",
+        allowed=("max_segments", "max_tombstone_share",
+                 "retention_seconds", "manifest_keep_last"),
     ),
     "RRF FUSE": _rrf_fuse,
     "DISTINCT SKETCH": _unary(

@@ -2,8 +2,9 @@
 (probe a persisted dedup index → drop near-duplicates → tagged extend)
 run continuously under Structured Streaming, for EVERY index family
 whose probe emits (id_a = batch, id_b = indexed) pairs: MinHash (text
-shingle Jaccard, the x22 shape) and embedding (IVF cosine, the x25
-shape) — see FAMILIES.
+shingle Jaccard, the x22 shape), SimHash (hamming-metric fingerprints,
+the d17 probe), and embedding (IVF cosine, the x25 shape) — see
+FAMILIES.
 
 This is the x22/x25 batch ingest re-founded as a stream: every
 micro-batch of new rows is probed against the PERSISTED index
@@ -90,15 +91,42 @@ def _embedding_extend(batch, path, id_col, value_col, tag):
     )
 
 
+def _simhash_probe(spark, path, batch, id_col, value_col, threshold,
+                   n_probe):
+    from ..llm.dedup_index import simhash_against_index
+
+    if threshold is not None:
+        raise ValueError(
+            "the simhash admission family takes no threshold: "
+            "max_hamming is a BUILD-time parameter of the index (it "
+            "fixes the Manku band count) — rebuild the index with the "
+            "distance you want"
+        )
+    return simhash_against_index(
+        spark, path, batch, id_col=id_col, text_col=value_col
+    )
+
+
+def _simhash_extend(batch, path, id_col, value_col, tag):
+    from ..llm.dedup_index import simhash_extend_index
+
+    return simhash_extend_index(
+        batch, path, id_col=id_col, text_col=value_col, tag=tag
+    )
+
+
 #: family -> (probe, extend, default id col, default value col,
 #: default threshold). One admission composition serves every
 #: incremental index whose probe returns (id_a=batch, id_b=indexed)
-#: pairs — MinHash for text near-dups, embedding for semantic dups.
+#: pairs — MinHash for text near-dups, SimHash for hamming-metric
+#: near-dups (threshold is build-time, see _simhash_probe), embedding
+#: for semantic dups.
 FAMILIES = {
     "minhash": (_minhash_probe, _minhash_extend, "doc_id", "text", 0.5),
     "embedding": (
         _embedding_probe, _embedding_extend, "vec_id", "embedding", 0.9
     ),
+    "simhash": (_simhash_probe, _simhash_extend, "doc_id", "text", None),
 }
 
 
@@ -154,6 +182,8 @@ def admission_batch(
     family: str = "minhash",
     value_col: "str | None" = None,
     n_probe: int = 2,
+    maintain_every_n_epochs: "int | None" = None,
+    maintain_args: "dict | None" = None,
 ) -> DataFrame | None:
     """One micro-batch of the admission stream (the foreachBatch body,
     unit-testable without a stream): probe, anti-join, overwrite the
@@ -162,7 +192,20 @@ def admission_batch(
     the admitted rows (None when the epoch was already committed or
     the batch is empty). Epoch tags live in the index manifest, so a
     REBUILD of the index resets them — a new corpus generation
-    re-admits (llm/_store.commit_build)."""
+    re-admits (llm/_store.commit_build).
+
+    ``maintain_every_n_epochs`` makes the long-running stream
+    SELF-maintaining: every n-th epoch, after its extend commits, runs
+    the llm/_store.maintain_index policy (compact on segment sprawl /
+    tombstone share, then vacuum — ``maintain_args`` pass through).
+    Placed AFTER the tagged extend so every crash point stays safe:
+    maintenance mutates only via compact's atomic commit_replace, a
+    crash mid-maintenance leaves the epoch fully committed (the retry
+    sees the tag, skips the epoch, and the NEXT n-th epoch
+    re-triggers), and losing a compaction race to a concurrent writer
+    just skips this tick (ConcurrentWriteError is swallowed —
+    maintenance is a policy, not a correctness step; admitted rows are
+    identical with or without it, pytest-pinned)."""
     from ..llm._store import committed_tags
 
     tag = f"{tag_prefix}{int(epoch_id)}"
@@ -194,8 +237,69 @@ def admission_batch(
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("epoch").parquet(out_path)
     )
-    extend(admitted, index_path, id_col, value_col, tag)
+    if not admitted.isEmpty():
+        # an all-duplicates epoch extends NOTHING (the delete_from_
+        # index empty-guard discipline): an empty segment would tax
+        # every future probe's manifest and scan for zero information,
+        # and a months-long stream hits all-dup epochs routinely. No
+        # tag either — a redelivery recomputes the same empty set, so
+        # the epoch is idempotent without one (its output overwrite
+        # touches zero partitions).
+        extend(admitted, index_path, id_col, value_col, tag)
+    if (
+        maintain_every_n_epochs is not None
+        and int(epoch_id) % int(maintain_every_n_epochs) == 0
+    ):
+        from ..llm._store import ConcurrentWriteError, maintain_index
+
+        try:
+            maintain_index(spark, index_path, **(maintain_args or {}))
+        except ConcurrentWriteError:
+            # a concurrent compaction won this tick; the next n-th
+            # epoch re-reads the manifest and re-decides
+            pass
     return admitted
+
+
+def _incarnation_id(checkpoint: str) -> str:
+    """The checkpoint's INCARNATION identity: a uuid persisted in a
+    run-id file inside the checkpoint dir on first start. Lives and
+    dies with the checkpoint — wiping and recreating the dir (a stream
+    reset) mints a new id, while a plain restart reads the old one —
+    which is exactly the lifetime epoch-id numbering has, so keying
+    the default tag_prefix to it keeps tags aligned with epoch ids.
+    Create-if-absent via O_EXCL: when two starts race, both read the
+    single winner's id. Local-filesystem checkpoint assumed (the same
+    assumption Spark's own file-source checkpoint makes here); for an
+    object-store checkpoint pass an explicit tag_prefix instead."""
+    import os as _os
+    import uuid as _uuid
+
+    _os.makedirs(checkpoint, exist_ok=True)
+    marker = _os.path.join(checkpoint, "__admission_run_id")
+    try:
+        fd = _os.open(marker, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
+    except FileExistsError:
+        pass
+    else:
+        with _os.fdopen(fd, "w") as f:
+            f.write(_uuid.uuid4().hex)
+    with open(marker) as f:
+        rid = f.read().strip()
+    if not rid:
+        # a concurrent creator between its open and write: one retry
+        # is enough (the write is tiny and atomic at this size)
+        import time as _time
+
+        _time.sleep(0.05)
+        with open(marker) as f:
+            rid = f.read().strip()
+        if not rid:
+            raise ValueError(
+                f"empty admission run-id marker at {marker} — remove "
+                f"it (or pass tag_prefix explicitly) and restart"
+            )
+    return f"{_os.path.abspath(checkpoint)}\x1f{rid}"
 
 
 def start_index_admission(
@@ -215,26 +319,31 @@ def start_index_admission(
     family: str = "minhash",
     value_col: "str | None" = None,
     n_probe: int = 2,
+    maintain_every_n_epochs: "int | None" = None,
+    maintain_args: "dict | None" = None,
 ):
     """The streaming wrapper: file source → foreachBatch(
     admission_batch). availableNow=True drains the backlog then stops
     (batch-like test mode); at scale drop it for a processingTime
     trigger. max_files_per_trigger bounds epoch size (and makes
-    multi-epoch runs deterministic in tests).
+    multi-epoch runs deterministic in tests). maintain_every_n_epochs
+    makes the stream self-maintaining (see admission_batch).
 
-    tag_prefix defaults to a digest of the CHECKPOINT path: a restart
-    from the same checkpoint resumes the same epoch numbering, so its
-    redeliveries must hit the same tags (idempotence) — but a NEW
-    stream incarnation (fresh checkpoint, epoch ids restart at 0)
-    against the same index must NOT collide with a previous
-    incarnation's tags, or its early epochs of brand-new documents
-    would be silently skipped as already-committed."""
+    tag_prefix defaults to a digest of the checkpoint INCARNATION, not
+    just its path: a run-id file is created inside the checkpoint dir
+    on first start (create-if-absent — concurrent starts read the
+    winner's) and folded into the digest. A restart from the same
+    checkpoint reads the same run-id, so its resumed epoch numbering
+    hits the same tags (redelivery idempotence); a NEW incarnation —
+    whether at a fresh path OR a wiped-and-recreated one (the routine
+    stream-reset case, where epoch ids restart at 0) — gets a fresh
+    run-id and therefore fresh tags, so its early epochs of brand-new
+    documents are never silently skipped as already-committed."""
     if tag_prefix is None:
         import hashlib
-        import os as _os
 
         digest = hashlib.md5(
-            _os.path.abspath(checkpoint).encode("utf-8")
+            _incarnation_id(checkpoint).encode("utf-8")
         ).hexdigest()[:8]
         tag_prefix = f"admit-{digest}-"
     reader = spark.readStream.format(fmt).schema(schema)
@@ -250,6 +359,8 @@ def start_index_admission(
                 id_col=id_col, text_col=text_col, threshold=threshold,
                 tag_prefix=tag_prefix, family=family,
                 value_col=value_col, n_probe=n_probe,
+                maintain_every_n_epochs=maintain_every_n_epochs,
+                maintain_args=maintain_args,
             )
         )
         .option("checkpointLocation", checkpoint)

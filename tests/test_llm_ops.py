@@ -940,3 +940,42 @@ def test_simhash_grouped_equals_same_group_subset(spark):
     for g in {"a", "b", None}:
         per_group |= pairs(df.where(F.col("g").eqNullSafe(F.lit(g))))
     assert grouped == per_group
+
+
+def test_fold_group_keys_adversarial_bytes_cannot_conflate_groups(
+    spark,
+):
+    """The r11 ADVICE regression: the band-key fold md5-digests each
+    group value, so in-band bytes can't forge group equality —
+    a value that IS the old NULL sentinel ('\\x00') stays distinct
+    from genuine NULL, and a '\\x1f' inside a value can't shift the
+    multi-column boundary (('a\\x1fb','c') vs ('a','b\\x1fc')).
+    Grouping is enforced only inside the band key (no post-filter),
+    so any conflation would emit cross-group pairs silently."""
+    text = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        # boundary-shift attack on a two-column group
+        Row(doc_id=1, text=text, g1="a\x1fb", g2="c"),
+        Row(doc_id=2, text=text, g1="a", g2="b\x1fc"),
+        # sentinel forgery: literal '\x00' vs real NULL
+        Row(doc_id=3, text=text, g1="\x00", g2="z"),
+        Row(doc_id=4, text=text, g1=None, g2="z"),
+        # and genuine same-group pairs still pair (not vacuous)
+        Row(doc_id=5, text=text, g1="a\x1fb", g2="c"),
+        Row(doc_id=6, text=text, g1=None, g2="z"),
+    ]
+    df = spark.createDataFrame(rows)
+    kw = dict(n=3, bands=8, rows_per_band=2, threshold=0.3,
+              group_cols=["g1", "g2"])
+    got = {(r.id_a, r.id_b)
+           for r in minhash_lsh_pairs(df, **kw).collect()}
+    assert got == {(1, 5), (4, 6)}
+
+    from configurable_etl_python_repo_spark.llm.dedup import (
+        simhash_pairs,
+    )
+
+    sh = {(r.id_a, r.id_b)
+          for r in simhash_pairs(df, max_hamming=3,
+                                 group_cols=["g1", "g2"]).collect()}
+    assert sh == {(1, 5), (4, 6)}

@@ -1187,3 +1187,201 @@ def test_manifest_retention_crash_mid_prune_then_retry(
     removed = ST.vacuum_index(idx, manifest_keep_last=2)   # retry
     assert sorted(removed) == ["v00000002.json", "v00000003.json"]
     assert ST.read_manifest(idx)[0] == 5
+
+
+# ---------------------------------------------------------------------------
+# MAINTAIN INDEX: the automatic maintenance policy (llm/_store.
+# maintain_index) — manifest-only triggers, no-trigger no-op,
+# compact+vacuum on fire, race behavior, the config op
+# ---------------------------------------------------------------------------
+
+
+def test_maintain_no_trigger_is_full_noop(spark, sf_dir, tmp_path):
+    """Below both bounds the policy touches NOTHING — calling it every
+    epoch must converge, not thrash."""
+    corpus = _docs(spark, sf_dir, 0, 30)
+    idx = str(tmp_path / "mh")
+    minhash_build_index(corpus, idx, **_LSH)
+    minhash_extend_index(_docs(spark, sf_dir, 30, 40), idx)
+    before = ST.read_manifest(idx)
+    r = ST.maintain_index(spark, idx)  # 2 segments < 16, 0 tombstones
+    assert r == {"compacted": False, "version": before[0],
+                 "vacuumed_dirs": 0, "segments": 2, "tombstones": 0}
+    assert ST.read_manifest(idx) == before
+    # idempotent: a second tick is the same no-op
+    assert ST.maintain_index(spark, idx)["compacted"] is False
+
+
+def test_maintain_segment_trigger_boundary(spark, sf_dir, tmp_path):
+    """Fires at n_data_segments >= max_segments, not one sooner; the
+    probe answer is bit-stable across the compaction."""
+    corpus = _docs(spark, sf_dir, 0, 30)
+    batch = _docs(spark, sf_dir, 30, 35).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    idx = str(tmp_path / "mh")
+    minhash_build_index(corpus, idx, **_LSH)
+    minhash_extend_index(_docs(spark, sf_dir, 30, 40), idx)
+    minhash_extend_index(_docs(spark, sf_dir, 40, 50), idx)
+    before = _probe_set(spark, idx, batch)
+
+    r = ST.maintain_index(spark, idx, max_segments=4)  # 3 < 4
+    assert r["compacted"] is False and r["segments"] == 3
+    r = ST.maintain_index(spark, idx, max_segments=3)  # 3 >= 3: fire
+    assert r["compacted"] is True and r["segments"] == 1
+    assert _probe_set(spark, idx, batch) == before
+    # disabled trigger never fires
+    for _ in range(2):
+        minhash_extend_index(_docs(spark, sf_dir, 50, 55), idx)
+    r = ST.maintain_index(spark, idx, max_segments=None,
+                          max_tombstone_share=None)
+    assert r["compacted"] is False and r["segments"] == 3
+
+
+def test_maintain_tombstone_share_trigger_and_vacuum(
+    spark, sf_dir, tmp_path
+):
+    """Tombstone-share trigger: build + delete = 1 tombstone of 2
+    segments (share 0.5) — fires at bound 0.5, not at 0.6; the
+    compaction purges the tombstone and vacuum (retention 0) reclaims
+    the replaced segment dirs in the same call."""
+    corpus = _docs(spark, sf_dir, 0, 30)
+    victim = 6
+    batch = corpus.where(F.col("doc_id") == victim).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    idx = str(tmp_path / "mh")
+    minhash_build_index(corpus, idx, **_LSH)
+    ST.delete_from_index(_ids_df(spark, [victim]), idx)
+    assert not _probe_set(spark, idx, batch)
+
+    r = ST.maintain_index(spark, idx, max_segments=16,
+                          max_tombstone_share=0.6)
+    assert r["compacted"] is False and r["tombstones"] == 1
+    r = ST.maintain_index(spark, idx, max_segments=16,
+                          max_tombstone_share=0.5, retention_s=0.0)
+    assert r["compacted"] is True
+    assert r["segments"] == 1 and r["tombstones"] == 0
+    assert r["vacuumed_dirs"] > 0  # the replaced dirs, reclaimed
+    assert not _probe_set(spark, idx, batch)  # still deleted (purged)
+    # an all-clean store never re-fires on the share trigger (0/1)
+    assert ST.maintain_index(
+        spark, idx, max_tombstone_share=0.0)["compacted"] is False
+
+
+def test_maintain_manifest_keep_last_passthrough(
+    spark, sf_dir, tmp_path
+):
+    corpus = _docs(spark, sf_dir, 0, 30)
+    idx = str(tmp_path / "mh")
+    minhash_build_index(corpus, idx, **_LSH)
+    minhash_extend_index(_docs(spark, sf_dir, 30, 40), idx)
+    r = ST.maintain_index(spark, idx, max_segments=2,
+                          retention_s=0.0, manifest_keep_last=1)
+    assert r["compacted"] is True
+    with pytest.raises(ValueError, match="pruned by vacuum"):
+        ST.read_manifest(idx, version=1)
+
+
+def test_maintain_refuses_uncommitted_store(spark, tmp_path):
+    bogus = str(tmp_path / "not_an_index")
+    os.makedirs(bogus)
+    with pytest.raises(ValueError, match="refusing to maintain"):
+        ST.maintain_index(spark, bogus)
+
+
+def test_maintain_losing_compaction_race_skips_tick(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """A concurrent compaction winning the commit_replace race makes
+    this tick's compaction stale: maintain propagates
+    ConcurrentWriteError (the admission stream swallows it and the
+    next n-th epoch re-decides); the store is untouched by the loser
+    and the retry tick succeeds."""
+    corpus = _docs(spark, sf_dir, 0, 30)
+    idx = str(tmp_path / "mh")
+    minhash_build_index(corpus, idx, **_LSH)
+    minhash_extend_index(_docs(spark, sf_dir, 30, 40), idx)
+
+    real_replace = ST.commit_replace
+    state = {"raced": False}
+
+    def racing_replace(path, new_seg, replaced, meta_id, store=None):
+        if not state["raced"]:
+            state["raced"] = True
+            ST.compact_index(spark, idx)  # the concurrent winner
+        return real_replace(path, new_seg, replaced, meta_id,
+                            store=store)
+
+    monkeypatch.setattr(ST, "commit_replace", racing_replace)
+    with pytest.raises(ConcurrentWriteError):
+        ST.maintain_index(spark, idx, max_segments=2)
+    monkeypatch.setattr(ST, "commit_replace", real_replace)
+    # the winner's compaction stands; the loser published nothing
+    _, man = ST.read_manifest(idx)
+    assert len(man["segments"]) == 1
+    # the retry tick sees 1 segment < 2 and is a clean no-op
+    assert ST.maintain_index(
+        spark, idx, max_segments=2)["compacted"] is False
+
+
+def test_maintain_config_op_and_receipt(spark, sf_dir, tmp_path):
+    """MAINTAIN INDEX as a registered config op: pass-through with an
+    input, (path, compacted, vacuumed_dirs) receipt without."""
+    from configurable_etl_python_repo_spark.plans import Engine, OpSpec
+
+    corpus = _docs(spark, sf_dir, 0, 30)
+    batch = _docs(spark, sf_dir, 30, 40)
+    idx = str(tmp_path / "mh")
+    eng = Engine(spark)
+    eng.bind("corpus", corpus)
+    eng.bind("batch", batch)
+    minhash_build_index(corpus, idx, **_LSH)
+    minhash_extend_index(batch, idx)
+
+    passthru = eng.run_op(OpSpec(
+        "MAINTAIN INDEX", "m1", ["batch"],
+        {"path": idx, "max_segments": 2, "retention_seconds": 0}))
+    assert passthru.columns == ["doc_id", "text"]
+    assert len(ST.read_manifest(idx)[1]["segments"]) == 1
+
+    receipt = eng.run_op(OpSpec("MAINTAIN INDEX", "m2", [],
+                                {"path": idx}))
+    row = receipt.collect()[0]
+    assert (row.path, row.compacted, row.vacuumed_dirs) == (idx, False, 0)
+
+
+def test_maintenance_args_validated_before_destructive_run(
+    spark, sf_dir, tmp_path
+):
+    """The r11 ADVICE regression: a maintenance op with a typo'd arg
+    (retention_secs) must raise BEFORE any destructive work — vacuum
+    deletes segment dirs and compact rewrites-and-commits, so a
+    rejected config that already mutated the store would be a silent
+    data hazard."""
+    from configurable_etl_python_repo_spark.plans import Engine, OpSpec
+
+    corpus = _docs(spark, sf_dir, 0, 30)
+    idx = str(tmp_path / "mh")
+    minhash_build_index(corpus, idx, **_LSH)
+    minhash_extend_index(_docs(spark, sf_dir, 30, 40), idx)
+    ST.compact_index(spark, idx)  # leaves reclaimable orphan dirs
+    orphans = [
+        d for d in glob.glob(idx + "/*/seg=*")
+        if d.split("seg=")[1] not in ST.read_manifest(idx)[1]["segments"]
+    ]
+    assert orphans
+    before = ST.read_manifest(idx)
+
+    eng = Engine(spark)
+    for op, bad in [
+        ("VACUUM INDEX", {"path": idx, "retention_secs": 0}),
+        ("MAINTAIN INDEX", {"path": idx, "max_segs": 1,
+                            "retention_seconds": 0}),
+    ]:
+        with pytest.raises(ValueError, match="unknown args"):
+            eng.run_op(OpSpec(op, "bad", [], bad))
+        assert all(os.path.isdir(d) for d in orphans)  # nothing deleted
+        assert ST.read_manifest(idx) == before         # nothing committed
+    # the correctly-spelled op then does the work
+    eng.run_op(OpSpec("VACUUM INDEX", "ok", [],
+                      {"path": idx, "retention_seconds": 0}))
+    assert not any(os.path.isdir(d) for d in orphans)

@@ -128,19 +128,37 @@ def test_stream_equals_sequential_batches(spark, sf_dir, tmp_path):
     assert a == b
 
 
-def test_epoch_retry_after_commit_is_full_noop(spark, sf_dir, tmp_path):
+def _text_index(family, corpus, idx):
+    """Build the text-modality index of the given admission family —
+    the crash/retry/idempotence trio runs identically over both
+    (same composition, different probe/extend adapters)."""
+    if family == "minhash":
+        minhash_build_index(corpus, idx, **_LSH)
+        return dict(threshold=_T)
+    from configurable_etl_python_repo_spark.llm.dedup_index import (
+        simhash_build_index,
+    )
+
+    simhash_build_index(corpus, idx, max_hamming=3)
+    return dict(family="simhash")
+
+
+@pytest.mark.parametrize("family", ["minhash", "simhash"])
+def test_epoch_retry_after_commit_is_full_noop(
+    spark, sf_dir, tmp_path, family
+):
     """At-least-once redelivery of a COMMITTED epoch: the tag check
     short-circuits the whole body — no probe, no output rewrite, no
     second segment; output and index byte-stable."""
     corpus, e1, _ = _fixture(spark, sf_dir)
     idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
-    minhash_build_index(corpus, idx, **_LSH)
-    first = admission_batch(e1, 0, idx, out, threshold=_T)
+    kw = _text_index(family, corpus, idx)
+    first = admission_batch(e1, 0, idx, out, **kw)
     assert first is not None
     v1, man1 = ST.read_manifest(idx)
     files1 = sorted(glob.glob(out + "/epoch=0/*.parquet"))
 
-    assert admission_batch(e1, 0, idx, out, threshold=_T) is None
+    assert admission_batch(e1, 0, idx, out, **kw) is None
     assert ST.read_manifest(idx) == (v1, man1)  # no double-extend
     assert sorted(glob.glob(out + "/epoch=0/*.parquet")) == files1
     rows = spark.read.parquet(out).groupBy("doc_id").count()
@@ -151,8 +169,9 @@ class _Crash(RuntimeError):
     pass
 
 
+@pytest.mark.parametrize("family", ["minhash", "simhash"])
 def test_crash_between_output_and_extend_then_retry(
-    spark, sf_dir, tmp_path, monkeypatch
+    spark, sf_dir, tmp_path, monkeypatch, family
 ):
     """The dangerous crash point: output written, extend not
     committed. The retry re-probes the unchanged index, overwrites the
@@ -160,7 +179,7 @@ def test_crash_between_output_and_extend_then_retry(
     segment."""
     corpus, e1, e2 = _fixture(spark, sf_dir)
     idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
-    minhash_build_index(corpus, idx, **_LSH)
+    kw = _text_index(family, corpus, idx)
 
     real = ST.commit_extend
     monkeypatch.setattr(
@@ -168,13 +187,13 @@ def test_crash_between_output_and_extend_then_retry(
         lambda *a, **k: (_ for _ in ()).throw(_Crash()),
     )
     with pytest.raises(_Crash):
-        admission_batch(e1, 0, idx, out, threshold=_T)
+        admission_batch(e1, 0, idx, out, **kw)
     # output partition exists (it precedes the extend), index unchanged
     assert glob.glob(out + "/epoch=0/*.parquet")
     assert len(ST.read_manifest(idx)[1]["segments"]) == 1
     monkeypatch.setattr(ST, "commit_extend", real)
 
-    retried = admission_batch(e1, 0, idx, out, threshold=_T)
+    retried = admission_batch(e1, 0, idx, out, **kw)
     assert retried is not None
     _, man = ST.read_manifest(idx)
     assert len(man["segments"]) == 2  # build + exactly ONE extend
@@ -182,7 +201,7 @@ def test_crash_between_output_and_extend_then_retry(
     rows = spark.read.parquet(out).groupBy("doc_id").count()
     assert rows.where(F.col("count") > 1).count() == 0
     # and the next epoch sees epoch 1's admissions exactly once
-    admission_batch(e2, 1, idx, out, threshold=_T)
+    admission_batch(e2, 1, idx, out, **kw)
     got = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert not {d for d in got if d >= 2000000}
 
@@ -316,8 +335,10 @@ def test_admission_family_validation(spark, sf_dir, tmp_path):
     corpus, e1, _ = _vec_fixture(spark, sf_dir)
     idx = str(tmp_path / "idx")
     embedding_build_index(corpus, idx, n_centroids=_ENC)
+    # simhash graduated to a real family in r11 — use a name that
+    # stays unknown
     with pytest.raises(ValueError, match="unknown admission family"):
-        admit_against_index(spark, idx, e1, family="simhash")
+        admit_against_index(spark, idx, e1, family="bloom")
     # family defaults resolve id/value columns per store
     out = admit_against_index(spark, idx, e1, family="embedding",
                               threshold=_ET, n_probe=_EP)
@@ -334,3 +355,169 @@ def test_admission_family_validation(spark, sf_dir, tmp_path):
          "vector_column": "embedding"}))
     assert ({r.vec_id for r in got.collect()}
             == {r.vec_id for r in out.collect()})
+
+
+# ---------------------------------------------------------------------------
+# SimHash family (the d17 probe) through the same composition
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_stream_equals_sequential_batches(
+    spark, sf_dir, tmp_path
+):
+    """family='simhash' through the SAME admission composition:
+    availableNow stream == sequential admission_batch loop; corpus
+    replicas rejected in epoch 1 (hamming 0 <= max_hamming), epoch-2
+    replicas of epoch-1 admissions rejected because the extend landed
+    in between."""
+    corpus, e1, e2 = _fixture(spark, sf_dir)
+    kw = dict(family="simhash")
+
+    seq_idx = str(tmp_path / "sidx")
+    seq_out = str(tmp_path / "sout")
+    _text_index("simhash", corpus, seq_idx)
+    for i, e in enumerate([e1, e2]):
+        admission_batch(e, i, seq_idx, seq_out, **kw)
+    want = {(r.doc_id, r.epoch)
+            for r in spark.read.parquet(seq_out)
+            .select("doc_id", "epoch").collect()}
+    assert not {d for d, ep in want if 1000000 <= d < 2000000}
+    assert not {d for d, ep in want if d >= 2000000}
+    assert {d for d, ep in want if ep == 0}
+
+    src = str(tmp_path / "src")
+    e1.coalesce(1).write.parquet(src + "/batch=0")
+    e2.coalesce(1).write.parquet(src + "/batch=1")
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    _text_index("simhash", corpus, idx)
+    q = start_index_admission(
+        spark, src + "/batch=*", e1.schema, idx, out,
+        checkpoint=str(tmp_path / "ckpt"), max_files_per_trigger=1,
+        **kw,
+    )
+    assert q.awaitTermination(180)
+    got = {(r.doc_id, r.epoch)
+           for r in spark.read.parquet(out)
+           .select("doc_id", "epoch").collect()}
+    assert got == want
+
+
+def test_simhash_family_rejects_threshold(spark, sf_dir, tmp_path):
+    """max_hamming is a build-time parameter of the simhash index —
+    passing an admission threshold would silently not apply, so it
+    raises instead."""
+    corpus, e1, _ = _fixture(spark, sf_dir)
+    idx = str(tmp_path / "idx")
+    _text_index("simhash", corpus, idx)
+    with pytest.raises(ValueError, match="no threshold"):
+        admit_against_index(spark, idx, e1, family="simhash",
+                            threshold=0.5)
+    # and without one it admits
+    out = admit_against_index(spark, idx, e1, family="simhash")
+    assert out.count() > 0
+
+
+def test_wiped_checkpoint_incarnation_gets_fresh_tags(
+    spark, sf_dir, tmp_path
+):
+    """The routine stream-reset hazard: wipe the checkpoint dir and
+    start a new stream AT THE SAME PATH. Epoch ids restart at 0; with
+    a path-keyed prefix the new incarnation's epoch 0 of brand-new
+    documents would be silently skipped as the old incarnation's
+    committed tag. The run-id file inside the checkpoint keys the
+    prefix to the INCARNATION, so the second run admits."""
+    import shutil
+
+    corpus, e1, e2 = _fixture(spark, sf_dir)
+    idx = str(tmp_path / "idx")
+    minhash_build_index(corpus, idx, **_LSH)
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(src_df, name):
+        src = str(tmp_path / f"src_{name}")
+        src_df.coalesce(1).write.parquet(src + "/batch=0")
+        out = str(tmp_path / f"out_{name}")
+        q = start_index_admission(
+            spark, src + "/batch=*", src_df.schema, idx, out,
+            checkpoint=ckpt, threshold=_T,
+        )
+        q.awaitTermination(180)
+        if not glob.glob(out + "/epoch=*/*.parquet"):
+            return set()  # skipped epoch writes nothing at all
+        return {r.doc_id
+                for r in spark.read.parquet(out).select("doc_id")
+                .collect()}
+
+    first = run(e1, "one")
+    assert first
+    # the reset: same checkpoint PATH, fresh incarnation
+    shutil.rmtree(ckpt)
+    second = run(e2, "two")
+    clean_e2 = {r.doc_id for r in e2.where(
+        F.col("doc_id") % 4 == 3).collect()}
+    assert second and second <= clean_e2
+    # both incarnations' epoch-0 tags coexist in the manifest
+    _, man = ST.read_manifest(idx)
+    assert len(man["tags"]) == 2 and len(set(man["tags"])) == 2
+    # and a RESTART (checkpoint intact) keeps the same prefix: the
+    # redelivered epoch is skipped, no third tag appears
+    third = run(e2, "three")
+    assert third == set()  # nothing new written to a fresh out dir
+    _, man2 = ST.read_manifest(idx)
+    assert man2["tags"] == man["tags"]
+
+
+def test_stream_with_maintenance_equals_stream_without(
+    spark, sf_dir, tmp_path
+):
+    """maintain_every_n_epochs makes the stream self-maintaining:
+    admitted rows are IDENTICAL with and without it (maintenance is a
+    policy, never a correctness step), and the maintained index ends
+    compacted — the manifest proves the policy actually fired."""
+    corpus, e1, e2 = _fixture(spark, sf_dir)
+
+    def run(name, **extra):
+        src = str(tmp_path / f"src_{name}")
+        e1.coalesce(1).write.parquet(src + "/batch=0")
+        e2.coalesce(1).write.parquet(src + "/batch=1")
+        import os as _os
+        import time as _time
+        now = _time.time()
+        for i in (0, 1):
+            for f in _os.listdir(f"{src}/batch={i}"):
+                _os.utime(f"{src}/batch={i}/{f}",
+                          (now + 10 * i, now + 10 * i))
+        idx, out = str(tmp_path / f"idx_{name}"), str(
+            tmp_path / f"out_{name}")
+        minhash_build_index(corpus, idx, **_LSH)
+        q = start_index_admission(
+            spark, src + "/batch=*", e1.schema, idx, out,
+            checkpoint=str(tmp_path / f"ckpt_{name}"), threshold=_T,
+            max_files_per_trigger=1, **extra,
+        )
+        assert q.awaitTermination(180)
+        return idx, {
+            (r.doc_id, r.epoch)
+            for r in spark.read.parquet(out)
+            .select("doc_id", "epoch").collect()
+        }
+
+    plain_idx, want = run("plain")
+    maint_idx, got = run(
+        "maint", maintain_every_n_epochs=1,
+        maintain_args=dict(max_segments=2, retention_s=0.0),
+    )
+    assert got == want
+    # the policy fired: build + 2 extends would be 3 segments, the
+    # maintained index holds fewer (each epoch's tick compacts)
+    _, man_m = ST.read_manifest(maint_idx)
+    _, man_p = ST.read_manifest(plain_idx)
+    assert len(man_p["segments"]) == 3
+    assert len(man_m["segments"]) < 3
+    # tags survive compaction (carried forward): a redelivered epoch
+    # is still recognized after its segment was folded away (prefixes
+    # differ per incarnation — compare the epoch suffixes)
+    def epochs(man):
+        return sorted(t.rsplit("-", 1)[1] for t in man["tags"])
+
+    assert epochs(man_m) == epochs(man_p) == ["0", "1"]
