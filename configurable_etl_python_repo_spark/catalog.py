@@ -1191,44 +1191,38 @@ from . import catalog_llm  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 DRIVER_PRIORITY = [
-    # reference surface (SURVEY §2.1-§2.7) — the r10 rotation
-    # re-promotes every longest-out §2 row (p2_p4, p3, c3, c5, c7,
-    # c9_c10, j1, j2, j4, a4, w3, u1, f1, f2 — none driver-checked
-    # since r6)
+    # reference surface (SURVEY §2.1-§2.7) — the r11 rotation
+    # re-promotes the next-longest-out §2 rows (c4, c6, c8, p6, a1,
+    # w2, j3 — none driver-checked since r7/r9; verdict r10 item 7)
     "flagship_earliest_event", "s1_bronze_nest_explode",
-    "p2_p4_project_remove", "p3_select_distinct", "p5_filter_grammar",
-    "c3_add_column", "c5_attach_notnull", "c7_attach_null_coalesce",
+    "p2_p4_project_remove", "p6_remove_rows_null", "p5_filter_grammar",
+    "c4_rowwise_min_max", "c6_attach_sumeq", "c7_attach_null_coalesce",
     "c9_c10_boundary_sentinel", "c11_c12_gold_record",
-    "j1_left_join_two_keys", "j2_outer_join_counts", "j4_qualified_join",
-    "a4_unique_keep_first", "w3_last_per_group", "u1_bind_rows",
-    "f1_scalar_functions", "f2_datetime_functions",
-    # event-time analytics (§2.9 batch shape) + the REAL stream row
-    # (x28: availableNow foreachBatch admission, new r10)
+    "c8_decision_column", "j2_outer_join_counts", "j4_qualified_join",
+    "j3_spine_study", "a1_groupby_summarise", "a4_unique_keep_first",
+    "w2_sort_slice_topn", "f2_datetime_functions",
+    # event-time analytics (§2.9 batch shape) + the REAL stream rows
+    # (x28 minhash r10; x33 simhash NEW r11 — the FAMILIES registry's
+    # third member through the same admission composition)
     "e2_sessionize_gap30m", "x28_streaming_admission",
-    # LLM pipeline: dedup + persisted indexes (d18 demoted late-r10
-    # for the NEW x31 snapshot-read row: d18 has green driver rows
-    # r8+r9 and the in-window x29 literally chains its probe/extend
-    # machinery — embedding_against_index + embedding_extend_index —
-    # and reuses its _emb_pairs_ctes oracle generator)
-    "d12_dedup_keep_best", "d17_simhash_against_index",
-    "x31_index_time_travel",
+    "x33_simhash_stream_admission",
+    # LLM pipeline: dedup + persisted indexes — x32 (NEW r11) is the
+    # MAINTAIN INDEX policy bracketing the same fixture x30/x31 pin
+    "d12_dedup_keep_best", "x31_index_time_travel",
+    "x32_index_maintenance",
     # LLM pipeline: similarity search + retrieval
     "n4_ann_ivf_kmeans", "n6_hybrid_rrf",
-    # LLM pipeline: text analysis + curation (t8 gets its FIRST-EVER
-    # driver row in r10)
-    # t11 demoted late-r10 for the NEW d19 within-group LSH row: t11
-    # has green r8+r9 driver rows and the in-window x15 curation
-    # pipeline chains the url-blocklist op as its FIRST stage (same
-    # code path, CTE-shared oracle)
+    # LLM pipeline: text analysis + curation; d20 gets its FIRST
+    # driver row (the only operator without one, verdict r10 item 2)
     "t8_pack_sequences", "d19_grouped_lsh_pairs",
-    "t12_quality_classifier",
-    "t15_bpe_gpt2", "t16_sized_shards_bytes", "t17_backoff_surprisal",
-    "t18_perplexity_partition", "t19_gopher_line_rules",
+    "d20_grouped_simhash_pairs",
+    "t15_bpe_gpt2", "t18_perplexity_partition", "t19_gopher_line_rules",
     "t21_dedup_repeated_lines",
-    # LLM pipeline: multimodal plumbing
-    "m1_multimodal_features",
-    # temporal joins, sampling, rolling windows, quantization, n-grams —
-    # FIRST-EVER driver rows for the x6-x12 family (r10)
+    # LLM pipeline: multimodal plumbing — m4 (NEW r11) is the REAL
+    # strict-mode PNG decode through the stdlib codec (m1 stays as the
+    # fake-path Arrow plumbing dual)
+    "m1_multimodal_features", "m4_png_decode_features",
+    # temporal joins, sampling, rolling windows, quantization, n-grams
     "x6_asof_join", "x7_range_join", "x8_stratified_sample",
     "x9_curation_pipeline", "x10_rolling_window",
     "x11_quantize_embeddings", "x12_top_ngrams",
@@ -1393,6 +1387,47 @@ DRIVER_PRIORITY = [
 # in-window x27 corpus report EMBEDS both grouped-sketch oracle
 # generators as subqueries — the same argument that demoted x20/x21
 # one level down — and grouped==per-group stays pytest-pinned).
+# Round-11 rotation: 11 in / 11 out. IN: the seven longest-out §2
+# rows the r10 verdict ordered re-promoted (c4, c6, c8, p6, a1, w2,
+# j3 — no driver row since r7, c8 since its r9 demotion), d20 (the
+# one operator with no driver row ever — born after r10's window
+# filled), and the round's new operators x32 (MAINTAIN INDEX policy),
+# x33 (simhash streaming admission), m4 (real PNG decode). OUT —
+# every demotion has >= 2 green driver rows (r10 plus r1-r9 history)
+# and an in-window sibling exercising the same machinery:
+# p3 (green r1-r6 + r10; distinct keep-first stays via a4 — the same
+#   operators/core.py distinct region p3 exercises, plus p1's sweep);
+# c3 (green r1-r6 + r10; the mutate compile path returns via the
+#   re-promoted c4 — the adjacent core.py:117/127 compiler — and the
+#   ATTACH family stays via c7);
+# c5 (green r1-r7 + r10; the re-promoted c6 runs the SAME attach
+#   compiler body at core.py:138, and c7 stays in-window);
+# j1 (green r1-r6 + r10; the join family keeps j2 + j4 + the
+#   re-promoted j3's broadcast spines + c8's typed lookup join +
+#   tpch_q3's 3-table chain);
+# w3 (green r1-r6 + r10; last-per-group max_by fusion rides the SAME
+#   HashAggregate path the re-promoted a1 checks, and the window
+#   family returns via the re-promoted w2);
+# u1 (green r1-r7 + r10; unionByName rides the in-window s1
+#   round-trip and every composed x9/x15/x19 program);
+# f1 (green r1-r6 + r10; the scalar-function expr surface stays via
+#   f2's datetime half and p5's compiled grammar — same
+#   functions/expr.py registry);
+# t12 (green r5-r10; the quality-feature machinery stays via t19's
+#   gopher rules and x15's quality stage, whose oracle chains t12's
+#   own CTE generator);
+# t16 (green r7-r10; the shard/packing byte math stays via t8, whose
+#   sized-pack math is the same literal-CASE fold);
+# t17 (green r7-r10; surprisal machinery stays via t18's perplexity
+#   partition — t17's backoff table feeds the same cutoff path — and
+#   x19 chains both stages);
+# d17 (green r8-r10; the NEW in-window x33 runs simhash_against_index
+#   + simhash_extend_index TWICE as a real stream, and d20 shares the
+#   simhash64 + Manku band machinery in-join — the verdict's own
+#   suggested swap). All 11 demoted rows remain in the full local
+# sweep (scripts/check_oracle.py) and their operator pytests; m5
+# (real PNG resize dims) stays sweep-only with the in-window m4
+# exercising the same codec + clamp machinery.
 
 
 def _curate() -> None:

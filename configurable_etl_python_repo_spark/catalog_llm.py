@@ -4471,3 +4471,285 @@ def q_n6(spark: SparkSession, sf_dir: str) -> DataFrame:
         [lex.select("doc_id", "rank"), dense],
         k=_HYB_K, k0=_RRF_K0,
     )
+
+
+# ===========================================================================
+# Round-11 rows: automatic index maintenance, SimHash streaming admission,
+# real PNG decode through the stdlib codec
+# ===========================================================================
+
+
+@register("x32_index_maintenance", _index_deletion_oracle())
+def q_x32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automatic index maintenance as a config op (MAINTAIN INDEX →
+    llm/_store.maintain_index): on the x30 build+delete fixture the
+    manifest shows 1 tombstone of 2 segments (share 0.5 >= the 0.2
+    default), so the policy compacts — physically purging the
+    tombstoned rows, Lucene's merge — and vacuums the replaced dirs,
+    all from one idempotent call a scheduler or the admission stream's
+    maintain_every_n_epochs can issue forever. The probe AFTER
+    maintenance answers bit-identically to x30's delete-until-merge
+    probe (the oracle is x30's, verbatim): maintenance is an execution
+    strategy, never a semantics change. The query refuses to return if
+    the policy did NOT fire, so a broken trigger fails loudly instead
+    of passing on the unchanged store."""
+    from .llm import dedup_index as DI
+    from .plans import Engine, OpSpec
+
+    path, batch = _deleted_minhash_store(spark, sf_dir, "x32")
+    receipt = Engine(spark).run_op(OpSpec(
+        "MAINTAIN INDEX", "maint", [],
+        {"path": path, "retention_seconds": 0},
+    )).collect()[0]
+    if not receipt.compacted:
+        raise ValueError(
+            f"x32: MAINTAIN INDEX did not fire on {path} "
+            f"(tombstone share 0.5 >= 0.2 expected to trigger)"
+        )
+    return DI.dedup_against_index(
+        spark, path, batch, threshold=_LSH_P / _LSH_Q
+    )
+
+
+def _simhash_stream_admission_oracle() -> str:
+    """x33 = x28's statement in the HAMMING metric: two sequential
+    SimHash-admission epochs. Band rows are doc-local, so ONE
+    _simhash64_ctes + _simhash_bands_sql chain over the 3-side union
+    (corpus / epoch 1 / epoch 2) serves both probes — the d17 oracle's
+    own generators — and epoch 2's index side is corpus ∪ epoch-1
+    ADMISSIONS (the extend landed in between)."""
+    k = _SIMHASH_K
+    dist = _simhash_dist_sql("bb", "ib")
+    return f"""
+    WITH se1 AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 4 = 1
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+    se2 AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 4 = 3
+      UNION ALL
+      SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 20 = 1),
+    u3 AS (
+      SELECT doc_id, text, 0 AS side FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, text, 1 AS side FROM se1
+      UNION ALL
+      SELECT doc_id, text, 2 AS side FROM se2),
+    {_simhash64_ctes("u3").strip()},
+    {_simhash_bands_sql("sbands")},
+    usides AS (SELECT doc_id, side FROM u3),
+    a_hits AS (
+      SELECT DISTINCT bb.doc_id AS id_a
+      FROM sbands bb
+      JOIN usides sb ON sb.doc_id = bb.doc_id AND sb.side = 1
+      JOIN sbands ib ON ib.band = bb.band AND ib.key = bb.key
+      JOIN usides si ON si.doc_id = ib.doc_id AND si.side = 0
+      WHERE {dist} <= {k}),
+    adm1 AS (
+      SELECT doc_id, text FROM se1
+      WHERE doc_id NOT IN (SELECT id_a FROM a_hits)),
+    b_hits AS (
+      SELECT DISTINCT bb.doc_id AS id_a
+      FROM sbands bb
+      JOIN usides sb ON sb.doc_id = bb.doc_id AND sb.side = 2
+      JOIN sbands ib ON ib.band = bb.band AND ib.key = bb.key
+      JOIN usides si ON si.doc_id = ib.doc_id
+      WHERE {dist} <= {k}
+        AND (si.side = 0 OR (si.side = 1 AND
+             ib.doc_id IN (SELECT doc_id FROM adm1)))),
+    adm2 AS (
+      SELECT doc_id, text FROM se2
+      WHERE doc_id NOT IN (SELECT id_a FROM b_hits))
+    SELECT doc_id, text, 0 AS epoch FROM adm1
+    UNION ALL
+    SELECT doc_id, text, 1 AS epoch FROM adm2
+    """
+
+
+@register("x33_simhash_stream_admission",
+          _simhash_stream_admission_oracle())
+def q_x33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental HAMMING-dedup admission — x28's
+    composition through the SimHash index family (family='simhash',
+    new r11): each availableNow micro-batch probes the persisted
+    Manku-band index, drops docs within the index's max_hamming,
+    overwrites its epoch output partition, and TAGGED-extends so the
+    next epoch dedups against this one's admissions. max_hamming is
+    BUILD-time (it fixes the band count) — the family rejects a
+    runtime threshold. One admission composition now serves all three
+    probe-returning index families (minhash / simhash / embedding)."""
+    import os
+    import shutil
+    import tempfile
+
+    from .llm.dedup_index import simhash_build_index
+    from .streaming.admission import start_index_admission
+
+    docs = spark.read.parquet(_pq(sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    e1 = docs.where(F.col("doc_id") % 4 == 1).unionByName(
+        docs.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    e2 = docs.where(F.col("doc_id") % 4 == 3).unionByName(
+        docs.where(F.col("doc_id") % 20 == 1).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+        )
+    )
+    # pid in the path: rmtree-at-entry fixture, per-process (see q_x28)
+    tag = f"{sf_dir.strip('/').replace('/', '_')}_{os.getpid()}"
+    root = os.path.join(tempfile.gettempdir(), f"cfg_etl_x33_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    idx, out = os.path.join(root, "idx"), os.path.join(root, "out")
+    src = os.path.join(root, "incoming")
+    e1.coalesce(1).write.parquet(src + "/batch=0")
+    e2.coalesce(1).write.parquet(src + "/batch=1")
+    # deterministic epoch order: the file source sorts by mtime
+    now = os.path.getmtime(src + "/batch=0")
+    for i in (0, 1):
+        for f in os.listdir(f"{src}/batch={i}"):
+            os.utime(f"{src}/batch={i}/{f}", (now + 10 * i, now + 10 * i))
+    simhash_build_index(corpus, idx, max_hamming=_SIMHASH_K)
+    q = start_index_admission(
+        spark, src + "/batch=*", e1.schema, idx, out,
+        checkpoint=os.path.join(root, "ckpt"), family="simhash",
+        max_files_per_trigger=1,
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "x33 availableNow drain did not finish within 600s"
+        )
+    return spark.read.parquet(out).select(
+        "doc_id", "text", F.col("epoch").cast("int").alias("epoch")
+    )
+
+
+# --- real PNG decode rows: fixture images whose pixels come from a
+# doc_id formula BOTH engines can state — Spark encodes real PNGs
+# (llm/png.encode_png, filter types rotating per row) and strict-mode
+# decodes them through the stdlib codec; DuckDB recomputes the same
+# facts from the formula. The decode is REAL (zlib inflate + all five
+# unfilters), not the fake: n_bytes/md5 of the encoded payload are
+# deliberately NOT output (compression output is not SQL-computable).
+
+_PNG_SQL_DIMS = """
+      SELECT doc_id,
+             CAST(4 + doc_id % 29 AS INT) AS w,
+             CAST(3 + doc_id % 17 AS INT) AS h,
+             CAST(doc_id % 256 AS INT) AS r,
+             CAST((doc_id * 7) % 256 AS INT) AS g,
+             CAST((doc_id * 13) % 256 AS INT) AS b
+      FROM documents"""
+
+
+def _png_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, payload) of one solid-color RGB PNG per document —
+    dims/color from the doc_id formula _PNG_SQL_DIMS states in SQL.
+    Solid pixels keep the oracle closed-form while the rotating row
+    filters still exercise every unfilter path at decode."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from .llm.png import encode_png
+
+    def gen(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = [
+                encode_png(
+                    "RGB",
+                    (4 + d % 29, 3 + d % 17),
+                    bytes((d % 256, (d * 7) % 256, (d * 13) % 256))
+                    * ((4 + d % 29) * (3 + d % 17)),
+                )
+                for d in ids
+            ]
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return (
+        spark.read.parquet(_pq(sf_dir, "documents"))
+        .select("doc_id")
+        .mapInPandas(gen, "doc_id long, payload binary")
+    )
+
+
+@register(
+    "m4_png_decode_features",
+    f"""
+    WITH dims AS ({_PNG_SQL_DIMS}),
+    lum AS (
+      SELECT doc_id, w, h, (299 * r + 587 * g + 114 * b) // 1000 AS l
+      FROM dims)
+    SELECT doc_id, w AS width, h AS height,
+           CAST(w * h AS INT) AS area,
+           CAST(l AS INT) AS l0, CAST(l AS INT) AS l1,
+           CAST(l AS INT) AS l2, CAST(l AS INT) AS l3
+    FROM lum
+    """,
+)
+def q_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end with zero image libraries: encode
+    one PNG per document (llm/png.encode_png — real zlib, filter types
+    rotating per scanline), then strict-mode feature extraction
+    (fake_decode=False, codec='png_stdlib') inflates + unfilters the
+    actual bytes, converts to integer luminance, and 2x2-thumbnails.
+    The oracle recomputes dims/luminance from the pixel formula — so a
+    decoder bug (wrong unfilter, wrong luminance, wrong dims) breaks
+    the hash. Converts the multimodal seam's longest-standing weak
+    item (fake codec at runtime) to shipped-for-PNG."""
+    from .llm.multimodal import extract_features
+
+    feats = extract_features(
+        _png_fixture(spark, sf_dir), fake_decode=False,
+        codec="png_stdlib",
+    )
+    f = F.col("features")
+    return feats.select(
+        "doc_id",
+        f[1].cast("int").alias("width"),
+        f[2].cast("int").alias("height"),
+        f[3].cast("int").alias("area"),
+        *[
+            F.round(f[4 + i] * 255, 0).cast("int").alias(f"l{i}")
+            for i in range(4)
+        ],
+    )
+
+
+_M5_MAX_SIDE = 16
+
+
+@register(
+    "m5_png_resize_dims",
+    f"""
+    WITH dims AS ({_PNG_SQL_DIMS})
+    SELECT doc_id, w AS src_width, h AS src_height,
+           CAST(CASE WHEN greatest(w, h) > {_M5_MAX_SIDE}
+                THEN greatest((w * {_M5_MAX_SIDE}) // greatest(w, h), 1)
+                ELSE w END AS INT) AS out_width,
+           CAST(CASE WHEN greatest(w, h) > {_M5_MAX_SIDE}
+                THEN greatest((h * {_M5_MAX_SIDE}) // greatest(w, h), 1)
+                ELSE h END AS INT) AS out_height
+    FROM dims
+    """,
+)
+def q_m5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize through the stdlib codec: strict-mode
+    resize_images decodes each fixture PNG, applies the shared
+    aspect-preserving integer clamp, nearest-neighbor-resizes, and
+    re-ENCODES (the resized_md5 the test suite pins offline is the
+    re-encoded payload's — not SQL-computable, so this row outputs the
+    dims the oracle can state). Source dims here come from the actual
+    IHDR parse, not a hash fake — m2 remains the fake-path dual."""
+    from .llm.multimodal import resize_images
+
+    return resize_images(
+        _png_fixture(spark, sf_dir), max_side=_M5_MAX_SIDE,
+        fake_decode=False, codec="png_stdlib",
+    ).select("doc_id", "src_width", "src_height",
+             "out_width", "out_height")

@@ -606,6 +606,7 @@ def embedding_extend_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     tag: "str | None" = None,
+    warn_list_size_factor: "float | None" = 4.0,
 ) -> bool:
     """Roll the embedding index forward: assign the batch under the
     index's OWN stored centroids and quantization mode (read back —
@@ -614,18 +615,54 @@ def embedding_extend_index(
     fresh build over the union with the original centroid sample
     (pytest-pinned). ATOMIC via the segment-manifest commit
     (_store.py); `tag` gives retry idempotence (returns False if
-    already committed)."""
+    already committed).
+
+    DRIFT WARNING: extends never retrain the quantizer (the FAISS
+    `add` contract), so per-list size only grows — and probe cost
+    grows with it: a pinned-centroid store measured scale exponent
+    0.86 vs −0.08 under the auto policy (BENCH_sf1_r10.json). A build
+    that was right at 1M vectors silently degrades at 100M. After the
+    commit this emits a UserWarning (recommending a rebuild) once
+    rows-per-centroid exceeds ``warn_list_size_factor`` × the auto
+    policy's target list size (llm/dedup_index._EMB_TARGET_LIST_SIZE);
+    the check is a metadata-only parquet row count over the committed
+    segments (footer reads, no data scan). None disables it."""
     from . import _store as ST
 
     spark = batch.sparkSession
-    meta, _, tags, _ = _committed(spark, path, _EMB_LAYOUT)
+    meta, segs, tags, _ = _committed(spark, path, _EMB_LAYOUT)
     if tag is not None and tag in tags:
         return False
     cents = _stored_centroids(spark, path, meta.meta_id)
     rows = _emb_rows(batch, cents, id_col, vec_col, bool(meta.quantize))
     seg = ST.new_segment_id()
     ST.write_segment(rows, path, "vectors", seg, "cid")
-    return ST.commit_extend(path, seg, meta.meta_id, tag=tag)
+    committed = ST.commit_extend(path, seg, meta.meta_id, tag=tag)
+    if committed and warn_list_size_factor is not None:
+        total = _read_committed_rel(spark, path, segs + [seg]).count()
+        per_list = total / max(int(meta.n_centroids), 1)
+        bound = warn_list_size_factor * _EMB_TARGET_LIST_SIZE
+        if per_list > bound:
+            import warnings
+
+            warnings.warn(
+                f"embedding index at {path}: {total} vectors over "
+                f"{meta.n_centroids} fixed centroid(s) = "
+                f"{per_list:.0f} rows per IVF list, more than "
+                f"{warn_list_size_factor}x the auto policy's "
+                f"{_EMB_TARGET_LIST_SIZE} — probe cost scales with "
+                f"list size (measured exponent 0.86 pinned vs -0.08 "
+                f"auto, BENCH_sf1_r10.json); rebuild the index to "
+                f"re-size the quantizer",
+                stacklevel=2,
+            )
+    return committed
+
+
+def _read_committed_rel(spark, path, segs):
+    from ._store import read_committed
+
+    return read_committed(spark, path, "vectors", segs)
 
 
 def embedding_against_index(

@@ -249,6 +249,40 @@ def main() -> None:
         "compact_recovery": round(t_purged / max(t_clean, 1e-3), 2),
     }
 
+    # --- 4. MAINTAIN INDEX policy (r11): before/after one policy tick ----
+    # 16 daily extends + a takedown reach both default triggers
+    # (segments >= 16, tombstone share touched); ONE maintain_index
+    # call compacts + vacuums — the number that justifies wiring
+    # maintain_every_n_epochs into the admission stream.
+    mnt = os.path.join(root, "mh_maint")
+    mparts = [docs.where(F.col("doc_id") % 16 == i) for i in range(16)]
+    minhash_build_index(mparts[0], mnt, **_LSH)
+    for p in mparts[1:]:
+        minhash_extend_index(p, mnt)
+    ST.delete_from_index(ids.where(F.col("id") % 101 == 0), mnt)
+    m_before = _best(
+        lambda: _noop(dedup_against_index(spark, mnt, batch,
+                                          threshold=0.5)),
+        args.samples,
+    )
+    t0 = time.time()
+    receipt = ST.maintain_index(spark, mnt, retention_s=0.0)
+    maint_wall = round(time.time() - t0, 3)
+    assert receipt["compacted"], receipt
+    m_after = _best(
+        lambda: _noop(dedup_against_index(spark, mnt, batch,
+                                          threshold=0.5)),
+        args.samples,
+    )
+    report["maintain_policy"] = {
+        "segments_before": 17, "tombstones_before": 1,
+        "probe_before_s": m_before,
+        "maintain_call_s": maint_wall,
+        "probe_after_s": m_after,
+        "receipt": receipt,
+        "probe_recovery": round(m_after / max(m_before, 1e-3), 2),
+    }
+
     print(json.dumps(report, indent=1))
     shutil.rmtree(root, ignore_errors=True)
     spark.stop()

@@ -577,3 +577,58 @@ def test_embedding_quantized_store_parity_recall_and_size(
     ext_schema = spark.read.parquet(
         f"{q_idx}/vectors/seg={newest}").schema.names
     assert "qvec" in ext_schema and "vec" not in ext_schema
+
+
+def test_embedding_extend_warns_on_pinned_centroid_drift(
+    spark, sf_dir, tmp_path
+):
+    """Extends never retrain the quantizer, so a pinned-centroid build
+    silently degrades as the corpus grows (measured probe exponent
+    0.86 vs -0.08 auto, BENCH_sf1_r10.json): extend must WARN once
+    rows-per-centroid exceeds warn_list_size_factor x the auto
+    policy's target list size — and stay silent below the bound, on
+    retried (already-committed) tags, and when disabled."""
+    import warnings
+
+    vecs = _vecs(spark, sf_dir)
+    part_a = vecs.where(F.col("vec_id") % 3 == 0)
+    part_b = vecs.where(F.col("vec_id") % 3 == 1)
+    n_a = part_a.count()
+    n_b = part_b.count()
+    idx = str(tmp_path / "emb")
+    embedding_build_index(part_a, idx, n_centroids=2)
+
+    # factor sized so the bound sits BETWEEN pre- and post-extend
+    # rows-per-centroid: the same extend is silent at a loose bound
+    # and warns at the drifted one
+    from configurable_etl_python_repo_spark.llm.dedup_index import (
+        _EMB_TARGET_LIST_SIZE as TL,
+    )
+
+    tight = ((n_a + n_b) / 2) / TL * 0.9   # post-extend exceeds this
+    loose = ((n_a + n_b) / 2) / TL * 1.1   # post-extend stays under
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        embedding_extend_index(part_b, idx, tag="e1",
+                               warn_list_size_factor=loose)
+    assert not [w for w in rec if "rows per IVF list" in str(w.message)]
+
+    idx2 = str(tmp_path / "emb2")
+    embedding_build_index(part_a, idx2, n_centroids=2)
+    with pytest.warns(UserWarning, match="rebuild the index"):
+        embedding_extend_index(part_b, idx2, tag="e1",
+                               warn_list_size_factor=tight)
+    # a retried (tag-committed) extend is a no-op: no warning
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        assert embedding_extend_index(
+            part_b, idx2, tag="e1", warn_list_size_factor=tight
+        ) is False
+    assert not [w for w in rec if "IVF" in str(w.message)]
+    # disabled check never counts or warns
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        embedding_extend_index(part_b, idx2, tag="e2",
+                               warn_list_size_factor=None)
+    assert not [w for w in rec if "IVF" in str(w.message)]
