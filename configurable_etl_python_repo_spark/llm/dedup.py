@@ -422,7 +422,15 @@ def _fold_group_keys(
     """Fold a doc's group value INTO its banding key so cross-group
     collisions are pruned inside the candidate self-join's hash buckets
     (hot band keys SPLIT per group — the skew win), never post-filtered
-    from a wider candidate set. Shared by the MinHash and SimHash pair
+    from a wider candidate set. MEASURED (SKEW_r11.json, the
+    boilerplate-shard fixture: 1/7 of 50k docs share a 24-word
+    sentence across 20 groups): the fold cut the candidate-join work
+    (sum of C(n,2) over buckets) to 0.29x and the max bucket to 0.52x
+    for BOTH families (minhash 1.61M -> 0.47M candidates, max bucket
+    1339 -> 696; simhash 21.4M -> 6.1M, 1609 -> 816), wall 8.1s ->
+    1.7s / 2.9s -> 1.4s — part of the wall drop is the narrower
+    same-group question, the bucket shape is the skew evidence proper.
+    Shared by the MinHash and SimHash pair
     joins. Semantics: prepending equal group strings to equal keys
     collides iff the original keys collide, so for same-group pairs the
     grouped op is bit-identical to the ungrouped one.
