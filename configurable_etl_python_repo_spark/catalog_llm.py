@@ -2316,6 +2316,25 @@ def q_x22(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.peek("admitted")[0]
 
 
+
+def _proc_tmp_root(prefix: str, sf_dir: str) -> str:
+    """Per-process /tmp fixture path for the rmtree-at-entry rows
+    (x28/x29/x30/x31/x32/x33): the pid keeps concurrent processes —
+    the driver and a sweep — from deleting each other's live stores
+    mid-run, and an atexit rmtree keeps the per-pid dirs from leaking
+    across CI rounds (pids never repeat, so no later run would ever
+    clean them)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    tag = f"{sf_dir.strip('/').replace('/', '_')}_{os.getpid()}"
+    root = os.path.join(tempfile.gettempdir(), f"cfg_etl_{prefix}_{tag}")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return root
+
+
 def _stream_admission_oracle() -> str:
     """x28 = TWO SEQUENTIAL admission epochs: epoch 1 probes the corpus
     index; epoch 2 probes corpus ∪ epoch-1 ADMISSIONS (the extend
@@ -2391,14 +2410,10 @@ def q_x28(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") + 2000000).alias("doc_id"), "text"
         )
     )
-    # pid in the path: this fixture rmtrees at entry (unlike the
-    # _build_once marker trees), so two concurrent processes — the
-    # driver and a sweep — over the same sf_dir must not share it or
-    # each deletes the other's live index mid-run
-    tag = f"{sf_dir.strip('/').replace('/', '_')}_{os.getpid()}"
-    root = os.path.join(tempfile.gettempdir(), f"cfg_etl_x28_{tag}")
+    # per-process + atexit-cleaned fixture root (see _proc_tmp_root);
     # extend APPENDS and the checkpoint records epochs: start clean so
     # a repeated invocation measures the same pipeline every time
+    root = _proc_tmp_root("x28", sf_dir)
     shutil.rmtree(root, ignore_errors=True)
     idx, out = os.path.join(root, "idx"), os.path.join(root, "out")
     src = os.path.join(root, "incoming")
@@ -2463,11 +2478,7 @@ def _deleted_minhash_store(spark: SparkSession, sf_dir: str, name: str):
     from .llm._store import delete_from_index
 
     corpus, batch = _incr_split(spark, sf_dir)
-    # pid in the path: rmtree-at-entry fixtures must be per-process
-    # (see q_x28) — concurrent driver + sweep would otherwise delete
-    # each other's live store mid-run
-    tag = f"{sf_dir.strip('/').replace('/', '_')}_{os.getpid()}"
-    path = os.path.join(tempfile.gettempdir(), f"cfg_etl_{name}_{tag}")
+    path = _proc_tmp_root(name, sf_dir)
     shutil.rmtree(path, ignore_errors=True)
     DI.minhash_build_index(
         corpus, path, n=_JACCARD_N, bands=_LSH_BANDS,
@@ -2602,9 +2613,7 @@ def q_x29(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("vec_id") + 2000000).alias("vec_id"), "embedding"
         )
     )
-    # pid in the path: rmtree-at-entry fixture, per-process (see q_x28)
-    tag = f"{sf_dir.strip('/').replace('/', '_')}_{os.getpid()}"
-    root = os.path.join(tempfile.gettempdir(), f"cfg_etl_x29_{tag}")
+    root = _proc_tmp_root("x29", sf_dir)
     shutil.rmtree(root, ignore_errors=True)
     idx, out = os.path.join(root, "idx"), os.path.join(root, "out")
     src = os.path.join(root, "incoming")
@@ -4599,9 +4608,7 @@ def q_x33(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") + 2000000).alias("doc_id"), "text"
         )
     )
-    # pid in the path: rmtree-at-entry fixture, per-process (see q_x28)
-    tag = f"{sf_dir.strip('/').replace('/', '_')}_{os.getpid()}"
-    root = os.path.join(tempfile.gettempdir(), f"cfg_etl_x33_{tag}")
+    root = _proc_tmp_root("x33", sf_dir)
     shutil.rmtree(root, ignore_errors=True)
     idx, out = os.path.join(root, "idx"), os.path.join(root, "out")
     src = os.path.join(root, "incoming")

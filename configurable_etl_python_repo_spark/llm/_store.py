@@ -229,6 +229,7 @@ def read_manifest(
             f"this snapshot is no longer readable"
         )
     man.setdefault("tombstones", [])
+    man.setdefault("rows", {})
     return version, man
 
 
@@ -299,14 +300,19 @@ def _publish(st: LogStore, base: int, payload: dict) -> int:
 
 
 def commit_build(
-    path: str, seg: str, meta_id: str, store: LogStore | None = None
+    path: str, seg: str, meta_id: str, store: LogStore | None = None,
+    row_count: "int | None" = None,
 ) -> int:
     """THE build commit: publish a manifest naming ONLY the fresh
     segment — an atomic whole-index replace. Tags reset: a rebuild is a
     new corpus generation, and idempotence markers from the old one
     must not suppress re-admission into it. Retries commit races (the
     loser of each race re-reads and re-publishes; its segment data is
-    version-independent)."""
+    version-independent). `row_count` (optional) records the segment's
+    primary-relation row count in the manifest's "rows" map — an O(1)
+    statistic policies (the embedding drift warning) read instead of
+    scanning the store; segments without an entry are simply absent
+    from the map (readers fall back to counting them)."""
     st = _seg_store(path, store)
     for _ in range(_MAX_COMMIT_RETRIES):
         version = _latest_version(st)
@@ -317,6 +323,8 @@ def commit_build(
                 "tags": {},
                 "meta_id": meta_id,
                 "tombstones": [],
+                "rows": ({} if row_count is None
+                         else {seg: int(row_count)}),
             })
         except ConcurrentWriteError:
             continue
@@ -333,6 +341,7 @@ def commit_extend(
     tag: "str | None" = None,
     store: LogStore | None = None,
     tombstone: bool = False,
+    row_count: "int | None" = None,
 ) -> bool:
     """THE extend commit: append `seg` to the committed list. Returns
     False (and publishes nothing) if `tag` is already committed — the
@@ -361,6 +370,9 @@ def commit_extend(
         tombstones = list(man.get("tombstones") or [])
         if tombstone:
             tombstones = tombstones + [seg]
+        rows = dict(man.get("rows") or {})
+        if row_count is not None:
+            rows[seg] = int(row_count)
         try:
             _publish(st, version, {
                 "version": version + 1,
@@ -368,6 +380,7 @@ def commit_extend(
                 "tags": tags,
                 "meta_id": meta_id,
                 "tombstones": tombstones,
+                "rows": rows,
             })
             return True
         except ConcurrentWriteError:
@@ -430,6 +443,11 @@ def commit_replace(
         snapshot_tombstones = (
             [s for s in replaced if s in tomb] if kept_data else []
         )
+        rows = dict(man.get("rows") or {})
+        kept_rows = {s_: n for s_, n in rows.items() if s_ in set(kept)}
+        # new_seg gets NO entry: compaction may have purged tombstoned
+        # rows, so its count is unknown here — readers count it once
+        # (one segment, exactly when listing is cheapest)
         try:
             return _publish(st, version, {
                 "version": version + 1,
@@ -437,6 +455,7 @@ def commit_replace(
                 "tags": dict(man.get("tags") or {}),
                 "meta_id": meta_id,
                 "tombstones": kept_tombstones + snapshot_tombstones,
+                "rows": kept_rows,
             })
         except ConcurrentWriteError:
             continue

@@ -568,11 +568,11 @@ def embedding_build_index(
     from . import _store as ST
     from .similarity import _hash_order_sample
 
+    if target_list_size < 1:
+        raise ValueError(
+            f"target_list_size must be >= 1, got {target_list_size}"
+        )
     if n_centroids is None:
-        if target_list_size < 1:
-            raise ValueError(
-                f"target_list_size must be >= 1, got {target_list_size}"
-            )
         n_centroids = max(
             1, math.ceil(corpus.count() / target_list_size)
         )
@@ -584,12 +584,22 @@ def embedding_build_index(
     ST.write_segment(rows, path, "vectors", seg, "cid")
     spark = corpus.sparkSession
     ST.write_centroids(spark, path, cents, meta_id)
+    # target_list_size rides _meta so the extend-time drift warning
+    # compares against the bound THIS build was sized for (an explicit
+    # n_centroids pin still records the caller's intended list size);
+    # additive column — pre-r11 stores read it as absent
     spark.createDataFrame(
-        [(len(cents), bool(quantize), _EMB_LAYOUT, meta_id)],
+        [(len(cents), bool(quantize), _EMB_LAYOUT, meta_id,
+          int(target_list_size))],
         "n_centroids int, quantize boolean, layout string, "
-        "meta_id string",
+        "meta_id string, target_list_size int",
     ).coalesce(1).write.mode("overwrite").parquet(path + "/_meta")
-    ST.commit_build(path, seg, meta_id)
+    # manifest-carried row count: O(1) reads for the drift policy (one
+    # metadata-only footer count of the just-written segment)
+    n_rows = spark.read.parquet(
+        f"{ST._rel_root(path, 'vectors')}/seg={seg}"
+    ).count()
+    ST.commit_build(path, seg, meta_id, row_count=n_rows)
 
 
 def _stored_centroids(spark: SparkSession, path: str, meta_id: str):
@@ -623,25 +633,47 @@ def embedding_extend_index(
     0.86 vs −0.08 under the auto policy (BENCH_sf1_r10.json). A build
     that was right at 1M vectors silently degrades at 100M. After the
     commit this emits a UserWarning (recommending a rebuild) once
-    rows-per-centroid exceeds ``warn_list_size_factor`` × the auto
-    policy's target list size (llm/dedup_index._EMB_TARGET_LIST_SIZE);
-    the check is a metadata-only parquet row count over the committed
-    segments (footer reads, no data scan). None disables it."""
+    rows-per-centroid exceeds ``warn_list_size_factor`` × the BUILD's
+    own target list size (recorded in _meta since r11; pre-r11 stores
+    fall back to the policy default). The total is O(1): per-segment
+    row counts ride the manifest's "rows" map (each extend/build
+    records its own segment's count — one footer read of the
+    just-written dir), and only segments without an entry (a
+    compacted segment, or a pre-r11 extend) are counted, which is
+    exactly when the store has few segments. Tombstoned-but-unpurged
+    rows still count (the heuristic measures list size, which deletes
+    don't shrink until compaction). None disables the check."""
     from . import _store as ST
 
     spark = batch.sparkSession
-    meta, segs, tags, _ = _committed(spark, path, _EMB_LAYOUT)
+    meta, segs, tags, man = _committed(spark, path, _EMB_LAYOUT)
     if tag is not None and tag in tags:
         return False
     cents = _stored_centroids(spark, path, meta.meta_id)
     rows = _emb_rows(batch, cents, id_col, vec_col, bool(meta.quantize))
     seg = ST.new_segment_id()
     ST.write_segment(rows, path, "vectors", seg, "cid")
-    committed = ST.commit_extend(path, seg, meta.meta_id, tag=tag)
+    seg_rows = spark.read.parquet(
+        f"{ST._rel_root(path, 'vectors')}/seg={seg}"
+    ).count()
+    committed = ST.commit_extend(
+        path, seg, meta.meta_id, tag=tag, row_count=seg_rows
+    )
     if committed and warn_list_size_factor is not None:
-        total = _read_committed_rel(spark, path, segs + [seg]).count()
+        counts = dict(man.get("rows") or {})
+        counts[seg] = seg_rows
+        missing = [s for s in segs if s not in counts]
+        total = sum(counts.get(s, 0) for s in segs + [seg])
+        if missing:
+            from ._store import read_committed
+
+            total += read_committed(
+                spark, path, "vectors", missing
+            ).count()
+        target = getattr(meta, "target_list_size", None)
+        target = _EMB_TARGET_LIST_SIZE if target is None else int(target)
         per_list = total / max(int(meta.n_centroids), 1)
-        bound = warn_list_size_factor * _EMB_TARGET_LIST_SIZE
+        bound = warn_list_size_factor * target
         if per_list > bound:
             import warnings
 
@@ -649,20 +681,14 @@ def embedding_extend_index(
                 f"embedding index at {path}: {total} vectors over "
                 f"{meta.n_centroids} fixed centroid(s) = "
                 f"{per_list:.0f} rows per IVF list, more than "
-                f"{warn_list_size_factor}x the auto policy's "
-                f"{_EMB_TARGET_LIST_SIZE} — probe cost scales with "
-                f"list size (measured exponent 0.86 pinned vs -0.08 "
-                f"auto, BENCH_sf1_r10.json); rebuild the index to "
-                f"re-size the quantizer",
+                f"{warn_list_size_factor}x the build's target of "
+                f"{target} — probe cost scales with list size "
+                f"(measured exponent 0.86 pinned vs -0.08 auto, "
+                f"BENCH_sf1_r10.json); rebuild the index to re-size "
+                f"the quantizer",
                 stacklevel=2,
             )
     return committed
-
-
-def _read_committed_rel(spark, path, segs):
-    from ._store import read_committed
-
-    return read_committed(spark, path, "vectors", segs)
 
 
 def embedding_against_index(

@@ -190,6 +190,11 @@ def extract_features(
     src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # resolve the codec ONCE per partition, not per payload: with
+        # codec=None in a Pillow-less container the import-try is a
+        # failed import every time (never cached by Python), and this
+        # loop is the decode hot path
+        resolved = None if fake_decode else resolve_image_codec(codec)
         for pdf in it:
             for start in range(0, len(pdf), target_rows_per_batch):
                 chunk = pdf.iloc[start : start + target_rows_per_batch]
@@ -204,7 +209,7 @@ def extract_features(
                         ),
                         "features": chunk["payload"].map(
                             lambda b: _decode_payload(
-                                bytes(b), fake_decode, codec
+                                bytes(b), fake_decode, resolved
                             )
                         ),
                     }
@@ -271,13 +276,15 @@ def resize_images(
     src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # once per partition, not per row (see extract_features)
+        resolved = None if fake_decode else resolve_image_codec(codec)
         for pdf in it:
             for start in range(0, len(pdf), target_rows_per_batch):
                 chunk = pdf.iloc[start : start + target_rows_per_batch]
                 rows = []
                 for doc_id, payload in zip(chunk["doc_id"], chunk["payload"]):
                     if not fake_decode:
-                        Image = resolve_image_codec(codec)
+                        Image = resolved
                         import io
 
                         img = Image.open(io.BytesIO(bytes(payload)))

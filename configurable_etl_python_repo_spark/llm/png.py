@@ -266,6 +266,10 @@ def decode_png(payload: bytes) -> PngImage:
         pos += 12 + length
     if ihdr is None or not idat:
         raise ValueError("corrupt PNG: missing IHDR/IDAT")
+    if len(ihdr) != 13:
+        raise ValueError(
+            f"corrupt PNG: IHDR is {len(ihdr)} bytes, expected 13"
+        )
     w, h, depth, color, comp, filt, interlace = struct.unpack(
         ">IIBBBBB", ihdr
     )
@@ -287,7 +291,23 @@ def decode_png(payload: bytes) -> PngImage:
             f"corrupt PNG: compression={comp} filter_method={filt}"
         )
     mode, ch = _COLOR_TYPES[color]
-    data = _unfilter(zlib.decompress(bytes(idat)), w, h, ch)
+    expected = (w * ch + 1) * h
+    # bounded inflate: a crafted few-KB payload declaring small dims
+    # but carrying a multi-GB compressible stream must not allocate
+    # past the size the IHDR promises (decompression-bomb guard for
+    # untrusted crawl corpora) — and zlib/length errors surface as the
+    # documented ValueError, so quarantine-by-exception-type works
+    try:
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), expected)
+        if d.unconsumed_tail or (d.flush() and len(raw) >= expected):
+            raise ValueError(
+                f"corrupt PNG: IDAT inflates past the {expected} "
+                f"bytes its {w}x{h} IHDR declares"
+            )
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG: IDAT inflate failed ({e})") from e
+    data = _unfilter(raw, w, h, ch)
     return PngImage(mode, (w, h), bytes(data))
 
 

@@ -271,19 +271,31 @@ def _incarnation_id(checkpoint: str) -> str:
     Create-if-absent via O_EXCL: when two starts race, both read the
     single winner's id. Local-filesystem checkpoint assumed (the same
     assumption Spark's own file-source checkpoint makes here); for an
-    object-store checkpoint pass an explicit tag_prefix instead."""
+    object-store checkpoint pass an explicit tag_prefix instead.
+
+    MIGRATION: a checkpoint that predates the run-id file (it has
+    Spark's own offsets/commits dirs but no marker) committed its
+    epochs under the LEGACY path-only prefix — minting a fresh uuid
+    for it would miss those tags and double-extend a redelivered
+    epoch. Such a checkpoint gets the sentinel id "legacy", which
+    reproduces the legacy digest input exactly; only a genuinely new
+    (or wiped — Spark's dirs gone) checkpoint mints a uuid."""
     import os as _os
     import uuid as _uuid
 
     _os.makedirs(checkpoint, exist_ok=True)
     marker = _os.path.join(checkpoint, "__admission_run_id")
+    pre_existing = any(
+        _os.path.isdir(_os.path.join(checkpoint, d))
+        for d in ("offsets", "commits", "sources")
+    )
     try:
         fd = _os.open(marker, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
     except FileExistsError:
         pass
     else:
         with _os.fdopen(fd, "w") as f:
-            f.write(_uuid.uuid4().hex)
+            f.write("legacy" if pre_existing else _uuid.uuid4().hex)
     with open(marker) as f:
         rid = f.read().strip()
     if not rid:
@@ -299,6 +311,10 @@ def _incarnation_id(checkpoint: str) -> str:
                 f"empty admission run-id marker at {marker} — remove "
                 f"it (or pass tag_prefix explicitly) and restart"
             )
+    if rid == "legacy":
+        # reproduce the pre-run-id digest input byte-for-byte so the
+        # old incarnation's committed tags keep matching
+        return _os.path.abspath(checkpoint)
     return f"{_os.path.abspath(checkpoint)}\x1f{rid}"
 
 

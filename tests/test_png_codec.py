@@ -104,6 +104,43 @@ def test_out_of_scope_raises_loudly():
         png.PngImage("L", (1, 1), b"x").save(io.BytesIO(), format="JPEG")
 
 
+def test_malformed_bytes_raise_valueerror_never_leak(spark):
+    """Quarantine-by-exception-type must work: corrupt IDAT and short
+    IHDR surface as the documented ValueError, never raw zlib.error /
+    struct.error; and a payload whose IDAT inflates past its declared
+    dims (a decompression bomb) is rejected at the declared bound."""
+    import struct as _struct
+
+    ok = png.encode_png("L", (3, 3), bytes(9))
+    # corrupt the IDAT body (flip bytes after its 8-byte header)
+    idat_off = 8 + 12 + 13 + 8
+    bad = bytearray(ok)
+    for i in range(idat_off, min(idat_off + 6, len(bad) - 12)):
+        bad[i] ^= 0xFF
+    with pytest.raises(ValueError, match="corrupt PNG"):
+        png.decode_png(bytes(bad))
+    # short IHDR: shrink the declared chunk length and body
+    short = (
+        ok[:8]
+        + _struct.pack(">I", 5) + b"IHDR" + ok[16:21] + b"\x00" * 4
+    )
+    with pytest.raises(ValueError, match="IHDR"):
+        png.decode_png(short)
+    # bomb: big real image, IHDR patched to claim tiny dims — must be
+    # rejected at the declared bound, not after a full inflate
+    big = bytearray(png.encode_png("L", (100, 100), bytes(10000)))
+    big[16:24] = _struct.pack(">II", 3, 3)
+    with pytest.raises(ValueError, match="inflate|declares"):
+        png.decode_png(bytes(big))
+    # and the Spark strict path stays a clean Python exception chain
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([Row(doc_id=1, payload=bytes(bad))])
+    with pytest.raises(Exception, match="corrupt PNG"):
+        extract_features(df, fake_decode=False,
+                         codec="png_stdlib").collect()
+
+
 def test_codec_registry_resolution():
     assert resolve_image_codec("png_stdlib") is png
     with pytest.raises(ValueError, match="unknown image codec"):

@@ -521,3 +521,32 @@ def test_stream_with_maintenance_equals_stream_without(
         return sorted(t.rsplit("-", 1)[1] for t in man["tags"])
 
     assert epochs(man_m) == epochs(man_p) == ["0", "1"]
+
+
+def test_legacy_checkpoint_migration_keeps_path_keyed_tags(tmp_path):
+    """A checkpoint that predates the run-id marker (Spark's offsets/
+    dir present, no marker) committed its epochs under the LEGACY
+    path-only prefix — the incarnation id must reproduce that digest
+    input exactly, or a redelivered epoch would miss its tag and
+    double-extend. Only a genuinely fresh checkpoint mints a uuid."""
+    import os
+
+    from configurable_etl_python_repo_spark.streaming.admission import (
+        _incarnation_id,
+    )
+
+    legacy = tmp_path / "old_ckpt"
+    (legacy / "offsets").mkdir(parents=True)
+    want = os.path.abspath(str(legacy))
+    assert _incarnation_id(str(legacy)) == want
+    assert _incarnation_id(str(legacy)) == want  # stable across calls
+
+    fresh = tmp_path / "new_ckpt"
+    rid = _incarnation_id(str(fresh))
+    assert rid != os.path.abspath(str(fresh)) and "\x1f" in rid
+    assert _incarnation_id(str(fresh)) == rid  # marker persisted
+    # wiping the fresh checkpoint (marker included) mints a NEW id
+    import shutil
+
+    shutil.rmtree(fresh)
+    assert _incarnation_id(str(fresh)) != rid
