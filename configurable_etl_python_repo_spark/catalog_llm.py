@@ -2391,7 +2391,6 @@ def q_x28(spark: SparkSession, sf_dir: str) -> DataFrame:
     (/root/reference/Data_Ingestion_Python.py:111-194)."""
     import os
     import shutil
-    import tempfile
 
     from .llm.dedup_index import minhash_build_index
     from .streaming.admission import start_index_admission
@@ -2472,7 +2471,6 @@ def _deleted_minhash_store(spark: SparkSession, sf_dir: str, name: str):
     same pipeline every time."""
     import os
     import shutil
-    import tempfile
 
     from .llm import dedup_index as DI
     from .llm._store import delete_from_index
@@ -2594,7 +2592,6 @@ def q_x29(spark: SparkSession, sf_dir: str) -> DataFrame:
     for every probe-returning index family."""
     import os
     import shutil
-    import tempfile
 
     from .llm.dedup_index import embedding_build_index
     from .streaming.admission import start_index_admission
@@ -4589,7 +4586,6 @@ def q_x33(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe-returning index families (minhash / simhash / embedding)."""
     import os
     import shutil
-    import tempfile
 
     from .llm.dedup_index import simhash_build_index
     from .streaming.admission import start_index_admission

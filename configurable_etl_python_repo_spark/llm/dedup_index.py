@@ -572,6 +572,11 @@ def embedding_build_index(
         raise ValueError(
             f"target_list_size must be >= 1, got {target_list_size}"
         )
+    if corpus.isEmpty():
+        raise ValueError(
+            "cannot build an embedding index over an EMPTY corpus — "
+            "the store would have no quantizer and no readable segment"
+        )
     if n_centroids is None:
         n_centroids = max(
             1, math.ceil(corpus.count() / target_list_size)
@@ -648,6 +653,11 @@ def embedding_extend_index(
     spark = batch.sparkSession
     meta, segs, tags, man = _committed(spark, path, _EMB_LAYOUT)
     if tag is not None and tag in tags:
+        return False
+    if batch.isEmpty():
+        # the delete_from_index discipline: an empty mutation commits
+        # nothing (an empty segment would also break the footer count —
+        # a 0-row partitioned write emits no parquet files to read)
         return False
     cents = _stored_centroids(spark, path, meta.meta_id)
     rows = _emb_rows(batch, cents, id_col, vec_col, bool(meta.quantize))

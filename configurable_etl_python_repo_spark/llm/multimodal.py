@@ -347,13 +347,16 @@ def sample_frames(
     src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # once per partition, not per row (see extract_features)
+        resolved = (None if fake_decode
+                    else codec if codec is not None else _video_codec())
         for pdf in it:
             for start in range(0, len(pdf), target_rows_per_batch):
                 chunk = pdf.iloc[start : start + target_rows_per_batch]
                 rows = []
                 for doc_id, payload in zip(chunk["doc_id"], chunk["payload"]):
                     if not fake_decode:
-                        av = codec if codec is not None else _video_codec()
+                        av = resolved
                         if av is None:
                             raise NotImplementedError(
                                 "frame decode requires a video codec not in "

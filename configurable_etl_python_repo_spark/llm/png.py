@@ -290,6 +290,10 @@ def decode_png(payload: bytes) -> PngImage:
         raise ValueError(
             f"corrupt PNG: compression={comp} filter_method={filt}"
         )
+    if w < 1 or h < 1:
+        # also load-bearing for the bomb guard below: w=0 or h=0 would
+        # make expected=0, and zlib's max_length=0 means UNLIMITED
+        raise ValueError(f"corrupt PNG: dimensions {w}x{h}")
     mode, ch = _COLOR_TYPES[color]
     expected = (w * ch + 1) * h
     # bounded inflate: a crafted few-KB payload declaring small dims

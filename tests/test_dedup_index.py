@@ -632,3 +632,21 @@ def test_embedding_extend_warns_on_pinned_centroid_drift(
         embedding_extend_index(part_b, idx2, tag="e2",
                                warn_list_size_factor=None)
     assert not [w for w in rec if "IVF" in str(w.message)]
+
+
+def test_embedding_empty_mutations(spark, sf_dir, tmp_path):
+    """The delete_from_index discipline applied to the vector store:
+    an empty extend commits nothing (and must not crash the new
+    footer-count drift check); an empty build is refused loudly."""
+    vecs = _vecs(spark, sf_dir)
+    part_a = vecs.where(F.col("vec_id") % 3 == 0)
+    empty = vecs.where(F.lit(False))
+    idx = str(tmp_path / "emb")
+    embedding_build_index(part_a, idx, n_centroids=2)
+    import configurable_etl_python_repo_spark.llm._store as ST
+
+    before = ST.read_manifest(idx)
+    assert embedding_extend_index(empty, idx) is False
+    assert ST.read_manifest(idx) == before
+    with pytest.raises(ValueError, match="EMPTY corpus"):
+        embedding_build_index(empty, str(tmp_path / "bad"))

@@ -119,13 +119,23 @@ def test_malformed_bytes_raise_valueerror_never_leak(spark):
         bad[i] ^= 0xFF
     with pytest.raises(ValueError, match="corrupt PNG"):
         png.decode_png(bytes(bad))
-    # short IHDR: shrink the declared chunk length and body
+    # short IHDR: shrink the declared chunk length and body — keep the
+    # real IDAT+IEND chunks so the 13-byte length guard (not the
+    # missing-chunk guard) is what fires
+    ihdr_end = 8 + 12 + 13
     short = (
         ok[:8]
         + _struct.pack(">I", 5) + b"IHDR" + ok[16:21] + b"\x00" * 4
+        + ok[ihdr_end:]
     )
-    with pytest.raises(ValueError, match="IHDR"):
+    with pytest.raises(ValueError, match="expected 13"):
         png.decode_png(short)
+    # zero-dimension bomb bypass: w=0 would make the inflate bound 0
+    # (zlib max_length=0 = unlimited) — must be rejected pre-inflate
+    zero = bytearray(ok)
+    zero[16:20] = _struct.pack(">I", 0)
+    with pytest.raises(ValueError, match="dimensions"):
+        png.decode_png(bytes(zero))
     # bomb: big real image, IHDR patched to claim tiny dims — must be
     # rejected at the declared bound, not after a full inflate
     big = bytearray(png.encode_png("L", (100, 100), bytes(10000)))
