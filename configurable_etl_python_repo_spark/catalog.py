@@ -1201,11 +1201,15 @@ DRIVER_PRIORITY = [
     "c8_decision_column", "j2_outer_join_counts", "j4_qualified_join",
     "j3_spine_study", "a1_groupby_summarise", "a4_unique_keep_first",
     "w2_sort_slice_topn", "f2_datetime_functions",
-    # event-time analytics (§2.9 batch shape) + the REAL stream rows
-    # (x28 minhash r10; x33 simhash NEW r11 — the FAMILIES registry's
-    # third member through the same admission composition)
-    "e2_sessionize_gap30m", "x28_streaming_admission",
-    "x33_simhash_stream_admission",
+    # REAL stream rows (x28 minhash r10; x33 simhash NEW r11 — the
+    # FAMILIES registry's third member; x34 searchable admission NEW
+    # late-r11 — the ingest-feeds-retrieval composition, its oracle
+    # chaining x28's _admission_ctes AND n5's _bm25_ctes verbatim).
+    # e2 demoted for x34: ten green driver rows (r1-r10), and the
+    # §2.9 event-time family stays via THREE in-window real streams
+    # plus the e1/e3 sweep rows and the streaming pytest suites.
+    "x28_streaming_admission", "x33_simhash_stream_admission",
+    "x34_searchable_admission",
     # LLM pipeline: dedup + persisted indexes — x32 (NEW r11) is the
     # MAINTAIN INDEX policy bracketing the same fixture x30/x31 pin
     "d12_dedup_keep_best", "x31_index_time_travel",

@@ -2335,15 +2335,13 @@ def _proc_tmp_root(prefix: str, sf_dir: str) -> str:
     return root
 
 
-def _stream_admission_oracle() -> str:
-    """x28 = TWO SEQUENTIAL admission epochs: epoch 1 probes the corpus
-    index; epoch 2 probes corpus ∪ epoch-1 ADMISSIONS (the extend
-    landed in between). Each probe is one _cross_pairs_ctes instance —
-    the same generator the d15/x22 oracles use, chained under distinct
-    prefixes, so the streaming composition is pinned to the standalone
-    probe twice over."""
+def _admission_ctes() -> str:
+    """The x28 admission chain WITHOUT the final select: ends at
+    `adm1`/`adm2` (each epoch's admitted rows). x28 unions them with
+    epoch stamps; x34 unions them into the post-stream SEARCH corpus —
+    one chain, two rows, zero drift."""
     return f"""
-    WITH e1 AS (
+    e1 AS (
       SELECT doc_id, text FROM documents WHERE doc_id % 4 = 1
       UNION ALL
       SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
@@ -2366,11 +2364,24 @@ def _stream_admission_oracle() -> str:
       SELECT doc_id, text, 1 AS side FROM e2),{_cross_pairs_ctes("u2", "b_").rstrip()},
     adm2 AS (
       SELECT doc_id, text FROM e2
-      WHERE doc_id NOT IN (SELECT id_a FROM b_ipairs))
+      WHERE doc_id NOT IN (SELECT id_a FROM b_ipairs))"""
+
+
+def _stream_admission_oracle() -> str:
+    """x28 = TWO SEQUENTIAL admission epochs: epoch 1 probes the corpus
+    index; epoch 2 probes corpus ∪ epoch-1 ADMISSIONS (the extend
+    landed in between). Each probe is one _cross_pairs_ctes instance —
+    the same generator the d15/x22 oracles use, chained under distinct
+    prefixes, so the streaming composition is pinned to the standalone
+    probe twice over."""
+    return (
+        "WITH " + _admission_ctes().strip()
+        + """
     SELECT doc_id, text, 0 AS epoch FROM adm1
     UNION ALL
     SELECT doc_id, text, 1 AS epoch FROM adm2
     """
+    )
 
 
 @register("x28_streaming_admission", _stream_admission_oracle())
@@ -4345,17 +4356,19 @@ _BM25_K = 10
 
 
 def _bm25_ctes(query: str = _BM25_QUERY, k: int = _BM25_K,
-               k1: float = 1.2, b: float = 0.75) -> str:
+               k1: float = 1.2, b: float = 0.75,
+               src: str = "documents") -> str:
     """SQL replay of llm/search.bm25_topk with the expression tree in
     the SAME association order (idf ln 6dp-rounded first, per-term
     score 6dp-rounded, per-doc DECIMAL(38,6) sums, one final double
     cast) so both engines build identical floats. Final CTE
-    `bm25r`(doc_id, score, rank) — shared by the n5 oracle and the n6
-    hybrid-fusion oracle so the lexical leg can never drift."""
+    `bm25r`(doc_id, score, rank) — shared by the n5 oracle, the n6
+    hybrid-fusion oracle, and (via `src`) the x34 searchable-admission
+    oracle, so the lexical leg can never drift."""
     terms = sorted(set(query.lower().split()))
     in_list = ", ".join(f"'{t}'" for t in terms)
     return f"""
-    {_words_sql().strip()},
+    {_words_sql(src).strip()},
     lens AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM words),
     stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
                      CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
@@ -4756,3 +4769,88 @@ def q_m5(spark: SparkSession, sf_dir: str) -> DataFrame:
         fake_decode=False, codec="png_stdlib",
     ).select("doc_id", "src_width", "src_height",
              "out_width", "out_height")
+
+
+def _searchable_admission_oracle() -> str:
+    """x34 = the admission chain (x28's own `_admission_ctes`,
+    verbatim) feeding retrieval: the post-stream BM25 search corpus is
+    corpus ∪ epoch-1 admissions ∪ epoch-2 admissions, scored by n5's
+    own `_bm25_ctes` generator over that union — ingest and search
+    pinned to each other's standalone oracles in one statement."""
+    return (
+        "WITH " + _admission_ctes().strip()
+        + f""",
+    scorpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, text FROM adm1
+      UNION ALL
+      SELECT doc_id, text FROM adm2),{_bm25_ctes(src="scorpus").rstrip()}
+    SELECT doc_id, score, rank FROM bm25r
+    """
+    )
+
+
+@register("x34_searchable_admission", _searchable_admission_oracle())
+def q_x34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admitted docs are IMMEDIATELY SEARCHABLE: the x28 admission
+    stream runs with ``search_index_path`` — each epoch's admissions
+    also roll a persisted BM25 index forward (between the output write
+    and the dedup extend, same epoch tag in its own manifest, so
+    exactly-once survives the second store; crash points pinned in
+    tests/test_streaming_admission.py). The returned result is a REAL
+    bm25_search_index over the post-stream index; the oracle replays
+    admission + scoring from the two generators' standalone chains.
+    This is the production ingest-feeds-retrieval shape: a doc
+    admitted at epoch N is findable at epoch N, not after a nightly
+    rebuild."""
+    import os
+    import shutil
+
+    from .llm.dedup_index import minhash_build_index
+    from .llm.search import bm25_build_index, bm25_search_index
+    from .streaming.admission import start_index_admission
+
+    docs = spark.read.parquet(_pq(sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    e1 = docs.where(F.col("doc_id") % 4 == 1).unionByName(
+        docs.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    e2 = docs.where(F.col("doc_id") % 4 == 3).unionByName(
+        docs.where(F.col("doc_id") % 20 == 1).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+        )
+    )
+    root = _proc_tmp_root("x34", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    idx = os.path.join(root, "idx")
+    sidx = os.path.join(root, "sidx")
+    out = os.path.join(root, "out")
+    src = os.path.join(root, "incoming")
+    e1.coalesce(1).write.parquet(src + "/batch=0")
+    e2.coalesce(1).write.parquet(src + "/batch=1")
+    now = os.path.getmtime(src + "/batch=0")
+    for i in (0, 1):
+        for f in os.listdir(f"{src}/batch={i}"):
+            os.utime(f"{src}/batch={i}/{f}", (now + 10 * i, now + 10 * i))
+    minhash_build_index(
+        corpus, idx, n=_JACCARD_N, bands=_LSH_BANDS,
+        rows_per_band=_LSH_ROWS,
+    )
+    bm25_build_index(corpus, sidx)
+    q = start_index_admission(
+        spark, src + "/batch=*", e1.schema, idx, out,
+        checkpoint=os.path.join(root, "ckpt"),
+        threshold=_LSH_P / _LSH_Q, max_files_per_trigger=1,
+        search_index_path=sidx,
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "x34 availableNow drain did not finish within 600s"
+        )
+    return bm25_search_index(spark, sidx, _BM25_QUERY, k=_BM25_K)

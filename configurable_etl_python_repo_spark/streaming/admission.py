@@ -184,6 +184,7 @@ def admission_batch(
     n_probe: int = 2,
     maintain_every_n_epochs: "int | None" = None,
     maintain_args: "dict | None" = None,
+    search_index_path: "str | None" = None,
 ) -> DataFrame | None:
     """One micro-batch of the admission stream (the foreachBatch body,
     unit-testable without a stream): probe, anti-join, overwrite the
@@ -193,6 +194,27 @@ def admission_batch(
     the batch is empty). Epoch tags live in the index manifest, so a
     REBUILD of the index resets them — a new corpus generation
     re-admits (llm/_store.commit_build).
+
+    ``search_index_path`` makes admitted docs IMMEDIATELY SEARCHABLE:
+    each epoch's admissions also roll a persisted BM25 index forward
+    (llm/search.bm25_extend_index) — the production shape where the
+    ingest feeds retrieval, not just storage. Text families only (the
+    value column is the indexed text). Exactly-once survives the
+    second store because the BM25 extend runs BETWEEN the output
+    write and the dedup-index extend, and carries the SAME epoch tag
+    in ITS OWN manifest:
+
+      crash before the BM25 extend  -> dedup tag absent; retry redoes
+                                       probe/output, then the BM25
+                                       extend commits (its tag absent)
+      crash between the two extends -> dedup tag absent; retry redoes
+                                       probe/output, the BM25 extend
+                                       SKIPS (its tag committed), the
+                                       dedup extend commits
+      crash after the dedup extend  -> dedup tag present; full no-op
+                                       (the BM25 extend preceded it)
+
+    so neither store ever double-appends an epoch.
 
     ``maintain_every_n_epochs`` makes the long-running stream
     SELF-maintaining: every n-th epoch, after its extend commits, runs
@@ -208,6 +230,13 @@ def admission_batch(
     identical with or without it, pytest-pinned)."""
     from ..llm._store import committed_tags
 
+    if search_index_path is not None and family not in (
+        "minhash", "simhash"
+    ):
+        raise ValueError(
+            f"search_index_path indexes the TEXT value column — not "
+            f"available for the {family!r} admission family"
+        )
     tag = f"{tag_prefix}{int(epoch_id)}"
     if tag in committed_tags(index_path):
         # the whole epoch committed in a previous attempt (extend is
@@ -245,6 +274,15 @@ def admission_batch(
         # tag either — a redelivery recomputes the same empty set, so
         # the epoch is idempotent without one (its output overwrite
         # touches zero partitions).
+        if search_index_path is not None:
+            from ..llm.search import bm25_extend_index
+
+            # BEFORE the dedup extend (whose tag is the epoch's final
+            # commit marker) — see the docstring's crash-point table
+            bm25_extend_index(
+                admitted, search_index_path,
+                id_col=id_col, text_col=value_col, tag=tag,
+            )
         extend(admitted, index_path, id_col, value_col, tag)
     if (
         maintain_every_n_epochs is not None
@@ -337,6 +375,7 @@ def start_index_admission(
     n_probe: int = 2,
     maintain_every_n_epochs: "int | None" = None,
     maintain_args: "dict | None" = None,
+    search_index_path: "str | None" = None,
 ):
     """The streaming wrapper: file source → foreachBatch(
     admission_batch). availableNow=True drains the backlog then stops
@@ -377,6 +416,7 @@ def start_index_admission(
                 value_col=value_col, n_probe=n_probe,
                 maintain_every_n_epochs=maintain_every_n_epochs,
                 maintain_args=maintain_args,
+                search_index_path=search_index_path,
             )
         )
         .option("checkpointLocation", checkpoint)

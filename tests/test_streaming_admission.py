@@ -550,3 +550,108 @@ def test_legacy_checkpoint_migration_keeps_path_keyed_tags(tmp_path):
 
     shutil.rmtree(fresh)
     assert _incarnation_id(str(fresh)) != rid
+
+
+# ---------------------------------------------------------------------------
+# Searchable admission (r11): admitted docs also roll a BM25 index
+# ---------------------------------------------------------------------------
+
+
+def _bm25_rows(spark, idx, q):
+    from configurable_etl_python_repo_spark.llm.search import (
+        bm25_search_index,
+    )
+
+    return sorted(
+        (r.doc_id, r.rank, r.score)
+        for r in bm25_search_index(spark, idx, q, k=10).collect()
+    )
+
+
+def test_searchable_admission_equals_offline_build(
+    spark, sf_dir, tmp_path
+):
+    """Two epochs with search_index_path: the rolled-forward BM25
+    index answers bit-identically to a fresh offline build over
+    corpus ∪ all admitted docs (the extend == rebuild contract,
+    through the admission composition)."""
+    from configurable_etl_python_repo_spark.llm.search import (
+        bm25_build_index,
+    )
+
+    corpus, e1, e2 = _fixture(spark, sf_dir)
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    sidx = str(tmp_path / "sidx")
+    minhash_build_index(corpus, idx, **_LSH)
+    bm25_build_index(corpus, sidx)
+    for i, e in enumerate([e1, e2]):
+        admission_batch(e, i, idx, out, threshold=_T,
+                        search_index_path=sidx)
+    admitted = spark.read.parquet(out).select("doc_id", "text")
+    offline = str(tmp_path / "offline")
+    bm25_build_index(corpus.unionByName(admitted), offline)
+    q = "the data pipeline processing"
+    got = _bm25_rows(spark, sidx, q)
+    assert got == _bm25_rows(spark, offline, q) and got
+
+
+def test_search_leg_crash_between_extends_is_exactly_once(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The new crash point: BM25 extend committed, dedup extend not.
+    The retry must SKIP the BM25 extend (its tag is in its own
+    manifest) and commit the dedup extend — neither store
+    double-appends the epoch."""
+    from configurable_etl_python_repo_spark.llm.search import (
+        bm25_build_index,
+    )
+
+    corpus, e1, _ = _fixture(spark, sf_dir)
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    sidx = str(tmp_path / "sidx")
+    minhash_build_index(corpus, idx, **_LSH)
+    bm25_build_index(corpus, sidx)
+
+    real = ST.commit_extend
+    state = {"calls": 0}
+
+    def crash_second(*a, **k):
+        state["calls"] += 1
+        if state["calls"] == 2:  # first = BM25 leg, second = dedup
+            raise _Crash()
+        return real(*a, **k)
+
+    monkeypatch.setattr(ST, "commit_extend", crash_second)
+    with pytest.raises(_Crash):
+        admission_batch(e1, 0, idx, out, threshold=_T,
+                        search_index_path=sidx)
+    monkeypatch.setattr(ST, "commit_extend", real)
+    _, sman = ST.read_manifest(sidx)
+    assert len(sman["segments"]) == 2          # BM25 leg committed
+    assert len(ST.read_manifest(idx)[1]["segments"]) == 1  # dedup didn't
+
+    retried = admission_batch(e1, 0, idx, out, threshold=_T,
+                              search_index_path=sidx)
+    assert retried is not None
+    _, sman2 = ST.read_manifest(sidx)
+    assert sman2["segments"] == sman["segments"]  # SKIPPED, not doubled
+    _, man = ST.read_manifest(idx)
+    assert len(man["segments"]) == 2
+    # the search answer equals an offline build over corpus + admitted
+    # (no doc indexed twice — doubled tf/df would shift scores)
+    offline = str(tmp_path / "offline")
+    bm25_build_index(
+        corpus.unionByName(retried.select("doc_id", "text")), offline
+    )
+    q = "the data pipeline processing"
+    assert _bm25_rows(spark, sidx, q) == _bm25_rows(spark, offline, q)
+
+
+def test_search_leg_rejects_vector_family(spark, sf_dir, tmp_path):
+    corpus, e1, _ = _vec_fixture(spark, sf_dir)
+    idx = str(tmp_path / "idx")
+    embedding_build_index(corpus, idx, n_centroids=_ENC)
+    with pytest.raises(ValueError, match="TEXT value column"):
+        admission_batch(e1, 0, idx, str(tmp_path / "out"),
+                        family="embedding", threshold=_ET,
+                        search_index_path=str(tmp_path / "sidx"))
