@@ -3,11 +3,13 @@ with typed metadata.
 
 Real codecs ride an injectable seam (see resolve_image_codec): strict
 mode (fake_decode=False) decodes via Pillow when installed, and via the
-package's own dependency-free stdlib PNG codec (llm/png.py) otherwise —
-real zlib decode of real PNG bytes with no image library at all.
-Formats neither can handle fail loudly naming the gap (ValueError /
-NotImplementedError); video stays import-try on PyAV
-(`_video_codec`). The deterministic fake keeps SQL oracles running for
+package's own dependency-free stdlib codecs otherwise — real zlib
+decode of real PNG bytes (llm/png.py) and real huffman+IDCT decode of
+real baseline JPEG bytes (llm/jpeg.py), with no image library at all.
+Formats none of them can handle fail loudly naming the gap
+(ValueError / NotImplementedError); video resolves through
+resolve_video_codec (PyAV when installed, the stdlib Y4M parser
+otherwise). The deterministic fake keeps SQL oracles running for
 arbitrary payloads. The Spark-side plumbing is identical on every
 path: schemas, Arrow batch shape, partition sizing, and the
 mapInPandas UDF signatures are exactly what a production decode uses.
@@ -92,6 +94,32 @@ def _video_codec():
         return None
 
 
+class _StdlibSniff:
+    """PIL.Image-shaped dispatcher over the package's own stdlib
+    codecs: sniffs the magic bytes and routes to llm/png.py or
+    llm/jpeg.py. Formats neither handles fail loudly naming the gap
+    (ValueError), never silently."""
+
+    @staticmethod
+    def open(fp):
+        data = fp.read()
+        if data[:8] == b"\x89PNG\r\n\x1a\n":
+            from . import png
+
+            return png.decode_png(data)
+        if data[:2] == b"\xff\xd8":
+            from . import jpeg
+
+            return jpeg.decode_jpeg(data)
+        raise ValueError(
+            "unrecognized image payload (stdlib codecs decode PNG and "
+            "baseline JPEG); install Pillow for other formats"
+        )
+
+
+stdlib_auto = _StdlibSniff()
+
+
 def resolve_image_codec(codec):
     """The codec REGISTRY of the seam: ``codec`` may be a PIL.Image-
     shaped module (injected), one of the registered names, or None.
@@ -99,11 +127,16 @@ def resolve_image_codec(codec):
     - ``"png_stdlib"`` — the dependency-free PNG codec that ships with
       this package (llm/png.py): real zlib decode of real PNG bytes,
       raising loudly for anything else. Always available.
+    - ``"jpeg_stdlib"`` — the dependency-free baseline JPEG codec
+      (llm/jpeg.py): real huffman + IDCT decode of real JPEG bytes.
+      Always available.
+    - ``"stdlib"`` — magic-byte dispatch over both stdlib codecs
+      (PNG or baseline JPEG; anything else raises ValueError).
     - ``"pil"`` — Pillow, when installed (raises NotImplementedError
       here otherwise, naming the missing library).
-    - ``None`` — import-try Pillow, else fall back to png_stdlib: a
-      strict-mode decode of PNG bytes works out of the box in a
-      container with no image libraries, and non-PNG payloads still
+    - ``None`` — import-try Pillow, else the stdlib dispatcher: a
+      strict-mode decode of PNG or JPEG bytes works out of the box in
+      a container with no image libraries, and other payloads still
       fail loudly (ValueError names the format gap) instead of the old
       blanket NotImplementedError.
 
@@ -113,25 +146,31 @@ def resolve_image_codec(codec):
         pil = _image_codec()
         if pil is not None:
             return pil
-        from . import png
-
-        return png
+        return stdlib_auto
     if codec == "png_stdlib":
         from . import png
 
         return png
+    if codec == "jpeg_stdlib":
+        from . import jpeg
+
+        return jpeg
+    if codec == "stdlib":
+        return stdlib_auto
     if codec == "pil":
         pil = _image_codec()
         if pil is None:
             raise NotImplementedError(
                 "codec='pil' requires Pillow, which is not installed; "
-                "use codec='png_stdlib' for dependency-free PNG decode"
+                "use codec='png_stdlib'/'jpeg_stdlib' for dependency-"
+                "free decode"
             )
         return pil
     if isinstance(codec, str):
         raise ValueError(
             f"unknown image codec {codec!r}; one of 'png_stdlib', "
-            f"'pil', or an injected PIL.Image-shaped module"
+            f"'jpeg_stdlib', 'stdlib', 'pil', or an injected "
+            f"PIL.Image-shaped module"
         )
     return codec
 

@@ -152,7 +152,12 @@ def test_malformed_bytes_raise_valueerror_never_leak(spark):
 
 
 def test_codec_registry_resolution():
+    from configurable_etl_python_repo_spark.llm.multimodal import (
+        stdlib_auto,
+    )
+
     assert resolve_image_codec("png_stdlib") is png
+    assert resolve_image_codec("stdlib") is stdlib_auto
     with pytest.raises(ValueError, match="unknown image codec"):
         resolve_image_codec("webp")
     try:
@@ -160,10 +165,16 @@ def test_codec_registry_resolution():
 
         assert resolve_image_codec(None) is not png
     except ImportError:
-        # the dependency-free floor: None falls back to png_stdlib
-        assert resolve_image_codec(None) is png
+        # the dependency-free floor: None falls back to the stdlib
+        # magic-byte dispatcher (PNG or baseline JPEG)
+        assert resolve_image_codec(None) is stdlib_auto
         with pytest.raises(NotImplementedError, match="Pillow"):
             resolve_image_codec("pil")
+    # the dispatcher routes by magic and fails loudly otherwise
+    blob = png.encode_png("L", (2, 2), bytes(4))
+    assert stdlib_auto.open(io.BytesIO(blob)).size == (2, 2)
+    with pytest.raises(ValueError, match="unrecognized image payload"):
+        stdlib_auto.open(io.BytesIO(b"RIFF....WEBP"))
 
 
 def test_strict_extract_features_on_real_png_bytes(spark):
