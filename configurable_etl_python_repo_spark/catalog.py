@@ -1222,10 +1222,11 @@ DRIVER_PRIORITY = [
     "d20_grouped_simhash_pairs",
     "t15_bpe_gpt2", "t18_perplexity_partition", "t19_gopher_line_rules",
     "t21_dedup_repeated_lines",
-    # LLM pipeline: multimodal plumbing — m4 (NEW r11) is the REAL
-    # strict-mode PNG decode through the stdlib codec (m1 stays as the
-    # fake-path Arrow plumbing dual)
-    "m1_multimodal_features", "m4_png_decode_features",
+    # LLM pipeline: multimodal — m4 (NEW r11) is the REAL strict-mode
+    # PNG decode through the stdlib codec; m6 (NEW late-r11) is its
+    # LOSSY dual: real baseline-JPEG decode (huffman + IDCT) vs the
+    # closed-form DC-only oracle
+    "m4_png_decode_features", "m6_jpeg_decode_features",
     # temporal joins, sampling, rolling windows, quantization, n-grams
     "x6_asof_join", "x7_range_join", "x8_stratified_sample",
     "x9_curation_pipeline", "x10_rolling_window",
@@ -1432,6 +1433,13 @@ DRIVER_PRIORITY = [
 # sweep (scripts/check_oracle.py) and their operator pytests; m5
 # (real PNG resize dims) stays sweep-only with the in-window m4
 # exercising the same codec + clamp machinery.
+# Late-r11: m6 (real JPEG decode — the new stdlib baseline-JPEG codec
+# run strict end-to-end against a closed-form lossy oracle) enters;
+# m1 demotes (eight green driver rows r3-r10; the mapInPandas feature
+# plumbing m1 exercises — pruned two-column Arrow transfer, batch
+# chunking, FEATURE_SCHEMA — is the SAME code path the in-window
+# m4 + m6 strict rows run, just with fake_decode=False; the fake
+# decode itself stays hash-checked by the m2/m3 sweep rows).
 
 
 def _curate() -> None:

@@ -4771,6 +4771,145 @@ def q_m5(spark: SparkSession, sf_dir: str) -> DataFrame:
              "out_width", "out_height")
 
 
+# --- real JPEG decode row: the LOSSY dual of m4. Solid-color fixtures
+# make the whole encode→decode chain closed-form (every block is
+# DC-only), so a SQL oracle can restate baseline JPEG end to end:
+# integer RGB→YCbCr, quantize floor(8Δ/q + 0.5) against the quality-50
+# Annex K DC steps, reconstruct floor(coef·q/8 + 128.5), float
+# YCbCr→RGB, integer luminance. Quality 50 is chosen ADVERSARIALLY:
+# the luma q00 is 16, so odd level-shifted values land exactly on .5
+# quantization boundaries — the case llm/jpeg.py's integer block-sum
+# DC and power-of-two DC-only IDCT exist for (its module docstring).
+# Subsampling alternates 4:2:0 / 4:4:4 per doc parity: both decode
+# paths run; constant chroma makes their answers identical, which the
+# one oracle states once.
+
+_JPEG_Q = 50
+
+
+def _jpeg_oracle() -> str:
+    from .llm.jpeg import scaled_quant_tables
+
+    ql, qc = scaled_quant_tables(_JPEG_Q)
+    qy, qcc = int(ql[0]), int(qc[0])
+    assert (qy, qcc) == (16, 17)  # Annex K at quality 50
+    return f"""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(5 + doc_id % 27 AS INT) AS w,
+             CAST(4 + doc_id % 15 AS INT) AS h,
+             (doc_id * 3) % 256 AS r,
+             (doc_id * 11) % 256 AS g,
+             (doc_id * 17) % 256 AS b
+      FROM documents),
+    ycc AS (
+      SELECT doc_id, w, h,
+        LEAST(255, GREATEST(0,
+          (299 * r + 587 * g + 114 * b + 500) // 1000)) AS y,
+        LEAST(255, GREATEST(0, 128 + CAST(FLOOR(
+          (-168736 * r - 331264 * g + 500000 * b + 500000) / 1000000.0
+          ) AS BIGINT))) AS cb,
+        LEAST(255, GREATEST(0, 128 + CAST(FLOOR(
+          (500000 * r - 418688 * g - 81312 * b + 500000) / 1000000.0
+          ) AS BIGINT))) AS cr
+      FROM dims),
+    rec AS (
+      SELECT doc_id, w, h,
+        LEAST(255, GREATEST(0, CAST(FLOOR(
+          CAST(FLOOR(8.0 * (y - 128) / {qy} + 0.5) AS BIGINT)
+          * {qy} / 8.0 + 128.5) AS BIGINT))) AS yr,
+        LEAST(255, GREATEST(0, CAST(FLOOR(
+          CAST(FLOOR(8.0 * (cb - 128) / {qcc} + 0.5) AS BIGINT)
+          * {qcc} / 8.0 + 128.5) AS BIGINT))) AS cbr,
+        LEAST(255, GREATEST(0, CAST(FLOOR(
+          CAST(FLOOR(8.0 * (cr - 128) / {qcc} + 0.5) AS BIGINT)
+          * {qcc} / 8.0 + 128.5) AS BIGINT))) AS crr
+      FROM ycc),
+    rgb AS (
+      SELECT doc_id, w, h,
+        LEAST(255, GREATEST(0, CAST(FLOOR(
+          yr + 1.402 * (crr - 128) + 0.5) AS BIGINT))) AS r2,
+        LEAST(255, GREATEST(0, CAST(FLOOR(
+          yr - 0.344136 * (cbr - 128) - 0.714136 * (crr - 128) + 0.5
+          ) AS BIGINT))) AS g2,
+        LEAST(255, GREATEST(0, CAST(FLOOR(
+          yr + 1.772 * (cbr - 128) + 0.5) AS BIGINT))) AS b2
+      FROM rec)
+    SELECT doc_id, w AS width, h AS height,
+           CAST(w * h AS INT) AS area,
+           CAST(l AS INT) AS l0, CAST(l AS INT) AS l1,
+           CAST(l AS INT) AS l2, CAST(l AS INT) AS l3
+    FROM (SELECT doc_id, w, h,
+                 (299 * r2 + 587 * g2 + 114 * b2) // 1000 AS l
+          FROM rgb)
+    """
+
+
+def _jpeg_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, payload) of one solid-color baseline JPEG per document
+    — dims/color from the doc_id formula the oracle states; quality
+    {_JPEG_Q}; subsampling 4:2:0 for even ids, 4:4:4 for odd."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from .llm.jpeg import encode_jpeg
+
+    def gen(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = [
+                encode_jpeg(
+                    "RGB",
+                    (5 + d % 27, 4 + d % 15),
+                    bytes(((d * 3) % 256, (d * 11) % 256, (d * 17) % 256))
+                    * ((5 + d % 27) * (4 + d % 15)),
+                    quality=_JPEG_Q,
+                    subsampling="4:2:0" if d % 2 == 0 else "4:4:4",
+                )
+                for d in ids
+            ]
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return (
+        spark.read.parquet(_pq(sf_dir, "documents"))
+        .select("doc_id")
+        .mapInPandas(gen, "doc_id long, payload binary")
+    )
+
+
+@register("m6_jpeg_decode_features", _jpeg_oracle())
+def q_m6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG decode end-to-end with zero image libraries: encode
+    one baseline JFIF per document (llm/jpeg.encode_jpeg — Annex K
+    tables, real huffman coding, 4:2:0/4:4:4 alternating), then
+    strict-mode feature extraction (fake_decode=False,
+    codec='jpeg_stdlib') huffman-decodes, dequantizes, IDCTs, and
+    color-converts the actual bytes. The oracle restates the lossy
+    round trip in closed form (solid color ⇒ DC-only everywhere) — a
+    decoder bug in any stage (marker parse, huffman tables, EXTEND,
+    dequant, reconstruction rounding, upsampling, YCbCr→RGB) breaks
+    the hash. m4 is the lossless PNG sibling; together they close the
+    'fake codec at runtime' weak item for both shipped formats."""
+    from .llm.multimodal import extract_features
+
+    feats = extract_features(
+        _jpeg_fixture(spark, sf_dir), fake_decode=False,
+        codec="jpeg_stdlib",
+    )
+    f = F.col("features")
+    return feats.select(
+        "doc_id",
+        f[1].cast("int").alias("width"),
+        f[2].cast("int").alias("height"),
+        f[3].cast("int").alias("area"),
+        *[
+            F.round(f[4 + i] * 255, 0).cast("int").alias(f"l{i}")
+            for i in range(4)
+        ],
+    )
+
+
 def _searchable_admission_oracle() -> str:
     """x34 = the admission chain (x28's own `_admission_ctes`,
     verbatim) feeding retrieval: the post-stream BM25 search corpus is
