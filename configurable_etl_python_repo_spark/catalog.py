@@ -1198,7 +1198,7 @@ DRIVER_PRIORITY = [
     "p2_p4_project_remove", "p6_remove_rows_null", "p5_filter_grammar",
     "c4_rowwise_min_max", "c6_attach_sumeq", "c7_attach_null_coalesce",
     "c9_c10_boundary_sentinel", "c11_c12_gold_record",
-    "c8_decision_column", "j2_outer_join_counts", "j4_qualified_join",
+    "c8_decision_column", "j4_qualified_join",
     "j3_spine_study", "a1_groupby_summarise", "a4_unique_keep_first",
     "w2_sort_slice_topn", "f2_datetime_functions",
     # REAL stream rows (x28 minhash r10; x33 simhash NEW r11 — the
@@ -1212,8 +1212,7 @@ DRIVER_PRIORITY = [
     "x34_searchable_admission",
     # LLM pipeline: dedup + persisted indexes — x32 (NEW r11) is the
     # MAINTAIN INDEX policy bracketing the same fixture x30/x31 pin
-    "d12_dedup_keep_best", "x31_index_time_travel",
-    "x32_index_maintenance",
+    "x31_index_time_travel", "x32_index_maintenance",
     # LLM pipeline: similarity search + retrieval
     "n4_ann_ivf_kmeans", "n6_hybrid_rrf",
     # LLM pipeline: text analysis + curation; d20 gets its FIRST
@@ -1227,6 +1226,7 @@ DRIVER_PRIORITY = [
     # LOSSY dual: real baseline-JPEG decode (huffman + IDCT) vs the
     # closed-form DC-only oracle
     "m4_png_decode_features", "m6_jpeg_decode_features",
+    "m7_wav_audio_features", "m8_y4m_frame_stats",
     # temporal joins, sampling, rolling windows, quantization, n-grams
     "x6_asof_join", "x7_range_join", "x8_stratified_sample",
     "x9_curation_pipeline", "x10_rolling_window",
@@ -1440,6 +1440,18 @@ DRIVER_PRIORITY = [
 # chunking, FEATURE_SCHEMA — is the SAME code path the in-window
 # m4 + m6 strict rows run, just with fake_decode=False; the fake
 # decode itself stays hash-checked by the m2/m3 sweep rows).
+# Late-r11 batch 2: m7 (real WAV audio decode) and m8 (real Y4M video
+# frame sampling) enter — with m4/m6 they put every modality on real
+# bytes in strict mode. OUT:
+# j2 (green r1-r6 + r10; the full-outer join IS a stage of the
+#   in-window flagship program — same _op_join body — and the join
+#   family keeps j4 + j3's broadcast spines + c8's typed lookup +
+#   tpch_q3's 3-table chain);
+# d12 (green r8-r10; the r10 verdict's own suggested demotion: its
+#   clustering CTEs are d7's, the quality-keeper min-struct rides the
+#   same HashAggregate path a1/w3 check, and the grouped-pair dedup
+#   family keeps d19 + d20 in-window; d12 stays in the full sweep and
+#   tests/test_clusters.py).
 
 
 def _curate() -> None:

@@ -4910,6 +4910,192 @@ def q_m6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- real WAV decode row: the audio modality joins the real-bytes
+# club. Square-wave fixtures make every feature closed-form: rms of a
+# ±amp square wave is EXACTLY amp (the int64 square sum is n·amp²;
+# one float divide and an IEEE sqrt of a perfect square are both
+# exact), zero crossings are (n-1) // half_period, and the PCM
+# container size is 44 + frames·channels·2 bytes.
+
+
+def _wav_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, payload) of one 16-bit PCM WAV per document — a ±amp
+    square wave with amp/half-period/frames/rate/channels all stated
+    by the m7 oracle's doc_id formulas."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from .llm.wavcodec import encode_wav
+
+    def gen(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for d in ids:
+                amp = 500 + (d * 13) % 30000
+                hp = 1 + d % 9
+                n = 200 + (d * 7) % 1000
+                i = np.arange(n)
+                x = np.where(
+                    (i // hp) % 2 == 0, amp, -amp
+                ).astype(np.int32)
+                payloads.append(
+                    encode_wav(
+                        8000 * (1 + d % 3),
+                        np.repeat(x[:, None], 1 + d % 2, axis=1),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return (
+        spark.read.parquet(_pq(sf_dir, "documents"))
+        .select("doc_id")
+        .mapInPandas(gen, "doc_id long, payload binary")
+    )
+
+
+@register(
+    "m7_wav_audio_features",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             500 + (doc_id * 13) % 30000 AS amp,
+             1 + doc_id % 9 AS hp,
+             200 + (doc_id * 7) % 1000 AS n,
+             8000 * (1 + doc_id % 3) AS sr,
+             1 + doc_id % 2 AS ch
+      FROM documents)
+    SELECT doc_id,
+           CAST(44 + n * ch * 2 AS BIGINT) AS n_bytes,
+           CAST(sr AS INT) AS sample_rate,
+           CAST(ch AS INT) AS n_channels,
+           CAST(n AS BIGINT) AS n_frames,
+           CAST(n * 1000 // sr AS BIGINT) AS duration_ms,
+           CAST(amp AS DOUBLE) AS rms,
+           CAST(amp AS INT) AS peak,
+           CAST((n - 1) // hp AS BIGINT) AS zero_crossings
+    FROM p
+    """,
+)
+def q_m7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end with zero audio libraries: encode
+    one PCM WAV per document (llm/wavcodec.encode_wav), then
+    strict-mode extract_audio_features parses the actual RIFF
+    container (chunk walk, fmt sanity, frame de-interleave) and
+    computes rms / peak / zero-crossings from the actual samples. The
+    oracle restates every output from the fixture formulas — a parser
+    bug (wrong offset, wrong endianness, channel mixing) breaks the
+    hash. Completes the modality set: m4/m6 images, m7 audio, m8
+    video, every one on real bytes."""
+    from .llm.multimodal import extract_audio_features
+
+    return extract_audio_features(
+        _wav_fixture(spark, sf_dir), fake_decode=False
+    ).drop("payload_md5")
+
+
+# --- real VIDEO decode row: frame sampling over actual Y4M bytes.
+# Solid-luma frames with neutral chroma make per-frame stats
+# closed-form: the YCbCr→RGB conversion at cb=cr=128 reconstructs
+# R=G=B=Y exactly under the floor(x+0.5) contract, so mean integer
+# luminance == the Y value the generator wrote. Timestamps are exact
+# (llm/y4m.py exposes .time_ms as idx*1000*den//num — the float-
+# seconds path would truncate frame 3 at 25fps to 119 ms).
+
+_M8_EVERY_MS, _M8_MAX_FRAMES = 80, 3
+
+
+def _y4m_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, payload) of one Y4M clip per document: dims, frame
+    count, colorspace (rotating 4:2:0 / 4:4:4 / mono), and per-frame
+    luma all from the doc_id formulas the m8 oracle states; 25 fps."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from .llm.y4m import encode_y4m
+
+    def gen(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for d in ids:
+                w, h = 8 + (d % 8) * 2, 4 + (d % 6) * 2
+                n = 1 + d % 8
+                space = ("420jpeg", "444", "mono")[d % 3]
+                frames = []
+                for i in range(n):
+                    y = np.full((h, w), (d * 7 + i * 31) % 256, np.uint8)
+                    if space == "mono":
+                        frames.append((y, None, None))
+                    else:
+                        cw = w // (2 if space == "420jpeg" else 1)
+                        ch = h // (2 if space == "420jpeg" else 1)
+                        u = np.full((ch, cw), 128, np.uint8)
+                        frames.append((y, u, u))
+                payloads.append(
+                    encode_y4m((w, h), frames, fps=(25, 1),
+                               colorspace=space)
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return (
+        spark.read.parquet(_pq(sf_dir, "documents"))
+        .select("doc_id")
+        .mapInPandas(gen, "doc_id long, payload binary")
+    )
+
+
+@register(
+    "m8_y4m_frame_stats",
+    f"""
+    WITH clips AS (
+      SELECT doc_id,
+             8 + (doc_id % 8) * 2 AS w,
+             4 + (doc_id % 6) * 2 AS h,
+             1 + doc_id % 8 AS n
+      FROM documents),
+    sampled AS (
+      SELECT doc_id, w, h,
+             least((n + 1) // 2, {_M8_MAX_FRAMES}) AS n_samp
+      FROM clips)
+    SELECT doc_id,
+           CAST(unnest(generate_series(0, n_samp - 1)) AS INT)
+             AS frame_idx,
+           CAST(unnest(generate_series(0, n_samp - 1)) * {_M8_EVERY_MS}
+                AS BIGINT) AS frame_ms,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST((doc_id * 7
+                 + unnest(generate_series(0, n_samp - 1)) * 62) % 256
+                AS INT) AS mean_luma
+    FROM sampled
+    """,
+)
+def q_m8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling end-to-end with zero video libraries:
+    encode one YUV4MPEG2 clip per document (llm/y4m.encode_y4m), then
+    frame_stats parses the actual stream (header grammar, FRAME walk,
+    planar slicing), samples every {_M8_EVERY_MS} ms of 25 fps video
+    (so every OTHER source frame — sampled k maps to source frame 2k,
+    luma (doc_id·7 + 62k) % 256), caps at {_M8_MAX_FRAMES}, converts
+    each frame through the real YCbCr→RGB path, and emits integer mean
+    luminance. The oracle restates the sampling arithmetic and pixel
+    formulas per generated row — a parser bug (plane offsets, chroma
+    sizing, timestamp math, sampling loop) breaks the hash. m3 stays
+    the fake-plumbing dual; with m4/m6 (images) and m7 (audio), every
+    modality now decodes real bytes in strict mode."""
+    from .llm.multimodal import frame_stats
+
+    return frame_stats(
+        _y4m_fixture(spark, sf_dir),
+        every_ms=_M8_EVERY_MS, max_frames=_M8_MAX_FRAMES,
+        codec="y4m_stdlib",
+    )
+
+
 def _searchable_admission_oracle() -> str:
     """x34 = the admission chain (x28's own `_admission_ctes`,
     verbatim) feeding retrieval: the post-stream BM25 search corpus is

@@ -94,6 +94,56 @@ def _video_codec():
         return None
 
 
+def resolve_video_codec(codec):
+    """The video half of the codec seam: ``codec`` may be an injected
+    av-shaped module (open() → container → .decode(video=0) → frames
+    with .time/.to_image()), one of the registered names, or None.
+
+    - ``"y4m_stdlib"`` — the dependency-free YUV4MPEG2 parser that
+      ships with this package (llm/y4m.py): real frame decode of real
+      Y4M bytes, raising loudly for anything else. Always available.
+    - ``"pyav"`` — PyAV, when installed (NotImplementedError names the
+      missing library otherwise).
+    - ``None`` — import-try PyAV, else the Y4M parser: strict-mode
+      frame sampling works out of the box on uncompressed video, and
+      compressed containers still fail loudly (ValueError names the
+      format gap)."""
+    if codec is None:
+        av = _video_codec()
+        if av is not None:
+            return av
+        from . import y4m
+
+        return y4m
+    if codec == "y4m_stdlib":
+        from . import y4m
+
+        return y4m
+    if codec == "pyav":
+        av = _video_codec()
+        if av is None:
+            raise NotImplementedError(
+                "codec='pyav' requires PyAV, which is not installed; "
+                "use codec='y4m_stdlib' for dependency-free Y4M decode"
+            )
+        return av
+    if isinstance(codec, str):
+        raise ValueError(
+            f"unknown video codec {codec!r}; one of 'y4m_stdlib', "
+            f"'pyav', or an injected av-shaped module"
+        )
+    return codec
+
+
+def _frame_ms(frame) -> int:
+    """Exact integer ms when the codec provides it (llm/y4m.py);
+    rounded float seconds otherwise (PyAV's frame.time)."""
+    t = getattr(frame, "time_ms", None)
+    if t is not None:
+        return int(t)
+    return int(round((frame.time or 0.0) * 1000))
+
+
 class _StdlibSniff:
     """PIL.Image-shaped dispatcher over the package's own stdlib
     codecs: sniffs the magic bytes and routes to llm/png.py or
@@ -257,6 +307,119 @@ def extract_features(
     return src.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("payload_md5", T.StringType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("n_channels", T.IntegerType(), False),
+        T.StructField("n_frames", T.LongType(), False),
+        T.StructField("duration_ms", T.LongType(), False),
+        T.StructField("rms", T.DoubleType(), False),
+        T.StructField("peak", T.IntegerType(), False),
+        T.StructField("zero_crossings", T.LongType(), False),
+    ]
+)
+
+
+def resolve_audio_codec(codec):
+    """The audio half of the codec seam: ``codec`` may be an injected
+    object exposing ``decode_wav(bytes) -> WavAudio-shaped`` (e.g. a
+    soundfile adapter), the registered name "wav_stdlib", or None =
+    the package's own dependency-free RIFF/PCM parser (llm/wavcodec.py)
+    — the floor that makes strict audio decode work in a container
+    with no audio libraries. Non-WAV payloads fail loudly (ValueError
+    from the parser), never silently."""
+    if codec is None or codec == "wav_stdlib":
+        from . import wavcodec
+
+        return wavcodec
+    if isinstance(codec, str):
+        raise ValueError(
+            f"unknown audio codec {codec!r}; 'wav_stdlib' or an "
+            f"injected decode_wav-shaped module"
+        )
+    return codec
+
+
+def _fake_audio(md: str) -> "tuple[int, int, int, float, int, int]":
+    """Deterministic fake (sr, channels, frames, rms, peak, zc) from
+    the content hash — md5-derived like _fake_dims, so a SQL oracle
+    reproduces them exactly."""
+    sr = 8000 + (int(md[:4], 16) % 5) * 8000
+    ch = 1 + int(md[4], 16) % 2
+    frames = 1000 + int(md[5:9], 16) % 100000
+    peak = 1 + int(md[9:12], 16) % 32767
+    zc = int(md[12:16], 16) % frames
+    return sr, ch, frames, float(peak), peak, zc
+
+
+def extract_audio_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    fake_decode: bool = True,
+    target_rows_per_batch: int = 256,
+    codec=None,
+) -> DataFrame:
+    """Audio decode/feature-extract over mapInPandas (Arrow-batched),
+    the audio sibling of extract_features. Strict mode parses REAL
+    RIFF/PCM bytes through the codec seam and computes, with the
+    documented SQL-restatable conventions:
+
+    - ``duration_ms`` = n_frames * 1000 // sample_rate (integer);
+    - ``rms``   = sqrt(sum(x^2) / n_values) over ALL channels, the
+      squares summed in int64 (exact) before one float divide+sqrt;
+    - ``peak``  = max |x|;
+    - ``zero_crossings`` = count of consecutive-frame sign flips
+      ((x >= 0) != (prev >= 0)) on the FIRST channel.
+    """
+    import hashlib
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+
+    def one(payload: bytes, resolved) -> tuple:
+        md = hashlib.md5(payload).hexdigest()
+        if resolved is None:  # fake path
+            sr, ch, frames, rms, peak, zc = _fake_audio(md)
+        else:
+            audio = resolved.decode_wav(payload)
+            x = audio.samples  # (frames, channels) int32
+            sr, ch, frames = audio.sample_rate, audio.n_channels, audio.n_frames
+            if frames == 0:
+                rms, peak, zc = 0.0, 0, 0
+            else:
+                import numpy as np
+
+                sq = int((x.astype(np.int64) ** 2).sum())
+                rms = float(np.sqrt(sq / (frames * ch)))
+                peak = int(np.abs(x).max())
+                c0 = x[:, 0] >= 0
+                zc = int((c0[1:] != c0[:-1]).sum())
+        return (
+            len(payload), md, sr, ch, frames,
+            frames * 1000 // sr, rms, peak, zc,
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        resolved = None if fake_decode else resolve_audio_codec(codec)
+        for pdf in it:
+            for start in range(0, len(pdf), target_rows_per_batch):
+                chunk = pdf.iloc[start : start + target_rows_per_batch]
+                rows = [
+                    (int(doc_id), *one(bytes(payload), resolved))
+                    for doc_id, payload in zip(
+                        chunk["doc_id"], chunk["payload"]
+                    )
+                ]
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in AUDIO_SCHEMA.fields]
+                )
+
+    return src.mapInPandas(batches, schema=AUDIO_SCHEMA)
+
+
 RESIZE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
@@ -387,29 +550,23 @@ def sample_frames(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # once per partition, not per row (see extract_features)
-        resolved = (None if fake_decode
-                    else codec if codec is not None else _video_codec())
+        resolved = None if fake_decode else resolve_video_codec(codec)
         for pdf in it:
             for start in range(0, len(pdf), target_rows_per_batch):
                 chunk = pdf.iloc[start : start + target_rows_per_batch]
                 rows = []
                 for doc_id, payload in zip(chunk["doc_id"], chunk["payload"]):
                     if not fake_decode:
-                        av = resolved
-                        if av is None:
-                            raise NotImplementedError(
-                                "frame decode requires a video codec not in "
-                                "this container; install PyAV (av) for "
-                                "strict mode"
-                            )
                         import io
 
-                        with av.open(io.BytesIO(bytes(payload))) as container:
+                        with resolved.open(
+                            io.BytesIO(bytes(payload))
+                        ) as container:
                             next_ms, idx = 0, 0
                             for frame in container.decode(video=0):
                                 if idx >= max_frames:
                                     break
-                                t_ms = int((frame.time or 0.0) * 1000)
+                                t_ms = _frame_ms(frame)
                                 if t_ms < next_ms:
                                     continue
                                 img = frame.to_image()
@@ -435,3 +592,72 @@ def sample_frames(
                 )
 
     return src.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+FRAME_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_ms", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("mean_luma", T.IntegerType(), False),
+    ]
+)
+
+
+def frame_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    every_ms: int = 1000,
+    max_frames: int = 32,
+    target_rows_per_batch: int = 64,
+    codec=None,
+) -> DataFrame:
+    """STRICT-ONLY frame sampling with per-frame content stats: decode
+    real video bytes through the codec seam (PyAV or the stdlib Y4M
+    parser), sample a frame every `every_ms` (cap max_frames), and
+    emit dims + integer mean luminance per sampled frame — the
+    real-decode sibling of sample_frames' md5 tagging (m3 is the fake
+    plumbing dual; m8 hash-checks this path on real Y4M bytes).
+
+    Conventions (SQL-restatable): frame_idx is the SAMPLE counter
+    (sample_frames' shape); frame_ms is exact integer math when the
+    codec provides .time_ms; mean_luma = sum(L) // n_pixels over
+    to_image().convert("L") — the shared integer luminance."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        resolved = resolve_video_codec(codec)
+        for pdf in it:
+            for start in range(0, len(pdf), target_rows_per_batch):
+                chunk = pdf.iloc[start : start + target_rows_per_batch]
+                rows = []
+                for doc_id, payload in zip(chunk["doc_id"], chunk["payload"]):
+                    import io
+
+                    with resolved.open(
+                        io.BytesIO(bytes(payload))
+                    ) as container:
+                        next_ms, idx = 0, 0
+                        for frame in container.decode(video=0):
+                            if idx >= max_frames:
+                                break
+                            t_ms = _frame_ms(frame)
+                            if t_ms < next_ms:
+                                continue
+                            img = frame.to_image().convert("L")
+                            w, h = img.size
+                            data = img.getdata()
+                            rows.append(
+                                (int(doc_id), idx, t_ms, w, h,
+                                 int(sum(data) // len(data)))
+                            )
+                            idx += 1
+                            next_ms = t_ms + every_ms
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in FRAME_STATS_SCHEMA.fields]
+                )
+
+    return src.mapInPandas(batches, schema=FRAME_STATS_SCHEMA)
