@@ -803,4 +803,16 @@ LLM_OP_COMPILERS = {
         _rename_kw(_lazy_multimodal("sample_frames"),
                    {"id_column": "id_col", "payload_column": "payload_col"})
     ),
+    "MEDIA FEATURES": _unary(
+        _rename_kw(_lazy_multimodal("extract_features"),
+                   {"id_column": "id_col", "payload_column": "payload_col"})
+    ),
+    "AUDIO FEATURES": _unary(
+        _rename_kw(_lazy_multimodal("extract_audio_features"),
+                   {"id_column": "id_col", "payload_column": "payload_col"})
+    ),
+    "FRAME STATS": _unary(
+        _rename_kw(_lazy_multimodal("frame_stats"),
+                   {"id_column": "id_col", "payload_column": "payload_col"})
+    ),
 }

@@ -151,3 +151,62 @@ def test_minhash_lsh_group_columns_op(spark, sf_dir):
     assert {tuple(r) for r in out.collect()} == {
         tuple(r) for r in direct.collect()
     }
+
+
+def test_multimodal_feature_ops_in_pipeline(spark, tmp_path):
+    """MEDIA FEATURES / AUDIO FEATURES / FRAME STATS as declarative op
+    types: a config program decodes REAL payload bytes (stdlib codecs)
+    straight from a parquet scan — no library code in the program."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from configurable_etl_python_repo_spark.llm import png, wavcodec, y4m
+
+    img = png.encode_png("RGB", (6, 4), bytes((10, 20, 30)) * 24)
+    x = np.where((np.arange(100) // 5) % 2 == 0, 1500, -1500)
+    wav = wavcodec.encode_wav(8000, x.astype(np.int32))
+    clip = y4m.encode_y4m(
+        (8, 4),
+        [(np.full((4, 8), 42, np.uint8), None, None) for _ in range(3)],
+        fps=(25, 1), colorspace="mono",
+    )
+    src = str(tmp_path / "media")
+    spark.createDataFrame(
+        [Row(doc_id=1, payload=img)]
+    ).write.parquet(src + "/img")
+    spark.createDataFrame(
+        [Row(doc_id=1, payload=wav)]
+    ).write.parquet(src + "/wav")
+    spark.createDataFrame(
+        [Row(doc_id=1, payload=clip)]
+    ).write.parquet(src + "/clip")
+
+    eng = Engine(spark)
+    feats = eng.run_analyte(AnalytePlan(
+        name="img_feats",
+        scans=[ScanSpec("m", "parquet", src + "/img")],
+        ops=[OpSpec("MEDIA FEATURES", "img_feats", ["m"],
+                    {"id_column": "doc_id", "fake_decode": False,
+                     "codec": "stdlib"})],
+    )).collect()[0]
+    assert (feats.features[1], feats.features[2]) == (6.0, 4.0)
+
+    audio = eng.run_analyte(AnalytePlan(
+        name="wav_feats",
+        scans=[ScanSpec("m", "parquet", src + "/wav")],
+        ops=[OpSpec("AUDIO FEATURES", "wav_feats", ["m"],
+                    {"id_column": "doc_id", "fake_decode": False})],
+    )).collect()[0]
+    assert (audio.sample_rate, audio.rms, audio.zero_crossings) == (
+        8000, 1500.0, 19,
+    )
+
+    frames = eng.run_analyte(AnalytePlan(
+        name="clip_stats",
+        scans=[ScanSpec("m", "parquet", src + "/clip")],
+        ops=[OpSpec("FRAME STATS", "clip_stats", ["m"],
+                    {"id_column": "doc_id", "every_ms": 80,
+                     "codec": "y4m_stdlib"})],
+    )).collect()
+    assert sorted((r.frame_idx, r.frame_ms, r.mean_luma) for r in frames) \
+        == [(0, 0, 42), (1, 80, 42)]
