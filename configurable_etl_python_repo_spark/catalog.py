@@ -1213,8 +1213,9 @@ DRIVER_PRIORITY = [
     # LLM pipeline: dedup + persisted indexes — x32 (NEW r11) is the
     # MAINTAIN INDEX policy bracketing the same fixture x30/x31 pin
     "x31_index_time_travel", "x32_index_maintenance",
-    # LLM pipeline: similarity search + retrieval
-    "n4_ann_ivf_kmeans", "n6_hybrid_rrf",
+    # LLM pipeline: similarity search + retrieval — n7 (NEW late-r11)
+    # is PQ/ADC, the FAISS-style code-compressed ANN path
+    "n4_ann_ivf_kmeans", "n7_ann_pq_adc",
     # LLM pipeline: text analysis + curation; d20 gets its FIRST
     # driver row (the only operator without one, verdict r10 item 2)
     "t8_pack_sequences", "d19_grouped_lsh_pairs",
@@ -1452,6 +1453,12 @@ DRIVER_PRIORITY = [
 #   same HashAggregate path a1/w3 check, and the grouped-pair dedup
 #   family keeps d19 + d20 in-window; d12 stays in the full sweep and
 #   tests/test_clusters.py).
+# Late-r11 batch 3: n7 (product-quantization ADC top-k — per-subspace
+# Lloyd codebooks + code-lookup scoring, the FAISS IVF-PQ building
+# block) enters; n6 demotes (green r8-r10; its RRF oracle chains n5's
+# _bm25_ctes, and REAL BM25 retrieval stays in-window via x34's
+# searchable-admission search; the dense-ANN family keeps n4, whose
+# lloyd recipe n7's oracle now also unrolls per subspace).
 
 
 def _curate() -> None:

@@ -877,6 +877,138 @@ def q_n4(spark: SparkSession, sf_dir: str) -> DataFrame:
                              n_probe=_IVF_PROBE, n_iter=_KM_ITER)
 
 
+_PQ_M, _PQ_CODES, _PQ_ITER = 4, 8, 1
+
+
+def _pq_oracle() -> str:
+    """Product-quantization ADC unrolled as SQL: per subspace, the
+    lloyd CTE block (the _kmeans_assign_ctes recipe applied to the
+    1-based-inclusive list slice), then codes/den/lut/num CTEs
+    mirroring similarity.pq_topk term for term — 6dp-rounded lookup
+    terms summed as DECIMAL (order-independent), one final rounded
+    divide. Generated, like every md5/kmeans-family oracle."""
+    sd = _SRP_DIM // _PQ_M
+
+    def dot_sql(av: str, bv: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, len({av})), "
+            f"i -> CAST({av}[i] AS DOUBLE) * CAST({bv}[i] AS DOUBLE)))"
+        )
+
+    cte = []
+    for s in range(_PQ_M):
+        lo, hi = s * sd + 1, (s + 1) * sd
+        sl = f"embedding[{lo}:{hi}]"
+        cte.append(f"""cent0_{s} AS (
+      SELECT vec_id AS cid,
+             list_transform({sl}, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {_PQ_CODES})""")
+        for i in range(_PQ_ITER):
+            cte.append(f"""scored{i}_{s} AS (
+      SELECT e.vec_id AS id, c.cid,
+             {_cos_sql(f'e.{sl}', 'c.cv')} AS s
+      FROM embeddings e, cent{i}_{s} c),
+    assign{i}_{s} AS (
+      SELECT id, cid FROM scored{i}_{s}
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY s DESC, cid) = 1),
+    ex{i}_{s} AS (
+      SELECT a.cid, g.j,
+             round(CAST(e.embedding[{lo} + g.j - 1] AS DOUBLE), 6) AS x
+      FROM assign{i}_{s} a
+      JOIN embeddings e ON e.vec_id = a.id
+      CROSS JOIN generate_series(1, {sd}) g(j)),
+    mm{i}_{s} AS (
+      SELECT cid, j,
+             round(CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE)
+                   / COUNT(*), 6) AS m
+      FROM ex{i}_{s} GROUP BY cid, j),
+    cm{i}_{s} AS (
+      SELECT cid, list(m ORDER BY j) AS cv FROM mm{i}_{s} GROUP BY cid),
+    cent{i + 1}_{s} AS (
+      SELECT p.cid, COALESCE(c.cv, p.cv) AS cv
+      FROM cent{i}_{s} p LEFT JOIN cm{i}_{s} c ON c.cid = p.cid)""")
+        n = _PQ_ITER
+        cte.append(f"""assignF_{s} AS (
+      SELECT id, cid FROM (
+        SELECT e.vec_id AS id, c.cid,
+               {_cos_sql(f'e.{sl}', 'c.cv')} AS s
+        FROM embeddings e, cent{n}_{s} c)
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY s DESC, cid) = 1)""")
+    codes = "\n      UNION ALL ".join(
+        f"SELECT id, {s} AS s, cid FROM assignF_{s}" for s in range(_PQ_M)
+    )
+    cbn = "\n      UNION ALL ".join(
+        f"SELECT {s} AS s, cid, round({dot_sql('cv', 'cv')}, 6) AS nsq "
+        f"FROM cent{_PQ_ITER}_{s}"
+        for s in range(_PQ_M)
+    )
+    lut = "\n      UNION ALL ".join(
+        f"SELECT q.vec_id AS query_id, {s} AS s, c.cid, "
+        f"round({dot_sql(f'q.embedding[{s * sd + 1}:{(s + 1) * sd}]', 'c.cv')}, 6) AS d "
+        f"FROM embeddings q, cent{_PQ_ITER}_{s} c "
+        f"WHERE q.vec_id < {_ANN_NQ}"
+        for s in range(_PQ_M)
+    )
+    joined_ctes = ",\n    ".join(cte)
+    return f"""
+    WITH {joined_ctes},
+    codes AS (
+      {codes}),
+    cbn AS (
+      {cbn}),
+    den AS (
+      SELECT co.id,
+             CAST(SUM(CAST(b.nsq AS DECIMAL(28,10))) AS DOUBLE) AS den
+      FROM codes co JOIN cbn b ON b.s = co.s AND b.cid = co.cid
+      GROUP BY co.id),
+    lut AS (
+      {lut}),
+    qn AS (
+      SELECT vec_id AS query_id,
+             sqrt({dot_sql('embedding', 'embedding')}) AS qn
+      FROM embeddings WHERE vec_id < {_ANN_NQ}),
+    num AS (
+      SELECT l.query_id, co.id,
+             CAST(SUM(CAST(l.d AS DECIMAL(28,10))) AS DOUBLE) AS num
+      FROM codes co JOIN lut l ON l.s = co.s AND l.cid = co.cid
+      GROUP BY l.query_id, co.id),
+    ascored AS (
+      SELECT n.query_id, n.id AS neighbor_id,
+             round(n.num / (q.qn * sqrt(d.den)), 6) AS ascore
+      FROM num n
+      JOIN den d ON d.id = n.id
+      JOIN qn q ON q.query_id = n.query_id
+      WHERE n.query_id != n.id)
+    SELECT query_id, neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY ascore DESC, neighbor_id)
+                AS INTEGER) AS rank,
+           ascore
+    FROM ascored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY ascore DESC, neighbor_id) <= {_ANN_K}
+    """
+
+
+@register("n7_ann_pq_adc", _pq_oracle())
+def q_n7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (Jégou et al. TPAMI 2011, the
+    FAISS IVF-PQ building block): per-subspace codebooks from the ONE
+    deterministic Lloyd (n4's), corpus encoded to m codes per vector
+    (m·log2(k) bits instead of 4·dim bytes), candidates scored from
+    code lookups alone — the original vectors are never read after
+    encoding. The oracle unrolls every per-subspace training AND the
+    ADC arithmetic; a drift anywhere (slice bounds, assignment
+    ties, DECIMAL sums, the reconstruction-norm denominator) breaks
+    the hash."""
+    emb = spark.read.parquet(_pq(sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") < _ANN_NQ)
+    return S.pq_topk(emb, queries, k=_ANN_K, dim=_SRP_DIM,
+                     m_subspaces=_PQ_M, n_codes=_PQ_CODES,
+                     n_iter=_PQ_ITER)
+
+
 # ===========================================================================
 # Text analysis
 # ===========================================================================

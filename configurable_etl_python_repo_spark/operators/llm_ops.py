@@ -795,6 +795,7 @@ LLM_OP_COMPILERS = {
     "ANN TOPK LSH": _ann_topk_lsh,
     "ANN TOPK IVF": _binary_corpus_queries("ivf_topk"),
     "ANN TOPK IVF KMEANS": _binary_corpus_queries("ivf_topk_kmeans"),
+    "ANN TOPK PQ": _binary_corpus_queries("pq_topk"),
     "IMAGE RESIZE": _unary(
         _rename_kw(_lazy_multimodal("resize_images"),
                    {"id_column": "id_col", "payload_column": "payload_col"})
