@@ -2943,6 +2943,27 @@ def q_d9(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("d21_decontaminate_bloom", _decontam_oracle())
+def q_d21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination — d9's oracle VERBATIM,
+    because the result is bit-identical by construction: the eval
+    grams fold into a broadcast Bloom filter (no false negatives), the
+    corpus probes it map-side in vectorized Arrow batches, and only
+    the surviving sliver pays the exact verification join. The scale
+    path for eval sets too big to broadcast as grams (1e8 grams ≈ 9 GB
+    of strings vs a 125 MB bitmap); FPR tunes cost, never results.
+    bloom_bits here is deliberately small (2^18 for ~29k eval grams at
+    5 hashes ≈ a few % FPR) so the verify join provably scrubs real
+    false positives, not just a zero-FPR fixture."""
+    docs = spark.read.parquet(_pq(sf_dir, "documents"))
+    evalset = docs.where(F.expr(_DECONTAM_PRED)).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text"
+    )
+    return D.decontaminate_bloom(
+        docs, evalset, n=_DECONTAM_N, bloom_bits=1 << 18,
+    ).select("doc_id", "contaminated", "n_contaminated_grams")
+
+
 _PIPE_REP_MAX = 0.2  # top-2-gram repetition gate
 
 

@@ -1106,6 +1106,152 @@ def decontaminate(
     return out
 
 
+def decontaminate_bloom(
+    corpus: DataFrame,
+    evalset: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str = "text",
+    n: int = 13,
+    mode: str = "flag",
+    bloom_bits: int = 1 << 23,
+    bloom_hashes: int = 5,
+) -> DataFrame:
+    """decontaminate() for eval sets too big to broadcast as grams —
+    BIT-IDENTICAL results (pytest-pinned), different probe economics.
+
+    decontaminate() ships the eval GRAM SET to every executor: right
+    for benchmark-sized eval sets, impossible at held-out-corpus scale
+    (a 13-gram averages ~90 bytes of string; 1e8 grams ≈ 9 GB). Here
+    the eval grams fold into a BLOOM FILTER (Bloom 1970) of
+    ``bloom_bits`` bits — 1e9 bits is a 125 MB broadcast and holds 1e8
+    grams at ~2% FPR with 5 hashes — built distributively (per-partition
+    numpy bitmaps OR-reduced; driver holds one bitmap, a constant).
+    Corpus grams probe the bitmap MAP-SIDE (vectorized Arrow batches,
+    double hashing h1 + i·h2 — Kirsch & Mitzenmacher 2006 — over
+    xxhash64, zero shuffle), and only the sliver that might match
+    (true hits + FPR·grams) pays the exact verification join. A bloom
+    has no false negatives, so the verify join sees every true match:
+    the filter is a pruning lens, the join is the truth — which is why
+    this shares d9's oracle verbatim (catalog d21) and why FPR tuning
+    can never corrupt results, only shift cost.
+
+    At 100 TB: the corpus-side shingle pass is the same one shuffle
+    every dedup op pays; the probe adds no exchange; the verify join's
+    left side is FPR-bounded. Set bloom_bits ≈ 1.2 · n_grams ·
+    bloom_hashes for ~2-3% FPR (power of two required — positions use
+    mask arithmetic)."""
+    import numpy as np
+
+    if mode not in ("flag", "drop"):
+        raise ValueError(f"mode must be 'flag' or 'drop', got {mode!r}")
+    if bloom_bits < 8 or bloom_bits & (bloom_bits - 1):
+        raise ValueError(
+            f"bloom_bits must be a power of two >= 8, got {bloom_bits}"
+        )
+    if bloom_hashes < 1:
+        raise ValueError(f"bloom_hashes must be >= 1, got {bloom_hashes}")
+    j, mask = int(bloom_hashes), np.uint64(bloom_bits - 1)
+    nbytes = bloom_bits // 8
+
+    eval_grams = (
+        doc_shingles(
+            evalset.select(
+                F.xxhash64(F.col(eval_text_col)).alias("__eid"),
+                F.col(eval_text_col),
+            ).distinct(),
+            id_col="__eid", text_col=eval_text_col, n=n,
+        )
+        .where(F.col("sh").isNotNull())
+        .select("sh")
+        .distinct()
+    )
+
+    def _part(rows):
+        bm = np.zeros(nbytes, dtype=np.uint8)
+        pairs = [(r[0], r[1]) for r in rows]
+        if pairs:
+            arr = np.array(pairs, dtype=np.int64).astype(np.uint64)
+            for i in range(j):
+                pos = (arr[:, 0] + np.uint64(i) * arr[:, 1]) & mask
+                np.bitwise_or.at(
+                    bm,
+                    (pos >> np.uint64(3)).astype(np.int64),
+                    np.left_shift(
+                        np.uint8(1), (pos & np.uint64(7)).astype(np.uint8)
+                    ),
+                )
+        yield bm
+
+    bitmap = (
+        eval_grams.select(
+            F.xxhash64("sh").alias("h1"),
+            F.xxhash64("sh", F.lit(1)).alias("h2"),
+        )
+        .rdd.mapPartitions(_part)
+        .treeReduce(np.bitwise_or)
+    )
+    bc = corpus.sparkSession.sparkContext.broadcast(bitmap.tobytes())
+
+    import pandas as pd  # function-local: this module stays pandas-free
+    from pyspark.sql.functions import pandas_udf
+
+    def _maybe_fn(h1, h2):
+        bm = np.frombuffer(bc.value, dtype=np.uint8)
+        a = h1.to_numpy(dtype=np.int64).astype(np.uint64)
+        b = h2.to_numpy(dtype=np.int64).astype(np.uint64)
+        hit = np.ones(len(a), dtype=np.bool_)
+        for i in range(j):
+            pos = (a + np.uint64(i) * b) & mask
+            byte = bm[(pos >> np.uint64(3)).astype(np.int64)]
+            hit &= (
+                byte >> (pos & np.uint64(7)).astype(np.uint8)
+            ).astype(np.uint8) & np.uint8(1) != 0
+        return pd.Series(hit)
+
+    # real annotation objects (the module's `from __future__ import
+    # annotations` would stringify inline hints, and 'pd' is not in
+    # this module's globals for pyspark's type-hint resolution)
+    _maybe_fn.__annotations__ = {
+        "h1": pd.Series, "h2": pd.Series, "return": pd.Series,
+    }
+    _maybe = pandas_udf(_maybe_fn, "boolean")
+
+    candidates = (
+        doc_shingles(corpus, id_col=id_col, text_col=text_col, n=n)
+        .where(F.col("sh").isNotNull())
+        .where(
+            _maybe(
+                F.xxhash64("sh"), F.xxhash64("sh", F.lit(1))
+            )
+        )
+    )
+    # exact verification on the bloom-surviving sliver: the join that
+    # decontaminate() runs over ALL corpus grams runs here over
+    # (true hits + FPR) only; no broadcast hint — AQE sizes it
+    hits = (
+        candidates.join(eval_grams, on="sh")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+        .withColumnRenamed("id", id_col)
+    )
+    out = (
+        corpus.join(hits, on=id_col, how="left")
+        .withColumn(
+            "contaminated", F.col("n_contaminated_grams").isNotNull()
+        )
+        .withColumn(
+            "n_contaminated_grams",
+            F.coalesce("n_contaminated_grams", F.lit(0).cast("long")),
+        )
+    )
+    if mode == "drop":
+        return out.where(~F.col("contaminated")).drop(
+            "contaminated", "n_contaminated_grams"
+        )
+    return out
+
+
 def eval_gram_set(
     evalset: DataFrame,
     text_col: str = "text",

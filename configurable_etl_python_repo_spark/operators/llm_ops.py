@@ -120,6 +120,20 @@ def _decontaminate(engine: "Engine", spec: OpSpec):
     return D.decontaminate(corpus, evalset, **kwargs), None
 
 
+def _decontaminate_bloom(engine: "Engine", spec: OpSpec):
+    """inputs: [corpus, evalset] — decontaminate via the Bloom-filter
+    prefilter + exact verify (llm.dedup.decontaminate_bloom):
+    bit-identical results, broadcast-scale eval sets."""
+    corpus, _ = engine.peek(spec.inputs[0])
+    evalset, _ = engine.peek(spec.inputs[1])
+    kwargs = dict(spec.args)
+    renames = {**_ID_TEXT, "eval_text_column": "eval_text_col"}
+    for cfg_name, py_name in renames.items():
+        if cfg_name in kwargs:
+            kwargs[py_name] = kwargs.pop(cfg_name)
+    return D.decontaminate_bloom(corpus, evalset, **kwargs), None
+
+
 def _dedup_clusters(engine: "Engine", spec: OpSpec):
     """inputs: [docs, pairs] — label every doc with its duplicate-cluster
     id and keeper flag (see llm.clusters.dedup_clusters)."""
@@ -784,6 +798,7 @@ LLM_OP_COMPILERS = {
     "CONNECTED COMPONENTS": _connected_components,
     "DEDUP CLUSTERS": _dedup_clusters,
     "DECONTAMINATE": _decontaminate,
+    "DECONTAMINATE BLOOM": _decontaminate_bloom,
     "DECONTAMINATE STREAM": _decontaminate_stream,
     "SURPRISAL SCORE STREAM": _surprisal_stream,
     "SURPRISAL BACKOFF STREAM": _backoff_stream,

@@ -1368,3 +1368,59 @@ def test_perplexity_stream_tolerates_cuts_column(spark):
     rows = out.collect()
     assert all(r.cuts == "mine" for r in rows)
     assert {r.ppl_bucket for r in rows} == {"head", "middle", "tail"}
+
+
+def test_decontaminate_bloom_is_bit_identical_and_actually_prunes(spark):
+    """The Bloom prefilter changes economics, never answers: flag and
+    drop modes match decontaminate() row-for-row on the sf fixture —
+    even at a deliberately tiny bitmap (2^12 bits for ~29k grams, FPR
+    near 1) where the verify join does ALL the work, and at a roomy
+    one where the bloom does. Also pins the no-false-negatives
+    property the equivalence rests on, and argument validation."""
+    import pytest as _pytest
+
+    from configurable_etl_python_repo_spark.llm.dedup import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    evalset = docs.where("doc_id % 17 = 0").select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text"
+    )
+    cols = ["doc_id", "contaminated", "n_contaminated_grams"]
+    exact = {tuple(r) for r in
+             decontaminate(docs, evalset, n=13).select(*cols).collect()}
+    for bits in (1 << 12, 1 << 20):
+        bloom = {tuple(r) for r in
+                 decontaminate_bloom(docs, evalset, n=13, bloom_bits=bits)
+                 .select(*cols).collect()}
+        assert bloom == exact, f"bloom_bits={bits}"
+    drop_exact = {r.doc_id for r in
+                  decontaminate(docs, evalset, n=13, mode="drop").collect()}
+    drop_bloom = {r.doc_id for r in
+                  decontaminate_bloom(docs, evalset, n=13, mode="drop",
+                                      bloom_bits=1 << 16).collect()}
+    assert drop_bloom == drop_exact
+
+    with _pytest.raises(ValueError, match="power of two"):
+        decontaminate_bloom(docs, evalset, bloom_bits=1000)
+    with _pytest.raises(ValueError, match="bloom_hashes"):
+        decontaminate_bloom(docs, evalset, bloom_hashes=0)
+    with _pytest.raises(ValueError, match="mode"):
+        decontaminate_bloom(docs, evalset, mode="quarantine")
+
+
+def test_decontaminate_bloom_as_config_op(spark, sf_dir):
+    from configurable_etl_python_repo_spark.plans import ScanSpec
+
+    eng = Engine(spark)
+    eng.run_scan(ScanSpec("docs", "parquet", f"{sf_dir}/documents.parquet"))
+    eng.bind("evalset", eng.peek("docs")[0].limit(5))
+    out = eng.run_op(OpSpec(
+        "DECONTAMINATE BLOOM", "d", ["docs", "evalset"],
+        {"id_column": "doc_id", "text_column": "text", "n": 5,
+         "bloom_bits": 1 << 16},
+    ))
+    assert "contaminated" in out.columns
+    assert out.where("contaminated").count() >= 5
