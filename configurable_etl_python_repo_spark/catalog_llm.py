@@ -880,21 +880,20 @@ def q_n4(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_M, _PQ_CODES, _PQ_ITER = 4, 8, 1
 
 
-def _pq_oracle() -> str:
-    """Product-quantization ADC unrolled as SQL: per subspace, the
-    lloyd CTE block (the _kmeans_assign_ctes recipe applied to the
-    1-based-inclusive list slice), then codes/den/lut/num CTEs
-    mirroring similarity.pq_topk term for term — 6dp-rounded lookup
-    terms summed as DECIMAL (order-independent), one final rounded
-    divide. Generated, like every md5/kmeans-family oracle."""
+def _dot_sql(av: str, bv: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, len({av})), "
+        f"i -> CAST({av}[i] AS DOUBLE) * CAST({bv}[i] AS DOUBLE)))"
+    )
+
+
+def _pq_train_ctes() -> "list[str]":
+    """Per-subspace Lloyd trainings unrolled as SQL (the
+    _kmeans_assign_ctes recipe applied to 1-based-inclusive list
+    slices), ending in assignF_{s} + cent{_PQ_ITER}_{s} per subspace.
+    Shared by the n7 (flat ADC) and n8 (IVF-PQ) oracles so the
+    codebook math can never drift between them."""
     sd = _SRP_DIM // _PQ_M
-
-    def dot_sql(av: str, bv: str) -> str:
-        return (
-            f"list_sum(list_transform(generate_series(1, len({av})), "
-            f"i -> CAST({av}[i] AS DOUBLE) * CAST({bv}[i] AS DOUBLE)))"
-        )
-
     cte = []
     for s in range(_PQ_M):
         lo, hi = s * sd + 1, (s + 1) * sd
@@ -935,25 +934,29 @@ def _pq_oracle() -> str:
                {_cos_sql(f'e.{sl}', 'c.cv')} AS s
         FROM embeddings e, cent{n}_{s} c)
       QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY s DESC, cid) = 1)""")
+    return cte
+
+
+def _pq_adc_ctes() -> str:
+    """codes / cbn / den / lut / qn — the ADC plumbing shared by n7
+    and n8: 6dp lookup terms, DECIMAL sums, exact query norms."""
+    sd = _SRP_DIM // _PQ_M
     codes = "\n      UNION ALL ".join(
         f"SELECT id, {s} AS s, cid FROM assignF_{s}" for s in range(_PQ_M)
     )
     cbn = "\n      UNION ALL ".join(
-        f"SELECT {s} AS s, cid, round({dot_sql('cv', 'cv')}, 6) AS nsq "
+        f"SELECT {s} AS s, cid, round({_dot_sql('cv', 'cv')}, 6) AS nsq "
         f"FROM cent{_PQ_ITER}_{s}"
         for s in range(_PQ_M)
     )
     lut = "\n      UNION ALL ".join(
         f"SELECT q.vec_id AS query_id, {s} AS s, c.cid, "
-        f"round({dot_sql(f'q.embedding[{s * sd + 1}:{(s + 1) * sd}]', 'c.cv')}, 6) AS d "
+        f"round({_dot_sql(f'q.embedding[{s * sd + 1}:{(s + 1) * sd}]', 'c.cv')}, 6) AS d "
         f"FROM embeddings q, cent{_PQ_ITER}_{s} c "
         f"WHERE q.vec_id < {_ANN_NQ}"
         for s in range(_PQ_M)
     )
-    joined_ctes = ",\n    ".join(cte)
-    return f"""
-    WITH {joined_ctes},
-    codes AS (
+    return f"""codes AS (
       {codes}),
     cbn AS (
       {cbn}),
@@ -966,14 +969,11 @@ def _pq_oracle() -> str:
       {lut}),
     qn AS (
       SELECT vec_id AS query_id,
-             sqrt({dot_sql('embedding', 'embedding')}) AS qn
-      FROM embeddings WHERE vec_id < {_ANN_NQ}),
-    num AS (
-      SELECT l.query_id, co.id,
-             CAST(SUM(CAST(l.d AS DECIMAL(28,10))) AS DOUBLE) AS num
-      FROM codes co JOIN lut l ON l.s = co.s AND l.cid = co.cid
-      GROUP BY l.query_id, co.id),
-    ascored AS (
+             sqrt({_dot_sql('embedding', 'embedding')}) AS qn
+      FROM embeddings WHERE vec_id < {_ANN_NQ})"""
+
+
+_PQ_FINAL = f"""ascored AS (
       SELECT n.query_id, n.id AS neighbor_id,
              round(n.num / (q.qn * sqrt(d.den)), 6) AS ascore
       FROM num n
@@ -989,6 +989,58 @@ def _pq_oracle() -> str:
     QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
                                ORDER BY ascore DESC, neighbor_id) <= {_ANN_K}
     """
+
+
+def _pq_oracle() -> str:
+    """Flat product-quantization ADC unrolled as SQL, mirroring
+    similarity.pq_topk term for term. Generated, like every
+    md5/kmeans-family oracle."""
+    joined = ",\n    ".join(_pq_train_ctes())
+    return f"""
+    WITH {joined},
+    {_pq_adc_ctes()},
+    num AS (
+      SELECT l.query_id, co.id,
+             CAST(SUM(CAST(l.d AS DECIMAL(28,10))) AS DOUBLE) AS num
+      FROM codes co JOIN lut l ON l.s = co.s AND l.cid = co.cid
+      GROUP BY l.query_id, co.id),
+    {_PQ_FINAL}"""
+
+
+def _ivf_pq_oracle() -> str:
+    """IVF-PQ: the n3 coarse quantizer CTEs (hash-order centroid
+    sample, full-vector assignment, n_probe query lists) bound the
+    candidate pairs; the shared PQ training + ADC CTEs price them."""
+    joined = ",\n    ".join(_pq_train_ctes())
+    return f"""
+    WITH {joined},
+    {_pq_adc_ctes()},
+    ccent AS (
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {_IVF_N_CENTROIDS}),
+    cscored AS (
+      SELECT e.vec_id AS id, c.cid,
+             {_cos_sql('e.embedding', 'c.cv')} AS s
+      FROM embeddings e, ccent c),
+    cassign AS (
+      SELECT id, cid FROM cscored
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY s DESC, cid) = 1),
+    qprobe AS (
+      SELECT id AS query_id, cid FROM cscored WHERE id < {_ANN_NQ}
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY s DESC, cid)
+              <= {_IVF_PROBE}),
+    cand AS (
+      SELECT q.query_id, a.id
+      FROM qprobe q JOIN cassign a ON a.cid = q.cid),
+    num AS (
+      SELECT ca.query_id, co.id,
+             CAST(SUM(CAST(l.d AS DECIMAL(28,10))) AS DOUBLE) AS num
+      FROM cand ca
+      JOIN codes co ON co.id = ca.id
+      JOIN lut l ON l.query_id = ca.query_id
+                AND l.s = co.s AND l.cid = co.cid
+      GROUP BY ca.query_id, co.id),
+    {_PQ_FINAL}"""
 
 
 @register("n7_ann_pq_adc", _pq_oracle())
@@ -1007,6 +1059,26 @@ def q_n7(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_topk(emb, queries, k=_ANN_K, dim=_SRP_DIM,
                      m_subspaces=_PQ_M, n_codes=_PQ_CODES,
                      n_iter=_PQ_ITER)
+
+
+@register("n8_ann_ivf_pq", _ivf_pq_oracle())
+def q_n8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ proper, the FAISS workhorse shape: the coarse quantizer
+    (n3's hash-order contract) bounds WHICH candidates a query touches
+    (~n_probe/n_centroids of the corpus), the PQ codes bound WHAT each
+    candidate costs (m lookups, never the vector) — compression
+    composing multiplicatively. Global (non-residual) codebooks,
+    stated honestly in the docstring of similarity.ivf_pq_topk; the
+    oracle chains the n3 coarse CTEs with n7's shared training + ADC
+    generators, so neither quantizer can drift from its standalone
+    row."""
+    emb = spark.read.parquet(_pq(sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") < _ANN_NQ)
+    return S.ivf_pq_topk(emb, queries, k=_ANN_K, dim=_SRP_DIM,
+                         m_subspaces=_PQ_M, n_codes=_PQ_CODES,
+                         n_iter=_PQ_ITER,
+                         n_centroids=_IVF_N_CENTROIDS,
+                         n_probe=_IVF_PROBE)
 
 
 # ===========================================================================

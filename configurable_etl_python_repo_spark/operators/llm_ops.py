@@ -811,6 +811,7 @@ LLM_OP_COMPILERS = {
     "ANN TOPK IVF": _binary_corpus_queries("ivf_topk"),
     "ANN TOPK IVF KMEANS": _binary_corpus_queries("ivf_topk_kmeans"),
     "ANN TOPK PQ": _binary_corpus_queries("pq_topk"),
+    "ANN TOPK IVF PQ": _binary_corpus_queries("ivf_pq_topk"),
     "IMAGE RESIZE": _unary(
         _rename_kw(_lazy_multimodal("resize_images"),
                    {"id_column": "id_col", "payload_column": "payload_col"})

@@ -111,3 +111,46 @@ def test_pq_validation_and_config_op(spark):
     )
 
     assert "ANN TOPK PQ" in LLM_OP_COMPILERS
+
+
+def test_ivf_pq_degenerates_to_flat_adc_at_full_probe(spark):
+    """n_probe == n_centroids makes the candidate set the whole corpus
+    — IVF-PQ must then equal pq_topk row for row (same codebooks, same
+    ADC contract; the coarse stage is pure pruning)."""
+    from configurable_etl_python_repo_spark.llm.similarity import (
+        ivf_pq_topk,
+    )
+
+    emb = _clustered(spark, n_clusters=4, per_cluster=30)
+    queries = emb.where(F.col("vec_id") % 30 == 0)
+    kw = dict(k=4, dim=_DIM, m_subspaces=4, n_codes=8, n_iter=1)
+    full = {tuple(r) for r in
+            ivf_pq_topk(emb, queries, n_centroids=6, n_probe=6,
+                        **kw).collect()}
+    flat = {tuple(r) for r in pq_topk(emb, queries, **kw).collect()}
+    assert full == flat
+
+
+def test_ivf_pq_prunes_and_stays_cluster_pure(spark):
+    """At n_probe < n_centroids every returned neighbor still comes
+    from the query's probed lists (a candidate outside them is
+    impossible by construction), and on clustered data the results
+    stay same-cluster."""
+    from configurable_etl_python_repo_spark.llm.similarity import (
+        ivf_pq_topk,
+    )
+
+    emb = _clustered(spark)
+    queries = emb.where(F.col("vec_id") % 40 == 0)
+    out = ivf_pq_topk(emb, queries, k=5, dim=_DIM, m_subspaces=4,
+                      n_codes=8, n_iter=1, n_centroids=8,
+                      n_probe=2).collect()
+    assert len(out) == 6 * 5
+    cl = {r.vec_id: r.cluster
+          for r in emb.select("vec_id", "cluster").collect()}
+    assert all(cl[r.query_id] == cl[r.neighbor_id] for r in out)
+    from configurable_etl_python_repo_spark.operators.llm_ops import (
+        LLM_OP_COMPILERS,
+    )
+
+    assert "ANN TOPK IVF PQ" in LLM_OP_COMPILERS
