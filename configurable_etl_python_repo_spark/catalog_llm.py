@@ -887,13 +887,18 @@ def _dot_sql(av: str, bv: str) -> str:
     )
 
 
-def _pq_train_ctes() -> "list[str]":
+def _pq_train_ctes(train_where: str = "") -> "list[str]":
     """Per-subspace Lloyd trainings unrolled as SQL (the
     _kmeans_assign_ctes recipe applied to 1-based-inclusive list
     slices), ending in assignF_{s} + cent{_PQ_ITER}_{s} per subspace.
-    Shared by the n7 (flat ADC) and n8 (IVF-PQ) oracles so the
-    codebook math can never drift between them."""
+    Shared by the n7 (flat ADC), n8 (IVF-PQ), and n9 (persisted index)
+    oracles so the codebook math can never drift between them.
+    ``train_where`` restricts the TRAINING corpus (init sample +
+    Lloyd assignment/update rows) — n9's FAISS-add semantics: the
+    build subset trains, but assignF still ENCODES every row."""
     sd = _SRP_DIM // _PQ_M
+    tw = f"WHERE {train_where}" if train_where else ""
+    twe = f"WHERE e.{train_where}" if train_where else ""
     cte = []
     for s in range(_PQ_M):
         lo, hi = s * sd + 1, (s + 1) * sd
@@ -901,13 +906,13 @@ def _pq_train_ctes() -> "list[str]":
         cte.append(f"""cent0_{s} AS (
       SELECT vec_id AS cid,
              list_transform({sl}, x -> CAST(x AS DOUBLE)) AS cv
-      FROM embeddings
+      FROM embeddings {tw}
       ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {_PQ_CODES})""")
         for i in range(_PQ_ITER):
             cte.append(f"""scored{i}_{s} AS (
       SELECT e.vec_id AS id, c.cid,
              {_cos_sql(f'e.{sl}', 'c.cv')} AS s
-      FROM embeddings e, cent{i}_{s} c),
+      FROM embeddings e, cent{i}_{s} c {twe}),
     assign{i}_{s} AS (
       SELECT id, cid FROM scored{i}_{s}
       QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY s DESC, cid) = 1),
@@ -1079,6 +1084,83 @@ def q_n8(spark: SparkSession, sf_dir: str) -> DataFrame:
                          n_iter=_PQ_ITER,
                          n_centroids=_IVF_N_CENTROIDS,
                          n_probe=_IVF_PROBE)
+
+
+_PQIDX_TRAIN = "vec_id % 2 = 0"
+
+
+def _pq_index_oracle() -> str:
+    """n9 = the PERSISTED PQ index lifecycle as one SQL chain: the
+    build subset ({_PQIDX_TRAIN}) trains BOTH quantizers (coarse +
+    per-subspace codebooks — the shared generators with train_where),
+    every row (build + extended batch) is ENCODED under them
+    (FAISS-add: extends never retrain), and queries ADC-score their
+    probed lists. The equality Spark must meet: build(evens) +
+    tagged-extend(odds) + search == this chain."""
+    joined = ",\n    ".join(_pq_train_ctes(_PQIDX_TRAIN))
+    return f"""
+    WITH {joined},
+    {_pq_adc_ctes()},
+    ccent AS (
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      WHERE {_PQIDX_TRAIN}
+      ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {_IVF_N_CENTROIDS}),
+    cscored AS (
+      SELECT e.vec_id AS id, c.cid,
+             {_cos_sql('e.embedding', 'c.cv')} AS s
+      FROM embeddings e, ccent c),
+    cassign AS (
+      SELECT id, cid FROM cscored
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY s DESC, cid) = 1),
+    qprobe AS (
+      SELECT id AS query_id, cid FROM cscored WHERE id < {_ANN_NQ}
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY s DESC, cid)
+              <= {_IVF_PROBE}),
+    cand AS (
+      SELECT q.query_id, a.id
+      FROM qprobe q JOIN cassign a ON a.cid = q.cid),
+    num AS (
+      SELECT ca.query_id, co.id,
+             CAST(SUM(CAST(l.d AS DECIMAL(28,10))) AS DOUBLE) AS num
+      FROM cand ca
+      JOIN codes co ON co.id = ca.id
+      JOIN lut l ON l.query_id = ca.query_id
+                AND l.s = co.s AND l.cid = co.cid
+      GROUP BY ca.query_id, co.id),
+    {_PQ_FINAL}"""
+
+
+@register("n9_pq_index_lifecycle", _pq_index_oracle())
+def q_n9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED PQ index, full lifecycle: build on half the corpus
+    (training both quantizers), roll the other half in with a TAGGED
+    extend (FAISS-add: encoded under the STORED coarse centroids and
+    codebooks, read back with meta_id cross-checks), then ADC-search
+    through the committed segment set. The oracle replays training on
+    the build subset only but encoding over the union — so a
+    quantizer that silently retrained on extend, a segment that
+    didn't commit, or a probe that read orphans would all break the
+    hash. The store inherits the whole segment-manifest protocol
+    (tagged idempotence, tombstones, snapshots, compact/vacuum/
+    maintain via COMPACT_SPECS) — pinned in tests/test_pq.py."""
+    import os
+    import shutil
+
+    root = _proc_tmp_root("n9", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    path = os.path.join(root, "pqidx")
+    emb = spark.read.parquet(_pq(sf_dir, "embeddings"))
+    build = emb.where(F.expr(_PQIDX_TRAIN))
+    extend = emb.where(~F.expr(_PQIDX_TRAIN))
+    S.pq_build_index(build, path, dim=_SRP_DIM, m_subspaces=_PQ_M,
+                     n_codes=_PQ_CODES, n_iter=_PQ_ITER,
+                     n_centroids=_IVF_N_CENTROIDS)
+    assert S.pq_extend_index(extend, path, tag="n9-batch-1")
+    # retry of the same batch is a no-op (tag idempotence)
+    assert not S.pq_extend_index(extend, path, tag="n9-batch-1")
+    queries = emb.where(F.col("vec_id") < _ANN_NQ)
+    return S.pq_search_index(spark, path, queries, k=_ANN_K,
+                             n_probe=_IVF_PROBE)
 
 
 # ===========================================================================

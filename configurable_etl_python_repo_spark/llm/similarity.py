@@ -1073,6 +1073,274 @@ def ivf_search_index(
     )
 
 
+#: PQ store layout version (code rows under seg=<id> dirs at the root,
+#: partitioned by coarse cid; _centroids + _codebooks + _meta +
+#: _segments manifests alongside). Shares the whole segment-manifest
+#: protocol: atomic commits, tagged idempotent extends, tombstones,
+#: snapshot reads, compact/vacuum/maintain via COMPACT_SPECS.
+_PQ_LAYOUT = "pq-cid-seg-v1"
+
+
+def _pq_committed(spark, path: str, version: "int | None" = None):
+    from ._store import committed_state
+
+    return committed_state(
+        spark, path, _PQ_LAYOUT, kind="pq index", version=version
+    )
+
+
+def _write_codebooks(spark, path: str, codebooks, meta_id: str) -> None:
+    """Persist the per-subspace codebooks with the build's meta_id
+    stamped on every row — the _centroids convention, so a torn or
+    mid-probe-swapped rebuild fails loudly at read."""
+    rows = [
+        (s, int(cid), [float(x) for x in cv], meta_id)
+        for s, book in enumerate(codebooks)
+        for cid, cv in book
+    ]
+    spark.createDataFrame(
+        rows, "s int, cid long, cv array<double>, meta_id string"
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/_codebooks")
+
+
+def _read_codebooks(spark, path: str, meta_id: str):
+    rows = spark.read.parquet(path + "/_codebooks").collect()
+    bad = {getattr(r, "meta_id", None) for r in rows} - {meta_id}
+    if bad:
+        raise ValueError(
+            f"pq index at {path} is torn: _codebooks generation(s) "
+            f"{sorted(map(repr, bad))} do not match the committed "
+            f"manifest's {meta_id!r} — a rebuild crashed or completed "
+            f"mid-read; re-run the build (or the probe)"
+        )
+    by_s: "dict[int, list]" = {}
+    for r in rows:
+        by_s.setdefault(int(r.s), []).append((int(r.cid), list(r.cv)))
+    return [sorted(by_s[s]) for s in sorted(by_s)]
+
+
+def _pq_rows(
+    batch: DataFrame, coarse, codebooks, dim: int,
+    id_col: str, vec_col: str,
+) -> DataFrame:
+    """(cid, id, codes) under FIXED quantizers — identical construction
+    for build and extend, on purpose (the _emb_rows convention)."""
+    assign1 = ivf_assignments_arrow(coarse, n_best=1)
+    return batch.select(
+        assign1(F.col(vec_col))[0].alias("cid"),
+        F.col(id_col).alias("id"),
+        F.array(*[
+            ivf_assignments_arrow(codebooks[s], n_best=1)(
+                F.slice(F.col(vec_col), start, sd)
+            )[0]
+            for s, (start, sd) in enumerate(
+                _pq_slices(dim, len(codebooks))
+            )
+        ]).alias("codes"),
+    )
+
+
+def pq_build_index(
+    corpus: DataFrame,
+    path: str,
+    dim: int,
+    m_subspaces: int = 4,
+    n_codes: int = 8,
+    n_iter: int = 1,
+    n_centroids: "int | None" = None,
+    target_list_size: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """WRITE-SIDE PQ index — the repeated-retrieval dual of the
+    one-shot ivf_pq_topk (the minhash/BM25/IVF index convention): one
+    corpus pass trains the coarse quantizer + per-subspace codebooks
+    and stores ONLY (cid, id, m codes) per vector, physically
+    partitioned by coarse list id. The original vectors are never
+    stored: the index is m·log2(n_codes) bits a row plus two
+    constant-size sidecars — at 100 TB this is the difference between
+    an index you can cache and one you can't (64-dim float32 = 256 B
+    a vector; m=8/k=256 = 8 B, 32× smaller before parquet encoding).
+
+    Search partition-prunes to the probed lists AND scores from codes
+    alone (pq_search_index); roll forward with pq_extend_index
+    (FAISS-add semantics — neither quantizer retrains); tombstone via
+    _store.delete_from_index; compact/vacuum/maintain ride the shared
+    COMPACT_SPECS registration. Atomic segment-manifest commit; the
+    crashed-REBUILD caveat is ivf_build_index's (in-place sidecars are
+    detectably torn via meta_id, never silently mixed)."""
+    import math
+
+    from . import _store as ST
+
+    if n_centroids is None:
+        if target_list_size < 1:
+            raise ValueError(
+                f"target_list_size must be >= 1, got {target_list_size}"
+            )
+        n_centroids = max(1, math.ceil(corpus.count() / target_list_size))
+    coarse = _hash_order_sample(corpus, n_centroids, id_col, vec_col)
+    codebooks = pq_train(corpus, dim, m_subspaces, n_codes, n_iter,
+                         id_col, vec_col)
+    rows = _pq_rows(corpus, coarse, codebooks, dim, id_col, vec_col)
+    seg, meta_id = ST.new_segment_id(), ST.new_meta_id()
+    ST.write_segment(rows, path, "", seg, "cid")
+    spark = corpus.sparkSession
+    ST.write_centroids(spark, path, coarse, meta_id)
+    _write_codebooks(spark, path, codebooks, meta_id)
+    spark.createDataFrame(
+        [(int(dim), int(m_subspaces), int(n_codes), len(coarse),
+          id_col, _PQ_LAYOUT, meta_id)],
+        "dim int, m_subspaces int, n_codes int, n_centroids int, "
+        "id_col string, layout string, meta_id string",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/_meta")
+    ST.commit_build(path, seg, meta_id)
+
+
+def pq_extend_index(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tag: "str | None" = None,
+) -> bool:
+    """Roll the PQ index forward: encode the batch under the index's
+    OWN stored coarse centroids AND codebooks (read back with meta_id
+    cross-checks — callers cannot desynchronize either) and commit a
+    new segment. FAISS-add semantics: nothing retrains; a search after
+    an extend equals a search against a fresh build whose TRAINING SET
+    was the original corpus (pytest-pinned). ATOMIC via the
+    segment-manifest commit; `tag` gives retry idempotence."""
+    from . import _store as ST
+
+    spark = batch.sparkSession
+    meta, _, tags, _ = _pq_committed(spark, path)
+    if tag is not None and tag in tags:
+        return False
+    coarse = ST.read_centroids(spark, path, meta.meta_id, kind="pq index")
+    codebooks = _read_codebooks(spark, path, meta.meta_id)
+    rows = _pq_rows(batch, coarse, codebooks, int(meta.dim),
+                    id_col, vec_col)
+    seg = ST.new_segment_id()
+    ST.write_segment(rows, path, "", seg, "cid")
+    return ST.commit_extend(path, seg, meta.meta_id, tag=tag)
+
+
+def pq_search_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    as_of_version: "int | None" = None,
+) -> DataFrame:
+    """Query a write-side PQ index: load the two constant-size
+    quantizer sidecars, find each query's n_probe nearest coarse
+    lists, scan ONLY those partitions of the CODE rows (`cid IN`
+    prunes at the file listing — and the rows pruned are m-byte codes,
+    not vectors), and ADC-score from the broadcast query LUT with the
+    pq_topk contract (6dp DECIMAL-summed terms, reconstruction-norm
+    denominator, ties to the smaller id, self excluded). Tombstoned
+    ids never appear; `as_of_version` time-travels the manifest log
+    like every other store."""
+    from ._store import (
+        apply_deletes,
+        read_centroids,
+        read_committed,
+        read_deletes,
+    )
+
+    meta, segs, _, man = _pq_committed(spark, path, version=as_of_version)
+    coarse = read_centroids(spark, path, meta.meta_id, kind="pq index")
+    codebooks = _read_codebooks(spark, path, meta.meta_id)
+    dim, m = int(meta.dim), int(meta.m_subspaces)
+    cb = F.broadcast(_pq_codebook_df(spark, codebooks))
+    probe = ivf_assignments_arrow(coarse, n_best=n_probe)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    ).withColumn("__qn", _norm(F.col("__qv")))
+    qlists = q.select(
+        "query_id", F.explode(probe(F.col("__qv"))).alias("cid")
+    )
+    probed = sorted({
+        int(r[0]) for r in qlists.select("cid").distinct().collect()
+    })
+    stored = apply_deletes(
+        read_committed(spark, path, "", segs),
+        read_deletes(spark, path, man), "id",
+    ).where(F.col("cid").isin(probed))
+    ex = stored.select(
+        "cid", "id",
+        F.posexplode("codes").alias("s", "code_cid"),
+    )
+    den = (
+        ex.join(
+            cb.select("s", F.col("cid").alias("code_cid"), "nsq"),
+            ["s", "code_cid"],
+        )
+        .groupBy("id")
+        .agg(
+            F.sum(F.col("nsq").cast("decimal(28,10)"))
+            .cast("double").alias("den")
+        )
+    )
+    lut = (
+        q.crossJoin(
+            cb.select("s", F.col("cid").alias("code_cid"), "cv")
+        )
+        .withColumn(
+            "d",
+            F.round(
+                _dot(
+                    F.element_at(
+                        F.array(*[
+                            F.slice(F.col("__qv"), start, sd)
+                            for start, sd in _pq_slices(dim, m)
+                        ]),
+                        F.col("s") + 1,
+                    ),
+                    F.col("cv"),
+                ),
+                round_digits,
+            ),
+        )
+        .select("query_id", "__qn", "s", "code_cid", "d")
+    )
+    num = (
+        ex.join(F.broadcast(qlists.withColumnRenamed("cid", "__pl")),
+                F.col("cid") == F.col("__pl"))
+        .join(F.broadcast(lut), ["query_id", "s", "code_cid"])
+        .groupBy("query_id", "__qn", "id")
+        .agg(
+            F.sum(F.col("d").cast("decimal(28,10)"))
+            .cast("double").alias("num")
+        )
+    )
+    scored = (
+        num.join(den, "id")
+        .where(F.col("query_id") != F.col("id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            F.round(
+                F.col("num") / (F.col("__qn") * F.sqrt(F.col("den"))),
+                round_digits,
+            ).alias("ascore"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("ascore"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "ascore")
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1461,4 +1729,7 @@ def _ivf_id_col(df, meta) -> str:
 
 _ST.COMPACT_SPECS[_IVF_LAYOUT] = {
     "rels": [("", "cid", _ivf_id_col)], "derived": [], "finalize": None,
+}
+_ST.COMPACT_SPECS[_PQ_LAYOUT] = {
+    "rels": [("", "cid", "id")], "derived": [], "finalize": None,
 }

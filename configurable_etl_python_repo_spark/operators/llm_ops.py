@@ -120,6 +120,48 @@ def _decontaminate(engine: "Engine", spec: OpSpec):
     return D.decontaminate(corpus, evalset, **kwargs), None
 
 
+def _pq_index_write(fn_name: str):
+    """PQ index write ops (build/extend) — the _minhash_index_write
+    convention routed to llm.similarity: persist under args['path'],
+    forward the input relation unchanged."""
+
+    def compile_op(engine: "Engine", spec: OpSpec):
+        df, _ = engine.peek(spec.inputs[0])
+        kwargs = dict(spec.args)
+        if "path" not in kwargs:
+            raise ValueError(
+                f"{spec.op} needs a 'path' arg naming the index location"
+            )
+        path = kwargs.pop("path")
+        for cfg, py in (("id_column", "id_col"),
+                        ("vector_column", "vec_col")):
+            if cfg in kwargs:
+                kwargs[py] = kwargs.pop(cfg)
+        getattr(S, fn_name)(df, path, **kwargs)
+        return df, None
+
+    return compile_op
+
+
+def _pq_search_index(engine: "Engine", spec: OpSpec):
+    """Query a persisted PQ index: input relation is the QUERY batch;
+    quantizer parameters come from the index's own _meta/_codebooks,
+    never from the program."""
+    queries, _ = engine.peek(spec.inputs[0])
+    kwargs = dict(spec.args)
+    if "path" not in kwargs:
+        raise ValueError(
+            "PQ SEARCH INDEX needs a 'path' arg naming the index"
+        )
+    path = kwargs.pop("path")
+    for cfg, py in (("id_column", "id_col"), ("vector_column", "vec_col")):
+        if cfg in kwargs:
+            kwargs[py] = kwargs.pop(cfg)
+    return S.pq_search_index(
+        queries.sparkSession, path, queries, **kwargs
+    ), None
+
+
 def _decontaminate_bloom(engine: "Engine", spec: OpSpec):
     """inputs: [corpus, evalset] — decontaminate via the Bloom-filter
     prefilter + exact verify (llm.dedup.decontaminate_bloom):
@@ -812,6 +854,9 @@ LLM_OP_COMPILERS = {
     "ANN TOPK IVF KMEANS": _binary_corpus_queries("ivf_topk_kmeans"),
     "ANN TOPK PQ": _binary_corpus_queries("pq_topk"),
     "ANN TOPK IVF PQ": _binary_corpus_queries("ivf_pq_topk"),
+    "PQ BUILD INDEX": _pq_index_write("pq_build_index"),
+    "PQ EXTEND INDEX": _pq_index_write("pq_extend_index"),
+    "PQ SEARCH INDEX": _pq_search_index,
     "IMAGE RESIZE": _unary(
         _rename_kw(_lazy_multimodal("resize_images"),
                    {"id_column": "id_col", "payload_column": "payload_col"})

@@ -154,3 +154,106 @@ def test_ivf_pq_prunes_and_stays_cluster_pure(spark):
     )
 
     assert "ANN TOPK IVF PQ" in LLM_OP_COMPILERS
+
+
+def test_pq_index_full_build_parity_and_store_protocol(spark, tmp_path):
+    """The persisted PQ index inherits the whole segment-manifest
+    protocol: (a) a full build searches identically to the one-shot
+    ivf_pq_topk; (b) extends are tag-idempotent and FAISS-add (the
+    stored quantizers encode the batch — nothing retrains); (c)
+    tombstoned ids vanish from results; (d) as_of time-travels to the
+    pre-delete answer; (e) compact + vacuum preserve the post-delete
+    answer; (f) a mismatched layout is refused."""
+    from configurable_etl_python_repo_spark.llm import _store as ST
+    from configurable_etl_python_repo_spark.llm.similarity import (
+        ivf_pq_topk,
+        pq_build_index,
+        pq_extend_index,
+        pq_search_index,
+    )
+
+    emb = _clustered(spark, n_clusters=4, per_cluster=25)
+    q = emb.where(F.col("vec_id") < 8)
+    kw = dict(dim=_DIM, m_subspaces=4, n_codes=8, n_iter=1)
+
+    p1 = str(tmp_path / "full")
+    pq_build_index(emb, p1, n_centroids=6, **kw)
+    a = {tuple(r) for r in
+         pq_search_index(spark, p1, q, k=4, n_probe=2).collect()}
+    b = {tuple(r) for r in
+         ivf_pq_topk(emb, q, k=4, n_centroids=6, n_probe=2,
+                     **kw).collect()}
+    assert a == b and a
+
+    p2 = str(tmp_path / "grow")
+    ev = emb.where(F.col("vec_id") % 2 == 0)
+    od = emb.where(F.col("vec_id") % 2 == 1)
+    pq_build_index(ev, p2, n_centroids=6, **kw)
+    assert pq_extend_index(od, p2, tag="b1")
+    assert not pq_extend_index(od, p2, tag="b1")  # idempotent retry
+    r = pq_search_index(spark, p2, q, k=4, n_probe=6).collect()
+    assert any(x.neighbor_id % 2 == 1 for x in r)  # extends searchable
+
+    victim = r[0].neighbor_id
+    assert ST.delete_from_index(
+        spark.createDataFrame([(victim,)], "id long"), p2
+    )
+    r2 = pq_search_index(spark, p2, q, k=4, n_probe=6).collect()
+    assert all(x.neighbor_id != victim for x in r2)
+    r3 = pq_search_index(spark, p2, q, k=4, n_probe=6,
+                         as_of_version=2).collect()
+    assert any(x.neighbor_id == victim for x in r3)
+
+    ST.compact_index(spark, p2)
+    r4 = {tuple(x) for x in
+          pq_search_index(spark, p2, q, k=4, n_probe=6).collect()}
+    assert r4 == {tuple(x) for x in r2}
+    ST.vacuum_index(p2, retention_s=0.0)
+    r5 = {tuple(x) for x in
+          pq_search_index(spark, p2, q, k=4, n_probe=6).collect()}
+    assert r5 == r4
+
+    with pytest.raises(Exception, match="PATH_NOT_FOUND|does not exist"):
+        pq_search_index(spark, str(tmp_path / "nothere"), q).collect()
+    # cross-store layout guard: an IVF probe refuses a PQ tree loudly
+    from configurable_etl_python_repo_spark.llm.similarity import (
+        ivf_search_index,
+    )
+
+    with pytest.raises(ValueError, match="layout|expected"):
+        ivf_search_index(spark, p1, q).collect()
+
+
+def test_pq_index_config_ops(spark, tmp_path):
+    from configurable_etl_python_repo_spark.plans import (
+        AnalytePlan,
+        Engine,
+        OpSpec,
+        ScanSpec,
+    )
+
+    emb = _clustered(spark, n_clusters=3, per_cluster=15)
+    src = str(tmp_path / "emb")
+    emb.write.parquet(src)
+    idx = str(tmp_path / "pqidx")
+    eng = Engine(spark)
+    eng.run_analyte(AnalytePlan(
+        name="build",
+        scans=[ScanSpec("vecs", "parquet", src)],
+        ops=[OpSpec("PQ BUILD INDEX", "build", ["vecs"],
+                    {"path": idx, "dim": _DIM, "m_subspaces": 4,
+                     "n_codes": 8, "n_centroids": 5})],
+    )).count()
+    out = Engine(spark).run_analyte(AnalytePlan(
+        name="hits",
+        scans=[ScanSpec("qs", "parquet", src)],
+        ops=[
+            OpSpec("FILTER", "qs", ["qs"],
+                   {"condition": "vec_id < NUMBER(5)"}),
+            OpSpec("PQ SEARCH INDEX", "hits", ["qs"],
+                   {"path": idx, "k": 3, "n_probe": 5}),
+        ],
+    ))
+    rows = out.collect()
+    assert {r.query_id for r in rows} == {0, 1, 2, 3, 4}
+    assert all(r.rank <= 3 for r in rows)
