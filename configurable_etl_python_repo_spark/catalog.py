@@ -1232,8 +1232,9 @@ DRIVER_PRIORITY = [
     "x6_asof_join", "x7_range_join", "x8_stratified_sample",
     "x9_curation_pipeline", "x10_rolling_window",
     "x11_quantize_embeddings", "x12_top_ngrams",
-    # mixture, sketches, composed curation
-    "x15_web_curation_pipeline", "x18_dsir_selection",
+    # mixture, sketches, composed curation — n9 (NEW late-r11) is the
+    # persisted PQ index lifecycle (build → tagged extend → ADC search)
+    "n9_pq_index_lifecycle", "x18_dsir_selection",
     "x19_targeted_pipeline", "x26_mixture_upsample",
     "x27_corpus_report", "x29_streaming_embedding_admission",
     "x30_index_deletion",
@@ -1459,6 +1460,17 @@ DRIVER_PRIORITY = [
 # _bm25_ctes, and REAL BM25 retrieval stays in-window via x34's
 # searchable-admission search; the dense-ANN family keeps n4, whose
 # lloyd recipe n7's oracle now also unrolls per subspace).
+# Late-r11 batch 4: n9 (the persisted PQ index lifecycle: build →
+# tagged FAISS-add extend → ADC search through the committed segment
+# set, oracle training on the build subset only but encoding the
+# union) enters; x15 demotes (green r8-r10; the composed-pipeline
+# family keeps x9 AND x19 in-window — x19's oracle chains the same
+# quality/decontamination stage generators — and every x15 stage
+# operator has its own sweep row). n8 (IVF-PQ one-shot; n7 + n9
+# bracket both halves of its machinery in-window) and d21 (bloom
+# decontamination; oracle == d9's, x19 chains the decontamination
+# CTEs in-window) stay sweep-only pending the next rotation — the
+# d20 precedent.
 
 
 def _curate() -> None:
