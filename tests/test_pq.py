@@ -257,3 +257,40 @@ def test_pq_index_config_ops(spark, tmp_path):
     rows = out.collect()
     assert {r.query_id for r in rows} == {0, 1, 2, 3, 4}
     assert all(r.rank <= 3 for r in rows)
+
+
+def test_pq_index_maintain_policy(spark, tmp_path):
+    """maintain_index (the generic manifest-only policy) drives the PQ
+    layout like every other store: segment sprawl past max_segments
+    triggers a compaction down to one segment, search answers
+    unchanged; under the thresholds it is a no-op."""
+    from configurable_etl_python_repo_spark.llm import _store as ST
+    from configurable_etl_python_repo_spark.llm.similarity import (
+        _pq_committed,
+        pq_build_index,
+        pq_extend_index,
+        pq_search_index,
+    )
+
+    emb = _clustered(spark, n_clusters=3, per_cluster=20)
+    q = emb.where(F.col("vec_id") < 6)
+    p = str(tmp_path / "pqm")
+    pq_build_index(emb.where("vec_id % 4 = 0"), p, dim=_DIM,
+                   m_subspaces=4, n_codes=8, n_centroids=4)
+    for r in (1, 2, 3):
+        pq_extend_index(emb.where(f"vec_id % 4 = {r}"), p, tag=f"e{r}")
+    before = {tuple(x) for x in
+              pq_search_index(spark, p, q, k=3, n_probe=4).collect()}
+    _, segs, _, _ = _pq_committed(spark, p)
+    assert len(segs) == 4
+    # below threshold: no-op
+    ST.maintain_index(spark, p, max_segments=16, retention_s=0.0)
+    _, segs2, _, _ = _pq_committed(spark, p)
+    assert len(segs2) == 4
+    # over threshold: compacts to one segment, answers unchanged
+    ST.maintain_index(spark, p, max_segments=3, retention_s=0.0)
+    _, segs3, _, _ = _pq_committed(spark, p)
+    assert len(segs3) == 1
+    after = {tuple(x) for x in
+             pq_search_index(spark, p, q, k=3, n_probe=4).collect()}
+    assert after == before
