@@ -1213,9 +1213,10 @@ DRIVER_PRIORITY = [
     # LLM pipeline: dedup + persisted indexes — x32 (NEW r11) is the
     # MAINTAIN INDEX policy bracketing the same fixture x30/x31 pin
     "x31_index_time_travel", "x32_index_maintenance",
-    # LLM pipeline: similarity search + retrieval — n7 (NEW late-r11)
-    # is PQ/ADC, the FAISS-style code-compressed ANN path
-    "n4_ann_ivf_kmeans", "n7_ann_pq_adc",
+    # LLM pipeline: similarity search + retrieval — n7 (late-r11) is
+    # PQ/ADC; n8 (r12 rotation) is IVF-PQ proper, the last operator
+    # without a driver row alongside d21 (verdict r11 item 2)
+    "n7_ann_pq_adc", "n8_ann_ivf_pq",
     # LLM pipeline: text analysis + curation; d20 gets its FIRST
     # driver row (the only operator without one, verdict r10 item 2)
     "t8_pack_sequences", "d19_grouped_lsh_pairs",
@@ -1232,9 +1233,10 @@ DRIVER_PRIORITY = [
     "x6_asof_join", "x7_range_join", "x8_stratified_sample",
     "x9_curation_pipeline", "x10_rolling_window",
     "x11_quantize_embeddings", "x12_top_ngrams",
-    # mixture, sketches, composed curation — n9 (NEW late-r11) is the
-    # persisted PQ index lifecycle (build → tagged extend → ADC search)
-    "n9_pq_index_lifecycle", "x18_dsir_selection",
+    # mixture, sketches, composed curation — n9 (late-r11) is the
+    # persisted PQ index lifecycle; d21 (r12 rotation) is the bloom
+    # decontamination whose oracle is d9's verbatim
+    "n9_pq_index_lifecycle", "d21_decontaminate_bloom",
     "x19_targeted_pipeline", "x26_mixture_upsample",
     "x27_corpus_report", "x29_streaming_embedding_admission",
     "x30_index_deletion",
@@ -1471,6 +1473,21 @@ DRIVER_PRIORITY = [
 # decontamination; oracle == d9's, x19 chains the decontamination
 # CTEs in-window) stay sweep-only pending the next rotation — the
 # d20 precedent.
+# Round-12 rotation (verdict r11 item 2): d21 and n8 — the only two
+# operators without a driver row — enter. OUT:
+# n4 (NINE green driver rows r3-r11, the most-attested row in the
+#   window; its deterministic-Lloyd recipe is unrolled PER SUBSPACE by
+#   the in-window n7 and the entering n8, whose oracles each chain
+#   _pq_train_ctes — the lloyd CTE generator applied to every slice —
+#   and the IVF coarse-list probe machinery stays via n8's coarse
+#   assignment + the in-window n9 persisted search; n4 stays in the
+#   full sweep and tests/test_ivf_index.py);
+# x18 (five green driver rows r7-r11; DSIR importance reweighting runs
+#   INSIDE the in-window x19 targeted pipeline as a stage whose oracle
+#   CTEs are chained from x18's own generator — the d15-inside-x28
+#   precedent — and the exact-BIGINT sampling math rides the in-window
+#   x8/x26 md5-bucket rows; x18 stays in the full sweep, the bench
+#   headline list, and tests/test_sampling.py).
 
 
 def _curate() -> None:

@@ -1183,13 +1183,21 @@ def decontaminate_bloom(
                 )
         yield bm
 
+    # treeAggregate, not treeReduce: an EMPTY eval set (or one where
+    # every text is shorter than the n-gram window) reaches here as a
+    # 0-partition relation after AQE collapses it, and treeReduce
+    # raises "Cannot reduce empty RDD" — the zero-bitmap seed keeps the
+    # documented drop-in contract with decontaminate(), which returns
+    # all-uncontaminated on the same input (pytest-pinned).
     bitmap = (
         eval_grams.select(
             F.xxhash64("sh").alias("h1"),
             F.xxhash64("sh", F.lit(1)).alias("h2"),
         )
         .rdd.mapPartitions(_part)
-        .treeReduce(np.bitwise_or)
+        .treeAggregate(
+            np.zeros(nbytes, dtype=np.uint8), np.bitwise_or, np.bitwise_or
+        )
     )
     bc = corpus.sparkSession.sparkContext.broadcast(bitmap.tobytes())
 

@@ -643,6 +643,12 @@ def _split_scan(data: bytes, pos: int) -> "tuple[list[bytes], int]":
         if nxt == 0x00:
             cur.append(0xFF)
             i += 2
+        elif nxt == 0xFF:
+            # T.81 B.1.1.2: markers may be preceded by any number of
+            # 0xFF fill bytes — consume the padding and re-classify at
+            # the LAST 0xFF of the run (treating it as a terminating
+            # marker misparsed spec-valid streams; ADVICE r11)
+            i += 1
         elif 0xD0 <= nxt <= 0xD7:
             segs.append(bytes(cur))
             cur = bytearray()
@@ -691,6 +697,9 @@ def decode_jpeg(payload: bytes) -> JpegImage:
                 f"corrupt JPEG: expected marker at byte {i}"
             )
         tag = payload[i + 1]
+        if tag == 0xFF:  # T.81 B.1.1.2 fill byte run before a marker
+            i += 1
+            continue
         if tag == 0xD9:  # EOI
             break
         (length,) = struct.unpack(">H", payload[i + 2 : i + 4])
@@ -765,6 +774,16 @@ def decode_jpeg(payload: bytes) -> JpegImage:
         elif tag == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("corrupt JPEG: SOS before SOF")
+            if scan_segments is not None:
+                # a second SOS silently overwrote the first scan's
+                # segments before (decoding the last scan over
+                # zero-filled coefficients); keep the loud
+                # quarantine-by-exception-type contract instead
+                raise NotImplementedError(
+                    "jpeg_stdlib decodes single-scan interleaved "
+                    "baseline JPEGs only, not multi-scan / "
+                    "non-interleaved streams (second SOS seen)"
+                )
             ns = body[0]
             scan_comps = []
             for k in range(ns):

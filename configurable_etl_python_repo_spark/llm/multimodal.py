@@ -275,7 +275,15 @@ def extract_features(
 
     The two-column projection (id, payload) happens BEFORE the UDF so Spark
     prunes every other column out of the Arrow transfer; batches are kept
-    small because payloads are large."""
+    small because payloads are large.
+
+    Strict-mode scope (fake_decode=False, codec=None): the stdlib
+    codecs decode baseline-sequential JPEG and non-interlaced PNG;
+    progressive/multi-scan JPEG and interlaced PNG raise
+    NotImplementedError and land in the quarantine column. The
+    production path for those is Pillow, installed on the cluster and
+    passed through this same seam (codec= / resolve_image_codec) — no
+    plumbing changes, only the decoder swaps."""
     src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -561,6 +561,7 @@ def pq_train(
     n_iter: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_digits: int = 6,
 ) -> "list[list[tuple[int, list[float]]]]":
     """Per-subspace codebooks via lloyd_centroids on the sliced corpus
     — one deterministic Lloyd contract for the whole package. Returns
@@ -568,7 +569,9 @@ def pq_train(
     hash-order-sample vec_ids (identical across subspaces — slicing
     never changes the init order). Driver state: m·n_codes rows, a
     constant. At 100 TB: m_subspaces × n_iter corpus passes, each a
-    map-side-combined groupBy."""
+    map-side-combined groupBy. `round_digits` is the Lloyd mean/assign
+    precision (forwarded as mean_digits — one precision per caller,
+    ADVICE r11)."""
     books = []
     for start, sd in _pq_slices(dim, m_subspaces):
         sub = corpus.select(
@@ -576,21 +579,25 @@ def pq_train(
         )
         books.append(
             lloyd_centroids(sub, n_centroids=n_codes, n_iter=n_iter,
-                            id_col=id_col, vec_col=vec_col)
+                            id_col=id_col, vec_col=vec_col,
+                            mean_digits=round_digits)
         )
     return books
 
 
-def _pq_codebook_df(spark, codebooks) -> DataFrame:
-    """(s, cid, cv, nsq) — one row per codeword; nsq = round(|cv|², 6),
-    the den term ADC sums. Tiny (m·n_codes rows) and always broadcast."""
+def _pq_codebook_df(spark, codebooks, digits: int = 6) -> DataFrame:
+    """(s, cid, cv, nsq) — one row per codeword; nsq =
+    round(|cv|², digits), the den term ADC sums. Tiny (m·n_codes rows)
+    and always broadcast."""
     rows = [
         (s, int(cid), [float(x) for x in cv])
         for s, book in enumerate(codebooks)
         for cid, cv in book
     ]
     df = spark.createDataFrame(rows, "s int, cid long, cv array<double>")
-    return df.withColumn("nsq", F.round(_dot(F.col("cv"), F.col("cv")), 6))
+    return df.withColumn(
+        "nsq", F.round(_dot(F.col("cv"), F.col("cv")), digits)
+    )
 
 
 def pq_encode(
@@ -599,14 +606,16 @@ def pq_encode(
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_digits: int = 6,
 ) -> DataFrame:
     """(id, codes array<long>) — codes[s] = nearest codeword id in
-    subspace s by the shared cosine-6dp assignment (the codebook's own
-    training contract). One projection, no shuffle."""
+    subspace s by the shared cosine assignment at `round_digits` (the
+    codebook's own training contract). One projection, no shuffle."""
     m = len(codebooks)
     cols = []
     for s, (start, sd) in enumerate(_pq_slices(dim, m)):
-        assign1 = ivf_assignments_arrow(codebooks[s], n_best=1)
+        assign1 = ivf_assignments_arrow(codebooks[s], n_best=1,
+                                        digits=round_digits)
         cols.append(assign1(F.slice(F.col(vec_col), start, sd))[0])
     return corpus.select(
         F.col(id_col).alias("id"), F.array(*cols).alias("codes")
@@ -650,9 +659,10 @@ def pq_topk(
     et al. 2011); reference repo has no ANN surface at all."""
     spark = corpus.sparkSession
     codebooks = pq_train(corpus, dim, m_subspaces, n_codes, n_iter,
-                         id_col, vec_col)
-    cb = F.broadcast(_pq_codebook_df(spark, codebooks))
-    codes = pq_encode(corpus, codebooks, dim, id_col, vec_col)
+                         id_col, vec_col, round_digits)
+    cb = F.broadcast(_pq_codebook_df(spark, codebooks, round_digits))
+    codes = pq_encode(corpus, codebooks, dim, id_col, vec_col,
+                      round_digits)
     ex = codes.select(
         "id", F.posexplode("codes").alias("s", "cid")
     )
@@ -756,14 +766,15 @@ def ivf_pq_topk(
     assignp = ivf_assignments_arrow(coarse, n_best=n_probe,
                                     digits=round_digits)
     codebooks = pq_train(corpus, dim, m_subspaces, n_codes, n_iter,
-                         id_col, vec_col)
-    cb = F.broadcast(_pq_codebook_df(spark, codebooks))
+                         id_col, vec_col, round_digits)
+    cb = F.broadcast(_pq_codebook_df(spark, codebooks, round_digits))
     # one corpus pass: coarse list id + PQ codes per vector
     enc = corpus.select(
         F.col(id_col).alias("id"),
         assign1(F.col(vec_col))[0].alias("__list"),
         *[
-            ivf_assignments_arrow(codebooks[s], n_best=1)(
+            ivf_assignments_arrow(codebooks[s], n_best=1,
+                                  digits=round_digits)(
                 F.slice(F.col(vec_col), start, sd)
             )[0].alias(f"__c{s}")
             for s, (start, sd) in enumerate(_pq_slices(dim, m_subspaces))
@@ -1124,7 +1135,11 @@ def _pq_rows(
     id_col: str, vec_col: str,
 ) -> DataFrame:
     """(cid, id, codes) under FIXED quantizers — identical construction
-    for build and extend, on purpose (the _emb_rows convention)."""
+    for build and extend, on purpose (the _emb_rows convention). The
+    6dp assignment here is the PERSISTED index's quantization
+    contract: build, extend, and the n9 oracle all state it, so it is
+    deliberately not a parameter (pq_search_index round_digits governs
+    query-side arithmetic only)."""
     assign1 = ivf_assignments_arrow(coarse, n_best=1)
     return batch.select(
         assign1(F.col(vec_col))[0].alias("cid"),
@@ -1242,10 +1257,17 @@ def pq_search_index(
     lists, scan ONLY those partitions of the CODE rows (`cid IN`
     prunes at the file listing — and the rows pruned are m-byte codes,
     not vectors), and ADC-score from the broadcast query LUT with the
-    pq_topk contract (6dp DECIMAL-summed terms, reconstruction-norm
+    pq_topk contract (DECIMAL-summed terms, reconstruction-norm
     denominator, ties to the smaller id, self excluded). Tombstoned
     ids never appear; `as_of_version` time-travels the manifest log
-    like every other store."""
+    like every other store.
+
+    `round_digits` governs ALL query-side arithmetic — the coarse
+    probe, the LUT terms, the codeword norms, and the final score
+    (one precision per search, ADVICE r11). The STORED code
+    assignment is the index's own build-time contract (fixed 6dp in
+    pq_build_index/_pq_rows) and is already frozen on disk — a
+    search-side precision cannot and does not re-quantize it."""
     from ._store import (
         apply_deletes,
         read_centroids,
@@ -1257,8 +1279,9 @@ def pq_search_index(
     coarse = read_centroids(spark, path, meta.meta_id, kind="pq index")
     codebooks = _read_codebooks(spark, path, meta.meta_id)
     dim, m = int(meta.dim), int(meta.m_subspaces)
-    cb = F.broadcast(_pq_codebook_df(spark, codebooks))
-    probe = ivf_assignments_arrow(coarse, n_best=n_probe)
+    cb = F.broadcast(_pq_codebook_df(spark, codebooks, round_digits))
+    probe = ivf_assignments_arrow(coarse, n_best=n_probe,
+                                  digits=round_digits)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     ).withColumn("__qn", _norm(F.col("__qv")))

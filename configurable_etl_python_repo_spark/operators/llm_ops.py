@@ -120,6 +120,34 @@ def _decontaminate(engine: "Engine", spec: OpSpec):
     return D.decontaminate(corpus, evalset, **kwargs), None
 
 
+def _validate_op_args(
+    op: str, fn, kwargs: dict, n_supplied: int
+) -> None:
+    """Config-op argument gate: unknown keys and missing required
+    parameters must surface as ValueError NAMING THE OP AND KEY — a
+    program typo previously fell through to the python-level TypeError
+    of the target function's signature (ADVICE r11). `n_supplied` =
+    leading positional params the op compiler itself provides
+    (relation/path/spark), which programs must not name."""
+    import inspect
+
+    params = inspect.signature(fn).parameters
+    names = list(params)[n_supplied:]
+    unknown = sorted(set(kwargs) - set(names))
+    if unknown:
+        raise ValueError(
+            f"{op}: unknown arg(s) {unknown}; expected among "
+            f"{sorted(names)}"
+        )
+    missing = [
+        n for n in names
+        if params[n].default is inspect.Parameter.empty
+        and n not in kwargs
+    ]
+    if missing:
+        raise ValueError(f"{op} needs required arg(s) {missing}")
+
+
 def _pq_index_write(fn_name: str):
     """PQ index write ops (build/extend) — the _minhash_index_write
     convention routed to llm.similarity: persist under args['path'],
@@ -137,7 +165,9 @@ def _pq_index_write(fn_name: str):
                         ("vector_column", "vec_col")):
             if cfg in kwargs:
                 kwargs[py] = kwargs.pop(cfg)
-        getattr(S, fn_name)(df, path, **kwargs)
+        fn = getattr(S, fn_name)
+        _validate_op_args(spec.op, fn, kwargs, n_supplied=2)
+        fn(df, path, **kwargs)
         return df, None
 
     return compile_op
@@ -157,6 +187,7 @@ def _pq_search_index(engine: "Engine", spec: OpSpec):
     for cfg, py in (("id_column", "id_col"), ("vector_column", "vec_col")):
         if cfg in kwargs:
             kwargs[py] = kwargs.pop(cfg)
+    _validate_op_args(spec.op, S.pq_search_index, kwargs, n_supplied=3)
     return S.pq_search_index(
         queries.sparkSession, path, queries, **kwargs
     ), None

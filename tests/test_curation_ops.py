@@ -1411,6 +1411,41 @@ def test_decontaminate_bloom_is_bit_identical_and_actually_prunes(spark):
         decontaminate_bloom(docs, evalset, mode="quarantine")
 
 
+def test_decontaminate_bloom_empty_eval_grams(spark):
+    """Zero eval grams — an empty eval set, or one whose every text is
+    shorter than the n-gram window — must keep the bit-identical
+    contract, not crash. AQE collapses the empty gram relation to a
+    0-partition RDD, where treeReduce raised 'Cannot reduce empty RDD'
+    (ADVICE r11); the zero-seeded treeAggregate returns the all-zero
+    bitmap and the result matches decontaminate(): every row
+    uncontaminated, counts 0."""
+    from configurable_etl_python_repo_spark.llm.dedup import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(20)
+    )
+    cols = ["doc_id", "contaminated", "n_contaminated_grams"]
+    for evalset in (
+        docs.select("doc_id", "text").where(F.lit(False)),  # empty
+        spark.createDataFrame(
+            [(1, "too short for thirteen grams")], "doc_id long, text string"
+        ),  # every text below the n-gram window
+    ):
+        exact = {tuple(r) for r in
+                 decontaminate(docs, evalset, n=13).select(*cols).collect()}
+        bloom = {tuple(r) for r in
+                 decontaminate_bloom(docs, evalset, n=13)
+                 .select(*cols).collect()}
+        assert bloom == exact
+        assert all(not c and n == 0 for _, c, n in bloom)
+        drop = decontaminate_bloom(docs, evalset, n=13, mode="drop")
+        assert drop.count() == 20
+
+
 def test_decontaminate_bloom_as_config_op(spark, sf_dir):
     from configurable_etl_python_repo_spark.plans import ScanSpec
 

@@ -222,6 +222,36 @@ def test_out_of_scope_raises_loudly():
         jpeg.decode_jpeg(bytes(cut))
 
 
+def test_fill_bytes_before_markers_decode_identically():
+    """T.81 B.1.1.2 lets an encoder pad any marker with a run of 0xFF
+    fill bytes. Other encoders emit them; treating the run as a
+    scan-terminating marker misparsed spec-valid streams (ADVICE r11).
+    Inject fill both BEFORE EOI (exercises _split_scan) and BEFORE SOS
+    (exercises the outer segment loop) and pin pixel equality."""
+    ok = jpeg.encode_jpeg("RGB", (6, 5), _gradient(6, 5, 3), quality=80)
+    base = jpeg.decode_jpeg(ok)
+    assert ok.endswith(b"\xff\xd9")
+    padded_eoi = ok[:-2] + b"\xff\xff\xff" + ok[-2:]
+    sos = ok.index(b"\xff\xda")
+    padded_sos = ok[:sos] + b"\xff\xff" + ok[sos:]
+    for variant in (padded_eoi, padded_sos):
+        img = jpeg.decode_jpeg(variant)
+        assert (img.size, img.mode) == (base.size, base.mode)
+        assert img._data == base._data
+
+
+def test_second_sos_raises_not_implemented():
+    """A multi-scan (non-interleaved) baseline stream previously
+    overwrote the first scan's segments silently; it must quarantine
+    by exception type instead (ADVICE r11)."""
+    ok = jpeg.encode_jpeg("L", (8, 8), bytes(range(64)))
+    sos = ok.index(b"\xff\xda")
+    eoi = ok.rindex(b"\xff\xd9")
+    two_scans = ok[:eoi] + ok[sos:eoi] + ok[eoi:]
+    with pytest.raises(NotImplementedError, match="second SOS"):
+        jpeg.decode_jpeg(two_scans)
+
+
 def test_strict_extract_features_on_real_jpeg_bytes(spark):
     """Strict mode decodes REAL JPEG bytes in this codec-free
     container — dims come from the SOF0 parse, luminance from the

@@ -102,6 +102,68 @@ def test_pq_score_contract(spark):
     assert [r.rank for r in sorted(out, key=lambda r: r.rank)] == [1, 2, 3]
 
 
+def test_round_digits_threads_through_every_pq_stage(spark, tmp_path):
+    """One precision per caller (ADVICE r11): a non-default
+    round_digits reaches training, the codebook norms, code
+    assignment, the LUT, and the score — not just the last two. Pinned
+    by (a) recomputing one neighbor's ADC score ENTIRELY at 3dp and
+    matching ascore exactly, (b) codes at digits=3 equal a manual
+    3dp assignment, and (c) pq_search_index honoring the query-side
+    precision against a stock 6dp-built index."""
+    from configurable_etl_python_repo_spark.llm.similarity import (
+        ivf_assignments_arrow,
+        ivf_pq_topk,
+        pq_build_index,
+        pq_search_index,
+    )
+
+    emb = _clustered(spark, n_clusters=3, per_cluster=20, seed=7)
+    queries = emb.where(F.col("vec_id") == 0)
+    d = 3
+    books = pq_train(emb, dim=_DIM, m_subspaces=4, n_codes=8, n_iter=1,
+                     round_digits=d)
+    # training honored: every codeword coordinate is a 3dp value
+    for book in books:
+        for _, cv in book:
+            assert all(round(x, d) == x for x in cv)
+    # encoding honored: codes equal a manual digits=3 assignment
+    codes = {r.id: list(r.codes) for r in
+             pq_encode(emb, books, dim=_DIM, round_digits=d).collect()}
+    sd = _DIM // 4
+    manual = emb.select(
+        "vec_id",
+        *[ivf_assignments_arrow(books[s], n_best=1, digits=d)(
+            F.slice(F.col("embedding"), s * sd + 1, sd))[0].alias(f"c{s}")
+          for s in range(4)],
+    )
+    for r in manual.collect():
+        assert codes[r.vec_id] == [r.c0, r.c1, r.c2, r.c3]
+    # end to end: one retrieved row's ascore recomputed offline at 3dp
+    out = pq_topk(emb, queries, k=3, dim=_DIM, m_subspaces=4,
+                  n_codes=8, n_iter=1, round_digits=d).collect()
+    qv = np.array(queries.select("embedding").first()[0], np.float64)
+    for r in out:
+        num = den = 0.0
+        for s, cid in enumerate(codes[r.neighbor_id]):
+            cw = np.array(dict(books[s])[cid], np.float64)
+            num += round(float(qv[s * sd:(s + 1) * sd] @ cw), d)
+            den += round(float(cw @ cw), d)
+        want = round(num / (float(np.linalg.norm(qv))
+                            * float(np.sqrt(den))), d)
+        assert r.ascore == pytest.approx(want, abs=1e-9)
+    # the composed paths accept and apply it (scores are 3dp values)
+    ivf = ivf_pq_topk(emb, queries, k=3, dim=_DIM, m_subspaces=4,
+                      n_codes=8, n_iter=1, n_centroids=3, n_probe=3,
+                      round_digits=d).collect()
+    assert ivf and all(round(r.ascore, d) == r.ascore for r in ivf)
+    p = str(tmp_path / "pqidx")
+    pq_build_index(emb, p, dim=_DIM, m_subspaces=4, n_codes=8,
+                   n_centroids=3)
+    got = pq_search_index(spark, p, queries, k=3, n_probe=3,
+                          round_digits=d).collect()
+    assert got and all(round(r.ascore, d) == r.ascore for r in got)
+
+
 def test_pq_validation_and_config_op(spark):
     emb = _clustered(spark, n_clusters=2, per_cluster=10)
     with pytest.raises(ValueError, match="not divisible"):
@@ -257,6 +319,37 @@ def test_pq_index_config_ops(spark, tmp_path):
     rows = out.collect()
     assert {r.query_id for r in rows} == {0, 1, 2, 3, 4}
     assert all(r.rank <= 3 for r in rows)
+
+
+def test_pq_index_op_arg_validation(spark, tmp_path):
+    """Program typos die as op-level ValueErrors naming the op and
+    key, never as raw TypeErrors from the target signature (ADVICE
+    r11): a PQ BUILD INDEX missing 'dim', an unknown arg on build, and
+    an unknown arg on search."""
+    from configurable_etl_python_repo_spark.plans import Engine, OpSpec
+
+    emb = _clustered(spark, n_clusters=2, per_cluster=10)
+    eng = Engine(spark)
+    eng.bind("vecs", emb)
+    idx = str(tmp_path / "pqidx")
+    with pytest.raises(ValueError, match=r"PQ BUILD INDEX.*'dim'"):
+        eng.run_op(OpSpec("PQ BUILD INDEX", "b", ["vecs"],
+                          {"path": idx, "n_codes": 8}))
+    with pytest.raises(ValueError, match=r"PQ BUILD INDEX.*'dims'"):
+        eng.run_op(OpSpec("PQ BUILD INDEX", "b", ["vecs"],
+                          {"path": idx, "dims": _DIM}))
+    from configurable_etl_python_repo_spark.llm.similarity import (
+        pq_build_index,
+    )
+
+    pq_build_index(emb, idx, dim=_DIM, m_subspaces=4, n_codes=8,
+                   n_centroids=2)
+    with pytest.raises(ValueError, match=r"PQ SEARCH INDEX.*'topk'"):
+        eng.run_op(OpSpec("PQ SEARCH INDEX", "h", ["vecs"],
+                          {"path": idx, "topk": 3}))
+    with pytest.raises(ValueError, match=r"PQ EXTEND INDEX.*'dim'"):
+        eng.run_op(OpSpec("PQ EXTEND INDEX", "e", ["vecs"],
+                          {"path": idx, "dim": _DIM}))
 
 
 def test_pq_index_maintain_policy(spark, tmp_path):
