@@ -2464,6 +2464,179 @@ def q_d18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _emb_pq_probe_oracle() -> str:
+    """d22 = the PQ-CODED embedding store's two-stage probe unrolled
+    as ONE SQL chain (verdict r11 item 3): per-subspace codebook
+    training on the corpus (the shared _pq_train_ctes generator with
+    train_where), int8 quantization (the x11 CTEs), the precomputed
+    ADC denominator, the per-row Cauchy-Schwarz shortlist bound err
+    (every rounding pad spelled out — the _emb_pq_rows formula term
+    for term), the coarse probe (the d18 machinery), the ADC
+    SHORTLIST at threshold − err − slack, and the EXACT int8 rerank.
+    The final SELECT keeps rerank sim >= threshold — which is exactly
+    what a quantize='int8' store returns, so a shortlist that lost a
+    pair (a broken bound), a drifted codebook, or a rerank that scored
+    codes instead of vectors all break the hash."""
+    sd = _SRP_DIM // _PQ_M
+    joined = ",\n    ".join(_pq_train_ctes("vec_id % 2 = 0"))
+    cbv = "\n      UNION ALL ".join(
+        f"SELECT {s} AS s, cid, cv FROM cent{_PQ_ITER}_{s}"
+        for s in range(_PQ_M)
+    )
+    codes = "\n      UNION ALL ".join(
+        f"SELECT id, {s} AS s, cid FROM assignF_{s}"
+        for s in range(_PQ_M)
+    )
+    blut = "\n      UNION ALL ".join(
+        f"SELECT b.vec_id AS id_a, {s} AS s, c.cid, "
+        f"round(list_sum(list_transform(generate_series(1, {sd}), "
+        f"i -> CAST(b.embedding[{s * sd} + i] AS DOUBLE) * c.cv[i])), 6)"
+        f" AS d "
+        f"FROM ebat b, cent{_PQ_ITER}_{s} c"
+        for s in range(_PQ_M)
+    )
+    pad = f"({_PQ_M} * 5e-7)"
+    return f"""
+    WITH {_EMB_INCR_SQL.strip()},
+    {joined},
+    cbv AS (
+      {cbv}),
+    codes AS (
+      {codes}),
+    cbn AS (
+      SELECT s, cid, round(list_sum(list_transform(
+               generate_series(1, {sd}), i -> cv[i] * cv[i])), 6) AS nsq
+      FROM cbv),
+    den AS (
+      SELECT co.id,
+             CAST(SUM(CAST(b.nsq AS DECIMAL(28,10))) AS DOUBLE) AS den
+      FROM codes co JOIN cbn b ON b.s = co.s AND b.cid = co.cid
+      GROUP BY co.id),
+    q8s AS (
+      SELECT vec_id AS id, embedding,
+             greatest(list_max(list_transform(embedding,
+                                  x -> abs(CAST(x AS DOUBLE)))),
+                      1e-30) / 127.0 AS scale
+      FROM ecorp),
+    dqv AS (
+      SELECT id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INT)
+                    * scale) AS dq
+      FROM q8s),
+    dqn AS (
+      SELECT id, dq,
+             sqrt(list_sum(list_transform(generate_series(1, len(dq)),
+                                          i -> dq[i] * dq[i]))) AS ndq
+      FROM dqv),
+    terms AS (
+      SELECT co.id,
+             round(list_sum(list_transform(generate_series(1, {sd}),
+                     i -> v.dq[co.s * {sd} + i] * b.cv[i])), 6) AS t
+      FROM codes co
+      JOIN cbv b ON b.s = co.s AND b.cid = co.cid
+      JOIN dqn v ON v.id = co.id),
+    dots AS (
+      SELECT id, CAST(SUM(CAST(t AS DECIMAL(28,10))) AS DOUBLE) AS dotsum
+      FROM terms GROUP BY id),
+    errv AS (
+      SELECT v.id,
+             CASE WHEN v.ndq = 0 THEN 2.0
+                  ELSE round(sqrt(greatest(0.0,
+                         2.0 - 2.0 * (t.dotsum / (v.ndq * sqrt(d.den)))
+                             + 2.0 * {pad} / (v.ndq * sqrt(d.den))
+                             + {pad} / d.den)), 6) + 2e-6
+             END AS err
+      FROM dqn v JOIN dots t ON t.id = v.id JOIN den d ON d.id = v.id),
+    cent AS (
+      SELECT vec_id AS cid, embedding AS cv FROM ecorp
+      ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {_D18_NC}),
+    cassign AS (
+      SELECT id, cid FROM (
+        SELECT e.vec_id AS id, c.cid,
+               {_cos_sql('e.embedding', 'c.cv')} AS s
+        FROM ecorp e, cent c)
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY s DESC, cid) = 1),
+    bprobe AS (
+      SELECT id, cid FROM (
+        SELECT b.vec_id AS id, c.cid,
+               {_cos_sql('b.embedding', 'c.cv')} AS s
+        FROM ebat b, cent c)
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY s DESC, cid)
+              <= {_D18_PROBE}),
+    bqn AS (
+      SELECT vec_id AS id_a,
+             sqrt(list_sum(list_transform(generate_series(1,
+                    len(embedding)),
+                    i -> CAST(embedding[i] AS DOUBLE)
+                         * CAST(embedding[i] AS DOUBLE)))) AS nq
+      FROM ebat),
+    blut AS (
+      {blut}),
+    cand AS (
+      SELECT bp.id AS id_a, ca.id AS id_b
+      FROM bprobe bp JOIN cassign ca ON ca.cid = bp.cid),
+    bnum AS (
+      SELECT ca.id_a, ca.id_b,
+             CAST(SUM(CAST(l.d AS DECIMAL(28,10))) AS DOUBLE) AS num
+      FROM cand ca
+      JOIN codes co ON co.id = ca.id_b
+      JOIN blut l ON l.id_a = ca.id_a AND l.s = co.s AND l.cid = co.cid
+      GROUP BY ca.id_a, ca.id_b),
+    short AS (
+      SELECT n.id_a, n.id_b
+      FROM bnum n
+      JOIN den d ON d.id = n.id_b
+      JOIN errv e ON e.id = n.id_b
+      JOIN bqn q ON q.id_a = n.id_a
+      WHERE round(n.num / (q.nq * sqrt(d.den)), 6)
+            >= {_D18_T} - e.err - 1e-4),
+    rerank AS (
+      SELECT s.id_a, s.id_b,
+             round(list_sum(list_transform(generate_series(1,
+                     len(b.embedding)),
+                     i -> CAST(b.embedding[i] AS DOUBLE) * v.dq[i]))
+                   / (q.nq * v.ndq), 6) AS sim
+      FROM short s
+      JOIN ebat b ON b.vec_id = s.id_a
+      JOIN dqn v ON v.id = s.id_b
+      JOIN bqn q ON q.id_a = s.id_a)
+    SELECT id_a, id_b, sim FROM rerank WHERE sim >= {_D18_T}
+    """
+
+
+@register("d22_embedding_pq_store_probe", _emb_pq_probe_oracle())
+def q_d22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental semantic dedup against the PQ-CODED embedding store
+    (quantize='pq' — verdict r11 item 3): the scoring pass reads
+    m-byte PQ codes plus two doubles per row instead of the vector,
+    shortlists candidates with the stored no-false-negative err bound,
+    and exact-reranks only the survivors against the stored int8
+    vectors — BIT-EQUAL to a quantize='int8' store's probe
+    (tests/test_dedup_index.py pins the equality at two code budgets;
+    this row pins the whole chain against SQL). At a realistic code
+    budget (m=8, k=64) the shortlist admits ~1% of candidates on this
+    data; at the fixture budget here (m={_PQ_M}, k={_PQ_CODES}) the
+    bound is honest but loose — the contract, not the pruning, is
+    what the oracle checks. Build amortized via _build_once; the
+    measured work is the daily probe."""
+    from .llm import dedup_index as DI
+
+    corpus, batch = _emb_incr_split(spark, sf_dir)
+    path = _build_once(
+        "d22_idx", sf_dir,
+        f"nc={_D18_NC} pq m{_PQ_M} k{_PQ_CODES} v1",
+        lambda p: DI.embedding_build_index(
+            corpus, p, n_centroids=_D18_NC, quantize="pq",
+            m_subspaces=_PQ_M, n_codes=_PQ_CODES, pq_n_iter=_PQ_ITER,
+        ),
+        src_table="embeddings",
+    )
+    return DI.embedding_against_index(
+        spark, path, batch, threshold=_D18_T, n_probe=_D18_PROBE
+    )
+
+
 def _emb_ingest_oracle() -> str:
     """x25 = the daily embedding-ingest COMPOSITION: admitted batch
     vectors are the batch minus anything the index probe matched.

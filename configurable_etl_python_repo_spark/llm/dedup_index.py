@@ -508,6 +508,139 @@ def _emb_rows(batch, centroids, id_col, vec_col, quantize: bool):
     )
 
 
+_EMB_PQ_LAYOUT = "emb-pq-cid-seg-v1"
+
+#: probe-side slack added to the per-row err bound before the ADC
+#: shortlist comparison. It covers the QUERY-side rounding the stored
+#: err cannot know about: the m LUT terms round at round_digits (total
+#: shift <= m·5e-7/(|q|·sqrt(den)) at the default 6dp) and the ascore
+#: rounds once more (5e-7). 1e-4 dominates both whenever
+#: |q|·sqrt(den) >= m·5e-3 — i.e. unless query and reconstruction
+#: norms are BOTH degenerate-small (~0.03 for m=8), where cosine
+#: itself is numerically meaningless. Slack only LOOSENS the shortlist
+#: (extra rerank candidates, never a lost pair).
+_PQ_ERR_SLACK = 1e-4
+
+
+def _emb_pq_rows(batch, centroids, codebooks, dim, id_col, vec_col):
+    """One segment of the PQ-CODED embedding store: (id, cid, codes,
+    den, err, scale, qvec) under FIXED quantizers — identical
+    construction for build and extend (the _emb_rows convention).
+
+    - ``codes[s]`` = nearest codeword in subspace s of the FULL-
+      precision vector (pq_encode's 6dp contract);
+    - ``den`` = Σ_s round(|cw_s|², 6) DECIMAL-summed — the
+      query-independent ADC denominator, precomputed once at encode
+      time so probes never aggregate codebook norms;
+    - ``scale``/``qvec`` = the int8 rerank vector (quantize_embeddings);
+    - ``err`` = the per-row SHORTLIST BOUND: with dq the dequantized
+      int8 vector, x̂ the codeword reconstruction, and x̃ = x̂/sqrt(den)
+      the reconstruction AS THE PROBE NORMALIZES IT, Cauchy-Schwarz
+      gives |cos(q,dq) − q_n·x̃| ≤ ||dq_n − x̃|| for any query. Any
+      pair whose RERANK score reaches the threshold therefore has ADC
+      score ≥ threshold − err, so the shortlist at (threshold − err −
+      slack) is provably a SUPERSET of the rerank's answer set — the
+      exact-threshold contract survives code-compressed scoring.
+      ||dq_n − x̃||² = 1 + |x̂|²/den − 2·dq_n·x̃, and every rounding in
+      its computation is folded in EXPLICITLY: the m 6dp-rounded dot
+      terms shift dq_n·x̃ by at most m·5e-7/(|dq|·sqrt(den)) (the 2δ
+      pad), den's m rounded nsq terms shift |x̂|²/den from 1 by at most
+      m·5e-7/den (the δd pad), and the final 6dp rounding of the sqrt
+      is dominated by the +2e-6 nudge — the stored err ALWAYS
+      dominates the true deviation. Query-side LUT rounding is the
+      probe's slack's job (_PQ_ERR_SLACK)."""
+    from .similarity import (
+        _dot,
+        _norm,
+        _pq_codebook_df,
+        _pq_slices,
+        ivf_assignments_arrow,
+        quantize_embeddings,
+    )
+
+    m = len(codebooks)
+    sd = dim // m
+    assign1 = ivf_assignments_arrow(centroids, n_best=1)
+    exact = batch.select(
+        F.col(id_col).alias("id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("vec"),
+    ).withColumn("cid", assign1(F.col("vec"))[0])
+    q8 = quantize_embeddings(exact, id_col="id", vec_col="vec")
+    coded = (
+        exact.join(q8, "id")
+        .select(
+            "id", "cid", "scale",
+            F.transform("qvec", lambda x: x.cast("tinyint")).alias("qvec"),
+            F.array(*[
+                ivf_assignments_arrow(codebooks[s], n_best=1)(
+                    F.slice(F.col("vec"), start, sdl)
+                )[0]
+                for s, (start, sdl) in enumerate(_pq_slices(dim, m))
+            ]).alias("codes"),
+        )
+    )
+    coded = _scope_cache(coded)
+    cb = F.broadcast(
+        _pq_codebook_df(batch.sparkSession, codebooks)
+        .withColumnRenamed("cid", "code_cid")
+    )
+    dq = F.transform(
+        "qvec", lambda q: q.cast("double") * F.col("scale")
+    )
+    ex = coded.select(
+        "id", F.col("scale"), "qvec",
+        F.posexplode("codes").alias("s", "code_cid"),
+    ).join(cb, ["s", "code_cid"]).select(
+        "id", "nsq",
+        F.round(
+            _dot(
+                F.slice(dq, F.col("s") * sd + 1, F.lit(sd)),
+                F.col("cv"),
+            ),
+            6,
+        ).alias("__t"),
+    )
+    stats = ex.groupBy("id").agg(
+        F.sum(F.col("nsq").cast("decimal(28,10)"))
+        .cast("double").alias("den"),
+        F.sum(F.col("__t").cast("decimal(28,10)"))
+        .cast("double").alias("__dotsum"),
+    )
+    ndq = _norm(dq)
+    c = F.col("__dotsum") / (ndq * F.sqrt("den"))
+    delta = F.lit(float(m) * 5e-7) / (ndq * F.sqrt("den"))
+    dpad = F.lit(float(m) * 5e-7) / F.col("den")
+    err = F.when(ndq == 0, F.lit(2.0)).otherwise(
+        F.round(
+            F.sqrt(F.greatest(
+                F.lit(0.0),
+                F.lit(2.0) - 2.0 * c + 2.0 * delta + dpad,
+            )),
+            6,
+        ) + F.lit(2e-6)
+    )
+    return coded.join(stats, "id").select(
+        "id", "cid", "codes", "den", err.alias("err"), "scale", "qvec"
+    )
+
+
+def _emb_committed(spark: SparkSession, path: str,
+                   version: "int | None" = None):
+    """_committed with the embedding-store LAYOUT DISPATCH: peek the
+    _meta layout stamp and validate against whichever of the two
+    embedding layouts (exact/int8 vs pq-coded) the tree was built
+    under; any OTHER layout still dies on the strict single-layout
+    guard with the canonical rebuild message."""
+    try:
+        rows = spark.read.parquet(path + "/_meta").collect()
+        peek = getattr(rows[0], "layout", None) if len(rows) == 1 else None
+    except Exception:
+        peek = None
+    lay = peek if peek == _EMB_PQ_LAYOUT else _EMB_LAYOUT
+    meta, segs, tags, man = _committed(spark, path, lay, version=version)
+    return lay, meta, segs, tags, man
+
+
 def embedding_build_index(
     corpus: DataFrame,
     path: str,
@@ -515,7 +648,10 @@ def embedding_build_index(
     vec_col: str = "embedding",
     n_centroids: "int | None" = None,
     target_list_size: int = _EMB_TARGET_LIST_SIZE,
-    quantize: bool = False,
+    quantize: "bool | str" = False,
+    m_subspaces: int = 4,
+    n_codes: int = 8,
+    pq_n_iter: int = 1,
 ) -> None:
     """WRITE-SIDE embedding index for incremental SEMANTIC dedup: assign
     every corpus vector to its nearest hash-order-sample centroid
@@ -531,12 +667,28 @@ def embedding_build_index(
       probe/extend REFUSE a tree with a different layout instead of
       mis-reading it.
 
-    quantize=False (default) stores exact array<double> vectors
-    (float->double widening, so extends can never fork the schema);
-    quantize=True stores symmetric per-vector int8 codes + scale — 8x
-    smaller on disk, the difference between one cluster and eight at
-    100 TB of embeddings — and probes score in the DEQUANTIZED domain
-    (recall/error bound pinned in tests, the x11 pattern).
+    quantize=False (default, alias "exact") stores exact array<double>
+    vectors (float->double widening, so extends can never fork the
+    schema); quantize=True (alias "int8") stores symmetric per-vector
+    int8 codes + scale — 8x smaller on disk, the difference between
+    one cluster and eight at 100 TB of embeddings — and probes score
+    in the DEQUANTIZED domain (recall/error bound pinned in tests, the
+    x11 pattern).
+
+    quantize="pq" is the CODE-COMPRESSED store (verdict r11 item 3):
+    rows carry PQ codes + the precomputed ADC denominator + a per-row
+    shortlist bound ALONGSIDE the int8 rerank vector (_emb_pq_rows).
+    Probes run two stages — an ADC shortlist whose per-candidate cost
+    is m code lookups instead of dim multiply-adds, then the EXACT
+    int8 rerank on the provably-superset shortlist — so the result is
+    BIT-EQUAL to a quantize="int8" store's probe (pytest-pinned,
+    catalog d22) while the scoring pass reads m-byte code columns.
+    The per-subspace codebooks (m_subspaces × n_codes, trained with
+    the shared deterministic Lloyd at pq_n_iter iterations) persist
+    under _codebooks with the meta_id torn-rebuild stamp; extends
+    encode under the STORED codebooks (FAISS-add — nothing retrains).
+    Fixture-sized defaults; production uses m_subspaces=dim/8,
+    n_codes=256 (byte-exact codes).
 
     Like FAISS's IVF `add`, extending does NOT retrain the quantizer:
     the centroid sample is fixed at build time, which is what makes a
@@ -568,6 +720,14 @@ def embedding_build_index(
     from . import _store as ST
     from .similarity import _hash_order_sample
 
+    modes = {False: "exact", True: "int8", "exact": "exact",
+             "int8": "int8", "pq": "pq"}
+    mode = modes.get(quantize)
+    if mode is None:
+        raise ValueError(
+            f"quantize must be one of False/'exact', True/'int8', "
+            f"'pq'; got {quantize!r}"
+        )
     if target_list_size < 1:
         raise ValueError(
             f"target_list_size must be >= 1, got {target_list_size}"
@@ -584,17 +744,41 @@ def embedding_build_index(
     if n_centroids < 1:
         raise ValueError(f"n_centroids must be >= 1, got {n_centroids}")
     cents = _hash_order_sample(corpus, n_centroids, id_col, vec_col)
-    rows = _emb_rows(corpus, cents, id_col, vec_col, quantize)
-    seg, meta_id = ST.new_segment_id(), ST.new_meta_id()
-    ST.write_segment(rows, path, "vectors", seg, "cid")
     spark = corpus.sparkSession
+    seg, meta_id = ST.new_segment_id(), ST.new_meta_id()
+    if mode == "pq":
+        from .similarity import _write_codebooks, pq_train
+
+        dim = corpus.select(F.size(vec_col)).first()[0]
+        codebooks = pq_train(corpus, int(dim), m_subspaces, n_codes,
+                             pq_n_iter, id_col, vec_col)
+        rows = _emb_pq_rows(corpus, cents, codebooks, int(dim),
+                            id_col, vec_col)
+        ST.write_segment(rows, path, "vectors", seg, "cid")
+        ST.write_centroids(spark, path, cents, meta_id)
+        _write_codebooks(spark, path, codebooks, meta_id)
+        spark.createDataFrame(
+            [(len(cents), _EMB_PQ_LAYOUT, meta_id,
+              int(target_list_size), int(m_subspaces), int(n_codes),
+              int(dim))],
+            "n_centroids int, layout string, meta_id string, "
+            "target_list_size int, m_subspaces int, n_codes int, "
+            "dim int",
+        ).coalesce(1).write.mode("overwrite").parquet(path + "/_meta")
+        n_rows = spark.read.parquet(
+            f"{ST._rel_root(path, 'vectors')}/seg={seg}"
+        ).count()
+        ST.commit_build(path, seg, meta_id, row_count=n_rows)
+        return
+    rows = _emb_rows(corpus, cents, id_col, vec_col, mode == "int8")
+    ST.write_segment(rows, path, "vectors", seg, "cid")
     ST.write_centroids(spark, path, cents, meta_id)
     # target_list_size rides _meta so the extend-time drift warning
     # compares against the bound THIS build was sized for (an explicit
     # n_centroids pin still records the caller's intended list size);
     # additive column — pre-r11 stores read it as absent
     spark.createDataFrame(
-        [(len(cents), bool(quantize), _EMB_LAYOUT, meta_id,
+        [(len(cents), mode == "int8", _EMB_LAYOUT, meta_id,
           int(target_list_size))],
         "n_centroids int, quantize boolean, layout string, "
         "meta_id string, target_list_size int",
@@ -651,7 +835,7 @@ def embedding_extend_index(
     from . import _store as ST
 
     spark = batch.sparkSession
-    meta, segs, tags, man = _committed(spark, path, _EMB_LAYOUT)
+    lay, meta, segs, tags, man = _emb_committed(spark, path)
     if tag is not None and tag in tags:
         return False
     if batch.isEmpty():
@@ -660,7 +844,15 @@ def embedding_extend_index(
         # a 0-row partitioned write emits no parquet files to read)
         return False
     cents = _stored_centroids(spark, path, meta.meta_id)
-    rows = _emb_rows(batch, cents, id_col, vec_col, bool(meta.quantize))
+    if lay == _EMB_PQ_LAYOUT:
+        from .similarity import _read_codebooks
+
+        codebooks = _read_codebooks(spark, path, meta.meta_id)
+        rows = _emb_pq_rows(batch, cents, codebooks, int(meta.dim),
+                            id_col, vec_col)
+    else:
+        rows = _emb_rows(batch, cents, id_col, vec_col,
+                         bool(meta.quantize))
     seg = ST.new_segment_id()
     ST.write_segment(rows, path, "vectors", seg, "cid")
     seg_rows = spark.read.parquet(
@@ -699,6 +891,95 @@ def embedding_extend_index(
                 stacklevel=2,
             )
     return committed
+
+
+def _emb_pq_probe(spark, path, meta, stored, q, threshold,
+                  round_digits):
+    """Two-stage probe of a quantize='pq' store — the scoring half of
+    embedding_against_index (which owns the coarse probe, the cid
+    pruning, and the tombstone filter).
+
+    Stage 1, ADC SHORTLIST: candidates (the probed-list cid join, the
+    same pair set the int8 probe scores) are scored from CODE LOOKUPS —
+    num = Σ_s round(dot(q_s, cw_s), d) against a per-(query, subspace,
+    codeword) LUT (|batch| × m·n_codes rows), den read off the stored
+    row. Cost per candidate: m lookups, never dim multiply-adds, and
+    the scan reads the codes/den/err columns only (parquet column
+    pruning). A pair survives iff ascore >= threshold − err − slack,
+    where err is the row's stored Cauchy-Schwarz bound — a provable
+    SUPERSET of the answer set (see _emb_pq_rows).
+
+    Stage 2, EXACT RERANK: the shortlist joins back to the stored int8
+    vectors and keeps exact dequantized cosine >= threshold — the SAME
+    final arithmetic as a quantize='int8' store, so the two stores'
+    probes are bit-equal (pytest-pinned; catalog d22 replays this
+    whole chain in SQL). round_digits governs the query-side LUT and
+    both scores; the slack dominates its rounding for any
+    round_digits >= 4 (the stored err/den are the build's 6dp
+    contract)."""
+    from .similarity import (
+        _dot,
+        _pq_codebook_df,
+        _read_codebooks,
+        _sim,
+        _with_norm,
+    )
+
+    codebooks = _read_codebooks(spark, path, meta.meta_id)
+    dim, m = int(meta.dim), int(meta.m_subspaces)
+    sd = dim // m
+    cb = F.broadcast(
+        _pq_codebook_df(spark, codebooks)
+        .withColumnRenamed("cid", "code_cid")
+        .select("s", "code_cid", "cv")
+    )
+    qv1 = _with_norm(q.select("id_a", "qv").distinct(), "qv", "nq")
+    lut = qv1.crossJoin(cb).select(
+        "id_a", "nq", "s", "code_cid",
+        F.round(
+            _dot(
+                F.slice(F.col("qv"), F.col("s") * sd + 1, F.lit(sd)),
+                F.col("cv"),
+            ),
+            round_digits,
+        ).alias("d"),
+    )
+    ex = stored.select(
+        "cid", F.col("id").alias("id_b"), "den", "err",
+        F.posexplode("codes").alias("s", "code_cid"),
+    )
+    num = (
+        ex.join(q.select("id_a", "cid"), "cid")
+        .join(lut, ["id_a", "s", "code_cid"])
+        .groupBy("id_a", "id_b", "den", "err", "nq")
+        .agg(
+            F.sum(F.col("d").cast("decimal(28,10)"))
+            .cast("double").alias("num")
+        )
+    )
+    short = num.where(
+        F.round(F.col("num") / (F.col("nq") * F.sqrt("den")),
+                round_digits)
+        >= F.lit(threshold) - F.col("err") - F.lit(_PQ_ERR_SLACK)
+    ).select("id_a", "id_b")
+    rer = stored.select(
+        F.col("id").alias("id_b"),
+        F.transform(
+            "qvec", lambda x: x.cast("double") * F.col("scale")
+        ).alias("cv"),
+    )
+    scored = _with_norm(short.join(rer, "id_b"), "cv", "nc").join(
+        qv1, "id_a"
+    )
+    return (
+        scored.withColumn(
+            "sim",
+            _sim(F.col("qv"), F.col("cv"), F.col("nq"), F.col("nc"),
+                 round_digits),
+        )
+        .where(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
 
 
 def embedding_against_index(
@@ -740,8 +1021,8 @@ def embedding_against_index(
     from ._store import apply_deletes, read_committed, read_deletes
     from .similarity import _sim, _with_norm, ivf_assignments_arrow
 
-    meta, segs, _, man = _committed(
-        spark, path, _EMB_LAYOUT, version=as_of_version
+    lay, meta, segs, _, man = _emb_committed(
+        spark, path, version=as_of_version
     )
     cents = _stored_centroids(spark, path, meta.meta_id)
     if not (1 <= n_probe <= len(cents)):
@@ -765,6 +1046,10 @@ def embedding_against_index(
         read_committed(spark, path, "vectors", segs),
         read_deletes(spark, path, man), "id",
     ).where(F.col("cid").isin(probed))
+    if lay == _EMB_PQ_LAYOUT:
+        return _emb_pq_probe(
+            spark, path, meta, stored, q, threshold, round_digits
+        )
     if bool(meta.quantize):
         # int8 store: score in the DEQUANTIZED domain (q_i * scale as
         # double) — deterministic, engine-portable math; the exact-
@@ -811,5 +1096,13 @@ _ST.COMPACT_SPECS[_SH_LAYOUT] = {
     "rels": [("bands", "kb", "id")], "derived": [], "finalize": None,
 }
 _ST.COMPACT_SPECS[_EMB_LAYOUT] = {
+    "rels": [("vectors", "cid", "id")], "derived": [], "finalize": None,
+}
+# the PQ-coded store rewrites the same single primary relation — codes,
+# den, err, scale and qvec all live on the row, and the quantizer
+# sidecars (_centroids/_codebooks) are compaction-invariant; one
+# registration inherits tombstones/snapshots/compact/vacuum/maintain
+# (the n9 precedent)
+_ST.COMPACT_SPECS[_EMB_PQ_LAYOUT] = {
     "rels": [("vectors", "cid", "id")], "derived": [], "finalize": None,
 }
