@@ -1215,8 +1215,9 @@ DRIVER_PRIORITY = [
     "x31_index_time_travel", "x32_index_maintenance",
     # LLM pipeline: similarity search + retrieval — n7 (late-r11) is
     # PQ/ADC; n8 (r12 rotation) is IVF-PQ proper, the last operator
-    # without a driver row alongside d21 (verdict r11 item 2)
-    "n7_ann_pq_adc", "n8_ann_ivf_pq",
+    # without a driver row alongside d21 (verdict r11 item 2); n10
+    # (NEW r12) is residual IVF-PQ, the published IndexIVFPQ training
+    "n7_ann_pq_adc", "n8_ann_ivf_pq", "n10_ann_ivf_pq_residual",
     # LLM pipeline: text analysis + curation; d20 gets its FIRST
     # driver row (the only operator without one, verdict r10 item 2)
     "t8_pack_sequences", "d19_grouped_lsh_pairs",
@@ -1229,10 +1230,10 @@ DRIVER_PRIORITY = [
     # closed-form DC-only oracle
     "m4_png_decode_features", "m6_jpeg_decode_features",
     "m7_wav_audio_features", "m8_y4m_frame_stats",
-    # temporal joins, sampling, rolling windows, quantization, n-grams
-    "x6_asof_join", "x7_range_join", "x8_stratified_sample",
-    "x9_curation_pipeline", "x10_rolling_window",
-    "x11_quantize_embeddings", "x12_top_ngrams",
+    # temporal joins, rolling windows, n-grams — d22 (NEW r12) is the
+    # PQ-coded embedding store's two-stage probe
+    "x6_asof_join", "x7_range_join", "d22_embedding_pq_store_probe",
+    "x9_curation_pipeline", "x10_rolling_window", "x12_top_ngrams",
     # mixture, sketches, composed curation — n9 (late-r11) is the
     # persisted PQ index lifecycle; d21 (r12 rotation) is the bloom
     # decontamination whose oracle is d9's verbatim
@@ -1488,6 +1489,19 @@ DRIVER_PRIORITY = [
 #   precedent — and the exact-BIGINT sampling math rides the in-window
 #   x8/x26 md5-bucket rows; x18 stays in the full sweep, the bench
 #   headline list, and tests/test_sampling.py).
+# Mid-r12 batch: the round's two NEW operators enter — d22 (the
+# PQ-coded embedding store's shortlist+rerank probe) and n10 (residual
+# IVF-PQ, L2-quantized residual codebooks). OUT:
+# x8 (green r10+r11; the md5-bucket stratified-sample machinery rides
+#   the in-window x26 mixture upsampling — the same md5_mod remainder
+#   fold — and x16/x17 sweep rows + tests/test_sampling.py keep the
+#   exact-k variants pinned);
+# x11 (green r10+r11; its int8 quantize CTEs are embedded VERBATIM in
+#   the entering d22's oracle — the store quantizes with
+#   quantize_embeddings and the oracle replays the x11 chain as its
+#   q8s/dqv CTEs — and the dequantized-domain scoring stays in-window
+#   via d22's rerank stage; x11 stays in the full sweep and
+#   tests/test_llm_ops.py).
 
 
 def _curate() -> None:

@@ -258,7 +258,13 @@ def ivf_assignments_arrow(centroids: "list[tuple[int, list[float]]]",
 
     cids = np.array([c[0] for c in centroids], dtype=np.int64)
     C = np.stack([np.asarray(c[1], dtype=np.float64) for c in centroids])
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    # the norm floor mirrors the vector-side guard below: an all-zero
+    # centroid scores 0 against everything instead of poisoning the
+    # whole sims matrix with NaN (residual-PQ inits filter zero
+    # residuals out, but a guard beats a latent NaN)
+    Cn = C / np.maximum(
+        np.linalg.norm(C, axis=1, keepdims=True), 1e-300
+    )
 
     @pandas_udf("array<long>")
     def assign(s: pd.Series) -> pd.Series:
@@ -269,6 +275,37 @@ def ivf_assignments_arrow(centroids: "list[tuple[int, list[float]]]",
         sims = _round_half_away(Vn @ Cn.T, digits)
         # sort by (-sim, centroid_id): centroid ids are ascending in C, so
         # a stable argsort on -sims gives the smaller id on ties
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n_best]
+        return pd.Series([cids[row].tolist() for row in order])
+
+    return assign
+
+
+def l2_assignments_arrow(centroids: "list[tuple[int, list[float]]]",
+                         n_best: int = 1, digits: int = 6):
+    """EUCLIDEAN variant of ivf_assignments_arrow — the assignment
+    residual-PQ codebooks need (a residual's direction is noise; its
+    position is the signal, so spherical assignment wastes the code
+    budget). argmin ||v − w||² computed as argmax of
+    round(2·v·w − |w|², digits) — the |v|² term is constant per vector
+    and drops out — ties to the smaller centroid id; the rounded-score
+    + tiebreak contract is the same one the SQL oracles replay
+    (`2*dot − |w|²` folds, round, ORDER BY DESC, cid). Zero vectors
+    and zero codewords are well-defined here (finite scores, no
+    normalization), which is why the residual path can encode the
+    exactly-zero residuals of coarse-centroid rows."""
+    from pyspark.sql.functions import pandas_udf
+
+    cids = np.array([c[0] for c in centroids], dtype=np.int64)
+    C = np.stack([np.asarray(c[1], dtype=np.float64) for c in centroids])
+    w2 = (C * C).sum(axis=1)
+
+    @pandas_udf("array<long>")
+    def assign(s: pd.Series) -> pd.Series:
+        if len(s) == 0:
+            return pd.Series([], dtype=object)
+        V = np.stack(s.to_numpy()).astype(np.float64)
+        sims = _round_half_away(2.0 * (V @ C.T) - w2, digits)
         order = np.argsort(-sims, axis=1, kind="stable")[:, :n_best]
         return pd.Series([cids[row].tolist() for row in order])
 
@@ -392,6 +429,7 @@ def lloyd_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     mean_digits: int = 6,
+    metric: str = "cos",
 ) -> "list[tuple[int, list[float]]]":
     """DATA-ADAPTIVE centroids via DataFrame-native Lloyd iterations,
     engineered to be fully DETERMINISTIC — partition-invariant AND
@@ -400,9 +438,11 @@ def lloyd_centroids(
       - init: the `ivf_topk` hash-order sample (n_centroids smallest
         md5(id) — uniform, constant-bounded, ORDER BY + LIMIT in SQL);
         centroid labels are the sampled ids, stable across iterations;
-      - assignment: nearest centroid by cosine rounded to 6dp, ties to
-        the smaller centroid id (the same contract the search path's
-        quantizer and the oracle's argmax use);
+      - assignment: nearest centroid by the rounded metric score, ties
+        to the smaller centroid id (the same contract the search
+        path's quantizer and the oracle's argmax use) — metric='cos'
+        (default, the spherical house contract) or 'l2'
+        (2·v·w − |w|² argmax; what residual-PQ codebooks need);
       - update: per-cluster elementwise mean, with every float hazard
         pinned: components round to `mean_digits` in double space
         (F.round == SQL round, half away from zero), cross-row sums ride
@@ -415,11 +455,15 @@ def lloyd_centroids(
     centroid id producing dim DECIMAL sums, then a collect bounded by the
     CONSTANT n_centroids. At 100 TB: n_iter scans, no driver state beyond
     the centroid table itself."""
+    if metric not in ("cos", "l2"):
+        raise ValueError(f"metric must be 'cos' or 'l2', got {metric!r}")
+    assign_arrow = (
+        ivf_assignments_arrow if metric == "cos" else l2_assignments_arrow
+    )
     centroids = _hash_order_sample(corpus, n_centroids, id_col, vec_col)
     dim = len(centroids[0][1])
     for _ in range(n_iter):
-        assign1 = ivf_assignments_arrow(centroids, n_best=1,
-                                        digits=mean_digits)
+        assign1 = assign_arrow(centroids, n_best=1, digits=mean_digits)
         assigned = corpus.select(
             assign1(F.col(vec_col))[0].alias("__cid"),
             F.col(vec_col).alias("__v"),
@@ -562,6 +606,7 @@ def pq_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    metric: str = "cos",
 ) -> "list[list[tuple[int, list[float]]]]":
     """Per-subspace codebooks via lloyd_centroids on the sliced corpus
     — one deterministic Lloyd contract for the whole package. Returns
@@ -580,7 +625,7 @@ def pq_train(
         books.append(
             lloyd_centroids(sub, n_centroids=n_codes, n_iter=n_iter,
                             id_col=id_col, vec_col=vec_col,
-                            mean_digits=round_digits)
+                            mean_digits=round_digits, metric=metric)
         )
     return books
 
@@ -843,6 +888,192 @@ def ivf_pq_topk(
             F.col("id").alias("neighbor_id"),
             F.round(
                 F.col("num") / (F.col("__qn") * F.sqrt(F.col("den"))),
+                round_digits,
+            ).alias("ascore"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("ascore"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "ascore")
+    )
+
+
+def ivf_pq_residual_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    m_subspaces: int = 4,
+    n_codes: int = 8,
+    n_iter: int = 1,
+    n_centroids: int = 256,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF-PQ with RESIDUAL codebooks — the published refinement over
+    ivf_pq_topk's global books (Jégou et al. 2011 §III-A; what FAISS
+    IndexIVFPQ trains): subtract each vector's coarse centroid FIRST,
+    then train the per-subspace codebooks on the residuals r = x − c.
+    Residuals concentrate near the origin regardless of which list a
+    vector landed in, so the same m·n_codes code budget spends its
+    precision on the WITHIN-list variation instead of re-describing
+    the centroid the coarse stage already knows — measurably higher
+    recall at equal bits (recorded vs n8 in BENCH_sf1_r12).
+
+    Residual QUANTIZATION is EUCLIDEAN (l2_assignments_arrow /
+    lloyd metric='l2' — the published algorithm's metric): a
+    residual's direction is noise and its position is the signal, so
+    the spherical assignment the rest of the family uses would spend
+    the codebook on noise directions (measured: it scores BELOW the
+    global books). Search-time SCORING stays cosine, exactly the
+    FAISS split between the quantizer's metric and the query metric.
+
+    Scoring reconstructs x̂ = c + r̂ implicitly: cos(q, x̂) =
+    (q·c + Σ_s q_s·rw_s) / (|q| · sqrt(|c|² + Σ_s (2·c_s·rw_s +
+    |rw_s|²))) — the q·c term is one lookup per (query, probed list)
+    (batch × n_probe rows), the cross terms c_s·rw_s are a
+    CONSTANT-SIZE table (n_centroids · m · n_codes rows, broadcast),
+    so the per-candidate cost stays m code lookups plus two scalar
+    adds. Every term is 6dp-rounded and DECIMAL-summed exactly as the
+    n10 oracle replays; ties to the smaller neighbor id; self
+    excluded.
+
+    Residual-specific determinism guard: the coarse centroids ARE
+    corpus rows, so their residuals are EXACTLY zero — and they sort
+    first in the shared hash-order init (same md5 ids that chose them
+    as centroids), which would seed every codebook with the SAME zero
+    vector (a degenerate all-ties init). Training therefore filters to
+    rn2 > 0 (nonzero residual norm², a plain column so the oracle's
+    train_where replays it verbatim) while ENCODING still covers every
+    row — under L2 a zero residual legitimately assigns to the
+    smallest-norm codeword, identically in both engines. This couples
+    the quantizers (the codebooks are a function of the coarse
+    assignment), which is exactly why the oracle chains the residual
+    CTE between them."""
+    spark = corpus.sparkSession
+    coarse = _hash_order_sample(corpus, n_centroids, id_col, vec_col)
+    assign1 = ivf_assignments_arrow(coarse, n_best=1, digits=round_digits)
+    assignp = ivf_assignments_arrow(coarse, n_best=n_probe,
+                                    digits=round_digits)
+    centdf = F.broadcast(spark.createDataFrame(
+        [(int(cid), [float(x) for x in cv]) for cid, cv in coarse],
+        "cid long, ccv array<double>",
+    ))
+    sd = dim // m_subspaces
+    res = (
+        corpus.select(
+            F.col(id_col).alias("id"),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+        )
+        .withColumn("cid", assign1(F.col("v"))[0])
+        .join(centdf, "cid")
+        .select(
+            "id", "cid",
+            F.zip_with("v", "ccv", lambda a, b: a - b).alias("rv"),
+        )
+        .withColumn("rn2", _dot(F.col("rv"), F.col("rv")))
+    )
+    codebooks = pq_train(res.where(F.col("rn2") > 0), dim, m_subspaces,
+                         n_codes, n_iter, id_col="id", vec_col="rv",
+                         round_digits=round_digits, metric="l2")
+    cb = _pq_codebook_df(spark, codebooks, round_digits)
+    cbx = F.broadcast(cb.withColumnRenamed("cid", "code_cid"))
+    enc = res.select(
+        "id", "cid",
+        F.array(*[
+            l2_assignments_arrow(codebooks[s], n_best=1,
+                                 digits=round_digits)(
+                F.slice(F.col("rv"), start, sdl)
+            )[0]
+            for s, (start, sdl) in enumerate(_pq_slices(dim, m_subspaces))
+        ]).alias("codes"),
+    )
+    ex = enc.select(
+        "id", "cid", F.posexplode("codes").alias("s", "code_cid")
+    )
+    # centroid-codeword cross terms + codeword norms: constants
+    ccd = F.broadcast(
+        centdf.crossJoin(cbx.select("s", "code_cid", "cv", "nsq"))
+        .select(
+            "cid", "s", "code_cid", "nsq",
+            F.round(
+                _dot(
+                    F.slice(F.col("ccv"), F.col("s") * sd + 1,
+                            F.lit(sd)),
+                    F.col("cv"),
+                ),
+                round_digits,
+            ).alias("cd"),
+        )
+    )
+    ncsq = F.broadcast(centdf.select(
+        "cid",
+        F.round(_dot(F.col("ccv"), F.col("ccv")),
+                round_digits).alias("ncsq"),
+    ))
+    den = (
+        ex.join(ccd, ["cid", "s", "code_cid"])
+        .groupBy("id", "cid")
+        .agg(
+            F.sum((2.0 * F.col("cd") + F.col("nsq"))
+                  .cast("decimal(28,10)"))
+            .cast("double").alias("dres")
+        )
+        .join(ncsq, "cid")
+        .select("id", "cid", (F.col("ncsq") + F.col("dres")).alias("den"))
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    ).withColumn("__qn", _norm(F.col("__qv")))
+    qlists = q.select(
+        "query_id", F.explode(assignp(F.col("__qv"))).alias("cid")
+    )
+    qc = (
+        qlists.join(centdf, "cid")
+        .join(q, "query_id")
+        .select(
+            "query_id", "cid",
+            F.round(_dot(F.col("__qv"), F.col("ccv")),
+                    round_digits).alias("qc"),
+        )
+    )
+    lut = q.crossJoin(cbx.select("s", "code_cid", "cv")).select(
+        "query_id", "s", "code_cid",
+        F.round(
+            _dot(
+                F.slice(F.col("__qv"), F.col("s") * sd + 1, F.lit(sd)),
+                F.col("cv"),
+            ),
+            round_digits,
+        ).alias("d"),
+    )
+    num = (
+        ex.join(F.broadcast(qlists), "cid")
+        .join(F.broadcast(lut), ["query_id", "s", "code_cid"])
+        .groupBy("query_id", "id", "cid")
+        .agg(
+            F.sum(F.col("d").cast("decimal(28,10)"))
+            .cast("double").alias("numr")
+        )
+    )
+    scored = (
+        num.join(F.broadcast(qc), ["query_id", "cid"])
+        .join(den, ["id", "cid"])
+        .join(q.select("query_id", "__qn"), "query_id")
+        .where(F.col("query_id") != F.col("id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            F.round(
+                (F.col("qc") + F.col("numr"))
+                / (F.col("__qn")
+                   * F.sqrt(F.greatest(F.col("den"), F.lit(1e-30)))),
                 round_digits,
             ).alias("ascore"),
         )

@@ -885,6 +885,8 @@ LLM_OP_COMPILERS = {
     "ANN TOPK IVF KMEANS": _binary_corpus_queries("ivf_topk_kmeans"),
     "ANN TOPK PQ": _binary_corpus_queries("pq_topk"),
     "ANN TOPK IVF PQ": _binary_corpus_queries("ivf_pq_topk"),
+    "ANN TOPK IVF PQ RESIDUAL":
+        _binary_corpus_queries("ivf_pq_residual_topk"),
     "PQ BUILD INDEX": _pq_index_write("pq_build_index"),
     "PQ EXTEND INDEX": _pq_index_write("pq_extend_index"),
     "PQ SEARCH INDEX": _pq_search_index,

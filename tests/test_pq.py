@@ -193,6 +193,106 @@ def test_ivf_pq_degenerates_to_flat_adc_at_full_probe(spark):
     assert full == flat
 
 
+def test_residual_ivf_pq_score_contract_and_determinism(spark):
+    """n10's ascore is cos(q, c + r̂) with every term 6dp-rounded and
+    DECIMAL-summed — recompute one query's scores ENTIRELY offline
+    from the L2-trained codebooks and match exactly. Codes are
+    partition-invariant, including the EXACTLY-ZERO residuals of the
+    coarse-centroid rows (under L2 they assign to the smallest-norm
+    codeword deterministically — the divergence the rn2>0 training
+    filter plus l2 assignment exist to prevent)."""
+    from configurable_etl_python_repo_spark.llm.similarity import (
+        _dot,
+        _hash_order_sample,
+        ivf_assignments_arrow,
+        ivf_pq_residual_topk,
+        l2_assignments_arrow,
+    )
+
+    emb = _clustered(spark, n_clusters=3, per_cluster=20, seed=11)
+    queries = emb.where(F.col("vec_id") == 0)
+    kw = dict(k=4, dim=_DIM, m_subspaces=4, n_codes=8, n_iter=2,
+              n_centroids=3, n_probe=3)
+    out = ivf_pq_residual_topk(emb, queries, **kw).collect()
+    out2 = ivf_pq_residual_topk(emb.repartition(7), queries,
+                                **kw).collect()
+    assert {tuple(r) for r in out} == {tuple(r) for r in out2}
+
+    # offline replication
+    coarse = _hash_order_sample(emb, 3, "vec_id", "embedding")
+    cmap = {cid: np.array(cv, np.float64) for cid, cv in coarse}
+    a1 = ivf_assignments_arrow(coarse, n_best=1)
+    centdf = F.broadcast(spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in coarse],
+        "cid long, ccv array<double>"))
+    res = (emb.select(
+            F.col("vec_id").alias("id"),
+            F.transform("embedding", lambda x: x.cast("double"))
+            .alias("v"))
+        .withColumn("cid", a1(F.col("v"))[0])
+        .join(centdf, "cid")
+        .select("id", "cid",
+                F.zip_with("v", "ccv", lambda a, b: a - b).alias("rv"))
+        .withColumn("rn2", _dot(F.col("rv"), F.col("rv"))))
+    books = pq_train(res.where("rn2 > 0"), dim=_DIM, m_subspaces=4,
+                     n_codes=8, n_iter=2, id_col="id", vec_col="rv",
+                     metric="l2")
+    sd = _DIM // 4
+    renc = {r.id: (r.cid, list(r.codes)) for r in res.select(
+        "id", "cid",
+        F.array(*[
+            l2_assignments_arrow(books[s], n_best=1)(
+                F.slice(F.col("rv"), s * sd + 1, sd))[0]
+            for s in range(4)
+        ]).alias("codes")).collect()}
+    rb = [dict(b) for b in books]
+    qv = np.array(queries.select("embedding").first()[0], np.float64)
+    nq = float(np.linalg.norm(qv))
+    for r in out:
+        cid, codes = renc[r.neighbor_id]
+        c = cmap[cid]
+        qc = round(float(qv @ c), 6)
+        numr = den = 0.0
+        ncsq = round(float(c @ c), 6)
+        for s, code in enumerate(codes):
+            rw = np.array(rb[s][code], np.float64)
+            numr += round(float(qv[s * sd:(s + 1) * sd] @ rw), 6)
+            den += 2.0 * round(float(c[s * sd:(s + 1) * sd] @ rw), 6) \
+                + round(float(rw @ rw), 6)
+        want = round((qc + numr)
+                     / (nq * np.sqrt(max(ncsq + den, 1e-30))), 6)
+        assert r.ascore == pytest.approx(want, abs=1e-9), r
+
+
+def test_residual_beats_global_books_at_byte_exact_budget(spark):
+    """The n10 claim, measured: at the byte-exact budget (m=8 codes of
+    256 — the production configuration) on clustered data, residual-L2
+    codebooks retrieve strictly more of the exact top-5 than global
+    codebooks at the SAME budget. (At the 12-bit fixture budget both
+    sit in the tie-luck regime — that regime is documented, not
+    asserted.)"""
+    from configurable_etl_python_repo_spark.llm.similarity import (
+        brute_force_topk,
+        ivf_pq_residual_topk,
+        ivf_pq_topk,
+    )
+
+    emb = _clustered(spark, n_clusters=8, per_cluster=100, noise=0.15,
+                     seed=3)
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    kw = dict(k=5, dim=_DIM, m_subspaces=8, n_codes=128, n_iter=2,
+              n_centroids=8, n_probe=3)
+    bf = {(r.query_id, r.neighbor_id)
+          for r in brute_force_topk(emb, queries, k=5).collect()}
+    g = {(r.query_id, r.neighbor_id)
+         for r in ivf_pq_topk(emb, queries, **kw).collect()}
+    rq = {(r.query_id, r.neighbor_id)
+          for r in ivf_pq_residual_topk(emb, queries, **kw).collect()}
+    recall_g = len(g & bf) / len(bf)
+    recall_r = len(rq & bf) / len(bf)
+    assert recall_r > recall_g, (recall_r, recall_g)
+
+
 def test_ivf_pq_prunes_and_stays_cluster_pure(spark):
     """At n_probe < n_centroids every returned neighbor still comes
     from the query's probed lists (a candidate outside them is
