@@ -170,6 +170,67 @@ def admit_against_index(
     return batch.join(matched, [id_col], "left_anti")
 
 
+_EPOCH_METRICS_SCHEMA = (
+    "epoch long, tag string, family string, n_input long, "
+    "n_admitted long, n_rejected long, pre_segments int, "
+    "pre_tombstones int, pre_version int"
+)
+_MAINT_METRICS_SCHEMA = (
+    "epoch long, fired boolean, raced boolean, segments int, "
+    "tombstones int, version int, vacuumed_dirs int"
+)
+
+
+def _write_metrics_row(spark, root: str, rel: str, schema: str,
+                       row: tuple) -> None:
+    """One metrics receipt as a dynamic overwrite of its OWN epoch
+    partition — the output write's idempotence applied to
+    observability: a retried epoch replaces its row with the
+    recomputation instead of double-counting."""
+    (
+        spark.createDataFrame([row], schema)
+        .withColumn("ts", F.current_timestamp())
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch")
+        .parquet(f"{root}/{rel}")
+    )
+
+
+def admission_metrics(spark: SparkSession, metrics_path: str):
+    """(epochs, maintenance) DataFrames of an admission stream's
+    metrics table — the operator's "what did the stream do last
+    night" surface. Empty-but-typed frames when a relation does not
+    exist yet (a stream that has seen only empty epochs).
+
+    The rollup query::
+
+        epochs.agg(F.count("*").alias("epochs"),
+                   F.sum("n_input").alias("input"),
+                   F.sum("n_admitted").alias("admitted"),
+                   F.sum("n_rejected").alias("rejected"))
+
+    filtered by ``ts`` for a time window, and
+    ``maintenance.where("fired")`` for the compaction ticks. Counter
+    exactness across crash/retry is the per-epoch-partition overwrite
+    contract (pytest-pinned); empty input epochs record nothing, and a
+    maintenance tick that crashed before its receipt re-records at the
+    next tick (the receipt is observability, not a commit marker —
+    the maintain policy's own idempotence is manifest-level)."""
+    from pyspark.errors import AnalysisException
+
+    out = []
+    for rel, schema in (("epochs", _EPOCH_METRICS_SCHEMA),
+                        ("maintenance", _MAINT_METRICS_SCHEMA)):
+        try:
+            out.append(spark.read.parquet(f"{metrics_path}/{rel}"))
+        except AnalysisException:
+            out.append(spark.createDataFrame(
+                [], schema + ", ts timestamp"
+            ))
+    return tuple(out)
+
+
 def admission_batch(
     batch_df: DataFrame,
     epoch_id: int,
@@ -185,6 +246,7 @@ def admission_batch(
     maintain_every_n_epochs: "int | None" = None,
     maintain_args: "dict | None" = None,
     search_index_path: "str | None" = None,
+    metrics_path: "str | None" = None,
 ) -> DataFrame | None:
     """One micro-batch of the admission stream (the foreachBatch body,
     unit-testable without a stream): probe, anti-join, overwrite the
@@ -227,7 +289,18 @@ def admission_batch(
     re-triggers), and losing a compaction race to a concurrent writer
     just skips this tick (ConcurrentWriteError is swallowed —
     maintenance is a policy, not a correctness step; admitted rows are
-    identical with or without it, pytest-pinned)."""
+    identical with or without it, pytest-pinned).
+
+    ``metrics_path`` (verdict r11 item 5) writes the epoch's RECEIPT —
+    (tag, family, n_input, n_admitted, n_rejected, pre-extend
+    segments/tombstones/version, ts) under <metrics_path>/epochs, and
+    each maintenance tick's outcome under <metrics_path>/maintenance —
+    as dynamic overwrites of the epoch's own partition, so counters
+    are EXACT across every crash/retry path above: a retry that
+    recomputes overwrites the identical row; a retry that tag-skips
+    leaves the committed attempt's row (written BEFORE the extends)
+    in place. Empty input epochs record nothing. Read back with
+    admission_metrics()."""
     from ..llm._store import committed_tags
 
     if search_index_path is not None and family not in (
@@ -266,6 +339,22 @@ def admission_batch(
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("epoch").parquet(out_path)
     )
+    if metrics_path:
+        # BEFORE the extends: a crash after the extend commit tag-skips
+        # the retry, so the receipt must already be on disk by then
+        from ..llm._store import read_manifest
+
+        n_input = batch_df.count()
+        n_admitted = admitted.count()
+        pre_version, man = read_manifest(index_path)
+        _write_metrics_row(
+            spark, metrics_path, "epochs", _EPOCH_METRICS_SCHEMA,
+            (int(epoch_id), tag, family, n_input, n_admitted,
+             n_input - n_admitted,
+             len(man["segments"]),
+             len(man.get("tombstones") or []),
+             int(pre_version)),
+        )
     if not admitted.isEmpty():
         # an all-duplicates epoch extends NOTHING (the delete_from_
         # index empty-guard discipline): an empty segment would tax
@@ -291,11 +380,33 @@ def admission_batch(
         from ..llm._store import ConcurrentWriteError, maintain_index
 
         try:
-            maintain_index(spark, index_path, **(maintain_args or {}))
+            receipt = maintain_index(
+                spark, index_path, **(maintain_args or {})
+            )
+            if metrics_path:
+                _write_metrics_row(
+                    spark, metrics_path, "maintenance",
+                    _MAINT_METRICS_SCHEMA,
+                    (int(epoch_id), bool(receipt["compacted"]), False,
+                     int(receipt["segments"]),
+                     int(receipt["tombstones"]),
+                     int(receipt["version"]),
+                     int(receipt["vacuumed_dirs"])),
+                )
         except ConcurrentWriteError:
             # a concurrent compaction won this tick; the next n-th
             # epoch re-reads the manifest and re-decides
-            pass
+            if metrics_path:
+                from ..llm._store import read_manifest
+
+                v, man = read_manifest(index_path)
+                _write_metrics_row(
+                    spark, metrics_path, "maintenance",
+                    _MAINT_METRICS_SCHEMA,
+                    (int(epoch_id), False, True,
+                     len(man["segments"]),
+                     len(man.get("tombstones") or []), int(v), 0),
+                )
     return admitted
 
 
@@ -376,6 +487,7 @@ def start_index_admission(
     maintain_every_n_epochs: "int | None" = None,
     maintain_args: "dict | None" = None,
     search_index_path: "str | None" = None,
+    metrics_path: "str | None" = None,
 ):
     """The streaming wrapper: file source → foreachBatch(
     admission_batch). availableNow=True drains the backlog then stops
@@ -383,6 +495,13 @@ def start_index_admission(
     trigger. max_files_per_trigger bounds epoch size (and makes
     multi-epoch runs deterministic in tests). maintain_every_n_epochs
     makes the stream self-maintaining (see admission_batch).
+
+    metrics_path defaults to <checkpoint>/__admission_metrics (the
+    run-id file's precedent: Spark ignores foreign entries in its
+    checkpoint dir), so every stream ships the per-epoch receipt table
+    by default; pass "" to disable, or an explicit path to keep
+    metrics outside an object-store checkpoint. Read back with
+    admission_metrics().
 
     tag_prefix defaults to a digest of the checkpoint INCARNATION, not
     just its path: a run-id file is created inside the checkpoint dir
@@ -401,6 +520,10 @@ def start_index_admission(
             _incarnation_id(checkpoint).encode("utf-8")
         ).hexdigest()[:8]
         tag_prefix = f"admit-{digest}-"
+    if metrics_path is None:
+        import os as _os
+
+        metrics_path = _os.path.join(checkpoint, "__admission_metrics")
     reader = spark.readStream.format(fmt).schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option(
@@ -417,6 +540,7 @@ def start_index_admission(
                 maintain_every_n_epochs=maintain_every_n_epochs,
                 maintain_args=maintain_args,
                 search_index_path=search_index_path,
+                metrics_path=metrics_path or None,
             )
         )
         .option("checkpointLocation", checkpoint)

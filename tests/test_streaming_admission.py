@@ -521,6 +521,97 @@ def test_stream_with_maintenance_equals_stream_without(
         return sorted(t.rsplit("-", 1)[1] for t in man["tags"])
 
     assert epochs(man_m) == epochs(man_p) == ["0", "1"]
+    # the default metrics table landed next to the checkpoint: one
+    # receipt per epoch, counts matching the output, and maintenance
+    # ticks recorded with their fired status
+    from configurable_etl_python_repo_spark.streaming.admission import (
+        admission_metrics,
+    )
+
+    em, mm = admission_metrics(
+        spark, str(tmp_path / "ckpt_maint" / "__admission_metrics")
+    )
+    rows = {r.epoch: r for r in em.collect()}
+    assert set(rows) == {0, 1}
+    out_counts = {
+        r.epoch: r["count"]
+        for r in spark.read.parquet(str(tmp_path / "out_maint"))
+        .groupBy("epoch").count().collect()
+    }
+    for ep, r in rows.items():
+        assert r.n_admitted == out_counts[ep]
+        assert r.n_rejected == r.n_input - r.n_admitted > 0
+    ticks = {r.epoch: r for r in mm.collect()}
+    assert set(ticks) == {0, 1} and ticks[1].fired
+    assert all(not r.raced for r in ticks.values())
+
+
+def test_metrics_receipts_are_exact_across_crash_and_retry(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Counter exactness across the crash table (verdict r11 item 5):
+    the receipt precedes the extends, so (a) a crash between output
+    and extend leaves a row the retry OVERWRITES with the identical
+    recomputation, (b) a redelivery of a committed epoch tag-skips and
+    leaves the committed attempt's row untouched, and (c) an empty
+    epoch records nothing. One row per epoch, counts equal to the
+    on-disk truth, always."""
+    from configurable_etl_python_repo_spark.streaming.admission import (
+        admission_metrics,
+    )
+
+    corpus, e1, e2 = _fixture(spark, sf_dir)
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    met = str(tmp_path / "metrics")
+    minhash_build_index(corpus, idx, **_LSH)
+    kw = dict(threshold=_T, metrics_path=met)
+
+    real = ST.commit_extend
+    monkeypatch.setattr(
+        ST, "commit_extend",
+        lambda *a, **k: (_ for _ in ()).throw(_Crash()),
+    )
+    with pytest.raises(_Crash):
+        admission_batch(e1, 0, idx, out, **kw)
+    em, _ = admission_metrics(spark, met)
+    first = em.collect()
+    assert len(first) == 1 and first[0].epoch == 0
+    monkeypatch.setattr(ST, "commit_extend", real)
+
+    assert admission_batch(e1, 0, idx, out, **kw) is not None
+    em, _ = admission_metrics(spark, met)
+    rows = em.collect()
+    assert len(rows) == 1  # overwritten, not appended
+    r = rows[0]
+    n_out = spark.read.parquet(out).where("epoch = 0").count()
+    assert (r.n_input, r.n_admitted) == (e1.count(), n_out)
+    assert r.n_rejected == r.n_input - r.n_admitted > 0
+    assert r.pre_segments == 1 and r.pre_tombstones == 0
+
+    # committed-epoch redelivery: full no-op, row byte-identical
+    before = {tuple(x) for x in em.collect()}
+    assert admission_batch(e1, 0, idx, out, **kw) is None
+    em, _ = admission_metrics(spark, met)
+    assert {tuple(x) for x in em.collect()} == before
+
+    # empty epoch: no receipt
+    assert admission_batch(
+        e1.where(F.lit(False)), 5, idx, out, **kw) is None
+    em, _ = admission_metrics(spark, met)
+    assert {x.epoch for x in em.collect()} == {0}
+
+    # second epoch appends its own partition; the rollup query is the
+    # docstring's "what did the stream do last night"
+    admission_batch(e2, 1, idx, out, **kw)
+    em, _ = admission_metrics(spark, met)
+    roll = em.agg(
+        F.count("*").alias("epochs"),
+        F.sum("n_input").alias("n_in"),
+        F.sum("n_admitted").alias("n_ok"),
+    ).first()
+    assert roll.epochs == 2
+    assert roll.n_ok == spark.read.parquet(out).count()
+    assert roll.n_in == e1.count() + e2.count()
 
 
 def test_legacy_checkpoint_migration_keeps_path_keyed_tags(tmp_path):
