@@ -916,11 +916,35 @@ def _emb_pq_probe(spark, path, meta, stored, q, threshold,
     whole chain in SQL). round_digits governs the query-side LUT and
     both scores; the slack dominates its rounding for any
     round_digits >= 4 (the stored err/den are the build's 6dp
-    contract)."""
+    contract).
+
+    Stage-1 plan shape, deliberately NOT the textbook explode+join:
+    a first cut exploded codes to m rows per candidate and shuffled
+    them through a (query, subspace, codeword) join + groupBy; a
+    second cut joined a per-query LUT ARRAY onto every candidate row.
+    Both were measured SLOWER at dim=512 than exact-scoring the int8
+    vectors — the first drowns in shuffle machinery, the second
+    copies an m·n_codes array onto each of the candidate-many join
+    outputs. ADC's promise (an L1-resident table gather per
+    candidate) needs a KERNEL, not a join: the per-query LUT tensor
+    is built by one Arrow UDF (numpy matmuls per query — batch-sized,
+    embarrassingly parallel), and candidates score inside a
+    cogroup-by-cid applyInPandas where the whole list's code matrix
+    gathers against each probing query's LUT in vectorized numpy —
+    measured 4.7x FASTER than the int8 exact scan at dim=512 in the
+    dedup regime (ROADMAP r12). Per-list memory is the applyInPandas
+    group (the store's own per-list boundedness assumption — the
+    auto-sized centroid policy keeps lists near target_list_size).
+    The kernel's float sums differ from the exact fold in ulps only —
+    irrelevant here because the shortlist needs to be a SUPERSET, not
+    exact (_PQ_ERR_SLACK dwarfs ulps); the exact contract lives
+    entirely in stage 2, which is pure relational Column math."""
+    import numpy as np
+    import pandas as pd
+
     from .similarity import (
-        _dot,
-        _pq_codebook_df,
         _read_codebooks,
+        _round_half_away,
         _sim,
         _with_norm,
     )
@@ -928,40 +952,81 @@ def _emb_pq_probe(spark, path, meta, stored, q, threshold,
     codebooks = _read_codebooks(spark, path, meta.meta_id)
     dim, m = int(meta.dim), int(meta.m_subspaces)
     sd = dim // m
-    cb = F.broadcast(
-        _pq_codebook_df(spark, codebooks)
-        .withColumnRenamed("cid", "code_cid")
-        .select("s", "code_cid", "cv")
-    )
+    k = len(codebooks[0])
+    # (m, k, sd) codebook tensor + codeword-id -> row-index maps,
+    # driver-side constants (m·k rows) captured by both kernels
+    Cb = np.stack([
+        np.stack([np.asarray(cv, np.float64) for _, cv in book])
+        for book in codebooks
+    ])
+    idx_of = [
+        {int(cid): i for i, (cid, _) in enumerate(book)}
+        for book in codebooks
+    ]
+    digits = int(round_digits)
+
+    from pyspark.sql.functions import pandas_udf
+
+    def _lut_fn(s):
+        if len(s) == 0:
+            return pd.Series([], dtype=object)
+        V = np.stack(s.to_numpy()).astype(np.float64)
+        terms = np.empty((V.shape[0], m, k))
+        for si in range(m):
+            terms[:, si, :] = V[:, si * sd:(si + 1) * sd] @ Cb[si].T
+        terms = _round_half_away(terms, digits)
+        return pd.Series([t.ravel().tolist() for t in terms])
+
+    _lut_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    lut_udf = pandas_udf(_lut_fn, "array<double>")
+
     qv1 = _with_norm(q.select("id_a", "qv").distinct(), "qv", "nq")
-    lut = qv1.crossJoin(cb).select(
-        "id_a", "nq", "s", "code_cid",
-        F.round(
-            _dot(
-                F.slice(F.col("qv"), F.col("s") * sd + 1, F.lit(sd)),
-                F.col("cv"),
-            ),
-            round_digits,
-        ).alias("d"),
+    qlut = q.select("id_a", "cid").join(
+        qv1.select(
+            "id_a", "nq", lut_udf(F.col("qv")).alias("luts")
+        ),
+        "id_a",
     )
-    ex = stored.select(
-        "cid", F.col("id").alias("id_b"), "den", "err",
-        F.posexplode("codes").alias("s", "code_cid"),
+    codes_rows = stored.select(
+        "cid", F.col("id").alias("id_b"), "codes", "den", "err"
     )
-    num = (
-        ex.join(q.select("id_a", "cid"), "cid")
-        .join(lut, ["id_a", "s", "code_cid"])
-        .groupBy("id_a", "id_b", "den", "err", "nq")
-        .agg(
-            F.sum(F.col("d").cast("decimal(28,10)"))
-            .cast("double").alias("num")
-        )
+    thr, slack = float(threshold), _PQ_ERR_SLACK
+    _empty = {"id_a": pd.Series([], dtype="int64"),
+              "id_b": pd.Series([], dtype="int64")}
+
+    def _score_list(left: pd.DataFrame, right: pd.DataFrame):
+        if left.empty or right.empty:
+            return pd.DataFrame(_empty)
+        codes = np.stack(left["codes"].to_numpy()).astype(np.int64)
+        idx = np.empty_like(codes)
+        for si in range(m):
+            mp = idx_of[si]
+            idx[:, si] = [mp[int(c)] for c in codes[:, si]]
+        bound = (thr - slack) - left["err"].to_numpy()
+        sq = np.sqrt(left["den"].to_numpy())
+        idb = left["id_b"].to_numpy()
+        rows_s = np.arange(m)[None, :]
+        outa, outb = [], []
+        for id_a, nq, flat in zip(right["id_a"].to_numpy(),
+                                  right["nq"].to_numpy(),
+                                  right["luts"].to_numpy()):
+            luts = np.asarray(flat, np.float64).reshape(m, k)
+            num = luts[rows_s, idx].sum(axis=1)
+            keep = num / (nq * sq) >= bound
+            if keep.any():
+                outa.append(np.full(int(keep.sum()), id_a, np.int64))
+                outb.append(idb[keep])
+        if not outa:
+            return pd.DataFrame(_empty)
+        return pd.DataFrame({
+            "id_a": np.concatenate(outa), "id_b": np.concatenate(outb)
+        })
+
+    short = (
+        codes_rows.groupBy("cid")
+        .cogroup(qlut.groupBy("cid"))
+        .applyInPandas(_score_list, "id_a long, id_b long")
     )
-    short = num.where(
-        F.round(F.col("num") / (F.col("nq") * F.sqrt("den")),
-                round_digits)
-        >= F.lit(threshold) - F.col("err") - F.lit(_PQ_ERR_SLACK)
-    ).select("id_a", "id_b")
     rer = stored.select(
         F.col("id").alias("id_b"),
         F.transform(
