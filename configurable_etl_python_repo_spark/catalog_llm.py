@@ -557,10 +557,10 @@ _COS_T = 0.42  # fixture embeddings are near-orthogonal; max pair sim ≈ 0.51
         round(
           list_sum(list_transform(generate_series(1, len(a.embedding)),
             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-          / (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
-               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
-           * sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
-               i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))),
+          / (greatest(sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))), 1e-150)
+           * greatest(sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
+               i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))), 1e-150)),
           6) AS sim
       FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
     SELECT id_a, id_b, sim FROM p WHERE sim >= {_COS_T}
@@ -585,6 +585,12 @@ _SRP_PLANES, _SRP_TABLES, _SRP_DIM = 8, 4, 64
 
 
 def _cos_sql(av: str, bv: str) -> str:
+    # greatest(sqrt(...), 1e-150) mirrors the engine's norm floor
+    # (llm/similarity._norm): an all-zero vector scores cosine 0 in
+    # BOTH engines instead of NaN (Spark) vs NULL (DuckDB). The floor
+    # matters on RANKING paths (top-k with no threshold) where Spark
+    # sorts NaN largest and DuckDB sorts NULL last; for any nonzero
+    # vector it is a no-op (r12 ADVICE finding).
     def sq(v: str) -> str:
         return (
             f"list_sum(list_transform(generate_series(1, len({v})), "
@@ -595,7 +601,10 @@ def _cos_sql(av: str, bv: str) -> str:
         f"list_sum(list_transform(generate_series(1, len({av})), "
         f"i -> CAST({av}[i] AS DOUBLE) * CAST({bv}[i] AS DOUBLE)))"
     )
-    return f"round({dot} / (sqrt({sq(av)}) * sqrt({sq(bv)})), 6)"
+    return (
+        f"round({dot} / (greatest(sqrt({sq(av)}), 1e-150) "
+        f"* greatest(sqrt({sq(bv)}), 1e-150)), 6)"
+    )
 
 
 def _srp_bucket_sql(vcol: str, dim: int, planes: int, seed: str) -> str:
@@ -667,10 +676,10 @@ _ANN_ORACLE = f"""
         round(
           list_sum(list_transform(generate_series(1, len(c.embedding)),
             i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
-          / (sqrt(list_sum(list_transform(generate_series(1, len(q.qv)),
-               i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))
-           * sqrt(list_sum(list_transform(generate_series(1, len(c.embedding)),
-               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))),
+          / (greatest(sqrt(list_sum(list_transform(generate_series(1, len(q.qv)),
+               i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))), 1e-150)
+           * greatest(sqrt(list_sum(list_transform(generate_series(1, len(c.embedding)),
+               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))), 1e-150)),
           6) AS sim
       FROM embeddings c, q WHERE c.vec_id != q.query_id)
     SELECT query_id, neighbor_id,

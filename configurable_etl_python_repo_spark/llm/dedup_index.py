@@ -631,10 +631,18 @@ def _emb_committed(spark: SparkSession, path: str,
     embedding layouts (exact/int8 vs pq-coded) the tree was built
     under; any OTHER layout still dies on the strict single-layout
     guard with the canonical rebuild message."""
+    from pyspark.errors import AnalysisException
+
     try:
         rows = spark.read.parquet(path + "/_meta").collect()
         peek = getattr(rows[0], "layout", None) if len(rows) == 1 else None
-    except Exception:
+    except AnalysisException:
+        # ONLY the missing/unreadable-as-parquet path falls back to the
+        # default layout (and then dies on _committed's canonical
+        # rebuild message if the tree really is broken). Transient IO/
+        # permission errors must PROPAGATE — a bare except here turned
+        # a flaky read of a healthy pq store into the misleading
+        # 'wrong layout / rebuild' error (r12 ADVICE finding).
         peek = None
     lay = peek if peek == _EMB_PQ_LAYOUT else _EMB_LAYOUT
     meta, segs, tags, man = _committed(spark, path, lay, version=version)
@@ -949,6 +957,20 @@ def _emb_pq_probe(spark, path, meta, stored, q, threshold,
         _with_norm,
     )
 
+    # Enforce the docstring's precondition instead of trusting it: at
+    # round_digits < 4 the query-side LUT rounding (m terms at
+    # 0.5·10^-d each) is no longer dominated by _PQ_ERR_SLACK, so the
+    # ADC shortlist could silently drop a TRUE pair — a false-negative
+    # dedup probe with no error. round_digits is a public kwarg of
+    # embedding_against_index, so this must be a loud ValueError, not
+    # a comment (r12 ADVICE finding).
+    if int(round_digits) < 4:
+        raise ValueError(
+            "a quantize='pq' store probe requires round_digits >= 4: "
+            "below that the LUT rounding exceeds the shortlist slack "
+            f"and the superset guarantee breaks (got {round_digits})"
+        )
+
     codebooks = _read_codebooks(spark, path, meta.meta_id)
     dim, m = int(meta.dim), int(meta.m_subspaces)
     sd = dim // m
@@ -1089,6 +1111,14 @@ def embedding_against_index(
     lay, meta, segs, _, man = _emb_committed(
         spark, path, version=as_of_version
     )
+    if lay == _EMB_PQ_LAYOUT and int(round_digits) < 4:
+        # fail BEFORE the coarse-probe job runs — same contract as the
+        # defense-in-depth guard inside _emb_pq_probe
+        raise ValueError(
+            "a quantize='pq' store probe requires round_digits >= 4: "
+            "below that the LUT rounding exceeds the shortlist slack "
+            f"and the superset guarantee breaks (got {round_digits})"
+        )
     cents = _stored_centroids(spark, path, meta.meta_id)
     if not (1 <= n_probe <= len(cents)):
         raise ValueError(

@@ -42,7 +42,18 @@ def _dot(a, b):
 
 
 def _norm(a):
-    return F.sqrt(_dot(a, a))
+    """L2 norm floored at 1e-150 — the scoring-side mirror of
+    ivf_assignments_arrow's 1e-300 normalization guard: an all-zero
+    vector scores cosine 0 (dot is exactly 0, denominator stays
+    positive) instead of NaN, and both floors round to the SAME 0 the
+    SQL oracles' greatest(sqrt(...), 1e-150) produces. 1e-150 (not
+    1e-300) because this floor gets MULTIPLIED by the other side's
+    norm in _sim/cosine — 1e-300·1e-300 underflows to 0.0 and would
+    reintroduce the 0/0 NaN for a both-zero pair. For any nonzero
+    vector the floor is a no-op (the smallest positive float32
+    component is ~1e-45, so any nonzero vector's norm is >= ~1e-45
+    >> 1e-150), so every existing oracle hash is unchanged."""
+    return F.greatest(F.sqrt(_dot(a, a)), F.lit(1e-150))
 
 
 def cosine(a, b):

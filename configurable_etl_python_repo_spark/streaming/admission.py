@@ -321,6 +321,14 @@ def admission_batch(
     id_col = id_col or did
     value_col = value_col or text_col or dval
     spark = batch_df.sparkSession
+    if metrics_path:
+        # the epoch receipt needs n_input = batch_df.count(); without
+        # this the count would RE-SCAN every input file of the epoch
+        # (admitted is checkpointed below, but the raw batch was not —
+        # a hidden second source scan added to every metered stream,
+        # r12 ADVICE finding). One eager checkpoint makes the probe
+        # and the count share a single source read.
+        batch_df = batch_df.localCheckpoint(eager=True)
     admitted = admit_against_index(
         spark, index_path, batch_df, id_col=id_col,
         value_col=value_col, threshold=threshold, family=family,

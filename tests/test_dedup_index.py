@@ -755,6 +755,64 @@ def test_embedding_pq_store_extend_lifecycle_and_validation(
                               quantize="int4")
 
 
+def test_embedding_pq_probe_rejects_low_round_digits(
+    spark, sf_dir, tmp_path
+):
+    """r12 ADVICE regression (medium): at round_digits < 4 the
+    query-side LUT rounding (m terms at 0.5·10^-d) exceeds
+    _PQ_ERR_SLACK, so the ADC shortlist's superset guarantee silently
+    breaks — the probe must REFUSE loudly instead of returning false
+    negatives. Non-pq stores keep accepting any round_digits (the
+    precondition is about the pq slack, not the exact scorer)."""
+    corpus, batch = _vec_corpus_and_batch(spark, sf_dir)
+    pqp, i8 = str(tmp_path / "pq"), str(tmp_path / "i8")
+    embedding_build_index(corpus.limit(200), pqp, n_centroids=4,
+                          quantize="pq", m_subspaces=4, n_codes=8)
+    with pytest.raises(ValueError, match="round_digits >= 4"):
+        embedding_against_index(spark, pqp, batch, threshold=0.9,
+                                round_digits=3)
+    # the boundary value passes and still probes
+    ok = embedding_against_index(spark, pqp, batch, threshold=0.9,
+                                 round_digits=4)
+    assert ok.count() >= 0
+    embedding_build_index(corpus.limit(200), i8, n_centroids=4,
+                          quantize=True)
+    assert embedding_against_index(
+        spark, i8, batch, threshold=0.9, round_digits=3
+    ).count() >= 0
+
+
+def test_emb_meta_peek_propagates_transient_errors(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """r12 ADVICE regression: a transient IO failure while peeking the
+    _meta layout stamp must PROPAGATE (so the caller sees the real
+    failure), not be swallowed into the layout fallback where it would
+    resurface as the misleading canonical 'wrong layout / rebuild'
+    error. Only AnalysisException (missing/unreadable-as-parquet) may
+    fall back."""
+    from pyspark.sql.readwriter import DataFrameReader
+
+    corpus, batch = _vec_corpus_and_batch(spark, sf_dir)
+    idx = str(tmp_path / "emb")
+    embedding_build_index(corpus.limit(200), idx, n_centroids=2)
+    orig = DataFrameReader.parquet
+
+    def flaky(self, *paths, **kw):
+        if any(str(p).endswith("/_meta") for p in paths):
+            raise OSError("transient read failure")
+        return orig(self, *paths, **kw)
+
+    monkeypatch.setattr(DataFrameReader, "parquet", flaky)
+    with pytest.raises(OSError, match="transient read failure"):
+        embedding_against_index(spark, idx, batch, threshold=0.9)
+    monkeypatch.setattr(DataFrameReader, "parquet", orig)
+    # a genuinely missing tree still dies on the canonical message
+    with pytest.raises(Exception, match="[Nn]o index|rebuild|exist"):
+        embedding_against_index(spark, str(tmp_path / "nope"), batch,
+                                threshold=0.9)
+
+
 def test_embedding_empty_mutations(spark, sf_dir, tmp_path):
     """The delete_from_index discipline applied to the vector store:
     an empty extend commits nothing (and must not crash the new

@@ -142,6 +142,63 @@ def test_brute_force_topk_self_similarity(spark, sf_dir):
         assert -1.000001 <= r.sim <= 1.000001
 
 
+def test_zero_vector_scores_cosine_zero_in_both_engines(spark, sf_dir):
+    """r12 ADVICE regression: an all-zero vector must score cosine 0 —
+    not NaN (which Spark ORDER BY sorts LARGEST, ranking garbage
+    first) and not NULL (which DuckDB sorts last) — in the engine's
+    norm-floored scorer AND in the SQL oracles' greatest(sqrt, 1e-150)
+    mirror, so ranking paths cannot diverge if a zero vector ever
+    enters a corpus."""
+    import math
+
+    import duckdb
+
+    from configurable_etl_python_repo_spark import catalog  # noqa: F401 — registers before catalog_llm (import order)
+    from configurable_etl_python_repo_spark.catalog_llm import _cos_sql
+    from configurable_etl_python_repo_spark.llm.similarity import (
+        cosine,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    # derive the zero row FROM the table so dtypes match exactly
+    zero = emb.limit(1).select(
+        (F.col("vec_id") * 0 + 9_999_999).alias("vec_id"),
+        F.transform("embedding", lambda x: x - x).alias("embedding"),
+    )
+    corpus = emb.limit(3).unionByName(zero)
+    # engine: exact scorer on (zero, nonzero) and (zero, zero) pairs
+    scored = (
+        corpus.alias("a").crossJoin(corpus.alias("b"))
+        .select(
+            F.col("a.vec_id").alias("ia"), F.col("b.vec_id").alias("ib"),
+            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")),
+                    6).alias("sim"),
+        )
+        .where((F.col("ia") == 9_999_999) | (F.col("ib") == 9_999_999))
+        .collect()
+    )
+    assert scored
+    for r in scored:
+        assert r.sim is not None and not math.isnan(r.sim), r
+        assert r.sim == 0.0, r
+    # oracle: the same pairs through _cos_sql give the same 0.0
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT {_cos_sql('a', 'b')} FROM (VALUES "
+        f"([0.0, 0.0], [1.0, 2.0]), ([0.0, 0.0], [0.0, 0.0])) t(a, b)"
+    ).fetchall()
+    assert [g[0] for g in got] == [0.0, 0.0]
+    # and brute-force top-k with a zero QUERY returns sims of 0, so the
+    # ranking tiebreak (neighbor_id) is deterministic in both engines
+    out = brute_force_topk(
+        corpus, zero, k=2
+    ).collect()
+    assert len(out) == 2
+    assert all(r.sim == 0.0 for r in out)
+
+
 def test_lsh_topk_recall(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") < 20)

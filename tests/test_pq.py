@@ -264,9 +264,11 @@ def test_residual_ivf_pq_score_contract_and_determinism(spark):
         assert r.ascore == pytest.approx(want, abs=1e-9), r
 
 
-def test_residual_beats_global_books_at_byte_exact_budget(spark):
-    """The n10 claim, measured: at the byte-exact budget (m=8 codes of
-    256 — the production configuration) on clustered data, residual-L2
+def test_residual_beats_global_books_at_equal_code_budget(spark):
+    """The n10 claim, pinned at an EQUAL code budget: m=8 subspaces of
+    n_codes=128 (7-bit codes — one notch under the byte-exact
+    m=8/k=256 production configuration, which ROADMAP records as the
+    measured 0.675-vs-0.550 point) on clustered data, residual-L2
     codebooks retrieve strictly more of the exact top-5 than global
     codebooks at the SAME budget. (At the 12-bit fixture budget both
     sit in the tie-luck regime — that regime is documented, not

@@ -614,6 +614,41 @@ def test_metrics_receipts_are_exact_across_crash_and_retry(
     assert roll.n_in == e1.count() + e2.count()
 
 
+def test_metered_epoch_checkpoints_batch_once(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """r12 ADVICE regression: with metrics on, the epoch receipt's
+    n_input count must read the CHECKPOINTED batch, not re-scan every
+    input file of the micro-batch a second time. Pinned by counting
+    localCheckpoint calls: metrics on = 2 (batch + admitted), metrics
+    off = 1 (admitted only) — remove the batch checkpoint and the
+    count drops while the receipt path still runs, failing this."""
+    corpus, e1, _ = _fixture(spark, sf_dir)
+    minhash_build_index(corpus, str(tmp_path / "idx"), **_LSH)
+    calls = []
+    cls = type(e1)  # the CONCRETE DataFrame class (Spark 4 splits the
+    # public pyspark.sql.DataFrame into a base + classic/connect
+    # subclasses; patching the base would miss the override)
+    real = cls.localCheckpoint
+
+    def counting(self, *a, **k):
+        calls.append(1)
+        return real(self, *a, **k)
+
+    monkeypatch.setattr(cls, "localCheckpoint", counting)
+    admission_batch(
+        e1, 0, str(tmp_path / "idx"), str(tmp_path / "out"),
+        threshold=_T, metrics_path=str(tmp_path / "metrics"),
+    )
+    with_metrics = len(calls)
+    calls.clear()
+    admission_batch(
+        e1, 1, str(tmp_path / "idx"), str(tmp_path / "out"),
+        threshold=_T,
+    )
+    assert (with_metrics, len(calls)) == (2, 1)
+
+
 def test_legacy_checkpoint_migration_keeps_path_keyed_tags(tmp_path):
     """A checkpoint that predates the run-id marker (Spark's offsets/
     dir present, no marker) committed its epochs under the LEGACY
