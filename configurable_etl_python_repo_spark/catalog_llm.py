@@ -5853,3 +5853,98 @@ def q_x34(spark: SparkSession, sf_dir: str) -> DataFrame:
             "x34 availableNow drain did not finish within 600s"
         )
     return bm25_search_index(spark, sidx, _BM25_QUERY, k=_BM25_K)
+
+
+# ===========================================================================
+# Round-13 rows: count-min frequency sketch
+# ===========================================================================
+
+_CMS_D, _CMS_W = 4, 12
+_CMS_PROBE_DOCS = 20
+
+
+def _cms_oracle(depth: int = _CMS_D, width_bits: int = _CMS_W,
+                seed: str = "cms") -> str:
+    """SQL replay of the count-min pipeline (llm/sketch.py): the
+    md5-derived 32-bit halves, Kirsch-Mitzenmacher bucket choice
+    (h1 + i*h2) % w per row, exact BIGINT counters, MIN-of-rows
+    estimate with missing counters as 0. The oracle sketches the
+    corpus in ONE pass; the Spark query merges two half-corpus
+    sketches (counter-wise ADD), so the hash match also pins the
+    cms(A) + cms(B) == cms(A ∪ B) merge identity — the x20
+    technique applied to the frequency dual."""
+    w = 1 << width_bits
+    khash = f"md5('{seed}' || '|' || coalesce(token, chr(1)))"
+    return f"""
+    WITH {_WORDS_SQL.strip()},
+    tok AS (SELECT doc_id, unnest(w) AS token FROM words),
+    bh AS (
+      SELECT CAST(('0x' || substr(hx, 1, 8)) AS BIGINT) AS h1,
+             CAST(('0x' || substr(hx, 9, 8)) AS BIGINT) AS h2
+      FROM (SELECT {khash} AS hx FROM tok)),
+    ii AS (SELECT unnest(generate_series(0, {depth - 1})) AS i),
+    counters AS (
+      SELECT ii.i AS row, (h1 + ii.i * h2) % {w} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM bh, ii GROUP BY 1, 2),
+    probe AS (
+      SELECT DISTINCT token FROM tok WHERE doc_id < {_CMS_PROBE_DOCS}),
+    ph AS (
+      SELECT token,
+             CAST(('0x' || substr(hx, 1, 8)) AS BIGINT) AS h1,
+             CAST(('0x' || substr(hx, 9, 8)) AS BIGINT) AS h2
+      FROM (SELECT token, {khash} AS hx FROM probe)),
+    est AS (
+      SELECT p.token,
+             MIN(CAST(coalesce(c.cnt, 0) AS BIGINT)) AS est
+      FROM ph p CROSS JOIN ii
+      LEFT JOIN counters c
+        ON c.row = ii.i AND c.bucket = (p.h1 + ii.i * p.h2) % {w}
+      GROUP BY p.token),
+    exact AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_n
+      FROM tok GROUP BY 1)
+    SELECT e.token, e.est, x.exact_n
+    FROM est e JOIN exact x ON x.token = e.token
+    """
+
+
+@register("x35_count_min_frequency", _cms_oracle())
+def q_x35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mergeable count-min frequency sketch: the Spark
+    side builds per-half-corpus token sketches (even/odd doc_ids) and
+    MERGES them (counter-wise add) before point-querying a probe
+    vocabulary; the oracle sketches in one pass — the hash match
+    proves the merge identity, exact_n sits alongside so the
+    one-sided overestimate (est >= exact always) can be read off.
+
+    100 TB posture: the exact token count (x12) shuffles every
+    distinct key; this sketch is one map-side-combinable aggregation
+    bounded at depth * 2^width_bits rows regardless of vocabulary,
+    per-shard sketches roll up lossless-ly without re-reading the
+    data, and the estimate join BROADCASTS the constant-size
+    counters. (The exact_n column here is the fixture's ground truth
+    for the catalog gate, not part of the production plan.)"""
+    from .llm import sketch as SK
+    from .llm.text import _words
+
+    docs = spark.read.parquet(_pq(sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    tok = docs.select(
+        "doc_id", F.explode(_words(F.col("text"))).alias("token")
+    )
+    halves = [
+        SK.count_min_sketch(
+            tok.where(F.col("doc_id") % 2 == p), ["token"],
+            depth=_CMS_D, width_bits=_CMS_W,
+        )
+        for p in (0, 1)
+    ]
+    cms = SK.merge_cms(*halves)
+    probe = tok.where(F.col("doc_id") < _CMS_PROBE_DOCS).select("token")
+    est = SK.cms_estimate(
+        cms, probe, ["token"], depth=_CMS_D, width_bits=_CMS_W
+    )
+    exact = tok.groupBy("token").agg(F.count("*").alias("exact_n"))
+    return est.join(exact, "token").select("token", "est", "exact_n")

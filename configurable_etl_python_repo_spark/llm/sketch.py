@@ -541,3 +541,177 @@ def corpus_report(
         )
 
     return _nsjoin(_nsjoin(base, est), piv)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (frequency / heavy hitters)
+# ---------------------------------------------------------------------------
+
+#: h1 + i*h2 stays < 2^36 for depth <= 16 (both halves are 32-bit) —
+#: BIGINT-safe with no modular wraparound to reason about
+_CMS_MAX_DEPTH = 16
+
+
+def _check_cms(depth: int, width_bits: int) -> None:
+    if not (1 <= depth <= _CMS_MAX_DEPTH):
+        raise ValueError(
+            f"depth must be in [1, {_CMS_MAX_DEPTH}], got {depth}"
+        )
+    if not (4 <= width_bits <= 20):
+        raise ValueError(
+            f"width_bits must be in [4, 20] (w = 2^width_bits buckets; "
+            f"beyond 2^20 the 'sketch' stops being small), got "
+            f"{width_bits}"
+        )
+
+
+def count_min_sketch(
+    df: DataFrame,
+    cols: "list[str]",
+    depth: int = 4,
+    width_bits: int = 12,
+    seed: str = "cms",
+    weight_col: "str | None" = None,
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Build the count-min sketch of the frequency of `cols` values
+    (Cormode & Muthukrishnan 2005): a depth x 2^width_bits counter
+    matrix where each occurrence increments one bucket per row, chosen
+    by Kirsch-Mitzenmacher double hashing h1 + i*h2 over the repo's
+    md5-derived 32-bit halves — the same bit-deterministic,
+    engine-portable hash family as distinct_sketch and the
+    decontamination bloom filter, so the DuckDB oracle replays every
+    counter exactly.
+
+    Why it earns a place next to the exact x12 count at 100 TB: the
+    exact token count shuffles EVERY distinct key; the sketch is ONE
+    map-side-combinable aggregation whose output is bounded at
+    depth * 2^width_bits rows no matter the vocabulary, and two
+    sketches MERGE by counter-wise ADD (merge_cms) — per-shard /
+    per-day frequency state rolls up to the corpus answer without
+    touching the data again. The estimate (cms_estimate) is one-sided:
+    est >= true count always, with the overestimate bounded by
+    collisions (e*N/w with probability 1 - 1/e^depth).
+
+    NULL values in `cols` coalesce to the chr(1) sentinel before the
+    concat (the distinct_sketch discipline — NULL is a countable
+    value, and the key string stays bit-identical to the SQL oracle's
+    ``||`` concatenation). `weight_col` (exact BIGINT add) turns the
+    sketch into a weighted-frequency summary, e.g. token counts
+    weighted by upsampling multiplicity.
+
+    Output: (group_cols..., row int, bucket long, cnt long), at most
+    depth * 2^width_bits rows per group, mergeable with merge_cms.
+    With group_cols, one independent sketch per group (per-domain /
+    per-language frequency state in a single pass)."""
+    _check_cms(depth, width_bits)
+    if not cols:
+        raise ValueError("cols must name at least one column")
+    g = _gcols(group_cols)
+    w = 1 << width_bits
+    h = F.md5(_cms_key(cols, seed))
+    h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    wt = (
+        F.col(weight_col).cast("long")
+        if weight_col
+        else F.lit(1).cast("long")
+    )
+    buckets = F.array(
+        *[F.pmod(h1 + F.lit(i) * h2, F.lit(w)) for i in range(depth)]
+    )
+    ex = df.select(
+        *g, wt.alias("__w"), F.posexplode(buckets).alias("row", "bucket")
+    )
+    return ex.groupBy(*g, "row", "bucket").agg(
+        F.sum("__w").alias("cnt")
+    )
+
+
+def _cms_key(cols: "list[str]", seed: str):
+    """The seeded, NULL-sentineled key string both the build and the
+    probe hash — ONE definition so they cannot drift."""
+    return F.concat_ws(
+        "|",
+        F.lit(seed),
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x01"))
+            for c in cols
+        ],
+    )
+
+
+def merge_cms(
+    *sketches: DataFrame, group_cols: "list[str] | None" = None
+) -> DataFrame:
+    """Union count-min sketches built with the SAME (depth, width_bits,
+    seed, cols schema) into one: counter-wise ADD. cms(A) + cms(B) ==
+    cms(A ∪ B) EXACTLY (each occurrence lands in the same buckets
+    either way and addition is associative/commutative) — the lossless
+    shard roll-up. Grouped sketches merge group-wise."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    g = _gcols(group_cols)
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*g, "row", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    cols: "list[str]",
+    depth: int = 4,
+    width_bits: int = 12,
+    seed: str = "cms",
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Point-query the sketch for each distinct key in `keys`:
+    est = MIN over the depth rows of that key's bucket counter
+    (missing counter = 0). One-sided: est >= the true (weighted)
+    count, exactly equal when none of the key's depth buckets
+    collided.
+
+    Plan shape: the probe set is keys-sized (distinct-ed first — each
+    key hashes once), the sketch side is constant-bounded
+    (depth * 2^width_bits rows per group), so the join broadcasts the
+    SKETCH at any corpus scale — frequency answers for ad-hoc key sets
+    without re-reading the corpus. With group_cols, `keys` must carry
+    the group columns and each key is estimated against its own
+    group's counters (null-safe: a NULL group is a real group).
+
+    Output: (group_cols..., cols..., est long)."""
+    _check_cms(depth, width_bits)
+    if not cols:
+        raise ValueError("cols must name at least one column")
+    g = _gcols(group_cols)
+    w = 1 << width_bits
+    k = keys.select(*g, *cols).distinct()
+    h = F.md5(_cms_key(cols, seed))
+    h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    buckets = F.array(
+        *[F.pmod(h1 + F.lit(i) * h2, F.lit(w)) for i in range(depth)]
+    )
+    ex = k.select(
+        *g, *cols, F.posexplode(buckets).alias("row", "bucket")
+    )
+    sk = _prefix_group_cols(
+        sketch.withColumnRenamed("row", "__s_row")
+        .withColumnRenamed("bucket", "__s_bucket"),
+        g, "__s_",
+    )
+    cond = (F.col("row") == F.col("__s_row")) & (
+        F.col("bucket") == F.col("__s_bucket")
+    )
+    for c in g:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__s_{c}"))
+    joined = ex.join(F.broadcast(sk), cond, "left")
+    return joined.groupBy(*g, *cols).agg(
+        F.min(
+            F.coalesce(F.col("cnt"), F.lit(0).cast("long"))
+        ).alias("est")
+    )

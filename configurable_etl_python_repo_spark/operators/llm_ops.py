@@ -411,6 +411,40 @@ def _rrf_fuse(engine: "Engine", spec: OpSpec):
     return SR.rrf_fuse(rankings, **kwargs), None
 
 
+def _merge_cms_op(engine: "Engine", spec: OpSpec):
+    """Counter-wise ADD of N count-min sketches built with the same
+    (depth, width_bits, seed, cols) — the lossless shard roll-up."""
+    from ..llm import sketch as SK
+
+    if not spec.inputs:
+        raise ValueError("MERGE CMS needs at least one sketch input")
+    sketches = [engine.peek(n)[0] for n in spec.inputs]
+    kwargs = dict(spec.args)
+    if "group_columns" in kwargs:
+        kwargs["group_cols"] = kwargs.pop("group_columns")
+    return SK.merge_cms(*sketches, **kwargs), None
+
+
+def _cms_estimate_op(engine: "Engine", spec: OpSpec):
+    """Point-query a count-min sketch (first input) for every distinct
+    key in the second input; a single input estimates the sketch's own
+    keys — ill-posed, so two inputs are required."""
+    from ..llm import sketch as SK
+
+    if len(spec.inputs) < 2:
+        raise ValueError(
+            "CMS ESTIMATE needs (sketch, keys) inputs — the keys to "
+            "estimate cannot be derived from the counters"
+        )
+    sk, _ = engine.peek(spec.inputs[0])
+    keys, _ = engine.peek(spec.inputs[1])
+    kwargs = dict(spec.args)
+    for cfg, py in (("columns", "cols"), ("group_columns", "group_cols")):
+        if cfg in kwargs:
+            kwargs[py] = kwargs.pop(cfg)
+    return SK.cms_estimate(sk, keys, **kwargs), None
+
+
 def _bm25_index_write(op_name: str, fn_name: str):
     """Write-side BM25 index ops (build persists the first segment,
     extend appends one): pass-through stages, like the MinHash index
@@ -824,6 +858,13 @@ LLM_OP_COMPILERS = {
                     "distinct_columns": "distinct_cols",
                     "value_column": "value_col"})
     ),
+    "COUNT MIN SKETCH": _unary(
+        _rename_kw(_lazy_sketch("count_min_sketch"),
+                   {"columns": "cols", "group_columns": "group_cols",
+                    "weight_column": "weight_col"})
+    ),
+    "MERGE CMS": _merge_cms_op,
+    "CMS ESTIMATE": _cms_estimate_op,
     "DEDUP SUBSTRINGS": _unary(_rename_kw(D.dedup_substrings, _ID_TEXT)),
     "DERIVE SHARD KEY": _unary(
         _rename_kw(T.derive_shard_key,

@@ -542,3 +542,134 @@ def test_corpus_report_as_config_op(spark):
     assert set(rows) == {"0", "1"}
     assert all(r.n_rows == 50 and r.p50 is not None
                for r in rows.values())
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+from configurable_etl_python_repo_spark.llm.sketch import (  # noqa: E402
+    cms_estimate,
+    count_min_sketch,
+    merge_cms,
+)
+
+
+def _zipfish(spark, n_rows=2000):
+    """Skewed keys: key k appears ~n/(k+1) times — the heavy-hitter
+    regime count-min is for."""
+    return spark.range(n_rows).select(
+        F.floor(F.sqrt(F.col("id"))).cast("string").alias("k")
+    )
+
+
+def test_cms_one_sided_and_exact_when_wide(spark):
+    """est >= exact for EVERY key (the count-min guarantee), and at a
+    width far above the key cardinality (no collisions possible to
+    matter) est == exact for every key."""
+    df = _zipfish(spark)
+    exact = {r.k: r.n for r in df.groupBy("k").count()
+             .withColumnRenamed("count", "n").collect()}
+    keys = df.select("k").distinct()
+    for wb, must_be_exact in ((6, False), (14, True)):
+        sk = count_min_sketch(df, ["k"], depth=4, width_bits=wb)
+        est = {r.k: r.est for r in cms_estimate(
+            sk, keys, ["k"], depth=4, width_bits=wb).collect()}
+        assert set(est) == set(exact)
+        assert all(est[k] >= exact[k] for k in exact), wb
+        if must_be_exact:
+            assert est == exact
+
+
+def test_cms_merge_identity_three_way(spark):
+    """cms(A) + cms(B) + cms(C) == cms(A ∪ B ∪ C) EXACTLY, counter for
+    counter — parts here OVERLAP as a union-all (addition counts
+    multiplicity, unlike the HLL max)."""
+    whole = _zipfish(spark, 3000)
+    parts = [
+        spark.range(lo, hi).select(
+            F.floor(F.sqrt(F.col("id"))).cast("string").alias("k"))
+        for lo, hi in ((0, 1200), (1200, 2400), (2400, 3000))
+    ]
+    merged = merge_cms(
+        *[count_min_sketch(p, ["k"], depth=3, width_bits=8)
+          for p in parts]
+    )
+    one = count_min_sketch(whole, ["k"], depth=3, width_bits=8)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, one.collect())
+    )
+
+
+def test_cms_weighted_grouped_and_nulls(spark):
+    """weight_col sums exact BIGINTs; group_cols give independent
+    per-group counters estimated group-wise (null-safe — a NULL group
+    is a real group); a NULL key is a countable value."""
+    rows = [("a", "x", 5), ("a", "x", 7), ("a", None, 2),
+            (None, "x", 11), (None, "x", 1)]
+    df = spark.createDataFrame(rows, "g string, k string, w long")
+    sk = count_min_sketch(df, ["k"], depth=4, width_bits=10,
+                          weight_col="w", group_cols=["g"])
+    est = cms_estimate(sk, df.select("g", "k"), ["k"], depth=4,
+                       width_bits=10, group_cols=["g"])
+    got = {(r.g, r.k): r.est for r in est.collect()}
+    assert got == {("a", "x"): 12, ("a", None): 2, (None, "x"): 12}
+
+
+def test_cms_absent_key_and_bounded_size(spark):
+    """A key never inserted estimates 0 when its buckets are empty;
+    the counter relation never exceeds depth * 2^width_bits rows no
+    matter the input size."""
+    df = _ids(spark, 0, 4000).select(F.col("k").cast("string").alias("k"))
+    d, wb = 5, 6
+    sk = count_min_sketch(df, ["k"], depth=d, width_bits=wb)
+    assert sk.count() <= d * (1 << wb)
+    ghost = spark.createDataFrame(
+        [("definitely-not-a-key-\x1f",)], "k string")
+    est = cms_estimate(sk, ghost, ["k"], depth=d, width_bits=wb)
+    (row,) = est.collect()
+    assert row.est >= 0  # may collide at this tiny width, never negative
+    # at a wide sketch the ghost's estimate is exactly 0
+    wide = count_min_sketch(df, ["k"], depth=4, width_bits=16)
+    (row,) = cms_estimate(wide, ghost, ["k"], depth=4,
+                          width_bits=16).collect()
+    assert row.est == 0
+
+
+def test_cms_validation(spark):
+    df = _ids(spark, 0, 10).select(F.col("k").cast("string").alias("k"))
+    with pytest.raises(ValueError, match="depth"):
+        count_min_sketch(df, ["k"], depth=0)
+    with pytest.raises(ValueError, match="width_bits"):
+        count_min_sketch(df, ["k"], width_bits=3)
+    with pytest.raises(ValueError, match="cols"):
+        count_min_sketch(df, [])
+    with pytest.raises(ValueError, match="depth"):
+        cms_estimate(count_min_sketch(df, ["k"]), df, ["k"], depth=99)
+
+
+def test_cms_config_ops(spark):
+    """COUNT MIN SKETCH / MERGE CMS / CMS ESTIMATE as config op types;
+    CMS ESTIMATE refuses a single input loudly."""
+    from configurable_etl_python_repo_spark.plans import Engine, OpSpec
+
+    eng = Engine(spark)
+    df = _zipfish(spark, 800)
+    eng.bind("a", df.limit(400))
+    eng.bind("b", df.exceptAll(df.limit(400)))
+    eng.bind("keys", df.select("k").distinct())
+    kw = {"columns": ["k"], "depth": 4, "width_bits": 12}
+    sa = eng.run_op(OpSpec("COUNT MIN SKETCH", "sa", ["a"], kw))
+    sb = eng.run_op(OpSpec("COUNT MIN SKETCH", "sb", ["b"], kw))
+    eng.bind("sa", sa)
+    eng.bind("sb", sb)
+    merged = eng.run_op(OpSpec("MERGE CMS", "m", ["sa", "sb"], {}))
+    eng.bind("m", merged)
+    est = eng.run_op(OpSpec("CMS ESTIMATE", "e", ["m", "keys"], kw))
+    exact = {r.k: r.n for r in df.groupBy("k").count()
+             .withColumnRenamed("count", "n").collect()}
+    got = {r.k: r.est for r in est.collect()}
+    assert set(got) == set(exact)
+    assert all(got[k] >= exact[k] for k in exact)
+    with pytest.raises(ValueError, match="sketch, keys"):
+        eng.run_op(OpSpec("CMS ESTIMATE", "e2", ["m"], kw))
