@@ -1083,7 +1083,7 @@ def _ivf_pq_oracle() -> str:
     {_PQ_FINAL}"""
 
 
-def _ivf_pq_residual_oracle() -> str:
+def _ivf_pq_residual_oracle(train: str = "") -> str:
     """n10 = residual IVF-PQ unrolled as ONE SQL chain: the n3 coarse
     CTEs, the residual CTE (vector − coarse centroid) BETWEEN the
     quantizers — the coupling the r11 verdict said needed a new oracle
@@ -1091,10 +1091,18 @@ def _ivf_pq_residual_oracle() -> str:
     the residual rows with the L2 score (metric='l2'), and ADC scoring
     of cos(q, c + r̂): the q·c term per (query, probed list), the
     constant centroid-codeword cross table, DECIMAL-summed code terms,
-    and the |c + r̂|² denominator assembled per candidate."""
+    and the |c + r̂|² denominator assembled per candidate.
+
+    ``train`` restricts BOTH quantizers' training sets (coarse centroid
+    sample AND codebook Lloyd rows) to a subset while encoding still
+    covers every row — the n9 FAISS-add parameter, reused verbatim by
+    n11's persisted-residual-index lifecycle so one generator pins the
+    one-shot and the store."""
     sd = _SRP_DIM // _PQ_M
+    tw = "rn2 > 0" + (f" AND {train}" if train else "")
+    cw = f"WHERE {train} " if train else ""
     joined = ",\n    ".join(_pq_train_ctes(
-        train_where="rn2 > 0", src="resid", vec="rv", metric="l2"
+        train_where=tw, src="resid", vec="rv", metric="l2"
     ))
     cbv = "\n      UNION ALL ".join(
         f"SELECT {s} AS s, cid, cv FROM cent{_PQ_ITER}_{s}"
@@ -1115,7 +1123,7 @@ def _ivf_pq_residual_oracle() -> str:
     )
     return f"""
     WITH ccent AS (
-      SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings {cw}
       ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {_IVF_N_CENTROIDS}),
     cscored AS (
       SELECT e.vec_id AS id, c.cid,
@@ -1242,6 +1250,45 @@ def q_n10(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   n_probe=_IVF_PROBE)
 
 
+#: the persisted-index FAISS-add split: the build half trains both
+#: quantizers, the other half arrives as a tagged extend (n9 and n11)
+_PQIDX_TRAIN = "vec_id % 2 = 0"
+
+
+@register("n11_pq_residual_index_lifecycle",
+          _ivf_pq_residual_oracle(train=_PQIDX_TRAIN))
+def q_n11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED residual-PQ index, full lifecycle (n9's protocol
+    under n10's quantizers): build on half the corpus — coarse
+    centroids AND residual-L2 codebooks both train on the build
+    subset — roll the other half in with a TAGGED extend (FAISS-add:
+    batch residuals encode under the STORED quantizers), then score
+    cos(q, c + r̂) through the committed segment set via the SAME
+    _pq_res_score the one-shot n10 runs. The oracle is n10's own
+    generator with the n9 train parameter — one SQL chain pins the
+    one-shot, the store, and the FAISS-add split; a quantizer that
+    retrained on extend or a probe that read orphans breaks the hash.
+    Tombstones/compaction/maintenance ride the shared COMPACT_SPECS
+    registration (pinned in tests/test_pq.py)."""
+    import os
+    import shutil
+
+    root = _proc_tmp_root("n11", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    path = os.path.join(root, "pqres")
+    emb = spark.read.parquet(_pq(sf_dir, "embeddings"))
+    build = emb.where(F.expr(_PQIDX_TRAIN))
+    extend = emb.where(~F.expr(_PQIDX_TRAIN))
+    S.pq_build_index(build, path, dim=_SRP_DIM, m_subspaces=_PQ_M,
+                     n_codes=_PQ_CODES, n_iter=_PQ_ITER,
+                     n_centroids=_IVF_N_CENTROIDS, residual=True)
+    assert S.pq_extend_index(extend, path, tag="n11-batch-1")
+    assert not S.pq_extend_index(extend, path, tag="n11-batch-1")
+    queries = emb.where(F.col("vec_id") < _ANN_NQ)
+    return S.pq_search_index(spark, path, queries, k=_ANN_K,
+                             n_probe=_IVF_PROBE)
+
+
 @register("n7_ann_pq_adc", _pq_oracle())
 def q_n7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-k (Jégou et al. TPAMI 2011, the
@@ -1278,9 +1325,6 @@ def q_n8(spark: SparkSession, sf_dir: str) -> DataFrame:
                          n_iter=_PQ_ITER,
                          n_centroids=_IVF_N_CENTROIDS,
                          n_probe=_IVF_PROBE)
-
-
-_PQIDX_TRAIN = "vec_id % 2 = 0"
 
 
 def _pq_index_oracle() -> str:

@@ -257,6 +257,24 @@ def _round_half_away(a: "np.ndarray", digits: int = 6) -> "np.ndarray":
     return np.sign(a) * np.floor(np.abs(a) * scale + 0.5) / scale
 
 
+def _round_away_col(col, digits: int):
+    """Column-side round-half-away-from-zero on the BINARY double —
+    bit-matches DuckDB's round(), numpy's _round_half_away, and
+    Python's float arithmetic. Spark's F.round is NOT that function:
+    it rounds the value's SHORTEST DECIMAL REPRESENTATION
+    (BigDecimal.valueOf == Double.toString) with HALF_UP, so the two
+    disagree exactly on values whose shortest repr IS a .5 boundary
+    while the binary value sits an ulp below — e.g. 3.029388/24:
+    F.round → 0.126225, DuckDB/numpy/Python → 0.126224 (found when
+    n11's Lloyd mean landed there; every other engine path already
+    rounds binary, so the Lloyd means now do too). floor(|x|·10^d +
+    0.5) is exact for |x|·10^d < 2^52 — far above any mean this
+    package computes."""
+    scale = F.lit(float(10 ** digits))
+    mag = F.floor(F.abs(col) * scale + F.lit(0.5)).cast("double") / scale
+    return F.when(col < 0, -mag).otherwise(mag)
+
+
 def ivf_assignments_arrow(centroids: "list[tuple[int, list[float]]]",
                           n_best: int = 1, digits: int = 6):
     """Vectorized IVF coarse quantizer: a pandas UDF mapping a vector
@@ -455,10 +473,13 @@ def lloyd_centroids(
         (default, the spherical house contract) or 'l2'
         (2·v·w − |w|² argmax; what residual-PQ codebooks need);
       - update: per-cluster elementwise mean, with every float hazard
-        pinned: components round to `mean_digits` in double space
-        (F.round == SQL round, half away from zero), cross-row sums ride
-        DECIMAL (exact, ORDER-INDEPENDENT — a double sum would vary with
-        partitioning), and one IEEE divide + round yields the mean;
+        pinned: components round to `mean_digits` on the BINARY double
+        (_round_away_col — bit-equal to DuckDB round/numpy, NOT
+        F.round, whose shortest-repr HALF_UP diverges exactly on .5
+        shortest-repr boundaries; see _round_away_col), cross-row sums
+        ride DECIMAL (exact, ORDER-INDEPENDENT — a double sum would
+        vary with partitioning), and one IEEE divide + round yields
+        the mean;
       - empty clusters keep their previous centroid (LEFT JOIN+COALESCE
         in the oracle).
 
@@ -483,7 +504,8 @@ def lloyd_centroids(
             F.count(F.lit(1)).alias("__n"),
             *[
                 F.sum(
-                    F.round(F.col("__v")[j].cast("double"), mean_digits)
+                    _round_away_col(F.col("__v")[j].cast("double"),
+                                    mean_digits)
                     .cast("decimal(28,10)")
                 ).alias(f"__s{j}")
                 for j in range(dim)
@@ -491,7 +513,7 @@ def lloyd_centroids(
         ).select(
             "__cid",
             *[
-                F.round(
+                _round_away_col(
                     F.col(f"__s{j}").cast("double") / F.col("__n"),
                     mean_digits,
                 ).alias(f"__m{j}")
@@ -967,18 +989,34 @@ def ivf_pq_residual_topk(
     the quantizers (the codebooks are a function of the coarse
     assignment), which is exactly why the oracle chains the residual
     CTE between them."""
-    spark = corpus.sparkSession
     coarse = _hash_order_sample(corpus, n_centroids, id_col, vec_col)
+    res = _pq_residuals(corpus, coarse, id_col, vec_col, round_digits)
+    codebooks = pq_train(res.where(F.col("rn2") > 0), dim, m_subspaces,
+                         n_codes, n_iter, id_col="id", vec_col="rv",
+                         round_digits=round_digits, metric="l2")
+    enc = _pq_res_codes(res, codebooks, dim, m_subspaces, round_digits)
+    return _pq_res_score(enc, coarse, codebooks, queries, dim,
+                         m_subspaces, k, n_probe, id_col, vec_col,
+                         round_digits)
+
+
+def _pq_residuals(batch, coarse, id_col, vec_col, round_digits=6):
+    """(id, cid, rv, rn2) under a FIXED coarse quantizer — the residual
+    construction shared verbatim by the one-shot ivf_pq_residual_topk,
+    pq_build_index(residual=True), and the residual extend (the
+    _pq_rows convention: identical math on every path). rv = v − c as
+    a zip_with against the broadcast centroid row; rn2 = |rv|² is the
+    training-filter column (coarse centroids ARE corpus rows with
+    exactly-zero residuals — ivf_pq_residual_topk's determinism
+    guard)."""
+    spark = batch.sparkSession
     assign1 = ivf_assignments_arrow(coarse, n_best=1, digits=round_digits)
-    assignp = ivf_assignments_arrow(coarse, n_best=n_probe,
-                                    digits=round_digits)
     centdf = F.broadcast(spark.createDataFrame(
         [(int(cid), [float(x) for x in cv]) for cid, cv in coarse],
         "cid long, ccv array<double>",
     ))
-    sd = dim // m_subspaces
-    res = (
-        corpus.select(
+    return (
+        batch.select(
             F.col(id_col).alias("id"),
             F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
         )
@@ -990,13 +1028,14 @@ def ivf_pq_residual_topk(
         )
         .withColumn("rn2", _dot(F.col("rv"), F.col("rv")))
     )
-    codebooks = pq_train(res.where(F.col("rn2") > 0), dim, m_subspaces,
-                         n_codes, n_iter, id_col="id", vec_col="rv",
-                         round_digits=round_digits, metric="l2")
-    cb = _pq_codebook_df(spark, codebooks, round_digits)
-    cbx = F.broadcast(cb.withColumnRenamed("cid", "code_cid"))
-    enc = res.select(
-        "id", "cid",
+
+
+def _pq_res_codes(res, codebooks, dim, m_subspaces, round_digits=6):
+    """(cid, id, codes): L2-encode each residual slice under FIXED
+    codebooks — a zero residual legitimately assigns to the
+    smallest-norm codeword, identically in both engines."""
+    return res.select(
+        "cid", "id",
         F.array(*[
             l2_assignments_arrow(codebooks[s], n_best=1,
                                  digits=round_digits)(
@@ -1005,6 +1044,28 @@ def ivf_pq_residual_topk(
             for s, (start, sdl) in enumerate(_pq_slices(dim, m_subspaces))
         ]).alias("codes"),
     )
+
+
+def _pq_res_score(enc, coarse, codebooks, queries, dim, m_subspaces,
+                  k, n_probe, id_col, vec_col, round_digits):
+    """Score cos(q, c + r̂) from residual-coded rows (cid, id, codes)
+    and return the per-query top-k — the scoring half shared
+    term-for-term by ivf_pq_residual_topk and the persisted residual
+    index's search path, so the n10 and n11 oracles pin ONE
+    arithmetic. See ivf_pq_residual_topk for the decomposition: the
+    q·c lookup per (query, probed list), the constant
+    centroid-codeword cross table, DECIMAL-summed code terms, and the
+    |c + r̂|² denominator assembled per candidate."""
+    spark = queries.sparkSession
+    assignp = ivf_assignments_arrow(coarse, n_best=n_probe,
+                                    digits=round_digits)
+    centdf = F.broadcast(spark.createDataFrame(
+        [(int(cid), [float(x) for x in cv]) for cid, cv in coarse],
+        "cid long, ccv array<double>",
+    ))
+    sd = dim // m_subspaces
+    cb = _pq_codebook_df(spark, codebooks, round_digits)
+    cbx = F.broadcast(cb.withColumnRenamed("cid", "code_cid"))
     ex = enc.select(
         "id", "cid", F.posexplode("codes").alias("s", "code_cid")
     )
@@ -1332,14 +1393,32 @@ def ivf_search_index(
 #: protocol: atomic commits, tagged idempotent extends, tombstones,
 #: snapshot reads, compact/vacuum/maintain via COMPACT_SPECS.
 _PQ_LAYOUT = "pq-cid-seg-v1"
+_PQ_RES_LAYOUT = "pq-res-cid-seg-v1"
 
 
 def _pq_committed(spark, path: str, version: "int | None" = None):
+    """committed_state with the PQ-index LAYOUT DISPATCH (the
+    _emb_committed pattern): peek the _meta layout stamp and validate
+    against whichever of the two PQ layouts (global codebooks vs
+    residual-trained) the tree was built under; any OTHER layout still
+    dies on the strict single-layout guard. Only AnalysisException
+    (missing/unreadable-as-parquet) falls back — transient IO errors
+    propagate (the r12 ADVICE discipline). Returns (layout, meta,
+    segs, tags, manifest)."""
+    from pyspark.errors import AnalysisException
+
     from ._store import committed_state
 
-    return committed_state(
-        spark, path, _PQ_LAYOUT, kind="pq index", version=version
+    try:
+        rows = spark.read.parquet(path + "/_meta").collect()
+        peek = getattr(rows[0], "layout", None) if len(rows) == 1 else None
+    except AnalysisException:
+        peek = None
+    lay = peek if peek == _PQ_RES_LAYOUT else _PQ_LAYOUT
+    meta, segs, tags, man = committed_state(
+        spark, path, lay, kind="pq index", version=version
     )
+    return lay, meta, segs, tags, man
 
 
 def _write_codebooks(spark, path: str, codebooks, meta_id: str) -> None:
@@ -1408,6 +1487,7 @@ def pq_build_index(
     target_list_size: int = 1024,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool = False,
 ) -> None:
     """WRITE-SIDE PQ index — the repeated-retrieval dual of the
     one-shot ivf_pq_topk (the minhash/BM25/IVF index convention): one
@@ -1437,9 +1517,22 @@ def pq_build_index(
             )
         n_centroids = max(1, math.ceil(corpus.count() / target_list_size))
     coarse = _hash_order_sample(corpus, n_centroids, id_col, vec_col)
-    codebooks = pq_train(corpus, dim, m_subspaces, n_codes, n_iter,
-                         id_col, vec_col)
-    rows = _pq_rows(corpus, coarse, codebooks, dim, id_col, vec_col)
+    if residual:
+        # residual=True trains the codebooks on r = x − c (the
+        # published IndexIVFPQ; ivf_pq_residual_topk's exact recipe at
+        # the persisted 6dp contract) and stamps the residual layout —
+        # extend and search dispatch on it, callers never re-say it
+        res = _pq_residuals(corpus, coarse, id_col, vec_col)
+        codebooks = pq_train(res.where(F.col("rn2") > 0), dim,
+                             m_subspaces, n_codes, n_iter,
+                             id_col="id", vec_col="rv", metric="l2")
+        rows = _pq_res_codes(res, codebooks, dim, m_subspaces)
+        layout = _PQ_RES_LAYOUT
+    else:
+        codebooks = pq_train(corpus, dim, m_subspaces, n_codes, n_iter,
+                             id_col, vec_col)
+        rows = _pq_rows(corpus, coarse, codebooks, dim, id_col, vec_col)
+        layout = _PQ_LAYOUT
     seg, meta_id = ST.new_segment_id(), ST.new_meta_id()
     ST.write_segment(rows, path, "", seg, "cid")
     spark = corpus.sparkSession
@@ -1447,7 +1540,7 @@ def pq_build_index(
     _write_codebooks(spark, path, codebooks, meta_id)
     spark.createDataFrame(
         [(int(dim), int(m_subspaces), int(n_codes), len(coarse),
-          id_col, _PQ_LAYOUT, meta_id)],
+          id_col, layout, meta_id)],
         "dim int, m_subspaces int, n_codes int, n_centroids int, "
         "id_col string, layout string, meta_id string",
     ).coalesce(1).write.mode("overwrite").parquet(path + "/_meta")
@@ -1471,13 +1564,21 @@ def pq_extend_index(
     from . import _store as ST
 
     spark = batch.sparkSession
-    meta, _, tags, _ = _pq_committed(spark, path)
+    lay, meta, _, tags, _ = _pq_committed(spark, path)
     if tag is not None and tag in tags:
         return False
     coarse = ST.read_centroids(spark, path, meta.meta_id, kind="pq index")
     codebooks = _read_codebooks(spark, path, meta.meta_id)
-    rows = _pq_rows(batch, coarse, codebooks, int(meta.dim),
-                    id_col, vec_col)
+    if lay == _PQ_RES_LAYOUT:
+        # a residual tree encodes batch RESIDUALS under its stored
+        # codebooks — dispatch on the layout stamp, never a kwarg (a
+        # caller cannot desynchronize the encoding from the build)
+        res = _pq_residuals(batch, coarse, id_col, vec_col)
+        rows = _pq_res_codes(res, codebooks, int(meta.dim),
+                             int(meta.m_subspaces))
+    else:
+        rows = _pq_rows(batch, coarse, codebooks, int(meta.dim),
+                        id_col, vec_col)
     seg = ST.new_segment_id()
     ST.write_segment(rows, path, "", seg, "cid")
     return ST.commit_extend(path, seg, meta.meta_id, tag=tag)
@@ -1517,7 +1618,9 @@ def pq_search_index(
         read_deletes,
     )
 
-    meta, segs, _, man = _pq_committed(spark, path, version=as_of_version)
+    lay, meta, segs, _, man = _pq_committed(
+        spark, path, version=as_of_version
+    )
     coarse = read_centroids(spark, path, meta.meta_id, kind="pq index")
     codebooks = _read_codebooks(spark, path, meta.meta_id)
     dim, m = int(meta.dim), int(meta.m_subspaces)
@@ -1537,6 +1640,14 @@ def pq_search_index(
         read_committed(spark, path, "", segs),
         read_deletes(spark, path, man), "id",
     ).where(F.col("cid").isin(probed))
+    if lay == _PQ_RES_LAYOUT:
+        # residual tree: hand the pruned code rows to the shared
+        # residual scorer (the one ivf_pq_residual_topk runs) — same
+        # probe digits, same tiebreaks, same DECIMAL folds; the cid
+        # isin above already pruned the scan to the probed lists
+        return _pq_res_score(stored, coarse, codebooks, queries, dim,
+                             m, k, n_probe, id_col, vec_col,
+                             round_digits)
     ex = stored.select(
         "cid", "id",
         F.posexplode("codes").alias("s", "code_cid"),
@@ -1874,7 +1985,8 @@ def lloyd_centroids_table(
                 F.count(F.lit(1)).alias("__n"),
                 *[
                     F.sum(
-                        F.round(F.col("__v")[j].cast("double"), mean_digits)
+                        _round_away_col(F.col("__v")[j].cast("double"),
+                                        mean_digits)
                         .cast("decimal(28,10)")
                     ).alias(f"__s{j}")
                     for j in range(dim)
@@ -1883,8 +1995,9 @@ def lloyd_centroids_table(
             .select(
                 "cid",
                 F.array(*[
-                    F.round(F.col(f"__s{j}").cast("double") / F.col("__n"),
-                            mean_digits)
+                    _round_away_col(
+                        F.col(f"__s{j}").cast("double") / F.col("__n"),
+                        mean_digits)
                     for j in range(dim)
                 ]).alias("__cv2"),
             )
@@ -1996,5 +2109,10 @@ _ST.COMPACT_SPECS[_IVF_LAYOUT] = {
     "rels": [("", "cid", _ivf_id_col)], "derived": [], "finalize": None,
 }
 _ST.COMPACT_SPECS[_PQ_LAYOUT] = {
+    "rels": [("", "cid", "id")], "derived": [], "finalize": None,
+}
+# the residual tree's physical shape is identical (cid-partitioned code
+# rows; quantizer sidecars are rebuild-scoped, not compaction-scoped)
+_ST.COMPACT_SPECS[_PQ_RES_LAYOUT] = {
     "rels": [("", "cid", "id")], "derived": [], "finalize": None,
 }

@@ -476,16 +476,122 @@ def test_pq_index_maintain_policy(spark, tmp_path):
         pq_extend_index(emb.where(f"vec_id % 4 = {r}"), p, tag=f"e{r}")
     before = {tuple(x) for x in
               pq_search_index(spark, p, q, k=3, n_probe=4).collect()}
-    _, segs, _, _ = _pq_committed(spark, p)
+    _, _, segs, _, _ = _pq_committed(spark, p)
     assert len(segs) == 4
     # below threshold: no-op
     ST.maintain_index(spark, p, max_segments=16, retention_s=0.0)
-    _, segs2, _, _ = _pq_committed(spark, p)
+    _, _, segs2, _, _ = _pq_committed(spark, p)
     assert len(segs2) == 4
     # over threshold: compacts to one segment, answers unchanged
     ST.maintain_index(spark, p, max_segments=3, retention_s=0.0)
-    _, segs3, _, _ = _pq_committed(spark, p)
+    _, _, segs3, _, _ = _pq_committed(spark, p)
     assert len(segs3) == 1
     after = {tuple(x) for x in
              pq_search_index(spark, p, q, k=3, n_probe=4).collect()}
     assert after == before
+
+
+def test_round_away_col_rounds_the_binary_double(spark):
+    """Regression for the n11 Lloyd-mean divergence: 3.029388/24 has
+    shortest decimal repr exactly 0.1262245 while its binary value
+    sits an ulp BELOW the half — DuckDB round(), numpy, and Python all
+    produce 0.126224, but Spark's F.round (shortest-repr HALF_UP via
+    BigDecimal.valueOf) says 0.126225. The Lloyd means must use
+    _round_away_col, which matches everyone else; this pins both
+    behaviors so the divergence can never silently come back."""
+    import duckdb
+
+    from configurable_etl_python_repo_spark.llm.similarity import (
+        _round_away_col,
+    )
+
+    df = spark.createDataFrame(
+        [(3.029388, 24), (-3.029388, 24), (1.25, 1), (2.675, 1)],
+        "num double, den int",
+    ).select(
+        (F.col("num") / F.col("den")).alias("x"),
+        _round_away_col(F.col("num") / F.col("den"), 6).alias("away"),
+        F.round(F.col("num") / F.col("den"), 6).alias("fround"),
+    )
+    rows = {round(r.x, 7): r for r in df.collect()}
+    con = duckdb.connect()
+    for r in rows.values():
+        duck = con.execute(
+            "SELECT round(CAST(? AS DOUBLE) / 1, 6)", [r.x]
+        ).fetchone()[0]
+        assert r.away == duck, (r.x, r.away, duck)
+    # the documented divergence point: F.round disagrees here
+    boundary = rows[round(3.029388 / 24, 7)]
+    assert boundary.away == 0.126224 and boundary.fround == 0.126225
+    neg = rows[round(-3.029388 / 24, 7)]
+    assert neg.away == -0.126224  # away-from-zero is symmetric
+    # non-boundary values: both functions agree
+    assert rows[1.25].away == rows[1.25].fround == 1.25
+    assert rows[2.675].away == rows[2.675].fround == 2.675
+
+
+def test_residual_pq_index_equals_one_shot_and_lifecycle(
+    spark, tmp_path
+):
+    """The persisted residual-PQ index (n11): (a) a full-corpus build's
+    search is BIT-EQUAL to the one-shot ivf_pq_residual_topk (same
+    quantizers, same _pq_res_score); (b) FAISS-add extends encode
+    batch residuals under the STORED quantizers with tagged
+    idempotence; (c) tombstones + compaction preserve answers through
+    the shared COMPACT_SPECS registration; (d) the layout dispatch
+    keeps global-PQ trees on the ADC path (their results are
+    unchanged by this feature existing)."""
+    from configurable_etl_python_repo_spark.llm import _store as ST
+    from configurable_etl_python_repo_spark.llm.similarity import (
+        ivf_pq_residual_topk,
+        pq_build_index,
+        pq_extend_index,
+        pq_search_index,
+    )
+
+    emb = _clustered(spark, n_clusters=4, per_cluster=25)
+    q = emb.where(F.col("vec_id") < 8)
+    kw = dict(dim=_DIM, m_subspaces=4, n_codes=8, n_iter=1)
+
+    p1 = str(tmp_path / "resfull")
+    pq_build_index(emb, p1, n_centroids=6, residual=True, **kw)
+    a = {tuple(r) for r in
+         pq_search_index(spark, p1, q, k=4, n_probe=2).collect()}
+    b = {tuple(r) for r in
+         ivf_pq_residual_topk(emb, q, k=4, n_centroids=6, n_probe=2,
+                              **kw).collect()}
+    assert a == b and a
+
+    p2 = str(tmp_path / "resgrow")
+    ev = emb.where(F.col("vec_id") % 2 == 0)
+    od = emb.where(F.col("vec_id") % 2 == 1)
+    pq_build_index(ev, p2, n_centroids=6, residual=True, **kw)
+    assert pq_extend_index(od, p2, tag="r1")
+    assert not pq_extend_index(od, p2, tag="r1")
+    r = pq_search_index(spark, p2, q, k=4, n_probe=6).collect()
+    assert any(x.neighbor_id % 2 == 1 for x in r)
+
+    victim = r[0].neighbor_id
+    assert ST.delete_from_index(
+        spark.createDataFrame([(victim,)], "id long"), p2
+    )
+    r2 = pq_search_index(spark, p2, q, k=4, n_probe=6).collect()
+    assert all(x.neighbor_id != victim for x in r2)
+    receipt = ST.maintain_index(spark, p2, max_segments=1)
+    assert receipt["compacted"]
+    r3 = {tuple(x) for x in
+          pq_search_index(spark, p2, q, k=4, n_probe=6).collect()}
+    assert r3 == {tuple(x) for x in r2}
+
+    # a global tree is untouched by the dispatch (same fixture params)
+    p3 = str(tmp_path / "globalfull")
+    pq_build_index(emb, p3, n_centroids=6, **kw)
+    from configurable_etl_python_repo_spark.llm.similarity import (
+        ivf_pq_topk,
+    )
+
+    g = {tuple(r) for r in
+         pq_search_index(spark, p3, q, k=4, n_probe=2).collect()}
+    assert g == {tuple(r) for r in
+                 ivf_pq_topk(emb, q, k=4, n_centroids=6, n_probe=2,
+                             **kw).collect()}
