@@ -1211,13 +1211,20 @@ DRIVER_PRIORITY = [
     "x28_streaming_admission", "x33_simhash_stream_admission",
     "x34_searchable_admission",
     # LLM pipeline: dedup + persisted indexes — x32 (NEW r11) is the
-    # MAINTAIN INDEX policy bracketing the same fixture x30/x31 pin
-    "x31_index_time_travel", "x32_index_maintenance",
-    # LLM pipeline: similarity search + retrieval — n7 (late-r11) is
-    # PQ/ADC; n8 (r12 rotation) is IVF-PQ proper, the last operator
-    # without a driver row alongside d21 (verdict r11 item 2); n10
-    # (NEW r12) is residual IVF-PQ, the published IndexIVFPQ training
-    "n7_ann_pq_adc", "n8_ann_ivf_pq", "n10_ann_ivf_pq_residual",
+    # MAINTAIN INDEX policy bracketing the same fixture x30/x31 pin.
+    # x31 demoted r13 (three greens r10-r12; the store's as-of/delete/
+    # maintain protocol stays pinned in-window by x30 + x32 + n9 +
+    # n11, and the full sweep still hash-checks it every round)
+    "x32_index_maintenance",
+    # LLM pipeline: similarity search + retrieval — n8 (r12 rotation)
+    # is IVF-PQ proper; n10 (r12) is residual IVF-PQ, the published
+    # IndexIVFPQ training; n11 (NEW r13) is the PERSISTED residual-PQ
+    # index whose oracle is n10's generator with n9's train-subset
+    # parameter. n7 demoted r13 (two greens r11-r12; every in-window
+    # PQ row — n8, n10, n9, n11, d22 — chains the same _pq_train_ctes
+    # + ADC generators, so its arithmetic cannot drift unnoticed)
+    "n8_ann_ivf_pq", "n10_ann_ivf_pq_residual",
+    "n11_pq_residual_index_lifecycle",
     # LLM pipeline: text analysis + curation; d20 gets its FIRST
     # driver row (the only operator without one, verdict r10 item 2)
     "t8_pack_sequences", "d19_grouped_lsh_pairs",
@@ -1239,7 +1246,10 @@ DRIVER_PRIORITY = [
     # decontamination whose oracle is d9's verbatim
     "n9_pq_index_lifecycle", "d21_decontaminate_bloom",
     "x19_targeted_pipeline", "x26_mixture_upsample",
-    "x27_corpus_report", "x29_streaming_embedding_admission",
+    # x35 (NEW r13): the count-min frequency sketch — the x20/x21
+    # sketch family's frequency dual, merge identity in the oracle
+    "x27_corpus_report", "x35_count_min_frequency",
+    "x29_streaming_embedding_admission",
     "x30_index_deletion",
     # engine showcase (COMPUTE COLUMN + broadcast joins + fused LIMIT)
     "tpch_q3_shaped",
