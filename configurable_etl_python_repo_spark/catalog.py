@@ -1238,8 +1238,11 @@ DRIVER_PRIORITY = [
     "m4_png_decode_features", "m6_jpeg_decode_features",
     "m7_wav_audio_features", "m8_y4m_frame_stats",
     # temporal joins, rolling windows, n-grams — d22 (NEW r12) is the
-    # PQ-coded embedding store's two-stage probe
-    "x6_asof_join", "x7_range_join", "d22_embedding_pq_store_probe",
+    # PQ-coded embedding store's two-stage probe; n12 (NEW r13) is
+    # ColBERT MaxSim over multi-vector docs. x6 demoted r13 (three
+    # greens r10-r12; x7 keeps the temporal-join family in-window and
+    # x6's window-no-join asof stays pytest- and sweep-checked)
+    "x7_range_join", "n12_maxsim_topk", "d22_embedding_pq_store_probe",
     "x9_curation_pipeline", "x10_rolling_window", "x12_top_ngrams",
     # mixture, sketches, composed curation — n9 (late-r11) is the
     # persisted PQ index lifecycle; d21 (r12 rotation) is the bloom

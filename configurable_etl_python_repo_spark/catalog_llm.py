@@ -1289,6 +1289,65 @@ def q_n11(spark: SparkSession, sf_dir: str) -> DataFrame:
                              n_probe=_IVF_PROBE)
 
 
+#: MaxSim fixture: embeddings fold into multi-vector docs of 4 tokens
+#: (did = vec_id div 4, token = vec_id % 4); the first 8 docs query
+_MAXSIM_TOKS, _MAXSIM_NQ = 4, 8
+
+
+def _maxsim_oracle() -> str:
+    """n12 = exact ColBERT MaxSim unrolled as SQL: per-(query token,
+    doc) MAX of the 6dp cosine, exact DECIMAL sum over the query's
+    tokens, ties to the smaller doc id — term for term what
+    similarity.maxsim_topk computes at planes=0."""
+    t = _MAXSIM_TOKS
+    return f"""
+    WITH mv AS (
+      SELECT vec_id // {t} AS did, vec_id % {t} AS tok, embedding
+      FROM embeddings),
+    q AS (SELECT * FROM mv WHERE did < {_MAXSIM_NQ}),
+    sims AS (
+      SELECT q.did AS query_id, q.tok AS qt, c.did AS doc_id,
+             {_cos_sql('q.embedding', 'c.embedding')} AS s
+      FROM q, mv c WHERE c.did != q.did),
+    mx AS (
+      SELECT query_id, qt, doc_id, MAX(s) AS m
+      FROM sims GROUP BY 1, 2, 3),
+    sc AS (
+      SELECT query_id, doc_id,
+             CAST(SUM(CAST(m AS DECIMAL(28,10))) AS DOUBLE) AS score
+      FROM mx GROUP BY 1, 2)
+    SELECT query_id, doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id)
+                AS INTEGER) AS rank,
+           score
+    FROM sc
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, doc_id) <= {_ANN_K}
+    """
+
+
+@register("n12_maxsim_topk", _maxsim_oracle())
+def q_n12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction MaxSim retrieval (ColBERT, Khattab & Zaharia
+    SIGIR 2020) over multi-vector documents: score(q, d) = Σ over q's
+    token vectors of the MAX cosine against any of d's token vectors —
+    the retrieval shape single-vector ANN flattens away. The fixture
+    folds the embeddings table into 4-token docs; the exact path (this
+    row's oracle) is the ground truth the SRP-bucketed candidate path
+    is recall-pinned against in tests/test_llm_ops.py. Aggregations
+    are map-side combinable on (query, doc) keys; the 6dp-max /
+    exact-DECIMAL-sum discipline keeps both engines bit-equal."""
+    emb = spark.read.parquet(_pq(sf_dir, "embeddings"))
+    mv = emb.select(
+        F.expr(f"vec_id div {_MAXSIM_TOKS}").alias("doc_id"),
+        (F.col("vec_id") % _MAXSIM_TOKS).alias("token_id"),
+        "embedding",
+    )
+    q = mv.where(F.col("doc_id") < _MAXSIM_NQ)
+    return S.maxsim_topk(mv, q, k=_ANN_K)
+
+
 @register("n7_ann_pq_adc", _pq_oracle())
 def q_n7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-k (Jégou et al. TPAMI 2011, the

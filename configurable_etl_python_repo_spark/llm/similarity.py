@@ -1717,6 +1717,103 @@ def pq_search_index(
     )
 
 
+def maxsim_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    doc_col: str = "doc_id",
+    token_col: str = "token_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    planes: int = 0,
+    tables: int = 4,
+    dim: "int | None" = None,
+) -> DataFrame:
+    """Late-interaction (ColBERT-style MaxSim) retrieval over
+    MULTI-VECTOR documents (Khattab & Zaharia, SIGIR 2020): each doc is
+    a BAG of vectors (one row per token), each query likewise, and
+    score(q, d) = sum over q's tokens of the MAX cosine against any of
+    d's tokens — token-level matching that single-vector ANN flattens
+    away. Corpus rows need (doc_col, vec_col); query rows need
+    (doc_col, token_col, vec_col) — token_col identifies the query
+    token each MAX is taken over (corpus tokens need no identity).
+
+    Output: (query_id, doc_id, rank, score) — score is the exact
+    DECIMAL sum of 6dp-rounded per-token maxima (engine-portable:
+    max-of-rounded then exact sum, the repo discipline), ranks dense
+    per query with ties to the smaller doc_id; self-matches excluded.
+
+    planes=0 (default) scores every (query token, doc token) pair —
+    the exact baseline, the n1 shape: right for a bounded query set
+    against a corpus partition, and the ground truth the bucketed
+    path is measured against. planes>0 is the SCALE path: SRP token
+    buckets (srp_buckets_arrow, `tables` independent tables) generate
+    doc candidates — a doc is scored iff ANY of its token buckets
+    collides with ANY query token bucket — then exact MaxSim runs on
+    the candidate pairs only (requires `dim`). At 100 TB the
+    candidate join touches ~tables·|corpus|/2^planes of the token
+    rows instead of all of them, and the MAX/SUM aggregations are
+    map-side combinable on (query, doc) keys either way; recall vs
+    exact is pytest-pinned (the lsh_bucketed_topk convention)."""
+    c = _with_norm(
+        corpus.select(
+            F.col(doc_col).alias("doc_id"), F.col(vec_col).alias("cv")
+        ),
+        "cv", "nc",
+    )
+    q = _with_norm(
+        queries.select(
+            F.col(doc_col).alias("query_id"),
+            F.col(token_col).alias("__qt"),
+            F.col(vec_col).alias("qv"),
+        ),
+        "qv", "nq",
+    )
+    sims = (
+        q.crossJoin(c)
+        .where(F.col("query_id") != F.col("doc_id"))
+        .select(
+            "query_id", "__qt", "doc_id",
+            _sim(F.col("qv"), F.col("cv"), F.col("nq"), F.col("nc"),
+                 round_digits).alias("s"),
+        )
+    )
+    if planes:
+        if dim is None:
+            raise ValueError("planes > 0 needs dim (the SRP hyperplane "
+                             "dimensionality)")
+        buckets = srp_buckets_arrow(dim, planes, tables)
+        cb = corpus.select(
+            F.col(doc_col).alias("doc_id"),
+            F.posexplode(buckets(F.col(vec_col))).alias("tbl", "bk"),
+        ).distinct()
+        qb = queries.select(
+            F.col(doc_col).alias("query_id"),
+            F.posexplode(buckets(F.col(vec_col))).alias("tbl", "bk"),
+        ).distinct()
+        cand = (
+            qb.join(cb, ["tbl", "bk"])
+            .select("query_id", "doc_id")
+            .distinct()
+        )
+        sims = sims.join(cand, ["query_id", "doc_id"], "left_semi")
+    mx = sims.groupBy("query_id", "__qt", "doc_id").agg(
+        F.max("s").alias("m")
+    )
+    sc = mx.groupBy("query_id", "doc_id").agg(
+        F.sum(F.col("m").cast("decimal(28,10)"))
+        .cast("double").alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        sc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rank", "score")
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -921,6 +921,7 @@ LLM_OP_COMPILERS = {
                    {"id_column": "id_col", "vector_column": "vec_col"})
     ),
     "ANN TOPK": _ann_topk,
+    "MAXSIM TOPK": _binary_corpus_queries("maxsim_topk"),
     "ANN TOPK LSH": _ann_topk_lsh,
     "ANN TOPK IVF": _binary_corpus_queries("ivf_topk"),
     "ANN TOPK IVF KMEANS": _binary_corpus_queries("ivf_topk_kmeans"),

