@@ -331,6 +331,31 @@ def test_embedding_stream_equals_sequential_batches(
     assert got == want
 
 
+def test_embedding_admission_over_pq_store_equals_int8(
+    spark, sf_dir, tmp_path
+):
+    """family='embedding' admission against a quantize='pq' store: the
+    layout dispatch inside embedding_against_index makes the SAME
+    admission composition run the two-stage ADC-shortlist + int8
+    rerank probe — admitted sets and the final index answers must be
+    BIT-EQUAL to an int8-store stream (the d22 exact-threshold
+    contract carried into streaming)."""
+    corpus, e1, e2 = _vec_fixture(spark, sf_dir)
+    kw = dict(family="embedding", threshold=_ET, n_probe=_EP)
+    outs = {}
+    for name, q in (("i8", True), ("pq", "pq")):
+        idx = str(tmp_path / f"idx_{name}")
+        out = str(tmp_path / f"out_{name}")
+        embedding_build_index(corpus, idx, n_centroids=_ENC,
+                              quantize=q, m_subspaces=8, n_codes=16)
+        for i, e in enumerate([e1, e2]):
+            admission_batch(e, i, idx, out, **kw)
+        outs[name] = {(r.vec_id, r.epoch)
+                      for r in spark.read.parquet(out)
+                      .select("vec_id", "epoch").collect()}
+    assert outs["pq"] == outs["i8"] and outs["i8"]
+
+
 def test_admission_family_validation(spark, sf_dir, tmp_path):
     corpus, e1, _ = _vec_fixture(spark, sf_dir)
     idx = str(tmp_path / "idx")
