@@ -1243,7 +1243,11 @@ DRIVER_PRIORITY = [
     # greens r10-r12; x7 keeps the temporal-join family in-window and
     # x6's window-no-join asof stays pytest- and sweep-checked)
     "x7_range_join", "n12_maxsim_topk", "d22_embedding_pq_store_probe",
-    "x9_curation_pipeline", "x10_rolling_window", "x12_top_ngrams",
+    # n13 (NEW r13): the FAISS refine tail on n8's chain. x12 demoted
+    # r13 (three greens r10-r12; corpus-frequency answers stay
+    # in-window via x35, the exact n-gram dual stays sweep-checked)
+    "x9_curation_pipeline", "x10_rolling_window",
+    "n13_ann_ivf_pq_refined",
     # mixture, sketches, composed curation — n9 (late-r11) is the
     # persisted PQ index lifecycle; d21 (r12 rotation) is the bloom
     # decontamination whose oracle is d9's verbatim

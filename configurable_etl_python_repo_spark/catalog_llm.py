@@ -1047,11 +1047,45 @@ def _pq_oracle() -> str:
     {_PQ_FINAL}"""
 
 
-def _ivf_pq_oracle() -> str:
+def _ivf_pq_oracle(refine: "int | None" = None) -> str:
     """IVF-PQ: the n3 coarse quantizer CTEs (hash-order centroid
     sample, full-vector assignment, n_probe query lists) bound the
-    candidate pairs; the shared PQ training + ADC CTEs price them."""
+    candidate pairs; the shared PQ training + ADC CTEs price them.
+    ``refine`` (n13) keeps refine·k per query by ADC rank, joins the
+    ORIGINAL vectors for the shortlist only, and re-ranks by exact
+    cosine — the FAISS IndexRefineFlat tail on n8's own chain."""
     joined = ",\n    ".join(_pq_train_ctes())
+    if refine:
+        final = f"""ascored AS (
+      SELECT n.query_id, n.id AS neighbor_id,
+             round(n.num / (q.qn * sqrt(d.den)), 6) AS ascore
+      FROM num n
+      JOIN den d ON d.id = n.id
+      JOIN qn q ON q.query_id = n.query_id
+      WHERE n.query_id != n.id),
+    short AS (
+      SELECT query_id, neighbor_id FROM ascored
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY ascore DESC, neighbor_id)
+              <= {refine * _ANN_K}),
+    refined AS (
+      SELECT s.query_id, s.neighbor_id,
+             {_cos_sql('q.embedding', 'c.embedding')} AS sim
+      FROM short s
+      JOIN embeddings q ON q.vec_id = s.query_id
+      JOIN embeddings c ON c.vec_id = s.neighbor_id)
+    SELECT query_id, neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id)
+                AS INTEGER) AS rank,
+           sim
+    FROM refined
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id)
+            <= {_ANN_K}
+    """
+    else:
+        final = _PQ_FINAL
     return f"""
     WITH {joined},
     {_pq_adc_ctes()},
@@ -1080,7 +1114,7 @@ def _ivf_pq_oracle() -> str:
       JOIN lut l ON l.query_id = ca.query_id
                 AND l.s = co.s AND l.cid = co.cid
       GROUP BY ca.query_id, co.id),
-    {_PQ_FINAL}"""
+    {final}"""
 
 
 def _ivf_pq_residual_oracle(train: str = "") -> str:
@@ -1384,6 +1418,30 @@ def q_n8(spark: SparkSession, sf_dir: str) -> DataFrame:
                          n_iter=_PQ_ITER,
                          n_centroids=_IVF_N_CENTROIDS,
                          n_probe=_IVF_PROBE)
+
+
+_REFINE = 3
+
+
+@register("n13_ann_ivf_pq_refined", _ivf_pq_oracle(refine=_REFINE))
+def q_n13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with the FAISS refine stage (IndexRefineFlat): the ADC
+    ranking keeps refine_factor·k candidates, ONLY those join back to
+    the original vectors, and the final top-k ranks by EXACT cosine —
+    quantization error decides which candidates survive the
+    shortlist, never their final order. The exact scan is
+    shortlist-sized (refine·k per query), the d22 two-stage contract
+    applied to top-k retrieval; the oracle is n8's own chain with the
+    refine tail, so the shortlist arithmetic cannot drift from the
+    unrefined row."""
+    emb = spark.read.parquet(_pq(sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") < _ANN_NQ)
+    return S.ivf_pq_topk(emb, queries, k=_ANN_K, dim=_SRP_DIM,
+                         m_subspaces=_PQ_M, n_codes=_PQ_CODES,
+                         n_iter=_PQ_ITER,
+                         n_centroids=_IVF_N_CENTROIDS,
+                         n_probe=_IVF_PROBE,
+                         refine_factor=_REFINE)
 
 
 def _pq_index_oracle() -> str:

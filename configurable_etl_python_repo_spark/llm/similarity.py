@@ -822,6 +822,7 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    refine_factor: "int | None" = None,
 ) -> DataFrame:
     """IVF-PQ proper (the FAISS workhorse): the coarse IVF quantizer
     bounds WHICH candidates a query touches (~n_probe/n_centroids of
@@ -831,13 +832,30 @@ def ivf_pq_topk(
     lives as codes partitioned by centroid id, a query partition-prunes
     to its probed lists and scores them from the broadcast LUT.
 
+    ``refine_factor`` adds the FAISS refine stage (IndexRefineFlat):
+    the ADC ranking keeps refine_factor·k candidates per query, ONLY
+    those join back to the original vectors, and the final top-k ranks
+    by exact cosine (output column `sim`, ties to the smaller id).
+    The exact scan stays shortlist-sized — refine_factor·k·|queries|
+    vector reads, not candidate-many — so the quality of exact scoring
+    costs a bounded join, the same two-stage contract the PQ dedup
+    store's probe runs (d22). Quantization error then affects only
+    WHICH candidates survive the shortlist, never their final order —
+    with refine_factor covering the whole probed set the result equals
+    ivf_topk's exact scoring of the same lists (pytest-pinned).
+
     Simplification vs FAISS, stated honestly: codebooks are GLOBAL
     (trained on raw vectors corpus-wide), not per-list residual
     codebooks — residual PQ recovers more precision per bit but its
     training couples the two quantizers; the global variant keeps
     train/encode/score each independently SQL-replayable (catalog n8
     unrolls coarse assignment + all per-subspace trainings + ADC in
-    one oracle). ascore semantics and tie rules are pq_topk's."""
+    one oracle; n13 chains the refine tail onto it). ascore semantics
+    and tie rules are pq_topk's."""
+    if refine_factor is not None and int(refine_factor) < 1:
+        raise ValueError(
+            f"refine_factor must be >= 1, got {refine_factor}"
+        )
     spark = corpus.sparkSession
     coarse = _hash_order_sample(corpus, n_centroids, id_col, vec_col)
     assign1 = ivf_assignments_arrow(coarse, n_best=1, digits=round_digits)
@@ -928,6 +946,36 @@ def ivf_pq_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.desc("ascore"), F.asc("neighbor_id")
     )
+    if refine_factor is not None:
+        short = (
+            scored.withColumn("__ar", F.row_number().over(w))
+            .where(F.col("__ar") <= int(refine_factor) * k)
+            .select("query_id", "neighbor_id")
+        )
+        cv = _with_norm(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("cv"),
+            ),
+            "cv", "nc",
+        )
+        re = (
+            short.join(cv, "neighbor_id")
+            .join(q.select("query_id", "__qv", "__qn"), "query_id")
+            .withColumn(
+                "sim",
+                _sim(F.col("__qv"), F.col("cv"), F.col("__qn"),
+                     F.col("nc"), round_digits),
+            )
+        )
+        w2 = Window.partitionBy("query_id").orderBy(
+            F.desc("sim"), F.asc("neighbor_id")
+        )
+        return (
+            re.withColumn("rank", F.row_number().over(w2).cast("int"))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "sim")
+        )
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= k)

@@ -595,3 +595,41 @@ def test_residual_pq_index_equals_one_shot_and_lifecycle(
     assert g == {tuple(r) for r in
                  ivf_pq_topk(emb, q, k=4, n_centroids=6, n_probe=2,
                              **kw).collect()}
+
+
+def test_ivf_pq_refine_exact_order_and_coverage(spark):
+    """The refine contract: (a) with refine_factor covering the whole
+    probed candidate set, refined IVF-PQ == ivf_topk's EXACT scoring
+    of the same probed lists (same coarse sample, same tiebreaks) —
+    quantization fully cancelled; (b) refined recall vs brute force
+    is >= the unrefined ADC ranking's on clustered data; (c)
+    refine_factor < 1 is refused."""
+    from configurable_etl_python_repo_spark.llm.similarity import (
+        ivf_pq_topk,
+        ivf_topk,
+    )
+
+    emb = _clustered(spark, n_clusters=6, per_cluster=40)
+    queries = emb.where(F.col("vec_id") % 40 == 0)
+    kw = dict(dim=_DIM, m_subspaces=4, n_codes=8, n_iter=1,
+              n_centroids=6, n_probe=2)
+    # (a) covering refine == exact scoring of the probed lists
+    cover = ivf_pq_topk(emb, queries, k=5, refine_factor=100, **kw)
+    exact_ivf = ivf_topk(emb, queries, k=5, n_centroids=6, n_probe=2)
+    got = {(r.query_id, r.neighbor_id, r.rank, r.sim)
+           for r in cover.collect()}
+    want = {(r.query_id, r.neighbor_id, r.rank, r.sim)
+            for r in exact_ivf.collect()}
+    assert got == want and got
+    # (b) refined recall >= unrefined at a small factor
+    bf = {(r.query_id, r.neighbor_id)
+          for r in brute_force_topk(emb, queries, k=5).collect()}
+    adc = {(r.query_id, r.neighbor_id)
+           for r in ivf_pq_topk(emb, queries, k=5, **kw).collect()}
+    ref = {(r.query_id, r.neighbor_id)
+           for r in ivf_pq_topk(emb, queries, k=5, refine_factor=3,
+                                **kw).collect()}
+    assert len(ref & bf) >= len(adc & bf)
+    # (c) validation
+    with pytest.raises(ValueError, match="refine_factor"):
+        ivf_pq_topk(emb, queries, k=5, refine_factor=0, **kw)
