@@ -6025,7 +6025,7 @@ _CMS_PROBE_DOCS = 20
 
 
 def _cms_oracle(depth: int = _CMS_D, width_bits: int = _CMS_W,
-                seed: str = "cms") -> str:
+                seed: str = "cms", group: "str | None" = None) -> str:
     """SQL replay of the count-min pipeline (llm/sketch.py): the
     md5-derived 32-bit halves, Kirsch-Mitzenmacher bucket choice
     (h1 + i*h2) % w per row, exact BIGINT counters, MIN-of-rows
@@ -6033,40 +6033,53 @@ def _cms_oracle(depth: int = _CMS_D, width_bits: int = _CMS_W,
     corpus in ONE pass; the Spark query merges two half-corpus
     sketches (counter-wise ADD), so the hash match also pins the
     cms(A) + cms(B) == cms(A ∪ B) merge identity — the x20
-    technique applied to the frequency dual."""
+    technique applied to the frequency dual. ONE generator for the
+    global (x35) and grouped (x36) rows — with ``group`` every stage
+    keys per group (independent counter matrices, the x23/x24
+    grouped-dual convention; the fixture's group column is non-NULL,
+    and the engine's null-safe group join is pytest-pinned)."""
     w = 1 << width_bits
     khash = f"md5('{seed}' || '|' || coalesce(token, chr(1)))"
+    g = f"{group}, " if group else ""
+    on_g = f"AND c.{group} = p.{group} " if group else ""
+    xon_g = f"AND x.{group} IS NOT DISTINCT FROM e.{group} " if group else ""
+    ge = f"e.{group}, " if group else ""
     return f"""
     WITH {_WORDS_SQL.strip()},
-    tok AS (SELECT doc_id, unnest(w) AS token FROM words),
+    tok AS (SELECT {('s.' + group + ', ') if group else ''}d.doc_id,
+                   unnest(d.w) AS token
+            FROM words d{f'''
+            JOIN documents s ON s.doc_id = d.doc_id''' if group else ''}),
     bh AS (
-      SELECT CAST(('0x' || substr(hx, 1, 8)) AS BIGINT) AS h1,
+      SELECT {g}CAST(('0x' || substr(hx, 1, 8)) AS BIGINT) AS h1,
              CAST(('0x' || substr(hx, 9, 8)) AS BIGINT) AS h2
-      FROM (SELECT {khash} AS hx FROM tok)),
+      FROM (SELECT {g}{khash} AS hx FROM tok)),
     ii AS (SELECT unnest(generate_series(0, {depth - 1})) AS i),
     counters AS (
-      SELECT ii.i AS row, (h1 + ii.i * h2) % {w} AS bucket,
+      SELECT {g}ii.i AS row, (h1 + ii.i * h2) % {w} AS bucket,
              CAST(COUNT(*) AS BIGINT) AS cnt
-      FROM bh, ii GROUP BY 1, 2),
+      FROM bh, ii GROUP BY {'1, 2, 3' if group else '1, 2'}),
     probe AS (
-      SELECT DISTINCT token FROM tok WHERE doc_id < {_CMS_PROBE_DOCS}),
+      SELECT DISTINCT {g}token FROM tok
+      WHERE doc_id < {_CMS_PROBE_DOCS}),
     ph AS (
-      SELECT token,
+      SELECT {g}token,
              CAST(('0x' || substr(hx, 1, 8)) AS BIGINT) AS h1,
              CAST(('0x' || substr(hx, 9, 8)) AS BIGINT) AS h2
-      FROM (SELECT token, {khash} AS hx FROM probe)),
+      FROM (SELECT {g}token, {khash} AS hx FROM probe)),
     est AS (
-      SELECT p.token,
+      SELECT {'p.' + group + ', ' if group else ''}p.token,
              MIN(CAST(coalesce(c.cnt, 0) AS BIGINT)) AS est
       FROM ph p CROSS JOIN ii
       LEFT JOIN counters c
         ON c.row = ii.i AND c.bucket = (p.h1 + ii.i * p.h2) % {w}
-      GROUP BY p.token),
+        {on_g}
+      GROUP BY {'1, 2' if group else 'p.token'}),
     exact AS (
-      SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_n
-      FROM tok GROUP BY 1)
-    SELECT e.token, e.est, x.exact_n
-    FROM est e JOIN exact x ON x.token = e.token
+      SELECT {g}token, CAST(COUNT(*) AS BIGINT) AS exact_n
+      FROM tok GROUP BY {'1, 2' if group else '1'})
+    SELECT {ge}e.token, e.est, x.exact_n
+    FROM est e JOIN exact x ON x.token = e.token {xon_g}
     """
 
 
@@ -6109,3 +6122,46 @@ def q_x35(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = tok.groupBy("token").agg(F.count("*").alias("exact_n"))
     return est.join(exact, "token").select("token", "est", "exact_n")
+
+
+@register("x36_grouped_count_min", _cms_oracle(group="source"))
+def q_x36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP count-min sketches: independent counter matrices per
+    source from ONE grouped pass (the x23/x24 grouped-dual
+    convention applied to the frequency sketch) — "how often do these
+    tokens appear PER DOMAIN" without a per-domain job or an exact
+    per-domain vocabulary shuffle. Spark merges the doc_id-parity
+    halves group-wise before estimating; the oracle sketches once —
+    the grouped merge identity rides the hash match; exact per-group
+    counts sit alongside."""
+    from .llm import sketch as SK
+    from .llm.text import _words
+
+    docs = spark.read.parquet(_pq(sf_dir, "documents")).select(
+        "source", "doc_id", "text"
+    )
+    tok = docs.select(
+        "source", "doc_id",
+        F.explode(_words(F.col("text"))).alias("token"),
+    )
+    halves = [
+        SK.count_min_sketch(
+            tok.where(F.col("doc_id") % 2 == p), ["token"],
+            depth=_CMS_D, width_bits=_CMS_W, group_cols=["source"],
+        )
+        for p in (0, 1)
+    ]
+    cms = SK.merge_cms(*halves, group_cols=["source"])
+    probe = tok.where(F.col("doc_id") < _CMS_PROBE_DOCS).select(
+        "source", "token"
+    )
+    est = SK.cms_estimate(
+        cms, probe, ["token"], depth=_CMS_D, width_bits=_CMS_W,
+        group_cols=["source"],
+    )
+    exact = tok.groupBy("source", "token").agg(
+        F.count("*").alias("exact_n")
+    )
+    return est.join(exact, ["source", "token"]).select(
+        "source", "token", "est", "exact_n"
+    )
