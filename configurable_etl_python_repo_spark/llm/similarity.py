@@ -500,30 +500,42 @@ def lloyd_centroids(
             assign1(F.col(vec_col))[0].alias("__cid"),
             F.col(vec_col).alias("__v"),
         )
-        means_df = assigned.groupBy("__cid").agg(
-            F.count(F.lit(1)).alias("__n"),
-            *[
+        # NARROW mean update: posexplode to (cid, j, x) and aggregate per
+        # (cid, element-index) — the same round-to-mean_digits, DECIMAL
+        # cross-row sum, IEEE divide, round chain as before, value-for-
+        # value (the per-(cid,j) count equals the cluster size because
+        # posexplode emits every index of every fixed-dim row). The prior
+        # dim-wide formulation built 2·dim round/cast/sum Column trees
+        # PER ITERATION (~2k py4j round trips, measured 4-5s of pure
+        # driver-side plan construction per iteration at dim=64 — over
+        # half of d11's wall); this builds ONE expression per role and
+        # ships the same shuffle bytes (dim decimals per cluster per map
+        # task, partial-aggregated either way).
+        means_rows = (
+            assigned.select(
+                "__cid", F.posexplode("__v").alias("__j", "__x")
+            )
+            .groupBy("__cid", "__j")
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
                 F.sum(
-                    _round_away_col(F.col("__v")[j].cast("double"),
+                    _round_away_col(F.col("__x").cast("double"),
                                     mean_digits)
                     .cast("decimal(28,10)")
-                ).alias(f"__s{j}")
-                for j in range(dim)
-            ],
-        ).select(
-            "__cid",
-            *[
+                ).alias("__s"),
+            )
+            .select(
+                "__cid", "__j",
                 _round_away_col(
-                    F.col(f"__s{j}").cast("double") / F.col("__n"),
+                    F.col("__s").cast("double") / F.col("__n"),
                     mean_digits,
-                ).alias(f"__m{j}")
-                for j in range(dim)
-            ],
+                ).alias("__m"),
+            )
+            .collect()   # ≤ n_centroids·dim rows — constant
         )
-        means = {
-            int(r[0]): [float(r[j + 1]) for j in range(dim)]
-            for r in means_df.collect()   # ≤ n_centroids rows — constant
-        }
+        means: "dict[int, list[float]]" = {}
+        for r in means_rows:
+            means.setdefault(int(r[0]), [0.0] * dim)[int(r[1])] = float(r[2])
         centroids = [(cid, means.get(cid, vec)) for cid, vec in centroids]
     return centroids
 
@@ -1095,7 +1107,8 @@ def _pq_res_codes(res, codebooks, dim, m_subspaces, round_digits=6):
 
 
 def _pq_res_score(enc, coarse, codebooks, queries, dim, m_subspaces,
-                  k, n_probe, id_col, vec_col, round_digits):
+                  k, n_probe, id_col, vec_col, round_digits,
+                  qlists=None):
     """Score cos(q, c + r̂) from residual-coded rows (cid, id, codes)
     and return the per-query top-k — the scoring half shared
     term-for-term by ivf_pq_residual_topk and the persisted residual
@@ -1103,10 +1116,15 @@ def _pq_res_score(enc, coarse, codebooks, queries, dim, m_subspaces,
     arithmetic. See ivf_pq_residual_topk for the decomposition: the
     q·c lookup per (query, probed list), the constant
     centroid-codeword cross table, DECIMAL-summed code terms, and the
-    |c + r̂|² denominator assembled per candidate."""
+    |c + r̂|² denominator assembled per candidate.
+
+    `qlists` (optional): a precomputed (query_id, cid) probe relation
+    built with the SAME quantizer contract (n_best=n_probe at
+    round_digits over `coarse`). pq_search_index already coarse-
+    assigns the queries to collect the partition-pruning cid set;
+    passing that relation here skips a redundant second Arrow
+    assignment pass over the queries (ADVICE r13)."""
     spark = queries.sparkSession
-    assignp = ivf_assignments_arrow(coarse, n_best=n_probe,
-                                    digits=round_digits)
     centdf = F.broadcast(spark.createDataFrame(
         [(int(cid), [float(x) for x in cv]) for cid, cv in coarse],
         "cid long, ccv array<double>",
@@ -1151,9 +1169,12 @@ def _pq_res_score(enc, coarse, codebooks, queries, dim, m_subspaces,
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     ).withColumn("__qn", _norm(F.col("__qv")))
-    qlists = q.select(
-        "query_id", F.explode(assignp(F.col("__qv"))).alias("cid")
-    )
+    if qlists is None:
+        assignp = ivf_assignments_arrow(coarse, n_best=n_probe,
+                                        digits=round_digits)
+        qlists = q.select(
+            "query_id", F.explode(assignp(F.col("__qv"))).alias("cid")
+        )
     qc = (
         qlists.join(centdf, "cid")
         .join(q, "query_id")
@@ -1692,10 +1713,12 @@ def pq_search_index(
         # residual tree: hand the pruned code rows to the shared
         # residual scorer (the one ivf_pq_residual_topk runs) — same
         # probe digits, same tiebreaks, same DECIMAL folds; the cid
-        # isin above already pruned the scan to the probed lists
+        # isin above already pruned the scan to the probed lists, and
+        # the already-built qlists rides along so the scorer does not
+        # coarse-assign the queries a second time (ADVICE r13)
         return _pq_res_score(stored, coarse, codebooks, queries, dim,
                              m, k, n_probe, id_col, vec_col,
-                             round_digits)
+                             round_digits, qlists=qlists)
     ex = stored.select(
         "cid", "id",
         F.posexplode("codes").alias("s", "code_cid"),
@@ -1817,15 +1840,6 @@ def maxsim_topk(
         ),
         "qv", "nq",
     )
-    sims = (
-        q.crossJoin(c)
-        .where(F.col("query_id") != F.col("doc_id"))
-        .select(
-            "query_id", "__qt", "doc_id",
-            _sim(F.col("qv"), F.col("cv"), F.col("nq"), F.col("nc"),
-                 round_digits).alias("s"),
-        )
-    )
     if planes:
         if dim is None:
             raise ValueError("planes > 0 needs dim (the SRP hyperplane "
@@ -1844,7 +1858,26 @@ def maxsim_topk(
             .select("query_id", "doc_id")
             .distinct()
         )
-        sims = sims.join(cand, ["query_id", "doc_id"], "left_semi")
+        # the candidate pair set DRIVES the token join (cand ⋈ q ⋈ c):
+        # exact cosines are computed only for candidate pairs' token
+        # rows. The previous shape — full q×c crossJoin, then a
+        # left-semi on (query_id, doc_id) — could not push the semi-join
+        # below the cross join (its keys come from both legs), so the
+        # optimized plan scored EVERY pair before filtering and planes>0
+        # was strictly slower than planes=0 (ADVICE r13); this one makes
+        # the documented ~tables·|corpus|/2^planes contract real.
+        pair_rows = cand.join(q, "query_id").join(c, "doc_id")
+    else:
+        pair_rows = q.crossJoin(c)
+    sims = (
+        pair_rows
+        .where(F.col("query_id") != F.col("doc_id"))
+        .select(
+            "query_id", "__qt", "doc_id",
+            _sim(F.col("qv"), F.col("cv"), F.col("nq"), F.col("nc"),
+                 round_digits).alias("s"),
+        )
+    )
     mx = sims.groupBy("query_id", "__qt", "doc_id").agg(
         F.max("s").alias("m")
     )

@@ -676,12 +676,16 @@ def cms_estimate(
     collided.
 
     Plan shape: the probe set is keys-sized (distinct-ed first — each
-    key hashes once), the sketch side is constant-bounded
-    (depth * 2^width_bits rows per group), so the join broadcasts the
+    key hashes once). UNGROUPED, the sketch side is constant-bounded
+    (depth * 2^width_bits rows), so the join force-broadcasts the
     SKETCH at any corpus scale — frequency answers for ad-hoc key sets
     without re-reading the corpus. With group_cols, `keys` must carry
     the group columns and each key is estimated against its own
-    group's counters (null-safe: a NULL group is a real group).
+    group's counters (null-safe: a NULL group is a real group) — the
+    sketch is then depth * 2^width_bits rows PER GROUP (up to 16·2^20
+    per group), so high-cardinality groups could blow a forced
+    broadcast; grouped probes leave the strategy to AQE, which still
+    broadcasts when the measured size fits (ADVICE r13).
 
     Output: (group_cols..., cols..., est long)."""
     _check_cms(depth, width_bits)
@@ -709,7 +713,7 @@ def cms_estimate(
     )
     for c in g:
         cond = cond & F.col(c).eqNullSafe(F.col(f"__s_{c}"))
-    joined = ex.join(F.broadcast(sk), cond, "left")
+    joined = ex.join(F.broadcast(sk) if not g else sk, cond, "left")
     return joined.groupBy(*g, *cols).agg(
         F.min(
             F.coalesce(F.col("cnt"), F.lit(0).cast("long"))
