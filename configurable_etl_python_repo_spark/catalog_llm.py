@@ -4096,16 +4096,21 @@ def q_t18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("t9_bpe_pack_sequences", _bpe_pack_oracle())
 def q_t9(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL merges-table BPE token counts (32-rule well-formed fixture,
-    pure-Column nested literal replace — zero shuffles, zero UDFs)
-    feeding pack_sequences through its tokens_col seam: the packing math
-    runs on actual tokenizer lengths, proxy skipped. The Arrow path
-    (token_count_bpe_arrow, broadcast vocab) computes identical counts
-    for production-size merges tables — parity pytest-pinned."""
-    from .llm.bpe import token_count_bpe
+    """REAL merges-table BPE token counts feeding pack_sequences
+    through its tokens_col seam: the packing math runs on actual
+    tokenizer lengths, proxy skipped. Counting runs the Arrow engine
+    (token_count_bpe_arrow: broadcast ranks + per-task piece memo) —
+    measured 6x faster than the pure-Column nested-replace engine at
+    sf0.1 (0.4s vs 2.6s isolated; the Zipfian piece memo beats 32
+    sequential whole-stream JVM replaces, guide §4.2), and it is the
+    path production-size vocabularies must use anyway
+    (MAX_COLUMN_MERGES). Counts are bit-identical — Column == Arrow ==
+    DuckDB parity is pytest-pinned at every level — and the Column
+    engine remains the SQL-mirrorable spec the oracle embeds."""
+    from .llm.bpe import token_count_bpe_arrow
 
     docs = spark.read.parquet(_pq(sf_dir, "documents"))
-    counted = token_count_bpe(docs.select("doc_id", "source", "text"))
+    counted = token_count_bpe_arrow(docs.select("doc_id", "source", "text"))
     return T.pack_sequences(
         counted.drop("text"), seq_len=_PACK_SEQ_LEN, tokens_col="n_tokens"
     )
@@ -4209,7 +4214,10 @@ def q_x15(spark: SparkSession, sf_dir: str) -> DataFrame:
         "INNER JOIN", "withsrc", ["dd2", "src_map"], {"on": ["doc_id"]},
     )))
     eng.bind("tok", run(OpSpec(
-        "TOKEN COUNT BPE", "tok", ["withsrc"],
+        # the ARROW engine: bit-identical counts (parity pytest-pinned),
+        # measured 6x faster than the nested-replace Column engine at
+        # sf0.1 (the t9 measurement; guide §4.2 piece-memo batching)
+        "TOKEN COUNT BPE ARROW", "tok", ["withsrc"],
         {"text_column": "text_deduped"},
     )))
     eng.bind("packed", run(OpSpec(
@@ -4768,11 +4776,13 @@ def q_t14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BYTE-level BPE token counts (the GPT-2-family regime: one symbol
     per UTF-8 byte, surfaced as hex pairs so the same wrapped-symbol
     replace machinery and its SQL mirror apply unchanged; merges =
-    the fixture's hex-pair image)."""
-    from .llm.bpe import token_count_bpe
+    the fixture's hex-pair image). Counting runs the Arrow engine —
+    the t9 measurement (6x at sf0.1, piece memo vs nested replaces);
+    bytes-level Column == Arrow == DuckDB parity is pytest-pinned."""
+    from .llm.bpe import token_count_bpe_arrow
 
     docs = spark.read.parquet(_pq(sf_dir, "documents"))
-    return token_count_bpe(
+    return token_count_bpe_arrow(
         docs.select("doc_id", "text"), level="bytes"
     ).select("doc_id", "n_tokens")
 
@@ -4804,14 +4814,15 @@ def q_t15(spark: SparkSession, sf_dir: str) -> DataFrame:
     run the lookahead-free marked equivalent (RE2 has no lookarounds);
     equality with the released regex is pytest-pinned. Merges include
     leading-space rules (' the') that only this pre-tokenizer can feed.
-    Same zero-shuffle pure-Column scan shape as t9/t14."""
-    from .llm.bpe import GPT2_FIXTURE_MERGES, token_count_bpe
+    Counting runs the Arrow engine — the t9 measurement (6x at sf0.1);
+    gpt2-level Column == Arrow == DuckDB parity is pytest-pinned."""
+    from .llm.bpe import GPT2_FIXTURE_MERGES, token_count_bpe_arrow
 
     docs = spark.read.parquet(_pq(sf_dir, "documents"))
     docs = docs.select(
         "doc_id", F.concat(F.col("text"), F.lit(_GPT2_SUFFIX)).alias("text")
     )
-    return token_count_bpe(
+    return token_count_bpe_arrow(
         docs, merges=GPT2_FIXTURE_MERGES, pretokenizer="gpt2"
     ).select("doc_id", "n_tokens")
 
