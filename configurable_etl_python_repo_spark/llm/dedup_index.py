@@ -633,8 +633,10 @@ def _emb_committed(spark: SparkSession, path: str,
     guard with the canonical rebuild message."""
     from pyspark.errors import AnalysisException
 
+    from ._store import sidecar_rows
+
     try:
-        rows = spark.read.parquet(path + "/_meta").collect()
+        rows = sidecar_rows(spark, path + "/_meta")
         peek = getattr(rows[0], "layout", None) if len(rows) == 1 else None
     except AnalysisException:
         # ONLY the missing/unreadable-as-parquet path falls back to the

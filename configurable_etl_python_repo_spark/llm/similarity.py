@@ -1476,10 +1476,10 @@ def _pq_committed(spark, path: str, version: "int | None" = None):
     segs, tags, manifest)."""
     from pyspark.errors import AnalysisException
 
-    from ._store import committed_state
+    from ._store import committed_state, sidecar_rows
 
     try:
-        rows = spark.read.parquet(path + "/_meta").collect()
+        rows = sidecar_rows(spark, path + "/_meta")
         peek = getattr(rows[0], "layout", None) if len(rows) == 1 else None
     except AnalysisException:
         peek = None
@@ -1505,7 +1505,9 @@ def _write_codebooks(spark, path: str, codebooks, meta_id: str) -> None:
 
 
 def _read_codebooks(spark, path: str, meta_id: str):
-    rows = spark.read.parquet(path + "/_codebooks").collect()
+    from ._store import sidecar_rows
+
+    rows = sidecar_rows(spark, path + "/_codebooks")
     bad = {getattr(r, "meta_id", None) for r in rows} - {meta_id}
     if bad:
         raise ValueError(

@@ -790,23 +790,26 @@ def test_emb_meta_peek_propagates_transient_errors(
     failure), not be swallowed into the layout fallback where it would
     resurface as the misleading canonical 'wrong layout / rebuild'
     error. Only AnalysisException (missing/unreadable-as-parquet) may
-    fall back."""
-    from pyspark.sql.readwriter import DataFrameReader
+    fall back. The sidecar read seam is pyarrow's read_table on local
+    paths (r14: _store.sidecar_rows skips the distributed scan for the
+    constant-size metadata); the transient-error contract is the
+    same."""
+    import pyarrow.parquet as papq
 
     corpus, batch = _vec_corpus_and_batch(spark, sf_dir)
     idx = str(tmp_path / "emb")
     embedding_build_index(corpus.limit(200), idx, n_centroids=2)
-    orig = DataFrameReader.parquet
+    orig = papq.read_table
 
-    def flaky(self, *paths, **kw):
-        if any(str(p).endswith("/_meta") for p in paths):
+    def flaky(path, *a, **kw):
+        if str(path).endswith("/_meta"):
             raise OSError("transient read failure")
-        return orig(self, *paths, **kw)
+        return orig(path, *a, **kw)
 
-    monkeypatch.setattr(DataFrameReader, "parquet", flaky)
+    monkeypatch.setattr(papq, "read_table", flaky)
     with pytest.raises(OSError, match="transient read failure"):
         embedding_against_index(spark, idx, batch, threshold=0.9)
-    monkeypatch.setattr(DataFrameReader, "parquet", orig)
+    monkeypatch.setattr(papq, "read_table", orig)
     # a genuinely missing tree still dies on the canonical message
     with pytest.raises(Exception, match="[Nn]o index|rebuild|exist"):
         embedding_against_index(spark, str(tmp_path / "nope"), batch,

@@ -1385,3 +1385,38 @@ def test_maintenance_args_validated_before_destructive_run(
     eng.run_op(OpSpec("VACUUM INDEX", "ok", [],
                       {"path": idx, "retention_seconds": 0}))
     assert not any(os.path.isdir(d) for d in orphans)
+
+
+def test_sidecar_rows_matches_spark_reader_bit_for_bit(
+    spark, sf_dir, tmp_path
+):
+    """r14 optimization seam: local-path sidecars (_meta/_centroids)
+    are read driver-side with pyarrow instead of a distributed scan.
+    The values must be EXACTLY what the Spark row path decoded —
+    every cell of every sidecar of a real embedding store compared
+    against spark.read, plus the missing-tree error contract."""
+    from pyspark.errors import AnalysisException
+
+    corpus = _vecs(spark, sf_dir, 0, 200)
+    idx = str(tmp_path / "emb")
+    embedding_build_index(corpus, idx, n_centroids=2)
+
+    for rel in ("_meta", "_centroids"):
+        fast = ST.sidecar_rows(spark, f"{idx}/{rel}")
+        slow = spark.read.parquet(f"{idx}/{rel}").collect()
+        assert len(fast) == len(slow)
+        for srow in slow:
+            d = srow.asDict()
+            match = [
+                f for f in fast
+                if all(getattr(f, k) == v for k, v in d.items())
+            ]
+            assert match, f"{rel} row {d} missing from sidecar_rows"
+    # missing tree raises AnalysisException exactly like spark.read
+    with pytest.raises(AnalysisException):
+        ST.sidecar_rows(spark, str(tmp_path / "nope" / "_meta"))
+    # non-local URIs fall back to the Spark scan (s3 would need a fs;
+    # the dispatch itself is what we pin)
+    assert ST._local_fs_path("s3://bucket/k") is None
+    assert ST._local_fs_path("file:///x/y") == "/x/y"
+    assert ST._local_fs_path("/x/y") == "/x/y"
