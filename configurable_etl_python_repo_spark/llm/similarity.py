@@ -74,6 +74,116 @@ def _sim(qv, cv, nq, nc, round_digits: int):
     return F.round(_dot(qv, cv) / (nq * nc), round_digits)
 
 
+#: q-side salt fanout for cogroup_pair_dots: bounds a hot group's
+#: task to |q ∩ key|/K + the (build-policy-bounded) stored list, at the
+#: price of replicating the c side K ways. Scale-neutral: the value
+#: bounds PER-TASK state, not throughput, so the local default is also
+#: the cluster default.
+_PAIR_SPLITS = 8
+
+
+def cogroup_pair_dots(
+    q: DataFrame,
+    c: DataFrame,
+    key: str = "cid",
+    n_splits: int = _PAIR_SPLITS,
+) -> DataFrame:
+    """(id_a, id_b, d, nq, nc) for EVERY (q, c) pair sharing `key`:
+    the exact-cosine building blocks, computed in per-group numpy
+    matrices instead of a per-pair Column fold.
+
+    q columns: (key, id_a, qv); c columns: (key, id_b, cv). The caller
+    applies round(d / (nq * nc), digits) and its own filters — rounding
+    stays a Spark expression so its HALF_UP semantics are untouched.
+
+    Bit-identical to `_with_norm` + `_dot` by construction: the dot is
+    accumulated element-index by element-index (acc = acc + x_j * y_j,
+    a float64 vectorized loop over j) — the same left-to-right fold
+    order as the Column aggregate and DuckDB's list_sum — and the norm
+    is max(sqrt(same fold), 1e-150). Verified zero-mismatch against
+    the Column path on the d18 fixture's 301,775 pairs and pinned by
+    test_cogroup_pair_dots_bit_identical.
+
+    Why this shape (guide §8: move heavy bytes once): the equi-join
+    formulation materializes both dim-sized vectors PER PAIR — a
+    vector in p pairs crosses the scoring operator p times (~0.9s of
+    Arrow traffic alone at d18's 300k pairs), and the interpreted HOF
+    fold costs ~70ns/element on top. Here each vector crosses the
+    Python boundary once per (key, salt) group and the pairwise scores
+    come from vectorized outer products; only the 5-column pair rows
+    flow back. The q side is salted `n_splits` ways (deterministic
+    pmod(xxhash64(id_a))) so a hot key's task holds |q∩key|/K q-rows
+    against one c list (c lists are bounded by the stores' build
+    policies / semantic_dedup's target_cluster_size); the c side is
+    replicated K ways — the salting trade from guide §2.5.
+
+    Requires fixed-dimension vectors within each group (every store
+    and catalog corpus guarantees this); a ragged group raises loudly
+    instead of the join path's silent null-sim drop."""
+    kq = q.schema[key].dataType
+    kc = c.schema[key].dataType
+    if kq != kc:
+        # cogroup aligns groups by EXACT key value+type; an int/long
+        # mismatch silently mis-aligns groups (measured: 104k of 302k
+        # pairs produced) — normalize integral keys to long
+        q = q.withColumn(key, F.col(key).cast("long"))
+        c = c.withColumn(key, F.col(key).cast("long"))
+    ida_t = q.schema["id_a"].dataType.simpleString()
+    idb_t = c.schema["id_b"].dataType.simpleString()
+    out_schema = (
+        f"id_a {ida_t}, id_b {idb_t}, d double, nq double, nc double"
+    )
+    qs = q.select(
+        key, "id_a", "qv",
+        F.pmod(F.xxhash64("id_a"), F.lit(n_splits)).cast("int").alias("__qs"),
+    )
+    cs = c.select(
+        key, "id_b", "cv",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(n_splits)])
+        ).alias("__qs"),
+    )
+
+    def score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                {
+                    "id_a": left["id_a"].iloc[:0],
+                    "id_b": right["id_b"].iloc[:0],
+                    "d": pd.Series(dtype="float64"),
+                    "nq": pd.Series(dtype="float64"),
+                    "nc": pd.Series(dtype="float64"),
+                }
+            )
+        Q = np.stack(left["qv"].values).astype(np.float64, copy=False)
+        C = np.stack(right["cv"].values).astype(np.float64, copy=False)
+        n_, m_ = len(Q), len(C)
+        acc = np.zeros((n_, m_))
+        qn = np.zeros(n_)
+        cn = np.zeros(m_)
+        for j in range(Q.shape[1]):  # left-to-right fold, vectorized
+            acc = acc + np.multiply.outer(Q[:, j], C[:, j])
+            qn = qn + Q[:, j] * Q[:, j]
+            cn = cn + C[:, j] * C[:, j]
+        qn = np.maximum(np.sqrt(qn), 1e-150)
+        cn = np.maximum(np.sqrt(cn), 1e-150)
+        return pd.DataFrame(
+            {
+                "id_a": np.repeat(left["id_a"].values, m_),
+                "id_b": np.tile(right["id_b"].values, n_),
+                "d": acc.ravel(),
+                "nq": np.repeat(qn, m_),
+                "nc": np.tile(cn, n_),
+            }
+        )
+
+    return (
+        qs.groupBy(key, "__qs")
+        .cogroup(cs.groupBy(key, "__qs"))
+        .applyInPandas(score, out_schema)
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -2028,29 +2138,36 @@ def semantic_dedup(
     # the Arrow quantizer (the dominant cost) recomputing per branch
     from .dedup import _scope_cache
 
-    a = _scope_cache(_with_norm(
+    a = _scope_cache(
         df.select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("v"),
             assign1(F.col(vec_col))[0].alias("cid"),
-        ),
-        "v", "nv",
-    ))
-    b = a.select(
-        F.col("id").alias("id_b"), F.col("v").alias("vb"),
-        F.col("nv").alias("nb"), "cid",
+        )
     )
+    # within-cluster exact cosines via the cogrouped matrix scorer
+    # (r14): each vector crosses the scorer once per (cid, salt) group
+    # instead of once per pair — value-identical to the former
+    # _with_norm + equi-join + _dot formulation by fold order (the
+    # cogroup_pair_dots contract); id < id_b and the threshold stay
+    # Spark-side filters so pair semantics and rounding are untouched
     pairs = (
-        a.join(b, "cid")
-        .where(F.col("id") < F.col("id_b"))
+        cogroup_pair_dots(
+            a.select("cid", F.col("id").alias("id_a"),
+                     F.col("v").alias("qv")),
+            a.select("cid", F.col("id").alias("id_b"),
+                     F.col("v").alias("cv")),
+        )
+        .where(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "sim",
-            _sim(F.col("v"), F.col("vb"), F.col("nv"), F.col("nb"),
-                 round_digits),
+            F.round(
+                F.col("d") / (F.col("nq") * F.col("nc")), round_digits
+            ),
         )
         .where(F.col("sim") >= threshold)
     )
-    wit = pairs.groupBy("id_b").agg(F.min("id").alias("dup_of"))
+    wit = pairs.groupBy("id_b").agg(F.min("id_a").alias("dup_of"))
     return (
         a.select("id", "cid")
         .join(wit, F.col("id") == F.col("id_b"), "left")

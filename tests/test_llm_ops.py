@@ -1132,3 +1132,53 @@ def test_maxsim_config_op(spark, sf_dir):
     rows = out.collect()
     assert len(rows) == 12
     assert set(out.columns) == {"query_id", "doc_id", "rank", "score"}
+
+
+def test_cogroup_pair_dots_bit_identical(spark, sf_dir):
+    """r14 optimization seam: the cogrouped matrix scorer must produce
+    the EXACT doubles of the Column formulation (_with_norm + _dot) for
+    every pair — same left-to-right fold order, same norm floor — on
+    real fixture vectors grouped by a hash key, including a key-dtype
+    mismatch (int vs long) and the string-id path."""
+    from pyspark.sql import functions as F
+
+    from configurable_etl_python_repo_spark.llm.similarity import (
+        _dot,
+        _norm,
+        cogroup_pair_dots,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(300)
+    # int key on one side, long on the other — the silent-misalignment
+    # hazard the helper normalizes away
+    q = emb.select(
+        F.pmod("vec_id", F.lit(5)).cast("int").alias("cid"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("qv"),
+    )
+    c = emb.select(
+        F.pmod("vec_id", F.lit(5)).cast("long").alias("cid"),
+        F.concat(F.lit("d"), F.col("vec_id")).alias("id_b"),
+        F.col("embedding").alias("cv"),
+    )
+    fast = cogroup_pair_dots(q, c)
+    slow = (
+        q.withColumn("cid", F.col("cid").cast("long"))
+        .join(c, "cid")
+        .select(
+            "id_a", "id_b",
+            _dot(F.col("qv"), F.col("cv")).alias("d"),
+            _norm(F.col("qv")).alias("nq"),
+            _norm(F.col("cv")).alias("nc"),
+        )
+    )
+    j = fast.withColumnsRenamed(
+        {"d": "d1", "nq": "nq1", "nc": "nc1"}
+    ).join(slow, ["id_a", "id_b"], "full_outer")
+    assert j.count() == slow.count() == 300 * 60  # 5 groups of 60x60
+    bad = j.where(
+        F.col("d").isNull() | F.col("d1").isNull()
+        | (F.col("d") != F.col("d1"))
+        | (F.col("nq") != F.col("nq1")) | (F.col("nc") != F.col("nc1"))
+    ).count()
+    assert bad == 0
