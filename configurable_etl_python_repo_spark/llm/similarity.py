@@ -269,14 +269,21 @@ def embedding_cosine_pairs(
         # collide in several tables); the dim-sized vectors join back in
         # once per surviving candidate — at dim=64 float that's ~512B/row
         # kept out of both the bucket-join and the distinct shuffles
-        ha = corpus.select(
-            F.col(id_col).alias("id_a"),
-            F.posexplode(bks(F.col(vec_col))).alias("tbl", "bk"),
+        # ONE Arrow hashing pass (r14): both self-join legs are the
+        # same (id, tbl, bk) projection, but Spark shares no work
+        # across join sides — uncached, the corpus-sized SRP quantizer
+        # ran twice per query (measured: the candidate stage is ~85%
+        # of d6's wall, about half of it the duplicate hash pass)
+        from .dedup import _scope_cache
+
+        hs = _scope_cache(
+            corpus.select(
+                F.col(id_col).alias("__hid"),
+                F.posexplode(bks(F.col(vec_col))).alias("tbl", "bk"),
+            )
         )
-        hb = corpus.select(
-            F.col(id_col).alias("id_b"),
-            F.posexplode(bks(F.col(vec_col))).alias("tbl", "bk"),
-        )
+        ha = hs.withColumnsRenamed({"__hid": "id_a"})
+        hb = hs.withColumnsRenamed({"__hid": "id_b"})
         cand = (
             ha.join(hb, ["tbl", "bk"])
             .where(F.col("id_a") < F.col("id_b"))
