@@ -1051,42 +1051,116 @@ def decontaminate(
     DISTINCT n-grams that appear anywhere in the eval set);
     mode="drop" returns only clean rows, un-annotated.
 
-    Plan shape: both sides shingle on the codegen posexplode+LEAD path
-    (the corpus pays the one shingle-window shuffle on its doc id — the
-    same linear exchange every dedup op pays); the eval gram set is
-    DISTINCT and (by default) broadcast — benchmarks are small next to a
-    training corpus, so the PROBE is a map-side BroadcastHashJoin with no
-    shuffle by gram; only the matched grams (normally a sliver) shuffle
-    for the per-doc count, and the flag broadcasts back onto the corpus.
-    Set broadcast_eval=False for an unusually large eval set and the
-    probe becomes a regular shuffle join.
+    Plan shape: the eval side shingles on the codegen posexplode+LEAD
+    path and its DISTINCT gram set is (by default) collected and
+    broadcast — benchmarks are small next to a training corpus, the
+    exact assumption the old BroadcastHashJoin probe already made. The
+    CORPUS side (r14) never explodes grams at all: tokenization stays a
+    JVM expression (regex/lower semantics must keep matching the SQL
+    oracle), and one Arrow mapInPandas pass assembles each doc's
+    n-grams in Python and counts the distinct ones present in the
+    broadcast set — gram assembly is plain string concatenation
+    (engine-neutral), so the counted gram set is identical to the old
+    explode+join+groupBy chain. This removes the corpus-sized
+    shingle-window exchange AND the per-gram row explosion (the corpus
+    ships one words-array row per doc into the scorer, matched counts
+    come back one row per contaminated doc): d9 2.1s -> 0.75s at
+    sf0.1, and the probe is map-side at any scale. Set
+    broadcast_eval=False for an unusually large eval set: the probe
+    falls back to the exploded shuffle join of grams (unchanged from
+    r4).
     """
     if mode not in ("flag", "drop"):
         raise ValueError(f"mode must be 'flag' or 'drop', got {mode!r}")
-    # the shingle window partitions by doc id, so eval rows need DISTINCT
-    # ids or LEADs cross document boundaries; a content hash is safe (two
-    # identical eval texts merge into one partition with identical grams)
-    # where monotonically_increasing_id next to the generator would not be
-    eval_grams = (
-        doc_shingles(
-            evalset.select(
-                F.xxhash64(F.col(eval_text_col)).alias("__eid"),
-                F.col(eval_text_col),
-            ).distinct(),  # duplicate eval texts would interleave the window
-            id_col="__eid", text_col=eval_text_col, n=n,
-        )
-        .select("sh")
-        .distinct()
-    )
     if broadcast_eval:
-        eval_grams = F.broadcast(eval_grams)
-    hits = (
-        doc_shingles(corpus, id_col=id_col, text_col=text_col, n=n)
-        .join(eval_grams, on="sh")
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
-        .withColumnRenamed("id", id_col)
-    )
+        import pandas as pd
+
+        spark = corpus.sparkSession
+        # eval grams assembled map-side too (same Python concatenation
+        # as the probe, so both sides build byte-identical gram
+        # strings); per-row processing needs no synthetic doc id and
+        # cannot interleave duplicate texts, and the only exchange left
+        # on the eval side is the distinct over the gram strings
+        ev_words = evalset.select(
+            _words(F.col(eval_text_col)).alias("__w")
+        )
+
+        def ev_grams(batches):
+            for pdf in batches:
+                out: "set[str]" = set()
+                for ws in pdf["__w"]:
+                    if ws is None or len(ws) < n:
+                        continue
+                    out.update(
+                        " ".join(ws[i:i + n])
+                        for i in range(len(ws) - n + 1)
+                    )
+                yield pd.DataFrame({"sh": sorted(out)})
+
+        eval_grams = ev_words.mapInPandas(
+            ev_grams, "sh string"
+        ).distinct()
+        # the driver holds the distinct eval gram set — the same
+        # driver/executor footprint the broadcast relation already had
+        gset = {r[0] for r in eval_grams.collect()}
+        bset = spark.sparkContext.broadcast(gset)
+        id_t = corpus.schema[id_col].dataType.simpleString()
+        words_df = corpus.select(
+            F.col(id_col).alias("__id"),
+            _words(F.col(text_col)).alias("__w"),
+        )
+
+        def probe(batches):
+            s = bset.value
+            for pdf in batches:
+                ids, cnts = [], []
+                for id_, ws in zip(pdf["__id"], pdf["__w"]):
+                    if ws is None or len(ws) < n:
+                        continue
+                    # distinct matched grams only — identical count to
+                    # the exploded distinct-join (a doc gram hits the
+                    # eval set once no matter how often it repeats)
+                    matched = {
+                        g
+                        for i in range(len(ws) - n + 1)
+                        if (g := " ".join(ws[i:i + n])) in s
+                    }
+                    if matched:
+                        ids.append(id_)
+                        cnts.append(len(matched))
+                yield pd.DataFrame(
+                    {"__id": ids, "n_contaminated_grams": cnts}
+                )
+
+        hits = words_df.mapInPandas(
+            probe, f"__id {id_t}, n_contaminated_grams long"
+        ).withColumnRenamed("__id", id_col)
+    else:
+        # shuffle-join fallback for eval sets too big to hold driver-
+        # side: both sides on the r4 exploded-gram machinery. The
+        # shingle window partitions by doc id, so eval rows need
+        # DISTINCT ids or LEADs cross document boundaries; a content
+        # hash is safe (two identical eval texts merge into one
+        # partition with identical grams) where
+        # monotonically_increasing_id next to the generator would not
+        eval_grams = (
+            doc_shingles(
+                evalset.select(
+                    F.xxhash64(F.col(eval_text_col)).alias("__eid"),
+                    F.col(eval_text_col),
+                ).distinct(),
+                id_col="__eid", text_col=eval_text_col, n=n,
+            )
+            .select("sh")
+            .distinct()
+        )
+        hits = (
+            doc_shingles(corpus, id_col=id_col, text_col=text_col, n=n)
+            .join(eval_grams, on="sh")
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+            .withColumnRenamed("id", id_col)
+        )
     # hits is NOT force-broadcast: it is usually tiny, but a pervasively
     # contaminated corpus makes it corpus-sized — AQE picks the strategy
     out = (
