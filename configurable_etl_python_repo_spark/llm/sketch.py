@@ -596,9 +596,13 @@ def count_min_sketch(
     NULL values in `cols` coalesce to the chr(1) sentinel before the
     concat (the distinct_sketch discipline — NULL is a countable
     value, and the key string stays bit-identical to the SQL oracle's
-    ``||`` concatenation). `weight_col` (exact BIGINT add) turns the
-    sketch into a weighted-frequency summary, e.g. token counts
-    weighted by upsampling multiplicity.
+    ``||`` concatenation). `weight_col` (exact BIGINT add; integral
+    types only — a fractional column is refused rather than silently
+    truncated) turns the sketch into a weighted-frequency summary,
+    e.g. token counts weighted by upsampling multiplicity. Negative
+    weights are accepted (deletion/correction streams) but void the
+    one-sided est >= true guarantee — CMS counters are only an upper
+    bound when every update is non-negative.
 
     Output: (group_cols..., row int, bucket long, cnt long), at most
     depth * 2^width_bits rows per group, mergeable with merge_cms.
@@ -612,11 +616,24 @@ def count_min_sketch(
     h = F.md5(_cms_key(cols, seed))
     h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
     h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
-    wt = (
-        F.col(weight_col).cast("long")
-        if weight_col
-        else F.lit(1).cast("long")
-    )
+    if weight_col:
+        # r13 ADVICE: cast('long') on a fractional weight column would
+        # TRUNCATE silently, voiding the exact-BIGINT contract — refuse
+        # non-integral types loudly. NEGATIVE integral weights are
+        # accepted (deletions/corrections) but void the one-sided
+        # est >= true guarantee; documented in the docstring rather
+        # than filtered, because dropping rows would change the sums.
+        wt_type = df.schema[weight_col].dataType.simpleString()
+        if wt_type not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"weight_col {weight_col!r} must be an integral type "
+                f"(the sketch sums exact BIGINTs; casting {wt_type} "
+                f"to long would silently truncate) — round or scale "
+                f"the weights to integers first"
+            )
+        wt = F.col(weight_col).cast("long")
+    else:
+        wt = F.lit(1).cast("long")
     buckets = F.array(
         *[F.pmod(h1 + F.lit(i) * h2, F.lit(w)) for i in range(depth)]
     )

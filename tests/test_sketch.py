@@ -673,3 +673,20 @@ def test_cms_config_ops(spark):
     assert all(got[k] >= exact[k] for k in exact)
     with pytest.raises(ValueError, match="sketch, keys"):
         eng.run_op(OpSpec("CMS ESTIMATE", "e2", ["m"], kw))
+
+
+def test_cms_fractional_weight_column_refused(spark):
+    """r13 ADVICE: cast('long') on a fractional weight silently
+    truncated, voiding the exact-BIGINT contract — the build must
+    refuse non-integral weight dtypes loudly (and still accept every
+    integral width)."""
+    import pytest
+
+    rows = [("x", 1.5), ("y", 2.0)]
+    df = spark.createDataFrame(rows, "k string, w double")
+    with pytest.raises(ValueError, match="integral type"):
+        count_min_sketch(df, ["k"], depth=3, width_bits=8,
+                         weight_col="w")
+    ok = spark.createDataFrame([("x", 2)], "k string, w int")
+    assert count_min_sketch(ok, ["k"], depth=3, width_bits=8,
+                            weight_col="w").count() > 0
