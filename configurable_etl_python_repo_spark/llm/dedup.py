@@ -58,7 +58,14 @@ def _doc_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, sh) word n-grams in document order, WITH duplicates, n >= 2 —
     partitioned by id (the builder window's shuffle). Internal: consumers
     that aggregate per doc anyway (doc_shingles' distinct, minhash's
-    signature groupBy) fuse their aggregation onto this exchange-free."""
+    signature groupBy) fuse their aggregation onto this exchange-free.
+
+    The last n-1 positions (incomplete grams) are dropped by testing the
+    furthest LEAD for null — words are never null (split + non-empty
+    filter), so lead(w, n-1) IS NULL exactly on pos > count-n, the set
+    the previous per-doc count window filtered. One Window pass instead
+    of two (the count window was a second full pass over the exchanged
+    gram stream with its own frame buffer)."""
     from pyspark.sql import Window
 
     w0 = df.select(
@@ -68,9 +75,12 @@ def _doc_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     win = Window.partitionBy("id").orderBy("pos")
     leads = [F.col("w")] + [F.lead("w", k).over(win) for k in range(1, n)]
     return (
-        w0.withColumn("sh", F.concat_ws(" ", *leads))
-        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy("id")))
-        .where(F.col("pos") <= F.col("__n") - n)
+        w0.select(
+            "id",
+            F.concat_ws(" ", *leads).alias("sh"),
+            leads[-1].isNotNull().alias("__keep"),
+        )
+        .where(F.col("__keep"))
         .select("id", "sh")
     )
 

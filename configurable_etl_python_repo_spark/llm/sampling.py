@@ -323,17 +323,30 @@ def top_k_sample(
 
 def _uni_bi_grams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, g) word unigrams + bigrams WITH duplicates — the DSIR
-    hashed-feature stream. Unigrams explode shuffle-free; bigrams reuse
-    the dedup module's codegen posexplode+LEAD builder (one hash shuffle
-    on the doc id)."""
-    from .dedup import _doc_grams, _words
+    hashed-feature stream, from ONE posexplode + LEAD pass: each word
+    position emits its unigram plus (when a next word exists) its
+    bigram. Same gram multiset as the old two-branch union, but the
+    document text is scanned and split ONCE instead of twice (the
+    unigram branch was a second full scan + explode of the corpus) and
+    the shuffle bytes are unchanged — the id-hash exchange carries the
+    same (id, pos, w) word stream either way. Words are never null
+    (split + non-empty filter), so lead IS NULL exactly at each doc's
+    last position."""
+    from pyspark.sql import Window
 
-    uni = df.select(
+    from .dedup import _words
+
+    w0 = df.select(
         F.col(id_col).alias("id"),
-        F.explode(_words(F.col(text_col))).alias("g"),
+        F.posexplode(_words(F.col(text_col))).alias("pos", "w"),
     )
-    bi = _doc_grams(df, id_col, text_col, 2).withColumnsRenamed({"sh": "g"})
-    return uni.union(bi)
+    nx = F.lead("w", 1).over(Window.partitionBy("id").orderBy("pos"))
+    withnx = w0.select("id", "w", nx.alias("__nx"))
+    both = F.when(
+        F.col("__nx").isNotNull(),
+        F.array(F.col("w"), F.concat_ws(" ", F.col("w"), F.col("__nx"))),
+    ).otherwise(F.array(F.col("w")))
+    return withnx.select("id", F.explode(both).alias("g"))
 
 
 def dsir_weights(
@@ -394,7 +407,12 @@ def dsir_weights(
 
     from .dedup import _scope_cache
 
-    corpus_grams = _scope_cache(bucketed(_uni_bi_grams(df, id_col, text_col)))
+    # project the cache to (id, bkt) — the gram string itself is never
+    # read downstream (both consumers key on the bucket), and an opaque
+    # column in the cache would double its bytes for nothing
+    corpus_grams = _scope_cache(
+        bucketed(_uni_bi_grams(df, id_col, text_col)).select("id", "bkt")
+    )
     target_grams = bucketed(_uni_bi_grams(target, id_col, tgt_text))
     # ONE tagged aggregation yields both per-bucket counts (cq: corpus,
     # cp: target) — same BIGINT counts as two separate groupBys, one
@@ -438,8 +456,15 @@ def dsir_weights(
             )
         ).alias("lam"),
     ).where(F.col("__cq") > 0).select("bkt", "lam")
+    # lam is <= `buckets` rows BY CONSTRUCTION (pmod into `buckets`) —
+    # broadcast it explicitly. Catalyst's estimate for the window-over-
+    # aggregate subtree is garbage while the cached gram relation has
+    # exact stats, so left to itself the planner BuildLeft-broadcast the
+    # corpus-sized gram stream (measured: a 3.1M-row hashed relation
+    # collected to the driver per invocation at sf0.1) — backwards at
+    # every scale (guide §3.1: hint the side you KNOW is small).
     return (
-        corpus_grams.join(lam, "bkt")
+        corpus_grams.join(F.broadcast(lam), "bkt")
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
