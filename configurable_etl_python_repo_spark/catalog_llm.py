@@ -18,6 +18,21 @@ from .llm import similarity as S
 from .llm import text as T
 
 
+def _stage_cache(df: DataFrame) -> DataFrame:
+    """Multi-consumer stage boundary for the composed pipelines (x14/
+    x15/x19): the scoped cache guarantees each stage materializes once
+    (the x14 lesson — naive composition embedded 28 corpus FileScans)
+    WITHOUT the lazy localCheckpoint's construction cost. localCheckpoint
+    pays queryExecution.toRdd (full physical planning) eagerly at CALL
+    time even with eager=False — measured 0.8-1.0s of pure driver work
+    per boundary per invocation at sf0.1, the single largest fixed cost
+    of x19 (OPTIMIZATION_r15.md §boundaries; r14's §10 measured the
+    three strategies as equal under that round's box noise, this round's
+    steady-state split of construct vs action isolated it). Cache
+    eviction is recompute-safe and capacity-bounded (_scope_cache)."""
+    return D._scope_cache(df)
+
+
 # ===========================================================================
 # Event-time analytics (batch equivalents of the streaming ops; the
 # streaming/ module runs the same logic under readStream+watermark)
@@ -3741,11 +3756,13 @@ def q_x14(spark: SparkSession, sf_dir: str) -> DataFrame:
     decontamination corpus) and the decontaminated corpus feeds the
     mixture's counting pass plus the output — naive composition embeds
     each upstream subtree once per consumer (measured 28 corpus FileScans
-    in the fully-lazy plan). Lazy localCheckpoints at those two stage
-    boundaries truncate lineage so each stage materializes once — the
+    in the fully-lazy plan). Scoped caches (_stage_cache) at those two
+    stage boundaries keep each stage materializing once — the
     multi-branch analogue of d2/d3's scoped shingle cache, and exactly
     the stage-materialization a 100 TB curation run would do by writing
-    intermediate tables."""
+    intermediate tables. (Lazy localCheckpoints held these boundaries
+    through r14; their eager toRdd cost ~1s of driver-side planning per
+    boundary per invocation — OPTIMIZATION_r15.md.)"""
     from .plans import Engine, OpSpec, ScanSpec
 
     eng = Engine(spark)
@@ -3754,8 +3771,8 @@ def q_x14(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "lang", F.expr(_PII_INJ).alias("text")
     ))
     run = eng.run_op
-    eng.bind("scrub", run(OpSpec("PII SCRUB", "scrub", ["docs"], {}))
-             .localCheckpoint(eager=False))
+    eng.bind("scrub", _stage_cache(
+        run(OpSpec("PII SCRUB", "scrub", ["docs"], {}))))
     eng.bind("qual", run(OpSpec(
         "QUALITY FILTER", "qual", ["scrub"],
         {"text_column": "text_scrubbed"},
@@ -3778,11 +3795,11 @@ def q_x14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )))
     eng.bind("evalset", eng.peek("scrub")[0]
              .where(F.expr(_DECONTAM_PRED)).select("doc_id", "text_scrubbed"))
-    eng.bind("clean", run(OpSpec(
+    eng.bind("clean", _stage_cache(run(OpSpec(
         "DECONTAMINATE", "clean", ["gated", "evalset"],
         {"id_column": "doc_id", "text_column": "text_scrubbed",
          "eval_text_col": "text_scrubbed", "n": _DECONTAM_N, "mode": "drop"},
-    )).localCheckpoint(eager=False))
+    ))))
     eng.bind("mixed", run(OpSpec(
         "SAMPLE MIXTURE", "mixed", ["clean"],
         {"strata_column": "source", "key_column": "doc_id",
@@ -4175,8 +4192,9 @@ def q_x15(spark: SparkSession, sf_dir: str) -> DataFrame:
     they span the full operator surface a 100 TB pre-training data run
     chains. The blocklist survivors feed the surprisal LM twice (words +
     counts) plus the gate join, and the gate output feeds dedup + the
-    source re-join — lazy localCheckpoints at both boundaries keep each
-    stage materializing once (the x14 lesson)."""
+    source re-join — scoped caches at both boundaries keep each stage
+    materializing once (the x14 lesson; _stage_cache on why not
+    localCheckpoint)."""
     from .plans import Engine, OpSpec, ScanSpec
 
     eng = Engine(spark)
@@ -4185,10 +4203,10 @@ def q_x15(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.expr(_URL_INJ).alias("text")
     ))
     run = eng.run_op
-    eng.bind("urlkept", run(OpSpec(
+    eng.bind("urlkept", _stage_cache(run(OpSpec(
         "URL BLOCKLIST", "urlkept", ["docs"],
         {"blocked_domains": list(_BLOCKED_DOMAINS), "mode": "drop"},
-    )).localCheckpoint(eager=False))
+    ))))
     eng.bind("sup", run(OpSpec(
         "SURPRISAL SCORE", "sup", ["urlkept"], {"id_column": "doc_id"},
     )))
@@ -4198,10 +4216,10 @@ def q_x15(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng.bind("joined", run(OpSpec(
         "INNER JOIN", "joined", ["urlkept", "sup2"], {"on": ["doc_id"]},
     )))
-    eng.bind("gated", run(OpSpec(
+    eng.bind("gated", _stage_cache(run(OpSpec(
         "FILTER", "gated", ["joined"],
         {"condition": f"avg_surprisal <= NUMBER({_X15_SUP_MAX})"},
-    )).localCheckpoint(eager=False))
+    ))))
     eng.bind("dd", run(OpSpec(
         "DEDUP SUBSTRINGS", "dd", ["gated"],
         {"id_column": "doc_id", "k": _SPAN_K},
@@ -4624,8 +4642,9 @@ def q_x19(spark: SparkSession, sf_dir: str) -> DataFrame:
     contextually, not just lexically) -> GPT-3-rule 13-gram eval-set
     decontamination (drop) -> token counts -> greedy packing per source
     shard. The DSIR selection feeds the gate's scorer and the gate
-    output feeds decontamination + packing — lazy localCheckpoints at
-    both multi-consumer boundaries (the x14 lesson)."""
+    output feeds decontamination + packing — scoped caches at both
+    multi-consumer boundaries (the x14 lesson; _stage_cache on why not
+    localCheckpoint)."""
     from .plans import Engine, OpSpec, ScanSpec
 
     eng = Engine(spark)
@@ -4636,10 +4655,10 @@ def q_x19(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source") == _DSIR_TARGET_SRC
     ).select("doc_id", "text"))
     run = eng.run_op
-    eng.bind("sel", run(OpSpec(
+    eng.bind("sel", _stage_cache(run(OpSpec(
         "DSIR SELECT", "sel", ["docs", "tgt"],
         {"k": _DSIR_K, "buckets": _DSIR_BUCKETS},
-    )).select("doc_id", "source", "text").localCheckpoint(eager=False))
+    )).select("doc_id", "source", "text")))
     eng.bind("bs", run(OpSpec(
         "SURPRISAL BACKOFF", "bs", ["sel", "tgt"], {},
     )))
@@ -4649,10 +4668,10 @@ def q_x19(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng.bind("joined", run(OpSpec(
         "INNER JOIN", "joined", ["sel", "bs2"], {"on": ["doc_id"]},
     )))
-    eng.bind("gated", run(OpSpec(
+    eng.bind("gated", _stage_cache(run(OpSpec(
         "FILTER", "gated", ["joined"],
         {"condition": f"avg_surprisal <= NUMBER({_X19_SUP_MAX})"},
-    )).localCheckpoint(eager=False))
+    ))))
     eng.bind("evalset", docs.where(F.expr(_DECONTAM_PRED)).select(
         (F.col("doc_id") + 500000).alias("doc_id"), "text"
     ))

@@ -845,6 +845,10 @@ def dedup_spans(
     )
     # (struct comparison is lexicographic and (id, span_idx) is unique, so
     # __n_spans riding in third position can never influence the argmin)
+    # NOTE the count window runs over the SPAN rows — 1/k of the word
+    # stream, on the exchange the span build already paid. Fusing it
+    # into the span-build window node was measured SLOWER (it would
+    # count the full word stream instead): see OPTIMIZATION_r15.md.
     kept = (
         spans.withColumn("__n_spans",
                          F.count(F.lit(1)).over(Window.partitionBy("id")))
@@ -945,12 +949,22 @@ def dedup_substrings(
     leads = [F.col("w")] + [F.lead("w", j).over(win) for j in range(1, k)]
     # gram is NULL unless FULL (k words): a tail fragment's concat_ws
     # output could textually equal a real k-gram elsewhere and
-    # fabricate a match; NULL join keys match nothing
+    # fabricate a match; NULL join keys match nothing.
+    # __n_words rides the SAME window node (same partition+order spec,
+    # full frame) — computing it later as a free-standing count window
+    # cost a second full pass over the post-join stream.
     occ = w0.withColumn(
         "gram",
         F.when(
             F.lead("w", k - 1).over(win).isNotNull(),
             F.concat_ws(" ", *leads),
+        ),
+    ).withColumn(
+        "__n_words",
+        F.count(F.lit(1)).over(
+            win.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
         ),
     )
     # occ feeds BOTH the canonical aggregate and the probe side of the
@@ -959,23 +973,45 @@ def dedup_substrings(
     # localCheckpoint: see _scope_cache (checkpoint blocks from one
     # query measurably slowed the NEXT query at sf1).
     occ = _scope_cache(occ)
+    # the keep-first witness (lexicographic min (id, pos)) as a min over
+    # ONE order-isomorphic DECIMAL: id * 2^32 + pos is strictly
+    # increasing in (id, pos) for every BIGINT id (pos < 2^32 by
+    # construction — it is an array index), so min(packed) picks the
+    # same canonical occurrence as min(struct(id, pos)). A struct min
+    # has a struct aggregation buffer, which HashAggregate cannot hold —
+    # Spark fell back to SortAggregate and SORTED THE ENTIRE GRAM STREAM
+    # by gram string on both sides of the exchange; the decimal min is a
+    # plain mutable buffer, so the canonical aggregate is a
+    # HashAggregate with map-side partial combine (the skew bound the
+    # docstring promises — a hot gram ships <= 1 candidate per map
+    # partition — now without the sort).
+    packed = (
+        F.col("id").cast("decimal(38,0)") * F.lit(4294967296)
+        + F.col("pos")
+    ).alias("__ip")
     canon = (
         occ.where(F.col("gram").isNotNull())
+        .select("gram", packed)
         .groupBy("gram")
-        .agg(F.min(F.struct("id", "pos")).alias("__c"))
+        .agg(F.min("__ip").alias("__cp"))
     )
     flagged = occ.join(canon, on="gram", how="left").withColumn(
         "__dup",
         F.col("gram").isNotNull()
-        & (F.struct("id", "pos") != F.col("__c")),
+        & (
+            (
+                F.col("id").cast("decimal(38,0)") * F.lit(4294967296)
+                + F.col("pos")
+            )
+            != F.col("__cp")
+        ),
     )
-    doc = Window.partitionBy("id")
     cov = (
         Window.partitionBy("id").orderBy("pos").rowsBetween(-(k - 1), 0)
     )
     marked = flagged.withColumn(
-        "__n_words", F.count(F.lit(1)).over(doc)
-    ).withColumn("__covered", F.max(F.col("__dup").cast("int")).over(cov))
+        "__covered", F.max(F.col("__dup").cast("int")).over(cov)
+    )
     if min_match_words is not None and min_match_words > k:
         # merge adjacent covered positions into maximal runs and keep
         # short runs: boundary markers carried forward (run start) and
